@@ -1,13 +1,301 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventLog
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator from SURVEY.md §2 (or one
+  * of the LLM-data-pipeline extensions); `oracleSql` holds the DuckDB
+  * equivalent over the same parquet tables. Column names and output types
+  * are aligned on both sides (aggregates over doubles go through
+  * DECIMAL(18,2) so the fold is order-insensitive, then back to DOUBLE at
+  * the boundary).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Registered stream signatures for the events table (event_type ≈ topic0).
+    * Passed explicitly, mirroring the sink's `add_source` registry
+    * (reference: eth_event_stream/src/sink.rs:175-179).
+    */
+  private val EventSources = Seq("click", "error", "purchase", "signup", "view")
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by default;
+    // read nanos as epoch-nano longs (time math stays exact, DuckDB parity
+    // via epoch_ns()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    EventLog.withBlockKeys(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Shared decimal cast: keeps double aggregation exact + order-insensitive. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship is the netflow reducer over two synced streams
+    * (eth_event_stream/examples/stream_multi.rs:33-70).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventLog.netflow(events(spark, "/root/testdata/sf0.001"), "purchase", "click")
+
+  // ---------------------------------------------------------------------
+  // Queries — one per implemented operator from SURVEY.md §2.
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2 — bounded log range scan with signature + block-range pushdown
+    "s1_log_scan" -> ((s, dir) =>
+      EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
+        .select("event_id", "block_number", "log_index", "user_id", "value")),
+
+    // S3 — historical chunked scan (block_step partitioning)
+    "s3_chunked_scan" -> ((s, dir) =>
+      EventLog.chunkedScanStats(events(s, dir), 100L)),
+
+    // S5 — hybrid historical/live split at head − confirmations
+    "s5_hybrid_phases" -> ((s, dir) =>
+      EventLog.hybridPhases(events(s, dir), 2L)),
+
+    // P2 — payload decode (props JSON ≈ ABI data), aggregated per signature
+    "p2_decode_props" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("bigint").as("sum_k"),
+          count(lit(1)).as("n_events"))),
+
+    // P3 — address/hex render helper parity
+    "p3_address_hex" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("addr",
+          concat(lit("0x"), lpad(lower(hex(col("user_id"))), 40, "0")))),
+
+    // J1 — min-watermark frontier across sources
+    "j1_frontier" -> ((s, dir) => EventLog.frontier(events(s, dir))),
+
+    // J1 — per-source high-water marks (sink's source_vals)
+    "j1_high_water" -> ((s, dir) => EventLog.highWaterMarks(events(s, dir))),
+
+    // J2 — block-aligned full-outer alignment incl. empty groups
+    "j2_block_align" -> ((s, dir) =>
+      EventLog.blockAlign(events(s, dir), EventSources, 0L, 19L)
+        .withColumn("sum_value", col("sum_value").cast("double"))),
+
+    // J4 — ordered k-way merge restoring intra-block total order
+    "j4_ordered_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      EventLog.orderedMerge(Seq(
+          EventLog.signatureFilter(ev, "purchase"),
+          EventLog.signatureFilter(ev, "click")))
+        .withColumn("pos_in_block", col("pos_in_block").cast("bigint"))
+        .select("block_number", "pos_in_block", "event_id", "event_type")
+    }),
+
+    // W1 — tumbling block windows
+    "w1_tumbling_window" -> ((s, dir) =>
+      EventLog.tumblingWindow(events(s, dir), 0L, 50L)
+        .withColumn("sum_value", col("sum_value").cast("double"))),
+
+    // W2 — per-block stepping, per-source groups
+    "w2_per_block" -> ((s, dir) =>
+      EventLog.perBlockBySource(events(s, dir), EventSources)),
+
+    // A2 — suffix-slice sequence pattern (view immediately followed by click)
+    "a2_adjacent_pattern" -> ((s, dir) =>
+      EventLog.adjacentPattern(events(s, dir), "view", "click")),
+
+    // A3 — flagship netflow reducer
+    "a3_netflow" -> ((s, dir) =>
+      EventLog.netflow(events(s, dir), "purchase", "click")
+        .withColumn("netflow", col("netflow").cast("double"))),
+
+    // A3 — derived monitor counts over the netflow state
+    "a3_netflow_monitor" -> ((s, dir) =>
+      EventLog.netflowMonitor(
+        EventLog.netflow(events(s, dir), "purchase", "click"))),
+
+    // ------------------------------------------------------------------
+    // General SQL surface (comes "for free" on Spark — SURVEY §2.7) —
+    // also the bench headliners at sf0.1.
+    // ------------------------------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_segment_revenue" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val li = table(s, dir, "lineitem")
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = table(s, dir, "nation")
+      val supplier = table(s, dir, "supplier")
+      val li = table(s, dir, "lineitem")
+      val dims = supplier
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      li.join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — same tables, same column names, same output types.
+  // ---------------------------------------------------------------------
+  /** Shared SQL fragment: the events table with derived block keys. */
+  private val EvKeys =
+    "SELECT *, event_id // 10 AS block_number, event_id % 10 AS log_index FROM events"
+
+  private val Revenue =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_log_scan" ->
+      s"""SELECT event_id, block_number, log_index, user_id, value
+         FROM ($EvKeys)
+         WHERE event_type = 'purchase' AND block_number BETWEEN 10 AND 500""",
+
+    "s3_chunked_scan" ->
+      s"""SELECT block_number // 100 AS chunk_id, count(*) AS n_events,
+           min(block_number) AS chunk_from, max(block_number) AS chunk_to
+         FROM ($EvKeys) GROUP BY 1""",
+
+    "s5_hybrid_phases" ->
+      s"""WITH ev AS ($EvKeys), h AS (SELECT max(block_number) AS head FROM ev)
+         SELECT CASE WHEN block_number <= head - 2 THEN 'historical' ELSE 'live' END AS phase,
+           count(*) AS n_events, min(block_number) AS from_block,
+           max(block_number) AS to_block
+         FROM ev, h GROUP BY 1""",
+
+    "p2_decode_props" ->
+      """SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+         FROM events GROUP BY event_type""",
+
+    "p3_address_hex" ->
+      """SELECT user_id, '0x' || lpad(lower(hex(user_id)), 40, '0') AS addr
+         FROM (SELECT DISTINCT user_id FROM events)""",
+
+    "j1_frontier" ->
+      s"""SELECT min(high_water) AS frontier FROM (
+           SELECT max(block_number) AS high_water FROM ($EvKeys) GROUP BY event_type)""",
+
+    "j1_high_water" ->
+      s"""SELECT event_type AS source, max(block_number) AS high_water
+         FROM ($EvKeys) GROUP BY event_type""",
+
+    "j2_block_align" ->
+      s"""WITH spine AS (
+           SELECT b.block_number, s.source
+           FROM (SELECT unnest(generate_series(0, 19)) AS block_number) b
+           CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) s(source)),
+         g AS (
+           SELECT block_number, event_type AS source, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           FROM ($EvKeys) WHERE block_number BETWEEN 0 AND 19 GROUP BY 1, 2)
+         SELECT spine.block_number, spine.source,
+           coalesce(g.n_events, 0) AS n_events,
+           CAST(coalesce(g.sum_value, 0) AS DOUBLE) AS sum_value
+         FROM spine LEFT JOIN g ON spine.block_number = g.block_number AND spine.source = g.source""",
+
+    "j4_ordered_merge" ->
+      s"""SELECT block_number,
+           row_number() OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS pos_in_block,
+           event_id, event_type
+         FROM ($EvKeys) WHERE event_type IN ('purchase', 'click')""",
+
+    "w1_tumbling_window" ->
+      s"""SELECT block_number // 50 AS window_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(block_number) AS window_from, max(block_number) AS window_to
+         FROM ($EvKeys) GROUP BY 1""",
+
+    "w2_per_block" ->
+      s"""SELECT block_number,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view
+         FROM ($EvKeys) GROUP BY block_number""",
+
+    "a2_adjacent_pattern" ->
+      s"""WITH seq AS (
+           SELECT block_number, event_type,
+             lead(event_type) OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS next_type
+           FROM ($EvKeys))
+         SELECT block_number, count(*) AS n_matches
+         FROM seq WHERE event_type = 'view' AND next_type = 'click'
+         GROUP BY block_number""",
+
+    "a3_netflow" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS netflow
+         FROM events WHERE event_type IN ('purchase', 'click') GROUP BY user_id""",
+
+    "a3_netflow_monitor" ->
+      """WITH nf AS (
+           SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                      ELSE -CAST(value AS DECIMAL(18,2)) END) AS netflow
+           FROM events WHERE event_type IN ('purchase', 'click') GROUP BY user_id)
+         SELECT count(user_id) AS n_addresses,
+           count(*) FILTER (WHERE netflow > 0) AS n_positive,
+           count(*) FILTER (WHERE netflow < 0) AS n_negative
+         FROM nf""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_segment_revenue" ->
+      s"""SELECT o_orderkey, CAST(sum($Revenue) AS DOUBLE) AS revenue, count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+         GROUP BY o_orderkey""",
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, CAST(sum($Revenue) AS DOUBLE) AS revenue, count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name"""
+  )
 }

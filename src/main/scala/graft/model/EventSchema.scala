@@ -1,0 +1,119 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** One parameter of an event declaration. */
+final case class EventParam(name: String, solType: String, indexed: Boolean) {
+  /** Canonical Solidity type for signature hashing (`uint` → `uint256`). */
+  def canonicalType: String = solType match {
+    case "uint" => "uint256"
+    case "int"  => "int256"
+    case other  => other
+  }
+}
+
+/** Runtime replacement for the reference's compile-time schema DSL.
+  *
+  * The reference parses `Name(type [indexed] name, …) [anonymous]` with nom
+  * combinators inside a proc-macro (reference: eth_event_macro/src/events.rs:13-115)
+  * and code-generates a typed struct. Here the same grammar is parsed at
+  * runtime and yields a Spark `StructType` plus the keccak-256 `topic0`
+  * (reference: ethabi's `Event::signature()`, used at
+  * eth_event_stream/src/stream.rs:113).
+  *
+  * Grammar rules kept from the reference:
+  *  - a leading `event` keyword is rejected (eth_event_macro/src/events.rs:16-18)
+  *  - trailing garbage after the declaration is rejected (events.rs:81-86)
+  *  - `indexed` may follow the type; `anonymous` may follow the param list
+  *  - accepted types: `address | uint | uint256 | bool` (events.rs:103-108);
+  *    this engine additionally accepts the full `uint8..uint256`/`int*`,
+  *    `bytes32`, and `string` — a superset, decode stays nullable-on-mismatch
+  *    instead of the reference's panic (eth_event_macro/src/lib.rs:134).
+  */
+final case class EventSchema(
+    name: String,
+    params: Seq[EventParam],
+    anonymous: Boolean) {
+
+  /** Canonical signature string, e.g. `Transfer(address,address,uint256)`. */
+  def signature: String = s"$name(${params.map(_.canonicalType).mkString(",")})"
+
+  /** keccak-256 of the canonical signature = topic0. */
+  def topic0: Array[Byte] = Keccak256.hash(signature)
+
+  def topic0Hex: String = "0x" + Hex.encode(topic0)
+
+  def indexedParams: Seq[EventParam] = params.filter(_.indexed)
+  def dataParams: Seq[EventParam] = params.filterNot(_.indexed)
+
+  /** Spark type for one Solidity type (SURVEY §1.5 mapping):
+    * address/bytes32 → Binary, uintN/intN → Decimal(38,0), bool → Boolean,
+    * string → String.
+    */
+  def sparkType(solType: String): DataType = solType match {
+    case "address"             => BinaryType
+    case "bool"                => BooleanType
+    case "string"              => StringType
+    case "bytes32" | "bytes"   => BinaryType
+    case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
+    case other => throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+
+  /** Decoded-payload struct, params in declaration order — mirrors the
+    * macro's `data: (T1,…,Tn)` tuple (eth_event_macro/src/lib.rs:159-178).
+    */
+  def dataStruct: StructType =
+    StructType(params.map(p => StructField(p.name, sparkType(p.solType), nullable = true)))
+
+  /** Full decoded-event schema: 4 static fields the macro injects
+    * (eth_event_macro/src/lib.rs:201-206) + the typed params.
+    */
+  def fullStruct: StructType = StructType(
+    Seq(
+      StructField("block_number", LongType, nullable = false),
+      StructField("transaction_hash", BinaryType, nullable = true),
+      StructField("address", BinaryType, nullable = false),
+      StructField("log_index", LongType, nullable = false)
+    ) ++ dataStruct.fields)
+}
+
+object EventSchema {
+  private val ident = "[A-Za-z_][A-Za-z0-9_]*"
+  private val TypeRe =
+    "(address|bool|string|bytes32|bytes|uint(?:8|16|32|64|128|256)?|int(?:8|16|32|64|128|256)?)".r
+
+  /** Parse an event declaration, e.g.
+    * `Transfer(address indexed from, address indexed to, uint value)`.
+    * Throws `IllegalArgumentException` on malformed input.
+    */
+  def parse(decl: String): EventSchema = {
+    val s = decl.trim
+    require(!s.startsWith("event "),
+      "declaration must not start with the `event` keyword")
+    val open = s.indexOf('(')
+    require(open > 0, s"expected `Name(` in: $decl")
+    val name = s.substring(0, open).trim
+    require(name.matches(ident), s"bad event name: `$name`")
+    val close = s.lastIndexOf(')')
+    require(close > open, s"missing `)` in: $decl")
+    val tail = s.substring(close + 1).trim
+    val anonymous = tail == "anonymous"
+    require(anonymous || tail.isEmpty, s"trailing garbage after declaration: `$tail`")
+    val body = s.substring(open + 1, close).trim
+    val params =
+      if (body.isEmpty) Seq.empty[EventParam]
+      else body.split(",").toSeq.map(parseParam)
+    val dup = params.groupBy(_.name).collectFirst { case (n, ps) if ps.size > 1 => n }
+    require(dup.isEmpty, s"duplicate parameter name: ${dup.get}")
+    EventSchema(name, params, anonymous)
+  }
+
+  private def parseParam(raw: String): EventParam = {
+    val toks = raw.trim.split("\\s+").toSeq
+    toks match {
+      case Seq(TypeRe(t), "indexed", n) if n.matches(ident) => EventParam(n, t, indexed = true)
+      case Seq(TypeRe(t), n) if n.matches(ident)            => EventParam(n, t, indexed = false)
+      case _ => throw new IllegalArgumentException(s"bad parameter: `${raw.trim}`")
+    }
+  }
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's core dataflow operators over a totally-ordered multi-source
+  * event log, re-expressed as declarative DataFrame transforms.
+  *
+  * The reference models a stream as the logs of one `(address, topic0)` pair
+  * ordered by `(block_number, log_index)` (reference:
+  * eth_event_stream/src/stream.rs:14-30, sink.rs:13-24). The driver's
+  * `events` test table plays the raw log role: `event_type` ≈ topic0 (stream
+  * signature), `user_id` ≈ address, `event_id` provides the total order. We
+  * derive `block_number = event_id div blockSize` and
+  * `log_index = event_id mod blockSize`, mirroring the `(u64, u128)` composite
+  * key extracted at stream.rs:190-198.
+  *
+  * Every transform below is a pure `DataFrame => DataFrame`, so Catalyst
+  * handles pushdown/pruning and the same code runs under Structured
+  * Streaming. Nothing here collects to the driver; all grouping keys are the
+  * natural shuffle keys (`block_number`, source, user) that scale by
+  * partitioning at 100 TB.
+  */
+object EventLog {
+
+  /** Blocks-per-`blockSize` event ids. 10 gives multi-row blocks at sf0.001+. */
+  val DefaultBlockSize = 10L
+
+  /** Attach the `(block_number, log_index)` composite order key. */
+  def withBlockKeys(events: DataFrame, blockSize: Long = DefaultBlockSize): DataFrame =
+    events
+      .withColumn("block_number", expr(s"event_id DIV $blockSize"))
+      .withColumn("log_index", expr(s"event_id % $blockSize"))
+
+  /** P1 — stream-signature row predicate
+    * (`log.address == sig.0 && log.topics[0] == sig.1`, reference:
+    * sink.rs:38-42). Catalyst pushes this into the parquet scan.
+    */
+  def signatureFilter(df: DataFrame, eventType: String): DataFrame =
+    df.filter(col("event_type") === eventType)
+
+  /** S1/S2 — bounded range scan with source-side pushdown (reference:
+    * stream.rs:94-102 `build_filter`, stream.rs:159-183 `get_logs`).
+    * `from`/`to` inclusive, matching the reference's range semantics.
+    */
+  def rangeScan(df: DataFrame, eventTypes: Seq[String], from: Long, to: Long): DataFrame =
+    df.filter(col("event_type").isin(eventTypes: _*) &&
+      col("block_number").between(from, to))
+
+  /** S3 — historical chunked scan. The reference splits `[from,to]` into
+    * `block_step`-sized chunks scanned sequentially (stream.rs:214-226);
+    * Spark's analogue is a chunk column that becomes the unit of parallelism
+    * (one input partition per chunk on a real source). Returned per-chunk
+    * stats make the plan observable/testable.
+    */
+  def chunkedScanStats(df: DataFrame, blockStep: Long): DataFrame =
+    df.groupBy(expr(s"block_number DIV $blockStep").as("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("block_number").as("chunk_from"),
+        max("block_number").as("chunk_to"))
+
+  /** S5 — hybrid historical/live split. The reference compares the chain head
+    * minus a confirmation lag against `to_block` to decide batch vs live
+    * (stream.rs:263-301, `need_live` at :273). On bounded data the same
+    * decision labels each row by phase.
+    */
+  def hybridPhases(df: DataFrame, confirmations: Long): DataFrame = {
+    val head = df.agg(max("block_number").as("head"))
+    df.crossJoin(broadcast(head))
+      .withColumn(
+        "phase",
+        when(col("block_number") <= col("head") - confirmations, lit("historical"))
+          .otherwise(lit("live")))
+      .groupBy(col("phase"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("block_number").as("from_block"),
+        max("block_number").as("to_block"))
+  }
+
+  /** J1 — min-watermark synchronization. The global synchronized frontier is
+    * the `min` over per-source high-water marks (reference: sink.rs:187-197,
+    * update path :266-277 keeps per-source `max`). A two-level aggregation:
+    * partial max per source (map-side combinable) then a global min — no
+    * wide shuffle beyond one row per source.
+    */
+  def frontier(df: DataFrame, sourceCol: String = "event_type"): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(max("block_number").as("high_water"))
+      .agg(min("high_water").as("frontier"))
+
+  /** Per-source high-water marks (the sink's `source_vals`, sink.rs:26-29). */
+  def highWaterMarks(df: DataFrame, sourceCol: String = "event_type"): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(max("block_number").as("high_water"))
+
+  /** J2 — block-aligned full-outer alignment. For every block in
+    * `[bottom, target]` and every registered source, emit the (possibly
+    * empty) group — the reference materializes empty vectors for absent
+    * sources (sink.rs:216-249, empty insert :237-240). SQL `GROUP BY` drops
+    * empty groups, so we synthesize the dense block × source spine with
+    * `sequence()` and left-join the real aggregates (SURVEY §7.4).
+    *
+    * `sources` is passed explicitly (the sink knows its registered sources
+    * up front via `add_source`, sink.rs:175-179) so a source with zero rows
+    * anywhere still appears.
+    */
+  def blockAlign(
+      df: DataFrame,
+      sources: Seq[String],
+      bottom: Long,
+      target: Long,
+      sourceCol: String = "event_type"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = spark.range(1).select(
+        explode(sequence(lit(bottom), lit(target))).as("block_number"))
+      .crossJoin(sources.toDF("source"))
+    val groups = df
+      .filter(col("block_number").between(bottom, target))
+      .groupBy(col("block_number"), col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    // spine is tiny (blocks × sources) relative to data ⇒ broadcastable side
+    // is the spine, but left join must keep spine rows: broadcast the groups
+    // side only when safe; AQE picks the strategy otherwise.
+    spine.join(groups, Seq("block_number", "source"), "left")
+      .select(
+        col("block_number"), col("source"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(BigDecimal(0)).cast("decimal(18,2)"))
+          .as("sum_value"))
+  }
+
+  /** J4 — ordered k-way merge: union N signature streams and restore the
+    * total intra-block order by `log_index` (reference: sink.rs:103-122,
+    * sort at :118-119). Order is materialized as an explicit rank so the
+    * result is order-insensitive-comparable: ranking partitions by block —
+    * never a global sort — so it scales with block-count parallelism.
+    */
+  def orderedMerge(streams: Seq[DataFrame]): DataFrame = {
+    val unioned = streams.reduce(_.unionByName(_))
+    unioned.withColumn(
+      "pos_in_block",
+      row_number().over(
+        Window.partitionBy(col("block_number"))
+          .orderBy(col("log_index"), col("event_id"))))
+  }
+
+  /** W1 — tumbling block windows of `step` blocks starting at `from`
+    * (reference: sink.rs:58-81). The reference has an off-by-one and an
+    * operator-precedence bug in its remainder handling (SURVEY §2.4 W1);
+    * this is the intended exact tumbling semantics.
+    */
+  def tumblingWindow(df: DataFrame, from: Long, step: Long): DataFrame = {
+    require(step >= 1, "step must be >= 1") // reference panics too (sink.rs:68-70)
+    df.filter(col("block_number") >= from)
+      .groupBy(expr(s"(block_number - $from) DIV $step").as("window_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+        min("block_number").as("window_from"),
+        max("block_number").as("window_to"))
+  }
+
+  /** W2 — per-block stepping with per-source event groups (reference:
+    * sink.rs:84-98): one row per block, one column per registered source.
+    */
+  def perBlockBySource(df: DataFrame, sources: Seq[String],
+      sourceCol: String = "event_type"): DataFrame = {
+    val aggs = sources.map(s =>
+      count(when(col(sourceCol) === s, 1)).as(s"n_$s"))
+    df.groupBy(col("block_number")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A2 — suffix-slice sequence-pattern matching. The reference hands every
+    * per-block ordered suffix `events[i..]` to each reducer so it can match
+    * multi-event patterns like `[first, second, ..]`
+    * (reference: sink.rs:134-151, suffix loop :140-148). The declarative
+    * equivalent for 2-event patterns is `lead()` over the intra-block order
+    * — each row sees the head of its own suffix — which stays inside
+    * whole-stage codegen instead of materializing N² suffixes.
+    */
+  def adjacentPattern(df: DataFrame, first: String, second: String): DataFrame = {
+    val w = Window.partitionBy(col("block_number"))
+      .orderBy(col("log_index"), col("event_id"))
+    df.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("event_type") === first && col("next_type") === second)
+      .groupBy(col("block_number"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** A3 — the reference's flagship netflow aggregate
+    * (eth_event_stream/examples/stream_multi.rs:33-70): outflow events
+    * subtract `value` from the key, inflow events add it. Decimal keeps the
+    * fold order-insensitive and exactly mergeable across partitions —
+    * map-side partial aggregation applies, one shuffle on the key.
+    */
+  def netflow(df: DataFrame, inflowType: String, outflowType: String,
+      keyCol: String = "user_id"): DataFrame =
+    df.filter(col("event_type").isin(inflowType, outflowType))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(
+          when(col("event_type") === inflowType, col("value").cast("decimal(18,2)"))
+            .otherwise(-col("value").cast("decimal(18,2)")))
+          .as("netflow"))
+
+  /** A3 monitor — the derived dashboard counts the flagship example polls
+    * (stream_multi.rs:118-143): tracked keys, positive flows, negative flows.
+    */
+  def netflowMonitor(netflows: DataFrame, keyCol: String = "user_id"): DataFrame =
+    netflows.agg(
+      count(col(keyCol)).as("n_addresses"),
+      count(when(col("netflow") > 0, 1)).as("n_positive"),
+      count(when(col("netflow") < 0, 1)).as("n_negative"))
+}
