@@ -81,6 +81,21 @@ object SparkEntry {
     // J1 — per-source high-water marks (sink's source_vals)
     "j1_high_water" -> ((s, dir) => EventLog.highWaterMarks(events(s, dir))),
 
+    // J1 — registry-aware frontier (`synced_including`): None until every
+    // registered source advanced; here all 5 sources are live.
+    "j1_frontier_registered" -> ((s, dir) =>
+      EventLog.frontierOf(events(s, dir), EventSources)),
+
+    // J2 — event-level flush_including parity: per (block, source) cell the
+    // ordered events, empty cells kept (exploded to rows for the oracle).
+    "j2_flush_events" -> ((s, dir) =>
+      EventLog.flushIncluding(events(s, dir), EventSources, 0L, 9L, Seq("event_id"))
+        .select(col("block_number"), col("source"),
+          explode_outer(col("events")).as("ev"))
+        .select(col("block_number"), col("source"),
+          col("ev.log_index").as("log_index"),
+          col("ev.event_id").as("event_id"))),
+
     // J2 — block-aligned full-outer alignment incl. empty groups
     "j2_block_align" -> ((s, dir) =>
       EventLog.blockAlign(events(s, dir), EventSources, 0L, 19L)
@@ -210,6 +225,19 @@ object SparkEntry {
     "j1_high_water" ->
       s"""SELECT event_type AS source, max(block_number) AS high_water
          FROM ($EvKeys) GROUP BY event_type""",
+
+    "j1_frontier_registered" ->
+      s"""SELECT min(high_water) AS frontier FROM (
+           SELECT max(block_number) AS high_water FROM ($EvKeys) GROUP BY event_type)""",
+
+    "j2_flush_events" ->
+      s"""WITH spine AS (
+           SELECT b.block_number, s.source
+           FROM (SELECT unnest(generate_series(0, 9)) AS block_number) b
+           CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) s(source))
+         SELECT spine.block_number, spine.source, e.log_index, e.event_id
+         FROM spine LEFT JOIN ($EvKeys) e
+           ON spine.block_number = e.block_number AND spine.source = e.event_type""",
 
     "j2_block_align" ->
       s"""WITH spine AS (

@@ -96,6 +96,54 @@ object EventLog {
     df.groupBy(col(sourceCol).as("source"))
       .agg(max("block_number").as("high_water"))
 
+  /** J1 with the registered-source registry: `synced_including` returns
+    * `None` until EVERY registered source has advanced (reference:
+    * sink.rs:187-197 — a source still at `from_block` blocks the frontier).
+    * A registered source absent from the data ⇒ zero-row result (= `None`).
+    */
+  def frontierOf(df: DataFrame, registered: Seq[String],
+      sourceCol: String = "event_type"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    registered.toDF("source")
+      .join(highWaterMarks(df, sourceCol), Seq("source"), "left")
+      .agg(min("high_water").as("frontier"),
+        count("high_water").as("n_synced"))
+      .filter(col("n_synced") === registered.size)
+      .select("frontier")
+  }
+
+  /** J2 at event granularity — `flush_including` parity: for every
+    * `(block, source)` cell in `[bottom, target]` × registered sources, the
+    * intra-block-ordered event payloads, **empty arrays for absent cells**
+    * (reference: sink.rs:216-249, empty insert :237-240). `payloadCols` are
+    * carried per event; ordering comes from `sort_array` on the leading
+    * `log_index` struct field — sorting happens inside each group, never a
+    * global sort, so the transform scales with block parallelism.
+    */
+  def flushIncluding(
+      df: DataFrame,
+      sources: Seq[String],
+      bottom: Long,
+      target: Long,
+      payloadCols: Seq[String],
+      sourceCol: String = "event_type"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = spark.range(1).select(
+        explode(sequence(lit(bottom), lit(target))).as("block_number"))
+      .crossJoin(sources.toDF("source"))
+    val evStruct = struct((col("log_index") +: payloadCols.map(col)): _*)
+    val grouped = df
+      .filter(col("block_number").between(bottom, target))
+      .groupBy(col("block_number"), col(sourceCol).as("source"))
+      .agg(sort_array(collect_list(evStruct)).as("events"))
+    spine.join(grouped, Seq("block_number", "source"), "left")
+      .select(col("block_number"), col("source"),
+        coalesce(col("events"), array().cast(grouped.schema("events").dataType))
+          .as("events"))
+  }
+
   /** J2 — block-aligned full-outer alignment. For every block in
     * `[bottom, target]` and every registered source, emit the (possibly
     * empty) group — the reference materializes empty vectors for absent
@@ -140,13 +188,14 @@ object EventLog {
     * result is order-insensitive-comparable: ranking partitions by block —
     * never a global sort — so it scales with block-count parallelism.
     */
-  def orderedMerge(streams: Seq[DataFrame]): DataFrame = {
+  def orderedMerge(streams: Seq[DataFrame],
+      orderCols: Seq[String] = Seq("log_index", "event_id")): DataFrame = {
     val unioned = streams.reduce(_.unionByName(_))
     unioned.withColumn(
       "pos_in_block",
       row_number().over(
         Window.partitionBy(col("block_number"))
-          .orderBy(col("log_index"), col("event_id"))))
+          .orderBy(orderCols.map(col): _*)))
   }
 
   /** W1 — tumbling block windows of `step` blocks starting at `from`

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventLog
+
+/** Unit tests for the window/pattern/aggregate operators on tiny in-memory
+  * event tables (schema mirrors the driver's `events` table).
+  */
+class EventLogSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** rows: (event_id, user_id, event_type, value); block keys derived. */
+  private def ev(rows: (Long, Long, String, Double)*) =
+    EventLog.withBlockKeys(
+      rows.toDF("event_id", "user_id", "event_type", "value"))
+
+  test("withBlockKeys derives the (block, log_index) composite key") {
+    val d = ev((27L, 1L, "view", 0.0)).select("block_number", "log_index")
+      .as[(Long, Long)].collect()
+    assert(d.toSeq == Seq((2L, 7L)))
+  }
+
+  test("tumbling window: exact boundaries, no off-by-one (sink.rs:58-81)") {
+    // blocks 0,1,2,3 (event_ids 5,15,25,35); step=2 from 0 ⇒ windows {0,1},{2,3}
+    val d = ev((5L, 1L, "view", 1.0), (15L, 1L, "view", 2.0),
+      (25L, 1L, "view", 4.0), (35L, 1L, "view", 8.0))
+    val w = EventLog.tumblingWindow(d, 0L, 2L)
+      .select("window_id", "n_events", "window_from", "window_to")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(w == Seq((0L, 2L, 0L, 1L), (1L, 2L, 2L, 3L)))
+    intercept[IllegalArgumentException](EventLog.tumblingWindow(d, 0L, 0L))
+  }
+
+  test("adjacent pattern matches only consecutive pairs within a block") {
+    // block 0: view(0) click(1)  → match
+    // block 0: view(2) error(3) click(4) → no match (not adjacent)
+    // view at end of block 0, click at start of block 1 → no match (cross-block)
+    val d = ev(
+      (0L, 1L, "view", 0.0), (1L, 1L, "click", 0.0),
+      (2L, 1L, "view", 0.0), (3L, 1L, "error", 0.0), (4L, 1L, "click", 0.0),
+      (9L, 1L, "view", 0.0), (10L, 1L, "click", 0.0))
+    val m = EventLog.adjacentPattern(d, "view", "click")
+      .as[(Long, Long)].collect().toSeq
+    assert(m == Seq((0L, 1L)))
+  }
+
+  test("netflow: inflow adds, outflow subtracts, per key") {
+    val d = ev(
+      (0L, 1L, "purchase", 10.0), (1L, 1L, "click", 3.0),
+      (2L, 2L, "click", 5.0), (3L, 3L, "purchase", 7.0),
+      (4L, 4L, "view", 100.0)) // other types excluded
+    val nf = EventLog.netflow(d, "purchase", "click")
+      .withColumn("netflow", $"netflow".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(nf == Map(1L -> 7.0, 2L -> -5.0, 3L -> 7.0))
+
+    val mon = EventLog.netflowMonitor(EventLog.netflow(d, "purchase", "click"))
+      .as[(Long, Long, Long)].collect().head
+    assert(mon == ((3L, 2L, 1L)))
+  }
+
+  test("hybrid phase split at head - confirmations (stream.rs:263-301)") {
+    // blocks 0..4; head=4, confirmations=2 ⇒ historical ≤2, live 3..4
+    val d = ev((0L until 50L).map(i => (i, 1L, "view", 0.0)): _*)
+    val phases = EventLog.hybridPhases(d, 2L)
+      .select("phase", "from_block", "to_block")
+      .as[(String, Long, Long)].collect()
+      .map { case (p, f, t) => p -> ((f, t)) }.toMap
+    assert(phases("historical") == ((0L, 2L)))
+    assert(phases("live") == ((3L, 4L)))
+  }
+
+  test("blockAlign emits zero rows for registered-but-silent sources") {
+    val d = ev((0L, 1L, "view", 1.0))
+    val rows = EventLog.blockAlign(d, Seq("view", "click"), 0L, 1L)
+      .select("block_number", "source", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set(
+      (0L, "view", 1L), (0L, "click", 0L),
+      (1L, "view", 0L), (1L, "click", 0L)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{EventSchema, Hex, Keccak256}
+
+/** Pure-model tests: keccak against public vectors, hex codecs, and the
+  * event-declaration DSL goldens from the reference parser suite
+  * (reference: eth_event_macro/src/events.rs:117-194).
+  */
+class ModelSpec extends AnyFunSuite {
+
+  // -- Keccak-256 (public known-answer vectors) --------------------------
+  test("keccak256 of empty string") {
+    assert(Keccak256.hex("") ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+  }
+
+  test("keccak256 of 'abc'") {
+    assert(Keccak256.hex("abc") ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+  }
+
+  test("keccak256 of a >rate-length message (multi-block absorb)") {
+    val msg = "a" * 200 // crosses the 136-byte rate boundary
+    assert(Keccak256.hash(msg).length == 32)
+    // self-consistency: same input → same digest, different input differs
+    assert(Keccak256.hex(msg) == Keccak256.hex("a" * 200))
+    assert(Keccak256.hex(msg) != Keccak256.hex("a" * 201))
+  }
+
+  test("ERC-20 Transfer topic0 matches the canonical public hash") {
+    val schema = EventSchema.parse(
+      "Transfer(address indexed from, address indexed to, uint value)")
+    assert(schema.topic0Hex ==
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+  }
+
+  // -- Hex ---------------------------------------------------------------
+  test("hex roundtrip and 0x stripping") {
+    val bytes = Array[Byte](0, 1, 127, -128, -1)
+    assert(Hex.decode(Hex.encode(bytes)).toSeq == bytes.toSeq)
+    assert(Hex.decode("0x00ff").toSeq == Seq[Byte](0, -1))
+    assert(Hex.toHex0x(Array[Byte](-34, -83)) == "0xdead")
+  }
+
+  test("address() accepts 20 bytes only (reference lib.rs:7-15 parity)") {
+    val addr = Hex.address("0xA0b86991c6218b36c1d19D4a2e9Eb0cE3606eB48")
+    assert(addr.length == 20)
+    intercept[IllegalArgumentException](Hex.address("0x1234"))
+  }
+
+  // -- DSL parser goldens (events.rs:117-194) ----------------------------
+  test("golden: Transfer declaration") {
+    val e = EventSchema.parse(
+      "Transfer(address indexed from, address indexed to, uint value)")
+    assert(e.name == "Transfer")
+    assert(e.params.map(_.name) == Seq("from", "to", "value"))
+    assert(e.params.map(_.indexed) == Seq(true, true, false))
+    assert(e.params.map(_.canonicalType) == Seq("address", "address", "uint256"))
+    assert(e.signature == "Transfer(address,address,uint256)")
+    assert(!e.anonymous)
+  }
+
+  test("no-param event and anonymous suffix") {
+    val p = EventSchema.parse("Ping()")
+    assert(p.params.isEmpty && !p.anonymous)
+    val a = EventSchema.parse("Ping() anonymous")
+    assert(a.anonymous)
+  }
+
+  test("reject leading `event` keyword (events.rs:16-18)") {
+    intercept[IllegalArgumentException](
+      EventSchema.parse("event Transfer(address a)"))
+  }
+
+  test("reject trailing garbage (events.rs:81-86)") {
+    intercept[IllegalArgumentException](
+      EventSchema.parse("Transfer(address a) garbage"))
+  }
+
+  test("reject unknown type / duplicate params") {
+    intercept[IllegalArgumentException](EventSchema.parse("T(widget a)"))
+    intercept[IllegalArgumentException](EventSchema.parse("T(address a, uint a)"))
+  }
+
+  test("decoded struct shapes (macro lib.rs:159-178, :201-206 parity)") {
+    val e = EventSchema.parse(
+      "Transfer(address indexed from, address indexed to, uint value)")
+    assert(e.dataStruct.fieldNames.toSeq == Seq("from", "to", "value"))
+    assert(e.fullStruct.fieldNames.toSeq ==
+      Seq("block_number", "transaction_hash", "address", "log_index",
+        "from", "to", "value"))
+    assert(e.indexedParams.map(_.name) == Seq("from", "to"))
+    assert(e.dataParams.map(_.name) == Seq("value"))
+  }
+}
