@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.EventLog
+import graft.operators.{Dedup, EventLog, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -133,6 +133,56 @@ object SparkEntry {
     "a3_netflow_monitor" -> ((s, dir) =>
       EventLog.netflowMonitor(
         EventLog.netflow(events(s, dir), "purchase", "click"))),
+
+    // ------------------------------------------------------------------
+    // LLM-data-pipeline extensions (driver north star): dedup, text
+    // analysis, similarity search over documents/embeddings.
+    // ------------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, minJaccard = 0.8)),
+
+    // MinHash+LSH and SimHash use engine-internal hashes — no SQL oracle;
+    // driver records rows>0, unit tests check recall against the exact path.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(table(s, dir, "documents"),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(table(s, dir, "documents"), maxDist = 3)),
+
+    "text_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(table(s, dir, "documents"))),
+
+    "text_langid" -> ((s, dir) => TextOps.langId(table(s, dir, "documents"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityScore(table(s, dir, "documents"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(table(s, dir, "documents"))),
+
+    "sim_topk_brute" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    "sim_neardup_brute" -> ((s, dir) =>
+      Similarity.bruteForceNearDupPairs(table(s, dir, "embeddings"), 0.45)),
+
+    // LSH/ANN variants: engine-internal bucketing — rows-only check here,
+    // recall-vs-exact covered by unit tests.
+    "sim_topk_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        planes = 4, tables = 12)
+    }),
+
+    "sim_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), 0.45,
+        planes = 6, tables = 8)),
 
     // ------------------------------------------------------------------
     // General SQL surface (comes "for free" on Spark — SURVEY §2.7) —
@@ -299,6 +349,85 @@ object SparkEntry {
            count(*) FILTER (WHERE netflow > 0) AS n_positive,
            count(*) FILTER (WHERE netflow < 0) AS n_negative
          FROM nf""",
+
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
+         SELECT d1, d2, CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) AS jaccard
+         FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
+         WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8""",
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+
+    "text_langid" ->
+      """WITH v AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS v_en,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS v_de,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('le','la','les','et','est','un'))) AS BIGINT) AS v_fr,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('el','los','las','y','es','un'))) AS BIGINT) AS v_es,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('的','是','在','了','和'))) AS BIGINT) AS v_zh
+           FROM documents)
+         SELECT doc_id, v_en, v_de, v_fr, v_es, v_zh,
+           CASE WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es AND v_en >= v_zh THEN 'en'
+                WHEN v_de >= v_en AND v_de >= v_fr AND v_de >= v_es AND v_de >= v_zh THEN 'de'
+                WHEN v_fr >= v_en AND v_fr >= v_de AND v_fr >= v_es AND v_fr >= v_zh THEN 'fr'
+                WHEN v_es >= v_en AND v_es >= v_de AND v_es >= v_fr AND v_es >= v_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang
+         FROM v""",
+
+    "text_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS n_ws,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS DOUBLE) AS n_bpe,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents)
+         SELECT doc_id,
+           least(n_ws / 100.0, 1.0) AS len_score,
+           n_punct / n_bpe AS punct_ratio,
+           n_stop / n_ws AS stop_ratio,
+           n_chars / n_ws AS mean_token_len,
+           0.4 * least(n_ws / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_bpe)
+             + 0.3 * least((n_stop / n_ws) * 4.0, 1.0) AS quality
+         FROM t""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+         FROM documents""",
+
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         p AS (SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sim
+               FROM q, embeddings WHERE vec_id != qid)
+         SELECT qid AS query_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank,
+           vec_id
+         FROM p
+         QUALIFY rank <= 10""",
+
+    "sim_neardup_brute" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design: signatures (minhash arrays, simhash longs) are computed
+  * ROW-LOCALLY with array lambdas — zero shuffle, full codegen. The only
+  * shuffles are candidate generation (a join keyed on band/bucket — the
+  * standard LSH trick that replaces the O(n²) pairwise compare with
+  * per-bucket joins) and the final pair dedup. At 100 TB the bucket join is
+  * the scalable path; the exact n-gram pairwise join is the small-data
+  * verifier.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact dedup via hash-groupBy on the text: one row per distinct text,
+    * keeping the smallest id (deterministic winner) + the multiplicity.
+    * At scale the groupBy key should be `sha2(text)` to shrink shuffle
+    * width; grouping here is on a 256-bit digest plus a min on id.
+    */
+  def exact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  // -------------------------------------------------------------------
+  // Word n-gram shingles + exact Jaccard (the verifier path)
+  // -------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles per document, row-local. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = TextOps.wsTokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => when(i + n <= size(ws), concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .cast("array<string>")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
+    * on shared shingle (candidate generation), then
+    * `|∩| / (|A|+|B|−|∩|) ≥ minJaccard`. The gram-join is the shuffle; very
+    * frequent grams fan out quadratically, so callers at scale should cap
+    * gram document-frequency (`maxGramDf`) — the classic stopword-shingle
+    * skew guard.
+    */
+  def ngramJaccardPairs(df: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxGramDf: Option[Int] = None): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        explode(filter(shingles(col(textCol), n), g => g.isNotNull)).as("gram"))
+    val filtered = maxGramDf match {
+      case Some(cap) =>
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") <= cap)
+        grams.join(freq, "gram").select("doc_id", "gram")
+      case None => grams
+    }
+    val counts = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_grams", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_grams", "n2"), "d2")
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH (the 100 TB path)
+  // -------------------------------------------------------------------
+
+  /** Row-local MinHash signature: `numHashes` independent hash slots, each
+    * the min over shingles of `xxhash64(slot, gram)` — the standard
+    * "one hash family, seeded per slot" construction. No shuffle, no UDF.
+    */
+  def minHashSignature(text: Column, n: Int = 3,
+      numHashes: Int = 64): Column = {
+    val grams = filter(shingles(text, n), g => g.isNotNull)
+    aggregate(
+      grams,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, g) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, g)),
+          (a, b) => least(a, b)))
+  }
+
+  /** LSH band keys over a signature: `bands` buckets of `rowsPerBand`
+    * consecutive slots, each band hashed to one 64-bit key. Docs sharing a
+    * band key are candidate near-dups (standard banding: catches pairs with
+    * Jaccard ≳ (1/bands)^(1/rowsPerBand)).
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
+
+  /** MinHash+LSH near-dup pairs: signature (row-local) → band keys
+    * (row-local) → explode bands → self-join per (band_idx, band_key)
+    * bucket → estimate Jaccard from signature agreement. The bucket join is
+    * the only shuffle and each bucket is small by construction — this is
+    * the plan that survives 1000 executors.
+    */
+  def minHashLshPairs(df: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_key")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("d1", "d2")
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig1"), col("sig2"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("d1", "d2", "est_jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash (Hamming-space near-dup)
+  // -------------------------------------------------------------------
+
+  /** Row-local 64-bit SimHash over whitespace tokens: per bit, sum ±1
+    * votes from each token's xxhash64 bit, sign gives the fingerprint bit.
+    * (SQL-string lambdas: `shiftright`/`shiftleft` with a lambda-bound bit
+    * index are only expressible in SQL, the Scala DSL takes literal Ints.)
+    */
+  def simHash64(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df
+      .select(col(idCol).as("doc_id"), expr(
+        s"""aggregate(
+              filter(split($textCol, '\\\\s+'), t -> t != ''),
+              array_repeat(0L, 64),
+              (acc, w) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                  b -> shiftright(xxhash64(w), b) & 1L),
+                (a, bit) -> a + bit * 2 - 1))""").as("bit_votes"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+             transform(sequence(0, 63),
+               b -> IF(element_at(bit_votes, b + 1) > 0, shiftleft(1L, b), 0L)),
+             0L, (acc, x) -> acc | x)""").as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
+    * 16-bit chunk banding: any pair within distance 3 shares at least one
+    * of the 4 exact chunks (pigeonhole), so the bucket join is complete for
+    * maxDist ≤ 3 and the final `bit_count(xor)` filter is exact.
+    */
+  def simHashPairs(df: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "chunk banding is complete only for maxDist <= 3")
+    val hashed = simHash64(df, textCol, idCol)
+    val banded = hashed.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(simhash, k * 16) & 65535L)"))
+        .as(Seq("chunk_idx", "chunk")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming",
+        expr("bit_count(h1 ^ h2)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("d1", "d2", "hamming")
+  }
+}

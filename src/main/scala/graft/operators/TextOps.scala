@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (driver north star — these extend the reference's surface, which has no
+  * text layer; see SURVEY.md §2.7).
+  *
+  * Everything is a row-local SQL expression (array lambdas, no UDFs), so
+  * the whole stage stays inside Tungsten codegen and scales embarrassingly
+  * parallel — the only shuffles are the callers' final aggregations.
+  */
+object TextOps {
+
+  /** Modulus for rolling fingerprints: products stay < 2^63 (1e9·131 + c). */
+  val FpMod = 1000000007L
+
+  /** Whitespace tokens, empties dropped (leading/trailing whitespace). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword tokens: lowercase alnum runs or single non-alnum
+    * non-space marks — the common pre-tokenizer regex shape.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  def tokenStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(
+      col(idCol),
+      size(wsTokens(col(textCol))).cast("bigint").as("n_ws_tokens"),
+      size(bpeTokens(col(textCol))).cast("bigint").as("n_bpe_tokens"),
+      length(col(textCol)).cast("bigint").as("n_chars"))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
+    * heuristic. Ordered map: the argmax tiebreak follows this order.
+    */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def votes(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language-ID heuristic: stopword votes per language, argmax with
+    * deterministic tiebreak (list order). Returns (id, pred_lang, per-lang
+    * votes) so the decision is auditable.
+    */
+  def langId(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val voteCols = StopWords.map { case (l, ws) =>
+      votes(toks, ws).cast("bigint").as(s"v_$l")
+    }
+    val withVotes = df.select((col(idCol) +: voteCols): _*)
+    // argmax CASE chain, first-wins tiebreak — mirrored verbatim in oracle SQL
+    val langs = StopWords.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, els) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"v_$l") >= col(s"v_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    withVotes.withColumn("pred_lang", pred)
+  }
+
+  /** Quality scoring: length/punctuation/stopword components folded into a
+    * composite in a fixed expression order so the IEEE result is
+    * reproducible in any engine that mirrors the formula.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ws = wsTokens(lower(col(textCol)))
+    val bpe = bpeTokens(col(textCol))
+    val enStops = StopWords.head._2
+    df.select(
+        col(idCol),
+        size(ws).cast("double").as("n_ws"),
+        size(bpe).cast("double").as("n_bpe"),
+        size(filter(bpe, t => t.rlike("^[^a-z0-9]$"))).cast("double").as("n_punct"),
+        votes(ws, enStops).cast("double").as("n_stop"),
+        length(col(textCol)).cast("double").as("n_chars"))
+      .select(
+        col(idCol),
+        least(col("n_ws") / lit(100.0), lit(1.0)).as("len_score"),
+        (col("n_punct") / col("n_bpe")).as("punct_ratio"),
+        (col("n_stop") / col("n_ws")).as("stop_ratio"),
+        (col("n_chars") / col("n_ws")).as("mean_token_len"))
+      .withColumn("quality",
+        lit(0.4) * col("len_score")
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)))
+  }
+
+  /** Document fingerprint: rolling polynomial hash over the characters,
+    * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
+    * (the oracle replays the same fold), and row-local.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(
+      col(idCol),
+      expr(
+        s"""aggregate(
+              filter(split($textCol, ''), c -> c != ''),
+              0L,
+              (acc, c) -> (acc * 131 + ascii(c)) % $FpMod)""")
+        .as("fingerprint"))
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Tests for the LLM-pipeline extensions: dedup, text analysis, similarity
+  * search. The LSH paths (engine-internal hashes, no SQL oracle) are
+  * checked for recall against their exact counterparts on the sf0.001
+  * fixtures.
+  */
+class ExtendedOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("exact dedup keeps one row per distinct text, min id wins") {
+    val d = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("shingles: distinct word 3-grams, short docs yield nulls filtered") {
+    val d = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val g = d.select($"doc_id",
+        filter(Dedup.shingles($"text", 3), x => x.isNotNull).as("grams"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(g(1L).toSet == Set("a b c", "b c d"))
+    assert(g(2L).isEmpty)
+  }
+
+  test("minhash LSH recall: finds the exact-Jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val lsh = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size} pairs)")
+  }
+
+  test("simhash: duplicate texts collide at distance 0; banding finds them") {
+    val d = Seq(
+      (1L, "spark window join batch agg filter"),
+      (2L, "spark window join batch agg filter"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val hashes = Dedup.simHash64(d).as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+    val pairs = Dedup.simHashPairs(d, maxDist = 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("simhash on real near-dups: ≥98% Jaccard pairs land within distance 3") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.95)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simHashPairs(docs, maxDist = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.8, s"simhash recall $recall on ${exact.size} pairs")
+  }
+
+  test("fingerprint matches the rolling-hash definition") {
+    def roll(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % TextOps.FpMod)
+    val d = Seq((1L, "ab"), (2L, "key agg row")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(d).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == 12805L) // (0*131+97)*131+98 — probed golden
+    assert(fp(1L) == roll("ab"))
+    assert(fp(2L) == roll("key agg row"))
+  }
+
+  test("token stats & quality: counts on a crafted doc") {
+    val d = Seq((1L, "The quick, brown fox!")).toDF("doc_id", "text")
+    val ts = TextOps.tokenStats(d).as[(Long, Long, Long, Long)].collect().head
+    // ws: [The, quick,, brown, fox!]; bpe: [the, quick, ',', brown, fox, '!']
+    assert(ts == ((1L, 4L, 6L, 21L)))
+    val q = TextOps.qualityScore(d)
+      .select("punct_ratio", "stop_ratio").as[(Double, Double)].collect().head
+    assert(q._1 == 2.0 / 6.0)
+    assert(q._2 == 1.0 / 4.0) // "the" after lowercasing
+  }
+
+  test("langid votes for the list with most stopword hits") {
+    val d = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "der hund und die katze ist ein tier")).toDF("doc_id", "text")
+    val out = TextOps.langId(d).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de"))
+  }
+
+  test("cosine: golden values on unit vectors") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sims = d.as("a").crossJoin(d.as("b"))
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k recall against brute force") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // weakly-clustered fixture vectors (top-10 neighbors at cosine ≈ 0.4):
+    // wide buckets + many tables is the right operating point
+    val ann = Similarity.lshTopK(emb, queries, 10, planes = 4, tables = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall@10 = $recall")
+    info(s"ANN recall@10 = $recall")
+  }
+
+  test("LSH near-dup pairs ⊆ brute-force pairs (no false positives)") {
+    val brute = Similarity.bruteForceNearDupPairs(emb, 0.45)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, 0.45, planes = 6, tables = 8)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    info(s"LSH near-dup recall = ${
+      if (brute.isEmpty) 1.0 else brute.count(lsh.contains).toDouble / brute.size}")
+  }
+}
