@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventLog, Similarity, TextOps}
+import graft.operators.{Dedup, EventDecoder, EventLog, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,28 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).cast("bigint").as("sum_k"),
           count(lit(1)).as("n_events"))),
+
+    // P2/P4 — full ABI path: synthesize raw Transfer logs (topic0 = keccak
+    // signature, address/uint words) from events rows, then decode them
+    // back with the native u256/address expressions; output must equal the
+    // direct relational projection (the oracle).
+    "p2_abi_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "Transfer(address indexed from, address indexed to, uint value)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+          EventDecoder.encodeWordFromLong(col("user_id") + 1).as("topic2"),
+          EventDecoder.encodeWordFromLong(
+            (col("value").cast("decimal(18,2)") * 100).cast("bigint")).as("data"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          concat(lit("0x"), lower(hex(col("from")))).as("from_addr"),
+          col("value").cast("bigint").as("value_cents"))
+    }),
 
     // P3 — address/hex render helper parity
     "p3_address_hex" -> ((s, dir) =>
@@ -263,6 +285,12 @@ object SparkEntry {
            CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER)) AS BIGINT) AS sum_k,
            count(*) AS n_events
          FROM events GROUP BY event_type""",
+
+    "p2_abi_roundtrip" ->
+      s"""SELECT block_number, log_index,
+           '0x' || lpad(lower(hex(user_id)), 40, '0') AS from_addr,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+         FROM ($EvKeys) WHERE event_type = 'purchase'""",
 
     "p3_address_hex" ->
       """SELECT user_id, '0x' || lpad(lower(hex(user_id)), 40, '0') AS addr

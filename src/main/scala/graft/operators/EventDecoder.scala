@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.abi
+import graft.model.{EventParam, EventSchema}
+
+/** P2 — typed event decode: raw log rows (`topic0..topic3`, `data` binary)
+  * → typed columns per an [[EventSchema]], replacing the reference's
+  * compile-time proc-macro decoder (`impl From<Log>`,
+  * eth_event_macro/src/lib.rs:120-154) with runtime Catalyst expressions.
+  *
+  * Decode rules (standard ABI):
+  *  - indexed params read topics 1..3 in declaration order of the indexed
+  *    subset (ethabi `parse_log` semantics);
+  *  - non-indexed static params read consecutive 32-byte words of `data`;
+  *  - `string`/`bytes` are dynamic: their head word is a byte offset into
+  *    `data`, the tail holds `[len][payload]`;
+  *  - a log whose `topic0` doesn't match the schema decodes to all-null
+  *    (nullable-on-mismatch, vs. the reference's panic — SURVEY §2.2 P2).
+  *
+  * Everything is expression-level (substring/conv on binary + the native
+  * [[graft.functions.U256ToDecimal]]), so decode stays inside whole-stage
+  * codegen and parallelizes embarrassingly at 100 TB.
+  */
+object EventDecoder {
+
+  /** Slice one 32-byte word `i` (0-based) out of a binary column. */
+  private def word(bin: Column, i: Int): Column =
+    substring(bin, i * 32 + 1, 32)
+
+  /** Decode one static param from its 32-byte word. */
+  private def decodeStatic(p: EventParam, w: Column): Column = p.canonicalType match {
+    case "address"           => substring(w, 13, 20)
+    case "bool"              => abi.u256(w) =!= 0
+    case "bytes32"           => w
+    case t if t.startsWith("uint") => abi.u256(w)
+    case t if t.startsWith("int")  => abi.i256(w)
+    case other => throw new IllegalArgumentException(
+      s"not a static ABI type: $other")
+  }
+
+  private def isDynamic(p: EventParam): Boolean =
+    p.canonicalType == "string" || p.canonicalType == "bytes"
+
+  /** Decode a dynamic param whose head word sits at data word `headIdx`:
+    * offset → `[len][payload]` in the data tail.
+    */
+  private def decodeDynamic(p: EventParam, data: Column, headIdx: Int): Column = {
+    val off = abi.u256(word(data, headIdx)).cast("int")
+    val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
+    val payload = substring(data, off + 33, len)
+    if (p.canonicalType == "string") payload.cast("string") else payload
+  }
+
+  /** Binary substring with Column offsets (the Int-only Scala overload
+    * can't take computed offsets).
+    */
+  private def substring(c: Column, pos: Column, len: Column): Column =
+    call_function("substring", c, pos, len)
+  private def substring(c: Column, pos: Int, len: Int): Column =
+    org.apache.spark.sql.functions.substring(c, pos, len)
+
+  /** Decoded columns (param name → Column) for `schema` over raw log
+    * columns. Topic assignment: i-th indexed param ← `topic{i+1}`.
+    */
+  def decodedColumns(schema: EventSchema,
+      topics: Seq[Column], data: Column): Seq[(String, Column)] = {
+    require(schema.indexedParams.size <= 3,
+      "at most 3 indexed params (topics 1..3)")
+    val indexed = schema.indexedParams.zipWithIndex.map { case (p, i) =>
+      p.name -> decodeStatic(p, topics(i + 1))
+    }.toMap
+    var dataWord = 0
+    val fromData = schema.dataParams.map { p =>
+      val c =
+        if (isDynamic(p)) decodeDynamic(p, data, dataWord)
+        else decodeStatic(p, word(data, dataWord))
+      dataWord += 1
+      p.name -> c
+    }.toMap
+    // declaration order, like the macro's data tuple (lib.rs:159-178)
+    schema.params.map(p => p.name -> indexed.getOrElse(p.name, fromData(p.name)))
+  }
+
+  /** Decode `df` (raw log schema, FIXTURES.md §1.2) per `schema`: appends
+    * one typed column per event param, null unless `topic0` matches the
+    * schema's signature hash.
+    */
+  def decode(df: DataFrame, schema: EventSchema): DataFrame = {
+    val matches = col("topic0") === lit(schema.topic0)
+    val topics = Seq(col("topic0"), col("topic1"), col("topic2"), col("topic3"))
+    decodedColumns(schema, topics, col("data")).foldLeft(df) {
+      case (acc, (name, c)) => acc.withColumn(name, when(matches, c))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Encode (test/synthesis direction): build ABI words from SQL values.
+  // -------------------------------------------------------------------
+
+  /** Left-pad a long column to a 32-byte ABI word. */
+  def encodeWordFromLong(c: Column): Column =
+    unhex(lpad(hex(c), 64, "0"))
+
+  /** ABI-encode an address stored as a 20-byte binary into its topic word. */
+  def encodeWordFromAddress(c: Column): Column =
+    concat(lit(Array.fill[Byte](12)(0)), c)
+}

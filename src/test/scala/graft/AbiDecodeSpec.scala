@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.abi
+import graft.model.{EventSchema, Hex, Keccak256}
+import graft.operators.EventDecoder
+
+/** P2 decode path: native u256/keccak expressions + full Transfer
+  * encode→decode roundtrip with null-on-mismatch semantics.
+  */
+class AbiDecodeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("u256 expression: goldens, 38-digit boundary, overflow → null") {
+    val max38 = BigInt(10).pow(38) - 1
+    val rows = Seq(
+      (1L, word("0")), (2L, word("1")), (3L, word("ff")),
+      (4L, word(max38.toString(16))),          // largest representable
+      (5L, word(BigInt(10).pow(38).toString(16))), // 39 digits → null
+      (6L, word("f" * 64)))                    // 2^256-1 → null
+      .toDF("id", "w")
+    val out = rows.select($"id", abi.u256($"w").as("v"))
+      .as[(Long, Option[BigDecimal])].collect().toMap
+    assert(out(1L).get == BigDecimal(0))
+    assert(out(2L).get == BigDecimal(1))
+    assert(out(3L).get == BigDecimal(255))
+    assert(out(4L).get == BigDecimal(max38))
+    assert(out(5L).isEmpty)
+    assert(out(6L).isEmpty)
+  }
+
+  test("i256 expression: negative two's-complement words") {
+    val minusOne = Array.fill[Byte](32)(-1)
+    val out = Seq((1L, minusOne)).toDF("id", "w")
+      .select(abi.i256($"w")).as[BigDecimal].collect().head
+    assert(out == BigDecimal(-1))
+  }
+
+  test("keccak256 expression matches the pure-Scala digest") {
+    val payload = "hello world".getBytes("UTF-8")
+    val out = Seq(Tuple1(payload)).toDF("b")
+      .select(abi.keccak256($"b")).as[Array[Byte]].collect().head
+    assert(out.toSeq == Keccak256.hash(payload).toSeq)
+  }
+
+  test("Transfer encode → decode roundtrip; mismatched topic0 → null") {
+    val schema = EventSchema.parse(
+      "Transfer(address indexed from, address indexed to, uint value)")
+    val from = Hex.address("0x" + "11" * 20)
+    val to = Hex.address("0x" + "22" * 20)
+    val raw = Seq(
+      (1L, 0L, schema.topic0, pad32(from), pad32(to), word("5af3107a4000")), // 1e14
+      (2L, 1L, Keccak256.hash("Other()"), pad32(from), pad32(to), word("1")))
+      .toDF("block_number", "log_index", "topic0", "topic1", "topic2", "data")
+      .withColumn("topic3", lit(null).cast("binary"))
+    val decoded = EventDecoder.decode(raw, schema)
+      .select($"block_number", $"from", $"to", $"value".cast("string"))
+      .as[(Long, Array[Byte], Array[Byte], Option[String])].collect()
+      .map(r => r._1 -> ((Option(r._2).map(_.toSeq), Option(r._3).map(_.toSeq), r._4)))
+      .toMap
+    assert(decoded(1L) ==
+      ((Some(from.toSeq), Some(to.toSeq), Some("100000000000000"))))
+    assert(decoded(2L) == ((None, None, None)))
+  }
+
+  test("dynamic string param decodes from offset/len tail") {
+    val schema = EventSchema.parse("Note(address indexed who, string message)")
+    val who = Hex.address("0x" + "33" * 20)
+    val msg = "hello graft"
+    // data = [offset=0x20][len][payload padded]
+    val payload = msg.getBytes("UTF-8")
+    val data = word("20") ++ word(payload.length.toHexString) ++
+      (payload ++ Array.fill[Byte](32 - payload.length % 32)(0))
+    val raw = Seq((1L, schema.topic0, pad32(who), data))
+      .toDF("block_number", "topic0", "topic1", "data")
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"who", $"message").as[(Array[Byte], String)].collect().head
+    assert(out._1.toSeq == who.toSeq && out._2 == msg)
+  }
+
+  private def pad32(addr: Array[Byte]): Array[Byte] =
+    Array.fill[Byte](12)(0) ++ addr
+
+  private def word(hexStr: String): Array[Byte] = {
+    val clean = if (hexStr.length % 2 == 1) "0" + hexStr else hexStr
+    Hex.decode(("0" * (64 - clean.length)) + clean)
+  }
+}
