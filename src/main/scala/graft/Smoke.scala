@@ -25,6 +25,21 @@ object Smoke {
     val n = SparkEntry.entry(spark).count()
     println(s"ENTRY_ROWS=$n")
     assert(n > 0, "entry returned no rows")
+
+    // streaming surface: replay the events table through the block-replay
+    // source, barrier, and check the confirmation-lag frontier
+    val stream = streaming.StreamOps.readBlockStream(
+      spark, "/root/testdata/sf0.001/events.parquet",
+      blockStep = 25L, confirmations = 2L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val q = stream.writeStream.format("memory").queryName("smoke_stream")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val sn = spark.table("smoke_stream").count()
+    val sMax = spark.table("smoke_stream")
+      .agg(org.apache.spark.sql.functions.max("block_number")).head().getLong(0)
+    println(s"STREAM_ROWS=$sn STREAM_MAX_BLOCK=$sMax")
+    assert(sn > 0, "stream returned no rows")
     spark.stop()
   }
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Streaming layer: the reference's sync/consume surface rebuilt on
+  * Structured Streaming (SURVEY §7 phase 5).
+  *
+  *  - multi-source min-watermark (J1) and exactly-once-per-range (S7) come
+  *    from the engine (checkpointed offsets, global watermark = min);
+  *  - the barrier (J3, sink.rs:200-213) is `processAllAvailable`;
+  *  - keyed stateful reduction (A1) is `mapGroupsWithState`;
+  *  - order-sensitive per-block reduction (A2) is `foreachBatch` over
+  *    block-ascending, log_index-sorted micro-batches.
+  */
+object StreamOps {
+
+  /** Open the block-replay stream (see [[graft.sources.BlockReplaySource]]). */
+  def readBlockStream(
+      spark: SparkSession,
+      path: String,
+      blockStep: Long = 1000L,
+      confirmations: Long = 2L,
+      fromBlock: Long = 0L,
+      toBlock: Option[Long] = None,
+      blockSize: Long = 10L): DataFrame = {
+    val r = spark.readStream
+      .format("graft.sources.BlockReplayProvider")
+      .option("path", path)
+      .option("blockSize", blockSize)
+      .option("blockStep", blockStep)
+      .option("confirmations", confirmations)
+      .option("fromBlock", fromBlock)
+    toBlock.foreach(t => r.option("toBlock", t))
+    r.load()
+  }
+
+  /** A3 as a streaming aggregate: same netflow transform, update/complete
+    * mode — state lives in the state store, partitioned by key.
+    */
+  def netflowStream(stream: DataFrame, inflowType: String,
+      outflowType: String, keyCol: String = "user_id"): DataFrame =
+    graft.operators.EventLog.netflow(stream, inflowType, outflowType, keyCol)
+
+  /** A1 — the `EventReducer` surface as explicit keyed state:
+    * `mapGroupsWithState` folding (inflow − outflow) per key across
+    * micro-batches. Emits the running netflow per key each update.
+    */
+  def statefulNetflow(
+      stream: DataFrame, inflowType: String, outflowType: String,
+      keyCol: String = "user_id"): Dataset[(Long, Double)] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val deltas = stream
+      .filter(col("event_type").isin(inflowType, outflowType))
+      .select(col(keyCol).cast("long"),
+        when(col("event_type") === inflowType, col("value"))
+          .otherwise(-col("value")).cast("double"))
+      .as[(Long, Double)]
+    deltas.groupByKey(_._1)
+      .mapGroupsWithState[Double, (Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val sum = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(sum)
+          key -> sum
+      }
+  }
+
+  /** A1/A2 — order-sensitive reducer driver: every micro-batch is iterated
+    * block-ascending, each block's events sorted by `log_index` (J4 order),
+    * and handed to the reducer with the full ordered slice — the
+    * `reduce_synced_events` contract (sink.rs:134-151). The fold runs where
+    * the reference's did (a single consumer), while upstream scan/decode
+    * stays distributed.
+    */
+  def runOrderedReducer(
+      stream: DataFrame,
+      checkpoint: String,
+      reduce: (Long, Seq[Row]) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .sort(col("block_number"), col("log_index"))
+          .collect()
+          .groupBy(_.getAs[Long]("block_number"))
+          .toSeq.sortBy(_._1)
+          .foreach { case (block, rows) => reduce(block, rows.toSeq) }
+      }
+      // NOT Trigger.AvailableNow: a chunk-limited getOffset source advances
+      // one blockStep per trigger, and AvailableNow snapshots only the
+      // first. Callers run the J3 barrier (processAllAvailable) and stop.
+      .start()
+
+  /** In-memory monitorable state for reducers — the dashboard the flagship
+    * example polls from the main thread (stream_multi.rs:118-143).
+    */
+  final class NetflowState {
+    private val flows = new ConcurrentHashMap[Long, Double]()
+    def add(key: Long, delta: Double): Unit =
+      flows.merge(key, delta, (a, b) => a + b)
+    def snapshot: Map[Long, Double] = {
+      import scala.jdk.CollectionConverters._
+      flows.asScala.toMap
+    }
+    def counts: (Long, Long, Long) = {
+      val s = snapshot
+      (s.size.toLong, s.count(_._2 > 0).toLong, s.count(_._2 < 0).toLong)
+    }
+  }
+}

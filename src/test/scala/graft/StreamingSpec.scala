@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventLog
+import graft.streaming.StreamOps
+
+/** Streaming layer on the sf0.001 events fixture: replay-source semantics
+  * (confirmation lag, block_step chunking, bounded ranges), barrier, and
+  * batch↔stream equivalence of the reducers.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val path = "/root/testdata/sf0.001/events.parquet"
+
+  private lazy val batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    EventLog.withBlockKeys(spark.read.parquet(path)).cache()
+  }
+  private lazy val headBlock: Long =
+    batchEvents.agg(max("block_number")).head().getLong(0)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  test("replay source honors confirmation lag and block_step chunking") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 10L, confirmations = 2L)
+    val q = stream.writeStream.format("memory").queryName("replay_all")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("replay_all")
+    val expected = batchEvents.filter(col("block_number") <= headBlock - 2)
+    assert(got.count() == expected.count())
+    assert(got.agg(max("block_number")).head().getLong(0) == headBlock - 2)
+    // chunking: ≥ range/blockStep micro-batches were planned
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
+  test("replay source clamps to toBlock (bounded range, stream.rs:252-254)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 50L, confirmations = 2L, fromBlock = 10L, toBlock = Some(40L))
+    val q = stream.writeStream.format("memory").queryName("replay_bounded")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("replay_bounded")
+    val expected = batchEvents.filter(col("block_number").between(10L, 40L))
+    assert(got.count() == expected.count())
+    val mm = got.agg(min("block_number"), max("block_number")).head()
+    assert((mm.getLong(0), mm.getLong(1)) == ((10L, 40L)))
+  }
+
+  test("streaming netflow aggregate equals the batch fold (J3 barrier)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 25L, confirmations = 0L)
+    val nf = StreamOps.netflowStream(stream, "purchase", "click")
+    val q = nf.writeStream.format("memory").queryName("nf_complete")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop() // J3: wait_until_included
+    val streamed = spark.table("nf_complete")
+      .select($"user_id", $"netflow".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    val batch = EventLog.netflow(batchEvents, "purchase", "click")
+      .select($"user_id", $"netflow".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("mapGroupsWithState netflow converges to the batch result") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 25L, confirmations = 0L)
+    val nf = StreamOps.statefulNetflow(stream, "purchase", "click")
+      .toDF("user_id", "netflow")
+    val q = nf.writeStream.format("memory").queryName("nf_state")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per key = final state
+    val streamed = spark.table("nf_state")
+      .groupBy($"user_id").agg(last($"netflow").as("netflow"))
+      .as[(Long, Double)].collect().toMap
+    val batch = EventLog.netflow(batchEvents, "purchase", "click")
+      .select($"user_id", $"netflow".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-6) }
+  }
+
+  test("ordered reducer sees blocks ascending with intra-block order (A2)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 30L, confirmations = 0L)
+    var lastBlock = -1L
+    var orderOk = true
+    var matches = 0L
+    val q = StreamOps.runOrderedReducer(stream, tmp(), (block, rows) => {
+      if (block <= lastBlock) orderOk = false
+      lastBlock = block
+      val idx = rows.map(_.getAs[Long]("log_index"))
+      if (idx != idx.sorted) orderOk = false
+      // the A2 suffix pattern: view immediately followed by click
+      matches += rows.map(_.getAs[String]("event_type")).sliding(2).count {
+        case Seq("view", "click") => true
+        case _                    => false
+      }
+    })
+    try q.processAllAvailable() finally q.stop() // J3 barrier
+    assert(orderOk, "blocks/not ordered")
+    val batchMatches = EventLog.adjacentPattern(batchEvents, "view", "click")
+      .agg(sum("n_matches")).head().getLong(0)
+    assert(matches == batchMatches)
+  }
+}
