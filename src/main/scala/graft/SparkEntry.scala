@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventDecoder, EventLog, Similarity, TextOps}
+import graft.operators.{Dedup, EventDecoder, EventLog, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -184,6 +184,24 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"))),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata; decode
+    // is a deterministic stub (no codecs in-container), the Spark-side
+    // schema/encoder/mapPartitions path is real (see operators.Multimodal).
+    "mm_attach" -> ((s, dir) =>
+      Multimodal.attachMedia(table(s, dir, "documents"))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("sample_rate"), col("duration_ms"),
+          length(col("payload")).cast("bigint").as("byte_len"))),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.attachMedia(table(s, dir, "documents")).repartition(8))
+        .toDF().select("doc_id", "kind", "byte_len", "sig8")),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.attachMedia(table(s, dir, "documents")))),
 
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -441,6 +459,33 @@ object SparkEntry {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
          FROM documents""",
+
+    "mm_attach" ->
+      """SELECT doc_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + doc_id % 48 AS INT) AS height,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(1000 + doc_id % 9000 AS INT) AS duration_ms,
+           CAST(3 + octet_length(unhex(sha256(text))) AS BIGINT) AS byte_len
+         FROM documents""",
+
+    "mm_features" ->
+      """SELECT doc_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(3 + octet_length(unhex(sha256(text))) AS BIGINT) AS byte_len,
+           substr(sha256(text), 1, 8) AS sig8
+         FROM documents""",
+
+    "mm_frames" ->
+      """WITH m AS (
+           SELECT doc_id,
+             greatest(least((1000 + doc_id % 9000) // 1000, 8), 1) AS n_frames
+           FROM documents
+           WHERE (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] = 'video')
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(3 + (i * 32) // n_frames AS BIGINT) AS frame_off
+         FROM m, unnest(generate_series(0, n_frames - 1)) AS t(i)""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
