@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native kernels for the vector/sketch hot paths. Spark's higher-order
+  * array functions (`aggregate`/`zip_with`/`transform`) are evaluated
+  * INTERPRETED — fine for control plumbing, ~100× too slow for per-pair
+  * inner loops at bench scale. These expressions run tight compiled loops
+  * via static helpers, staying inside whole-stage codegen.
+  */
+object VectorRuntime {
+  /** Dot product of two numeric arrays (float or double elements). */
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (aFloat && bFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else if (aFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    } else if (bFloat) {
+      while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  /** SimHash of pre-hashed tokens: per bit, sum ±1 votes, sign → bit. */
+  def simHash64(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature of pre-hashed shingles: slot i keeps the min over
+    * grams of `mix(h, i)` (splitmix64 finalizer — one multiplicative hash
+    * per slot, no string re-hashing).
+    */
+  def minHashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var s = 0
+      while (s < numHashes) {
+        var z = h + 0x9e3779b97f4a7c15L * (s + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        if (z < sig(s)) sig(s) = z
+        s += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Distinct hashes of the sliding word n-grams, built from per-token
+    * hashes — no gram strings ever materialize (the string-shingle path
+    * spent its time in slice/concat). Polynomial combine + splitmix
+    * finalizer keeps gram hashes well-mixed; 64-bit collisions are
+    * negligible at corpus scale.
+    */
+  def ngramHashes(tokenHashes: ArrayData, n: Int): ArrayData = {
+    val m = tokenHashes.numElements() - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = h * 0x100000001b3L + tokenHashes.getLong(i + j)
+        j += 1
+      }
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      if (seen.add(z)) { out(k) = z; k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Count of equal slots between two signatures (Jaccard estimator). */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq
+  }
+}
+
+/** `dot(array<float|double>, array<float|double>) → double`. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.dot(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime.dot($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash64(array<long>) → long` over pre-hashed tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(array<long>, n) → array<long>` over pre-hashed shingles. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.minHashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.minHashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `ngram_hashes(array<long>, n) → array<long>` — distinct sliding-window
+  * gram hashes from token hashes.
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.ngramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** `sig_agreement(array<long>, array<long>) → int`. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agreement"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.sigAgreement(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorRuntime.sigAgreement($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface. */
+object vec {
+  private def wrap(e: Expression): Column = GraftColumnShim.column(e)
+  private def ex(c: Column): Expression = GraftColumnShim.expression(c)
+
+  def dot(a: Column, b: Column): Column = wrap(VectorDot(ex(a), ex(b)))
+  def simHash64(hashes: Column): Column = wrap(SimHash64(ex(hashes)))
+  def ngramHashes(tokenHashes: Column, n: Int): Column =
+    wrap(NgramHashes(ex(tokenHashes), n))
+  def minHashSig(hashes: Column, numHashes: Int): Column =
+    wrap(MinHashSig(ex(hashes), numHashes))
+  def sigAgreement(a: Column, b: Column): Column =
+    wrap(SigAgreement(ex(a), ex(b)))
+}

@@ -45,8 +45,18 @@ object Dedup {
       .cast("array<string>")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
-    * on shared shingle (candidate generation), then
+  /** Distinct gram HASHES per doc: tokens string-hashed once, sliding
+    * combine + dedup in the native [[graft.functions.NgramHashes]] kernel.
+    * Joining/counting on 64-bit hashes instead of gram strings shrinks the
+    * shuffle ~10× and skips all string building; counts (and so Jaccard)
+    * are identical modulo negligible 64-bit collisions.
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    graft.functions.vec.ngramHashes(
+      transform(TextOps.wsTokens(text), w => xxhash64(w)), n)
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct gram hashes,
+    * join on shared gram (candidate generation), then
     * `|∩| / (|A|+|B|−|∩|) ≥ minJaccard`. The gram-join is the shuffle; very
     * frequent grams fan out quadratically, so callers at scale should cap
     * gram document-frequency (`maxGramDf`) — the classic stopword-shingle
@@ -57,7 +67,7 @@ object Dedup {
       maxGramDf: Option[Int] = None): DataFrame = {
     val grams = df
       .select(col(idCol).as("doc_id"),
-        explode(filter(shingles(col(textCol), n), g => g.isNotNull)).as("gram"))
+        explode(gramHashes(col(textCol), n)).as("gram"))
     val filtered = maxGramDf match {
       case Some(cap) =>
         val freq = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -88,21 +98,15 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Row-local MinHash signature: `numHashes` independent hash slots, each
-    * the min over shingles of `xxhash64(slot, gram)` — the standard
-    * "one hash family, seeded per slot" construction. No shuffle, no UDF.
+    * the min over shingles of a splitmix-mixed 64-bit gram hash — the
+    * standard "one hash family, seeded per slot" construction. Grams are
+    * string-hashed ONCE (`xxhash64`), then the per-slot mixing runs as a
+    * native compiled loop ([[graft.functions.MinHashSig]]) — the
+    * interpreted higher-order-function version was ~100× slower.
     */
   def minHashSignature(text: Column, n: Int = 3,
-      numHashes: Int = 64): Column = {
-    val grams = filter(shingles(text, n), g => g.isNotNull)
-    aggregate(
-      grams,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, g) =>
-        zip_with(
-          acc,
-          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, g)),
-          (a, b) => least(a, b)))
-  }
+      numHashes: Int = 64): Column =
+    graft.functions.vec.minHashSig(gramHashes(text, n), numHashes)
 
   /** LSH band keys over a signature: `bands` buckets of `rowsPerBand`
     * consecutive slots, each band hashed to one 64-bit key. Docs sharing a
@@ -142,10 +146,8 @@ object Dedup {
       .dropDuplicates("d1", "d2")
     pairs
       .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig1"), col("sig2"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
+          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= minJaccard)
       .select("d1", "d2", "est_jaccard")
   }
@@ -155,27 +157,17 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Row-local 64-bit SimHash over whitespace tokens: per bit, sum ±1
-    * votes from each token's xxhash64 bit, sign gives the fingerprint bit.
-    * (SQL-string lambdas: `shiftright`/`shiftleft` with a lambda-bound bit
-    * index are only expressible in SQL, the Scala DSL takes literal Ints.)
+    * votes from each token's hash bit, sign gives the fingerprint bit.
+    * Tokens are string-hashed once; the 64-bit voting loop is the native
+    * [[graft.functions.SimHash64]] kernel (the interpreted lambda version
+    * dominated the whole bench at ~300 s).
     */
   def simHash64(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df
-      .select(col(idCol).as("doc_id"), expr(
-        s"""aggregate(
-              filter(split($textCol, '\\\\s+'), t -> t != ''),
-              array_repeat(0L, 64),
-              (acc, w) -> zip_with(
-                acc,
-                transform(sequence(0, 63),
-                  b -> shiftright(xxhash64(w), b) & 1L),
-                (a, bit) -> a + bit * 2 - 1))""").as("bit_votes"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-             transform(sequence(0, 63),
-               b -> IF(element_at(bit_votes, b + 1) > 0, shiftleft(1L, b), 0L)),
-             0L, (acc, x) -> acc | x)""").as("simhash"))
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.vec.simHash64(
+        transform(TextOps.wsTokens(col(textCol)), w => xxhash64(w)))
+        .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
     * 16-bit chunk banding: any pair within distance 3 shares at least one

@@ -4,24 +4,27 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.vec
+
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`):
   * brute-force cosine top-k as the exact baseline and a random-hyperplane
   * LSH-bucketed variant as the 100 TB path.
   *
-  * Vector math is row-local `zip_with`/`aggregate` over doubles (folded
-  * left-to-right inside the row ⇒ deterministic IEEE results), kept inside
-  * whole-stage codegen — no UDFs.
+  * Vector math runs through the native [[graft.functions.VectorDot]]
+  * kernel (compiled loop inside whole-stage codegen; the interpreted
+  * higher-order-function fold was the bench bottleneck). All pairwise
+  * paths precompute per-row norms once so each pair costs exactly one dot.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column = vec.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(vec.dot(a, a))
 
+  /** One-off cosine (3 dots). Pairwise operators below use precomputed
+    * norms instead — keep this for single expressions, not inner loops.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force cosine top-k: the `queries` side (small, e.g. a
@@ -32,11 +35,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val scored = corpus
+    val c = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("cnrm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val scored = c
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
-        cosine(col("qvec"), col(vecCol)).as("sim"))
+        (vec.dot(col("qvec"), col(vecCol)) / (col("qnrm") * col("cnrm")))
+          .as("sim"))
     scored
       .withColumn("rank",
         row_number().over(
@@ -60,17 +67,16 @@ object Similarity {
     }
 
   /** Sign-bit bucket of a vector under `planes` random hyperplanes: bit p =
-    * 1 iff `v · h_p > 0`. Row-local; the hyperplane matrix rides along as a
-    * literal (broadcast by the plan, tiny: planes × dim doubles).
+    * 1 iff `v · h_p > 0`. Plain per-plane dot expressions (no lambdas) —
+    * the whole bucket computation stays in generated code; the hyperplane
+    * matrix rides along as literals (tiny: planes × dim doubles).
     */
-  def lshBucket(vec: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
+  def lshBucket(vec0: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
     val hp = hyperplanes(planes, dim, seed)
-    val planeLits = array(hp.map(row => array(row.map(lit(_)): _*)): _*)
-    aggregate(
-      zip_with(planeLits, sequence(lit(0), lit(planes - 1)),
-        (h, p) => when(dot(vec, h) > 0, pow(lit(2.0), p).cast("long"))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    (0 until planes).map { p =>
+      val plane = array(hp(p).map(lit(_)): _*)
+      when(vec.dot(vec0, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** ANN top-k via hyperplane LSH with multi-probe across `tables`
@@ -83,25 +89,28 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, tables: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, vid: String, vcol: String): DataFrame =
-      df.select(col(vid), col(vcol),
+    def bucketed(df: DataFrame, vid: String, vcol: String, nrm: String): DataFrame =
+      df.select(col(vid), col(vcol), norm(col(vcol)).as(nrm),
         posexplode(array((0 until tables).map(t =>
           lshBucket(col(vcol), planes, dim, seed = 42L + t)): _*))
           .as(Seq("table_idx", "bucket")))
-    val c = bucketed(corpus.select(col(idCol), col(vecCol)), idCol, vecCol).as("c")
+    val c = bucketed(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, "cnrm").as("c")
     val q = bucketed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
-      "query_id", "qvec").as("q")
+      "query_id", "qvec", "qnrm").as("q")
     val candidates = c.join(broadcast(q),
         col("c.table_idx") === col("q.table_idx") &&
           col("c.bucket") === col("q.bucket") &&
           col(s"c.$idCol") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col(s"c.$idCol").as(idCol),
-        col("q.qvec").as("qvec"), col(s"c.$vecCol").as(vecCol))
+        col("q.qvec").as("qvec"), col(s"c.$vecCol").as(vecCol),
+        col("q.qnrm").as("qnrm"), col("c.cnrm").as("cnrm"))
       .dropDuplicates("query_id", idCol)
     candidates
       .select(col("query_id"), col(idCol),
-        cosine(col("qvec"), col(vecCol)).as("sim"))
+        (vec.dot(col("qvec"), col(vecCol)) / (col("qnrm") * col("cnrm")))
+          .as("sim"))
       .withColumn("rank",
         row_number().over(
           Window.partitionBy(col("query_id"))
@@ -111,18 +120,21 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine near-dups: the O(n²) baseline the LSH variant
-    * approximates. Only viable when one side fits broadcast / the pair
-    * count is bounded; at 100 TB use [[cosineNearDupPairs]].
+    * approximates. Norms precomputed per side ⇒ one dot per pair. Only
+    * viable when one side fits broadcast / the pair count is bounded; at
+    * 100 TB use [[cosineNearDupPairs]].
     */
   def bruteForceNearDupPairs(df: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    df.select(col(idCol), col(vecCol)).as("a")
-      .join(df.select(col(idCol), col(vecCol)).as("b"),
-        col(s"a.$idCol") < col(s"b.$idCol"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val side = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    side.as("a")
+      .join(side.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+        (vec.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select("v1", "v2")
+  }
 
   /** Embedding-cosine near-dup pairs (the fifth dedup flavor): all pairs
     * with cosine ≥ threshold. Exact O(n²/buckets) via LSH candidate
@@ -133,7 +145,7 @@ object Similarity {
       planes: Int = 8, tables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val banded = df.select(
-      col(idCol), col(vecCol),
+      col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col(vecCol), planes, dim, seed = 42L + t)): _*))
         .as(Seq("table_idx", "bucket")))
@@ -143,9 +155,11 @@ object Similarity {
           col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        col(s"a.$vecCol").as("e1"), col(s"b.$vecCol").as("e2"))
+        col(s"a.$vecCol").as("e1"), col(s"b.$vecCol").as("e2"),
+        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
       .dropDuplicates("v1", "v2")
-      .withColumn("sim", cosine(col("e1"), col("e2")))
+      .withColumn("sim",
+        vec.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("sim") >= threshold)
       .select("v1", "v2", "sim")
   }
