@@ -1,0 +1,97 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EventSchema, Hex}
+import graft.operators.{EventDecoder, EventLog}
+
+/** S8 — the `StreamFactory` façade (reference:
+  * eth_event_stream/src/stream.rs:33-90): shared range/confirmation/step
+  * configuration plus a registry of `(address, topic0)` stream signatures
+  * (the sink's `add_source`, sink.rs:175-179). Registration is frozen
+  * before execution — `sink()` hands out the immutable registry, like
+  * `get_sink` consuming the factory (stream.rs:87-89).
+  */
+final case class StreamConfig(
+    fromBlock: Long = 0L,
+    toBlock: Long = Long.MaxValue,
+    confirmationBlocks: Long = 2L, // reference default, stream.rs:115-116
+    blockStep: Long = 1000L)       // reference default, stream.rs:119
+
+/** One registered stream: `StreamSignature(address, topic0)` parity
+  * (sink.rs:34-35) plus the parsed schema for decode.
+  */
+final case class StreamHandle(address: Array[Byte], schema: EventSchema) {
+  def topic0: Array[Byte] = schema.topic0
+  def signatureHex: (String, String) =
+    (Hex.toHex0x(address), schema.topic0Hex)
+}
+
+final class EngineSession(
+    val spark: SparkSession,
+    val config: StreamConfig = StreamConfig()) {
+
+  private val registry = mutable.LinkedHashMap.empty[(Seq[Byte], Seq[Byte]), StreamHandle]
+  private var frozen = false
+
+  /** `StreamFactory::make` parity: parse the declaration, register the
+    * signature, return the handle. Duplicate signatures are rejected (the
+    * sink documents duplicate-publish as a panic, sink.rs:20).
+    */
+  def register(addressHex: String, eventDecl: String): StreamHandle = {
+    require(!frozen, "session frozen: sink() was already taken (stream.rs:87-89)")
+    val h = StreamHandle(Hex.address(addressHex), EventSchema.parse(eventDecl))
+    val key = (h.address.toSeq, h.topic0.toSeq)
+    require(!registry.contains(key),
+      s"duplicate stream signature: ${h.signatureHex}")
+    registry.put(key, h)
+    h
+  }
+
+  /** Freeze and return the registered handles (the sink). */
+  def sink(): Seq[StreamHandle] = { frozen = true; registry.values.toSeq }
+
+  def sources: Seq[StreamHandle] = registry.values.toSeq
+
+  /** P1 over the whole registry: the source-side pushdown filter for a raw
+    * log DataFrame — `(address, topic0) ∈ registry AND block ∈ range`
+    * (`build_filter`, stream.rs:94-102, generalized to N streams).
+    */
+  def rawLogFilter(logs: DataFrame): DataFrame = {
+    val sigMatch = sources
+      .map(h => col("address") === lit(h.address) &&
+        col("topic0") === lit(h.topic0))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    logs.filter(sigMatch &&
+      col("block_number").between(config.fromBlock, config.toBlock))
+  }
+
+  /** Decode the registered stream's rows out of a raw log DataFrame. */
+  def decode(logs: DataFrame, handle: StreamHandle): DataFrame =
+    EventDecoder.decode(
+      logs.filter(col("address") === lit(handle.address) &&
+        col("topic0") === lit(handle.topic0)),
+      handle.schema)
+
+  /** J1 over the registry: the synchronized frontier across registered
+    * `(address, topic0)` signatures — zero rows while any registered
+    * stream has produced nothing (`synced_including` = None,
+    * sink.rs:187-197).
+    */
+  def frontier(logs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val spine = sources.map(h => (h.address, h.topic0))
+      .toDF("address", "topic0")
+    val hw = logs.groupBy(col("address"), col("topic0"))
+      .agg(max("block_number").as("high_water"))
+    spine.join(hw, Seq("address", "topic0"), "left")
+      .agg(min("high_water").as("frontier"),
+        count("high_water").as("n_synced"))
+      .filter(col("n_synced") === sources.size)
+      .select("frontier")
+  }
+}

@@ -146,6 +146,10 @@ object SparkEntry {
     "a2_adjacent_pattern" -> ((s, dir) =>
       EventLog.adjacentPattern(events(s, dir), "view", "click")),
 
+    // A2 generalized — 3-event consecutive sequence within a block
+    "a2_sequence3" -> ((s, dir) =>
+      EventLog.sequencePattern(events(s, dir), Seq("view", "view", "click"))),
+
     // A3 — flagship netflow reducer
     "a3_netflow" -> ((s, dir) =>
       EventLog.netflow(events(s, dir), "purchase", "click")
@@ -377,6 +381,16 @@ object SparkEntry {
            FROM ($EvKeys))
          SELECT block_number, count(*) AS n_matches
          FROM seq WHERE event_type = 'view' AND next_type = 'click'
+         GROUP BY block_number""",
+
+    "a2_sequence3" ->
+      s"""WITH seq AS (
+           SELECT block_number, event_type,
+             lead(event_type, 1) OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS t2
+           FROM ($EvKeys))
+         SELECT block_number, count(*) AS n_matches
+         FROM seq WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
          GROUP BY block_number""",
 
     "a3_netflow" ->

@@ -43,9 +43,17 @@ object EventLog {
   /** S1/S2 — bounded range scan with source-side pushdown (reference:
     * stream.rs:94-102 `build_filter`, stream.rs:159-183 `get_logs`).
     * `from`/`to` inclusive, matching the reference's range semantics.
+    *
+    * `block_number` is derived (`event_id DIV blockSize`), which Catalyst
+    * cannot push through to the parquet scan — so the equivalent raw-key
+    * range `event_id ∈ [from·bs, (to+1)·bs)` is added explicitly and shows
+    * up in `PushedFilters` (manual constraint propagation; on a physical
+    * block column this is automatic).
     */
-  def rangeScan(df: DataFrame, eventTypes: Seq[String], from: Long, to: Long): DataFrame =
+  def rangeScan(df: DataFrame, eventTypes: Seq[String], from: Long, to: Long,
+      blockSize: Long = DefaultBlockSize): DataFrame =
     df.filter(col("event_type").isin(eventTypes: _*) &&
+      col("event_id").between(from * blockSize, (to + 1) * blockSize - 1) &&
       col("block_number").between(from, to))
 
   /** S3 — historical chunked scan. The reference splits `[from,to]` into
@@ -237,6 +245,27 @@ object EventLog {
       .orderBy(col("log_index"), col("event_id"))
     df.withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("event_type") === first && col("next_type") === second)
+      .groupBy(col("block_number"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** A2 generalized — k-event consecutive sequence pattern: count, per
+    * block, the positions whose next k−1 events (in intra-block order)
+    * match `pattern` exactly. `lead()` over the block window gives every
+    * row the head of its own suffix slice (sink.rs:140-148) without
+    * materializing N² suffixes.
+    */
+  def sequencePattern(df: DataFrame, pattern: Seq[String],
+      orderCols: Seq[String] = Seq("log_index", "event_id")): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    val w = Window.partitionBy(col("block_number"))
+      .orderBy(orderCols.map(col): _*)
+    val conds = pattern.zipWithIndex.map { case (p, i) =>
+      if (i == 0) col("event_type") === p
+      else lead(col("event_type"), i).over(w) === p
+    }
+    df.withColumn("seq_match", conds.reduce(_ && _))
+      .filter(col("seq_match"))
       .groupBy(col("block_number"))
       .agg(count(lit(1)).as("n_matches"))
   }

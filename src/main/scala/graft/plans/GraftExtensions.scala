@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftFunctionShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions._
+
+/** SQL surface for the native expressions: either install at session
+  * creation via `spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * call [[GraftFunctions.register]] on a live session. After that:
+  *
+  * {{{
+  *   SELECT u256_to_decimal(data), keccak256(sig), vector_dot(a, b) ...
+  * }}}
+  */
+object GraftFunctions {
+  /** (name, builder) for every engine function. Integer parameters are
+    * extracted from foldable literals at resolution time.
+    */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "u256_to_decimal" -> (es => U256ToDecimal(es.head)),
+    "i256_to_decimal" -> (es => I256ToDecimal(es.head)),
+    "keccak256" -> (es => Keccak256Hash(es.head)),
+    "vector_dot" -> (es => VectorDot(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
+    "minhash_sig" -> (es => MinHashSig(es.head, litInt(es(1), "minhash_sig"))),
+    "ngram_hashes" -> (es => NgramHashes(es.head, litInt(es(1), "ngram_hashes"))))
+
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: the count argument must be a literal")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected integer literal, got $other")
+    }
+  }
+
+  /** Register every function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, b) => GraftFunctionShim.register(spark, name, b) }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, b) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft", name),
+          b))
+    }
+}

@@ -12,6 +12,19 @@ object GraftColumnShim {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
 
+/** Registers a temp SQL function on a LIVE session (`sessionState` is
+  * `private[sql]`); the extensions path covers sessions created with
+  * `spark.sql.extensions`.
+  */
+object GraftFunctionShim {
+  def register(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[catalyst.expressions.Expression] => catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}
+
 /** Streaming-side bridge: a V1 `Source.getBatch` must return a DataFrame
   * whose plan is flagged `isStreaming` — only constructible through the
   * `private[sql]` `internalCreateDataFrame` (the pattern every classic

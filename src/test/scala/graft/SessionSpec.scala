@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Hex, Keccak256}
+import graft.plans.GraftFunctions
+
+/** EngineSession (S8 StreamFactory parity) + SQL function registration. */
+class SessionSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val usdc = "0xA0b86991c6218b36c1d19D4a2e9Eb0cE3606eB48"
+  private val transfer =
+    "Transfer(address indexed from, address indexed to, uint value)"
+
+  test("register/make parity: handle carries signature, duplicates rejected") {
+    val s = new EngineSession(spark)
+    val h = s.register(usdc, transfer)
+    assert(h.signatureHex._1 == usdc.toLowerCase)
+    assert(h.signatureHex._2 ==
+      "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    intercept[IllegalArgumentException](s.register(usdc, transfer))
+    s.register(usdc, "Approval(address indexed owner, address indexed spender, uint value)")
+    assert(s.sources.size == 2)
+  }
+
+  test("sink() freezes registration (get_sink consumes the factory)") {
+    val s = new EngineSession(spark)
+    s.register(usdc, transfer)
+    assert(s.sink().size == 1)
+    intercept[IllegalArgumentException](s.register(usdc, "Ping()"))
+  }
+
+  test("rawLogFilter keeps only registered signatures in range") {
+    val s = new EngineSession(spark,
+      StreamConfig(fromBlock = 0L, toBlock = 10L))
+    val h = s.register(usdc, transfer)
+    val other = Keccak256.hash("Other()")
+    val logs = Seq(
+      (1L, Hex.address(usdc), h.topic0),   // registered, in range
+      (11L, Hex.address(usdc), h.topic0),  // out of range
+      (2L, Hex.address(usdc), other),      // wrong topic
+      (3L, Hex.address("0x" + "99" * 20), h.topic0)) // wrong address
+      .toDF("block_number", "address", "topic0")
+    val kept = s.rawLogFilter(logs).select($"block_number").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+  }
+
+  test("frontier over registered signatures: None until all produce") {
+    val s = new EngineSession(spark)
+    val h1 = s.register(usdc, transfer)
+    val h2 = s.register("0x" + "aa" * 20, "Ping()")
+    def logs(rows: (Long, Array[Byte], Array[Byte])*) =
+      rows.toDF("block_number", "address", "topic0")
+    val one = logs((5L, h1.address, h1.topic0))
+    assert(s.frontier(one).count() == 0)
+    val both = logs((5L, h1.address, h1.topic0), (3L, h2.address, h2.topic0))
+    assert(s.frontier(both).as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("SQL functions registered on a live session") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           cast(u256_to_decimal(unhex(repeat('00', 31) || 'ff')) as int) AS v,
+           hex(keccak256(cast('' as binary))) AS k,
+           vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+           size(minhash_sig(array(1L, 2L), 16)) AS m""").head()
+    assert(r.getInt(0) == 255)
+    assert(r.getString(1).toLowerCase ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getInt(3) == 16)
+  }
+
+  test("sequencePattern: k-event runs counted per block") {
+    val d = Seq(
+      (0L, "view"), (1L, "view"), (2L, "click"), // match at pos 0? view,view,click → yes at idx 0
+      (3L, "view"), (4L, "click"),
+      (12L, "view"), (13L, "view"), (14L, "click"))
+      .toDF("event_id", "event_type")
+      .withColumn("block_number", expr("event_id DIV 10"))
+      .withColumn("log_index", expr("event_id % 10"))
+    val out = graft.operators.EventLog.sequencePattern(d, Seq("view", "view", "click"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L))
+  }
+}
