@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, EventLog}
+
+/** ScalaCheck properties from SURVEY §5: the flush partitions the key
+  * space; merge order is invariant under source interleaving; sketch
+  * kernels behave like their definitions on arbitrary inputs.
+  * (Deterministic seeded sampling — scalatestplus isn't in the offline
+  * dependency cache, so generators are driven directly.)
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 12)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val genRows: Gen[List[(String, Long, Long, Int)]] =
+    Gen.listOfN(40, for {
+      src <- Gen.oneOf("a", "b", "c")
+      blk <- Gen.choose(0L, 7L)
+      idx <- Gen.choose(0L, 5L)
+      v <- Gen.choose(0, 100)
+    } yield (src, blk, idx, v))
+
+  test("flushIncluding partitions the key space: every in-range event in " +
+    "exactly one cell, empty cells everywhere else") {
+    forAll(genRows) { rows =>
+      whenever(rows.nonEmpty) {
+        val distinct = rows.distinct
+        val df = distinct.toDF("source", "block_number", "log_index", "value")
+        val sources = Seq("a", "b", "c")
+        val out = EventLog
+          .flushIncluding(df, sources, 2L, 5L, Seq("value"), "source")
+          .collect()
+        // dense spine: 4 blocks × 3 sources
+        assert(out.length == 12)
+        val total = out.map(_.getSeq[Any](2).size).sum
+        val expected = distinct.count { case (_, b, _, _) => b >= 2 && b <= 5 }
+        assert(total == expected)
+      }
+    }
+  }
+
+  test("ordered merge invariant under stream interleaving and split") {
+    forAll(genRows) { rows =>
+      whenever(rows.nonEmpty) {
+        // unique (block, idx) keys so the order is total
+        val uniq = rows.groupBy(r => (r._2, r._3)).map(_._2.head).toSeq
+        val df = uniq.toDF("source", "block_number", "log_index", "value")
+        val bySource = Seq("a", "b", "c").map(s => df.filter($"source" === s))
+        def run(streams: Seq[org.apache.spark.sql.DataFrame]) =
+          EventLog.orderedMerge(streams, Seq("log_index"))
+            .select("block_number", "pos_in_block", "log_index")
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+            .sortBy(x => (x._1, x._2)).toSeq
+        assert(run(bySource) == run(bySource.reverse))
+      }
+    }
+  }
+
+  test("minhash estimate tracks exact Jaccard on synthetic doc pairs") {
+    val gen = for {
+      common <- Gen.choose(5, 40)
+      extraA <- Gen.choose(0, 20)
+      extraB <- Gen.choose(0, 20)
+    } yield (common, extraA, extraB)
+    forAll(gen) { case (common, extraA, extraB) =>
+      val shared = (0 until common).map(i => s"w$i")
+      val a = (shared ++ (0 until extraA).map(i => s"a$i")).mkString(" ")
+      val b = (shared ++ (0 until extraB).map(i => s"b$i")).mkString(" ")
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      // 1-gram shingles make exact jaccard computable from the word sets
+      val exact = {
+        val sa = a.split(" ").toSet; val sb = b.split(" ").toSet
+        (sa & sb).size.toDouble / (sa | sb).size
+      }
+      val est = Dedup.minHashLshPairs(df, n = 1, numHashes = 256,
+          bands = 256, minJaccard = 0.0)
+        .select("est_jaccard").as[Double].collect()
+      assert(est.nonEmpty)
+      assert(math.abs(est.head - exact) < 0.18, // 256 hashes ⇒ σ ≈ 0.03
+        s"est ${est.head} vs exact $exact")
+    }
+  }
+
+  test("simhash: hamming distance grows with symmetric difference") {
+    val base = (0 until 30).map(i => s"w$i")
+    val df = Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.mkString(" ")),
+      (3L, (base.drop(2) ++ Seq("x1", "x2")).mkString(" ")),
+      (4L, (0 until 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val h = Dedup.simHash64(df).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) == 0)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+}
