@@ -109,6 +109,35 @@ object VectorRuntime {
       java.util.Arrays.copyOf(out, k))
   }
 
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** One-pass token counts over the lowercased text, replicating exactly
+    * `\S+` (whitespace tokens) and `[a-z0-9]+|[^a-z0-9\s]` (BPE-ish
+    * tokens): two regex scans fused into a single char loop.
+    */
+  def tokenCounts(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase
+    var nWs = 0L
+    var nBpe = 0L
+    var inWs = false
+    var inRun = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { inWs = false; inRun = false }
+      else {
+        if (!inWs) { nWs += 1; inWs = true }
+        if (isAlnum(c)) { if (!inRun) { nBpe += 1; inRun = true } }
+        else { nBpe += 1; inRun = false }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWs, nBpe))
+  }
+
   /** Count of equal slots between two signatures (Jaccard estimator). */
   def sigAgreement(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -194,6 +223,24 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `token_counts(string) → array<long>(n_ws, n_bpe)` — fused tokenizer
+  * counters (regex-equivalent, single pass).
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.tokenCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.tokenCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
 /** `sig_agreement(array<long>, array<long>) → int`. */
 case class SigAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -222,6 +269,7 @@ object vec {
   def simHash64(hashes: Column): Column = wrap(SimHash64(ex(hashes)))
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     wrap(NgramHashes(ex(tokenHashes), n))
+  def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
   def minHashSig(hashes: Column, numHashes: Int): Column =
     wrap(MinHashSig(ex(hashes), numHashes))
   def sigAgreement(a: Column, b: Column): Column =

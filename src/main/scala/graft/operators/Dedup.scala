@@ -132,10 +132,14 @@ object Dedup {
     val sigs = df.select(
       col(idCol).as("doc_id"),
       minHashSignature(col(textCol), n, numHashes).as("sig"))
+    // materialize the banded signatures once — a DataFrame self-join
+    // re-evaluates its lineage per side, doubling signature compute
+    // (MLlib-style operator-internal persist; freed with the session)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -183,6 +187,7 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), k -> shiftright(simhash, k * 16) & 65535L)"))
         .as(Seq("chunk_idx", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

@@ -26,14 +26,21 @@ object TextOps {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars.
+    * Counting goes through the fused single-pass native kernel
+    * ([[graft.functions.TokenCounts]]) — regex-equivalent, ~10× cheaper
+    * than two `regexp_extract_all` passes.
+    */
   def tokenStats(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.select(
-      col(idCol),
-      size(wsTokens(col(textCol))).cast("bigint").as("n_ws_tokens"),
-      size(bpeTokens(col(textCol))).cast("bigint").as("n_bpe_tokens"),
-      length(col(textCol)).cast("bigint").as("n_chars"))
+    df.select(col(idCol),
+        graft.functions.vec.tokenCounts(col(textCol)).as("tc"),
+        length(col(textCol)).cast("bigint").as("n_chars"))
+      .select(
+        col(idCol),
+        element_at(col("tc"), 1).as("n_ws_tokens"),
+        element_at(col("tc"), 2).as("n_bpe_tokens"),
+        col("n_chars"))
 
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
     * heuristic. Ordered map: the argmax tiebreak follows this order.
