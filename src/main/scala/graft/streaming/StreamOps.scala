@@ -97,6 +97,27 @@ object StreamOps {
       // first. Callers run the J3 barrier (processAllAvailable) and stop.
       .start()
 
+  /** W1 on an unbounded stream: the identical declarative transform as
+    * batch — update/complete mode emits windows as they fill.
+    */
+  def tumblingWindowStream(stream: DataFrame, from: Long, step: Long): DataFrame =
+    graft.operators.EventLog.tumblingWindow(stream, from, step)
+
+  /** A2 exact driver parity — `reduce_synced_events` hands every per-block
+    * SUFFIX slice `events[i..]` to the reducer so it can pattern-match
+    * multi-event sequences from each position (sink.rs:134-151, suffix
+    * loop :140-148). Built on the ordered driver; the suffix fan-out is
+    * driver-side by the reference's own contract.
+    */
+  def runSuffixReducer(
+      stream: DataFrame,
+      checkpoint: String,
+      reduce: (Long, Seq[Row]) => Unit): StreamingQuery =
+    runOrderedReducer(stream, checkpoint, (block, rows) => {
+      var i = 0
+      while (i < rows.size) { reduce(block, rows.drop(i)); i += 1 }
+    })
+
   /** In-memory monitorable state for reducers — the dashboard the flagship
     * example polls from the main thread (stream_multi.rs:118-143).
     */
@@ -108,9 +129,14 @@ object StreamOps {
       import scala.jdk.CollectionConverters._
       flows.asScala.toMap
     }
+    /** (tracked keys, positive flows, negative flows). The fold runs in
+      * double, so |x| < ε counts as zero (a decimal-exact fold would say
+      * exactly 0 for cancelled flows).
+      */
     def counts: (Long, Long, Long) = {
       val s = snapshot
-      (s.size.toLong, s.count(_._2 > 0).toLong, s.count(_._2 < 0).toLong)
+      (s.size.toLong,
+        s.count(_._2 > 1e-9).toLong, s.count(_._2 < -1e-9).toLong)
     }
   }
 }

@@ -95,6 +95,56 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-6) }
   }
 
+  test("streaming tumbling window equals the batch windows (W1)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 40L, confirmations = 0L)
+    val q = StreamOps.tumblingWindowStream(stream, 0L, 10L)
+      .withColumn("sum_value", $"sum_value".cast("double"))
+      .writeStream.format("memory").queryName("w1_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("w1_stream")
+      .select("window_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = EventLog.tumblingWindow(batchEvents, 0L, 10L)
+      .withColumn("sum_value", $"sum_value".cast("double"))
+      .select("window_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("suffix reducer + NetflowState: monitor matches batch (A1/A2/B2)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 50L, confirmations = 0L)
+    val state = new StreamOps.NetflowState
+    var suffixPairs = 0L
+    val q = StreamOps.runSuffixReducer(stream, tmp(), (_, suffix) => {
+      // reducer 1: netflow over the suffix HEAD only (each event is the
+      // head of exactly one suffix ⇒ every event folded exactly once)
+      val head = suffix.head
+      head.getAs[String]("event_type") match {
+        case "purchase" =>
+          state.add(head.getAs[Long]("user_id"), head.getAs[Double]("value"))
+        case "click" =>
+          state.add(head.getAs[Long]("user_id"), -head.getAs[Double]("value"))
+        case _ => ()
+      }
+      // reducer 2: sequence-pattern on the suffix prefix [view, click, ..]
+      if (suffix.length >= 2 &&
+        suffix.head.getAs[String]("event_type") == "view" &&
+        suffix(1).getAs[String]("event_type") == "click") suffixPairs += 1
+    })
+    try q.processAllAvailable() finally q.stop()
+    val batchMon = EventLog.netflowMonitor(
+        EventLog.netflow(batchEvents, "purchase", "click"))
+      .as[(Long, Long, Long)].collect().head
+    assert(state.counts == batchMon)
+    val batchPairs = EventLog.adjacentPattern(batchEvents, "view", "click")
+      .agg(sum("n_matches")).head().getLong(0)
+    assert(suffixPairs == batchPairs)
+  }
+
   test("ordered reducer sees blocks ascending with intra-block order (A2)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 30L, confirmations = 0L)
