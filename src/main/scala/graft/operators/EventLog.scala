@@ -121,6 +121,29 @@ object EventLog {
       .select("frontier")
   }
 
+  /** J1 from scan-progress metadata rather than data presence: the
+    * reference advances a source's high-water mark with an explicit
+    * `end_block` even for EMPTY ranges (`put_multiple`, sink.rs:253-263) —
+    * so the frontier must come from completed-range records, not from rows
+    * (SURVEY §7.4). `progress` rows: `(source, end_block)` per completed
+    * scan range; zero-event ranges still contribute.
+    */
+  def frontierFromProgress(progress: DataFrame, registered: Seq[String],
+      sourceCol: String = "source",
+      endBlockCol: String = "end_block"): DataFrame = {
+    val spark = progress.sparkSession
+    import spark.implicits._
+    registered.toDF("source")
+      .join(
+        progress.groupBy(col(sourceCol).as("source"))
+          .agg(max(endBlockCol).as("high_water")),
+        Seq("source"), "left")
+      .agg(min("high_water").as("frontier"),
+        count("high_water").as("n_synced"))
+      .filter(col("n_synced") === registered.size)
+      .select("frontier")
+  }
+
   /** J2 at event granularity — `flush_including` parity: for every
     * `(block, source)` cell in `[bottom, target]` × registered sources, the
     * intra-block-ordered event payloads, **empty arrays for absent cells**

@@ -60,18 +60,26 @@ class BlockReplaySource(
 
   override val schema: StructType = events.schema
 
-  /** Replay "chain head" = max block present; bounded-data stand-in for the
-    * BlockNotify head subscription (data_feed/block.rs:17-68).
+  /** Replay "chain head" = max block currently present — re-read on every
+    * trigger so the source TAILS a growing table (the BlockNotify head
+    * subscription, data_feed/block.rs:17-68). Monotonic guard: a head that
+    * moves backwards (uncle/reorg resubmission) is ignored, keeping offsets
+    * non-decreasing (stream.rs:236-242).
     */
-  private lazy val head: Long =
-    events.agg(max("block_number")).head().getLong(0)
-
-  /** Synced upper bound: head − confirmations, clamped to toBlock. */
-  private lazy val endBlock: Long = math.min(head - confirmations, toBlock)
+  private def currentHead(): Long = {
+    val h = events.agg(max("block_number")).head() match {
+      case r if r.isNullAt(0) => fromBlock - 1 // empty table: nothing synced
+      case r                  => r.getLong(0)
+    }
+    if (h > maxSeenHead) maxSeenHead = h
+    maxSeenHead
+  }
+  private var maxSeenHead: Long = Long.MinValue
 
   override def getOffset: Option[Offset] = {
-    // advance at most blockStep blocks past what the engine last committed;
-    // lastPlanned tracks across triggers so each micro-batch is one chunk
+    // synced upper bound: head − confirmations, clamped to toBlock; advance
+    // at most blockStep blocks per trigger (chunked admission control)
+    val endBlock = math.min(currentHead() - confirmations, toBlock)
     val next = math.min(endBlock, lastPlanned + blockStep)
     if (next < fromBlock) None
     else {

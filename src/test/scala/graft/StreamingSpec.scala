@@ -95,6 +95,47 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-6) }
   }
 
+  test("live tail: appended blocks are picked up by later triggers (S4/S6)") {
+    val dir = tmp()
+    val phase1 = batchEvents.filter($"block_number" < 40L)
+    val phase2 = batchEvents.filter($"block_number".between(40L, 80L))
+    phase1.write.mode("overwrite").parquet(dir + "/data")
+    val stream = StreamOps.readBlockStream(spark, dir + "/data",
+      blockStep = 15L, confirmations = 2L)
+    val q = stream.writeStream.format("memory").queryName("tail_test")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val afterPhase1 = spark.table("tail_test")
+        .agg(max("block_number")).head().getLong(0)
+      assert(afterPhase1 == 37L) // head 39 − confirmations 2
+      // the chain advances: append new blocks, same directory
+      phase2.write.mode("append").parquet(dir + "/data")
+      q.processAllAvailable()
+      val afterPhase2 = spark.table("tail_test")
+        .agg(max("block_number")).head().getLong(0)
+      assert(afterPhase2 == 78L) // new head 80 − 2
+      // exactly-once: no block ingested twice
+      val dupes = spark.table("tail_test")
+        .groupBy("event_id").count().filter($"count" > 1).count()
+      assert(dupes == 0L)
+    } finally q.stop()
+  }
+
+  test("frontier from progress records: empty ranges still advance (J1)") {
+    // source b scanned through block 9 but found NOTHING — the reference
+    // still advances its high-water mark via the explicit end_block
+    val progress = Seq(("a", 5L), ("a", 12L), ("b", 9L))
+      .toDF("source", "end_block")
+    val f = EventLog.frontierFromProgress(progress, Seq("a", "b"))
+      .as[Long].collect()
+    assert(f.toSeq == Seq(9L))
+    // a registered source with no completed range at all ⇒ None
+    val partial = Seq(("a", 5L)).toDF("source", "end_block")
+    assert(EventLog.frontierFromProgress(partial, Seq("a", "b")).count() == 0)
+  }
+
   test("streaming tumbling window equals the batch windows (W1)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 40L, confirmations = 0L)
