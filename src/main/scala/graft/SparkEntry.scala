@@ -256,6 +256,68 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Q6-style: tight filter + aggregate — pure whole-stage-codegen scan
+    "q6_forecast_revenue" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+            lit("1994-01-01").cast("timestamp"), lit("1994-12-31").cast("timestamp"))
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))),
+
+    // Q14-style: fact ⋈ broadcast dim + conditional aggregate ratio
+    "q14_promo_revenue" -> ((s, dir) => {
+      val part = table(s, dir, "part")
+      table(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type").startsWith("PROMO"),
+            dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)"))).cast("double")
+          / sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double")).as("promo_share"))
+    }),
+
+    // Q18-style: large-quantity orders — agg + having + two joins
+    "q18_big_orders" -> ((s, dir) => {
+      val totals = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      totals
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("l_orderkey").as("orderkey"), col("c_name"),
+          col("total_qty").cast("double").as("total_qty"))
+    }),
+
+    // rollup / grouping sets
+    "q_rollup_revenue" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))),
+
+    // analytic window function: per-customer running order total
+    "q_window_running" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .withColumn("running_total",
+          sum(dec(col("o_totalprice"))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey")))
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")),
+
+    // set operation: customers ordering in both years
+    "q_setop_repeat_customers" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1994).select("o_custkey")
+        .intersect(
+          o.filter(year(col("o_orderdate")) === 1995).select("o_custkey"))
+    }),
+
     "q5_nation_revenue" -> ((s, dir) => {
       val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = table(s, dir, "nation")
@@ -532,6 +594,45 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
          GROUP BY o_orderkey""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-12-31'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $Revenue
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum($Revenue) AS DOUBLE) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+
+    "q18_big_orders" ->
+      """WITH t AS (
+           SELECT l_orderkey AS orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+         SELECT orderkey, c_name, CAST(total_qty AS DOUBLE) AS total_qty
+         FROM t JOIN orders ON orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_total
+         FROM orders""",
+
+    "q_setop_repeat_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995""",
 
     "q5_nation_revenue" ->
       s"""SELECT n_name, CAST(sum($Revenue) AS DOUBLE) AS revenue, count(*) AS n_items
