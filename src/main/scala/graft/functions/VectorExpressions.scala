@@ -14,9 +14,14 @@ import org.apache.spark.sql.types._
   * via static helpers, staying inside whole-stage codegen.
   */
 object VectorRuntime {
-  /** Dot product of two numeric arrays (float or double elements). */
+  /** Dot product of two numeric arrays (float or double elements).
+    * Dimension mismatch fails loudly — a truncated dot silently corrupts
+    * every similarity/bucket downstream.
+    */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vector_dot: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     if (aFloat && bFloat) {
@@ -116,24 +121,27 @@ object VectorRuntime {
 
   /** One-pass token counts over the lowercased text, replicating exactly
     * `\S+` (whitespace tokens) and `[a-z0-9]+|[^a-z0-9\s]` (BPE-ish
-    * tokens): two regex scans fused into a single char loop.
+    * tokens): two regex scans fused into one loop. Locale-independent
+    * lowercase (ROOT) and CODEPOINT iteration — a regex `.` consumes one
+    * codepoint, so a surrogate pair must count once, not twice.
     */
   def tokenCounts(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var nWs = 0L
     var nBpe = 0L
     var inWs = false
     var inRun = false
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (isWs(c)) { inWs = false; inRun = false }
+      val cp = s.codePointAt(i)
+      if (cp <= Char.MaxValue && isWs(cp.toChar)) { inWs = false; inRun = false }
       else {
         if (!inWs) { nWs += 1; inWs = true }
-        if (isAlnum(c)) { if (!inRun) { nBpe += 1; inRun = true } }
-        else { nBpe += 1; inRun = false }
+        if (cp <= Char.MaxValue && isAlnum(cp.toChar)) {
+          if (!inRun) { nBpe += 1; inRun = true }
+        } else { nBpe += 1; inRun = false }
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWs, nBpe))
   }

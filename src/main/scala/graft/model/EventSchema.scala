@@ -79,8 +79,18 @@ final case class EventSchema(
 
 object EventSchema {
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
+  // any uintN/intN accepted syntactically; width validated below (ABI:
+  // multiples of 8 in 8..256 — e.g. uint24 in Uniswap V3's PoolCreated)
   private val TypeRe =
-    "(address|bool|string|bytes32|bytes|uint(?:8|16|32|64|128|256)?|int(?:8|16|32|64|128|256)?)".r
+    "(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)".r
+
+  private def validWidth(t: String): Boolean = {
+    val digits = t.dropWhile(!_.isDigit)
+    digits.isEmpty || {
+      val w = digits.toInt
+      w >= 8 && w <= 256 && w % 8 == 0
+    }
+  }
 
   /** Parse an event declaration, e.g.
     * `Transfer(address indexed from, address indexed to, uint value)`.
@@ -111,8 +121,10 @@ object EventSchema {
   private def parseParam(raw: String): EventParam = {
     val toks = raw.trim.split("\\s+").toSeq
     toks match {
-      case Seq(TypeRe(t), "indexed", n) if n.matches(ident) => EventParam(n, t, indexed = true)
-      case Seq(TypeRe(t), n) if n.matches(ident)            => EventParam(n, t, indexed = false)
+      case Seq(TypeRe(t), "indexed", n) if n.matches(ident) && validWidth(t) =>
+        EventParam(n, t, indexed = true)
+      case Seq(TypeRe(t), n) if n.matches(ident) && validWidth(t) =>
+        EventParam(n, t, indexed = false)
       case _ => throw new IllegalArgumentException(s"bad parameter: `${raw.trim}`")
     }
   }

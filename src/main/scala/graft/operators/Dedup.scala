@@ -126,20 +126,23 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, minJaccard: Double = 0.7,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(
       col(idCol).as("doc_id"),
       minHashSignature(col(textCol), n, numHashes).as("sig"))
     // materialize the banded signatures once — a DataFrame self-join
-    // re-evaluates its lineage per side, doubling signature compute
-    // (MLlib-style operator-internal persist; freed with the session)
-    val banded = sigs.select(
+    // re-evaluates its lineage per side, doubling signature compute.
+    // MLlib-style operator-internal persist; lives until session end, so
+    // loops over many corpora should pass storage=None (or unpersist).
+    val banded0 = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = storage.fold(banded0)(banded0.persist)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -179,15 +182,17 @@ object Dedup {
     * maxDist ≤ 3 and the final `bit_count(xor)` filter is exact.
     */
   def simHashPairs(df: DataFrame, maxDist: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     require(maxDist <= 3, "chunk banding is complete only for maxDist <= 3")
     val hashed = simHash64(df, textCol, idCol)
-    val banded = hashed.select(
+    val banded0 = hashed.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> shiftright(simhash, k * 16) & 65535L)"))
         .as(Seq("chunk_idx", "chunk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = storage.fold(banded0)(banded0.persist)
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

@@ -63,14 +63,21 @@ object EventDecoder {
     org.apache.spark.sql.functions.substring(c, pos, len)
 
   /** Decoded columns (param name → Column) for `schema` over raw log
-    * columns. Topic assignment: i-th indexed param ← `topic{i+1}`.
+    * columns. Topic assignment: i-th indexed param ← `topic{i+1}`
+    * (anonymous events carry no signature topic, so theirs start at
+    * `topic0`). An indexed dynamic param (string/bytes) is stored by ABI
+    * as the keccak hash of its value — it decodes to that 32-byte binary,
+    * the value itself is unrecoverable.
     */
   def decodedColumns(schema: EventSchema,
       topics: Seq[Column], data: Column): Seq[(String, Column)] = {
-    require(schema.indexedParams.size <= 3,
-      "at most 3 indexed params (topics 1..3)")
+    val maxIndexed = if (schema.anonymous) 4 else 3
+    require(schema.indexedParams.size <= maxIndexed,
+      s"at most $maxIndexed indexed params for this event kind")
+    val topicBase = if (schema.anonymous) 0 else 1
     val indexed = schema.indexedParams.zipWithIndex.map { case (p, i) =>
-      p.name -> decodeStatic(p, topics(i + 1))
+      val t = topics(i + topicBase)
+      p.name -> (if (isDynamic(p)) t else decodeStatic(p, t))
     }.toMap
     var dataWord = 0
     val fromData = schema.dataParams.map { p =>
@@ -86,10 +93,14 @@ object EventDecoder {
 
   /** Decode `df` (raw log schema, FIXTURES.md §1.2) per `schema`: appends
     * one typed column per event param, null unless `topic0` matches the
-    * schema's signature hash.
+    * schema's signature hash. Anonymous events carry no signature topic —
+    * no match guard is possible (callers route by address), and indexed
+    * params shift down to `topic0`.
     */
   def decode(df: DataFrame, schema: EventSchema): DataFrame = {
-    val matches = col("topic0") === lit(schema.topic0)
+    val matches =
+      if (schema.anonymous) lit(true)
+      else col("topic0") === lit(schema.topic0)
     val topics = Seq(col("topic0"), col("topic1"), col("topic2"), col("topic3"))
     decodedColumns(schema, topics, col("data")).foldLeft(df) {
       case (acc, (name, c)) => acc.withColumn(name, when(matches, c))

@@ -110,16 +110,9 @@ object EventLog {
     * A registered source absent from the data ⇒ zero-row result (= `None`).
     */
   def frontierOf(df: DataFrame, registered: Seq[String],
-      sourceCol: String = "event_type"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    registered.toDF("source")
-      .join(highWaterMarks(df, sourceCol), Seq("source"), "left")
-      .agg(min("high_water").as("frontier"),
-        count("high_water").as("n_synced"))
-      .filter(col("n_synced") === registered.size)
-      .select("frontier")
-  }
+      sourceCol: String = "event_type"): DataFrame =
+    frontierFromProgress(
+      highWaterMarks(df, sourceCol), registered, "source", "high_water")
 
   /** J1 from scan-progress metadata rather than data presence: the
     * reference advances a source's high-water mark with an explicit
@@ -133,14 +126,15 @@ object EventLog {
       endBlockCol: String = "end_block"): DataFrame = {
     val spark = progress.sparkSession
     import spark.implicits._
-    registered.toDF("source")
+    val reg = registered.distinct
+    reg.toDF("source")
       .join(
         progress.groupBy(col(sourceCol).as("source"))
           .agg(max(endBlockCol).as("high_water")),
         Seq("source"), "left")
       .agg(min("high_water").as("frontier"),
         count("high_water").as("n_synced"))
-      .filter(col("n_synced") === registered.size)
+      .filter(col("n_synced") === reg.size)
       .select("frontier")
   }
 

@@ -143,15 +143,17 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
       planes: Int = 8, tables: Int = 8, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     // persist: the self-join would otherwise run the 64-dot bucket
-    // pipeline once per side (see Dedup.minHashLshPairs note)
-    val banded = df.select(
+    // pipeline once per side (see Dedup.minHashLshPairs note on lifetime)
+    val banded0 = df.select(
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       posexplode(array((0 until tables).map(t =>
         lshBucket(col(vecCol), planes, dim, seed = 42L + t)): _*))
         .as(Seq("table_idx", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = storage.fold(banded0)(banded0.persist)
     banded.as("a")
       .join(banded.as("b"),
         col("a.table_idx") === col("b.table_idx") &&

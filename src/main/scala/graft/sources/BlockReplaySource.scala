@@ -92,6 +92,11 @@ class BlockReplaySource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(BlockOffset.of).getOrElse(fromBlock - 1)
     val hi = BlockOffset.of(end)
+    // restart resync: on recovery the engine replays getBatch with the
+    // checkpointed offsets BEFORE any getOffset call — adopt them so a new
+    // source instance never plans below the committed frontier (offset
+    // regression would re-emit committed blocks and break exactly-once)
+    if (hi > lastPlanned) lastPlanned = hi
     val batch = events.filter(
       col("block_number") > lo && col("block_number") <= hi)
     GraftStreamingShim.streamingDataFrame(

@@ -52,7 +52,10 @@ object Retry {
     while (i < attempts) {
       try return op()
       catch {
-        case e: Throwable =>
+        // never retry fatal errors; propagate interrupts with the flag set
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) =>
           last = e
           if (i < attempts - 1) {
             val j = (delay * jitter * ((i * 2654435761L % 1000) / 1000.0)).toLong

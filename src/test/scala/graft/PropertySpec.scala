@@ -84,7 +84,7 @@ class PropertySpec extends AnyFunSuite {
         (sa & sb).size.toDouble / (sa | sb).size
       }
       val est = Dedup.minHashLshPairs(df, n = 1, numHashes = 256,
-          bands = 256, minJaccard = 0.0)
+          bands = 256, minJaccard = 0.0, storage = None) // looped: no cache leak
         .select("est_jaccard").as[Double].collect()
       assert(est.nonEmpty)
       assert(math.abs(est.head - exact) < 0.18, // 256 hashes ⇒ σ ≈ 0.03

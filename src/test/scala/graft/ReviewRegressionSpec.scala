@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.vec
+import graft.model.{EventSchema, Hex, Keccak256}
+import graft.operators.EventDecoder
+import graft.sources.{BlockOffset, BlockReplaySource}
+
+/** Regressions for the round-1 review findings. */
+class ReviewRegressionSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("replay source restart: getBatch with committed offsets resyncs " +
+    "planning state (no offset regression)") {
+    val src = new BlockReplaySource(spark.sqlContext, Map(
+      "path" -> "/root/testdata/sf0.001/events.parquet",
+      "blockStep" -> "10", "confirmations" -> "2"))
+    // recovery path: engine replays the last committed batch first
+    src.getBatch(Some(BlockOffset(40L)), BlockOffset(50L))
+    // the next planned offset must be beyond the committed 50, never below
+    val next = src.getOffset.map(BlockOffset.of)
+    assert(next.exists(_ > 50L), s"planned $next regressed below committed 50")
+  }
+
+  test("indexed dynamic param decodes to its topic hash (not a crash)") {
+    val schema = EventSchema.parse("Note(string indexed tag, uint value)")
+    val tagHash = Keccak256.hash("hello")
+    val raw = Seq((1L, schema.topic0, tagHash,
+        Hex.decode("00" * 31 + "2a")))
+      .toDF("block_number", "topic0", "topic1", "data")
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"tag", $"value".cast("int")).collect().head
+    assert(out.getAs[Array[Byte]](0).toSeq == tagHash.toSeq)
+    assert(out.getInt(1) == 42)
+  }
+
+  test("anonymous events: no topic0 guard, indexed params start at topic0") {
+    val schema = EventSchema.parse("Pair(uint a, address indexed who) anonymous")
+    val who = Hex.address("0x" + "77" * 20)
+    val raw = Seq((1L,
+        Array.fill[Byte](12)(0) ++ who, // topic0 = first indexed param
+        Hex.decode("00" * 31 + "07")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"a".cast("int"), $"who").collect().head
+    assert(out.getInt(0) == 7)
+    assert(out.getAs[Array[Byte]](1).toSeq == who.toSeq)
+  }
+
+  test("non-power-of-two ABI widths parse (Uniswap V3 PoolCreated)") {
+    val e = EventSchema.parse(
+      "PoolCreated(address indexed token0, address indexed token1, " +
+        "uint24 indexed fee, int24 tickSpacing, address pool)")
+    assert(e.params.map(_.solType) ==
+      Seq("address", "address", "uint24", "int24", "address"))
+    intercept[IllegalArgumentException](EventSchema.parse("T(uint7 x)"))
+    intercept[IllegalArgumentException](EventSchema.parse("T(uint264 x)"))
+  }
+
+  test("tokenCounts: surrogate pairs count once, matching the regex path") {
+    val docs = Seq((1L, "hi 😀 there"), (2L, "café 😀😁"))
+      .toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+        element_at(vec.tokenCounts($"text"), 2).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val regex = docs.select($"doc_id",
+        size(graft.operators.TextOps.bpeTokens($"text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == regex)
+  }
+
+  test("vector_dot rejects dimension mismatch instead of truncating") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception](df.select(vec.dot($"a", $"b")).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("retry does not retry on InterruptedException") {
+    var calls = 0
+    intercept[InterruptedException] {
+      graft.sources.Retry.withBackoff(attempts = 4, sleep = _ => ()) { () =>
+        calls += 1; throw new InterruptedException("stop")
+      }
+    }
+    assert(calls == 1)
+    assert(Thread.interrupted(), "interrupt flag should be restored") // clears it
+  }
+}
