@@ -113,4 +113,15 @@ object abi {
   def u256(c: Column): Column = wrap(U256ToDecimal(ex(c)))
   def i256(c: Column): Column = wrap(I256ToDecimal(ex(c)))
   def keccak256(c: Column): Column = wrap(Keccak256Hash(ex(c)))
+
+  /** 20-byte address literal from hex — the reference's `address()` util
+    * as a Column (eth_event_stream/src/lib.rs:7-15).
+    */
+  def address(hexStr: String): Column =
+    org.apache.spark.sql.functions.lit(graft.model.Hex.address(hexStr))
+
+  /** topic0 literal (keccak of the canonical signature) for a declaration. */
+  def topic0(decl: String): Column =
+    org.apache.spark.sql.functions.lit(
+      graft.model.EventSchema.parse(decl).topic0)
 }

@@ -84,6 +84,25 @@ class ModelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventSchema.parse("T(address a, uint a)"))
   }
 
+  test("topics array view roundtrips topic0..topic3 with trailing nulls") {
+    import TestSpark.spark
+    import spark.implicits._
+    val t0 = Keccak256.hash("A()")
+    val t1 = Keccak256.hash("x")
+    val df = Seq((1L, t0, t1)).toDF("block_number", "topic0", "topic1")
+      .withColumn("topic2", org.apache.spark.sql.functions.lit(null).cast("binary"))
+      .withColumn("topic3", org.apache.spark.sql.functions.lit(null).cast("binary"))
+    val arr = graft.model.LogSchema.withTopicsArray(df)
+      .select("topics").as[Seq[Array[Byte]]].collect().head
+    assert(arr.length == 2 && arr(0).toSeq == t0.toSeq && arr(1).toSeq == t1.toSeq)
+    val back = graft.model.LogSchema.fromTopicsArray(
+        graft.model.LogSchema.withTopicsArray(df).drop("topic0", "topic1", "topic2", "topic3"))
+      .select("topic0", "topic1", "topic2", "topic3")
+      .as[(Array[Byte], Array[Byte], Array[Byte], Array[Byte])].collect().head
+    assert(back._1.toSeq == t0.toSeq && back._2.toSeq == t1.toSeq)
+    assert(back._3 == null && back._4 == null)
+  }
+
   test("decoded struct shapes (macro lib.rs:159-178, :201-206 parity)") {
     val e = EventSchema.parse(
       "Transfer(address indexed from, address indexed to, uint value)")
