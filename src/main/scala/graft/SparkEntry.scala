@@ -160,6 +160,43 @@ object SparkEntry {
       EventLog.netflowMonitor(
         EventLog.netflow(events(s, dir), "purchase", "click"))),
 
+    // Flagship end-to-end: the reference's stream_multi example replayed
+    // over RAW logs — two registered contract streams, source-side
+    // signature filter, ABI decode, ordered union, netflow fold
+    // (stream_multi.rs:33-70). Raw logs are synthesized relationally from
+    // events, so the oracle can state the expected result directly.
+    "flagship_raw_netflow" -> ((s, dir) => {
+      val decl = "Transfer(address indexed from, address indexed to, uint value)"
+      val addrIn = "0x" + "aa" * 20  // inflow contract (purchase events)
+      val addrOut = "0x" + "bb" * 20 // outflow contract (click events)
+      val session = new EngineSession(s,
+        StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
+      val hIn = session.register(addrIn, decl)
+      val hOut = session.register(addrOut, decl)
+      val ev = events(s, dir).filter(col("event_type").isin("purchase", "click"))
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          when(col("event_type") === "purchase",
+            graft.functions.abi.address(addrIn))
+            .otherwise(graft.functions.abi.address(addrOut)).as("address"),
+          graft.functions.abi.topic0(decl).as("topic0"),
+          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+          EventDecoder.encodeWordFromLong(col("user_id") + 1).as("topic2"),
+          EventDecoder.encodeWordFromLong(
+            (col("value").cast("decimal(18,2)") * 100).cast("bigint")).as("data"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      val filtered = session.rawLogFilter(raw)
+      val inflows = session.decode(filtered, hIn)
+        .select(col("from"), col("value").as("delta"))
+      val outflows = session.decode(filtered, hOut)
+        .select(col("from"), (-col("value")).as("delta"))
+      inflows.unionByName(outflows)
+        .groupBy(col("from"))
+        .agg(sum(col("delta")).cast("double").as("netflow_cents"))
+        .select(concat(lit("0x"), lower(hex(col("from")))).as("from_addr"),
+          col("netflow_cents"))
+    }),
+
     // ------------------------------------------------------------------
     // LLM-data-pipeline extensions (driver north star): dedup, text
     // analysis, similarity search over documents/embeddings.
@@ -471,6 +508,15 @@ object SparkEntry {
            count(*) FILTER (WHERE netflow > 0) AS n_positive,
            count(*) FILTER (WHERE netflow < 0) AS n_negative
          FROM nf""",
+
+    "flagship_raw_netflow" ->
+      """SELECT '0x' || lpad(lower(hex(user_id)), 40, '0') AS from_addr,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS DOUBLE)
+             AS netflow_cents
+         FROM events WHERE event_type IN ('purchase', 'click')
+         GROUP BY user_id""",
 
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
