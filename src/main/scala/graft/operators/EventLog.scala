@@ -303,6 +303,28 @@ object EventLog {
             .otherwise(-col("value").cast("decimal(18,2)")))
           .as("netflow"))
 
+  /** Skew guard for hot keys: two-phase salted aggregation. Phase 1 groups
+    * by `(key, salt)` — a hot key's rows spread over `saltBuckets` reducers
+    * — phase 2 merges the partials per key. For algebraic aggregates
+    * (sum/count here) the result is identical to the direct groupBy; use
+    * when one key dominates (AQE's skew-join handles joins, this handles
+    * aggregations).
+    */
+  def saltedNetflow(df: DataFrame, inflowType: String, outflowType: String,
+      keyCol: String = "user_id", saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets >= 1)
+    df.filter(col("event_type").isin(inflowType, outflowType))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(saltBuckets)))
+      .groupBy(col(keyCol), col("salt"))
+      .agg(
+        sum(
+          when(col("event_type") === inflowType, col("value").cast("decimal(18,2)"))
+            .otherwise(-col("value").cast("decimal(18,2)")))
+          .as("partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("partial")).as("netflow"))
+  }
+
   /** A3 monitor — the derived dashboard counts the flagship example polls
     * (stream_multi.rs:118-143): tracked keys, positive flows, negative flows.
     */
