@@ -22,6 +22,9 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      // operators may persist internally (LSH signature reuse); drop the
+      // cache between queries so accumulation can't skew later timings
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

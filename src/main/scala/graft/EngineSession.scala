@@ -83,15 +83,14 @@ final class EngineSession(
     * sink.rs:187-197).
     */
   def frontier(logs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val spine = sources.map(h => (h.address, h.topic0))
-      .toDF("address", "topic0")
-    val hw = logs.groupBy(col("address"), col("topic0"))
-      .agg(max("block_number").as("high_water"))
-    spine.join(hw, Seq("address", "topic0"), "left")
-      .agg(min("high_water").as("frontier"),
-        count("high_water").as("n_synced"))
-      .filter(col("n_synced") === sources.size)
-      .select("frontier")
+    // delegate to the shared synced_including implementation, keyed by the
+    // hex signature string
+    val progress = logs.select(
+      concat(lower(hex(col("address"))), lit(":"),
+        lower(hex(col("topic0")))).as("source"),
+      col("block_number").as("end_block"))
+    val registered = sources.map(h =>
+      s"${Hex.encode(h.address)}:${Hex.encode(h.topic0)}")
+    EventLog.frontierFromProgress(progress, registered)
   }
 }

@@ -25,11 +25,19 @@ object LogSchema {
 
   val topicCols: Seq[String] = Seq("topic0", "topic1", "topic2", "topic3")
 
-  /** Column view: `topics` array with trailing nulls dropped (a log carries
-    * 0–4 topics; absent ones are null columns, not array slots).
+  /** Column view: `topics` array with TRAILING nulls dropped (a log
+    * carries 0–4 topics). Interior null gaps — malformed logs — keep their
+    * positions so the view round-trips; dropping them would silently shift
+    * later topics down an index.
     */
-  def topicsArray: Column =
-    filter(array(topicCols.map(col): _*), t => t.isNotNull)
+  def topicsArray: Column = {
+    val Seq(t0, t1, t2, t3) = topicCols.map(col)
+    when(t3.isNotNull, array(t0, t1, t2, t3))
+      .when(t2.isNotNull, array(t0, t1, t2))
+      .when(t1.isNotNull, array(t0, t1))
+      .when(t0.isNotNull, array(t0))
+      .otherwise(array().cast(ArrayType(BinaryType)))
+  }
 
   /** Add the array-form `topics` column. */
   def withTopicsArray(df: DataFrame): DataFrame =

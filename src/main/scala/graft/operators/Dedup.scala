@@ -35,14 +35,19 @@ object Dedup {
   // Word n-gram shingles + exact Jaccard (the verifier path)
   // -------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles per document, row-local. */
+  /** Distinct word n-gram shingles per document, row-local. Docs shorter
+    * than n grams yield an EMPTY array (never a null element — an exploded
+    * null would alias all short docs into one shared join key).
+    */
   def shingles(text: Column, n: Int): Column = {
     val ws = TextOps.wsTokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(ws) - n, lit(0))),
-        i => when(i + n <= size(ws), concat_ws(" ", slice(ws, i + 1, lit(n))))))
-      .cast("array<string>")
+    filter(
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(ws) - n, lit(0))),
+          i => when(i + n <= size(ws), concat_ws(" ", slice(ws, i + 1, lit(n))))))
+        .cast("array<string>"),
+      g => g.isNotNull)
   }
 
   /** Distinct gram HASHES per doc: tokens string-hashed once, sliding

@@ -97,7 +97,19 @@ object EventDecoder {
     * no match guard is possible (callers route by address), and indexed
     * params shift down to `topic0`.
     */
+  /** Raw-log column names a decoded param must not shadow: the fold below
+    * would silently replace the raw column mid-decode and corrupt every
+    * later param's expression.
+    */
+  private val ReservedNames = Set(
+    "address", "topic0", "topic1", "topic2", "topic3", "data",
+    "block_number", "transaction_hash", "log_index", "removed")
+
   def decode(df: DataFrame, schema: EventSchema): DataFrame = {
+    val clash = schema.params.map(_.name).filter(ReservedNames)
+    require(clash.isEmpty,
+      s"param name(s) ${clash.mkString(", ")} collide with raw log columns; " +
+        "rename in the declaration")
     val matches =
       if (schema.anonymous) lit(true)
       else col("topic0") === lit(schema.topic0)

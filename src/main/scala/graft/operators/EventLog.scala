@@ -95,9 +95,7 @@ object EventLog {
     * wide shuffle beyond one row per source.
     */
   def frontier(df: DataFrame, sourceCol: String = "event_type"): DataFrame =
-    df.groupBy(col(sourceCol).as("source"))
-      .agg(max("block_number").as("high_water"))
-      .agg(min("high_water").as("frontier"))
+    highWaterMarks(df, sourceCol).agg(min("high_water").as("frontier"))
 
   /** Per-source high-water marks (the sink's `source_vals`, sink.rs:26-29). */
   def highWaterMarks(df: DataFrame, sourceCol: String = "event_type"): DataFrame =
@@ -293,15 +291,18 @@ object EventLog {
     * fold order-insensitive and exactly mergeable across partitions —
     * map-side partial aggregation applies, one shuffle on the key.
     */
+  /** Signed netflow delta of one event — shared by the direct and salted
+    * folds so the two can never drift apart semantically.
+    */
+  private def netflowDelta(inflowType: String): Column =
+    when(col("event_type") === inflowType, col("value").cast("decimal(18,2)"))
+      .otherwise(-col("value").cast("decimal(18,2)"))
+
   def netflow(df: DataFrame, inflowType: String, outflowType: String,
       keyCol: String = "user_id"): DataFrame =
     df.filter(col("event_type").isin(inflowType, outflowType))
       .groupBy(col(keyCol))
-      .agg(
-        sum(
-          when(col("event_type") === inflowType, col("value").cast("decimal(18,2)"))
-            .otherwise(-col("value").cast("decimal(18,2)")))
-          .as("netflow"))
+      .agg(sum(netflowDelta(inflowType)).as("netflow"))
 
   /** Skew guard for hot keys: two-phase salted aggregation. Phase 1 groups
     * by `(key, salt)` — a hot key's rows spread over `saltBuckets` reducers
@@ -316,11 +317,7 @@ object EventLog {
     df.filter(col("event_type").isin(inflowType, outflowType))
       .withColumn("salt", pmod(xxhash64(col("event_id")), lit(saltBuckets)))
       .groupBy(col(keyCol), col("salt"))
-      .agg(
-        sum(
-          when(col("event_type") === inflowType, col("value").cast("decimal(18,2)"))
-            .otherwise(-col("value").cast("decimal(18,2)")))
-          .as("partial"))
+      .agg(sum(netflowDelta(inflowType)).as("partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("partial")).as("netflow"))
   }

@@ -86,9 +86,17 @@ object Similarity {
     * then exact cosine ranks the union of candidates. Recall grows with
     * `tables`; cost stays O(candidates) instead of O(corpus) per query.
     */
+  /** Embedding dimension: explicit when given (>0), else read from the
+    * first corpus row — a wrong literal would fail mid-job in vector_dot.
+    */
+  private def inferDim(df: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else df.select(size(col(vecCol))).head().getInt(0)
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, tables: Int = 4, dim: Int = 64,
+      planes: Int = 8, tables: Int = 4, dim0: Int = -1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = inferDim(corpus, vecCol, dim0)
     def bucketed(df: DataFrame, vid: String, vcol: String, nrm: String): DataFrame =
       df.select(col(vid), col(vcol), norm(col(vcol)).as(nrm),
         posexplode(array((0 until tables).map(t =>
@@ -142,10 +150,11 @@ object Similarity {
     * (tunable) recall tradeoff.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
-      planes: Int = 8, tables: Int = 8, dim: Int = 64,
+      planes: Int = 8, tables: Int = 8, dim0: Int = -1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val dim = inferDim(df, vecCol, dim0)
     // persist: the self-join would otherwise run the 64-dot bucket
     // pipeline once per side (see Dedup.minHashLshPairs note on lifetime)
     val banded0 = df.select(

@@ -53,10 +53,26 @@ class BlockReplaySource(
   require(blockStep >= 1, "blockStep must be >= 1")
 
   private val spark = sqlContext.sparkSession
-  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  private def events: DataFrame =
+  /** The events fixture carries TIMESTAMP(NANOS); the legacy flag is
+    * needed only while this source resolves its parquet schema, and is
+    * restored afterwards so opening a stream doesn't silently change how
+    * the rest of the session reads unrelated nanos-timestamp files.
+    */
+  private def withNanosConf[T](body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def events: DataFrame = withNanosConf {
     EventLog.withBlockKeys(spark.read.parquet(path), blockSize)
+  }
 
   override val schema: StructType = events.schema
 
