@@ -186,6 +186,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(suffixPairs == batchPairs)
   }
 
+  test("streaming ABI decode: raw-log stream through decode + stateful fold") {
+    // synthesize a raw-log parquet from events, stream it back through the
+    // replay source, decode with the session registry, fold netflow —
+    // the full reference pipeline under Structured Streaming
+    val decl = "Transfer(address indexed from, address indexed to, uint value)"
+    val addr = "0x" + "cc" * 20
+    val session = new EngineSession(spark)
+    val handle = session.register(addr, decl)
+    val dir = tmp()
+    import graft.operators.EventDecoder
+    batchEvents.filter($"event_type" === "purchase")
+      .select(
+        $"event_id", // replay source needs it for block keys
+        graft.functions.abi.address(addr).as("address"),
+        graft.functions.abi.topic0(decl).as("topic0"),
+        EventDecoder.encodeWordFromLong($"user_id").as("topic1"),
+        EventDecoder.encodeWordFromLong($"user_id" + 1).as("topic2"),
+        EventDecoder.encodeWordFromLong(
+          ($"value".cast("decimal(18,2)") * 100).cast("bigint")).as("data"))
+      .withColumn("topic3", lit(null).cast("binary"))
+      .write.mode("overwrite").parquet(dir + "/rawlogs")
+
+    val stream = StreamOps.readBlockStream(spark, dir + "/rawlogs",
+      blockStep = 30L, confirmations = 0L)
+    val decoded = session.decode(stream, handle)
+      .groupBy($"from")
+      .agg(sum($"value").cast("double").as("inflow_cents"))
+    val q = decoded.writeStream.format("memory").queryName("decode_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("decode_stream")
+      .select(lower(hex($"from")).as("from_hex"), $"inflow_cents")
+      .as[(String, Double)].collect().toMap
+    val expected = batchEvents.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("double").as("cents"))
+      .select(lpad(lower(hex($"user_id")), 40, "0"), $"cents")
+      .as[(String, Double)].collect().toMap
+    assert(streamed == expected)
+  }
+
   test("ordered reducer sees blocks ascending with intra-block order (A2)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 30L, confirmations = 0L)
