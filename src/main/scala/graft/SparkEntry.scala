@@ -206,6 +206,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, minJaccard = 0.8)),
 
+    // The dedup ACTION: exact near-dup pairs → min-label clusters → keep
+    // one representative per cluster (5 bounded propagation rounds,
+    // mirrored exactly by the oracle's unrolled steps).
+    "dedup_representatives" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.keepRepresentatives(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8), maxIter = 5)
+        .select("doc_id")
+    }),
+
     // MinHash+LSH and SimHash use engine-internal hashes — no SQL oracle;
     // driver records rows>0, unit tests check recall against the exact path.
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -383,7 +393,35 @@ object SparkEntry {
   private val Revenue =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** Unrolled min-label propagation steps for the dedup oracle (must
+    * mirror `Dedup.clusterLabels` with maxIter rounds exactly).
+    */
+  private def labelSteps(n: Int): String =
+    (1 to n).map { k =>
+      s"""l$k AS (
+           SELECT l.doc_id, least(l.cl, coalesce(min(nb.cl), l.cl)) AS cl
+           FROM l${k - 1} l
+           LEFT JOIN e ON e.d1 = l.doc_id
+           LEFT JOIN l${k - 1} nb ON nb.doc_id = e.d2
+           GROUP BY l.doc_id, l.cl)"""
+    }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_representatives" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
+         j AS (SELECT d1, d2
+               FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
+               WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8),
+         e AS (SELECT d1, d2 FROM j UNION ALL SELECT d2 AS d1, d1 AS d2 FROM j),
+         l0 AS (SELECT doc_id, doc_id AS cl FROM documents),
+         ${labelSteps(5)}
+         SELECT doc_id FROM l5 WHERE doc_id = cl""",
+
     "s1_log_scan" ->
       s"""SELECT event_id, block_number, log_index, user_id, value
          FROM ($EvKeys)

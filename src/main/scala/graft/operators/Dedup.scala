@@ -165,6 +165,51 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Cluster resolution: pairs → representatives
+  // -------------------------------------------------------------------
+
+  /** Resolve near-dup PAIRS into clusters and keep one representative per
+    * cluster (the smallest id): iterative min-label propagation over the
+    * pair graph — each round every doc adopts the smallest label among
+    * itself and its neighbors, converging in O(cluster diameter) rounds
+    * (near-dup clusters are shallow; `maxIter` bounds pathological
+    * chains). Each round is one shuffle keyed on doc id — the standard
+    * scalable connected-components loop, no driver-side union-find.
+    *
+    * Returns `(doc_id, cluster_id)` for every id in `docs`; downstream
+    * keeps `doc_id == cluster_id` rows (the representatives).
+    */
+  def clusterLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    var labels = docs.select(col(idCol).as("doc_id"))
+      .withColumn("cluster_id", col("doc_id"))
+    var i = 0
+    while (i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "d2"), Seq("d2"))
+        .groupBy(col("d1").as("doc_id"))
+        .agg(min("cluster_id").as("neighbor_min"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Drop near-duplicates: keep one representative doc per cluster. */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 5, idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusterLabels(docs, pairs, maxIter, idCol)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol))
+
+  // -------------------------------------------------------------------
   // SimHash (Hamming-space near-dup)
   // -------------------------------------------------------------------
 

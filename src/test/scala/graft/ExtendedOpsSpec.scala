@@ -68,6 +68,31 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall on ${exact.size} pairs")
   }
 
+  test("cluster resolution: chains collapse to the min-id representative") {
+    val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} via chain 1-2, 2-3; {5,6}; singletons 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val labels = Dedup.clusterLabels(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    val kept = Dedup.keepRepresentatives(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 7L))
+  }
+
+  test("end-to-end near-dedup: LSH pairs -> representatives on the fixture") {
+    val pairs = Dedup.minHashLshPairs(docs, minJaccard = 0.8, storage = None)
+    val kept = Dedup.keepRepresentatives(docs, pairs)
+    val exactPairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect()
+    // every surviving near-dup pair has at most one member kept
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val bothKept = exactPairs.count(p => keptIds(p._1) && keptIds(p._2))
+    assert(bothKept == 0, s"$bothKept near-dup pairs fully retained")
+    assert(kept.count() < docs.count())
+  }
+
   test("fingerprint matches the rolling-hash definition") {
     def roll(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % TextOps.FpMod)
