@@ -275,6 +275,14 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), 0.45,
         planes = 6, tables = 8)),
 
+    // IVF ANN (k-means coarse quantizer + probed lists) — seeded but
+    // engine-internal training: rows-only check, recall-tested in specs.
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nlist = 16, nprobe = 4)
+    }),
+
     // ------------------------------------------------------------------
     // General SQL surface (comes "for free" on Spark — SURVEY §2.7) —
     // also the bench headliners at sf0.1.

@@ -127,6 +127,61 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
+    * vector to its nearest of `nlist` centroid lists (row-local argmin
+    * over centroid dot products — centroids ride as literals); a query
+    * probes its `nprobe` nearest lists and exact cosine reranks only those
+    * candidates. The other classic ANN scale path next to hyperplane LSH:
+    * recall follows data clustering rather than random projections.
+    * Centroids train on a bounded sample via MLlib KMeans (seeded —
+    * deterministic).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus
+      .select(array_to_vector(
+        transform(col(vecCol), x => x.cast("double"))).as("features"))
+      .limit(trainSample)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // row-local nearest-centroid assignment: nlist squared-distance
+    // expressions, argmin by struct-min (dist, list) — no UDF
+    def nearestLists(v: Column, n: Int): Column = {
+      val scored = (0 until nlist).map { c =>
+        val cent = array(centroids(c).map(lit(_)): _*)
+        // ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row ⇒
+        // rank by (||c||² - 2 v·c)
+        val cNorm2 = centroids(c).map(x => x * x).sum
+        struct((lit(cNorm2) - lit(2.0) * vec.dot(v, cent)).as("d"),
+          lit(c).as("list"))
+      }
+      slice(array_sort(array(scored: _*)), 1, n)
+    }
+
+    val c = corpus.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("cnrm"),
+        element_at(nearestLists(col(vecCol), 1), 1).getField("list").as("list"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"),
+        explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+    c.join(broadcast(q), Seq("list"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (vec.dot(col("qvec"), col(vecCol)) / (col("qnrm") * col("cnrm")))
+          .as("sim"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("sim"))
+  }
+
   /** Exact all-pairs cosine near-dups: the O(n²) baseline the LSH variant
     * approximates. Norms precomputed per side ⇒ one dot per pair. Only
     * viable when one side fits broadcast / the pair count is bounded; at

@@ -149,6 +149,17 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"ANN recall@10 = $recall")
   }
 
+  test("IVF top-k recall against brute force") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+    info(s"IVF recall@10 = $recall (nlist=8, nprobe=3 ⇒ ~3/8 corpus scanned)")
+  }
+
   test("LSH near-dup pairs ⊆ brute-force pairs (no false positives)") {
     val brute = Similarity.bruteForceNearDupPairs(emb, 0.45)
       .as[(Long, Long)].collect().toSet
