@@ -225,6 +225,18 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(table(s, dir, "documents"), maxDist = 3)),
 
+    // The full training-data prep pipeline in one query: quality gate →
+    // near-dup removal (exact pairs + cluster resolution) → per-doc stats.
+    "pipeline_prep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val quality = TextOps.qualityScore(docs).filter(col("quality") >= 0.5)
+        .select("doc_id")
+      val kept = docs.join(quality, "doc_id")
+      val deduped = Dedup.keepRepresentatives(kept,
+        Dedup.ngramJaccardPairs(kept, n = 3, minJaccard = 0.8), maxIter = 5)
+      TextOps.tokenStats(deduped)
+    }),
+
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
 
@@ -577,6 +589,35 @@ object SparkEntry {
          SELECT d1, d2, CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) AS jaccard
          FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
          WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8""",
+
+    "pipeline_prep" ->
+      s"""WITH q AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               0.4 * least(CAST(len(regexp_extract_all(lower(text), '\\S+')) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE)
+                   / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS DOUBLE))
+               + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / CAST(len(regexp_extract_all(lower(text), '\\S+')) AS DOUBLE)) * 4.0, 1.0) AS quality
+             FROM documents) WHERE quality >= 0.5),
+         kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+         w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM kept),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
+         j AS (SELECT d1, d2
+               FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
+               WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8),
+         e AS (SELECT d1, d2 FROM j UNION ALL SELECT d2 AS d1, d1 AS d2 FROM j),
+         l0 AS (SELECT doc_id, doc_id AS cl FROM kept),
+         ${labelSteps(5)}
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM kept JOIN (SELECT doc_id FROM l5 WHERE doc_id = cl) USING (doc_id)""",
 
     "text_token_stats" ->
       """SELECT doc_id,

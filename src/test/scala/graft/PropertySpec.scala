@@ -2,6 +2,7 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, EventLog}
@@ -89,6 +90,49 @@ class PropertySpec extends AnyFunSuite {
       assert(est.nonEmpty)
       assert(math.abs(est.head - exact) < 0.18, // 256 hashes ⇒ σ ≈ 0.03
         s"est ${est.head} vs exact $exact")
+    }
+  }
+
+  test("ABI encode→decode roundtrips arbitrary u256 values and addresses") {
+    import graft.model.{EventSchema, Hex}
+    val schema = EventSchema.parse(
+      "Transfer(address indexed from, address indexed to, uint value)")
+    val genRow = for {
+      id <- Gen.choose(0L, 1000L)
+      addrBytes <- Gen.listOfN(20, Gen.choose(-128, 127).map(_.toByte))
+      // values across the full representable range incl. boundaries
+      value <- Gen.oneOf(
+        Gen.choose(0L, Long.MaxValue).map(BigInt(_)),
+        Gen.const(BigInt(10).pow(38) - 1),
+        Gen.choose(0L, Long.MaxValue).map(v => BigInt(v) * BigInt(v)))
+    } yield (id, addrBytes.toArray, value)
+    forAll(Gen.listOfN(8, genRow), n = 6) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((id, addr, v), i) =>
+          val valueWord = {
+            val b = v.toByteArray.dropWhile(_ == 0)
+            Array.fill[Byte](32 - b.length)(0) ++ b
+          }
+          (i.toLong, schema.topic0,
+            Array.fill[Byte](12)(0) ++ addr,
+            Array.fill[Byte](12)(0) ++ addr,
+            valueWord)
+        }.toDF("block_number", "topic0", "topic1", "topic2", "data")
+          .withColumn("log_index", lit(0L))
+          .withColumn("topic3", lit(null).cast("binary"))
+        val out = graft.operators.EventDecoder.decode(df, schema)
+          .select($"block_number", $"from", $"value".cast("string"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((Option(r.getAs[Array[Byte]](1)).map(Hex.encode),
+              Option(r.getString(2)))))
+          .toMap
+        rows.zipWithIndex.foreach { case ((_, addr, v), i) =>
+          val (gotAddr, gotVal) = out(i.toLong)
+          assert(gotAddr.contains(Hex.encode(addr)))
+          assert(gotVal.contains(v.toString))
+        }
+      }
     }
   }
 
