@@ -183,7 +183,10 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-    var labels = docs.select(col(idCol).as("doc_id"))
+    // propagate ONLY over the pair-graph vertices — near-dup pairs are a
+    // tiny fraction of the corpus, so the iterative joins run on the edge
+    // set, not the full table; singletons rejoin unchanged at the end
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
     var i = 0
     while (i < maxIter) {
@@ -197,7 +200,10 @@ object Dedup {
             .as("cluster_id"))
       i += 1
     }
-    labels
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Drop near-duplicates: keep one representative doc per cluster. */
