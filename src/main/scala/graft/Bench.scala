@@ -15,29 +15,40 @@ object Bench {
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     var failed = List.empty[String]
+    // optional args = subset of query names (local iteration aid)
+    val only = args.toSet
     // two timed runs per query, keep the min: the driver compares rounds
     // within 2x, so the recorded number should be steady-state, not noise
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              if (!failed.contains(name)) {
+                failed ::= name
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              }
+              false
+            }
+          // stop the clock BEFORE cache teardown — clearCache cost is
+          // bench hygiene, not query time
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // operators may persist internally (LSH signature reuse); drop the
+          // cache between runs so accumulation can't skew later timings
+          spark.catalog.clearCache()
+          if (ok) Some(elapsed) else None
         }
-        // operators may persist internally (LSH signature reuse); drop the
-        // cache between runs so accumulation can't skew later timings
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        name -> times.minOption
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val succeeded = results.collect { case (k, Some(v)) => k -> v }
+    val qs = succeeded.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failed queries are listed in `failed`, never summed into the total
+    val total = succeeded.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -65,7 +65,12 @@ object Dedup {
     * `|∩| / (|A|+|B|−|∩|) ≥ minJaccard`. The gram-join is the shuffle; very
     * frequent grams fan out quadratically, so callers at scale should cap
     * gram document-frequency (`maxGramDf`) — the classic stopword-shingle
-    * skew guard.
+    * skew guard. The cap gates CANDIDATE GENERATION only: per-doc gram
+    * counts (the Jaccard denominator) always come from the full gram set,
+    * so the reported `jaccard` stays the true metric — with a cap the
+    * numerator can only miss capped shared grams, making the score a lower
+    * bound (pairs that share only stopword-shingles are deliberately
+    * dropped).
     */
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
@@ -80,7 +85,7 @@ object Dedup {
         grams.join(freq, "gram").select("doc_id", "gram")
       case None => grams
     }
-    val counts = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val shared = filtered.as("a")
       .join(filtered.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -178,26 +183,44 @@ object Dedup {
     *
     * Returns `(doc_id, cluster_id)` for every id in `docs`; downstream
     * keeps `doc_id == cluster_id` rows (the representatives).
+    *
+    * Lineage is TRUNCATED each round (`localCheckpoint`): without it the
+    * self-referencing joins re-root the whole pair-generation subtree
+    * every iteration and the logical plan grows exponentially in rounds
+    * (~4,480 plan nodes at maxIter=5 — unplannable at scale). With the
+    * checkpoint each round is one bounded shuffle over the pair-graph
+    * vertices, and a converged round (no label changed) exits early —
+    * a fixed point propagates unchanged, so bounded-round oracles that
+    * unroll the full `maxIter` still hash-match. On a real cluster with
+    * unreliable executors, swap `localCheckpoint` for `checkpoint` with a
+    * reliable checkpoint dir; the loop shape is identical.
     */
   def clusterLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 5,
       idCol: String = "doc_id"): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
     // propagate ONLY over the pair-graph vertices — near-dup pairs are a
     // tiny fraction of the corpus, so the iterative joins run on the edge
     // set, not the full table; singletons rejoin unchanged at the end
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
     var i = 0
-    while (i < maxIter) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "d2"), Seq("d2"))
         .groupBy(col("d1").as("doc_id"))
         .agg(min("cluster_id").as("neighbor_min"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("neighbor_min") < col("cluster_id")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       i += 1
     }
     docs.select(col(idCol).as("doc_id"))
