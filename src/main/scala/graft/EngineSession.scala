@@ -59,6 +59,11 @@ final class EngineSession(
   /** P1 over the whole registry: the source-side pushdown filter for a raw
     * log DataFrame — `(address, topic0) ∈ registry AND block ∈ range`
     * (`build_filter`, stream.rs:94-102, generalized to N streams).
+    *
+    * Applies the reorg guard first: a `removed=true` log aborts the query
+    * (the reference's invariant, stream.rs:174-181) — checked on the rows
+    * that SURVIVE the signature filter, matching the reference (it
+    * validates the logs it is about to ingest, not the whole node feed).
     */
   def rawLogFilter(logs: DataFrame): DataFrame = {
     val sigMatch = sources
@@ -66,8 +71,9 @@ final class EngineSession(
         col("topic0") === lit(h.topic0))
       .reduceOption(_ || _)
       .getOrElse(lit(false))
-    logs.filter(sigMatch &&
-      col("block_number").between(config.fromBlock, config.toBlock))
+    EventLog.assertNoRemoved(
+      logs.filter(sigMatch &&
+        col("block_number").between(config.fromBlock, config.toBlock)))
   }
 
   /** Decode the registered stream's rows out of a raw log DataFrame. */

@@ -52,6 +52,16 @@ object SparkEntry {
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
         .select("event_id", "block_number", "log_index", "user_id", "value")),
 
+    // S1 hardening — reorg guard, quarantine path: synthesize a removed
+    // flag (every 97th event "uncle'd"), drop flagged rows, count per
+    // signature. The fail-fast twin (assertNoRemoved aborting the query)
+    // is exercised in HardeningSpec — an abort is not SQL-expressible.
+    "s1_removed_guard" -> ((s, dir) =>
+      EventLog.dropRemoved(
+          events(s, dir).withColumn("removed", col("event_id") % 97 === 0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"))),
+
     // S3 — historical chunked scan (block_step partitioning)
     "s3_chunked_scan" -> ((s, dir) =>
       EventLog.chunkedScanStats(events(s, dir), 100L)),
@@ -446,6 +456,10 @@ object SparkEntry {
       s"""SELECT event_id, block_number, log_index, user_id, value
          FROM ($EvKeys)
          WHERE event_type = 'purchase' AND block_number BETWEEN 10 AND 500""",
+
+    "s1_removed_guard" ->
+      """SELECT event_type, count(*) AS n_kept
+         FROM events WHERE NOT (event_id % 97 = 0) GROUP BY event_type""",
 
     "s3_chunked_scan" ->
       s"""SELECT block_number // 100 AS chunk_id, count(*) AS n_events,

@@ -33,6 +33,34 @@ object EventLog {
       .withColumn("block_number", expr(s"event_id DIV $blockSize"))
       .withColumn("log_index", expr(s"event_id % $blockSize"))
 
+  /** Reorg guard — the reference's hard data-quality invariant: any log
+    * with `removed=true` (an uncle'd/reorged log resubmitted by the node)
+    * ABORTS the stream rather than silently ingesting it (reference:
+    * eth_event_stream/src/stream.rs:174-181). Expressed as an
+    * `assert_true` INSIDE the filter predicate, so the check is evaluated
+    * per-row, distributed, inside codegen — never a driver-side collect —
+    * and cannot be pruned as a dead projection. DataFrames without a
+    * `removed` column pass through untouched.
+    */
+  def assertNoRemoved(df: DataFrame): DataFrame =
+    if (!df.columns.contains("removed")) df
+    else df.filter(
+      assert_true(
+        col("removed").isNull || !col("removed"),
+        concat(lit("removed (reorged) log at block "), col("block_number"),
+          lit(", log_index "), col("log_index"),
+          lit(" — refusing to ingest uncle'd data (stream.rs:174-181)")))
+        .isNull)
+
+  /** Reorg quarantine — the permissive twin of [[assertNoRemoved]]: DROP
+    * `removed=true` rows instead of aborting. The plain null-safe predicate
+    * pushes down to the parquet scan. Use for replays of already-settled
+    * history where removed logs are expected noise, not corruption.
+    */
+  def dropRemoved(df: DataFrame): DataFrame =
+    if (!df.columns.contains("removed")) df
+    else df.filter(col("removed").isNull || !col("removed"))
+
   /** P1 — stream-signature row predicate
     * (`log.address == sig.0 && log.topics[0] == sig.1`, reference:
     * sink.rs:38-42). Catalyst pushes this into the parquet scan.

@@ -54,25 +54,17 @@ class BlockReplaySource(
 
   private val spark = sqlContext.sparkSession
 
-  /** The events fixture carries TIMESTAMP(NANOS); the legacy flag is
-    * needed only while this source resolves its parquet schema, and is
-    * restored afterwards so opening a stream doesn't silently change how
-    * the rest of the session reads unrelated nanos-timestamp files.
+  /** The events fixture carries TIMESTAMP(NANOS); the legacy nanos-as-long
+    * conf must be in effect for EVERY read this source plans (schema, head
+    * probe, getBatch), so it is set once at source construction and left
+    * on — a session hosting this source opts into nanos-as-long reads.
+    * The earlier per-read set/restore raced concurrent queries on the same
+    * session during the restore window.
     */
-  private def withNanosConf[T](body: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  private def events: DataFrame = withNanosConf {
+  private def events: DataFrame =
     EventLog.withBlockKeys(spark.read.parquet(path), blockSize)
-  }
 
   override val schema: StructType = events.schema
 
@@ -113,8 +105,10 @@ class BlockReplaySource(
     // source instance never plans below the committed frontier (offset
     // regression would re-emit committed blocks and break exactly-once)
     if (hi > lastPlanned) lastPlanned = hi
-    val batch = events.filter(
-      col("block_number") > lo && col("block_number") <= hi)
+    // reorg guard: a removed=true log in the batch aborts the stream — the
+    // reference's invariant (stream.rs:174-181); no-op without the column
+    val batch = EventLog.assertNoRemoved(events.filter(
+      col("block_number") > lo && col("block_number") <= hi))
     GraftStreamingShim.streamingDataFrame(
       spark, batch.queryExecution.toRdd, batch.schema)
   }

@@ -71,6 +71,56 @@ class HardeningSpec extends AnyFunSuite {
       "fact-dim join regressed to sort-merge")
   }
 
+  test("reorg guard: removed=true aborts the batch query, clean data passes") {
+    val clean = batchEvents.limit(100)
+      .withColumn("removed", lit(false))
+    assert(EventLog.assertNoRemoved(clean).count() == 100L)
+
+    // null removed (node didn't report) also passes
+    val nullRemoved = batchEvents.limit(50)
+      .withColumn("removed", lit(null).cast("boolean"))
+    assert(EventLog.assertNoRemoved(nullRemoved).count() == 50L)
+
+    // one uncle'd log anywhere in the batch → fail-fast, never ingest
+    val poisoned = batchEvents.limit(100)
+      .withColumn("removed", $"event_id" % 37 === 0)
+    val ex = intercept[Throwable] {
+      EventLog.assertNoRemoved(poisoned).count()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("removed (reorged) log"),
+      s"expected the reorg-guard abort, got: $messages")
+
+    // quarantine twin: drops flagged rows instead of aborting
+    val kept = EventLog.dropRemoved(poisoned).count()
+    val flagged = poisoned.filter($"removed").count()
+    assert(kept == 100L - flagged && flagged > 0)
+
+    // no removed column → both guards are a no-op passthrough
+    assert(EventLog.assertNoRemoved(batchEvents.limit(10)).count() == 10L)
+  }
+
+  test("reorg guard: poisoned replay stream aborts instead of ingesting") {
+    val dir = Files.createTempDirectory("poisoned-ev").toString + "/ev"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).limit(60)
+      .withColumn("removed", $"event_id" % 17 === 0)
+      .write.parquet(dir)
+
+    val s = StreamOps.readBlockStream(spark, dir,
+      blockStep = 1000L, confirmations = 0L)
+    val q = s.writeStream.format("noop").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("removed (reorged) log"),
+      s"expected the reorg-guard abort, got: $messages")
+  }
+
   test("salted aggregation equals the direct fold (skew guard)") {
     val direct = EventLog.netflow(batchEvents, "purchase", "click")
       .select($"user_id", $"netflow".cast("double"))
