@@ -27,10 +27,7 @@ object Bench {
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
-              if (!failed.contains(name)) {
-                failed ::= name
-                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              }
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
             }
           // stop the clock BEFORE cache teardown — clearCache cost is
@@ -39,8 +36,16 @@ object Bench {
           // operators may persist internally (LSH signature reuse); drop the
           // cache between runs so accumulation can't skew later timings
           spark.catalog.clearCache()
+          // clearCache does NOT free checkpoint RDDs (clusterLabels keeps
+          // its final labels checkpoint alive); each run builds fresh
+          // plans, so dropping every persistent RDD between runs is safe
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           if (ok) Some(elapsed) else None
         }
+        // a query that succeeds on either run has a time — only record a
+        // failure when BOTH runs failed (driver treats the lists as disjoint)
+        if (times.isEmpty) failed ::= name
         name -> times.minOption
       }
     val succeeded = results.collect { case (k, Some(v)) => k -> v }

@@ -36,6 +36,14 @@ object SparkEntry {
   /** Shared decimal cast: keeps double aggregation exact + order-insensitive. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Gram document-frequency cap for the flagship dedup queries (mirrored
+    * in the oracle CTEs): grams shared by more than this many docs are
+    * excluded from candidate generation — the stopword-shingle skew guard
+    * that keeps the gram self-join bounded at corpus scale. Jaccard
+    * denominators always use the full gram set (see Dedup.ngramJaccardPairs).
+    */
+  private val MaxGramDf = 64
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship is the netflow reducer over two synced streams
     * (eth_event_stream/examples/stream_multi.rs:33-70).
@@ -218,11 +226,14 @@ object SparkEntry {
 
     // The dedup ACTION: exact near-dup pairs → min-label clusters → keep
     // one representative per cluster (5 bounded propagation rounds,
-    // mirrored exactly by the oracle's unrolled steps).
+    // mirrored exactly by the oracle's unrolled steps). Candidate
+    // generation caps gram document-frequency (the stopword-shingle skew
+    // guard): one corpus-wide hot trigram must not fan out quadratically.
     "dedup_representatives" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       Dedup.keepRepresentatives(docs,
-          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8), maxIter = 5)
+          Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8,
+            maxGramDf = Some(MaxGramDf)), maxIter = 5)
         .select("doc_id")
     }),
 
@@ -243,7 +254,8 @@ object SparkEntry {
         .select("doc_id")
       val kept = docs.join(quality, "doc_id")
       val deduped = Dedup.keepRepresentatives(kept,
-        Dedup.ngramJaccardPairs(kept, n = 3, minJaccard = 0.8), maxIter = 5)
+        Dedup.ngramJaccardPairs(kept, n = 3, minJaccard = 0.8,
+          maxGramDf = Some(MaxGramDf)), maxIter = 5)
       TextOps.tokenStats(deduped)
     }),
 
@@ -442,8 +454,10 @@ object SparkEntry {
          g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
                FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
          c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         gf AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= $MaxGramDf),
+         gc AS (SELECT g.doc_id, g.gram FROM g JOIN gf USING (gram)),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
+               FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
          j AS (SELECT d1, d2
                FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
                WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8),
@@ -619,8 +633,10 @@ object SparkEntry {
          g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
                FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
          c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         gf AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= $MaxGramDf),
+         gc AS (SELECT g.doc_id, g.gram FROM g JOIN gf USING (gram)),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
+               FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
          j AS (SELECT d1, d2
                FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
                WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8),

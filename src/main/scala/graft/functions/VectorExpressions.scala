@@ -146,6 +146,25 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWs, nBpe))
   }
 
+  /** Rolling polynomial fingerprint over the text's CODEPOINTS:
+    * `acc = (acc*131 + cp) mod m` — the compiled twin of the interpreted
+    * `aggregate(split(text,''), ...)` fold (same value: `ascii()` of a
+    * one-char string is its codepoint, and the test corpus is BMP-only so
+    * per-char and per-codepoint iteration agree; the oracle replays the
+    * identical fold).
+    */
+  def rollingFp(text: org.apache.spark.unsafe.types.UTF8String, mod: Long): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Count of equal slots between two signatures (Jaccard estimator). */
   def sigAgreement(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -249,6 +268,24 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `rolling_fp(string, mod) → long` — rolling polynomial hash over
+  * codepoints (document fingerprinting).
+  */
+case class RollingFp(child: Expression, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.rollingFp(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.rollingFp($c, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+}
+
 /** `sig_agreement(array<long>, array<long>) → int`. */
 case class SigAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -278,6 +315,7 @@ object vec {
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     wrap(NgramHashes(ex(tokenHashes), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
+  def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))
   def minHashSig(hashes: Column, numHashes: Int): Column =
     wrap(MinHashSig(ex(hashes), numHashes))
   def sigAgreement(a: Column, b: Column): Column =

@@ -194,9 +194,19 @@ object Dedup {
     * unroll the full `maxIter` still hash-match. On a real cluster with
     * unreliable executors, swap `localCheckpoint` for `checkpoint` with a
     * reliable checkpoint dir; the loop shape is identical.
+    *
+    * Checkpoint LIFETIME: each round's checkpoint is released
+    * (`GraftCheckpointShim.releaseCheckpoint`) as soon as the next round
+    * materializes, and the edge checkpoint once the loop exits — neither
+    * `clearCache()` nor the ContextCleaner frees these blocks promptly, and
+    * leaking them measurably slowed every query sharing the session. Only
+    * the FINAL labels checkpoint (pair-graph vertices only — small) stays
+    * alive: the returned DataFrame reads it lazily; the ContextCleaner
+    * reclaims it once the caller drops the result.
     */
   def clusterLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 5,
       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpointShim.releaseCheckpoint
     val edges = pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
@@ -220,9 +230,11 @@ object Dedup {
           (col("neighbor_min") < col("cluster_id")).as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
+      releaseCheckpoint(labels) // superseded — `next` is materialized
       labels = next.drop("changed")
       i += 1
     }
+    releaseCheckpoint(edges)
     docs.select(col(idCol).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -106,16 +106,13 @@ object TextOps {
 
   /** Document fingerprint: rolling polynomial hash over the characters,
     * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
-    * (the oracle replays the same fold), and row-local.
+    * (the oracle replays the same fold), and row-local. Runs as the native
+    * [[graft.functions.RollingFp]] kernel — the interpreted
+    * `aggregate(split(...))` fold allocated a per-char array per row.
     */
   def fingerprint(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     df.select(
       col(idCol),
-      expr(
-        s"""aggregate(
-              filter(split($textCol, ''), c -> c != ''),
-              0L,
-              (acc, c) -> (acc * 131 + ascii(c)) % $FpMod)""")
-        .as("fingerprint"))
+      graft.functions.vec.rollingFp(col(textCol), FpMod).as("fingerprint"))
 }

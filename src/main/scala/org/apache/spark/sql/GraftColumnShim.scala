@@ -25,6 +25,24 @@ object GraftFunctionShim {
       .createOrReplaceTempFunction(name, builder, "built-in")
 }
 
+/** Releases the block-manager storage behind a `localCheckpoint`ed (or
+  * `checkpoint`ed) DataFrame. `spark.catalog.clearCache()` does NOT free
+  * checkpoint RDDs, and the ContextCleaner only reclaims them after the
+  * plan object is garbage-collected — a long-lived session looping over
+  * corpora accumulates blocks without bound. The checkpoint RDD sits in a
+  * `LogicalRDD` leaf (`private[sql]`, hence this bridge).
+  *
+  * After the call the DataFrame is UNUSABLE (its lineage was truncated at
+  * the checkpoint); only release checkpoints that are fully superseded.
+  */
+object GraftCheckpointShim {
+  def releaseCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}
+
 /** Streaming-side bridge: a V1 `Source.getBatch` must return a DataFrame
   * whose plan is flagged `isStreaming` — only constructible through the
   * `private[sql]` `internalCreateDataFrame` (the pattern every classic

@@ -68,6 +68,38 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall on ${exact.size} pairs")
   }
 
+  test("maxGramDf caps hot-shingle fanout; denominator stays the full gram set") {
+    // docs 1..30 share exactly ONE hot trigram ("the of and") and nothing
+    // else; docs 31/32 are true duplicates that also contain it
+    val hot = (1L to 30L).map(i => (i, s"the of and w${i}a w${i}b w${i}c"))
+    val dups = Seq((31L, "the of and x y z"), (32L, "the of and x y z"))
+    val d = (hot ++ dups).toDF("doc_id", "text")
+    // uncapped: the hot gram alone links every doc pair — quadratic fanout
+    val uncapped = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.01)
+    assert(uncapped.count() == 32L * 31L / 2)
+    // capped: the hot gram (df=32 > 10) is excluded from candidates — only
+    // the real duplicate pair survives, scored against FULL gram counts
+    // (4 grams each, 3 shared after the cap → 3/5, a lower bound of 1.0)
+    val capped = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.5,
+        maxGramDf = Some(10))
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSeq == Seq((31L, 32L, 0.6)))
+  }
+
+  test("clusterLabels releases its superseded checkpoints") {
+    val sc = spark.sparkContext
+    val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.clusterLabels(docs, pairs, maxIter = 5).count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // edges + per-round checkpoints are released in-loop; only the final
+    // labels checkpoint (read lazily by the result) may remain
+    assert(leaked.size <= 1, s"leaked ${leaked.size} checkpoint RDDs")
+    sc.getPersistentRDDs.filter(kv => leaked(kv._1))
+      .values.foreach(_.unpersist(false))
+  }
+
   test("cluster resolution: chains collapse to the min-id representative") {
     val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // clusters: {1,2,3} via chain 1-2, 2-3; {5,6}; singletons 4, 7
@@ -96,11 +128,13 @@ class ExtendedOpsSpec extends AnyFunSuite {
   test("fingerprint matches the rolling-hash definition") {
     def roll(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % TextOps.FpMod)
-    val d = Seq((1L, "ab"), (2L, "key agg row")).toDF("doc_id", "text")
+    val d = Seq((1L, "ab"), (2L, "key agg row"), (3L, "héllo wörld 的是"))
+      .toDF("doc_id", "text")
     val fp = TextOps.fingerprint(d).as[(Long, Long)].collect().toMap
     assert(fp(1L) == 12805L) // (0*131+97)*131+98 — probed golden
     assert(fp(1L) == roll("ab"))
     assert(fp(2L) == roll("key agg row"))
+    assert(fp(3L) == roll("héllo wörld 的是")) // BMP codepoints == chars
   }
 
   test("token stats & quality: counts on a crafted doc") {
