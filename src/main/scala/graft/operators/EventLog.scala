@@ -44,13 +44,19 @@ object EventLog {
     */
   def assertNoRemoved(df: DataFrame): DataFrame =
     if (!df.columns.contains("removed")) df
-    else df.filter(
-      assert_true(
-        col("removed").isNull || !col("removed"),
-        concat(lit("removed (reorged) log at block "), col("block_number"),
-          lit(", log_index "), col("log_index"),
-          lit(" — refusing to ingest uncle'd data (stream.rs:174-181)")))
-        .isNull)
+    else {
+      // name the offending row only by columns the frame actually has —
+      // caller-supplied raw logs may carry `removed` without the block keys
+      val where = Seq("block_number" -> " at block ", "log_index" -> ", log_index ")
+        .filter { case (c, _) => df.columns.contains(c) }
+        .flatMap { case (c, label) => Seq(lit(label), col(c)) }
+      df.filter(
+        assert_true(
+          col("removed").isNull || !col("removed"),
+          concat((lit("removed (reorged) log") +: where) :+
+            lit(" — refusing to ingest uncle'd data (stream.rs:174-181)"): _*))
+          .isNull)
+    }
 
   /** Reorg quarantine — the permissive twin of [[assertNoRemoved]]: DROP
     * `removed=true` rows instead of aborting. The plain null-safe predicate

@@ -1,12 +1,26 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, GraftStreamingShim, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, SerializedOffset, Source}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import java.util.{Map => JMap}
 
-import graft.operators.EventLog
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThanOrEqual, LessThan, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Offset = highest block included so far (inclusive frontier). */
 case class BlockOffset(block: Long) extends Offset {
@@ -20,118 +34,331 @@ object BlockOffset {
   }
 }
 
+/** Shared option parsing for the replay source (see provider Scaladoc). */
+private[sources] final case class ReplayParams(
+    path: String,
+    blockSize: Long,
+    blockStep: Long,
+    confirmations: Long,
+    fromBlock: Long,
+    toBlock: Long) {
+  require(blockStep >= 1, "blockStep must be >= 1")
+}
+
+private[sources] object ReplayParams {
+  def apply(options: JMap[String, String]): ReplayParams = {
+    val o = options.asScala
+    ReplayParams(
+      path = o.getOrElse("path",
+        throw new IllegalArgumentException("block-replay requires a `path` option")),
+      blockSize = o.getOrElse("blocksize", o.getOrElse("blockSize", "10")).toLong,
+      blockStep = o.getOrElse("blockstep", o.getOrElse("blockStep", "1000")).toLong,
+      confirmations = o.getOrElse("confirmations", "2").toLong,
+      fromBlock = o.getOrElse("fromblock", o.getOrElse("fromBlock", "0")).toLong,
+      toBlock = o.get("toblock").orElse(o.get("toBlock")).map(_.toLong)
+        .getOrElse(Long.MaxValue))
+  }
+}
+
+/** Metadata-only head discovery: the replay "chain head" is the max
+  * `event_id` over the table, read from parquet FOOTER STATISTICS instead
+  * of a per-trigger column scan — a tailing source probes the head on
+  * every trigger, and at 100 TB a full-column max per trigger is a
+  * full-table job. Footers are cached per `(path, length, modTime)`, so a
+  * steady-state trigger reads only the footers of files appended since the
+  * last one (O(new files), zero data pages).
+  *
+  * Reference counterpart: the head subscription at
+  * eth_event_stream/src/data_feed/block.rs:17-68 — the node pushes the
+  * head; here the growing table's metadata plays the node.
+  */
+private[sources] final class FooterHeadTracker(column: String) {
+  private val cache = mutable.HashMap.empty[String, (Long, Long, Option[Long])]
+
+  /** Max of `column` across all data files under `root`, footer-stats only
+    * (per-file Spark-scan fallback when a footer lacks stats — never the
+    * whole table). None ⇔ no rows.
+    */
+  def maxValue(spark: SparkSession, root: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val files = listDataFiles(fs, p)
+    val maxes = files.flatMap { st =>
+      val key = st.getPath.toString
+      cache.get(key) match {
+        case Some((len, mod, v)) if len == st.getLen && mod == st.getModificationTime => v
+        case _ =>
+          // a concurrent writer's commit can rename/remove a just-listed
+          // file — skip it (uncached); the next trigger re-lists
+          try {
+            val v = fileMax(spark, conf, st)
+            cache.put(key, (st.getLen, st.getModificationTime, v))
+            v
+          } catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
+    maxes.maxOption
+  }
+
+  /** Manual recursive listing that prunes hidden directories BEFORE
+    * descending — in-flight writers stage data under `_temporary/…` with
+    * normally-named leaf files, and those staging dirs vanish mid-commit;
+    * a recursive `listFiles` that has already descended races the rename.
+    * Directories/files that disappear between list and stat are skipped —
+    * the next trigger re-lists.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[FileStatus] = {
+    val out = mutable.ArrayBuffer.empty[FileStatus]
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    def walk(dir: Path): Unit = {
+      val entries =
+        try fs.listStatus(dir)
+        catch { case scala.util.control.NonFatal(_) => Array.empty[FileStatus] }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (visible(n)) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (n.endsWith(".parquet")) out += st
+        }
+      }
+    }
+    val root =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    if (root.isFile) {
+      if (root.getPath.getName.endsWith(".parquet")) out += root
+    } else walk(root.getPath)
+    out.toSeq
+  }
+
+  private def fileMax(spark: SparkSession, conf: Configuration,
+      st: FileStatus): Option[Long] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+    try {
+      var best = Option.empty[Long]
+      var statsMissing = false
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        if (block.getRowCount > 0) {
+          block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue =>
+              val v = c.getStatistics.genericGetMax match {
+                case l: java.lang.Long    => l.longValue
+                case i: java.lang.Integer => i.longValue
+                case other => other.toString.toLong
+              }
+              best = Some(best.fold(v)(math.max(_, v)))
+            case _ => statsMissing = true
+          }
+        }
+      }
+      if (statsMissing) {
+        // stats absent for a non-empty row group (rare for int64 columns):
+        // scan THIS file's column — still never the whole table
+        val r = spark.read.parquet(st.getPath.toString).agg(max(col(column))).head()
+        if (!r.isNullAt(0)) best = Some(best.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+      }
+      best
+    } finally reader.close()
+  }
+}
+
 /** Deterministic replay of the events table as a block-ordered streaming
   * source — the test-harness twin of the reference's RPC-backed stream
-  * (SURVEY §2.1): each micro-batch covers at most `blockStep` blocks
-  * (chunked historical scan, reference: eth_event_stream/src/stream.rs:214-226)
-  * and never beyond `head − confirmations` (reorg-safety lag,
-  * stream.rs:244-247) nor `toBlock` (bounded ranges, stream.rs:252-254).
+  * (SURVEY §2.1), ported to DataSource V2 `MicroBatchStream`: each
+  * micro-batch covers at most `blockStep` blocks (chunked admission
+  * control, reference: eth_event_stream/src/stream.rs:214-226) and never
+  * beyond `head − confirmations` (reorg-safety lag, stream.rs:244-247) nor
+  * `toBlock` (bounded ranges, stream.rs:252-254).
   *
-  * Scale design: `getBatch` returns the REAL parquet scan filtered to
-  * `(start, end]` — predicate pushdown and partition parallelism intact,
-  * nothing is collected to the driver. A production chain-tailing variant
-  * swaps the parquet DataFrame for an RPC-fetching one; offsets, lag and
-  * chunking logic are shared.
+  * Scale design: each micro-batch DELEGATES to Spark's own DSv2 parquet
+  * `Batch` — a fresh `ParquetTable` per trigger (so appended files are
+  * picked up: live tail), with the block range re-derived to the raw
+  * `event_id` range and PUSHED to the scan (`pushFilters` → row-group/page
+  * pruning); a thin row filter makes the range exact (parquet stats prune
+  * coarsely). Nothing collects to the driver; partition parallelism is the
+  * parquet split planning Spark would use for the same batch query. Head
+  * discovery is footer-metadata only ([[FooterHeadTracker]]).
+  *
+  * Admission control implements `SupportsTriggerAvailableNow`: the target
+  * head is snapshotted at query start and drained in `blockStep` chunks,
+  * so `Trigger.AvailableNow` processes everything available then stops
+  * (the V1 source could not — one-shot `getOffset`).
+  */
+class BlockReplayStream(streamSchema: StructType, params: ReplayParams)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  import params._
+
+  require(streamSchema.fieldNames.contains("event_id"),
+    "block-replay requires an `event_id` column (the total-order key)")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val headTracker = new FooterHeadTracker("event_id")
+
+  /** Monotonic head guard: a head that moves backwards (uncle/reorg
+    * resubmission) is ignored, keeping offsets non-decreasing
+    * (stream.rs:236-242).
+    */
+  private var maxSeenHead = Long.MinValue
+  private def currentHead(): Option[Long] = {
+    headTracker.maxValue(spark, path).foreach { maxId =>
+      val h = Math.floorDiv(maxId, blockSize)
+      if (h > maxSeenHead) maxSeenHead = h
+    }
+    if (maxSeenHead == Long.MinValue) None else Some(maxSeenHead)
+  }
+
+  /** Synced upper bound: head − confirmations, clamped to toBlock. */
+  private def syncedEnd(): Long =
+    currentHead().map(h => math.min(h - confirmations, toBlock))
+      .getOrElse(fromBlock - 1)
+
+  // Trigger.AvailableNow: freeze the drain target at query start; the
+  // chunked latestOffset below then walks to it and stops
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(syncedEnd())
+
+  override def initialOffset(): Offset = BlockOffset(fromBlock - 1)
+  override def deserializeOffset(json: String): Offset =
+    BlockOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "block-replay implements SupportsAdmissionControl; the engine calls latestOffset(start, limit)")
+
+  /** Advance at most blockStep blocks past the committed start — restart
+    * resync is structural here: the engine hands us the checkpointed start,
+    * so a recovered query can never plan below its committed frontier.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = BlockOffset.of(start)
+    val target = availableNowTarget.getOrElse(syncedEnd())
+    val end = math.max(from, math.min(target, from + blockStep))
+    if (end == from) start else BlockOffset(end)
+  }
+
+  override def reportLatestOffset(): Offset =
+    BlockOffset(math.max(syncedEnd(), fromBlock - 1))
+
+  @volatile private var currentFactory: PartitionReaderFactory = _
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = BlockOffset.of(start)
+    val hi = BlockOffset.of(end)
+    // blocks (lo, hi] ⇔ raw ids [ (lo+1)·bs, (hi+1)·bs ) — the derived-key
+    // range re-stated on the physical column so it reaches the footer stats
+    val loId = (lo + 1) * blockSize
+    val hiId = (hi + 1) * blockSize
+    // fresh table per batch: re-lists the directory (live tail) — the
+    // listing is the metadata cost a tailing source pays per trigger
+    val table = ParquetTable("block-replay", spark,
+      new CaseInsensitiveStringMap(java.util.Map.of()),
+      Seq(path), Some(streamSchema), classOf[ParquetFileFormat])
+    val builder = table.newScanBuilder(
+      new CaseInsensitiveStringMap(java.util.Map.of()))
+    val eventId = AttributeReference("event_id", LongType, nullable = true)()
+    builder.pushFilters(Seq[Expression](
+      GreaterThanOrEqual(eventId, Literal(loId)),
+      LessThan(eventId, Literal(hiId))))
+    val batch = builder.build().toBatch
+    val idx = streamSchema.fieldIndex("event_id")
+    currentFactory =
+      new BlockRangeReaderFactory(batch.createReaderFactory(), idx, loId, hiId)
+    batch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = currentFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Exact range residual on top of the pushed parquet filters: stats-based
+  * pruning is row-group-granular, so rows outside `[loId, hiId)` that share
+  * a row group with in-range rows must be dropped here (executor-side,
+  * streaming pass-through — no buffering).
+  */
+private[sources] class BlockRangeReaderFactory(
+    delegate: PartitionReaderFactory, fieldIdx: Int, loId: Long, hiId: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          val id = r.getLong(fieldIdx)
+          if (id >= loId && id < hiId) { current = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+private[sources] class BlockReplayScan(schema: StructType, params: ReplayParams)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"block-replay(${params.path})"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BlockReplayStream(schema, params)
+}
+
+private[sources] class BlockReplayTable(schema0: StructType, params: ReplayParams)
+    extends Table with SupportsRead {
+  override def name(): String = s"block-replay(${params.path})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new BlockReplayScan(schema0, params)
+}
+
+/** Programmatic construction — embedders (and specs) that drive the
+  * admission-control surface directly, without the streaming engine.
+  */
+object BlockReplay {
+  def stream(spark: SparkSession, options: Map[String, String]): BlockReplayStream = {
+    val params = ReplayParams(options.asJava)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new BlockReplayStream(spark.read.parquet(params.path).schema, params)
+  }
+}
+
+/** `spark.readStream.format("graft.sources.BlockReplayProvider")`
+  * registration (DSv2 `TableProvider`).
   *
   * Options: `path` (required), `blockSize` (event_id → block derivation,
   * default 10), `blockStep` (max blocks/micro-batch, default 1000),
   * `confirmations` (default 2), `fromBlock` (default 0), `toBlock`
-  * (default unbounded).
+  * (default unbounded). The emitted schema is the RAW parquet schema —
+  * derived block keys and the reorg guard are plain expressions applied by
+  * [[graft.streaming.StreamOps.readBlockStream]] post-load.
   */
-class BlockReplaySource(
-    sqlContext: SQLContext,
-    parameters: Map[String, String]) extends Source {
-
-  private val path = parameters.getOrElse("path",
-    throw new IllegalArgumentException("block-replay requires a `path` option"))
-  private val blockSize = parameters.getOrElse("blockSize", "10").toLong
-  private val blockStep = parameters.getOrElse("blockStep", "1000").toLong
-  private val confirmations = parameters.getOrElse("confirmations", "2").toLong
-  private val fromBlock = parameters.getOrElse("fromBlock", "0").toLong
-  private val toBlock =
-    parameters.get("toBlock").map(_.toLong).getOrElse(Long.MaxValue)
-  require(blockStep >= 1, "blockStep must be >= 1")
-
-  private val spark = sqlContext.sparkSession
-
-  /** The events fixture carries TIMESTAMP(NANOS); the legacy nanos-as-long
-    * conf must be in effect for EVERY read this source plans (schema, head
-    * probe, getBatch), so it is set once at source construction and left
-    * on — a session hosting this source opts into nanos-as-long reads.
-    * The earlier per-read set/restore raced concurrent queries on the same
-    * session during the restore window.
-    */
-  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-  private def events: DataFrame =
-    EventLog.withBlockKeys(spark.read.parquet(path), blockSize)
-
-  override val schema: StructType = events.schema
-
-  /** Replay "chain head" = max block currently present — re-read on every
-    * trigger so the source TAILS a growing table (the BlockNotify head
-    * subscription, data_feed/block.rs:17-68). Monotonic guard: a head that
-    * moves backwards (uncle/reorg resubmission) is ignored, keeping offsets
-    * non-decreasing (stream.rs:236-242).
-    */
-  private def currentHead(): Long = {
-    val h = events.agg(max("block_number")).head() match {
-      case r if r.isNullAt(0) => fromBlock - 1 // empty table: nothing synced
-      case r                  => r.getLong(0)
-    }
-    if (h > maxSeenHead) maxSeenHead = h
-    maxSeenHead
-  }
-  private var maxSeenHead: Long = Long.MinValue
-
-  override def getOffset: Option[Offset] = {
-    // synced upper bound: head − confirmations, clamped to toBlock; advance
-    // at most blockStep blocks per trigger (chunked admission control)
-    val endBlock = math.min(currentHead() - confirmations, toBlock)
-    val next = math.min(endBlock, lastPlanned + blockStep)
-    if (next < fromBlock) None
-    else {
-      lastPlanned = math.max(lastPlanned, next)
-      Some(BlockOffset(lastPlanned))
-    }
-  }
-  private var lastPlanned: Long = fromBlock - 1
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(BlockOffset.of).getOrElse(fromBlock - 1)
-    val hi = BlockOffset.of(end)
-    // restart resync: on recovery the engine replays getBatch with the
-    // checkpointed offsets BEFORE any getOffset call — adopt them so a new
-    // source instance never plans below the committed frontier (offset
-    // regression would re-emit committed blocks and break exactly-once)
-    if (hi > lastPlanned) lastPlanned = hi
-    // reorg guard: a removed=true log in the batch aborts the stream — the
-    // reference's invariant (stream.rs:174-181); no-op without the column
-    val batch = EventLog.assertNoRemoved(events.filter(
-      col("block_number") > lo && col("block_number") <= hi))
-    GraftStreamingShim.streamingDataFrame(
-      spark, batch.queryExecution.toRdd, batch.schema)
-  }
-
-  override def stop(): Unit = ()
-}
-
-/** `spark.readStream.format("block-replay")` registration. */
-class BlockReplayProvider extends StreamSourceProvider with DataSourceRegister {
+class BlockReplayProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "block-replay"
 
-  override def sourceSchema(
-      sqlContext: SQLContext,
-      schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), new BlockReplaySource(sqlContext, parameters).schema)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    // the events fixture carries TIMESTAMP(NANOS); the legacy nanos-as-long
+    // conf must be in effect for every read this source plans, so the
+    // session opts in for its lifetime (per-read scoping raced concurrent
+    // queries during the restore window — see round-2 notes)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(ReplayParams(options).path).schema
+  }
 
-  override def createSource(
-      sqlContext: SQLContext,
-      metadataPath: String,
-      schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): Source =
-    new BlockReplaySource(sqlContext, parameters)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new BlockReplayTable(schema, ReplayParams(properties))
 }

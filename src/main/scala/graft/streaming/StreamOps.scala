@@ -18,7 +18,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Open the block-replay stream (see [[graft.sources.BlockReplaySource]]). */
+  /** Open the block-replay stream (DSv2 `MicroBatchStream`, see
+    * [[graft.sources.BlockReplayProvider]]). The source emits the raw
+    * parquet schema; the derived `(block_number, log_index)` order keys and
+    * the reorg guard (abort on `removed=true`) are plain expressions
+    * applied here — identical per-row semantics to evaluating them inside
+    * the source, but visible to Catalyst.
+    *
+    * Opts the SESSION into `spark.sql.legacy.parquet.nanosAsLong` (the
+    * events fixtures carry TIMESTAMP(NANOS)); all graft readers share that
+    * convention, see SparkEntry.events.
+    */
   def readBlockStream(
       spark: SparkSession,
       path: String,
@@ -27,6 +37,7 @@ object StreamOps {
       fromBlock: Long = 0L,
       toBlock: Option[Long] = None,
       blockSize: Long = 10L): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val r = spark.readStream
       .format("graft.sources.BlockReplayProvider")
       .option("path", path)
@@ -35,7 +46,8 @@ object StreamOps {
       .option("confirmations", confirmations)
       .option("fromBlock", fromBlock)
     toBlock.foreach(t => r.option("toBlock", t))
-    r.load()
+    graft.operators.EventLog.assertNoRemoved(
+      graft.operators.EventLog.withBlockKeys(r.load(), blockSize))
   }
 
   /** A3 as a streaming aggregate: same netflow transform, update/complete
@@ -92,9 +104,8 @@ object StreamOps {
           .toSeq.sortBy(_._1)
           .foreach { case (block, rows) => reduce(block, rows.toSeq) }
       }
-      // NOT Trigger.AvailableNow: a chunk-limited getOffset source advances
-      // one blockStep per trigger, and AvailableNow snapshots only the
-      // first. Callers run the J3 barrier (processAllAvailable) and stop.
+      // default trigger + processAllAvailable (the J3 barrier); the DSv2
+      // source also supports Trigger.AvailableNow (chunked drain-and-stop)
       .start()
 
   /** W1 on an unbounded stream: the identical declarative transform as

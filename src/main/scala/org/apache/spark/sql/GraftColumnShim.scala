@@ -42,17 +42,3 @@ object GraftCheckpointShim {
       case _ => ()
     }
 }
-
-/** Streaming-side bridge: a V1 `Source.getBatch` must return a DataFrame
-  * whose plan is flagged `isStreaming` — only constructible through the
-  * `private[sql]` `internalCreateDataFrame` (the pattern every classic
-  * custom V1 source used).
-  */
-object GraftStreamingShim {
-  def streamingDataFrame(
-      spark: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.asInstanceOf[classic.SparkSession]
-      .internalCreateDataFrame(rdd, schema, isStreaming = true)
-}

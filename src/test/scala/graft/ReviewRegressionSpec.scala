@@ -6,23 +6,26 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.vec
 import graft.model.{EventSchema, Hex, Keccak256}
 import graft.operators.EventDecoder
-import graft.sources.{BlockOffset, BlockReplaySource}
+import graft.sources.BlockOffset
 
 /** Regressions for the round-1 review findings. */
 class ReviewRegressionSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  test("replay source restart: getBatch with committed offsets resyncs " +
-    "planning state (no offset regression)") {
-    val src = new BlockReplaySource(spark.sqlContext, Map(
+  test("replay source restart: planning resumes from the committed offset " +
+    "(no offset regression)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = graft.sources.BlockReplay.stream(spark, Map(
       "path" -> "/root/testdata/sf0.001/events.parquet",
       "blockStep" -> "10", "confirmations" -> "2"))
-    // recovery path: engine replays the last committed batch first
-    src.getBatch(Some(BlockOffset(40L)), BlockOffset(50L))
+    // recovery path: the engine hands the checkpointed offset as `start` —
     // the next planned offset must be beyond the committed 50, never below
-    val next = src.getOffset.map(BlockOffset.of)
-    assert(next.exists(_ > 50L), s"planned $next regressed below committed 50")
+    val next = BlockOffset.of(
+      stream.latestOffset(BlockOffset(50L), ReadLimit.allAvailable()))
+    assert(next > 50L, s"planned $next regressed below committed 50")
+    // chunked admission control: at most blockStep past the committed start
+    assert(next <= 60L, s"planned $next overshot start + blockStep")
   }
 
   test("indexed dynamic param decodes to its topic hash (not a crash)") {

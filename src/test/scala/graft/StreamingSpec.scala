@@ -58,6 +58,23 @@ class StreamingSpec extends AnyFunSuite {
     assert((mm.getLong(0), mm.getLong(1)) == ((10L, 40L)))
   }
 
+  test("Trigger.AvailableNow drains all chunks then stops (DSv2 admission control)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 20L, confirmations = 2L)
+    val q = stream.writeStream.format("memory").queryName("replay_avail_now")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    // AvailableNow terminates by itself once the snapshotted head is drained
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    val got = spark.table("replay_avail_now")
+    val expected = batchEvents.filter(col("block_number") <= headBlock - 2)
+    assert(got.count() == expected.count())
+    assert(got.agg(max("block_number")).head().getLong(0) == headBlock - 2)
+    // drained in blockStep-sized chunks, not one snapshot batch
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
   test("streaming netflow aggregate equals the batch fold (J3 barrier)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 25L, confirmations = 0L)
