@@ -40,6 +40,15 @@ final class EngineSession(
   /** `StreamFactory::make` parity: parse the declaration, register the
     * signature, return the handle. Duplicate signatures are rejected (the
     * sink documents duplicate-publish as a panic, sink.rs:20).
+    *
+    * ANONYMOUS events (reference parses the flag,
+    * eth_event_macro/src/events.rs:53-58,74) carry no signature topic —
+    * their topic0 slot holds the first indexed param — so they can only be
+    * routed by ADDRESS. An anonymous registration therefore claims its
+    * whole address: sharing that address with any other registration would
+    * make routing ambiguous (every log of the address matches the
+    * anonymous schema), and is rejected here rather than silently
+    * mis-decoded.
     */
   def register(addressHex: String, eventDecl: String): StreamHandle = {
     require(!frozen, "session frozen: sink() was already taken (stream.rs:87-89)")
@@ -47,6 +56,13 @@ final class EngineSession(
     val key = (h.address.toSeq, h.topic0.toSeq)
     require(!registry.contains(key),
       s"duplicate stream signature: ${h.signatureHex}")
+    val sameAddr = registry.values.filter(_.address.sameElements(h.address))
+    require(!(h.schema.anonymous && sameAddr.nonEmpty),
+      s"anonymous event ${h.schema.name} would shadow other registrations on " +
+        s"address ${Hex.toHex0x(h.address)} (anonymous events route by address)")
+    require(!sameAddr.exists(_.schema.anonymous),
+      s"address ${Hex.toHex0x(h.address)} is claimed by an anonymous event " +
+        "registration (anonymous events route by address)")
     registry.put(key, h)
     h
   }
@@ -65,10 +81,16 @@ final class EngineSession(
     * that SURVIVE the signature filter, matching the reference (it
     * validates the logs it is about to ingest, not the whole node feed).
     */
+  /** Routing predicate for one handle: `(address, topic0)` for named
+    * events; address alone for anonymous ones (whose topic0 is data, not a
+    * signature — see `register`).
+    */
+  private def handleMatch(h: StreamHandle) =
+    if (h.schema.anonymous) col("address") === lit(h.address)
+    else col("address") === lit(h.address) && col("topic0") === lit(h.topic0)
+
   def rawLogFilter(logs: DataFrame): DataFrame = {
-    val sigMatch = sources
-      .map(h => col("address") === lit(h.address) &&
-        col("topic0") === lit(h.topic0))
+    val sigMatch = sources.map(handleMatch)
       .reduceOption(_ || _)
       .getOrElse(lit(false))
     EventLog.assertNoRemoved(
@@ -78,10 +100,7 @@ final class EngineSession(
 
   /** Decode the registered stream's rows out of a raw log DataFrame. */
   def decode(logs: DataFrame, handle: StreamHandle): DataFrame =
-    EventDecoder.decode(
-      logs.filter(col("address") === lit(handle.address) &&
-        col("topic0") === lit(handle.topic0)),
-      handle.schema)
+    EventDecoder.decode(logs.filter(handleMatch(handle)), handle.schema)
 
   /** J1 over the registry: the synchronized frontier across registered
     * `(address, topic0)` signatures — zero rows while any registered
@@ -90,13 +109,21 @@ final class EngineSession(
     */
   def frontier(logs: DataFrame): DataFrame = {
     // delegate to the shared synced_including implementation, keyed by the
-    // hex signature string
-    val progress = logs.select(
-      concat(lower(hex(col("address"))), lit(":"),
-        lower(hex(col("topic0")))).as("source"),
+    // hex signature string — address alone for anonymous handles (their
+    // logs' topic0 is payload, it can never equal the registered hash)
+    val anonAddrs = sources.filter(_.schema.anonymous)
+      .map(h => Hex.encode(h.address))
+    val addrHex = lower(hex(col("address")))
+    val sigKey = concat(addrHex, lit(":"), lower(hex(col("topic0"))))
+    val srcKey =
+      if (anonAddrs.isEmpty) sigKey
+      else when(addrHex.isin(anonAddrs.map(a => a: Any): _*), addrHex)
+        .otherwise(sigKey)
+    val progress = logs.select(srcKey.as("source"),
       col("block_number").as("end_block"))
     val registered = sources.map(h =>
-      s"${Hex.encode(h.address)}:${Hex.encode(h.topic0)}")
+      if (h.schema.anonymous) Hex.encode(h.address)
+      else s"${Hex.encode(h.address)}:${Hex.encode(h.topic0)}")
     EventLog.frontierFromProgress(progress, registered)
   }
 }

@@ -70,25 +70,46 @@ object EventDecoder {
     * the value itself is unrecoverable.
     */
   def decodedColumns(schema: EventSchema,
-      topics: Seq[Column], data: Column): Seq[(String, Column)] = {
+      topics: Seq[Column], data: Column): Seq[(String, Column)] =
+    decodedWithRaw(schema, topics, data).map { case (n, c, _) => n -> c }
+
+  /** 256-bit numeric family: `Decimal(38,0)` holds only ~126 bits, so the
+    * typed column nulls out above 1e38 — these params get a lossless
+    * `<name>_raw` 32-byte twin (SURVEY §1.5).
+    */
+  private def isU256Family(p: EventParam): Boolean = {
+    val t = p.canonicalType
+    t.startsWith("uint") || t.startsWith("int")
+  }
+
+  /** Decode plan per param: (name, typed column, lossless raw word for the
+    * 256-bit numeric family).
+    */
+  private def decodedWithRaw(schema: EventSchema,
+      topics: Seq[Column], data: Column): Seq[(String, Column, Option[Column])] = {
     val maxIndexed = if (schema.anonymous) 4 else 3
     require(schema.indexedParams.size <= maxIndexed,
       s"at most $maxIndexed indexed params for this event kind")
     val topicBase = if (schema.anonymous) 0 else 1
     val indexed = schema.indexedParams.zipWithIndex.map { case (p, i) =>
       val t = topics(i + topicBase)
-      p.name -> (if (isDynamic(p)) t else decodeStatic(p, t))
+      val typed = if (isDynamic(p)) t else decodeStatic(p, t)
+      p.name -> ((typed, if (isU256Family(p)) Some(t) else None))
     }.toMap
     var dataWord = 0
     val fromData = schema.dataParams.map { p =>
+      val w = word(data, dataWord)
       val c =
         if (isDynamic(p)) decodeDynamic(p, data, dataWord)
-        else decodeStatic(p, word(data, dataWord))
+        else decodeStatic(p, w)
       dataWord += 1
-      p.name -> c
+      p.name -> ((c, if (isU256Family(p)) Some(w) else None))
     }.toMap
     // declaration order, like the macro's data tuple (lib.rs:159-178)
-    schema.params.map(p => p.name -> indexed.getOrElse(p.name, fromData(p.name)))
+    schema.params.map { p =>
+      val (c, raw) = indexed.getOrElse(p.name, fromData(p.name))
+      (p.name, c, raw)
+    }
   }
 
   /** Decode `df` (raw log schema, FIXTURES.md §1.2) per `schema`: appends
@@ -106,16 +127,23 @@ object EventDecoder {
     "block_number", "transaction_hash", "log_index", "removed")
 
   def decode(df: DataFrame, schema: EventSchema): DataFrame = {
-    val clash = schema.params.map(_.name).filter(ReservedNames)
+    val names = schema.params.map(_.name)
+    val clash = names.filter(ReservedNames)
     require(clash.isEmpty,
       s"param name(s) ${clash.mkString(", ")} collide with raw log columns; " +
         "rename in the declaration")
+    val rawClash = names.filter(n => names.contains(s"${n}_raw"))
+    require(rawClash.isEmpty,
+      s"param name(s) ${rawClash.map(_ + "_raw").mkString(", ")} collide " +
+        "with the lossless raw twin columns; rename in the declaration")
     val matches =
       if (schema.anonymous) lit(true)
       else col("topic0") === lit(schema.topic0)
     val topics = Seq(col("topic0"), col("topic1"), col("topic2"), col("topic3"))
-    decodedColumns(schema, topics, col("data")).foldLeft(df) {
-      case (acc, (name, c)) => acc.withColumn(name, when(matches, c))
+    decodedWithRaw(schema, topics, col("data")).foldLeft(df) {
+      case (acc, (name, c, raw)) =>
+        val typed = acc.withColumn(name, when(matches, c))
+        raw.fold(typed)(w => typed.withColumn(s"${name}_raw", when(matches, w)))
     }
   }
 

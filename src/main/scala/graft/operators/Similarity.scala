@@ -136,32 +136,43 @@ object Similarity {
     * Centroids train on a bounded sample via MLlib KMeans (seeded —
     * deterministic).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Seeded coarse quantizer: centroids from MLlib KMeans on a bounded
+    * sample (deterministic; shared by the IVF top-k and near-dup paths).
+    */
+  private def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+      trainSample: Int): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus
       .select(array_to_vector(
         transform(col(vecCol), x => x.cast("double"))).as("features"))
       .limit(trainSample)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train).clusterCenters.map(_.toArray)
+  }
 
-    // row-local nearest-centroid assignment: nlist squared-distance
-    // expressions, argmin by struct-min (dist, list) — no UDF
-    def nearestLists(v: Column, n: Int): Column = {
-      val scored = (0 until nlist).map { c =>
-        val cent = array(centroids(c).map(lit(_)): _*)
-        // ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row ⇒
-        // rank by (||c||² - 2 v·c)
-        val cNorm2 = centroids(c).map(x => x * x).sum
-        struct((lit(cNorm2) - lit(2.0) * vec.dot(v, cent)).as("d"),
-          lit(c).as("list"))
-      }
-      slice(array_sort(array(scored: _*)), 1, n)
+  /** Row-local nearest-centroid assignment: nlist squared-distance
+    * expressions, argmin by struct-min (dist, list) — no UDF. Centroids
+    * ride as literals.
+    */
+  private def nearestLists(centroids: Array[Array[Double]])(
+      v: Column, n: Int): Column = {
+    val scored = centroids.indices.map { c =>
+      val cent = array(centroids(c).map(lit(_)): _*)
+      // ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row ⇒
+      // rank by (||c||² - 2 v·c)
+      val cNorm2 = centroids(c).map(x => x * x).sum
+      struct((lit(cNorm2) - lit(2.0) * vec.dot(v, cent)).as("d"),
+        lit(c).as("list"))
     }
+    slice(array_sort(array(scored: _*)), 1, n)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nearestLists = this.nearestLists(
+      trainCentroids(corpus, vecCol, nlist, trainSample)) _
 
     val c = corpus.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("cnrm"),
@@ -222,6 +233,39 @@ object Similarity {
       .join(banded.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        col(s"a.$vecCol").as("e1"), col(s"b.$vecCol").as("e2"),
+        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
+      .dropDuplicates("v1", "v2")
+      .withColumn("sim",
+        vec.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select("v1", "v2", "sim")
+  }
+
+  /** IVF variant of near-dup pair generation: every vector joins its
+    * `nprobe` nearest centroid lists (multi-assignment, so a pair split by
+    * one list boundary still meets in a shared neighbor list), candidate
+    * pairs come from the per-list self-join, exact cosine verifies. The
+    * quantizer is the same seeded k-means as [[ivfTopK]]; recall follows
+    * the data's cluster structure instead of random hyperplanes —
+    * complementary failure modes to [[cosineNearDupPairs]].
+    */
+  def ivfNearDupPairs(df: DataFrame, threshold: Double = 0.95,
+      nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val nearestLists = this.nearestLists(
+      trainCentroids(df, vecCol, nlist, trainSample)) _
+    val listed0 = df.select(
+      col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+    val listed = storage.fold(listed0)(listed0.persist)
+    listed.as("a")
+      .join(listed.as("b"),
+        col("a.list") === col("b.list") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
         col(s"a.$vecCol").as("e1"), col(s"b.$vecCol").as("e2"),

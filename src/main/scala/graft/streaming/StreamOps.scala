@@ -109,10 +109,44 @@ object StreamOps {
       .start()
 
   /** W1 on an unbounded stream: the identical declarative transform as
-    * batch — update/complete mode emits windows as they fill.
+    * batch — update/complete mode emits windows as they fill. State grows
+    * with the window count; use [[tumblingWindowStreamEvicting]] for the
+    * unbounded tail.
     */
   def tumblingWindowStream(stream: DataFrame, from: Long, step: Long): DataFrame =
     graft.operators.EventLog.tumblingWindow(stream, from, step)
+
+  /** W1 with STATE EVICTION — the reference's flush-and-remove
+    * (eth_event_stream/src/sink.rs:229-246): block numbers are mapped onto
+    * a synthetic event-time axis (1 block = 1 second) and aggregated with
+    * Spark's native streaming window under a watermark of `lateBlocks`
+    * slack. Append mode emits each window EXACTLY ONCE when the frontier
+    * (watermark) passes its end, then drops its state-store rows — state
+    * stays bounded by windows-in-flight on an infinite tail, where the
+    * complete-mode variant accumulates every window ever seen.
+    *
+    * Output schema matches the batch `EventLog.tumblingWindow` (window_id,
+    * n_events, sum_value, window_from, window_to), so emitted windows are
+    * directly comparable to the batch fold over the same blocks.
+    */
+  def tumblingWindowStreamEvicting(stream: DataFrame, from: Long, step: Long,
+      lateBlocks: Long = 0L): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    stream
+      .filter(col("block_number") >= from)
+      .withColumn("block_ts", timestamp_seconds(col("block_number")))
+      .withWatermark("block_ts", s"$lateBlocks seconds")
+      .groupBy(window(col("block_ts"), s"$step seconds", s"$step seconds",
+        s"${java.lang.Math.floorMod(from, step)} seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+        min("block_number").as("window_from"),
+        max("block_number").as("window_to"))
+      .select(
+        expr(s"(unix_timestamp(window.start) - $from) DIV $step").as("window_id"),
+        col("n_events"), col("sum_value"), col("window_from"), col("window_to"))
+  }
 
   /** A2 exact driver parity — `reduce_synced_events` hands every per-block
     * SUFFIX slice `events[i..]` to the reducer so it can pattern-match

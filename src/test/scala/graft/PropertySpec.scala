@@ -100,11 +100,14 @@ class PropertySpec extends AnyFunSuite {
     val genRow = for {
       id <- Gen.choose(0L, 1000L)
       addrBytes <- Gen.listOfN(20, Gen.choose(-128, 127).map(_.toByte))
-      // values across the full representable range incl. boundaries
+      // values across the full u256 range incl. boundaries — above 1e38
+      // the Decimal column nulls out and only the raw twin is lossless
       value <- Gen.oneOf(
         Gen.choose(0L, Long.MaxValue).map(BigInt(_)),
         Gen.const(BigInt(10).pow(38) - 1),
-        Gen.choose(0L, Long.MaxValue).map(v => BigInt(v) * BigInt(v)))
+        Gen.choose(0L, Long.MaxValue).map(v => BigInt(v) * BigInt(v)),
+        Gen.choose(1L, Long.MaxValue).map(v => BigInt(v) * BigInt(v) * BigInt(v)),
+        Gen.const((BigInt(1) << 256) - 1))
     } yield (id, addrBytes.toArray, value)
     forAll(Gen.listOfN(8, genRow), n = 6) { rows =>
       whenever(rows.nonEmpty) {
@@ -121,16 +124,20 @@ class PropertySpec extends AnyFunSuite {
           .withColumn("log_index", lit(0L))
           .withColumn("topic3", lit(null).cast("binary"))
         val out = graft.operators.EventDecoder.decode(df, schema)
-          .select($"block_number", $"from", $"value".cast("string"))
+          .select($"block_number", $"from", $"value".cast("string"), $"value_raw")
           .collect()
           .map(r => r.getLong(0) ->
             ((Option(r.getAs[Array[Byte]](1)).map(Hex.encode),
-              Option(r.getString(2)))))
+              Option(r.getString(2)),
+              Option(r.getAs[Array[Byte]](3)))))
           .toMap
         rows.zipWithIndex.foreach { case ((_, addr, v), i) =>
-          val (gotAddr, gotVal) = out(i.toLong)
+          val (gotAddr, gotVal, gotRaw) = out(i.toLong)
           assert(gotAddr.contains(Hex.encode(addr)))
-          assert(gotVal.contains(v.toString))
+          if (v < BigInt(10).pow(38)) assert(gotVal.contains(v.toString))
+          else assert(gotVal.isEmpty, "decimal must null out above 1e38")
+          // the raw 32-byte twin is lossless across the whole u256 range
+          assert(gotRaw.map(BigInt(1, _)).contains(v))
         }
       }
     }

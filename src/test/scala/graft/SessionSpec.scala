@@ -48,6 +48,45 @@ class SessionSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("anonymous events route by address: filter, decode, frontier") {
+    val s = new EngineSession(spark,
+      StreamConfig(fromBlock = 0L, toBlock = 100L))
+    val anonAddr = "0x" + "ab" * 20
+    val h = s.register(anonAddr, "Pair(uint a, address indexed who) anonymous")
+    val hNamed = s.register(usdc, transfer)
+    val who = Hex.address("0x" + "77" * 20)
+    val logs = Seq(
+      // anonymous log: topic0 = first indexed param (who), not a signature
+      (1L, Hex.address(anonAddr), Array.fill[Byte](12)(0) ++ who,
+        Hex.decode("00" * 31 + "07")),
+      // named Transfer log on the other address
+      (2L, Hex.address(usdc), hNamed.topic0, Hex.decode("00" * 31 + "2a")))
+      .toDF("block_number", "address", "topic0", "data")
+      .withColumn("topic1", lit(hNamed.topic0)) // arbitrary word for Transfer
+      .withColumn("topic2", lit(hNamed.topic0))
+      .withColumn("topic3", lit(null).cast("binary"))
+    // both logs survive the registry filter (anonymous matched by address)
+    val kept = s.rawLogFilter(logs)
+    assert(kept.count() == 2)
+    // decode routes the anonymous log by address and reads params from topic0
+    val out = s.decode(logs, h).select($"a".cast("int"), $"who").collect()
+    assert(out.length == 1 && out.head.getInt(0) == 7)
+    assert(out.head.getAs[Array[Byte]](1).toSeq == who.toSeq)
+    // frontier keys the anonymous stream by address: both produced → min
+    assert(s.frontier(logs).as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("anonymous registration claims its address exclusively") {
+    val s = new EngineSession(spark)
+    s.register(usdc, "Pair(uint a) anonymous")
+    // a second registration on the anonymous address is ambiguous
+    intercept[IllegalArgumentException](s.register(usdc, transfer))
+    // and the reverse order: anonymous onto an already-named address
+    val s2 = new EngineSession(spark)
+    s2.register(usdc, transfer)
+    intercept[IllegalArgumentException](s2.register(usdc, "Pair(uint a) anonymous"))
+  }
+
   test("frontier over registered signatures: None until all produce") {
     val s = new EngineSession(spark)
     val h1 = s.register(usdc, transfer)

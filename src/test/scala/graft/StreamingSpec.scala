@@ -172,6 +172,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("evicting streaming window: emitted once, state bounded (W1 eviction)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 25L, confirmations = 0L)
+    val w = StreamOps.tumblingWindowStreamEvicting(stream, 0L, 10L)
+      .withColumn("sum_value", $"sum_value".cast("double"))
+    val q = w.writeStream.format("memory").queryName("w1_evict")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("w1_evict")
+      .select("window_id", "n_events", "sum_value", "window_from", "window_to")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    // append mode: each finalized window emitted exactly once
+    assert(got.map(_._1).distinct.length == got.length, "window re-emitted")
+    // emitted windows match the batch fold exactly
+    val batch = EventLog.tumblingWindow(batchEvents, 0L, 10L)
+      .withColumn("sum_value", $"sum_value".cast("double"))
+      .select("window_id", "n_events", "sum_value", "window_from", "window_to")
+      .as[(Long, Long, Double, Long, Long)].collect().toSet
+    got.foreach(g => assert(batch.contains(g), s"window $g diverges from batch"))
+    // with blockStep=25, the watermark passes ≥ block 74 before the last
+    // data batch — every window ending there must already be flushed
+    val mustEmit = batch.map(_._1).filter(k => 10 * (k + 1) <= 74)
+    assert(mustEmit.subsetOf(got.map(_._1).toSet),
+      s"finalized windows missing: ${mustEmit -- got.map(_._1).toSet}")
+    // ≥3 chunked micro-batches ran, and eviction kept the state store far
+    // below the total window count (complete mode would hold all of them)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+    assert(stateRows <= 4, s"state not evicted: $stateRows rows retained")
+  }
+
   test("suffix reducer + NetflowState: monitor matches batch (A1/A2/B2)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 50L, confirmations = 0L)
