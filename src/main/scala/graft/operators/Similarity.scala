@@ -143,10 +143,19 @@ object Similarity {
       trainSample: Int): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus
+    // UNBIASED bounded training set: a seeded uniform sample across the
+    // whole corpus. `limit(n)` would take whichever partitions answer
+    // first — at 100 TB that is the first file(s), a position-biased
+    // sample that degrades the quantizer. One cheap count sizes the
+    // fraction (parquet count() is row-group metadata, not a data scan).
+    val n = corpus.count()
+    val bounded =
+      if (n <= trainSample) corpus
+      else corpus.sample(withReplacement = false,
+        fraction = trainSample.toDouble / n, seed = 42L)
+    val train = bounded
       .select(array_to_vector(
         transform(col(vecCol), x => x.cast("double"))).as("features"))
-      .limit(trainSample)
     new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(train).clusterCenters.map(_.toArray)
   }
@@ -214,6 +223,12 @@ object Similarity {
     * with cosine ≥ threshold. Exact O(n²/buckets) via LSH candidate
     * buckets plus exact verification; pairs missed by all tables are the
     * (tunable) recall tradeoff.
+    *
+    * Persist contract: with `storage` set, the bucketed side stays cached
+    * after the call (the result reads it lazily, possibly twice via the
+    * self-join) — the CALLER releases it (`spark.catalog.clearCache()`
+    * or unpersist) once the result is consumed; pass `storage = None` to
+    * trade the cache for recomputing the signature pipeline per side.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double = 0.95,
       planes: Int = 8, tables: Int = 8, dim0: Int = -1,
@@ -251,6 +266,10 @@ object Similarity {
     * quantizer is the same seeded k-means as [[ivfTopK]]; recall follows
     * the data's cluster structure instead of random hyperplanes —
     * complementary failure modes to [[cosineNearDupPairs]].
+    *
+    * Persist contract: same as [[cosineNearDupPairs]] — the listed side
+    * stays cached for the self-join; the caller releases it after
+    * consuming the result (Verify/Bench clear all caches per query).
     */
   def ivfNearDupPairs(df: DataFrame, threshold: Double = 0.95,
       nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,

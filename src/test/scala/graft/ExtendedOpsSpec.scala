@@ -203,4 +203,18 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"LSH near-dup recall = ${
       if (brute.isEmpty) 1.0 else brute.count(lsh.contains).toDouble / brute.size}")
   }
+
+  test("IVF near-dup pairs ⊆ brute-force pairs, recall on the fixture") {
+    val brute = Similarity.bruteForceNearDupPairs(emb, 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    val ivf = Similarity.ivfNearDupPairs(emb, 0.45, nlist = 8, nprobe = 3,
+        storage = None)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    // exact cosine verifies every candidate ⇒ zero false positives
+    assert(ivf.subsetOf(brute))
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF near-dup recall $recall on ${brute.size} pairs")
+    info(s"IVF near-dup recall = $recall (nlist=8, nprobe=3)")
+  }
 }
