@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scratch probe: raw recall numbers behind the self-check gates (local
+  * floor-tuning aid; not part of the driver contract).
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    def recall(exact: org.apache.spark.sql.DataFrame,
+        approx: org.apache.spark.sql.DataFrame, keys: Seq[String]): String = {
+      val e = exact.select(keys.map(col): _*).collect().toSet
+      val a = approx.select(keys.map(col): _*).collect().toSet
+      val r = if (e.isEmpty) 1.0 else e.count(a.contains).toDouble / e.size
+      f"recall=$r%.3f n_exact=${e.size} n_approx=${a.size}"
+    }
+    println("minhash: " + recall(
+      Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8),
+      Dedup.minHashLshPairs(docs, n = 3, numHashes = 64, bands = 16, minJaccard = 0.5),
+      Seq("d1", "d2")))
+    println("simhash@0.95: " + recall(
+      Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.95),
+      Dedup.simHashPairs(docs, maxDist = 3), Seq("d1", "d2")))
+    val q = emb.filter(col("vec_id") < 5)
+    println("topk_lsh: " + recall(
+      Similarity.bruteForceTopK(emb, q, 10),
+      Similarity.lshTopK(emb, q, 10, planes = 4, tables = 12),
+      Seq("query_id", "vec_id")))
+    println("topk_ivf: " + recall(
+      Similarity.bruteForceTopK(emb, q, 10),
+      Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4),
+      Seq("query_id", "vec_id")))
+    println("neardup_lsh: " + recall(
+      Similarity.bruteForceNearDupPairs(emb, 0.45),
+      Similarity.cosineNearDupPairs(emb, 0.45, planes = 6, tables = 8),
+      Seq("v1", "v2")))
+    println("neardup_ivf: " + recall(
+      Similarity.bruteForceNearDupPairs(emb, 0.45),
+      Similarity.ivfNearDupPairs(emb, 0.45, nlist = 8, nprobe = 3),
+      Seq("v1", "v2")))
+    spark.stop()
+  }
+}

@@ -44,6 +44,28 @@ object SparkEntry {
     */
   private val MaxGramDf = 64
 
+  /** One-row self-check gate for the approximate operators (LSH / IVF /
+    * SimHash) whose internals no SQL oracle can restate: join the
+    * approximate result against its exact counterpart and emit
+    * `(n_exact, recall_ok[, subset_ok])`. `n_exact` and the expected
+    * booleans ARE oracle-expressible — the approximate paths join the
+    * hash-match regime, and a recall regression flips `recall_ok` into a
+    * driver-visible mismatch. Fully declarative (two aggregates over a
+    * semi/anti join — no driver-side collect); the raw pair / top-k
+    * outputs stay available through the operator API and ExtendedOpsSpec.
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], floor: Double, subset: Boolean = false): DataFrame = {
+    val e = exact.select(keys.map(col): _*)
+    val a = approx.select(keys.map(col): _*).dropDuplicates(keys)
+    val base = e.join(a.withColumn("hit", lit(1)), keys, "left").agg(
+      count(lit(1)).as("n_exact"),
+      (count(col("hit")).cast("double") / count(lit(1)) >= floor).as("recall_ok"))
+    if (!subset) base
+    else base.crossJoin(
+      a.join(e, keys, "left_anti").agg((count(lit(1)) === 0).as("subset_ok")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship is the netflow reducer over two synced streams
     * (eth_event_stream/examples/stream_multi.rs:33-70).
@@ -237,14 +259,29 @@ object SparkEntry {
         .select("doc_id")
     }),
 
-    // MinHash+LSH and SimHash use engine-internal hashes — no SQL oracle;
-    // driver records rows>0, unit tests check recall against the exact path.
-    "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshPairs(table(s, dir, "documents"),
-        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)),
+    // MinHash+LSH and SimHash use engine-internal hashes no SQL can
+    // restate — registered as self-check gates: recall vs the exact
+    // n-gram-Jaccard pairs, with the exact pair count and the expected
+    // boolean stated by the oracle (hash-match regime).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      recallGate(
+        exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8),
+        approx = Dedup.minHashLshPairs(docs,
+          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5),
+        keys = Seq("d1", "d2"), floor = 0.9)
+    }),
 
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(table(s, dir, "documents"), maxDist = 3)),
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      recallGate(
+        exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.95),
+        // simhash d≤3 is a coarser predicate than Jaccard≥0.95: measured
+        // recall 0.63 (sf0.01) / 0.83 (sf0.1) — the floor sits just below
+        // the fixture minimum so any regression trips the gate
+        approx = Dedup.simHashPairs(docs, maxDist = 3),
+        keys = Seq("d1", "d2"), floor = 0.6)
+    }),
 
     // The full training-data prep pipeline in one query: quality gate →
     // near-dup removal (exact pairs + cluster resolution) → per-doc stats.
@@ -297,24 +334,50 @@ object SparkEntry {
     "sim_neardup_brute" -> ((s, dir) =>
       Similarity.bruteForceNearDupPairs(table(s, dir, "embeddings"), 0.45)),
 
-    // LSH/ANN variants: engine-internal bucketing — rows-only check here,
-    // recall-vs-exact covered by unit tests.
+    // LSH/IVF ANN variants: engine-internal bucketing/training —
+    // registered as self-check gates (recall@10 vs brute force; the
+    // near-dup gates also assert the zero-false-positive subset property
+    // their exact-verify construction guarantees).
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-        planes = 4, tables = 12)
+      val q = emb.filter(col("vec_id") < 5)
+      recallGate(
+        exact = Similarity.bruteForceTopK(emb, q, k = 10),
+        // measured recall@10: 0.80 (sf0.01) / 0.78 (sf0.1)
+        approx = Similarity.lshTopK(emb, q, k = 10, planes = 4, tables = 12),
+        keys = Seq("query_id", "vec_id"), floor = 0.75)
     }),
 
-    "sim_neardup_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), 0.45,
-        planes = 6, tables = 8)),
+    "sim_neardup_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      recallGate(
+        exact = Similarity.bruteForceNearDupPairs(emb, 0.45),
+        // hyperplane LSH at a 0.45 threshold (63° pairs) is recall-weak by
+        // construction (~0.46 expected at 6 planes × 8 tables; measured
+        // 0.57 / 0.51) — the documented tables-vs-cost tradeoff
+        approx = Similarity.cosineNearDupPairs(emb, 0.45,
+          planes = 6, tables = 8),
+        keys = Seq("v1", "v2"), floor = 0.5, subset = true)
+    }),
 
-    // IVF ANN (k-means coarse quantizer + probed lists) — seeded but
-    // engine-internal training: rows-only check, recall-tested in specs.
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-        nlist = 16, nprobe = 4)
+      val q = emb.filter(col("vec_id") < 5)
+      recallGate(
+        exact = Similarity.bruteForceTopK(emb, q, k = 10),
+        // measured recall@10: 0.76 (sf0.01) / 0.64 (sf0.1)
+        approx = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4),
+        keys = Seq("query_id", "vec_id"), floor = 0.6)
+    }),
+
+    "sim_neardup_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      recallGate(
+        exact = Similarity.bruteForceNearDupPairs(emb, 0.45),
+        // measured recall: 1.00 (sf0.01) / 0.98 (sf0.1) — multi-assignment
+        // to nprobe lists catches pairs split by a list boundary
+        approx = Similarity.ivfNearDupPairs(emb, 0.45, nlist = 8, nprobe = 3),
+        keys = Seq("v1", "v2"), floor = 0.9, subset = true)
     }),
 
     // ------------------------------------------------------------------
@@ -448,7 +511,47 @@ object SparkEntry {
            GROUP BY l.doc_id, l.cl)"""
     }.mkString(",\n")
 
+  /** Gate oracle for the dedup self-checks: the exact n-gram-Jaccard pair
+    * count at `minJaccard` plus the expected recall boolean (the
+    * approximate side's recall contract is evaluated in Spark; the oracle
+    * states the pass verdict it must reach).
+    */
+  private def ngramGateSql(minJaccard: Double): String =
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+             FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+       c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
+       SELECT count(*) AS n_exact, true AS recall_ok
+       FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
+       WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard"""
+
+  /** Gate oracle for the cosine near-dup self-checks: exact pair count at
+    * the threshold + the expected recall/subset booleans.
+    */
+  private val NearDupGateSql =
+    """SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
+
+  /** Gate oracle for the ANN top-k self-checks: brute-force top-10 row
+    * count (queries × k, short rows excluded by rank) + expected verdict.
+    */
+  private val TopKGateSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       p AS (SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sim
+             FROM q, embeddings WHERE vec_id != qid),
+       r AS (SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM p)
+       SELECT count(*) AS n_exact, true AS recall_ok FROM r WHERE rank <= 10"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> ngramGateSql(0.8),
+    "dedup_simhash" -> ngramGateSql(0.95),
+    "sim_topk_lsh" -> TopKGateSql,
+    "sim_topk_ivf" -> TopKGateSql,
+    "sim_neardup_lsh" -> NearDupGateSql,
+    "sim_neardup_ivf" -> NearDupGateSql,
     "dedup_representatives" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
          g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
