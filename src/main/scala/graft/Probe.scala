@@ -45,7 +45,7 @@ object Probe {
       Seq("v1", "v2")))
     println("neardup_ivf: " + recall(
       Similarity.bruteForceNearDupPairs(emb, 0.45),
-      Similarity.ivfNearDupPairs(emb, 0.45, nlist = 8, nprobe = 3),
+      Similarity.ivfNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3),
       Seq("v1", "v2")))
     spark.stop()
   }

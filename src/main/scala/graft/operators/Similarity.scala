@@ -107,18 +107,17 @@ object Similarity {
     val q = bucketed(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
       "query_id", "qvec", "qnrm").as("q")
-    val candidates = c.join(broadcast(q),
+    // score INLINE on the candidate join, dedup the narrow (query, id,
+    // sim) rows: a candidate found by several tables costs a few extra
+    // dots instead of dragging both vectors through the dedup shuffle
+    c.join(broadcast(q),
         col("c.table_idx") === col("q.table_idx") &&
           col("c.bucket") === col("q.bucket") &&
           col(s"c.$idCol") =!= col("q.query_id"))
       .select(col("q.query_id").as("query_id"), col(s"c.$idCol").as(idCol),
-        col("q.qvec").as("qvec"), col(s"c.$vecCol").as(vecCol),
-        col("q.qnrm").as("qnrm"), col("c.cnrm").as("cnrm"))
+        (vec.dot(col("q.qvec"), col(s"c.$vecCol"))
+          / (col("q.qnrm") * col("c.cnrm"))).as("sim"))
       .dropDuplicates("query_id", idCol)
-    candidates
-      .select(col("query_id"), col(idCol),
-        (vec.dot(col("qvec"), col(vecCol)) / (col("qnrm") * col("cnrm")))
-          .as("sim"))
       .withColumn("rank",
         row_number().over(
           Window.partitionBy(col("query_id"))
@@ -153,11 +152,17 @@ object Similarity {
       if (n <= trainSample) corpus
       else corpus.sample(withReplacement = false,
         fraction = trainSample.toDouble / n, seed = 42L)
+    // the training set is bounded (≤ trainSample rows) — collapse it to
+    // ONE partition so each of k-means' ~20 driver-iterated jobs is a
+    // single tiny task instead of a full-width stage; repartition (not
+    // coalesce) keeps the upstream sample scan parallel at corpus scale
     val train = bounded
       .select(array_to_vector(
         transform(col(vecCol), x => x.cast("double"))).as("features"))
-    new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .repartition(1).persist()
+    try new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(train).clusterCenters.map(_.toArray)
+    finally train.unpersist(blocking = false)
   }
 
   /** Row-local nearest-centroid assignment: nlist squared-distance
@@ -244,19 +249,21 @@ object Similarity {
         lshBucket(col(vecCol), planes, dim, seed = 42L + t)): _*))
         .as(Seq("table_idx", "bucket")))
     val banded = storage.fold(banded0)(banded0.persist)
+    // verify INLINE on the join output, dedup only the narrow survivors:
+    // a candidate pair shared by several tables costs a few extra dots
+    // (codegen'd, map-side) instead of shuffling rows that carry two full
+    // embedding arrays through dropDuplicates — the wide-shuffle killer
+    // at corpus scale
     banded.as("a")
       .join(banded.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        col(s"a.$vecCol").as("e1"), col(s"b.$vecCol").as("e2"),
-        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
-      .dropDuplicates("v1", "v2")
-      .withColumn("sim",
-        vec.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+        (vec.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("v1", "v2", "sim")
+      .dropDuplicates("v1", "v2")
   }
 
   /** IVF variant of near-dup pair generation: every vector joins its
@@ -282,17 +289,16 @@ object Similarity {
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
     val listed = storage.fold(listed0)(listed0.persist)
+    // same narrow-shuffle shape as [[cosineNearDupPairs]]: verify inline,
+    // dedup only (v1, v2, sim) survivors
     listed.as("a")
       .join(listed.as("b"),
         col("a.list") === col("b.list") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        col(s"a.$vecCol").as("e1"), col(s"b.$vecCol").as("e2"),
-        col("a.nrm").as("n1"), col("b.nrm").as("n2"))
-      .dropDuplicates("v1", "v2")
-      .withColumn("sim",
-        vec.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+        (vec.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("v1", "v2", "sim")
+      .dropDuplicates("v1", "v2")
   }
 }
