@@ -73,13 +73,18 @@ object EventDecoder {
       topics: Seq[Column], data: Column): Seq[(String, Column)] =
     decodedWithRaw(schema, topics, data).map { case (n, c, _) => n -> c }
 
-  /** 256-bit numeric family: `Decimal(38,0)` holds only ~126 bits, so the
-    * typed column nulls out above 1e38 — these params get a lossless
-    * `<name>_raw` 32-byte twin (SURVEY §1.5).
+  /** Wide numeric params: `Decimal(38,0)` tops out at 10^38−1, so the
+    * typed column nulls out when the value exceeds it — possible from
+    * width 128 up (uint128 max ≈ 3.4e38, int128 max ≈ 1.7e38); every
+    * multiple-of-8 width ≤ 120 bits fits losslessly. Only the widths that
+    * can overflow get the lossless `<name>_raw` 32-byte twin (SURVEY
+    * §1.5) — narrow ints already decode exactly and a twin would just
+    * bloat the schema.
     */
-  private def isU256Family(p: EventParam): Boolean = {
+  private def needsRawTwin(p: EventParam): Boolean = {
     val t = p.canonicalType
-    t.startsWith("uint") || t.startsWith("int")
+    (t.startsWith("uint") || t.startsWith("int")) &&
+      t.dropWhile(!_.isDigit).toInt >= 128
   }
 
   /** Decode plan per param: (name, typed column, lossless raw word for the
@@ -94,7 +99,7 @@ object EventDecoder {
     val indexed = schema.indexedParams.zipWithIndex.map { case (p, i) =>
       val t = topics(i + topicBase)
       val typed = if (isDynamic(p)) t else decodeStatic(p, t)
-      p.name -> ((typed, if (isU256Family(p)) Some(t) else None))
+      p.name -> ((typed, if (needsRawTwin(p)) Some(t) else None))
     }.toMap
     var dataWord = 0
     val fromData = schema.dataParams.map { p =>
@@ -103,7 +108,7 @@ object EventDecoder {
         if (isDynamic(p)) decodeDynamic(p, data, dataWord)
         else decodeStatic(p, w)
       dataWord += 1
-      p.name -> ((c, if (isU256Family(p)) Some(w) else None))
+      p.name -> ((c, if (needsRawTwin(p)) Some(w) else None))
     }.toMap
     // declaration order, like the macro's data tuple (lib.rs:159-178)
     schema.params.map { p =>

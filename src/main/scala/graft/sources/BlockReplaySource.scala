@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, max}
@@ -72,7 +72,7 @@ private[sources] object ReplayParams {
   * eth_event_stream/src/data_feed/block.rs:17-68 — the node pushes the
   * head; here the growing table's metadata plays the node.
   */
-private[sources] final class FooterHeadTracker(column: String) {
+private[graft] final class FooterHeadTracker(column: String) {
   private val cache = mutable.HashMap.empty[String, (Long, Long, Option[Long])]
 
   /** Max of `column` across all data files under `root`, footer-stats only
@@ -85,6 +85,11 @@ private[sources] final class FooterHeadTracker(column: String) {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
     val files = listDataFiles(fs, p)
+    // bound the cache to the files that still exist: compacted/rotated/
+    // vacuumed files would otherwise pin entries forever — at 100 TB a
+    // long-lived tail sees millions of files come and go
+    val live = files.iterator.map(_.getPath.toString).toSet
+    cache.filterInPlace((k, _) => live(k))
     val maxes = files.flatMap { st =>
       val key = st.getPath.toString
       cache.get(key) match {
@@ -102,6 +107,9 @@ private[sources] final class FooterHeadTracker(column: String) {
     maxes.maxOption
   }
 
+  /** Entries currently cached (test hook for the bounded-growth contract). */
+  private[graft] def cachedFileCount: Int = cache.size
+
   /** Manual recursive listing that prunes hidden directories BEFORE
     * descending — in-flight writers stage data under `_temporary/…` with
     * normally-named leaf files, and those staging dirs vanish mid-commit;
@@ -113,9 +121,12 @@ private[sources] final class FooterHeadTracker(column: String) {
     val out = mutable.ArrayBuffer.empty[FileStatus]
     def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
     def walk(dir: Path): Unit = {
+      // only the writer-commit rename race is benign (the next trigger
+      // re-lists); a persistent I/O or permission failure must propagate,
+      // or the stream would idle forever looking like an empty directory
       val entries =
         try fs.listStatus(dir)
-        catch { case scala.util.control.NonFatal(_) => Array.empty[FileStatus] }
+        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
       entries.foreach { st =>
         val n = st.getPath.getName
         if (visible(n)) {
@@ -232,14 +243,30 @@ class BlockReplayStream(streamSchema: StructType, params: ReplayParams)
     throw new UnsupportedOperationException(
       "block-replay implements SupportsAdmissionControl; the engine calls latestOffset(start, limit)")
 
-  /** Advance at most blockStep blocks past the committed start — restart
-    * resync is structural here: the engine hands us the checkpointed start,
-    * so a recovered query can never plan below its committed frontier.
+  /** Engine-provided admission limit → a block budget, composed with the
+    * source's own `blockStep` cap (the tighter bound wins):
+    * `ReadMaxRows` maps through `blockSize` (a block spans `blockSize`
+    * event ids, so it admits at most that many rows), `ReadMaxFiles`
+    * counts blocks as the source's admission unit (it plans block ranges,
+    * not files), a composite takes the minimum of its parts, and
+    * `ReadMinRows`/all-available leave `blockStep` in charge.
+    */
+  private def blockBudget(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows  => math.min(math.max(1L, r.maxRows() / blockSize), blockStep)
+    case f: ReadMaxFiles => math.min(math.max(1L, f.maxFiles().toLong), blockStep)
+    case c: CompositeReadLimit => c.getReadLimits.map(blockBudget).min
+    case _ => blockStep
+  }
+
+  /** Advance at most the admitted block budget past the committed start —
+    * restart resync is structural here: the engine hands us the
+    * checkpointed start, so a recovered query can never plan below its
+    * committed frontier.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = BlockOffset.of(start)
     val target = availableNowTarget.getOrElse(syncedEnd())
-    val end = math.max(from, math.min(target, from + blockStep))
+    val end = math.max(from, math.min(target, from + blockBudget(limit)))
     if (end == from) start else BlockOffset(end)
   }
 
@@ -294,8 +321,14 @@ private[sources] class BlockRangeReaderFactory(
       override def next(): Boolean = {
         while (inner.next()) {
           val r = inner.get()
-          val id = r.getLong(fieldIdx)
-          if (id >= loId && id < hiId) { current = r; return true }
+          // a null event_id has no place on the total-order axis: it is
+          // invisible to the footer-stats head and belongs to no block
+          // range — skip it (reading it as 0 would silently admit it
+          // into the first micro-batch)
+          if (!r.isNullAt(fieldIdx)) {
+            val id = r.getLong(fieldIdx)
+            if (id >= loId && id < hiId) { current = r; return true }
+          }
         }
         false
       }

@@ -66,6 +66,22 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(decoded(2L) == ((None, None, None)))
   }
 
+  test("raw twin columns only for widths that can overflow Decimal(38,0)") {
+    val schema = EventSchema.parse(
+      "Mixed(uint8 small, uint120 wide, uint128 over, uint big, int64 nar)")
+    val raw = Seq((1L, 0L, schema.topic0,
+        word("1") ++ word("2") ++ word("3") ++ word("4") ++ word("5")))
+      .toDF("block_number", "log_index", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val cols = EventDecoder.decode(raw, schema).columns.toSet
+    // ≤120 bits always fits Decimal(38,0) — no twin; ≥128 bits can
+    // exceed 10^38−1 — lossless twin required
+    assert(!cols("small_raw") && !cols("wide_raw") && !cols("nar_raw"))
+    assert(cols("over_raw") && cols("big_raw"))
+  }
+
   test("dynamic string param decodes from offset/len tail") {
     val schema = EventSchema.parse("Note(address indexed who, string message)")
     val who = Hex.address("0x" + "33" * 20)

@@ -28,6 +28,48 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(next <= 60L, s"planned $next overshot start + blockStep")
   }
 
+  test("engine ReadLimit tightens the admitted block budget (maxRows/maxFiles)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = graft.sources.BlockReplay.stream(spark, Map(
+      "path" -> "/root/testdata/sf0.001/events.parquet",
+      "blockSize" -> "10", "blockStep" -> "50", "confirmations" -> "2"))
+    // maxRows=20 over blockSize=10 ids/block ⇒ 2 admitted blocks
+    assert(BlockOffset.of(
+      stream.latestOffset(BlockOffset(-1L), ReadLimit.maxRows(20))) == 1L)
+    // maxFiles caps blocks (the source's admission unit)
+    assert(BlockOffset.of(
+      stream.latestOffset(BlockOffset(-1L), ReadLimit.maxFiles(3))) == 2L)
+    // composite takes the tightest part
+    assert(BlockOffset.of(
+      stream.latestOffset(BlockOffset(-1L),
+        ReadLimit.compositeLimit(
+          Array(ReadLimit.maxRows(20), ReadLimit.maxFiles(1))))) == 0L)
+    // allAvailable leaves blockStep in charge
+    assert(BlockOffset.of(
+      stream.latestOffset(BlockOffset(-1L), ReadLimit.allAvailable())) == 49L)
+  }
+
+  test("footer head cache evicts entries for rotated-away files") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_rotate").toString
+    val tracker = new graft.sources.FooterHeadTracker("event_id")
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def writeOne(name: String, lo: Long, hi: Long): Unit =
+      src.filter(col("event_id").between(lo, hi)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name")
+    writeOne("a", 0, 99)
+    assert(tracker.maxValue(spark, dir) == Some(99L))
+    val before = tracker.cachedFileCount
+    // rotate: a vanishes, b appears — the cache must not keep a's entry
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(s"$dir/a")).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(Files.delete)
+    writeOne("b", 100, 199)
+    assert(tracker.maxValue(spark, dir) == Some(199L))
+    assert(tracker.cachedFileCount <= before,
+      s"cache grew across rotation: ${tracker.cachedFileCount} > $before")
+  }
+
   test("indexed dynamic param decodes to its topic hash (not a crash)") {
     val schema = EventSchema.parse("Note(string indexed tag, uint value)")
     val tagHash = Keccak256.hash("hello")
