@@ -182,6 +182,49 @@ object SparkEntry {
       EventLog.tumblingWindow(events(s, dir), 0L, 50L)
         .withColumn("sum_value", col("sum_value").cast("double"))),
 
+    // W1 end-to-end through the STREAMING engine: replay the events table
+    // through the DSv2 block source and the watermark-EVICTING tumbling
+    // window (append mode — each window emitted exactly once when the
+    // watermark passes its end, state dropped). The oracle is the batch
+    // window fold over every CLOSED window: the window containing the max
+    // block stays open (watermark = max event time never passes its end),
+    // so batch↔stream parity over the closed set is exactly the eviction
+    // contract. Chunked blockStep ⇒ several micro-batches ⇒ the watermark
+    // genuinely advances mid-stream rather than in one jump.
+    "w1_evicting_stream" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_w1ev").toString
+      s.catalog.dropTempView("w1_evict_gate")
+      // size the chunk so the replay is ~5 micro-batches at ANY scale
+      // factor (footer-stats head read, no data scan): fixed steps either
+      // degenerate to one batch or drown the run in per-trigger overhead
+      val head = new graft.sources.FooterHeadTracker("event_id")
+        .maxValue(s, s"$dir/events.parquet").getOrElse(0L) /
+        graft.operators.EventLog.DefaultBlockSize
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = math.max(1L, (head + 1) / 5), confirmations = 0L)
+      val win = graft.streaming.StreamOps
+        .tumblingWindowStreamEvicting(stream, 0L, 50L)
+      // the aggregation state is a few hundred window rows — 32 state
+      // partitions would write 32 state-store deltas per micro-batch for
+      // nothing; the state partition count is fixed at first start via
+      // shuffle.partitions, so scope a small value to this query
+      // the conf must stay at 4 until the FIRST micro-batch has planned
+      // (the engine snapshots it into the checkpoint's offset metadata,
+      // asynchronously after start) — restore only once the query is done
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = win.writeStream.format("memory").queryName("w1_evict_gate")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table("w1_evict_gate")
+        .withColumn("sum_value", col("sum_value").cast("double"))
+    }),
+
     // W2 — per-block stepping, per-source groups
     "w2_per_block" -> ((s, dir) =>
       EventLog.perBlockBySource(events(s, dir), EventSources)),
@@ -656,6 +699,14 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            min(block_number) AS window_from, max(block_number) AS window_to
          FROM ($EvKeys) GROUP BY 1""",
+
+    "w1_evicting_stream" ->
+      s"""WITH ev AS ($EvKeys), h AS (SELECT max(block_number) AS mb FROM ev)
+         SELECT block_number // 50 AS window_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(block_number) AS window_from, max(block_number) AS window_to
+         FROM ev, h WHERE block_number // 50 < mb // 50
+         GROUP BY 1""",
 
     "w2_per_block" ->
       s"""SELECT block_number,

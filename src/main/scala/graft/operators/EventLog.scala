@@ -227,7 +227,7 @@ object EventLog {
       .filter(col("block_number").between(bottom, target))
       .groupBy(col("block_number"), col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(38,2)")).as("sum_value"))
     // spine is tiny (blocks × sources) relative to data ⇒ broadcastable side
     // is the spine, but left join must keep spine rows: broadcast the groups
     // side only when safe; AQE picks the strategy otherwise.
@@ -235,7 +235,7 @@ object EventLog {
       .select(
         col("block_number"), col("source"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("sum_value"), lit(BigDecimal(0)).cast("decimal(18,2)"))
+        coalesce(col("sum_value"), lit(BigDecimal(0)).cast("decimal(38,2)"))
           .as("sum_value"))
   }
 
@@ -266,7 +266,7 @@ object EventLog {
       .groupBy(expr(s"(block_number - $from) DIV $step").as("window_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+        sum(col("value").cast("decimal(38,2)")).as("sum_value"),
         min("block_number").as("window_from"),
         max("block_number").as("window_to"))
   }
@@ -326,11 +326,16 @@ object EventLog {
     * map-side partial aggregation applies, one shuffle on the key.
     */
   /** Signed netflow delta of one event — shared by the direct and salted
-    * folds so the two can never drift apart semantically.
+    * folds so the two can never drift apart semantically. Each element
+    * fits decimal(18,2); the cast goes straight to decimal(38,2) so the
+    * SUM accumulates at max precision — a 100 TB fold over 18,2 elements
+    * would sum in decimal(28,2) and can overflow past 1e26, which Spark
+    * silently nulls under default (non-ANSI) conf. 38,2 gives 1e36 of
+    * headroom and the fold stays exact and order-insensitive.
     */
   private def netflowDelta(inflowType: String): Column =
-    when(col("event_type") === inflowType, col("value").cast("decimal(18,2)"))
-      .otherwise(-col("value").cast("decimal(18,2)"))
+    when(col("event_type") === inflowType, col("value").cast("decimal(38,2)"))
+      .otherwise(-col("value").cast("decimal(38,2)"))
 
   def netflow(df: DataFrame, inflowType: String, outflowType: String,
       keyCol: String = "user_id"): DataFrame =

@@ -140,7 +140,7 @@ object StreamOps {
         s"${java.lang.Math.floorMod(from, step)} seconds"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+        sum(col("value").cast("decimal(38,2)")).as("sum_value"),
         min("block_number").as("window_from"),
         max("block_number").as("window_to"))
       .select(

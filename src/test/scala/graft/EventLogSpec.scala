@@ -61,6 +61,24 @@ class EventLogSpec extends AnyFunSuite {
     assert(mon == ((3L, 2L, 1L)))
   }
 
+  test("netflow accumulates at decimal(38,2): wide sums stay exact, not null") {
+    // each element fits decimal(18,2), but a large fold would overflow the
+    // (28,2) sum type that summing 18,2 elements produces — the fold must
+    // carry 38,2 headroom and stay exact (non-ANSI Spark silently nulls
+    // overflowed decimal sums)
+    val big = 9.9e15 // near the decimal(18,2) element ceiling
+    val d = ev((0L until 200L).map(i => (i, 1L, "purchase", big)): _*)
+    val nf = EventLog.netflow(d, "purchase", "click")
+    val sumType = nf.schema("netflow").dataType
+      .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+    assert(sumType.precision == 38 && sumType.scale == 2, s"got $sumType")
+    val total = nf.select($"netflow".cast("string")).as[String].collect().head
+    assert(total != null && BigDecimal(total) == BigDecimal(big) * 200)
+    // salted twin keeps the same widened fold
+    val salted = EventLog.saltedNetflow(d, "purchase", "click")
+    assert(salted.schema("netflow").dataType == sumType)
+  }
+
   test("hybrid phase split at head - confirmations (stream.rs:263-301)") {
     // blocks 0..4; head=4, confirmations=2 ⇒ historical ≤2, live 3..4
     val d = ev((0L until 50L).map(i => (i, 1L, "view", 0.0)): _*)
