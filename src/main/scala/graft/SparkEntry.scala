@@ -134,6 +134,38 @@ object SparkEntry {
           col("value").cast("bigint").as("value_cents"))
     }),
 
+    // P2 dynamic arrays — uint[] through the full tail encode/decode:
+    // per-event arrays of 1..3 amounts are synthesized relationally
+    // ([head offset][n][words…]), decoded back through the array tail
+    // reader, and exploded so the oracle can state every element.
+    "p2_abi_array_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "Batch(address indexed from, uint[] amounts)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val n = (col("event_id") % 3 + 1).cast("int")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      def w(i: Int) = EventDecoder.encodeWordFromLong(cents + i)
+      val empty = lit(Array.emptyByteArray)
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+          concat(
+            EventDecoder.encodeWordFromLong(lit(32L)),
+            EventDecoder.encodeWordFromLong(n.cast("long")),
+            w(0),
+            when(n >= 2, w(1)).otherwise(empty),
+            when(n >= 3, w(2)).otherwise(empty)).as("data"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          posexplode(col("amounts")).as(Seq("idx", "amount")))
+        .select(col("block_number"), col("log_index"),
+          col("idx").cast("bigint").as("idx"),
+          col("amount").cast("bigint").as("amount"))
+    }),
+
     // P3 — address/hex render helper parity
     "p3_address_hex" -> ((s, dir) =>
       events(s, dir)
@@ -648,6 +680,16 @@ object SparkEntry {
            '0x' || lpad(lower(hex(user_id)), 40, '0') AS from_addr,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
          FROM ($EvKeys) WHERE event_type = 'purchase'""",
+
+    "p2_abi_array_roundtrip" ->
+      s"""WITH base AS (
+           SELECT block_number, log_index,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id % 3 + 1 AS n
+           FROM ($EvKeys) WHERE event_type = 'purchase')
+         SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
+           cents + i AS amount
+         FROM base, unnest(generate_series(0, n - 1)) t(i)""",
 
     "p3_address_hex" ->
       """SELECT user_id, '0x' || lpad(lower(hex(user_id)), 40, '0') AS addr

@@ -4,10 +4,14 @@ import org.apache.spark.sql.types._
 
 /** One parameter of an event declaration. */
 final case class EventParam(name: String, solType: String, indexed: Boolean) {
-  /** Canonical Solidity type for signature hashing (`uint` → `uint256`). */
+  /** Canonical Solidity type for signature hashing (`uint` → `uint256`,
+    * `uint[]` → `uint256[]`).
+    */
   def canonicalType: String = solType match {
     case "uint" => "uint256"
     case "int"  => "int256"
+    case t if t.endsWith("[]") =>
+      EventParam(name, t.dropRight(2), indexed).canonicalType + "[]"
     case other  => other
   }
 }
@@ -48,16 +52,9 @@ final case class EventSchema(
 
   /** Spark type for one Solidity type (SURVEY §1.5 mapping):
     * address/bytes32 → Binary, uintN/intN → Decimal(38,0), bool → Boolean,
-    * string → String.
+    * string → String, `T[]` → Array of T's mapping.
     */
-  def sparkType(solType: String): DataType = solType match {
-    case "address"             => BinaryType
-    case "bool"                => BooleanType
-    case "string"              => StringType
-    case "bytes32" | "bytes"   => BinaryType
-    case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
-    case other => throw new IllegalArgumentException(s"unsupported type: $other")
-  }
+  def sparkType(solType: String): DataType = EventSchema.sparkTypeOf(solType)
 
   /** Decoded-payload struct, params in declaration order — mirrors the
     * macro's `data: (T1,…,Tn)` tuple (eth_event_macro/src/lib.rs:159-178).
@@ -78,14 +75,29 @@ final case class EventSchema(
 }
 
 object EventSchema {
+  /** Spark type for one canonical Solidity type (see `sparkType`). */
+  def sparkTypeOf(solType: String): DataType = solType match {
+    case t if t.endsWith("[]") => ArrayType(sparkTypeOf(t.dropRight(2)))
+    case "address"             => BinaryType
+    case "bool"                => BooleanType
+    case "string"              => StringType
+    case "bytes32" | "bytes"   => BinaryType
+    case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
+    case other => throw new IllegalArgumentException(s"unsupported type: $other")
+  }
+
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
   // any uintN/intN accepted syntactically; width validated below (ABI:
-  // multiples of 8 in 8..256 — e.g. uint24 in Uniswap V3's PoolCreated)
+  // multiples of 8 in 8..256 — e.g. uint24 in Uniswap V3's PoolCreated).
+  // `T[]` dynamic arrays of STATIC element types (address[], uint[],
+  // bool[], bytes32[]) are accepted; string[]/bytes[] (nested dynamic
+  // tails) are not — the grammar excludes them.
   private val TypeRe =
-    "(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)".r
+    ("(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?" +
+      "|(?:address|bool|bytes32|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[\\])").r
 
   private def validWidth(t: String): Boolean = {
-    val digits = t.dropWhile(!_.isDigit)
+    val digits = t.dropWhile(!_.isDigit).takeWhile(_.isDigit)
     digits.isEmpty || {
       val w = digits.toInt
       w >= 8 && w <= 256 && w % 8 == 0

@@ -30,8 +30,8 @@ object EventDecoder {
   private def word(bin: Column, i: Int): Column =
     substring(bin, i * 32 + 1, 32)
 
-  /** Decode one static param from its 32-byte word. */
-  private def decodeStatic(p: EventParam, w: Column): Column = p.canonicalType match {
+  /** Decode one static value of canonical type `t` from a 32-byte word. */
+  private def decodeStaticType(t: String, w: Column): Column = t match {
     case "address"           => substring(w, 13, 20)
     case "bool"              => abi.u256(w) =!= 0
     case "bytes32"           => w
@@ -41,17 +41,41 @@ object EventDecoder {
       s"not a static ABI type: $other")
   }
 
-  private def isDynamic(p: EventParam): Boolean =
-    p.canonicalType == "string" || p.canonicalType == "bytes"
+  /** Decode one static param from its 32-byte word. */
+  private def decodeStatic(p: EventParam, w: Column): Column =
+    decodeStaticType(p.canonicalType, w)
+
+  private def isDynamic(p: EventParam): Boolean = {
+    val t = p.canonicalType
+    t == "string" || t == "bytes" || t.endsWith("[]")
+  }
 
   /** Decode a dynamic param whose head word sits at data word `headIdx`:
-    * offset → `[len][payload]` in the data tail.
+    * offset → `[len][payload]` in the data tail. For `T[]` (static `T`)
+    * the tail is `[n][elem_0]…[elem_{n-1}]`, one word per element,
+    * decoded to `ARRAY<sparkType(T)>`. The element loop is a
+    * `transform(sequence(…))` pair — interpreted, not codegen'd, which is
+    * fine off the hot path: array params are rare per schema and the loop
+    * is bounded by the on-chain array length.
     */
   private def decodeDynamic(p: EventParam, data: Column, headIdx: Int): Column = {
     val off = abi.u256(word(data, headIdx)).cast("int")
     val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
-    val payload = substring(data, off + 33, len)
-    if (p.canonicalType == "string") payload.cast("string") else payload
+    val t = p.canonicalType
+    if (t.endsWith("[]")) {
+      val elemT = t.dropRight(2)
+      val sparkElemT = graft.model.EventSchema.sparkTypeOf(elemT)
+      // sequence(0, -1) yields [0, -1] (descending step) — guard n = 0
+      when(len > 0,
+        transform(sequence(lit(0), len - 1), i =>
+          decodeStaticType(elemT,
+            substring(data, off + 33 + i * 32, lit(32)))))
+        .otherwise(org.apache.spark.sql.functions.array().cast(
+          org.apache.spark.sql.types.ArrayType(sparkElemT)))
+    } else {
+      val payload = substring(data, off + 33, len)
+      if (t == "string") payload.cast("string") else payload
+    }
   }
 
   /** Binary substring with Column offsets (the Int-only Scala overload
@@ -83,8 +107,10 @@ object EventDecoder {
     */
   private def needsRawTwin(p: EventParam): Boolean = {
     val t = p.canonicalType
-    (t.startsWith("uint") || t.startsWith("int")) &&
-      t.dropWhile(!_.isDigit).toInt >= 128
+    // arrays never get a twin: their lossless form is the raw `data`
+    // blob itself, and a per-element twin array would double the schema
+    (t.startsWith("uint") || t.startsWith("int")) && !t.endsWith("[]") &&
+      t.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt >= 128
   }
 
   /** Decode plan per param: (name, typed column, lossless raw word for the

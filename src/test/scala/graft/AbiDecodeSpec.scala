@@ -82,6 +82,39 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(cols("over_raw") && cols("big_raw"))
   }
 
+  test("uint[] / address[] params decode from the dynamic tail; empty → []") {
+    val schema = EventSchema.parse(
+      "Batch(address indexed from, uint[] amounts, address[] tos)")
+    val from = Hex.address("0x" + "44" * 20)
+    val a1 = Hex.address("0x" + "55" * 20)
+    val a2 = Hex.address("0x" + "66" * 20)
+    // data layout: [head amounts=0x40][head tos][amounts: n,…][tos: n,…]
+    def mk(amounts: Seq[Long], tos: Seq[Array[Byte]]): Array[Byte] = {
+      val amountsTail = word(amounts.length.toHexString) ++
+        amounts.flatMap(a => word(a.toHexString)).toArray
+      val tosTail = word(tos.length.toHexString) ++ tos.flatMap(pad32).toArray
+      word("40") ++ word((64 + amountsTail.length).toHexString) ++
+        amountsTail ++ tosTail
+    }
+    val raw = Seq(
+      (1L, schema.topic0, pad32(from), mk(Seq(7L, 9L, 11L), Seq(a1, a2))),
+      (2L, schema.topic0, pad32(from), mk(Seq.empty, Seq.empty)))
+      .toDF("block_number", "topic0", "topic1", "data")
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"block_number",
+        expr("transform(amounts, x -> cast(x as long))").as("amounts"),
+        expr("transform(tos, x -> lower(hex(x)))").as("tos"))
+      .as[(Long, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == Seq(7L, 9L, 11L))
+    assert(out(1L)._2 == Seq("55" * 20, "66" * 20))
+    assert(out(2L) == ((Seq.empty, Seq.empty)))
+    // arrays carry no lossless twin — the raw data blob is the twin
+    assert(!EventDecoder.decode(raw, schema).columns.contains("amounts_raw"))
+  }
+
   test("dynamic string param decodes from offset/len tail") {
     val schema = EventSchema.parse("Note(address indexed who, string message)")
     val who = Hex.address("0x" + "33" * 20)
