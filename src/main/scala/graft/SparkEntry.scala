@@ -375,6 +375,20 @@ object SparkEntry {
       TextOps.tokenStats(deduped)
     }),
 
+    // Benchmark decontamination: docs sharing any 3-gram with the stand-in
+    // eval set (every 97th doc) are dropped from the corpus (the rest).
+    "decon_filter" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), n = 3)
+        .select("doc_id")
+    }),
+
+    // Gopher-style repetition scores (dup-word + top-bigram fractions).
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionScores(table(s, dir, "documents"))),
+
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
 
@@ -848,6 +862,29 @@ object SparkEntry {
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
          FROM kept JOIN (SELECT doc_id FROM l5 WHERE doc_id = cl) USING (doc_id)""",
+
+    "decon_filter" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 != 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+               FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+         tc AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+                  SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2)
+                GROUP BY 1)
+         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS dup_word_frac,
+           coalesce(CAST(top_cnt AS DOUBLE) / (len(ws) - 1), 0.0) AS top_bigram_frac
+         FROM w LEFT JOIN tc ON w.doc_id = tc.doc_id""",
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -104,6 +104,39 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Benchmark decontamination
+  // -------------------------------------------------------------------
+
+  /** Benchmark decontamination: drop corpus docs that share ANY word
+    * n-gram with a benchmark/eval set — the standard train/test-leakage
+    * guard in training-data prep (overlap-n-gram style; n=13 is the
+    * common production choice, the short fixture docs test with n=3).
+    *
+    * Scale shape: gram hashes are row-local on both sides
+    * ([[gramHashes]], native kernel); the benchmark side collapses to
+    * DISTINCT gram hashes — tiny, |benchmark| ≪ |corpus| — and is
+    * BROADCAST into the semi-join against the exploded corpus grams, so
+    * the corpus is never shuffled; the only aggregation is the distinct
+    * over contaminated doc ids (bounded by the contamination, not the
+    * corpus).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, n, textCol, idCol),
+      Seq(idCol), "left_anti")
+
+  /** The ids [[decontaminate]] drops (report form — audit what leaked). */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("gram")).distinct()
+    corpus
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  // -------------------------------------------------------------------
   // MinHash + LSH (the 100 TB path)
   // -------------------------------------------------------------------
 

@@ -104,6 +104,42 @@ object TextOps {
           + lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)))
   }
 
+  /** Repetition scores (Gopher-rule style): per-doc duplicate-word
+    * fraction and most-frequent-bigram share — high values flag the
+    * degenerate boilerplate/spam a quality gate should drop before
+    * training.
+    *
+    *  - `dup_word_frac` = (n_words − n_distinct_words) / n_words, fully
+    *    row-local (array_distinct on the token array);
+    *  - `top_bigram_frac` = max bigram multiplicity / (n_words − 1) —
+    *    the per-doc bigram mode needs a count, so bigrams explode into a
+    *    `(doc, bigram)` aggregation: the shuffle is keyed exactly like
+    *    the gram joins (doc-bounded fanout, scales by partitioning).
+    */
+  def repetitionScores(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = df
+      .select(col(idCol), wsTokens(lower(col(textCol))).as("ws"))
+      .withColumn("n_words", size(col("ws")))
+    val top = base.filter(col("n_words") >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), col("n_words") - 2),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(2))))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(max(col("cnt")).as("top_cnt"))
+    base.join(top, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words").cast("bigint").as("n_words"),
+        when(col("n_words") > 0,
+          (col("n_words") - size(array_distinct(col("ws")))).cast("double")
+            / col("n_words"))
+          .otherwise(lit(0.0)).as("dup_word_frac"),
+        coalesce(
+          col("top_cnt").cast("double") / (col("n_words") - 1).cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Document fingerprint: rolling polynomial hash over the characters,
     * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
     * (the oracle replays the same fold), and row-local. Runs as the native

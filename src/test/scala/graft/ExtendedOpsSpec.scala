@@ -125,6 +125,41 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(kept.count() < docs.count())
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma"
+      (2L, "epsilon zeta eta theta"),     // clean
+      (3L, "iota kappa lambda mu"),       // shares "kappa lambda mu"
+      (4L, "nu xi"),                      // too short for a 3-gram: clean
+      (5L, "beta gamma delta epsilon")    // overlaps words but NO shared 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "zz alpha beta gamma yy"),
+      (101L, "qq kappa lambda mu")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+    val dropped = Dedup.contaminatedIds(corpus, bench, n = 3)
+      .as[Long].collect().toSet
+    assert(dropped == Set(1L, 3L))
+  }
+
+  test("repetition scores: dup-word and top-bigram fractions on crafted docs") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),      // 4 words, 1 distinct; "spam spam" ×3
+      (2L, "all words here differ"),    // no repetition
+      (3L, "one"),                      // single word: no bigrams
+      (4L, "Go go GO stop")             // case-folded dups
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionScores(d)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 3.0 / 4.0, 1.0)))
+    assert(out(2L) == ((4L, 0.0, 1.0 / 3.0)))
+    assert(out(3L) == ((1L, 0.0, 0.0)))
+    assert(out(4L) == ((4L, 2.0 / 4.0, 2.0 / 3.0))) // "go go" twice of 3 bigrams
+  }
+
   test("fingerprint matches the rolling-hash definition") {
     def roll(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % TextOps.FpMod)
