@@ -389,6 +389,11 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(table(s, dir, "documents"))),
 
+    // Training-sequence packing: 128-token packs over 16-doc shards.
+    "text_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(table(s, dir, "documents"),
+        budget = 128L, shardSize = 16L)),
+
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
 
@@ -885,6 +890,21 @@ object SparkEntry {
                 ELSE 0.0 END AS dup_word_frac,
            coalesce(CAST(top_cnt AS DOUBLE) / (len(ws) - 1), 0.0) AS top_bigram_frac
          FROM w LEFT JOIN tc ON w.doc_id = tc.doc_id""",
+
+    "text_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id // 16 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_offset
+           FROM t)
+         SELECT doc_id, shard, start_offset // 128 AS pack_in_shard,
+           start_offset, n_tokens
+         FROM c""",
 
     "text_token_stats" ->
       """SELECT doc_id,

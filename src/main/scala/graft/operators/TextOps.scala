@@ -140,6 +140,36 @@ object TextOps {
           lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Training-sequence packing (concat-and-chunk): documents are laid
+    * out in deterministic `(shard, doc_id)` order and chunked into
+    * fixed token-budget packs; each doc is assigned to the pack where
+    * its first token lands (docs longer than the budget span packs —
+    * standard concat-and-chunk semantics). Shards (`doc_id DIV
+    * shardSize`) bound the cumulative-sum window: the prefix sum is
+    * per-shard, so the plan is a partitioned window — never the
+    * single-partition global sort an unpartitioned running total would
+    * force — and shards parallelize exactly like training shards on
+    * disk.
+    *
+    * Emits `(doc_id, shard, pack_in_shard, start_offset, n_tokens)`;
+    * `(shard, pack_in_shard)` is the globally unique pack key.
+    */
+  def packSequences(df: DataFrame, budget: Long, shardSize: Long = 1024L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1 && shardSize >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    df.select(
+        col(idCol),
+        expr(s"$idCol DIV $shardSize").as("shard"),
+        size(wsTokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_in_shard", expr(s"start_offset DIV $budget"))
+      .select(idCol, "shard", "pack_in_shard", "start_offset", "n_tokens")
+  }
+
   /** Document fingerprint: rolling polynomial hash over the characters,
     * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
     * (the oracle replays the same fold), and row-local. Runs as the native

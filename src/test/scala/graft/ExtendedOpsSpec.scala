@@ -160,6 +160,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 2.0 / 4.0, 2.0 / 3.0))) // "go go" twice of 3 bigrams
   }
 
+  test("sequence packing: per-shard prefix offsets and pack assignment") {
+    // shardSize=2 ⇒ shards {0,1},{2,3}; budget=5 tokens
+    val d = Seq(
+      (0L, "a b c"),          // shard 0, offset 0, pack 0
+      (1L, "d e f g"),        // shard 0, offset 3, pack 0 (spans into 1)
+      (2L, "h i j k l m n"),  // shard 1, offset 0, pack 0
+      (3L, "o p")             // shard 1, offset 7, pack 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequences(d, budget = 5L, shardSize = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((0L, 0L, 0L, 3L)))
+    assert(out(1L) == ((0L, 0L, 3L, 4L)))
+    assert(out(2L) == ((1L, 0L, 0L, 7L)))
+    assert(out(3L) == ((1L, 1L, 7L, 2L)))
+  }
+
   test("fingerprint matches the rolling-hash definition") {
     def roll(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % TextOps.FpMod)
