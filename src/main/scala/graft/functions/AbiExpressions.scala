@@ -33,6 +33,40 @@ object AbiRuntime {
   }
 
   def keccak256(bytes: Array[Byte]): Array[Byte] = Keccak256.hash(bytes)
+
+  /** Decode a `uintN[]`/`intN[]` dynamic tail in one pass: the head word
+    * at data word `headIdx` holds the byte offset of `[n][elem…]`; each
+    * element is one 32-byte word → Decimal(38,0) (null on overflow, like
+    * the scalar decode). Defensive on malformed payloads: a truncated
+    * word decodes to a null ELEMENT and the element count is clamped to
+    * what the blob can actually hold (a garbage length must not drive
+    * allocation) — never an exception, matching nullable-on-mismatch.
+    * Returns null (no array) when the head/length words themselves lie
+    * outside the blob.
+    */
+  def wordTailArray(data: Array[Byte], headIdx: Int,
+      signed: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    def wordAsInt(pos: Int): Int = {
+      if (pos < 0 || pos + 32 > data.length) return -1
+      // low 4 bytes of the big-endian word; ABI offsets/lengths fit int
+      ((data(pos + 28) & 0xff) << 24) | ((data(pos + 29) & 0xff) << 16) |
+        ((data(pos + 30) & 0xff) << 8) | (data(pos + 31) & 0xff)
+    }
+    val off = wordAsInt(headIdx * 32)
+    if (off < 0) return null
+    val n0 = wordAsInt(off)
+    if (n0 < 0) return null
+    val n = math.min(n0.toLong, math.max(0L, (data.length - off - 32L) / 32L)).toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val start = off + 32 + i * 32
+      val w = java.util.Arrays.copyOfRange(data, start, start + 32)
+      out(i) = if (signed) i256ToDecimal(w) else u256ToDecimal(w)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** ABI u256 word → Decimal(38,0) as a native Catalyst expression
@@ -105,6 +139,37 @@ case class Keccak256Hash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `uintN[]`/`intN[]` dynamic-tail decode as one native expression: the
+  * per-element loop runs as a compiled runtime call inside whole-stage
+  * codegen instead of an interpreted `transform(sequence(…))` lambda
+  * whose inner tree (substring + u256) re-evaluates per element.
+  */
+case class WordTailArray(child: Expression, headIdx: Int, signed: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DecimalType(38, 0))
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_word_tail_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.wordTailArray(input.asInstanceOf[Array[Byte]], headIdx, signed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.wordTailArray(
+          ${c.value}, $headIdx, $signed);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTailArray =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the ABI expressions. */
 object abi {
   private def wrap(e: Expression): Column = GraftColumnShim.column(e)
@@ -113,6 +178,10 @@ object abi {
   def u256(c: Column): Column = wrap(U256ToDecimal(ex(c)))
   def i256(c: Column): Column = wrap(I256ToDecimal(ex(c)))
   def keccak256(c: Column): Column = wrap(Keccak256Hash(ex(c)))
+
+  /** Numeric `T[]` dynamic tail (head word at `headIdx`) → ARRAY<DECIMAL>. */
+  def wordTailArray(data: Column, headIdx: Int, signed: Boolean): Column =
+    wrap(WordTailArray(ex(data), headIdx, signed))
 
   /** 20-byte address literal from hex — the reference's `address()` util
     * as a Column (eth_event_stream/src/lib.rs:7-15).

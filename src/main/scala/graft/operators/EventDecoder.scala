@@ -59,20 +59,28 @@ object EventDecoder {
     * is bounded by the on-chain array length.
     */
   private def decodeDynamic(p: EventParam, data: Column, headIdx: Int): Column = {
-    val off = abi.u256(word(data, headIdx)).cast("int")
-    val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
     val t = p.canonicalType
     if (t.endsWith("[]")) {
       val elemT = t.dropRight(2)
-      val sparkElemT = graft.model.EventSchema.sparkTypeOf(elemT)
-      // sequence(0, -1) yields [0, -1] (descending step) — guard n = 0
-      when(len > 0,
-        transform(sequence(lit(0), len - 1), i =>
-          decodeStaticType(elemT,
-            substring(data, off + 33 + i * 32, lit(32)))))
-        .otherwise(org.apache.spark.sql.functions.array().cast(
-          org.apache.spark.sql.types.ArrayType(sparkElemT)))
+      if (elemT.startsWith("uint") || elemT.startsWith("int"))
+        // the common case (amounts, ids) decodes through one native
+        // kernel call — the whole element loop stays compiled
+        abi.wordTailArray(data, headIdx, signed = elemT.startsWith("int"))
+      else {
+        val off = abi.u256(word(data, headIdx)).cast("int")
+        val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
+        val sparkElemT = graft.model.EventSchema.sparkTypeOf(elemT)
+        // sequence(0, -1) yields [0, -1] (descending step) — guard n = 0
+        when(len > 0,
+          transform(sequence(lit(0), len - 1), i =>
+            decodeStaticType(elemT,
+              substring(data, off + 33 + i * 32, lit(32)))))
+          .otherwise(org.apache.spark.sql.functions.array().cast(
+            org.apache.spark.sql.types.ArrayType(sparkElemT)))
+      }
     } else {
+      val off = abi.u256(word(data, headIdx)).cast("int")
+      val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
       val payload = substring(data, off + 33, len)
       if (t == "string") payload.cast("string") else payload
     }

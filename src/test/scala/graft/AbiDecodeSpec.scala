@@ -115,6 +115,28 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(!EventDecoder.decode(raw, schema).columns.contains("amounts_raw"))
   }
 
+  test("malformed uint[] tails decode defensively: clamp, never throw") {
+    val schema = EventSchema.parse("Bad(uint[] xs)")
+    val raw = Seq(
+      // head offset points past the blob → null array
+      (1L, schema.topic0, word("ffff")),
+      // claimed n=1000 but only 1 element present → clamped to 1
+      (2L, schema.topic0, word("20") ++ word("3e8") ++ word("2a")),
+      // truncated: head word only, no length word → null array
+      (3L, schema.topic0, word("20")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"block_number",
+        expr("transform(xs, x -> cast(x as long))").as("xs"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains(Seq(42L)))
+    assert(out(3L).isEmpty)
+  }
+
   test("dynamic string param decodes from offset/len tail") {
     val schema = EventSchema.parse("Note(address indexed who, string message)")
     val who = Hex.address("0x" + "33" * 20)
