@@ -257,6 +257,40 @@ object SparkEntry {
         .withColumn("sum_value", col("sum_value").cast("double"))
     }),
 
+    // Streaming exact dedup end-to-end: the events table is DOUBLED into
+    // a scratch dir, replayed through the block source, deduped on
+    // event_id with watermark-bounded state, and counted per signature —
+    // the oracle is the plain per-type count over the original table
+    // (every duplicate must be dropped, nothing else).
+    "stream_dedup" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_dd").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.unionAll(ev).write.mode("overwrite").parquet(s"$scratch/events")
+      val head = new graft.sources.FooterHeadTracker("event_id")
+        .maxValue(s, s"$scratch/events").getOrElse(0L) /
+        graft.operators.EventLog.DefaultBlockSize
+      s.catalog.dropTempView("stream_dedup_sink")
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$scratch/events",
+        blockStep = math.max(1L, (head + 1) / 5), confirmations = 0L)
+      val dd = graft.streaming.StreamOps
+        .dedupStream(stream, Seq("event_id"), withinBlocks = 10L)
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = dd.writeStream.format("memory").queryName("stream_dedup_sink")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_dd_ckpt").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table("stream_dedup_sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // W2 — per-block stepping, per-source groups
     "w2_per_block" -> ((s, dir) =>
       EventLog.perBlockBySource(events(s, dir), EventSources)),
@@ -768,6 +802,9 @@ object SparkEntry {
            min(block_number) AS window_from, max(block_number) AS window_to
          FROM ev, h WHERE block_number // 50 < mb // 50
          GROUP BY 1""",
+
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
 
     "w2_per_block" ->
       s"""SELECT block_number,

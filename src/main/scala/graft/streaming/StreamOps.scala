@@ -148,6 +148,28 @@ object StreamOps {
         col("n_events"), col("sum_value"), col("window_from"), col("window_to"))
   }
 
+  /** Exact streaming dedup with BOUNDED state: drop rows whose key was
+    * already seen within `withinBlocks` of the block frontier. Block
+    * numbers map to the synthetic event-time axis (1 block = 1 second,
+    * as in the evicting window) and
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup state once the
+    * watermark passes its horizon — on an infinite tail the state holds
+    * only the last `withinBlocks` blocks' keys, where a plain streaming
+    * `dropDuplicates` would grow forever. First occurrence is emitted
+    * immediately (append); duplicates inside the horizon are dropped
+    * exactly.
+    */
+  def dedupStream(stream: DataFrame, keys: Seq[String],
+      withinBlocks: Long): DataFrame =
+    stream
+      // +1: block 0 must not sit AT the epoch — the initial watermark is
+      // epoch 0 and the dedup operator drops records at-or-below it as
+      // late, which would silently eat the whole first block
+      .withColumn("block_ts", timestamp_seconds(col("block_number") + 1))
+      .withWatermark("block_ts", s"$withinBlocks seconds")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .drop("block_ts")
+
   /** A2 exact driver parity — `reduce_synced_events` hands every per-block
     * SUFFIX slice `events[i..]` to the reducer so it can pattern-match
     * multi-event sequences from each position (sink.rs:134-151, suffix
