@@ -64,10 +64,60 @@ object SparkEntry {
     val a = approx.select(keys.map(col): _*).dropDuplicates(keys).persist()
     val base = e.join(a.withColumn("hit", lit(1)), keys, "left").agg(
       count(lit(1)).as("n_exact"),
-      (count(col("hit")).cast("double") / count(lit(1)) >= floor).as("recall_ok"))
+      // 0 exact pairs ⇒ 0/0 ⇒ null — a vacuously perfect approximate
+      // result must read true, not fail the oracle compare
+      coalesce(count(col("hit")).cast("double") / count(lit(1)) >= floor,
+        lit(true)).as("recall_ok"))
     if (!subset) base
     else base.crossJoin(
       a.join(e, keys, "left_anti").agg((count(lit(1)) === 0).as("subset_ok")))
+  }
+
+  /** Shared harness for the streaming end-to-end queries: drain `out`
+    * into a fresh memory sink and return the sink table.
+    *
+    *  - the aggregation/dedup state is a few hundred rows, so the state
+    *    partition count (frozen from `shuffle.partitions` at the FIRST
+    *    micro-batch, asynchronously after start) is scoped to 4 and
+    *    restored only once the query is done;
+    *  - the checkpoint and any caller scratch dirs are deleted after the
+    *    drain — the result lives in the memory sink, and repeated
+    *    Verify/Bench invocations must not accumulate /tmp garbage.
+    */
+  private def runStreamingGate(s: SparkSession, sinkName: String,
+      out: DataFrame, scratch: Seq[String] = Nil): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sg").toString
+    s.catalog.dropTempView(sinkName)
+    val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      (ckpt +: scratch).foreach(deleteRecursively)
+    }
+    s.table(sinkName)
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  /** ~5 micro-batch chunk size for a replay of `path`, from footer stats. */
+  private def fifthOfHead(s: SparkSession, path: String): Long = {
+    val head = new graft.sources.FooterHeadTracker("event_id")
+      .maxValue(s, path).getOrElse(0L) /
+      graft.operators.EventLog.DefaultBlockSize
+    math.max(1L, (head + 1) / 5)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -224,36 +274,15 @@ object SparkEntry {
     // contract. Chunked blockStep ⇒ several micro-batches ⇒ the watermark
     // genuinely advances mid-stream rather than in one jump.
     "w1_evicting_stream" -> ((s, dir) => {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_w1ev").toString
-      s.catalog.dropTempView("w1_evict_gate")
-      // size the chunk so the replay is ~5 micro-batches at ANY scale
-      // factor (footer-stats head read, no data scan): fixed steps either
-      // degenerate to one batch or drown the run in per-trigger overhead
-      val head = new graft.sources.FooterHeadTracker("event_id")
-        .maxValue(s, s"$dir/events.parquet").getOrElse(0L) /
-        graft.operators.EventLog.DefaultBlockSize
+      // chunk size from footer stats so the replay is ~5 micro-batches at
+      // ANY scale factor: fixed steps either degenerate to one batch or
+      // drown the run in per-trigger overhead
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$dir/events.parquet",
-        blockStep = math.max(1L, (head + 1) / 5), confirmations = 0L)
-      val win = graft.streaming.StreamOps
-        .tumblingWindowStreamEvicting(stream, 0L, 50L)
-      // the aggregation state is a few hundred window rows — 32 state
-      // partitions would write 32 state-store deltas per micro-batch for
-      // nothing; the state partition count is fixed at first start via
-      // shuffle.partitions, so scope a small value to this query
-      // the conf must stay at 4 until the FIRST micro-batch has planned
-      // (the engine snapshots it into the checkpoint's offset metadata,
-      // asynchronously after start) — restore only once the query is done
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = win.writeStream.format("memory").queryName("w1_evict_gate")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .option("checkpointLocation", ckpt)
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table("w1_evict_gate")
+        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        confirmations = 0L)
+      runStreamingGate(s, "w1_evict_gate",
+          graft.streaming.StreamOps.tumblingWindowStreamEvicting(stream, 0L, 50L))
         .withColumn("sum_value", col("sum_value").cast("double"))
     }),
 
@@ -267,26 +296,13 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$dir/events.parquet")
       ev.unionAll(ev).write.mode("overwrite").parquet(s"$scratch/events")
-      val head = new graft.sources.FooterHeadTracker("event_id")
-        .maxValue(s, s"$scratch/events").getOrElse(0L) /
-        graft.operators.EventLog.DefaultBlockSize
-      s.catalog.dropTempView("stream_dedup_sink")
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$scratch/events",
-        blockStep = math.max(1L, (head + 1) / 5), confirmations = 0L)
-      val dd = graft.streaming.StreamOps
-        .dedupStream(stream, Seq("event_id"), withinBlocks = 10L)
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = dd.writeStream.format("memory").queryName("stream_dedup_sink")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft_dd_ckpt").toString)
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table("stream_dedup_sink")
+        blockStep = fifthOfHead(s, s"$scratch/events"), confirmations = 0L)
+      runStreamingGate(s, "stream_dedup_sink",
+          graft.streaming.StreamOps.dedupStream(stream, Seq("event_id"),
+            withinBlocks = 10L),
+          scratch = Seq(scratch))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"))
     }),

@@ -25,8 +25,11 @@ object AbiRuntime {
     if (d.changePrecision(38, 0)) d else null
   }
 
-  /** Signed (two's-complement) int256 word → Decimal(38,0), null on overflow. */
+  /** Signed (two's-complement) int256 word → Decimal(38,0), null on overflow
+    * (and on an empty slice — a truncated word must not throw).
+    */
   def i256ToDecimal(bytes: Array[Byte]): Decimal = {
+    if (bytes.length == 0) return null
     val bi = new java.math.BigInteger(bytes)
     val d = Decimal(scala.math.BigDecimal(bi))
     if (d.changePrecision(38, 0)) d else null
@@ -46,15 +49,20 @@ object AbiRuntime {
     */
   def wordTailArray(data: Array[Byte], headIdx: Int,
       signed: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
-    def wordAsInt(pos: Int): Int = {
-      if (pos < 0 || pos + 32 > data.length) return -1
-      // low 4 bytes of the big-endian word; ABI offsets/lengths fit int
-      ((data(pos + 28) & 0xff) << 24) | ((data(pos + 29) & 0xff) << 16) |
-        ((data(pos + 30) & 0xff) << 8) | (data(pos + 31) & 0xff)
+    // bounds in LONG: a crafted offset near 2^31 would overflow an int
+    // `pos + 32` check and read out of bounds — the decode must null out,
+    // never throw
+    def wordAsInt(pos: Long): Int = {
+      if (pos < 0 || pos + 32L > data.length) return -1
+      val p = pos.toInt
+      // low 4 bytes of the big-endian word; ABI offsets/lengths fit int,
+      // and anything larger fails the long-bounds check above anyway
+      ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
+        ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
     }
-    val off = wordAsInt(headIdx * 32)
+    val off = wordAsInt(headIdx * 32L)
     if (off < 0) return null
-    val n0 = wordAsInt(off)
+    val n0 = wordAsInt(off.toLong)
     if (n0 < 0) return null
     val n = math.min(n0.toLong, math.max(0L, (data.length - off - 32L) / 32L)).toInt
     val out = new Array[Any](n)

@@ -89,10 +89,16 @@ object VectorRuntime {
     * finalizer keeps gram hashes well-mixed; 64-bit collisions are
     * negligible at corpus scale.
     */
-  def ngramHashes(tokenHashes: ArrayData, n: Int): ArrayData = {
+  def ngramHashes(tokenHashes: ArrayData, n: Int): ArrayData =
+    ngramHashes(tokenHashes, n, distinct = true)
+
+  /** `distinct = false` keeps every occurrence (multiplicity survives —
+    * needed by frequency analyses like the top-bigram mode).
+    */
+  def ngramHashes(tokenHashes: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = tokenHashes.numElements() - n + 1
     if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
-    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long](m * 2) else null
     val out = new Array[Long](m)
     var k = 0
     var i = 0
@@ -107,7 +113,7 @@ object VectorRuntime {
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^= z >>> 31
-      if (seen.add(z)) { out(k) = z; k += 1 }
+      if (seen == null || seen.add(z)) { out(k) = z; k += 1 }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -235,16 +241,17 @@ case class MinHashSig(child: Expression, numHashes: Int)
 /** `ngram_hashes(array<long>, n) → array<long>` — distinct sliding-window
   * gram hashes from token hashes.
   */
-case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorRuntime.ngramHashes(input.asInstanceOf[ArrayData], n)
+    VectorRuntime.ngramHashes(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.VectorRuntime.ngramHashes($c, $n)")
+      c => s"graft.functions.VectorRuntime.ngramHashes($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
@@ -314,6 +321,10 @@ object vec {
   def simHash64(hashes: Column): Column = wrap(SimHash64(ex(hashes)))
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     wrap(NgramHashes(ex(tokenHashes), n))
+
+  /** Every-occurrence variant (multiplicity survives for mode counts). */
+  def ngramHashesAll(tokenHashes: Column, n: Int): Column =
+    wrap(NgramHashes(ex(tokenHashes), n, distinct = false))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
   def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))
   def minHashSig(hashes: Column, numHashes: Int): Column =

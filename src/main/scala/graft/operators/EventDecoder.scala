@@ -67,16 +67,25 @@ object EventDecoder {
         // kernel call — the whole element loop stays compiled
         abi.wordTailArray(data, headIdx, signed = elemT.startsWith("int"))
       else {
+        // mirror the numeric kernel's defensive contract: a head or
+        // length word outside the blob → null array; a garbage claimed
+        // count is clamped to what the blob holds (sequence throws past
+        // ~2^31 elements, smaller garbage OOMs/emits junk)
         val off = abi.u256(word(data, headIdx)).cast("int")
-        val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
+        val headOk = length(data) >= lit((headIdx + 1) * 32) &&
+          off + lit(32) <= length(data)
+        val len = least(
+          abi.u256(substring(data, off + 1, lit(32))).cast("int"),
+          greatest(((length(data) - off - lit(32)) / 32).cast("int"), lit(0)))
         val sparkElemT = graft.model.EventSchema.sparkTypeOf(elemT)
         // sequence(0, -1) yields [0, -1] (descending step) — guard n = 0
-        when(len > 0,
+        when(headOk && len > 0,
           transform(sequence(lit(0), len - 1), i =>
             decodeStaticType(elemT,
               substring(data, off + 33 + i * 32, lit(32)))))
-          .otherwise(org.apache.spark.sql.functions.array().cast(
-            org.apache.spark.sql.types.ArrayType(sparkElemT)))
+          .otherwise(when(headOk && len === 0,
+            org.apache.spark.sql.functions.array().cast(
+              org.apache.spark.sql.types.ArrayType(sparkElemT))))
       }
     } else {
       val off = abi.u256(word(data, headIdx)).cast("int")

@@ -112,9 +112,13 @@ object TextOps {
     *  - `dup_word_frac` = (n_words − n_distinct_words) / n_words, fully
     *    row-local (array_distinct on the token array);
     *  - `top_bigram_frac` = max bigram multiplicity / (n_words − 1) —
-    *    the per-doc bigram mode needs a count, so bigrams explode into a
-    *    `(doc, bigram)` aggregation: the shuffle is keyed exactly like
-    *    the gram joins (doc-bounded fanout, scales by partitioning).
+    *    the per-doc bigram mode needs a count, so bigram HASHES explode
+    *    into a `(doc, bigram)` aggregation: tokens are string-hashed
+    *    once, the sliding combine runs in the native
+    *    [[graft.functions.NgramHashes]] kernel with multiplicity kept
+    *    (no gram strings materialize, the shuffle carries 64-bit keys),
+    *    and the shuffle is keyed exactly like the gram joins
+    *    (doc-bounded fanout, scales by partitioning).
     */
   def repetitionScores(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -123,8 +127,8 @@ object TextOps {
       .withColumn("n_words", size(col("ws")))
     val top = base.filter(col("n_words") >= 2)
       .select(col(idCol), explode(
-        transform(sequence(lit(0), col("n_words") - 2),
-          i => concat_ws(" ", slice(col("ws"), i + 1, lit(2))))).as("bigram"))
+        graft.functions.vec.ngramHashesAll(
+          transform(col("ws"), w => xxhash64(w)), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(max(col("cnt")).as("top_cnt"))
     base.join(top, Seq(idCol), "left")

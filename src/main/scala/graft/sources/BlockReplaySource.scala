@@ -85,11 +85,15 @@ private[graft] final class FooterHeadTracker(column: String) {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
     val files = listDataFiles(fs, p)
-    // bound the cache to the files that still exist: compacted/rotated/
-    // vacuumed files would otherwise pin entries forever — at 100 TB a
-    // long-lived tail sees millions of files come and go
+    // bound the cache to the files that still exist UNDER THIS ROOT:
+    // compacted/rotated/vacuumed files would otherwise pin entries
+    // forever — at 100 TB a long-lived tail sees millions of files come
+    // and go. Scoping the eviction to the root's prefix keeps a tracker
+    // shared across several tables from thrashing the others' entries.
     val live = files.iterator.map(_.getPath.toString).toSet
-    cache.filterInPlace((k, _) => live(k))
+    val rootPrefix = fs.makeQualified(p).toString
+    cache.filterInPlace((k, _) =>
+      live(k) || !(k == rootPrefix || k.startsWith(rootPrefix + "/")))
     val maxes = files.flatMap { st =>
       val key = st.getPath.toString
       cache.get(key) match {

@@ -135,6 +135,22 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out(1L).isEmpty)
     assert(out(2L).contains(Seq(42L)))
     assert(out(3L).isEmpty)
+
+    // the non-numeric (HOF) element path must clamp the same way: a
+    // garbage length must neither allocate nor read past the blob
+    val schemaA = EventSchema.parse("BadA(bytes32[] xs)")
+    val rawA = Seq(
+      (1L, schemaA.topic0, word("20") ++ word("7fffffff") ++ word("2a")),
+      (2L, schemaA.topic0, word("ffff")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outA = EventDecoder.decode(rawA, schemaA)
+      .select($"block_number", coalesce(size($"xs"), lit(-1)))
+      .as[(Long, Int)].collect().toMap
+    assert(outA(1L) == 1) // claimed 2^31-1 elements, blob holds 1
+    assert(outA(2L) == -1) // head offset outside the blob → null array
   }
 
   test("dynamic string param decodes from offset/len tail") {
