@@ -444,6 +444,24 @@ object SparkEntry {
       TextOps.packSequences(table(s, dir, "documents"),
         budget = 128L, shardSize = 16L)),
 
+    // Data-mixing selection: per predicted language, keep the 100
+    // highest-quality docs (rank by quality desc, id for determinism) —
+    // the stratified "mixing" step after cleaning. One shuffle keyed by
+    // language; ranks/ids only in the output, so it hash-matches.
+    "pipeline_mix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+        .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
+          "doc_id")
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pred_lang"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rank") <= 100)
+        .select(col("doc_id"), col("pred_lang"), col("rank").cast("bigint"))
+    }),
+
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
 
@@ -958,6 +976,37 @@ object SparkEntry {
          SELECT doc_id, shard, start_offset // 128 AS pack_in_shard,
            start_offset, n_tokens
          FROM c""",
+
+    "pipeline_mix" ->
+      """WITH v AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS v_en,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS v_de,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('le','la','les','et','est','un'))) AS BIGINT) AS v_fr,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('el','los','las','y','es','un'))) AS BIGINT) AS v_es,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('的','是','在','了','和'))) AS BIGINT) AS v_zh
+           FROM documents),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es AND v_en >= v_zh THEN 'en'
+                  WHEN v_de >= v_en AND v_de >= v_fr AND v_de >= v_es AND v_de >= v_zh THEN 'de'
+                  WHEN v_fr >= v_en AND v_fr >= v_de AND v_fr >= v_es AND v_fr >= v_zh THEN 'fr'
+                  WHEN v_es >= v_en AND v_es >= v_de AND v_es >= v_fr AND v_es >= v_zh THEN 'es'
+                  ELSE 'zh' END AS pred_lang
+           FROM v),
+         q AS (
+           SELECT doc_id,
+             0.4 * least(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE)
+                 / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS DOUBLE))
+             + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                 / CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE)) * 4.0, 1.0) AS quality
+           FROM documents),
+         r AS (
+           SELECT l.doc_id, pred_lang,
+             row_number() OVER (PARTITION BY pred_lang ORDER BY quality DESC, l.doc_id) AS rank
+           FROM lang l JOIN q ON l.doc_id = q.doc_id)
+         SELECT doc_id, pred_lang, rank FROM r WHERE rank <= 100""",
 
     "text_token_stats" ->
       """SELECT doc_id,

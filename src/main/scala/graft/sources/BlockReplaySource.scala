@@ -314,6 +314,12 @@ class BlockReplayStream(streamSchema: StructType, params: ReplayParams)
   * pruning is row-group-granular, so rows outside `[loId, hiId)` that share
   * a row group with in-range rows must be dropped here (executor-side,
   * streaming pass-through — no buffering).
+  *
+  * Null-key contract: a row with null `event_id` is dropped by the STREAM
+  * (it has no position on the total-order axis and is invisible to the
+  * footer-stats head) while a BATCH read of the same table keeps it in a
+  * null block group — batch↔stream comparisons over tables with null ids
+  * must account for that row, or enforce a NOT NULL key upstream.
   */
 private[sources] class BlockRangeReaderFactory(
     delegate: PartitionReaderFactory, fieldIdx: Int, loId: Long, hiId: Long)
