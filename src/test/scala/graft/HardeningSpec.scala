@@ -69,6 +69,23 @@ class HardeningSpec extends AnyFunSuite {
     assert(q3Plan.contains("BroadcastHashJoin"), "dim joins must broadcast")
     assert(!q3Plan.contains("SortMergeJoin"),
       "fact-dim join regressed to sort-merge")
+
+    // decontamination: benchmark grams broadcast (semi + anti), corpus
+    // never shuffled through a sort-merge join
+    val decon = SparkEntry.queries("decon_filter")(spark, "/root/testdata/sf0.01")
+    val dPlan = decon.queryExecution.executedPlan.toString
+    assert(dPlan.contains("BroadcastHashJoin") && dPlan.contains("LeftSemi"),
+      "benchmark grams must broadcast into the semi-join")
+    assert(dPlan.contains("LeftAnti") && !dPlan.contains("SortMergeJoin"),
+      "contaminated ids must broadcast into the anti-join")
+
+    // sequence packing: the prefix sum must be a PARTITIONED window —
+    // an unpartitioned running total collapses to a single partition
+    val pack = SparkEntry.queries("text_pack_sequences")(spark, "/root/testdata/sf0.01")
+    val pPlan = pack.queryExecution.executedPlan.toString
+    assert(pPlan.contains("Window"), "expected a window operator")
+    assert(!pPlan.contains("SinglePartition"),
+      "packing window regressed to a single global partition")
   }
 
   test("reorg guard: removed=true aborts the batch query, clean data passes") {
