@@ -445,21 +445,17 @@ object SparkEntry {
         budget = 128L, shardSize = 16L)),
 
     // Data-mixing selection: per predicted language, keep the 100
-    // highest-quality docs (rank by quality desc, id for determinism) —
-    // the stratified "mixing" step after cleaning. One shuffle keyed by
-    // language; ranks/ids only in the output, so it hash-matches.
+    // highest-quality docs (quality desc, id tiebreak) — the stratified
+    // "mixing" step after cleaning. Salted two-phase top-k: a hot
+    // stratum never serializes through one reducer the way a
+    // row_number window partitioned by language would.
     "pipeline_mix" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val scored = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
         .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
           "doc_id")
-      scored
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("pred_lang"))
-            .orderBy(col("quality").desc, col("doc_id"))))
-        .filter(col("rank") <= 100)
-        .select(col("doc_id"), col("pred_lang"), col("rank").cast("bigint"))
+      graft.operators.TopK.topKPerGroup(
+        scored, "pred_lang", "quality", "doc_id", k = 100)
     }),
 
     "text_token_stats" -> ((s, dir) =>

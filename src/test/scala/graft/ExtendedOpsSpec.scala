@@ -177,6 +177,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 7L, 2L)))
   }
 
+  test("salted top-k per group equals the window ranking") {
+    val rng = new scala.util.Random(7)
+    val d = (1L to 300L).map(i =>
+      (i, Seq("en", "de", "fr")(rng.nextInt(3)), rng.nextInt(50) / 10.0))
+      .toDF("doc_id", "lang", "score")
+    val got = graft.operators.TopK
+      .topKPerGroup(d, "lang", "score", "doc_id", k = 7, saltBuckets = 4)
+      .as[(Long, String, Long)].collect().toSet
+    val expected = d
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+          .orderBy($"score".desc, $"doc_id")))
+      .filter($"rank" <= 7)
+      .select($"doc_id", $"lang", $"rank".cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("fingerprint matches the rolling-hash definition") {
     def roll(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % TextOps.FpMod)
