@@ -25,7 +25,13 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
     "minhash_sig" -> (es => MinHashSig(es.head, litInt(es(1), "minhash_sig"))),
-    "ngram_hashes" -> (es => NgramHashes(es.head, litInt(es(1), "ngram_hashes"))))
+    "ngram_hashes" -> (es => NgramHashes(es.head, litInt(es(1), "ngram_hashes"),
+      distinct = if (es.length > 2) litBool(es(2), "ngram_hashes") else true)),
+    "token_counts" -> (es => TokenCounts(es.head)),
+    "rolling_fp" -> (es => RollingFp(es.head, litInt(es(1), "rolling_fp").toLong)),
+    "abi_word_tail_array" -> (es => WordTailArray(es.head,
+      litInt(es(1), "abi_word_tail_array"),
+      signed = if (es.length > 2) litBool(es(2), "abi_word_tail_array") else false)))
 
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: the count argument must be a literal")
@@ -34,6 +40,15 @@ object GraftFunctions {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: expected integer literal, got $other")
+    }
+  }
+
+  private def litBool(e: Expression, fn: String): Boolean = {
+    require(e.foldable, s"$fn: the flag argument must be a literal")
+    e.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected boolean literal, got $other")
     }
   }
 

@@ -106,12 +106,22 @@ class SessionSpec extends AnyFunSuite {
            cast(u256_to_decimal(unhex(repeat('00', 31) || 'ff')) as int) AS v,
            hex(keccak256(cast('' as binary))) AS k,
            vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
-           size(minhash_sig(array(1L, 2L), 16)) AS m""").head()
+           size(minhash_sig(array(1L, 2L), 16)) AS m,
+           token_counts('The quick, brown fox!') AS tc,
+           rolling_fp('ab', 1000000007) AS fp,
+           size(ngram_hashes(array(1L, 1L, 1L), 2, false)) AS ng,
+           cast(element_at(abi_word_tail_array(
+             unhex(repeat('00', 31) || '20' || repeat('00', 31) || '01'
+               || repeat('00', 31) || '2a'), 0), 1) as int) AS arr""").head()
     assert(r.getInt(0) == 255)
     assert(r.getString(1).toLowerCase ==
       "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
     assert(r.getDouble(2) == 11.0)
     assert(r.getInt(3) == 16)
+    assert(r.getSeq[Long](4) == Seq(4L, 6L))
+    assert(r.getLong(5) == 12805L)
+    assert(r.getInt(6) == 2) // multiplicity kept with distinct=false
+    assert(r.getInt(7) == 42)
   }
 
   test("sequencePattern: k-event runs counted per block") {
