@@ -53,6 +53,10 @@ object SparkEntry {
     * driver-visible mismatch. Fully declarative (two aggregates over a
     * semi/anti join — no driver-side collect); the raw pair / top-k
     * outputs stay available through the operator API and ExtendedOpsSpec.
+    * Join strategy is left to AQE on purpose: the pair sets are
+    * runtime-sized (tiny on fixtures, potentially huge on a full
+    * corpus), so a static broadcast hint would be wrong at one end or
+    * the other.
     */
   private def recallGate(exact: DataFrame, approx: DataFrame,
       keys: Seq[String], floor: Double, subset: Boolean = false): DataFrame = {
