@@ -311,6 +311,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // W1 extension — sliding windows (100 blocks, slide 25: 4× overlap)
+    "w1_sliding_window" -> ((s, dir) =>
+      EventLog.slidingWindow(events(s, dir), 0L, 100L, 25L)
+        .withColumn("sum_value", col("sum_value").cast("double"))),
+
     // W2 — per-block stepping, per-source groups
     "w2_per_block" -> ((s, dir) =>
       EventLog.perBlockBySource(events(s, dir), EventSources)),
@@ -839,6 +844,19 @@ object SparkEntry {
 
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+
+    "w1_sliding_window" ->
+      s"""WITH ev AS (
+           SELECT *, (block_number - 0) // 25 AS q, (block_number - 0) % 25 AS r
+           FROM ($EvKeys) WHERE block_number >= 0),
+         w AS (
+           SELECT ev.*, q - j AS window_id
+           FROM ev, unnest(generate_series(0, least(q, (100 - 1 - r) // 25))) AS t(j)
+           WHERE r <= 100 - 1)
+         SELECT window_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(block_number) AS window_from, max(block_number) AS window_to
+         FROM w GROUP BY 1""",
 
     "w2_per_block" ->
       s"""SELECT block_number,

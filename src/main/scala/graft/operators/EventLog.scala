@@ -271,6 +271,33 @@ object EventLog {
         max("block_number").as("window_to"))
   }
 
+  /** W1 extension — SLIDING block windows of `size` blocks every `slide`
+    * blocks starting at `from` (the reference has only tumbling; overlap
+    * comes free declaratively). Each block explodes into the ≤⌈size/slide⌉
+    * windows covering it, then one aggregation per window — the explode
+    * factor is the overlap ratio, bounded and row-local. All index
+    * arithmetic keeps numerators non-negative: integral division
+    * truncates toward zero in Spark but floors in some engines
+    * (DuckDB `//`), and the two only agree on non-negatives.
+    */
+  def slidingWindow(df: DataFrame, from: Long, size: Long, slide: Long): DataFrame = {
+    require(size >= 1 && slide >= 1)
+    // block b (relative: q·slide + r) is covered by windows q−j for
+    // j = 0..min(q, (size−1−r) div slide); r > size−1 ⇔ in a gap
+    // (only possible when slide > size)
+    val q = expr(s"(block_number - $from) DIV $slide")
+    val r = expr(s"(block_number - $from) % $slide")
+    val jmax = expr(s"($size - 1 - ((block_number - $from) % $slide)) DIV $slide")
+    df.filter(col("block_number") >= from && r <= size - 1)
+      .withColumn("window_id", explode(sequence(q - least(q, jmax), q)))
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,2)")).as("sum_value"),
+        min("block_number").as("window_from"),
+        max("block_number").as("window_to"))
+  }
+
   /** W2 — per-block stepping with per-source event groups (reference:
     * sink.rs:84-98): one row per block, one column per registered source.
     */

@@ -79,6 +79,29 @@ class EventLogSpec extends AnyFunSuite {
     assert(salted.schema("netflow").dataType == sumType)
   }
 
+  test("sliding windows: size==slide degenerates to tumbling; overlap covers each block size/slide times") {
+    val d = ev((0L until 200L).map(i => (i, 1L, "view", 1.0)): _*)
+    val tumb = EventLog.tumblingWindow(d, 0L, 10L)
+      .select($"window_id", $"n_events").as[(Long, Long)].collect().toSet
+    val degen = EventLog.slidingWindow(d, 0L, 10L, 10L)
+      .select($"window_id", $"n_events").as[(Long, Long)].collect().toSet
+    assert(degen == tumb)
+    // size=10, slide=5: every block in exactly 2 windows except the ramp-up
+    val sl = EventLog.slidingWindow(d, 0L, 10L, 5L)
+      .select($"window_id", $"n_events", $"window_from", $"window_to")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // blocks 0..19 (200 events / 10 per block): windows 0..3
+    assert(sl.map(_._1).toSeq == (0L to 3L))
+    assert(sl.head == ((0L, 100L, 0L, 9L)))   // ramp: blocks 0-9
+    assert(sl(1) == ((1L, 100L, 5L, 14L)))    // blocks 5-14
+    assert(sl(3) == ((3L, 50L, 15L, 19L)))    // tail: blocks 15-19
+    // gap case slide > size: blocks in the gap appear in no window
+    val gap = EventLog.slidingWindow(d, 0L, 5L, 10L)
+      .agg(org.apache.spark.sql.functions.sum($"n_events"))
+      .as[Long].collect().head
+    assert(gap == 100L * 10 / 10) // only blocks ≡ 0..4 (mod 10) covered
+  }
+
   test("hybrid phase split at head - confirmations (stream.rs:263-301)") {
     // blocks 0..4; head=4, confirmations=2 ⇒ historical ≤2, live 3..4
     val d = ev((0L until 50L).map(i => (i, 1L, "view", 0.0)): _*)
