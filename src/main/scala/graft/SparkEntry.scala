@@ -316,6 +316,24 @@ object SparkEntry {
       EventLog.slidingWindow(events(s, dir), 0L, 100L, 25L)
         .withColumn("sum_value", col("sum_value").cast("double"))),
 
+    // Session windows: per-user sessions split at gaps > 20 blocks
+    "w_sessionize" -> ((s, dir) =>
+      EventLog.sessionize(events(s, dir), 20L)),
+
+    // Sketch gate: approx_count_distinct vs the exact distinct count —
+    // the HLL++ result is engine-internal, so the query emits the exact
+    // count plus a relative-error verdict the oracle states (same
+    // pattern as the recall gates).
+    "agg_sketch_gate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.05).as("n_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.15).as("sketch_ok"))
+    }),
+
     // W2 — per-block stepping, per-source groups
     "w2_per_block" -> ((s, dir) =>
       EventLog.perBlockBySource(events(s, dir), EventSources)),
@@ -857,6 +875,26 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            min(block_number) AS window_from, max(block_number) AS window_to
          FROM w GROUP BY 1""",
+
+    "w_sessionize" ->
+      s"""WITH ev AS (
+           SELECT *, CASE WHEN block_number - lag(block_number) OVER
+               (PARTITION BY user_id ORDER BY block_number, log_index, event_id)
+               > 20 THEN 1 ELSE 0 END AS boundary
+           FROM ($EvKeys)),
+         s AS (
+           SELECT *, CAST(sum(boundary) OVER
+               (PARTITION BY user_id ORDER BY block_number, log_index, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+           FROM ev)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(block_number) AS session_from, max(block_number) AS session_to
+         FROM s GROUP BY 1, 2""",
+
+    "agg_sketch_gate" ->
+      """SELECT count(DISTINCT user_id) AS n_exact, true AS sketch_ok
+         FROM events""",
 
     "w2_per_block" ->
       s"""SELECT block_number,

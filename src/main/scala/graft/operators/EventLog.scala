@@ -298,6 +298,29 @@ object EventLog {
         max("block_number").as("window_to"))
   }
 
+  /** Session windows over the block axis: per key, consecutive events
+    * belong to one session until a gap of more than `gapBlocks` blocks;
+    * the classic lag + running-sum-of-boundaries construction, windowed
+    * BY KEY (a per-user timeline is small; the partition count is the
+    * key cardinality — never a global sort). Session ids are
+    * `(key, session_seq)` with per-session stats.
+    */
+  def sessionize(df: DataFrame, gapBlocks: Long,
+      keyCol: String = "user_id"): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("block_number"), col("log_index"), col("event_id"))
+    val newSession = when(
+      col("block_number") - lag(col("block_number"), 1).over(byKey)
+        > gapBlocks, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+        sum(newSession).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("block_number").as("session_from"),
+        max("block_number").as("session_to"))
+  }
+
   /** W2 — per-block stepping with per-source event groups (reference:
     * sink.rs:84-98): one row per block, one column per registered source.
     */

@@ -102,6 +102,21 @@ class EventLogSpec extends AnyFunSuite {
     assert(gap == 100L * 10 / 10) // only blocks ≡ 0..4 (mod 10) covered
   }
 
+  test("sessionize: gaps over the threshold split sessions per key") {
+    // user 1: blocks 0,1, 5 (gap 4 ≤ 5 → same), 20 (gap 15 > 5 → new)
+    // user 2: single event
+    val d = ev(
+      (0L, 1L, "view", 0.0), (10L, 1L, "view", 0.0), (50L, 1L, "view", 0.0),
+      (200L, 1L, "view", 0.0), (7L, 2L, "view", 0.0))
+    val out = EventLog.sessionize(d, gapBlocks = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, 0L)) == ((3L, 0L, 5L)))  // blocks 0,1,5 in one session
+    assert(out((1L, 1L)) == ((1L, 20L, 20L)))
+    assert(out((2L, 0L)) == ((1L, 0L, 0L)))
+    assert(out.size == 3)
+  }
+
   test("hybrid phase split at head - confirmations (stream.rs:263-301)") {
     // blocks 0..4; head=4, confirmations=2 ⇒ historical ≤2, live 3..4
     val d = ev((0L until 50L).map(i => (i, 1L, "view", 0.0)): _*)
