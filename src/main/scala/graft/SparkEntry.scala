@@ -334,6 +334,20 @@ object SparkEntry {
             / col("n_exact") <= 0.15).as("sketch_ok"))
     }),
 
+    // Sketch gate: approx_percentile vs the exact median — verdict-only
+    // output (exact percentile interpolation differs subtly between
+    // engines, so only the count crosses to the oracle).
+    "agg_percentile_gate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.agg(
+          count(lit(1)).as("n_values"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"))
+        .select(col("n_values"),
+          (abs(col("p50_approx") - col("p50_exact"))
+            / abs(col("p50_exact")) <= 0.05).as("sketch_ok"))
+    }),
+
     // W2 — per-block stepping, per-source groups
     "w2_per_block" -> ((s, dir) =>
       EventLog.perBlockBySource(events(s, dir), EventSources)),
@@ -895,6 +909,9 @@ object SparkEntry {
     "agg_sketch_gate" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS sketch_ok
          FROM events""",
+
+    "agg_percentile_gate" ->
+      """SELECT count(*) AS n_values, true AS sketch_ok FROM events""",
 
     "w2_per_block" ->
       s"""SELECT block_number,
