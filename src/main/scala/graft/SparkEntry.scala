@@ -330,8 +330,11 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_exact"),
           approx_count_distinct(col("user_id"), rsd = 0.05).as("n_approx"))
         .select(col("n_exact"),
-          (abs(col("n_approx") - col("n_exact")).cast("double")
-            / col("n_exact") <= 0.15).as("sketch_ok"))
+          // 0 distinct values ⇒ 0/0 = NaN (not null!) ⇒ a vacuous gate
+          // must read true, like recallGate
+          when(col("n_exact") === 0, lit(true))
+            .otherwise(abs(col("n_approx") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.15).as("sketch_ok"))
     }),
 
     // Sketch gate: approx_percentile vs the exact median — verdict-only
@@ -344,8 +347,14 @@ object SparkEntry {
           expr("percentile(value, 0.5)").as("p50_exact"),
           expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"))
         .select(col("n_values"),
-          (abs(col("p50_approx") - col("p50_exact"))
-            / abs(col("p50_exact")) <= 0.05).as("sketch_ok"))
+          // zero median ⇒ relative error undefined (fall back to an
+          // absolute check); empty input ⇒ nulls ⇒ vacuously true
+          coalesce(
+            when(abs(col("p50_exact")) > 0,
+              abs(col("p50_approx") - col("p50_exact"))
+                / abs(col("p50_exact")) <= 0.05)
+              .otherwise(abs(col("p50_approx") - col("p50_exact")) <= 1e-9),
+            lit(true)).as("sketch_ok"))
     }),
 
     // W2 — per-block stepping, per-source groups
@@ -490,14 +499,10 @@ object SparkEntry {
     // "mixing" step after cleaning. Salted two-phase top-k: a hot
     // stratum never serializes through one reducer the way a
     // row_number window partitioned by language would.
-    "pipeline_mix" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val scored = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
-        .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")),
-          "doc_id")
+    "pipeline_mix" -> ((s, dir) =>
       graft.operators.TopK.topKPerGroup(
-        scored, "pred_lang", "quality", "doc_id", k = 100)
-    }),
+        TextOps.langQuality(table(s, dir, "documents")),
+        "pred_lang", "quality", "doc_id", k = 100)),
 
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
@@ -700,6 +705,36 @@ object SparkEntry {
 
   private val Revenue =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** Shared oracle fragment: the composite quality formula over a raw
+    * `text` column (mirrors TextOps.qualityExpr — one definition, used by
+    * every oracle that scores quality inline).
+    */
+  private val QualitySql =
+    """0.4 * least(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * (1.0 - CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE)
+           / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS DOUBLE))
+       + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           / CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE)) * 4.0, 1.0)"""
+
+  /** Shared oracle fragments: per-language stopword vote columns over
+    * documents and the first-wins argmax (mirror TextOps.langId).
+    */
+  private val LangVotesCte =
+    """SELECT doc_id,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS v_en,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS v_de,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('le','la','les','et','est','un'))) AS BIGINT) AS v_fr,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('el','los','las','y','es','un'))) AS BIGINT) AS v_es,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('的','是','在','了','和'))) AS BIGINT) AS v_zh
+       FROM documents"""
+
+  private val LangCaseSql =
+    """CASE WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es AND v_en >= v_zh THEN 'en'
+            WHEN v_de >= v_en AND v_de >= v_fr AND v_de >= v_es AND v_de >= v_zh THEN 'de'
+            WHEN v_fr >= v_en AND v_fr >= v_de AND v_fr >= v_es AND v_fr >= v_zh THEN 'fr'
+            WHEN v_es >= v_en AND v_es >= v_de AND v_es >= v_fr AND v_es >= v_zh THEN 'es'
+            ELSE 'zh' END"""
 
   /** Unrolled min-label propagation steps for the dedup oracle (must
     * mirror `Dedup.clusterLabels` with maxIter rounds exactly).
@@ -984,12 +1019,7 @@ object SparkEntry {
     "pipeline_prep" ->
       s"""WITH q AS (
            SELECT doc_id FROM (
-             SELECT doc_id,
-               0.4 * least(CAST(len(regexp_extract_all(lower(text), '\\S+')) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE)
-                   / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS DOUBLE))
-               + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                   / CAST(len(regexp_extract_all(lower(text), '\\S+')) AS DOUBLE)) * 4.0, 1.0) AS quality
+             SELECT doc_id, $QualitySql AS quality
              FROM documents) WHERE quality >= 0.5),
          kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
          w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM kept),
@@ -1051,30 +1081,9 @@ object SparkEntry {
          FROM c""",
 
     "pipeline_mix" ->
-      """WITH v AS (
-           SELECT doc_id,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS v_en,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS v_de,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('le','la','les','et','est','un'))) AS BIGINT) AS v_fr,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('el','los','las','y','es','un'))) AS BIGINT) AS v_es,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('的','是','在','了','和'))) AS BIGINT) AS v_zh
-           FROM documents),
-         lang AS (
-           SELECT doc_id,
-             CASE WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es AND v_en >= v_zh THEN 'en'
-                  WHEN v_de >= v_en AND v_de >= v_fr AND v_de >= v_es AND v_de >= v_zh THEN 'de'
-                  WHEN v_fr >= v_en AND v_fr >= v_de AND v_fr >= v_es AND v_fr >= v_zh THEN 'fr'
-                  WHEN v_es >= v_en AND v_es >= v_de AND v_es >= v_fr AND v_es >= v_zh THEN 'es'
-                  ELSE 'zh' END AS pred_lang
-           FROM v),
-         q AS (
-           SELECT doc_id,
-             0.4 * least(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0, 1.0)
-             + 0.3 * (1.0 - CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE)
-                 / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS DOUBLE))
-             + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                 / CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE)) * 4.0, 1.0) AS quality
-           FROM documents),
+      s"""WITH v AS ($LangVotesCte),
+         lang AS (SELECT doc_id, $LangCaseSql AS pred_lang FROM v),
+         q AS (SELECT doc_id, $QualitySql AS quality FROM documents),
          r AS (
            SELECT l.doc_id, pred_lang,
              row_number() OVER (PARTITION BY pred_lang ORDER BY quality DESC, l.doc_id) AS rank
@@ -1089,20 +1098,9 @@ object SparkEntry {
          FROM documents""",
 
     "text_langid" ->
-      """WITH v AS (
-           SELECT doc_id,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS v_en,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS v_de,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('le','la','les','et','est','un'))) AS BIGINT) AS v_fr,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('el','los','las','y','es','un'))) AS BIGINT) AS v_es,
-             CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('的','是','在','了','和'))) AS BIGINT) AS v_zh
-           FROM documents)
+      s"""WITH v AS ($LangVotesCte)
          SELECT doc_id, v_en, v_de, v_fr, v_es, v_zh,
-           CASE WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es AND v_en >= v_zh THEN 'en'
-                WHEN v_de >= v_en AND v_de >= v_fr AND v_de >= v_es AND v_de >= v_zh THEN 'de'
-                WHEN v_fr >= v_en AND v_fr >= v_de AND v_fr >= v_es AND v_fr >= v_zh THEN 'fr'
-                WHEN v_es >= v_en AND v_es >= v_de AND v_es >= v_fr AND v_es >= v_zh THEN 'es'
-                ELSE 'zh' END AS pred_lang
+           $LangCaseSql AS pred_lang
          FROM v""",
 
     "text_quality" ->

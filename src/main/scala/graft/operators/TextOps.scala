@@ -66,15 +66,28 @@ object TextOps {
       votes(toks, ws).cast("bigint").as(s"v_$l")
     }
     val withVotes = df.select((col(idCol) +: voteCols): _*)
-    // argmax CASE chain, first-wins tiebreak — mirrored verbatim in oracle SQL
+    withVotes.withColumn("pred_lang", predLang)
+  }
+
+  /** Argmax CASE chain over the `v_<lang>` vote columns, first-wins
+    * tiebreak — mirrored verbatim in oracle SQL.
+    */
+  private def predLang: Column = {
     val langs = StopWords.map(_._1)
-    val pred = langs.init.foldRight(lit(langs.last)) { (l, els) =>
+    langs.init.foldRight(lit(langs.last)) { (l, els) =>
       val ge = langs.filter(_ != l)
         .map(o => col(s"v_$l") >= col(s"v_$o")).reduce(_ && _)
       when(ge, lit(l)).otherwise(els)
     }
-    withVotes.withColumn("pred_lang", pred)
   }
+
+  /** The composite quality formula over the double-typed count columns —
+    * fixed expression order so the IEEE result is engine-reproducible.
+    */
+  private def qualityExpr: Column =
+    lit(0.4) * least(col("n_ws") / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - col("n_punct") / col("n_bpe")) +
+      lit(0.3) * least((col("n_stop") / col("n_ws")) * lit(4.0), lit(1.0))
 
   /** Quality scoring: length/punctuation/stopword components folded into a
     * composite in a fixed expression order so the IEEE result is
@@ -97,11 +110,28 @@ object TextOps {
         least(col("n_ws") / lit(100.0), lit(1.0)).as("len_score"),
         (col("n_punct") / col("n_bpe")).as("punct_ratio"),
         (col("n_stop") / col("n_ws")).as("stop_ratio"),
-        (col("n_chars") / col("n_ws")).as("mean_token_len"))
-      .withColumn("quality",
-        lit(0.4) * col("len_score")
-          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
-          + lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)))
+        (col("n_chars") / col("n_ws")).as("mean_token_len"),
+        qualityExpr.as("quality"))
+  }
+
+  /** One-pass `(id, pred_lang, quality)` — data mixing needs both, and
+    * each is a row-local function of the text: computing them together
+    * avoids the second full scan and the id-keyed shuffle join that
+    * stitching [[langId]] to [[qualityScore]] would cost at corpus scale.
+    */
+  def langQuality(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val bpe = bpeTokens(col(textCol))
+    val voteCols = StopWords.map { case (l, ws) =>
+      votes(toks, ws).cast("bigint").as(s"v_$l")
+    }
+    df.select((col(idCol) +: voteCols) ++ Seq(
+        size(toks).cast("double").as("n_ws"),
+        size(bpe).cast("double").as("n_bpe"),
+        size(filter(bpe, t => t.rlike("^[^a-z0-9]$"))).cast("double").as("n_punct"),
+        votes(toks, StopWords.head._2).cast("double").as("n_stop")): _*)
+      .select(col(idCol), predLang.as("pred_lang"), qualityExpr.as("quality"))
   }
 
   /** Repetition scores (Gopher-rule style): per-doc duplicate-word

@@ -26,10 +26,16 @@ object TopK {
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int, saltBuckets: Int = 16): DataFrame = {
     require(k >= 1 && saltBuckets >= 1)
+    // enforce the id precondition distributed + fail-fast (the
+    // assertNoRemoved pattern): a null or negative id would silently
+    // corrupt the (score, -id) tiebreak ordering instead of erroring
+    val guarded = df.filter(
+      assert_true(col(idCol).isNotNull && col(idCol) >= 0,
+        lit(s"topKPerGroup: $idCol must be non-null and non-negative")).isNull)
     // struct sorts lexicographically: (score, -id) DESC ⇔ score desc,
     // id asc — exactly the window ordering this replaces
     val keyed = struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))
-    df.groupBy(col(groupCol),
+    guarded.groupBy(col(groupCol),
         pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("salt"))
       .agg(slice(sort_array(collect_list(keyed), asc = false), 1, k).as("top"))
       .groupBy(col(groupCol))

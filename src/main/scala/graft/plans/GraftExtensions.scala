@@ -28,7 +28,7 @@ object GraftFunctions {
     "ngram_hashes" -> (es => NgramHashes(es.head, litInt(es(1), "ngram_hashes"),
       distinct = if (es.length > 2) litBool(es(2), "ngram_hashes") else true)),
     "token_counts" -> (es => TokenCounts(es.head)),
-    "rolling_fp" -> (es => RollingFp(es.head, litInt(es(1), "rolling_fp").toLong)),
+    "rolling_fp" -> (es => RollingFp(es.head, litLong(es(1), "rolling_fp"))),
     "abi_word_tail_array" -> (es => WordTailArray(es.head,
       litInt(es(1), "abi_word_tail_array"),
       signed = if (es.length > 2) litBool(es(2), "abi_word_tail_array") else false)))
@@ -38,6 +38,16 @@ object GraftFunctions {
     e.eval() match {
       case i: Int  => i
       case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected integer literal, got $other")
+    }
+  }
+
+  private def litLong(e: Expression, fn: String): Long = {
+    require(e.foldable, s"$fn: the count argument must be a literal")
+    e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
       case other => throw new IllegalArgumentException(
         s"$fn: expected integer literal, got $other")
     }
