@@ -12,6 +12,10 @@ final case class EventParam(name: String, solType: String, indexed: Boolean) {
     case "int"  => "int256"
     case t if t.endsWith("[]") =>
       EventParam(name, t.dropRight(2), indexed).canonicalType + "[]"
+    case t if t.endsWith("]") =>
+      val open = t.lastIndexOf('[')
+      EventParam(name, t.substring(0, open), indexed).canonicalType +
+        t.substring(open)
     case other  => other
   }
 }
@@ -75,9 +79,20 @@ final case class EventSchema(
 }
 
 object EventSchema {
+  /** Fixed-size static array `T[k]` → (element type, k); None otherwise. */
+  def staticArrayOf(canonical: String): Option[(String, Int)] =
+    if (!canonical.endsWith("]") || canonical.endsWith("[]")) None
+    else {
+      val open = canonical.lastIndexOf('[')
+      Some((canonical.substring(0, open),
+        canonical.substring(open + 1, canonical.length - 1).toInt))
+    }
+
   /** Spark type for one canonical Solidity type (see `sparkType`). */
   def sparkTypeOf(solType: String): DataType = solType match {
     case t if t.endsWith("[]") => ArrayType(sparkTypeOf(t.dropRight(2)))
+    case t if staticArrayOf(t).isDefined =>
+      ArrayType(sparkTypeOf(staticArrayOf(t).get._1))
     case "address"             => BinaryType
     case "bool"                => BooleanType
     case "string"              => StringType
@@ -89,15 +104,23 @@ object EventSchema {
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
   // any uintN/intN accepted syntactically; width validated below (ABI:
   // multiples of 8 in 8..256 — e.g. uint24 in Uniswap V3's PoolCreated).
-  // `T[]` dynamic arrays of STATIC element types (address[], uint[],
-  // bool[], bytes32[]) are accepted; string[]/bytes[] (nested dynamic
-  // tails) are not — the grammar excludes them.
+  // Arrays of STATIC element types are accepted, both dynamic `T[]` and
+  // fixed-size `T[k]` (k ≥ 1); string[]/bytes[] (nested dynamic tails)
+  // are not — the grammar excludes them.
   private val TypeRe =
     ("(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?" +
-      "|(?:address|bool|bytes32|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[\\])").r
+      "|(?:address|bool|bytes32|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[[0-9]*\\])").r
 
   private def validWidth(t: String): Boolean = {
-    val digits = t.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+    val elem = t.indexOf('[') match {
+      case -1 => t
+      case i  =>
+        // fixed-size arrays must have k ≥ 1 ([] stays valid: dynamic)
+        val k = t.substring(i + 1, t.length - 1)
+        if (k.nonEmpty && k.toInt < 1) return false
+        t.substring(0, i)
+    }
+    val digits = elem.dropWhile(!_.isDigit).takeWhile(_.isDigit)
     digits.isEmpty || {
       val w = digits.toInt
       w >= 8 && w <= 256 && w % 8 == 0

@@ -50,6 +50,13 @@ object EventDecoder {
     t == "string" || t == "bytes" || t.endsWith("[]")
   }
 
+  /** ABI: ANY indexed array (fixed-size included) is stored as the keccak
+    * hash of its encoding — decode keeps the 32-byte topic, like the
+    * dynamic types.
+    */
+  private def indexedAsHash(p: EventParam): Boolean =
+    isDynamic(p) || p.canonicalType.endsWith("]")
+
   /** Decode a dynamic param whose head word sits at data word `headIdx`:
     * offset → `[len][payload]` in the data tail. For `T[]` (static `T`)
     * the tail is `[n][elem_0]…[elem_{n-1}]`, one word per element,
@@ -126,7 +133,7 @@ object EventDecoder {
     val t = p.canonicalType
     // arrays never get a twin: their lossless form is the raw `data`
     // blob itself, and a per-element twin array would double the schema
-    (t.startsWith("uint") || t.startsWith("int")) && !t.endsWith("[]") &&
+    (t.startsWith("uint") || t.startsWith("int")) && !t.contains("[") &&
       t.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt >= 128
   }
 
@@ -141,15 +148,25 @@ object EventDecoder {
     val topicBase = if (schema.anonymous) 0 else 1
     val indexed = schema.indexedParams.zipWithIndex.map { case (p, i) =>
       val t = topics(i + topicBase)
-      val typed = if (isDynamic(p)) t else decodeStatic(p, t)
+      val typed = if (indexedAsHash(p)) t else decodeStatic(p, t)
       p.name -> ((typed, if (needsRawTwin(p)) Some(t) else None))
     }.toMap
+    // running word offset into `data`: static scalars and dynamic HEADS
+    // take one word; a fixed-size static array `T[k]` is inlined as k
+    // consecutive words
     var dataWord = 0
     val fromData = schema.dataParams.map { p =>
       val w = word(data, dataWord)
-      val c =
-        if (isDynamic(p)) decodeDynamic(p, data, dataWord)
-        else decodeStatic(p, w)
+      val c = graft.model.EventSchema.staticArrayOf(p.canonicalType) match {
+        case Some((elemT, k)) =>
+          val arr = array((0 until k).map(i =>
+            decodeStaticType(elemT, word(data, dataWord + i))): _*)
+          dataWord += k - 1 // +1 below
+          arr
+        case None =>
+          if (isDynamic(p)) decodeDynamic(p, data, dataWord)
+          else decodeStatic(p, w)
+      }
       dataWord += 1
       p.name -> ((c, if (needsRawTwin(p)) Some(w) else None))
     }.toMap

@@ -153,6 +153,35 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(outA(2L) == -1) // head offset outside the blob → null array
   }
 
+  test("fixed-size static arrays are inlined words; later params keep their offset") {
+    // Pair(uint[2] xy, uint z): data = [xy0][xy1][z] — z must read word 2,
+    // not word 1 (the k-word inline advance)
+    val schema = EventSchema.parse("Pair(uint[2] xy, uint z)")
+    assert(schema.signature == "Pair(uint256[2],uint256)")
+    val raw = Seq((1L, schema.topic0, word("7") ++ word("9") ++ word("2a")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select(expr("transform(xy, x -> cast(x as long))"), $"z".cast("long"))
+      .as[(Seq[Long], Long)].collect().head
+    assert(out == ((Seq(7L, 9L), 42L)))
+    // no raw twin for array params, and none for the narrow inline words
+    assert(!EventDecoder.decode(raw, schema).columns.contains("xy_raw"))
+
+    // an INDEXED fixed-size array is stored hashed — decode keeps the topic
+    val schemaI = EventSchema.parse("Tagged(uint[2] indexed xs, uint v)")
+    val fakeHash = graft.model.Keccak256.hash("whatever")
+    val rawI = Seq((1L, schemaI.topic0, fakeHash, word("5")))
+      .toDF("block_number", "topic0", "topic1", "data")
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outI = EventDecoder.decode(rawI, schemaI)
+      .select($"xs", $"v".cast("long")).as[(Array[Byte], Long)].collect().head
+    assert(outI._1.toSeq == fakeHash.toSeq && outI._2 == 5L)
+  }
+
   test("dynamic string param decodes from offset/len tail") {
     val schema = EventSchema.parse("Note(address indexed who, string message)")
     val who = Hex.address("0x" + "33" * 20)
