@@ -205,6 +205,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows <= 4, s"state not evicted: $stateRows rows retained")
   }
 
+  test("dedupStream: duplicates inside the horizon drop, keys re-admit after expiry") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 20L, confirmations = 0L)
+    // event_type repeats in (almost) every block — the natural recurring
+    // key; horizon 5 blocks
+    val dd = StreamOps.dedupStream(stream, Seq("event_type"), withinBlocks = 5L)
+    val q = dd.writeStream.format("memory").queryName("dd_horizon")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("dd_horizon")
+      .select($"event_type", $"block_number")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val blocksPerType = batchEvents.select($"event_type", $"block_number")
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    emitted.foreach { case (t, blocks) =>
+      // bounded state means the key is NOT suppressed forever…
+      assert(blocks.size > 1, s"$t never re-admitted after state expiry")
+      // …but everything inside the horizon is deduped
+      assert(blocks.size < blocksPerType(t),
+        s"$t emitted every occurrence — nothing deduped")
+      // state expiry contract: re-emissions are > horizon blocks apart
+      blocks.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1) - w(0) > 5, s"$t re-emitted at gap ${w(1) - w(0)} ≤ horizon")
+      }
+    }
+    // dedup state stays bounded by the number of live keys, not by rows
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+    assert(stateRows <= 3 * emitted.size,
+      s"dedup state not evicting: $stateRows rows for ${emitted.size} keys")
+  }
+
   test("suffix reducer + NetflowState: monitor matches batch (A1/A2/B2)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 50L, confirmations = 0L)
