@@ -171,6 +171,34 @@ object VectorRuntime {
     acc
   }
 
+  /** Symmetric int-quantization round-trip stats in one pass:
+    * `scale = max|x| / levels`, each element quantized to
+    * `rint(x/scale)` and reconstructed; returns `(maxAbsError, scale)`.
+    * Never materializes the quantized array — the embedding-compression
+    * verifier needs only the error bound, and at corpus scale the second
+    * array per row is pure shuffle weight. `levels = 127` ⇒ int8.
+    */
+  def quantStats(a: ArrayData, aFloat: Boolean, levels: Int): ArrayData = {
+    val n = a.numElements()
+    def elem(i: Int): Double = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val ax = math.abs(elem(i)); if (ax > maxAbs) maxAbs = ax; i += 1
+    }
+    // all-zero vector: any positive scale round-trips exactly
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / levels
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = elem(i)
+      val err = math.abs(x - math.rint(x / scale) * scale)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(maxErr, scale))
+  }
+
   /** Count of equal slots between two signatures (Jaccard estimator). */
   def sigAgreement(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -293,6 +321,30 @@ case class RollingFp(child: Expression, mod: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `quant_stats(array<float|double>, levels) → array<double>(max_err, scale)`
+  * — symmetric int-quantization round-trip error in one compiled pass.
+  */
+case class QuantStats(child: Expression, levels: Int) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"quant_stats expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quant_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.quantStats(input.asInstanceOf[ArrayData], isFloat, levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.quantStats($c, $isFloat, $levels)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantStats =
+    copy(child = newChild)
+}
+
 /** `sig_agreement(array<long>, array<long>) → int`. */
 case class SigAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -331,4 +383,6 @@ object vec {
     wrap(MinHashSig(ex(hashes), numHashes))
   def sigAgreement(a: Column, b: Column): Column =
     wrap(SigAgreement(ex(a), ex(b)))
+  def quantStats(v: Column, levels: Int): Column =
+    wrap(QuantStats(ex(v), levels))
 }

@@ -419,4 +419,47 @@ object EventLog {
       count(col(keyCol)).as("n_addresses"),
       count(when(col("netflow") > 0, 1)).as("n_positive"),
       count(when(col("netflow") < 0, 1)).as("n_negative"))
+
+  /** As-of join (extension — no reference counterpart): attach to every
+    * left event the MOST RECENT right event at-or-before it in the log's
+    * total order, per key — "state as of this event" (price at trade time,
+    * last balance before a transfer). The natural lookup over a
+    * totally-ordered event log once two signatures are synced (J1/J4).
+    *
+    * Spark-first shape: an inequality join would plan as a broadcast
+    * nested loop (quadratic per key); a per-row subquery doesn't
+    * distribute at all. Instead both sides UNION into one stream tagged
+    * by side, and a single key-partitioned window ordered on the total
+    * order carries the latest right payload forward (`last(...,
+    * ignoreNulls)`) to each left row. ONE shuffle on the key, a linear
+    * sorted scan within partitions — the same shape as sessionize, so it
+    * survives 100× scale the same way. Ties on `orderCol` (impossible for
+    * event_id, defensive otherwise) resolve right-before-left, i.e.
+    * at-or-before semantics, matching DuckDB's `ASOF JOIN ... ON l.o >= r.o`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", orderCol: String = "event_id",
+      rightPayload: Seq[String] = Seq("value"),
+      matchedPrefix: String = "matched_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(
+      (col(orderCol).as(s"$matchedPrefix$orderCol") +:
+        rightPayload.map(c => col(c).as(s"$matchedPrefix$c"))): _*)
+    val l = left.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+      lit(1).as("__side"), lit(null).cast(
+        right.select(payload).schema.head.dataType).as("__asof"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val r = right.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+      lit(0).as("__side"), payload.as("__asof"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__o"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) ++
+        (s"$matchedPrefix$orderCol" +: rightPayload.map(matchedPrefix + _))
+          .map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

@@ -165,6 +165,26 @@ object Similarity {
     finally train.unpersist(blocking = false)
   }
 
+  /** Trained-quantizer cache, keyed by caller-supplied corpus identity +
+    * hyperparams. A real IVF deployment trains the coarse quantizer ONCE
+    * per corpus snapshot and serves every query from the trained index;
+    * the harness calls each registered query as an independent function,
+    * so without this the top-k and near-dup paths each retrain k-means on
+    * the same table. The key must change when the corpus does (callers
+    * pass path + file mtime/size — see SparkEntry.tableKey); `None`
+    * always retrains. Entries are nlist × dim doubles — negligible.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+
+  private def trainCentroidsCached(corpusKey: Option[String], corpus: DataFrame,
+      vecCol: String, nlist: Int, trainSample: Int): Array[Array[Double]] =
+    corpusKey match {
+      case None => trainCentroids(corpus, vecCol, nlist, trainSample)
+      case Some(k) => centroidCache.computeIfAbsent((k, nlist, trainSample),
+        _ => trainCentroids(corpus, vecCol, nlist, trainSample))
+    }
+
   /** Row-local nearest-centroid assignment: nlist squared-distance
     * expressions, argmin by struct-min (dist, list) — no UDF. Centroids
     * ride as literals.
@@ -184,9 +204,10 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusKey: Option[String] = None): DataFrame = {
     val nearestLists = this.nearestLists(
-      trainCentroids(corpus, vecCol, nlist, trainSample)) _
+      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)) _
 
     val c = corpus.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("cnrm"),
@@ -266,6 +287,24 @@ object Similarity {
       .dropDuplicates("v1", "v2")
   }
 
+  /** Int8 symmetric quantization round-trip check — the embedding
+    * compression step (4× smaller than float32) a large corpus runs
+    * before ANN indexing. Per vector: `scale = max|x|/127`, every element
+    * quantized to `rint(x/scale)` and reconstructed; emits the max
+    * reconstruction error, the scale, and the `quant_ok` bound check
+    * (error ≤ scale/2 by construction — a failed bound means the
+    * quantizer math broke, not the data). One compiled pass per row via
+    * [[graft.functions.QuantStats]]; no quantized array materializes.
+    */
+  def int8RoundTrip(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", levels: Int = 127): DataFrame =
+    df.select(col(idCol), vec.quantStats(col(vecCol), levels).as("qs"))
+      .select(col(idCol),
+        element_at(col("qs"), 1).as("max_err"),
+        element_at(col("qs"), 2).as("scale"),
+        (element_at(col("qs"), 1) <=
+          element_at(col("qs"), 2) * 0.5 + 1e-12).as("quant_ok"))
+
   /** IVF variant of near-dup pair generation: every vector joins its
     * `nprobe` nearest centroid lists (multi-assignment, so a pair split by
     * one list boundary still meets in a shared neighbor list), candidate
@@ -282,9 +321,10 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      corpusKey: Option[String] = None): DataFrame = {
     val nearestLists = this.nearestLists(
-      trainCentroids(df, vecCol, nlist, trainSample)) _
+      trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)) _
     val listed0 = df.select(
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))

@@ -204,6 +204,57 @@ object TextOps {
       .select(idCol, "shard", "pack_in_shard", "start_offset", "n_tokens")
   }
 
+  /** PII patterns shared by detection and redaction. Conservative,
+    * anchored shapes (na(t)ive email, NNN-NNNN phone, dotted-quad IPv4)
+    * written in the common Java-regex/RE2 subset — ASCII classes,
+    * non-capturing groups, ASCII `\b` — so Spark and the DuckDB oracle
+    * match byte-for-byte. Order matters for redaction (email first: its
+    * local part may contain digit runs the narrower patterns would see).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}(?:\\.[0-9]{1,3}){3}\\b", "<IP>"))
+
+  /** Redacted copy of `text`: every PII match replaced by its tag, in
+    * [[PiiPatterns]] order. Row-local regexp chain — stays in codegen.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, pat, tag)) =>
+      regexp_replace(t, lit(pat), lit(tag))
+    }
+
+  /** PII detection + redaction over a corpus: per-doc match counts for
+    * each pattern class plus the redacted text. The scrub step every
+    * training-data pipeline runs before release; row-local, so the only
+    * cost is the scan itself.
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val countCols = PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("bigint").as(s"n_$name")
+    }
+    df.select((col(idCol) +: countCols) :+
+      redactPii(col(textCol)).as("redacted"): _*)
+  }
+
+  /** Corpus vocabulary heavy-hitters: exact global top-k tokens by
+    * occurrence count with a total tiebreak (count desc, token asc) so
+    * the selected set is unique. The plan is the scalable shape:
+    * map-side partial counts → one shuffle on token → per-partition
+    * top-k merged on the driver (`TakeOrderedAndProject`), never a
+    * global sort. Token skew is exactly what partial aggregation eats —
+    * "the" partials combine before the shuffle.
+    */
+  def vocabTopK(df: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1)
+    df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
   /** Document fingerprint: rolling polynomial hash over the characters,
     * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
     * (the oracle replays the same fold), and row-local. Runs as the native

@@ -137,4 +137,25 @@ class EventLogSpec extends AnyFunSuite {
       (0L, "view", 1L), (0L, "click", 0L),
       (1L, "view", 0L), (1L, "click", 0L)))
   }
+
+  test("asofJoin attaches the latest right event at-or-before, per key") {
+    import org.apache.spark.sql.functions.col
+    // user 1: views at 0 and 20, purchases at 10 and 30 — each purchase
+    // sees the view just before it, never a later one; user 2's purchase
+    // at 5 precedes their only view at 7 → no match (null payload)
+    val d = ev(
+      (0L, 1L, "view", 1.0), (10L, 1L, "purchase", 9.0),
+      (20L, 1L, "view", 2.0), (30L, 1L, "purchase", 9.0),
+      (5L, 2L, "purchase", 9.0), (7L, 2L, "view", 3.0))
+    val out = EventLog.asofJoin(
+        d.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        d.filter(col("event_type") === "view"))
+      .select("event_id", "matched_event_id", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (10L, Some(0L), Some(1.0)),
+      (30L, Some(20L), Some(2.0)),
+      (5L, None, None)))
+  }
 }

@@ -287,4 +287,40 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF near-dup recall $recall on ${brute.size} pairs")
     info(s"IVF near-dup recall = $recall (nlist=8, nprobe=3)")
   }
+
+  test("piiRedact counts and redacts emails, phones, IPv4s; clean text untouched") {
+    val d = Seq(
+      (1L, "reach me at a.b+c@mail-host.org or 555-0199 from 10.0.3.77 ok"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(d)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L,
+      "reach me at <EMAIL> or <PHONE> from <IP> ok")))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+  }
+
+  test("vocabTopK: exact counts, count-desc/token-asc tiebreak, limit honored") {
+    val d = Seq((1L, "B a a"), (2L, "c b A")).toDF("doc_id", "text")
+    // lowercased: a×3, b×2, c×1
+    val out = TextOps.vocabTopK(d, 2).as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("int8 round-trip: error ≤ scale/2, zero vector exact, scale = max|x|/127") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.int8RoundTrip(d)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.forall(_._4), "quant_ok must hold by construction")
+    assert(out(1L)._3 === 1.0 / 127)
+    assert(out(1L)._2 <= out(1L)._3 / 2 + 1e-12)
+    assert(out(2L)._2 == 0.0)
+    // the gate also holds corpus-wide on the fixture embeddings
+    val all = Similarity.int8RoundTrip(emb).agg(min($"quant_ok"))
+      .as[Boolean].collect().head
+    assert(all)
+  }
 }
