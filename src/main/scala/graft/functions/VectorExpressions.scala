@@ -171,6 +171,50 @@ object VectorRuntime {
     acc
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS scheme): slide a `w`-gram window over the
+    * ORDERED gram-hash sequence, keep each window's minimum hash
+    * (rightmost on ties — the robust-winnowing rule); any token run of
+    * ≥ w+n−1 shared tokens between two documents is guaranteed to share
+    * a selected fingerprint. Returns the DISTINCT selected hashes.
+    * O(n) via a monotonic deque; popping `>=` keeps the newest of equal
+    * values, which IS the rightmost-min tie rule.
+    */
+  def winnowHashes(gramHashes: ArrayData, w: Int): ArrayData = {
+    val n = gramHashes.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val win = math.max(w, 1)
+    if (n <= win) {
+      // shorter than one window: keep the global min so every non-empty
+      // doc carries at least one fingerprint
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val h = gramHashes.getLong(i); if (h < m) m = h; i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(m))
+    }
+    val idx = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]
+    val sel = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val h = gramHashes.getLong(i)
+      while (tail > head && gramHashes.getLong(idx(tail - 1)) >= h) tail -= 1
+      idx(tail) = i; tail += 1
+      if (idx(head) <= i - win) head += 1
+      if (i >= win - 1) {
+        val m = gramHashes.getLong(idx(head))
+        if (seen.add(m)) { sel(k) = m; k += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(sel, k))
+  }
+
   /** Symmetric int-quantization round-trip stats in one pass:
     * `scale = max|x| / levels`, each element quantized to
     * `rint(x/scale)` and reconstructed; returns `(maxAbsError, scale)`.
@@ -321,6 +365,24 @@ case class RollingFp(child: Expression, mod: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `winnow_hashes(array<long>, w) → array<long>` — distinct winnowing
+  * fingerprints over ordered gram hashes (MOSS scheme).
+  */
+case class WinnowHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.winnowHashes(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.winnowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
 /** `quant_stats(array<float|double>, levels) → array<double>(max_err, scale)`
   * — symmetric int-quantization round-trip error in one compiled pass.
   */
@@ -385,4 +447,6 @@ object vec {
     wrap(SigAgreement(ex(a), ex(b)))
   def quantStats(v: Column, levels: Int): Column =
     wrap(QuantStats(ex(v), levels))
+  def winnowHashes(gramHashes: Column, w: Int): Column =
+    wrap(WinnowHashes(ex(gramHashes), w))
 }

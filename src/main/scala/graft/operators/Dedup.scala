@@ -203,6 +203,57 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS-style substring dedup)
+  // -------------------------------------------------------------------
+
+  /** Distinct winnowing fingerprints per document (Schleimer, Wilkerson
+    * & Aiken 2003 — the MOSS scheme): ordered word n-gram hashes →
+    * sliding `window`-min selection in the native
+    * [[graft.functions.WinnowHashes]] kernel. Any shared token run of
+    * length ≥ window+n−1 is GUARANTEED to surface a shared fingerprint,
+    * and only ~2/(window+1) of grams are kept — the standard
+    * fingerprint-density/detection-length tradeoff. Complements
+    * MinHash (which estimates whole-document Jaccard): winnowing
+    * catches partial containment — a paragraph copied into an
+    * otherwise-different document.
+    */
+  def winnowFingerprints(df: DataFrame, n: Int = 3, window: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.vec.winnowHashes(
+        graft.functions.vec.ngramHashesAll(
+          transform(TextOps.wsTokens(col(textCol)), w => xxhash64(w)), n),
+        window)).as("fp"))
+
+  /** Winnowing candidate pairs: docs sharing ≥ `minShared` selected
+    * fingerprints. Same scale shape as the gram join — fingerprints are
+    * row-local, the per-fingerprint self-join is the only shuffle, and
+    * `maxFpDf` caps corpus-hot fingerprints (boilerplate runs) exactly
+    * like the gram-df stopword guard. Fingerprint density is
+    * ~2/(window+1) of the gram join's, so the shuffle is ~(window+1)/2×
+    * smaller at the same corpus — the reason winnowing is the standard
+    * at-scale substring-dedup scheme.
+    */
+  def winnowPairs(df: DataFrame, n: Int = 3, window: Int = 4,
+      minShared: Int = 2, maxFpDf: Option[Int] = Some(64),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(df, n, window, textCol, idCol)
+    val filtered = maxFpDf match {
+      case Some(cap) =>
+        val freq = fps.groupBy("fp").agg(count(lit(1)).as("fp_df"))
+          .filter(col("fp_df") <= cap)
+        fps.join(freq, "fp").select("doc_id", "fp")
+      case None => fps
+    }
+    filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // -------------------------------------------------------------------
   // Cluster resolution: pairs → representatives
   // -------------------------------------------------------------------
 

@@ -255,6 +255,24 @@ object TextOps {
       .limit(k)
   }
 
+  /** Deterministic train/eval split: each row's split label is a pure
+    * function of its key — `xxhash64(key, salt) mod 1000 < evalPerMille`
+    * sends that fraction of the hash space to 'eval'. Unlike
+    * `randomSplit` (whose assignment depends on partition layout and
+    * sampler state) this is reproducible across runs, machines and
+    * repartitionings, and STABLE UNDER CORPUS GROWTH: adding documents
+    * never reassigns existing ones — the property a 100 TB pipeline
+    * needs so yesterday's eval docs can't leak into today's train set.
+    * Row-local, zero shuffle.
+    */
+  def hashSplit(df: DataFrame, evalPerMille: Int,
+      keyCol: String = "doc_id", salt: Long = 42L): DataFrame = {
+    require(evalPerMille >= 0 && evalPerMille <= 1000)
+    df.withColumn("split",
+      when(pmod(xxhash64(col(keyCol), lit(salt)), lit(1000)) < evalPerMille,
+        lit("eval")).otherwise(lit("train")))
+  }
+
   /** Document fingerprint: rolling polynomial hash over the characters,
     * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
     * (the oracle replays the same fold), and row-local. Runs as the native

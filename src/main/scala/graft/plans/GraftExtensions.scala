@@ -31,7 +31,9 @@ object GraftFunctions {
     "rolling_fp" -> (es => RollingFp(es.head, litLong(es(1), "rolling_fp"))),
     "abi_word_tail_array" -> (es => WordTailArray(es.head,
       litInt(es(1), "abi_word_tail_array"),
-      signed = if (es.length > 2) litBool(es(2), "abi_word_tail_array") else false)))
+      signed = if (es.length > 2) litBool(es(2), "abi_word_tail_array") else false)),
+    "quant_stats" -> (es => QuantStats(es.head, litInt(es(1), "quant_stats"))),
+    "winnow_hashes" -> (es => WinnowHashes(es.head, litInt(es(1), "winnow_hashes"))))
 
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: the count argument must be a literal")

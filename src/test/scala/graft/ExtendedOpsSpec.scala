@@ -288,6 +288,57 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"IVF near-dup recall = $recall (nlist=8, nprobe=3)")
   }
 
+  test("winnowHashes: sliding window-min, distinct, short-doc global min") {
+    val d = Seq(
+      (1L, Seq(5L, 3L, 8L, 1L, 9L, 2L)), // w=3 mins: 3,1,1,1 → {3,1}
+      (2L, Seq(7L, 6L)),                 // shorter than window → global min
+      (3L, Seq.empty[Long])
+    ).toDF("id", "hashes")
+    val out = d.select($"id",
+        graft.functions.vec.winnowHashes($"hashes", 3).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(3L, 1L))
+    assert(out(2L) == Seq(6L))
+    assert(out(3L).isEmpty)
+  }
+
+  test("winnowing guarantee: a shared run of ≥ window+n−1 tokens is detected") {
+    // docs share a 6-token sentence (= window+n−1 with n=3, window=4)
+    // embedded in otherwise fully distinct text
+    val d = Seq(
+      (1L, "alpha beta gamma the quick brown fox jumps over delta epsilon"),
+      (2L, "one two three four the quick brown fox jumps over five six seven"),
+      (3L, "nothing in common with anybody else at all")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, n = 3, window = 4, minShared = 1)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnow candidates cover the exact Jaccard near-dup pairs on the fixture") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val winnow = Dedup.winnowPairs(docs, n = 3, window = 4, minShared = 2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val recall = exact.count(winnow.contains).toDouble / exact.size
+    assert(recall >= 0.95, s"winnow recall $recall on ${exact.size} pairs")
+  }
+
+  test("hashSplit: deterministic, partition-invariant, growth-stable, near target") {
+    val split1 = TextOps.hashSplit(docs, evalPerMille = 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val split2 = TextOps.hashSplit(docs.repartition(7), evalPerMille = 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split1 == split2, "assignment must not depend on partitioning")
+    // growth stability: splitting a subset assigns the same labels
+    val sub = TextOps.hashSplit(docs.filter($"doc_id" < 20), evalPerMille = 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => split1(id) == s })
+    val frac = split1.values.count(_ == "eval").toDouble / split1.size
+    assert(frac > 0.03 && frac < 0.2, s"eval fraction $frac far off 10%")
+  }
+
   test("piiRedact counts and redacts emails, phones, IPv4s; clean text untouched") {
     val d = Seq(
       (1L, "reach me at a.b+c@mail-host.org or 555-0199 from 10.0.3.77 ok"),
