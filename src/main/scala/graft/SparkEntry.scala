@@ -540,6 +540,15 @@ object SparkEntry {
         TextOps.langQuality(table(s, dir, "documents")),
         "pred_lang", "quality", "doc_id", k = 100)),
 
+    // Mixture weights over predicted language (α = 1/2 temperature
+    // upsampling): counts, normalized weights, repeat factors — the
+    // numbers a data-mixing scheduler feeds the trainer.
+    "pipeline_mixture" -> ((s, dir) =>
+      TextOps.mixtureWeights(
+        TextOps.langId(table(s, dir, "documents"))
+          .select(col("doc_id"), col("pred_lang")),
+        "pred_lang", targetDocs = 10000L)),
+
     // Deterministic held-out split: the assignment hash is
     // engine-internal (xxhash64), so the gate emits the oracle-able
     // total plus an eval-fraction tolerance verdict; determinism and
@@ -1259,6 +1268,20 @@ object SparkEntry {
 
     "pipeline_split_gate" ->
       """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",
+
+    "pipeline_mixture" ->
+      s"""WITH v AS ($LangVotesCte),
+         lang AS (SELECT doc_id, $LangCaseSql AS pred_lang FROM v),
+         c AS (SELECT pred_lang, count(*) AS n_docs FROM lang GROUP BY 1),
+         wsum AS (
+           SELECT pred_lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (
+               ORDER BY pred_lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_total
+           FROM c)
+         SELECT pred_lang, n_docs, w_raw / w_total AS weight,
+           CAST(ceil(10000.0 * (w_raw / w_total) / n_docs) AS BIGINT) AS n_epochs
+         FROM wsum""",
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -255,6 +255,35 @@ object TextOps {
       .limit(k)
   }
 
+  /** Temperature-scaled mixture weights (the multilingual/domain mixing
+    * rule: sample group i proportionally to `n_i^alpha`, here α = 1/2 so
+    * low-resource groups are upsampled): per group, the document count,
+    * its normalized sampling weight, and the repeat factor (`n_epochs`)
+    * needed to hit `targetDocs` total samples at that weight.
+    *
+    * Scale/parity shape: one group-count aggregation (the corpus-sized
+    * shuffle), then all arithmetic runs over the tiny per-group table.
+    * The weight denominator folds in DETERMINISTIC group order (a
+    * whole-frame window sum over `ORDER BY group`) rather than an
+    * unordered aggregate — IEEE addition is order-sensitive, and the
+    * oracle replays the same ordered fold bit-for-bit. The single
+    * partition this forces holds #groups rows (languages/domains — small
+    * by definition), never corpus rows.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String,
+      targetDocs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(groupCol))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt(col("n_docs").cast("double")))
+      .withColumn("weight", col("w_raw") / sum(col("w_raw")).over(w))
+      .withColumn("n_epochs",
+        ceil(lit(targetDocs.toDouble) * col("weight") / col("n_docs"))
+          .cast("bigint"))
+      .select(groupCol, "n_docs", "weight", "n_epochs")
+  }
+
   /** Deterministic train/eval split: each row's split label is a pure
     * function of its key — `xxhash64(key, salt) mod 1000 < evalPerMille`
     * sends that fraction of the hash space to 'eval'. Unlike

@@ -325,6 +325,20 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"winnow recall $recall on ${exact.size} pairs")
   }
 
+  test("mixtureWeights: sqrt-temperature weights normalize; epochs hit the target") {
+    val d = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 90) "en" else "de")).toDF("doc_id", "pred_lang")
+    val out = TextOps.mixtureWeights(d, "pred_lang", targetDocs = 1000L)
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val (wEn, wDe) = (math.sqrt(90.0), math.sqrt(10.0))
+    assert(out("en")._2 == 90L && out("de")._2 == 10L)
+    assert(math.abs(out("en")._3 - wEn / (wEn + wDe)) < 1e-12)
+    assert(math.abs(out("en")._3 + out("de")._3 - 1.0) < 1e-12)
+    // α=1/2 upsamples the low-resource group: more epochs per doc
+    assert(out("de")._4 > out("en")._4)
+    assert(out("de")._4 == math.ceil(1000.0 * out("de")._3 / 10.0).toLong)
+  }
+
   test("hashSplit: deterministic, partition-invariant, growth-stable, near target") {
     val split1 = TextOps.hashSplit(docs, evalPerMille = 100)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
