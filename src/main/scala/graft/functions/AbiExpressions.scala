@@ -75,6 +75,41 @@ object AbiRuntime {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Non-numeric `T[]` tail decode, same defensive bounds/clamp contract
+    * as [[wordTailArray]]: kind 0 = address (bytes 12..32 of each word),
+    * 1 = bytes32 (the raw word), 2 = bool (word ≠ 0).
+    */
+  def wordTailSliceArray(data: Array[Byte], headIdx: Int,
+      kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    def wordAsInt(pos: Long): Int = {
+      if (pos < 0 || pos + 32L > data.length) return -1
+      val p = pos.toInt
+      ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
+        ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
+    }
+    val off = wordAsInt(headIdx * 32L)
+    if (off < 0) return null
+    val n0 = wordAsInt(off.toLong)
+    if (n0 < 0) return null
+    val n = math.min(n0.toLong, math.max(0L, (data.length - off - 32L) / 32L)).toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val start = off + 32 + i * 32
+      out(i) = kind match {
+        case 0 => java.util.Arrays.copyOfRange(data, start + 12, start + 32)
+        case 1 => java.util.Arrays.copyOfRange(data, start, start + 32)
+        case 2 =>
+          var nz = false
+          var j = start
+          while (j < start + 32 && !nz) { nz = data(j) != 0; j += 1 }
+          nz
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** ABI u256 word → Decimal(38,0) as a native Catalyst expression
@@ -178,6 +213,44 @@ case class WordTailArray(child: Expression, headIdx: Int, signed: Boolean)
     copy(child = newChild)
 }
 
+/** Non-numeric twin of [[WordTailArray]] for `address[]` / `bytes32[]` /
+  * `bool[]` tails — the remaining interpreted `transform(sequence(…))`
+  * decode path moved into one compiled runtime call.
+  */
+case class WordTailSliceArray(child: Expression, headIdx: Int, kind: String)
+    extends UnaryExpression {
+  private val kindCode: Int = kind match {
+    case "address" => 0
+    case "bytes32" => 1
+    case "bool"    => 2
+    case other => throw new IllegalArgumentException(
+      s"abi_word_tail_slice_array: unsupported element kind $other")
+  }
+  override def dataType: DataType =
+    if (kind == "bool") ArrayType(BooleanType) else ArrayType(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_word_tail_slice_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.wordTailSliceArray(input.asInstanceOf[Array[Byte]], headIdx, kindCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.wordTailSliceArray(
+          ${c.value}, $headIdx, $kindCode);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordTailSliceArray =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the ABI expressions. */
 object abi {
   private def wrap(e: Expression): Column = GraftColumnShim.column(e)
@@ -190,6 +263,10 @@ object abi {
   /** Numeric `T[]` dynamic tail (head word at `headIdx`) → ARRAY<DECIMAL>. */
   def wordTailArray(data: Column, headIdx: Int, signed: Boolean): Column =
     wrap(WordTailArray(ex(data), headIdx, signed))
+
+  /** `address[]`/`bytes32[]`/`bool[]` dynamic tail → typed array. */
+  def wordTailSliceArray(data: Column, headIdx: Int, kind: String): Column =
+    wrap(WordTailSliceArray(ex(data), headIdx, kind))
 
   /** 20-byte address literal from hex — the reference's `address()` util
     * as a Column (eth_event_stream/src/lib.rs:7-15).

@@ -73,11 +73,15 @@ object EventDecoder {
         // the common case (amounts, ids) decodes through one native
         // kernel call — the whole element loop stays compiled
         abi.wordTailArray(data, headIdx, signed = elemT.startsWith("int"))
+      else if (elemT == "address" || elemT == "bytes32" || elemT == "bool")
+        // every remaining static element kind has its native tail kernel
+        abi.wordTailSliceArray(data, headIdx, elemT)
       else {
-        // mirror the numeric kernel's defensive contract: a head or
-        // length word outside the blob → null array; a garbage claimed
-        // count is clamped to what the blob holds (sequence throws past
-        // ~2^31 elements, smaller garbage OOMs/emits junk)
+        // defensive interpreted fallback for element types a future
+        // schema parser might admit; mirrors the kernels' contract: a
+        // head or length word outside the blob → null array; a garbage
+        // claimed count is clamped to what the blob holds (sequence
+        // throws past ~2^31 elements, smaller garbage OOMs/emits junk)
         val off = abi.u256(word(data, headIdx)).cast("int")
         val headOk = length(data) >= lit((headIdx + 1) * 32) &&
           off + lit(32) <= length(data)

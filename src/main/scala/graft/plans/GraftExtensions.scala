@@ -33,7 +33,10 @@ object GraftFunctions {
       litInt(es(1), "abi_word_tail_array"),
       signed = if (es.length > 2) litBool(es(2), "abi_word_tail_array") else false)),
     "quant_stats" -> (es => QuantStats(es.head, litInt(es(1), "quant_stats"))),
-    "winnow_hashes" -> (es => WinnowHashes(es.head, litInt(es(1), "winnow_hashes"))))
+    "winnow_hashes" -> (es => WinnowHashes(es.head, litInt(es(1), "winnow_hashes"))),
+    "abi_word_tail_slice_array" -> (es => WordTailSliceArray(es.head,
+      litInt(es(1), "abi_word_tail_slice_array"),
+      litString(es(2), "abi_word_tail_slice_array"))))
 
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: the count argument must be a literal")
@@ -52,6 +55,16 @@ object GraftFunctions {
       case l: Long => l
       case other => throw new IllegalArgumentException(
         s"$fn: expected integer literal, got $other")
+    }
+  }
+
+  private def litString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: the kind argument must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected string literal, got $other")
     }
   }
 

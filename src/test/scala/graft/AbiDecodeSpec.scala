@@ -153,6 +153,21 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(outA(2L) == -1) // head offset outside the blob → null array
   }
 
+  test("bool[] tails decode through the slice kernel: nonzero word → true") {
+    val schema = EventSchema.parse("Flags(bool[] fs)")
+    // [head=0x20][n=3][0][1][2^255-ish high bit] — any nonzero byte is true
+    val high = Array.fill[Byte](32)(0); high(0) = 1
+    val raw = Seq(
+      (1L, schema.topic0, word("20") ++ word("3") ++ word("0") ++ word("1") ++ high))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"fs").as[Seq[Boolean]].collect().head
+    assert(out == Seq(false, true, true))
+  }
+
   test("fixed-size static arrays are inlined words; later params keep their offset") {
     // Pair(uint[2] xy, uint z): data = [xy0][xy1][z] — z must read word 2,
     // not word 1 (the k-word inline advance)
