@@ -317,12 +317,34 @@ object SparkEntry {
       // fixture's mtime+size (stale copies are never reused) and one dir
       // per fixture version bounds /tmp growth; it is therefore NOT
       // deleted after the run, unlike the per-run checkpoint.
+      val pathPart = s"$dir/events.parquet".replaceAll("[^A-Za-z0-9]", "_")
       val scratch = "/tmp/graft_dd_cache_" +
         tableKey(s, s"$dir/events.parquet").replaceAll("[^A-Za-z0-9]", "_")
       val ev = s.read.parquet(s"$dir/events.parquet")
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$scratch/events/_SUCCESS")))
-        ev.unionAll(ev).write.mode("overwrite").parquet(s"$scratch/events")
+          java.nio.file.Paths.get(s"$scratch/events/_SUCCESS"))) {
+        // populate ATOMICALLY: write into a run-private temp sibling and
+        // rename into place, so a concurrent run against the same fixture
+        // either wins the rename or discards its copy — never two writers
+        // interleaving inside one directory. Then prune cache dirs for
+        // OLDER versions of this fixture path (the mtime+size key changes
+        // on regeneration and nothing else evicts them).
+        val tmp = s"$scratch.tmp.${java.util.UUID.randomUUID}"
+        ev.unionAll(ev).write.mode("overwrite").parquet(s"$tmp/events")
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(scratch),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // lost the race (or target appeared) — keep the winner's copy
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        }
+        val stale = new java.io.File("/tmp").listFiles()
+        if (stale != null) stale
+          .filter(f => f.getName.startsWith(s"graft_dd_cache_$pathPart") &&
+            f.getAbsolutePath != scratch &&
+            !f.getName.contains(".tmp."))
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      }
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$scratch/events",
         blockStep = fifthOfHead(s, s"$scratch/events"), confirmations = 0L)

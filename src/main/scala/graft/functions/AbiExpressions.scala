@@ -37,6 +37,17 @@ object AbiRuntime {
 
   def keccak256(bytes: Array[Byte]): Array[Byte] = Keccak256.hash(bytes)
 
+  /** ABI bool word → any nonzero byte. The same test the `bool[]` tail
+    * kernel applies per element ([[wordTailSliceArray]] kind 2) — the
+    * scalar path must not differ (a high-bit garbage word through a
+    * Decimal(38,0) cast would null out where the array yields true).
+    */
+  def wordNonZero(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) != 0) return true; i += 1 }
+    false
+  }
+
   /** Decode a `uintN[]`/`intN[]` dynamic tail in one pass: the head word
     * at data word `headIdx` holds the byte offset of `[n][elem…]`; each
     * element is one 32-byte word → Decimal(38,0) (null on overflow, like
@@ -165,6 +176,24 @@ case class I256ToDecimal(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ABI bool word → BOOLEAN (any nonzero byte), the scalar twin of the
+  * `bool[]` tail kernel's element test — one consistent bool contract
+  * across scalar and array decode.
+  */
+case class WordNonZero(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "abi_word_nonzero"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.wordNonZero(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AbiRuntime.wordNonZero($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNonZero =
+    copy(child = newChild)
+}
+
 /** keccak-256 digest of a binary column — the hash behind event topic0
   * (reference: ethabi `Event::signature()` via eth_event_stream/src/stream.rs:113).
   */
@@ -259,6 +288,9 @@ object abi {
   def u256(c: Column): Column = wrap(U256ToDecimal(ex(c)))
   def i256(c: Column): Column = wrap(I256ToDecimal(ex(c)))
   def keccak256(c: Column): Column = wrap(Keccak256Hash(ex(c)))
+
+  /** ABI bool word → any-nonzero-byte (same test as the `bool[]` kernel). */
+  def nonZeroWord(c: Column): Column = wrap(WordNonZero(ex(c)))
 
   /** Numeric `T[]` dynamic tail (head word at `headIdx`) → ARRAY<DECIMAL>. */
   def wordTailArray(data: Column, headIdx: Int, signed: Boolean): Column =

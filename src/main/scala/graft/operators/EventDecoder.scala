@@ -33,7 +33,9 @@ object EventDecoder {
   /** Decode one static value of canonical type `t` from a 32-byte word. */
   private def decodeStaticType(t: String, w: Column): Column = t match {
     case "address"           => substring(w, 13, 20)
-    case "bool"              => abi.u256(w) =!= 0
+    // any-nonzero-byte, NOT a Decimal cast: a garbage high-bit word must
+    // decode to the same value (true) as the bool[] tail kernel gives it
+    case "bool"              => abi.nonZeroWord(w)
     case "bytes32"           => w
     case t if t.startsWith("uint") => abi.u256(w)
     case t if t.startsWith("int")  => abi.i256(w)

@@ -436,6 +436,14 @@ object EventLog {
     * survives 100× scale the same way. Ties on `orderCol` (impossible for
     * event_id, defensive otherwise) resolve right-before-left, i.e.
     * at-or-before semantics, matching DuckDB's `ASOF JOIN ... ON l.o >= r.o`.
+    *
+    * NULL keys match SQL ASOF equality: a null-keyed LEFT row passes
+    * through unmatched (it still flows out — this is a left join), and a
+    * null-keyed RIGHT row matches nothing. `Window.partitionBy` would
+    * otherwise group all null keys into ONE partition and match them to
+    * each other, so null-keyed right rows are dropped before the union —
+    * the null-key window partition then holds only left rows with a null
+    * carry, which is exactly "unmatched".
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", orderCol: String = "event_id",
@@ -449,9 +457,10 @@ object EventLog {
       lit(1).as("__side"), lit(null).cast(
         right.select(payload).schema.head.dataType).as("__asof"),
       struct(leftCols.map(col): _*).as("__row"))
-    val r = right.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
-      lit(0).as("__side"), payload.as("__asof"),
-      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val r = right.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        lit(0).as("__side"), payload.as("__asof"),
+        lit(null).cast(l.schema("__row").dataType).as("__row"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__o"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

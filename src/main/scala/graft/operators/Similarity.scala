@@ -175,13 +175,16 @@ object Similarity {
     * always retrains. Entries are nlist × dim doubles — negligible.
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Array[Array[Double]]]()
 
   private def trainCentroidsCached(corpusKey: Option[String], corpus: DataFrame,
       vecCol: String, nlist: Int, trainSample: Int): Array[Array[Double]] =
     corpusKey match {
       case None => trainCentroids(corpus, vecCol, nlist, trainSample)
-      case Some(k) => centroidCache.computeIfAbsent((k, nlist, trainSample),
+      // vecCol is part of the identity: the same corpus snapshot can carry
+      // several embedding columns, and centroids trained on one are wrong
+      // for another
+      case Some(k) => centroidCache.computeIfAbsent((k, vecCol, nlist, trainSample),
         _ => trainCentroids(corpus, vecCol, nlist, trainSample))
     }
 

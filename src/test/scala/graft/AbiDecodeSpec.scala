@@ -168,6 +168,24 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out == Seq(false, true, true))
   }
 
+  test("scalar bool matches the bool[] kernel on garbage high-bit words") {
+    // a word whose value overflows Decimal(38,0) must still decode true
+    // as a SCALAR, exactly like the array element path — one contract
+    val schema = EventSchema.parse("Flag(bool f)")
+    val high = Array.fill[Byte](32)(0); high(0) = 1
+    val raw = Seq(
+      (1L, schema.topic0, high),
+      (2L, schema.topic0, word("0")),
+      (3L, schema.topic0, word("1")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"block_number", $"f").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("fixed-size static arrays are inlined words; later params keep their offset") {
     // Pair(uint[2] xy, uint z): data = [xy0][xy1][z] — z must read word 2,
     // not word 1 (the k-word inline advance)

@@ -158,4 +158,25 @@ class EventLogSpec extends AnyFunSuite {
       (30L, Some(20L), Some(2.0)),
       (5L, None, None)))
   }
+
+  test("asofJoin never matches NULL keys (SQL ASOF equality semantics)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // null-keyed left rows flow through UNMATCHED; null-keyed right rows
+    // match nothing (without the guard both land in one window partition
+    // and match each other)
+    val d = ev(
+      (0L, 0L, "view", 5.0), (10L, 0L, "purchase", 9.0),
+      (2L, 1L, "view", 1.0), (12L, 1L, "purchase", 9.0))
+      .withColumn("user_id",
+        when(col("user_id") === 0L, lit(null)).otherwise(col("user_id")))
+    val out = EventLog.asofJoin(
+        d.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        d.filter(col("event_type") === "view"))
+      .select("event_id", "matched_event_id", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (10L, None, None),           // null-keyed left: present, unmatched
+      (12L, Some(2L), Some(1.0)))) // non-null keys unaffected
+  }
 }

@@ -128,6 +128,26 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("centroid cache is keyed by vector column, not just corpus key") {
+    import graft.operators.Similarity
+    // same corpus key, two embedding columns of DIFFERENT dimension: a
+    // cache key missing vecCol serves the first column's 4-dim centroids
+    // to the 8-dim column and the dot kernel rejects the mismatch
+    val rows = (0 until 12).map { i =>
+      (i.toLong,
+        Seq.tabulate(4)(j => if (j == i % 4) 1.0f else 0.1f),
+        Seq.tabulate(8)(j => if (j == i % 8) 1.0f else 0.1f))
+    }
+    val d = rows.toDF("vec_id", "va", "vb")
+    val key = Some("regress-cache-veccol")
+    val a = Similarity.ivfTopK(d, d.filter($"vec_id" < 2), 3,
+      nlist = 2, nprobe = 2, vecCol = "va", corpusKey = key)
+    assert(a.count() > 0)
+    val b = Similarity.ivfTopK(d, d.filter($"vec_id" < 2), 3,
+      nlist = 2, nprobe = 2, vecCol = "vb", corpusKey = key)
+    assert(b.count() > 0)
+  }
+
   test("retry does not retry on InterruptedException") {
     var calls = 0
     intercept[InterruptedException] {
