@@ -234,6 +234,41 @@ object SparkEntry {
           col("amount").cast("bigint").as("amount"))
     }),
 
+    // P2 — dynamic-element array roundtrip: encode a string[] tag list
+    // per event (variable count AND variable element length), decode it
+    // back through the offset-indirected DynTailArray kernel, explode.
+    "p2_abi_dynarray_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse("Tagged(string[] tags)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val n = (col("event_id") % 2 + 1).cast("int")
+      val tag0 = col("event_type").cast("binary")
+      val tag1 = concat(lit("u"), col("user_id").cast("string")).cast("binary")
+      val zero = Array[Byte](0)
+      def elem(t: org.apache.spark.sql.Column) = concat(
+        EventDecoder.encodeWordFromLong(length(t).cast("long")),
+        rpad(t, 32, zero))
+      val empty = lit(Array.emptyByteArray)
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          concat(
+            EventDecoder.encodeWordFromLong(lit(32L)),
+            EventDecoder.encodeWordFromLong(n.cast("long")),
+            EventDecoder.encodeWordFromLong(n.cast("long") * 32),
+            when(n >= 2, EventDecoder.encodeWordFromLong(n.cast("long") * 32 + 64))
+              .otherwise(empty),
+            elem(tag0),
+            when(n >= 2, elem(tag1)).otherwise(empty)).as("data"))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          posexplode(col("tags")).as(Seq("idx", "tag")))
+        .select(col("block_number"), col("log_index"),
+          col("idx").cast("bigint").as("idx"), col("tag"))
+    }),
+
     // P3 — address/hex render helper parity
     "p3_address_hex" -> ((s, dir) =>
       events(s, dir)
@@ -976,6 +1011,16 @@ object SparkEntry {
            FROM ($EvKeys) WHERE event_type = 'purchase')
          SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
            cents + i AS amount
+         FROM base, unnest(generate_series(0, n - 1)) t(i)""",
+
+    "p2_abi_dynarray_roundtrip" ->
+      s"""WITH base AS (
+           SELECT block_number, log_index, event_type, user_id,
+             event_id % 2 + 1 AS n
+           FROM ($EvKeys) WHERE event_type = 'purchase')
+         SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
+           CASE WHEN i = 0 THEN event_type
+                ELSE 'u' || CAST(user_id AS VARCHAR) END AS tag
          FROM base, unnest(generate_series(0, n - 1)) t(i)""",
 
     "p3_address_hex" ->

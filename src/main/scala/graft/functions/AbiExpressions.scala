@@ -121,6 +121,58 @@ object AbiRuntime {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** `string[]` / `bytes[]` tail decode — DYNAMIC elements: the tail is
+    * `[n][off_0…off_{n-1}][elem tails…]` with per-element offsets relative
+    * to the start of the element list, each element `[len][payload]`.
+    * `fixedK >= 0` decodes the fixed-size form `string[k]`/`bytes[k]`
+    * (no length word; k offset words at the tail start). Same defensive
+    * contract as the static kernels: head/length words outside the blob
+    * → null ARRAY; a malformed per-element offset or length → null
+    * ELEMENT; claimed counts and payload lengths clamp to what the blob
+    * holds. Never throws.
+    */
+  def dynTailArray(data: Array[Byte], headIdx: Int, asString: Boolean,
+      fixedK: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    def wordAsInt(pos: Long): Int = {
+      if (pos < 0 || pos + 32L > data.length) return -1
+      val p = pos.toInt
+      ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
+        ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
+    }
+    val off = wordAsInt(headIdx * 32L)
+    if (off < 0) return null
+    val (base, n0) =
+      if (fixedK >= 0) (off.toLong, fixedK)
+      else {
+        val n = wordAsInt(off.toLong)
+        if (n < 0) return null
+        (off + 32L, n)
+      }
+    // one offset word per element bounds the count the blob can hold
+    val n = math.min(n0.toLong, math.max(0L, (data.length - base) / 32L)).toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val rel = wordAsInt(base + i * 32L)
+      out(i) =
+        if (rel < 0) null
+        else {
+          val len = wordAsInt(base + rel)
+          if (len < 0) null
+          else {
+            val start = base + rel + 32L // in bounds: the len word was
+            val plen = math.min(len.toLong, data.length - start).toInt
+            val b = java.util.Arrays.copyOfRange(
+              data, start.toInt, start.toInt + math.max(plen, 0))
+            if (asString) org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+            else b
+          }
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** ABI u256 word → Decimal(38,0) as a native Catalyst expression
@@ -280,6 +332,38 @@ case class WordTailSliceArray(child: Expression, headIdx: Int, kind: String)
     copy(child = newChild)
 }
 
+/** Dynamic-element twin of [[WordTailSliceArray]] for `string[]` /
+  * `bytes[]` tails (and their fixed-size `[k]` forms via `fixedK >= 0`)
+  * — offset-indirected elements decoded in one compiled runtime call.
+  */
+case class DynTailArray(child: Expression, headIdx: Int, asString: Boolean,
+    fixedK: Int = -1) extends UnaryExpression {
+  override def dataType: DataType =
+    if (asString) ArrayType(StringType) else ArrayType(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_dyn_tail_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.dynTailArray(input.asInstanceOf[Array[Byte]], headIdx,
+      asString, fixedK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.dynTailArray(
+          ${c.value}, $headIdx, $asString, $fixedK);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DynTailArray =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the ABI expressions. */
 object abi {
   private def wrap(e: Expression): Column = GraftColumnShim.column(e)
@@ -299,6 +383,13 @@ object abi {
   /** `address[]`/`bytes32[]`/`bool[]` dynamic tail → typed array. */
   def wordTailSliceArray(data: Column, headIdx: Int, kind: String): Column =
     wrap(WordTailSliceArray(ex(data), headIdx, kind))
+
+  /** `string[]`/`bytes[]` tail (dynamic elements; `fixedK >= 0` for the
+    * fixed-size `[k]` form) → ARRAY<STRING> / ARRAY<BINARY>.
+    */
+  def dynTailArray(data: Column, headIdx: Int, asString: Boolean,
+      fixedK: Int = -1): Column =
+    wrap(DynTailArray(ex(data), headIdx, asString, fixedK))
 
   /** 20-byte address literal from hex — the reference's `address()` util
     * as a Column (eth_event_stream/src/lib.rs:7-15).

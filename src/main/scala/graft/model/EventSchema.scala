@@ -104,12 +104,13 @@ object EventSchema {
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
   // any uintN/intN accepted syntactically; width validated below (ABI:
   // multiples of 8 in 8..256 — e.g. uint24 in Uniswap V3's PoolCreated).
-  // Arrays of STATIC element types are accepted, both dynamic `T[]` and
-  // fixed-size `T[k]` (k ≥ 1); string[]/bytes[] (nested dynamic tails)
-  // are not — the grammar excludes them.
+  // Arrays of every scalar element type are accepted, both dynamic `T[]`
+  // and fixed-size `T[k]` (k ≥ 1) — including the dynamic-element
+  // string[]/bytes[] forms (offset-indirected tails). Nested arrays
+  // (`T[][]`, `T[2][]`) stay excluded by the grammar.
   private val TypeRe =
     ("(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?" +
-      "|(?:address|bool|bytes32|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[[0-9]*\\])").r
+      "|(?:address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[[0-9]*\\])").r
 
   private def validWidth(t: String): Boolean = {
     val elem = t.indexOf('[') match {

@@ -47,10 +47,15 @@ object EventDecoder {
   private def decodeStatic(p: EventParam, w: Column): Column =
     decodeStaticType(p.canonicalType, w)
 
-  private def isDynamic(p: EventParam): Boolean = {
-    val t = p.canonicalType
-    t == "string" || t == "bytes" || t.endsWith("[]")
-  }
+  /** ABI dynamic-ness is recursive: `string[k]`/`bytes[k]` are fixed-size
+    * arrays of DYNAMIC elements and therefore dynamic themselves (one
+    * head word, offset-indirected tail), unlike static `T[k]`.
+    */
+  private def isDynamicType(t: String): Boolean =
+    t == "string" || t == "bytes" || t.endsWith("[]") ||
+      graft.model.EventSchema.staticArrayOf(t).exists(a => isDynamicType(a._1))
+
+  private def isDynamic(p: EventParam): Boolean = isDynamicType(p.canonicalType)
 
   /** ABI: ANY indexed array (fixed-size included) is stored as the keccak
     * hash of its encoding — decode keeps the 32-byte topic, like the
@@ -69,7 +74,14 @@ object EventDecoder {
     */
   private def decodeDynamic(p: EventParam, data: Column, headIdx: Int): Column = {
     val t = p.canonicalType
-    if (t.endsWith("[]")) {
+    val fixedDyn = graft.model.EventSchema.staticArrayOf(t)
+      .filter(a => a._1 == "string" || a._1 == "bytes")
+    if (fixedDyn.isDefined) {
+      // `string[k]`/`bytes[k]`: fixed count, but offset-indirected tail —
+      // one head word, k offset words, no length word
+      val (elemT, k) = fixedDyn.get
+      abi.dynTailArray(data, headIdx, asString = elemT == "string", fixedK = k)
+    } else if (t.endsWith("[]")) {
       val elemT = t.dropRight(2)
       if (elemT.startsWith("uint") || elemT.startsWith("int"))
         // the common case (amounts, ids) decodes through one native
@@ -78,6 +90,9 @@ object EventDecoder {
       else if (elemT == "address" || elemT == "bytes32" || elemT == "bool")
         // every remaining static element kind has its native tail kernel
         abi.wordTailSliceArray(data, headIdx, elemT)
+      else if (elemT == "string" || elemT == "bytes")
+        // dynamic elements: per-element offset indirection, one kernel
+        abi.dynTailArray(data, headIdx, asString = elemT == "string")
       else {
         // defensive interpreted fallback for element types a future
         // schema parser might admit; mirrors the kernels' contract: a
@@ -164,12 +179,14 @@ object EventDecoder {
     val fromData = schema.dataParams.map { p =>
       val w = word(data, dataWord)
       val c = graft.model.EventSchema.staticArrayOf(p.canonicalType) match {
-        case Some((elemT, k)) =>
+        case Some((elemT, k)) if !isDynamicType(elemT) =>
           val arr = array((0 until k).map(i =>
             decodeStaticType(elemT, word(data, dataWord + i))): _*)
           dataWord += k - 1 // +1 below
           arr
-        case None =>
+        case _ =>
+          // dynamic params — string[k]/bytes[k] included — take ONE head
+          // word regardless of k
           if (isDynamic(p)) decodeDynamic(p, data, dataWord)
           else decodeStatic(p, w)
       }

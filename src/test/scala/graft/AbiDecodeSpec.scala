@@ -168,6 +168,66 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out == Seq(false, true, true))
   }
 
+  test("string[] tails decode: offset-indirected elements, multi-word payloads") {
+    val schema = EventSchema.parse("Tagged(string[] tags)")
+    assert(schema.signature == "Tagged(string[])")
+    val long = "0123456789" * 4 // 40 chars → 2 payload words
+    // [head=0x20][n=2][off0=0x40][off1=0x80][len=3]["abc".pad][len=40][long.pad]
+    val data = word("20") ++ word("2") ++ word("40") ++ word("80") ++
+      word("3") ++ padRight("abc".getBytes("UTF-8"), 32) ++
+      word("28") ++ padRight(long.getBytes("UTF-8"), 64)
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"tags").as[Seq[String]].collect().head
+    assert(out == Seq("abc", long))
+  }
+
+  test("bytes[] tails decode; malformed element offsets null that element only") {
+    val schema = EventSchema.parse("Blobs(bytes[] bs)")
+    // elem0 fine, elem1's offset points past the blob → null element;
+    // elem2's length word lies → payload clamps to what the blob holds
+    // rel offsets from the element-list base: elem0 at 3*32=0x60 (past the
+    // offset words), elem2 at 0x60+0x40=0xa0 (past elem0's len+payload)
+    val data = word("20") ++ word("3") ++
+      word("60") ++ word("ffff0") ++ word("a0") ++
+      word("2") ++ padRight(Array[Byte](7, 9), 32) ++
+      word("40") ++ padRight(Array[Byte](1, 2, 3), 32)
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"bs").as[Seq[Option[Array[Byte]]]].collect().head
+    assert(out.length == 3)
+    assert(out(0).get.toSeq == Seq[Byte](7, 9))
+    assert(out(1).isEmpty)
+    // claimed 0x40 bytes; only 32 remain after the length word
+    assert(out(2).get.length == 32)
+  }
+
+  test("string[k] fixed-size dynamic arrays: one head word, k offsets, no length") {
+    val schema = EventSchema.parse("Pair2(string[2] ab, uint v)")
+    assert(schema.signature == "Pair2(string[2],uint256)")
+    // data: [head=0x40][v=42][off0=0x40][off1=0x80][len=1]["x".pad][len=2]["yz".pad]
+    val data = word("40") ++ word("2a") ++
+      word("40") ++ word("80") ++
+      word("1") ++ padRight("x".getBytes("UTF-8"), 32) ++
+      word("2") ++ padRight("yz".getBytes("UTF-8"), 32)
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"ab", $"v".cast("long")).as[(Seq[String], Long)].collect().head
+    assert(out == ((Seq("x", "yz"), 42L)))
+  }
+
   test("scalar bool matches the bool[] kernel on garbage high-bit words") {
     // a word whose value overflows Decimal(38,0) must still decode true
     // as a SCALAR, exactly like the array element path — one contract
@@ -234,6 +294,10 @@ class AbiDecodeSpec extends AnyFunSuite {
 
   private def pad32(addr: Array[Byte]): Array[Byte] =
     Array.fill[Byte](12)(0) ++ addr
+
+  /** ABI tail payload padding: right-pad to `len` with zero bytes. */
+  private def padRight(b: Array[Byte], len: Int): Array[Byte] =
+    b ++ Array.fill[Byte](len - b.length)(0)
 
   private def word(hexStr: String): Array[Byte] = {
     val clean = if (hexStr.length % 2 == 1) "0" + hexStr else hexStr
