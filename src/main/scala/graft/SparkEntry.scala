@@ -653,6 +653,13 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(table(s, dir, "documents"), k = 500)),
 
+    // DSIR-style importance weights: target = English docs; the count-
+    // ratio formulation keeps every intermediate an exact integer sum so
+    // the oracle hash-matches bit-for-bit (see TextOps.importanceWeights).
+    "text_importance_weights" -> ((s, dir) =>
+      TextOps.importanceWeights(table(s, dir, "documents"),
+        isTarget = col("lang") === "en")),
+
     // Multimodal plumbing: opaque binary payload + typed metadata; decode
     // is a deterministic stub (no codecs in-container), the Spark-side
     // schema/encoder/mapPartitions path is real (see operators.Multimodal).
@@ -726,6 +733,23 @@ object SparkEntry {
         approx = Similarity.ivfNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3,
           corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet"))),
         keys = Seq("v1", "v2"), floor = 0.85, subset = true)
+    }),
+
+    // SemDeDup-style semantic dedup: cluster-scoped near-dup drops with
+    // the min-id winner rule. Gate: exact-cosine verification means ZERO
+    // false drops (subset), and the quantizer catches ≥ the IVF near-dup
+    // floor of the true dominated set (same trained centroids — the
+    // corpusKey cache shares them with sim_neardup_ivf).
+    "sim_semantic_dedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val kept = Similarity.semanticDedup(emb, 0.45, nlist = 16, nprobe = 3,
+        corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet")))
+      val exactDropped = Similarity.bruteForceNearDupPairs(emb, 0.45)
+        .select(col("v2").as("vec_id")).distinct()
+      val approxDropped = emb.select("vec_id")
+        .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+      recallGate(exact = exactDropped, approx = approxDropped,
+        keys = Seq("vec_id"), floor = 0.85, subset = true)
     }),
 
     // Embedding int8 compression round-trip: per-vector quantize /
@@ -953,6 +977,12 @@ object SparkEntry {
     "sim_topk_ivf" -> TopKGateSql,
     "sim_neardup_lsh" -> NearDupGateSql,
     "sim_neardup_ivf" -> NearDupGateSql,
+    // exact semantic dedup drops = docs with ANY smaller-id neighbor ≥ τ
+    "sim_semantic_dedup" ->
+      """SELECT count(DISTINCT b.vec_id) AS n_exact, true AS recall_ok,
+           true AS subset_ok
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
     "dedup_representatives" ->
       s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
          g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
@@ -1329,6 +1359,21 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS n_occurrences FROM w GROUP BY 1)
          SELECT token, n_occurrences FROM c
          ORDER BY n_occurrences DESC, token LIMIT 500""",
+
+    "text_importance_weights" ->
+      s"""WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
+                regexp_extract_all(text, '\\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+         d AS (SELECT gram, count(*) AS df_all,
+                 count(*) FILTER (is_target) AS df_target FROM g GROUP BY 1),
+         s AS (SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(df_target) AS BIGINT) AS sum_target,
+                 CAST(sum(df_all) AS BIGINT) AS sum_all
+               FROM g JOIN d USING (gram) GROUP BY 1)
+         SELECT doc_id, n_grams, sum_target, sum_all,
+           CAST(sum_target + 1 AS DOUBLE) / CAST(sum_all + 1 AS DOUBLE) AS weight
+         FROM s""",
 
     "sim_quant_gate" ->
       """SELECT count(*) AS n_vecs, true AS quant_ok FROM embeddings""",

@@ -344,4 +344,31 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .dropDuplicates("v1", "v2")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with the seeded coarse
+    * quantizer, compare vectors only WITHIN (multi-assigned) clusters,
+    * and drop every document that has an above-threshold neighbor with a
+    * smaller id — the same deterministic min-id winner rule as the exact
+    * dedup family. Returns the KEPT corpus rows unchanged.
+    *
+    * Guarantees by construction: zero false drops (every drop is verified
+    * by exact cosine ≥ `threshold`), so kept ⊇ exact-kept; recall of
+    * drops follows the quantizer like [[ivfNearDupPairs]] (whose pair
+    * generation this reuses — multi-assignment to `nprobe` lists catches
+    * pairs split by a list boundary). Scale shape: per-list self-joins
+    * bounded by cluster size, one broadcast-able distinct drop list per
+    * batch — never an all-pairs comparison.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double = 0.95,
+      nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusKey: Option[String] = None): DataFrame = {
+    val dominated = ivfNearDupPairs(df, threshold, nlist, nprobe,
+        trainSample, idCol, vecCol, corpusKey = corpusKey)
+      // v1 < v2 throughout: v2 is always the dominated side
+      .select(col("v2").as(idCol)).distinct()
+    df.join(dominated, Seq(idCol), "left_anti")
+  }
 }

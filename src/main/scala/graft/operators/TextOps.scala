@@ -313,4 +313,46 @@ object TextOps {
     df.select(
       col(idCol),
       graft.functions.vec.rollingFp(col(textCol), FpMod).as("fingerprint"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how target-like its n-gram profile is, where the target is any
+    * predicate over the corpus (the classic use: target = high-quality
+    * subset, score the web crawl, resample by weight).
+    *
+    * This variant scores with document-frequency COUNT RATIOS rather than
+    * the paper's log-probability sums:
+    *
+    *   weight(d) = (1 + Σ_{g∈grams(d)} df_target(g))
+    *             / (1 + Σ_{g∈grams(d)} df_all(g))
+    *
+    * Integer df sums are exact and order-independent — a float log-sum
+    * would drift with partition/summation order and break bit-for-bit
+    * reproducibility (the property the DuckDB oracle hash-checks); the
+    * one final division is IEEE-exact. Monotonicity matches the paper's
+    * intent: grams frequent in the target and rare elsewhere push the
+    * weight toward 1, target-absent grams toward 0. Add-one smoothing
+    * keeps gram-less docs defined.
+    *
+    * Shuffle shape at 100 TB: one groupBy(gram) builds the df table (one
+    * row per DISTINCT gram — map-side partial aggregation absorbs hot
+    * grams), one gram-keyed join back (linear in doc-gram pairs, never a
+    * self-join), one per-doc sum. No quadratic term anywhere; pair with
+    * [[hashSplit]] for seeded weighted selection downstream.
+    */
+  def importanceWeights(df: DataFrame, isTarget: Column, n: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = df.select(col(idCol), isTarget.as("is_target"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val dfTable = grams.groupBy("gram").agg(
+      count(lit(1)).as("df_all"),
+      count(when(col("is_target"), 1)).as("df_target"))
+    grams.join(dfTable, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum("df_target").as("sum_target"),
+        sum("df_all").as("sum_all"))
+      .withColumn("weight",
+        (col("sum_target") + 1).cast("double") / (col("sum_all") + 1).cast("double"))
+  }
 }

@@ -264,6 +264,38 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"IVF recall@10 = $recall (nlist=8, nprobe=3 ⇒ ~3/8 corpus scanned)")
   }
 
+  test("semanticDedup: zero false drops, drop-recall vs exact dominated set") {
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    val kept = Similarity.semanticDedup(emb, 0.45, nlist = 8, nprobe = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    val dropped = all -- kept
+    val exactDropped = Similarity.bruteForceNearDupPairs(emb, 0.45)
+      .select($"v2").as[Long].collect().toSet
+    // every drop is exact-cosine verified → no false drops, ever
+    assert(dropped.subsetOf(exactDropped))
+    val recall = if (exactDropped.isEmpty) 1.0
+      else exactDropped.count(dropped).toDouble / exactDropped.size
+    assert(recall >= 0.8, s"drop recall = $recall")
+    info(s"semantic dedup drop recall = $recall " +
+      s"(${dropped.size}/${exactDropped.size} dominated docs caught)")
+  }
+
+  test("importanceWeights: hand-computed count-ratio goldens") {
+    val d = Seq(
+      (1L, "a b c", "en"), (2L, "a b d", "en"), (3L, "a b c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.importanceWeights(d, isTarget = $"lang" === "en")
+      .select($"doc_id", $"n_grams", $"sum_target", $"sum_all", $"weight")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // df: "a b" → (all 3, en 2); "b c" → (2, 1); "b d" → (1, 1)
+    assert(out(1L) == ((2L, 3L, 5L, 4.0 / 6.0)))
+    assert(out(2L) == ((2L, 3L, 4L, 4.0 / 5.0)))
+    assert(out(3L) == ((2L, 3L, 5L, 4.0 / 6.0)))
+    // the target-heavy doc outscores the mixed ones
+    assert(out(2L)._4 > out(1L)._4)
+  }
+
   test("LSH near-dup pairs ⊆ brute-force pairs (no false positives)") {
     val brute = Similarity.bruteForceNearDupPairs(emb, 0.45)
       .as[(Long, Long)].collect().toSet
