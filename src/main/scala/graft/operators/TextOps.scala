@@ -341,9 +341,19 @@ object TextOps {
     * [[hashSplit]] for seeded weighted selection downstream.
     */
   def importanceWeights(df: DataFrame, isTarget: Column, n: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = df.select(col(idCol), isTarget.as("is_target"),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    // grams as 64-bit HASHES through the native kernel, not strings: df
+    // counts are identical modulo negligible collisions (the same
+    // equivalence Dedup.ngramJaccardPairs relies on), the shuffle keys
+    // shrink ~10×, and the tokenize+combine loop stays compiled instead
+    // of an interpreted transform/concat_ws per row. Persisted because
+    // both the df table and the join re-read it (operator persist
+    // contract: Verify/Bench clear caches per query).
+    val grams0 = df.select(col(idCol), isTarget.as("is_target"),
+      explode(Dedup.gramHashes(col(textCol), n)).as("gram"))
+    val grams = storage.fold(grams0)(grams0.persist)
     val dfTable = grams.groupBy("gram").agg(
       count(lit(1)).as("df_all"),
       count(when(col("is_target"), 1)).as("df_target"))
