@@ -660,6 +660,17 @@ object SparkEntry {
       TextOps.importanceWeights(table(s, dir, "documents"),
         isTarget = col("lang") === "en")),
 
+    // Importance RESAMPLING selection: global top-100 docs by DSIR
+    // weight, doc_id tie-break so boundary ties are deterministic. Plans
+    // as TakeOrderedAndProject — per-partition partial top-k, no global
+    // sort shuffle, no single-partition window.
+    "pipeline_dsir_select" -> ((s, dir) =>
+      TextOps.importanceWeights(table(s, dir, "documents"),
+          isTarget = col("lang") === "en")
+        .select(col("doc_id"), col("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)),
+
     // Multimodal plumbing: opaque binary payload + typed metadata; decode
     // is a deterministic stub (no codecs in-container), the Spark-side
     // schema/encoder/mapPartitions path is real (see operators.Multimodal).
@@ -954,6 +965,25 @@ object SparkEntry {
   /** Gate oracle for the cosine near-dup self-checks: exact pair count at
     * the threshold + the expected recall/subset booleans.
     */
+  /** Shared oracle: DSIR importance weights over word-bigram document
+    * frequencies (mirrors TextOps.importanceWeights; counts are invariant
+    * under the engine's gram hashing).
+    */
+  private val ImportanceWeightsSql =
+    s"""WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
+              regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       g AS (SELECT DISTINCT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS gram
+             FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+       d AS (SELECT gram, count(*) AS df_all,
+               count(*) FILTER (is_target) AS df_target FROM g GROUP BY 1),
+       s AS (SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(df_target) AS BIGINT) AS sum_target,
+               CAST(sum(df_all) AS BIGINT) AS sum_all
+             FROM g JOIN d USING (gram) GROUP BY 1)
+       SELECT doc_id, n_grams, sum_target, sum_all,
+         CAST(sum_target + 1 AS DOUBLE) / CAST(sum_all + 1 AS DOUBLE) AS weight
+       FROM s"""
+
   private val NearDupGateSql =
     """SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1360,20 +1390,11 @@ object SparkEntry {
          SELECT token, n_occurrences FROM c
          ORDER BY n_occurrences DESC, token LIMIT 500""",
 
-    "text_importance_weights" ->
-      s"""WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
-                regexp_extract_all(text, '\\S+') AS ws FROM documents),
-         g AS (SELECT DISTINCT doc_id, is_target, ws[i] || ' ' || ws[i+1] AS gram
-               FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)),
-         d AS (SELECT gram, count(*) AS df_all,
-                 count(*) FILTER (is_target) AS df_target FROM g GROUP BY 1),
-         s AS (SELECT doc_id, count(*) AS n_grams,
-                 CAST(sum(df_target) AS BIGINT) AS sum_target,
-                 CAST(sum(df_all) AS BIGINT) AS sum_all
-               FROM g JOIN d USING (gram) GROUP BY 1)
-         SELECT doc_id, n_grams, sum_target, sum_all,
-           CAST(sum_target + 1 AS DOUBLE) / CAST(sum_all + 1 AS DOUBLE) AS weight
-         FROM s""",
+    "text_importance_weights" -> ImportanceWeightsSql,
+
+    "pipeline_dsir_select" ->
+      s"""SELECT doc_id, weight FROM ($ImportanceWeightsSql)
+         ORDER BY weight DESC, doc_id LIMIT 100""",
 
     "sim_quant_gate" ->
       """SELECT count(*) AS n_vecs, true AS quant_ok FROM embeddings""",

@@ -36,7 +36,12 @@ object GraftFunctions {
     "winnow_hashes" -> (es => WinnowHashes(es.head, litInt(es(1), "winnow_hashes"))),
     "abi_word_tail_slice_array" -> (es => WordTailSliceArray(es.head,
       litInt(es(1), "abi_word_tail_slice_array"),
-      litString(es(2), "abi_word_tail_slice_array"))))
+      litString(es(2), "abi_word_tail_slice_array"))),
+    "abi_word_nonzero" -> (es => WordNonZero(es.head)),
+    "abi_dyn_tail_array" -> (es => DynTailArray(es.head,
+      litInt(es(1), "abi_dyn_tail_array"),
+      asString = litBool(es(2), "abi_dyn_tail_array"),
+      fixedK = if (es.length > 3) litInt(es(3), "abi_dyn_tail_array") else -1)))
 
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: the count argument must be a literal")

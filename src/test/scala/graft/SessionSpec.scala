@@ -112,7 +112,12 @@ class SessionSpec extends AnyFunSuite {
            size(ngram_hashes(array(1L, 1L, 1L), 2, false)) AS ng,
            cast(element_at(abi_word_tail_array(
              unhex(repeat('00', 31) || '20' || repeat('00', 31) || '01'
-               || repeat('00', 31) || '2a'), 0), 1) as int) AS arr""").head()
+               || repeat('00', 31) || '2a'), 0), 1) as int) AS arr,
+           abi_word_nonzero(unhex('80' || repeat('00', 31))) AS nz,
+           element_at(abi_dyn_tail_array(
+             unhex(repeat('00', 31) || '20' || repeat('00', 31) || '01'
+               || repeat('00', 31) || '20' || repeat('00', 31) || '02'
+               || '6869' || repeat('00', 30)), 0, true), 1) AS dyn""").head()
     assert(r.getInt(0) == 255)
     assert(r.getString(1).toLowerCase ==
       "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
@@ -122,6 +127,8 @@ class SessionSpec extends AnyFunSuite {
     assert(r.getLong(5) == 12805L)
     assert(r.getInt(6) == 2) // multiplicity kept with distinct=false
     assert(r.getInt(7) == 42)
+    assert(r.getBoolean(8)) // high-bit garbage word is still nonzero
+    assert(r.getString(9) == "hi") // [head][n=1][off=0x20][len=2]["hi"]
   }
 
   test("sequencePattern: k-event runs counted per block") {
