@@ -51,6 +51,12 @@ object Probe {
       Similarity.bruteForceNearDupPairs(emb, 0.45),
       Similarity.ivfNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3),
       Seq("v1", "v2")))
+    val semKept = Similarity.semanticDedup(emb, 0.45, nlist = 16, nprobe = 3)
+    println("semantic_dedup drops: " + recall(
+      Similarity.bruteForceNearDupPairs(emb, 0.45)
+        .select(col("v2").as("vec_id")).distinct(),
+      emb.select("vec_id").join(semKept.select("vec_id"), Seq("vec_id"), "left_anti"),
+      Seq("vec_id")))
     spark.stop()
   }
 }
