@@ -578,6 +578,20 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination: exact same semantics as
+    // decon_filter (false positives removed by the verify join, no false
+    // negatives possible) — the 100 TB shape where the corpus grams are
+    // prefiltered map-side and only ~fpp of them reach a shuffle. A
+    // different eval split (mod 89) than decon_filter so the two oracles
+    // can't mask each other.
+    "decon_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") % 89 =!= 0),
+          docs.filter(col("doc_id") % 89 === 0), n = 3, fpp = 0.01)
+        .select("doc_id")
+    }),
+
     // Gopher-style repetition scores (dup-word + top-bigram fractions).
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(table(s, dir, "documents"))),
@@ -1283,6 +1297,15 @@ object SparkEntry {
          bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 != 0)
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "decon_bloom" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 89 != 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 89 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),

@@ -136,6 +136,43 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Bloom-prefiltered decontamination — for when the benchmark's
+    * distinct gram set outgrows a broadcast join relation (a hashed
+    * relation costs ~16+ B/key; a 1%-fpp Bloom costs ~1.2 B/key, an
+    * order of magnitude more grams per executor-memory budget). The
+    * RESULT is identical to [[decontaminate]]:
+    *
+    *  1. corpus grams are prefiltered MAP-SIDE through the broadcast
+    *     Bloom — no false negatives, so no contaminated doc can escape;
+    *  2. the surviving candidates (true hits + ~fpp of the corpus grams)
+    *     are exact-verified against the real benchmark gram set, which
+    *     removes every Bloom false positive.
+    *
+    * At 100 TB the win is step 1: the verify join shuffles ~fpp of the
+    * corpus gram volume instead of all of it (AQE still broadcasts the
+    * bench side when it fits). The `mightContainLong` filter is a scalar
+    * UDF — one compiled sketch probe per gram, map-side; it costs a
+    * codegen-stage boundary, which the 100× shuffle cut dwarfs.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13, fpp: Double = 0.01,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("gram")).distinct()
+      .persist() // three consumers: count, bloom build, verify join
+    // planning actions (like inferDim): size then build the sketch
+    val bloom = benchGrams.stat.bloomFilter("gram",
+      math.max(benchGrams.count(), 1L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    val contaminated = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH (the 100 TB path)
   // -------------------------------------------------------------------

@@ -264,6 +264,18 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"IVF recall@10 = $recall (nlist=8, nprobe=3 ⇒ ~3/8 corpus scanned)")
   }
 
+  test("decontaminateBloom matches exact decontamination (FPs verified away)") {
+    val corpus = docs.filter($"doc_id" % 13 =!= 0)
+    val bench = docs.filter($"doc_id" % 13 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    // a deliberately high fpp maximizes bloom false positives — the
+    // verify join must still erase every one of them
+    val bloom = Dedup.decontaminateBloom(corpus, bench, n = 3, fpp = 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+  }
+
   test("semanticDedup: zero false drops, drop-recall vs exact dominated set") {
     val all = emb.select($"vec_id").as[Long].collect().toSet
     val kept = Similarity.semanticDedup(emb, 0.45, nlist = 8, nprobe = 3)
