@@ -143,6 +143,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("string[] roundtrips arbitrary element lists through the dyn-tail kernel") {
+    val genList: Gen[List[String]] = Gen.choose(0, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(0, 80).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(
+          Gen.alphaNumChar, Gen.const('é'), Gen.const('中'), Gen.const(' ')))
+          .map(_.mkString))))
+    // canonical ABI encoder for [head][n][off…][len payload…] tails
+    def encode(xs: Seq[Array[Byte]]): Array[Byte] = {
+      def word(v: Long): Array[Byte] = {
+        val w = new Array[Byte](32)
+        var x = v; var i = 31
+        while (x != 0) { w(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+        w
+      }
+      def padded(b: Array[Byte]): Array[Byte] =
+        b ++ Array.fill[Byte]((32 - b.length % 32) % 32)(0)
+      val tails = xs.map(b => word(b.length) ++ padded(b))
+      val offs = tails.scanLeft(xs.length.toLong * 32)(_ + _.length).init
+      word(32) ++ word(xs.length) ++
+        offs.flatMap(word).toArray ++ tails.flatten.toArray
+    }
+    forAll(genList, n = 30) { xs =>
+      val blob = encode(xs.map(_.getBytes("UTF-8")))
+      val out = graft.functions.AbiRuntime.dynTailArray(
+        blob, 0, asString = true, fixedK = -1)
+      assert(out != null)
+      val got = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString)
+      assert(got == xs)
+    }
+  }
+
+  test("array-tail kernels never throw on arbitrary garbage blobs") {
+    val genBlob: Gen[(Array[Byte], Int)] = for {
+      len <- Gen.choose(0, 200)
+      bytes <- Gen.listOfN(len, Gen.choose(-128, 127).map(_.toByte))
+      headIdx <- Gen.choose(0, 3)
+    } yield (bytes.toArray, headIdx)
+    forAll(genBlob, n = 200) { case (blob, headIdx) =>
+      // null array or clamped elements are both fine; an exception never is
+      graft.functions.AbiRuntime.dynTailArray(blob, headIdx, asString = true, -1)
+      graft.functions.AbiRuntime.dynTailArray(blob, headIdx, asString = false, 3)
+      graft.functions.AbiRuntime.wordTailArray(blob, headIdx, signed = false)
+      graft.functions.AbiRuntime.wordTailSliceArray(blob, headIdx, 0)
+      graft.functions.AbiRuntime.wordTailSliceArray(blob, headIdx, 2)
+    }
+  }
+
   test("simhash: hamming distance grows with symmetric difference") {
     val base = (0 until 30).map(i => s"w$i")
     val df = Seq(
