@@ -667,6 +667,10 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(table(s, dir, "documents"), k = 500)),
 
+    // BPE merge-pair counts: tokenizer-training prep (first merge round).
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(table(s, dir, "documents"), k = 200)),
+
     // DSIR-style importance weights: target = English docs; the count-
     // ratio formulation keeps every intermediate an exact integer sum so
     // the oracle hash-matches bit-for-bit (see TextOps.importanceWeights).
@@ -1412,6 +1416,16 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS n_occurrences FROM w GROUP BY 1)
          SELECT token, n_occurrences FROM c
          ORDER BY n_occurrences DESC, token LIMIT 500""",
+
+    "text_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word FROM documents),
+         w AS (SELECT word, count(*) AS n_word FROM t GROUP BY 1),
+         p AS (SELECT word[i:i+1] AS pair, n_word
+               FROM w, unnest(generate_series(1, len(word)-1)) AS s(i)
+               WHERE len(word) >= 2),
+         c AS (SELECT pair, CAST(sum(n_word) AS BIGINT) AS n_occurrences FROM p GROUP BY 1)
+         SELECT pair, n_occurrences FROM c
+         ORDER BY n_occurrences DESC, pair LIMIT 200""",
 
     "text_importance_weights" -> ImportanceWeightsSql,
 

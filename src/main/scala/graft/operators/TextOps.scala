@@ -340,6 +340,32 @@ object TextOps {
     * self-join), one per-doc sum. No quadratic term anywhere; pair with
     * [[hashSplit]] for seeded weighted selection downstream.
     */
+  /** BPE tokenizer-training prep: symbol-pair frequencies for the first
+    * merge round (Sennrich et al. 2016) — each word occurrence
+    * contributes its adjacent character pairs with multiplicity.
+    *
+    * Scale shape: the corpus collapses to DISTINCT words + occurrence
+    * counts FIRST (one map-side-combined groupBy — the only shuffle that
+    * sees corpus volume); the char-pair explode then runs over the
+    * VOCABULARY, which is ~constant in corpus size (Heaps' law), so the
+    * interpreted per-word pair lambda is off the hot path by
+    * construction. Top-k via TakeOrdered, pair as tie-break.
+    */
+  def bpePairCounts(df: DataFrame, k: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    val words = df
+      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("n_word"), explode(
+        expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("n_word")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
   def importanceWeights(df: DataFrame, isTarget: Column, n: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =

@@ -292,6 +292,14 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"(${dropped.size}/${exactDropped.size} dominated docs caught)")
   }
 
+  test("bpePairCounts: occurrence-weighted adjacent char pairs") {
+    val d = Seq((1L, "aaa ab"), (2L, "aaa")).toDF("doc_id", "text")
+    // "aaa"×2 → pairs aa,aa ×2 = 4; "ab"×1 → ab ×1; single chars excluded
+    val out = TextOps.bpePairCounts(d, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("aa", 4L), ("ab", 1L)))
+  }
+
   test("importanceWeights: hand-computed count-ratio goldens") {
     val d = Seq(
       (1L, "a b c", "en"), (2L, "a b d", "en"), (3L, "a b c", "de"))
