@@ -363,7 +363,12 @@ object SparkEntry {
         // either wins the rename or discards its copy — never two writers
         // interleaving inside one directory. Then prune cache dirs for
         // OLDER versions of this fixture path (the mtime+size key changes
-        // on regeneration and nothing else evicts them).
+        // on regeneration and nothing else evicts them) plus temp dirs
+        // orphaned by killed runs. Both prunes are AGE-GATED: a dir
+        // younger than an hour may belong to a live run (an old-version
+        // cache a still-running bench streams from, or a temp mid-write)
+        // and deleting it would fail that run mid-query; anything older
+        // is garbage — harness runs take minutes.
         val tmp = s"$scratch.tmp.${java.util.UUID.randomUUID}"
         ev.unionAll(ev).write.mode("overwrite").parquet(s"$tmp/events")
         try java.nio.file.Files.move(
@@ -373,11 +378,12 @@ object SparkEntry {
           // lost the race (or target appeared) — keep the winner's copy
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         }
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
         val stale = new java.io.File("/tmp").listFiles()
         if (stale != null) stale
           .filter(f => f.getName.startsWith(s"graft_dd_cache_$pathPart") &&
             f.getAbsolutePath != scratch &&
-            !f.getName.contains(".tmp."))
+            f.lastModified() < cutoff)
           .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       }
       val stream = graft.streaming.StreamOps.readBlockStream(
@@ -980,9 +986,6 @@ object SparkEntry {
        FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
        WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard"""
 
-  /** Gate oracle for the cosine near-dup self-checks: exact pair count at
-    * the threshold + the expected recall/subset booleans.
-    */
   /** Shared oracle: DSIR importance weights over word-bigram document
     * frequencies (mirrors TextOps.importanceWeights; counts are invariant
     * under the engine's gram hashing).
@@ -1002,6 +1005,9 @@ object SparkEntry {
          CAST(sum_target + 1 AS DOUBLE) / CAST(sum_all + 1 AS DOUBLE) AS weight
        FROM s"""
 
+  /** Gate oracle for the cosine near-dup self-checks: exact pair count at
+    * the threshold + the expected recall/subset booleans.
+    */
   private val NearDupGateSql =
     """SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -37,6 +37,24 @@ object AbiRuntime {
 
   def keccak256(bytes: Array[Byte]): Array[Byte] = Keccak256.hash(bytes)
 
+  /** Read a 32-byte offset/length word at `pos` as a non-negative Int.
+    * Returns -1 when the word lies outside the blob OR encodes a value
+    * beyond Int range — any nonzero byte above the low four (and the int
+    * sign bit) is malformed: event data is contract-controlled, and a
+    * crafted offset of 2^32+64 must read as malformed, not silently
+    * truncate to 64 and decode plausible-looking wrong bytes.
+    */
+  private def offsetWord(data: Array[Byte], pos: Long): Int = {
+    if (pos < 0 || pos + 32L > data.length) return -1
+    val p = pos.toInt
+    var i = p
+    while (i < p + 28) { if (data(i) != 0) return -1; i += 1 }
+    // a set sign bit (byte 28 ≥ 0x80) surfaces as a negative value, which
+    // every call site already treats as malformed
+    ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
+      ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
+  }
+
   /** ABI bool word → any nonzero byte. The same test the `bool[]` tail
     * kernel applies per element ([[wordTailSliceArray]] kind 2) — the
     * scalar path must not differ (a high-bit garbage word through a
@@ -60,17 +78,7 @@ object AbiRuntime {
     */
   def wordTailArray(data: Array[Byte], headIdx: Int,
       signed: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
-    // bounds in LONG: a crafted offset near 2^31 would overflow an int
-    // `pos + 32` check and read out of bounds — the decode must null out,
-    // never throw
-    def wordAsInt(pos: Long): Int = {
-      if (pos < 0 || pos + 32L > data.length) return -1
-      val p = pos.toInt
-      // low 4 bytes of the big-endian word; ABI offsets/lengths fit int,
-      // and anything larger fails the long-bounds check above anyway
-      ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
-        ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
-    }
+    def wordAsInt(pos: Long): Int = offsetWord(data, pos)
     val off = wordAsInt(headIdx * 32L)
     if (off < 0) return null
     val n0 = wordAsInt(off.toLong)
@@ -93,12 +101,7 @@ object AbiRuntime {
     */
   def wordTailSliceArray(data: Array[Byte], headIdx: Int,
       kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    def wordAsInt(pos: Long): Int = {
-      if (pos < 0 || pos + 32L > data.length) return -1
-      val p = pos.toInt
-      ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
-        ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
-    }
+    def wordAsInt(pos: Long): Int = offsetWord(data, pos)
     val off = wordAsInt(headIdx * 32L)
     if (off < 0) return null
     val n0 = wordAsInt(off.toLong)
@@ -134,12 +137,7 @@ object AbiRuntime {
     */
   def dynTailArray(data: Array[Byte], headIdx: Int, asString: Boolean,
       fixedK: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    def wordAsInt(pos: Long): Int = {
-      if (pos < 0 || pos + 32L > data.length) return -1
-      val p = pos.toInt
-      ((data(p + 28) & 0xff) << 24) | ((data(p + 29) & 0xff) << 16) |
-        ((data(p + 30) & 0xff) << 8) | (data(p + 31) & 0xff)
-    }
+    def wordAsInt(pos: Long): Int = offsetWord(data, pos)
     val off = wordAsInt(headIdx * 32L)
     if (off < 0) return null
     val (base, n0) =

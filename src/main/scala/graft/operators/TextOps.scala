@@ -332,7 +332,10 @@ object TextOps {
     * one final division is IEEE-exact. Monotonicity matches the paper's
     * intent: grams frequent in the target and rare elsewhere push the
     * weight toward 1, target-absent grams toward 0. Add-one smoothing
-    * keeps gram-less docs defined.
+    * bounds the ratio away from 0/0 on rare-gram docs. Docs with FEWER
+    * than `n` tokens yield no grams and are EXCLUDED from the output —
+    * they carry no n-gram evidence to score (and must not outrank real
+    * docs with a vacuous smoothed weight).
     *
     * Shuffle shape at 100 TB: one groupBy(gram) builds the df table (one
     * row per DISTINCT gram — map-side partial aggregation absorbs hot
@@ -340,32 +343,6 @@ object TextOps {
     * self-join), one per-doc sum. No quadratic term anywhere; pair with
     * [[hashSplit]] for seeded weighted selection downstream.
     */
-  /** BPE tokenizer-training prep: symbol-pair frequencies for the first
-    * merge round (Sennrich et al. 2016) — each word occurrence
-    * contributes its adjacent character pairs with multiplicity.
-    *
-    * Scale shape: the corpus collapses to DISTINCT words + occurrence
-    * counts FIRST (one map-side-combined groupBy — the only shuffle that
-    * sees corpus volume); the char-pair explode then runs over the
-    * VOCABULARY, which is ~constant in corpus size (Heaps' law), so the
-    * interpreted per-word pair lambda is off the hot path by
-    * construction. Top-k via TakeOrdered, pair as tie-break.
-    */
-  def bpePairCounts(df: DataFrame, k: Int = 200,
-      textCol: String = "text"): DataFrame = {
-    val words = df
-      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n_word"))
-    words
-      .filter(length(col("word")) >= 2)
-      .select(col("n_word"), explode(
-        expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(sum(col("n_word")).as("n_occurrences"))
-      .orderBy(col("n_occurrences").desc, col("pair"))
-      .limit(k)
-  }
-
   def importanceWeights(df: DataFrame, isTarget: Column, n: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
@@ -390,5 +367,31 @@ object TextOps {
         sum("df_all").as("sum_all"))
       .withColumn("weight",
         (col("sum_target") + 1).cast("double") / (col("sum_all") + 1).cast("double"))
+  }
+
+  /** BPE tokenizer-training prep: symbol-pair frequencies for the first
+    * merge round (Sennrich et al. 2016) — each word occurrence
+    * contributes its adjacent character pairs with multiplicity.
+    *
+    * Scale shape: the corpus collapses to DISTINCT words + occurrence
+    * counts FIRST (one map-side-combined groupBy — the only shuffle that
+    * sees corpus volume); the char-pair explode then runs over the
+    * VOCABULARY, which is ~constant in corpus size (Heaps' law), so the
+    * interpreted per-word pair lambda is off the hot path by
+    * construction. Top-k via TakeOrdered, pair as tie-break.
+    */
+  def bpePairCounts(df: DataFrame, k: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    val words = df
+      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("n_word"), explode(
+        expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("n_word")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
   }
 }

@@ -210,6 +210,40 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out(2).get.length == 32)
   }
 
+  test("offset words with nonzero high bytes are malformed, never truncated") {
+    // a crafted head offset of 2^32 + 0x20 must NOT silently truncate to
+    // 0x20 and decode plausible-looking data — the array nulls out
+    val schema = EventSchema.parse("Nums(uint[] xs)")
+    val evil = word("20"); evil(27) = 1 // = 2^32 + 32
+    val okTail = word("1") ++ word("2a")
+    val raw = Seq(
+      (1L, schema.topic0, evil ++ okTail),
+      (2L, schema.topic0, word("20") ++ okTail))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"block_number", coalesce(size($"xs"), lit(-1)))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == -1) // malformed head → null array
+    assert(out(2L) == 1)  // same low bytes, clean word → decodes
+
+    // per-element offset with a high byte → that ELEMENT nulls out
+    val schemaS = EventSchema.parse("Tags(string[] tags)")
+    val evilOff = word("40"); evilOff(5) = 1
+    val data = word("20") ++ word("2") ++ word("40") ++ evilOff ++
+      word("1") ++ padRight("x".getBytes("UTF-8"), 32)
+    val rawS = Seq((1L, schemaS.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outS = EventDecoder.decode(rawS, schemaS)
+      .select($"tags").as[Seq[Option[String]]].collect().head
+    assert(outS == Seq(Some("x"), None))
+  }
+
   test("string[k] fixed-size dynamic arrays: one head word, k offsets, no length") {
     val schema = EventSchema.parse("Pair2(string[2] ab, uint v)")
     assert(schema.signature == "Pair2(string[2],uint256)")
