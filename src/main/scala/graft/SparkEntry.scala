@@ -405,6 +405,24 @@ object SparkEntry {
     "w_sessionize" -> ((s, dir) =>
       EventLog.sessionize(events(s, dir), 20L)),
 
+    // Interval join: per session, count OTHER users' purchases landing
+    // inside its block span — bucketized equi-join + residual BETWEEN
+    // (never a BroadcastNestedLoop; see EventLog.rangeJoin). The oracle
+    // runs DuckDB's native range join over the same session CTE.
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = EventLog.sessionize(ev, 20L)
+        .select(col("user_id").as("s_user"), col("session_seq"),
+          col("session_from"), col("session_to"))
+      val purchases = EventLog.signatureFilter(ev, "purchase")
+        .select(col("event_id"), col("user_id"), col("block_number"))
+      EventLog.rangeJoin(purchases, sessions,
+          "block_number", "session_from", "session_to", bucketWidth = 32L)
+        .filter(col("user_id") =!= col("s_user"))
+        .groupBy(col("s_user"), col("session_seq"))
+        .agg(count(lit(1)).as("n_foreign_purchases"))
+    }),
+
     // Sketch gate: approx_count_distinct vs the exact distinct count —
     // the HLL++ result is engine-internal, so the query emits the exact
     // count plus a relative-error verdict the oracle states (same
@@ -986,6 +1004,25 @@ object SparkEntry {
        FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
        WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard"""
 
+  /** Shared oracle: per-user gap-20 session windows (mirrors
+    * EventLog.sessionize; reused by the range-join oracle).
+    */
+  private val SessionizeSql =
+    s"""WITH ev AS (
+         SELECT *, CASE WHEN block_number - lag(block_number) OVER
+             (PARTITION BY user_id ORDER BY block_number, log_index, event_id)
+             > 20 THEN 1 ELSE 0 END AS boundary
+         FROM ($EvKeys)),
+       s AS (
+         SELECT *, CAST(sum(boundary) OVER
+             (PARTITION BY user_id ORDER BY block_number, log_index, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+         FROM ev)
+       SELECT user_id, session_seq, count(*) AS n_events,
+         min(block_number) AS session_from, max(block_number) AS session_to
+       FROM s GROUP BY 1, 2"""
+
   /** Shared oracle: DSIR importance weights over word-bigram document
     * frequencies (mirrors TextOps.importanceWeights; counts are invariant
     * under the engine's gram hashing).
@@ -1182,21 +1219,17 @@ object SparkEntry {
            min(block_number) AS window_from, max(block_number) AS window_to
          FROM w GROUP BY 1""",
 
-    "w_sessionize" ->
-      s"""WITH ev AS (
-           SELECT *, CASE WHEN block_number - lag(block_number) OVER
-               (PARTITION BY user_id ORDER BY block_number, log_index, event_id)
-               > 20 THEN 1 ELSE 0 END AS boundary
-           FROM ($EvKeys)),
-         s AS (
-           SELECT *, CAST(sum(boundary) OVER
-               (PARTITION BY user_id ORDER BY block_number, log_index, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS session_seq
-           FROM ev)
-         SELECT user_id, session_seq, count(*) AS n_events,
-           min(block_number) AS session_from, max(block_number) AS session_to
-         FROM s GROUP BY 1, 2""",
+    "w_sessionize" -> SessionizeSql,
+
+    "q_range_join" ->
+      s"""WITH sess AS ($SessionizeSql),
+         p AS (SELECT event_id, user_id, block_number FROM ($EvKeys)
+               WHERE event_type = 'purchase')
+         SELECT sess.user_id AS s_user, session_seq,
+           count(*) AS n_foreign_purchases
+         FROM p JOIN sess ON p.block_number BETWEEN session_from AND session_to
+           AND p.user_id != sess.user_id
+         GROUP BY 1, 2""",
 
     "agg_sketch_gate" ->
       """SELECT count(DISTINCT user_id) AS n_exact, true AS sketch_ok

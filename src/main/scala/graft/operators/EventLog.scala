@@ -321,6 +321,41 @@ object EventLog {
         max("block_number").as("session_to"))
   }
 
+  /** Interval (range) join — pair every left "point" row with the right
+    * interval rows whose `[startCol, endCol]` contain it (inclusive,
+    * non-negative domain). Spark has no native interval join: a raw
+    * `p BETWEEN s AND e` join condition plans as
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) work and a driver
+    * OOM once the interval side outgrows a broadcast. This composes the
+    * classic bucketized shape instead: each interval EXPLODES to the
+    * fixed-width buckets it overlaps, each point maps to exactly ONE
+    * bucket, and the join is a plain shuffled equi-join on the bucket
+    * key with the exact BETWEEN as a residual filter. A matching
+    * (point, interval) pair meets in exactly one bucket — the point's —
+    * so no post-join dedup is needed. Shuffle volume is
+    * |points| + Σ(span/width) interval replicas; pick `bucketWidth`
+    * near the typical interval length (wider = fewer replicas, narrower
+    * = fewer false candidates per bucket). Both input relations keep
+    * their columns; callers alias clashing names before the join.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    // integer DIV, not floor(double /): block numbers are longs and a
+    // double quotient loses precision past 2^53
+    val pb = points.withColumn("__bucket",
+      expr(s"$pointCol DIV $bucketWidth"))
+    val ib = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"$startCol DIV $bucketWidth"),
+        expr(s"$endCol DIV $bucketWidth"))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** W2 — per-block stepping with per-source event groups (reference:
     * sink.rs:84-98): one row per block, one column per registered source.
     */

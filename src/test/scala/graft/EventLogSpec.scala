@@ -159,6 +159,27 @@ class EventLogSpec extends AnyFunSuite {
       (5L, None, None)))
   }
 
+  test("rangeJoin: exact point-in-interval matches, no dup across buckets") {
+    import org.apache.spark.sql.functions.col
+    val points = Seq((1L, 0L), (2L, 5L), (3L, 64L), (4L, 100L), (5L, 129L))
+      .toDF("pid", "p")
+    // intervals spanning multiple buckets (width 64), adjacent, empty,
+    // inverted (dropped), and containing bucket boundaries
+    val intervals = Seq(
+      (10L, 0L, 5L), (11L, 5L, 130L), (12L, 64L, 64L), (13L, 7L, 3L))
+      .toDF("iid", "s", "e")
+    val out = EventLog.rangeJoin(points, intervals, "p", "s", "e", 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L), (2L, 10L),                               // [0,5]
+      (2L, 11L), (3L, 11L), (4L, 11L), (5L, 11L),        // [5,130]
+      (3L, 12L)))                                        // [64,64]
+    // the multi-bucket interval matched each point exactly once
+    val counts = EventLog.rangeJoin(points, intervals, "p", "s", "e", 64L)
+      .groupBy("pid", "iid").count().filter(col("count") > 1).count()
+    assert(counts == 0)
+  }
+
   test("asofJoin never matches NULL keys (SQL ASOF equality semantics)") {
     import org.apache.spark.sql.functions.{col, lit, when}
     // null-keyed left rows flow through UNMATCHED; null-keyed right rows
