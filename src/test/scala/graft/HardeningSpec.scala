@@ -86,6 +86,22 @@ class HardeningSpec extends AnyFunSuite {
     assert(pPlan.contains("Window"), "expected a window operator")
     assert(!pPlan.contains("SinglePartition"),
       "packing window regressed to a single global partition")
+
+    // interval join: the whole point of the bucketized shape is that the
+    // BETWEEN condition rides a bucket equi-join as residual — a nested
+    // loop means the equi-key was lost
+    val rj = SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.01")
+    val rjPlan = rj.queryExecution.executedPlan.toString
+    assert(!rjPlan.contains("BroadcastNestedLoopJoin") &&
+      !rjPlan.contains("CartesianProduct"),
+      "range join regressed to a nested loop / cartesian")
+
+    // importance selection: global top-k must be TakeOrdered (partial
+    // per-partition top-k), never a global sort
+    val sel = SparkEntry.queries("pipeline_dsir_select")(spark, "/root/testdata/sf0.01")
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(selPlan.contains("TakeOrderedAndProject"),
+      "top-k selection must plan as TakeOrderedAndProject")
   }
 
   test("reorg guard: removed=true aborts the batch query, clean data passes") {
