@@ -423,6 +423,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_foreign_purchases"))
     }),
 
+    // Interval OVERLAP join: concurrent-session pairs among a user
+    // subset — bucketized candidates, overlap residual, and the
+    // max-start-bucket meet rule so each pair lands exactly once
+    // (see EventLog.intervalOverlapJoin).
+    "q_overlap_join" -> ((s, dir) => {
+      val sessions = EventLog.sessionize(events(s, dir), 20L)
+        .filter(col("user_id") < 30)
+      val a = sessions.select(col("user_id").as("u1"),
+        col("session_from").as("from1"), col("session_to").as("to1"))
+      val b = sessions.select(col("user_id").as("u2"),
+        col("session_from").as("from2"), col("session_to").as("to2"))
+      EventLog.intervalOverlapJoin(a, b,
+          "from1", "to1", "from2", "to2", bucketWidth = 32L)
+        .filter(col("u1") < col("u2"))
+        .groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
+
     // Sketch gate: approx_count_distinct vs the exact distinct count —
     // the HLL++ result is engine-internal, so the query emits the exact
     // count plus a relative-error verdict the oracle states (same
@@ -1229,6 +1247,16 @@ object SparkEntry {
            count(*) AS n_foreign_purchases
          FROM p JOIN sess ON p.block_number BETWEEN session_from AND session_to
            AND p.user_id != sess.user_id
+         GROUP BY 1, 2""",
+
+    "q_overlap_join" ->
+      s"""WITH sess AS ($SessionizeSql),
+         a AS (SELECT user_id AS u1, session_from AS f1, session_to AS t1
+               FROM sess WHERE user_id < 30),
+         b AS (SELECT user_id AS u2, session_from AS f2, session_to AS t2
+               FROM sess WHERE user_id < 30)
+         SELECT u1, u2, count(*) AS n_overlaps
+         FROM a JOIN b ON f1 <= t2 AND f2 <= t1 AND u1 < u2
          GROUP BY 1, 2""",
 
     "agg_sketch_gate" ->

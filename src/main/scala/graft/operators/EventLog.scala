@@ -356,6 +356,36 @@ object EventLog {
       .drop("__bucket")
   }
 
+  /** Interval OVERLAP join — pair left/right interval rows whose spans
+    * intersect (`s1 <= e2 && s2 <= e1`, inclusive, non-negative domain).
+    * Same bucketized scheme as [[rangeJoin]], plus a dedup-free meet
+    * rule: both sides explode to their overlapped buckets, and a
+    * candidate pair is accepted only in the bucket of
+    * `max(start1, start2)` — `floor` is monotone, so that bucket is
+    * `greatest(s1 DIV w, s2 DIV w)`, it lies inside BOTH intervals
+    * whenever they overlap, and it is unique per pair: every overlapping
+    * pair matches exactly once with no post-join `dropDuplicates`
+    * shuffle. Callers alias clashing column names before the join.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) <= col(e))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"$s DIV $bucketWidth"), expr(s"$e DIV $bucketWidth"))))
+    exploded(left, leftStart, leftEnd)
+      .join(exploded(right, rightStart, rightEnd), Seq("__bucket"))
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        col("__bucket") === greatest(
+          expr(s"$leftStart DIV $bucketWidth"),
+          expr(s"$rightStart DIV $bucketWidth")))
+      .drop("__bucket")
+  }
+
   /** W2 — per-block stepping with per-source event groups (reference:
     * sink.rs:84-98): one row per block, one column per registered source.
     */

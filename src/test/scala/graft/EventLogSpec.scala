@@ -180,6 +180,27 @@ class EventLogSpec extends AnyFunSuite {
     assert(counts == 0)
   }
 
+  test("intervalOverlapJoin: exact overlaps, each pair matched once") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, 0L, 5L), (2L, 60L, 70L), (3L, 100L, 300L))
+      .toDF("aid", "as", "ae")
+    val b = Seq(
+      (10L, 5L, 60L),    // touches a1 at 5 and a2 at 60
+      (11L, 71L, 99L),   // gap — overlaps nothing
+      (12L, 0L, 400L),   // spans everything, crosses many buckets
+      (13L, 299L, 301L)) // tail overlap with a3
+      .toDF("bid", "bs", "be")
+    val out = EventLog.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", 64L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L), (2L, 10L),
+      (1L, 12L), (2L, 12L), (3L, 12L),
+      (3L, 13L)))
+    val dups = EventLog.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", 64L)
+      .groupBy("aid", "bid").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
   test("asofJoin never matches NULL keys (SQL ASOF equality semantics)") {
     import org.apache.spark.sql.functions.{col, lit, when}
     // null-keyed left rows flow through UNMATCHED; null-keyed right rows
