@@ -78,10 +78,9 @@ object AbiRuntime {
     */
   def wordTailArray(data: Array[Byte], headIdx: Int,
       signed: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
-    def wordAsInt(pos: Long): Int = offsetWord(data, pos)
-    val off = wordAsInt(headIdx * 32L)
+    val off = offsetWord(data, headIdx * 32L)
     if (off < 0) return null
-    val n0 = wordAsInt(off.toLong)
+    val n0 = offsetWord(data, off.toLong)
     if (n0 < 0) return null
     val n = math.min(n0.toLong, math.max(0L, (data.length - off - 32L) / 32L)).toInt
     val out = new Array[Any](n)
@@ -101,10 +100,9 @@ object AbiRuntime {
     */
   def wordTailSliceArray(data: Array[Byte], headIdx: Int,
       kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    def wordAsInt(pos: Long): Int = offsetWord(data, pos)
-    val off = wordAsInt(headIdx * 32L)
+    val off = offsetWord(data, headIdx * 32L)
     if (off < 0) return null
-    val n0 = wordAsInt(off.toLong)
+    val n0 = offsetWord(data, off.toLong)
     if (n0 < 0) return null
     val n = math.min(n0.toLong, math.max(0L, (data.length - off - 32L) / 32L)).toInt
     val out = new Array[Any](n)
@@ -137,13 +135,12 @@ object AbiRuntime {
     */
   def dynTailArray(data: Array[Byte], headIdx: Int, asString: Boolean,
       fixedK: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    def wordAsInt(pos: Long): Int = offsetWord(data, pos)
-    val off = wordAsInt(headIdx * 32L)
+    val off = offsetWord(data, headIdx * 32L)
     if (off < 0) return null
     val (base, n0) =
       if (fixedK >= 0) (off.toLong, fixedK)
       else {
-        val n = wordAsInt(off.toLong)
+        val n = offsetWord(data, off.toLong)
         if (n < 0) return null
         (off + 32L, n)
       }
@@ -152,11 +149,11 @@ object AbiRuntime {
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val rel = wordAsInt(base + i * 32L)
+      val rel = offsetWord(data, base + i * 32L)
       out(i) =
         if (rel < 0) null
         else {
-          val len = wordAsInt(base + rel)
+          val len = offsetWord(data, base + rel)
           if (len < 0) null
           else {
             val start = base + rel + 32L // in bounds: the len word was

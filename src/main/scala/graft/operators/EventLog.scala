@@ -338,20 +338,24 @@ object EventLog {
     * = fewer false candidates per bucket). Both input relations keep
     * their columns; callers alias clashing names before the join.
     */
+  /** Explode interval rows to the fixed-width buckets they overlap.
+    * Integer DIV, not floor(double /): block numbers are longs and a
+    * double quotient loses precision past 2^53.
+    */
+  private def bucketSpan(df: DataFrame, startCol: String, endCol: String,
+      width: Long): DataFrame = df
+    .filter(col(startCol) <= col(endCol))
+    .withColumn("__bucket", explode(sequence(
+      expr(s"$startCol DIV $width"), expr(s"$endCol DIV $width"))))
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long = 64L): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be positive")
-    // integer DIV, not floor(double /): block numbers are longs and a
-    // double quotient loses precision past 2^53
     val pb = points.withColumn("__bucket",
       expr(s"$pointCol DIV $bucketWidth"))
-    val ib = intervals
-      .filter(col(startCol) <= col(endCol))
-      .withColumn("__bucket", explode(sequence(
-        expr(s"$startCol DIV $bucketWidth"),
-        expr(s"$endCol DIV $bucketWidth"))))
-    pb.join(ib, Seq("__bucket"))
+    pb.join(bucketSpan(intervals, startCol, endCol, bucketWidth),
+        Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
@@ -372,12 +376,9 @@ object EventLog {
       rightStart: String, rightEnd: String,
       bucketWidth: Long = 64L): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be positive")
-    def exploded(df: DataFrame, s: String, e: String) = df
-      .filter(col(s) <= col(e))
-      .withColumn("__bucket", explode(sequence(
-        expr(s"$s DIV $bucketWidth"), expr(s"$e DIV $bucketWidth"))))
-    exploded(left, leftStart, leftEnd)
-      .join(exploded(right, rightStart, rightEnd), Seq("__bucket"))
+    bucketSpan(left, leftStart, leftEnd, bucketWidth)
+      .join(bucketSpan(right, rightStart, rightEnd, bucketWidth),
+        Seq("__bucket"))
       .filter(col(leftStart) <= col(rightEnd) &&
         col(rightStart) <= col(leftEnd) &&
         col("__bucket") === greatest(
