@@ -378,14 +378,17 @@ object SparkEntry {
           // lost the race (or target appeared) — keep the winner's copy
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         }
-        val cutoff = System.currentTimeMillis() - 3600L * 1000
-        val stale = new java.io.File("/tmp").listFiles()
-        if (stale != null) stale
-          .filter(f => f.getName.startsWith(s"graft_dd_cache_$pathPart") &&
-            f.getAbsolutePath != scratch &&
-            f.lastModified() < cutoff)
-          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       }
+      // prune on EVERY run, not just cache misses: an old-version dir that
+      // was too young to delete at the regeneration moment would otherwise
+      // survive forever once the current key starts hitting its cache
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val stale = new java.io.File("/tmp").listFiles()
+      if (stale != null) stale
+        .filter(f => f.getName.startsWith(s"graft_dd_cache_$pathPart") &&
+          f.getAbsolutePath != scratch &&
+          f.lastModified() < cutoff)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$scratch/events",
         blockStep = fifthOfHead(s, s"$scratch/events"), confirmations = 0L)

@@ -321,6 +321,29 @@ object EventLog {
         max("block_number").as("session_to"))
   }
 
+  /** Explode interval rows to the fixed-width buckets they overlap.
+    * Integer DIV, not floor(double /): block numbers are longs and a
+    * double quotient loses precision past 2^53. One corrupt interval
+    * spanning millions of buckets would otherwise materialize a
+    * million-element array per row and OOM the executor — that fails
+    * LOUDLY with the operator's name and the offending span instead.
+    */
+  private val MaxBucketsPerInterval = 1L << 20
+
+  private def bucketSpan(df: DataFrame, startCol: String, endCol: String,
+      width: Long): DataFrame = {
+    require(!df.columns.contains("__bucket"),
+      "the interval join reserves the __bucket column name; rename it")
+    val (b0, b1) = (expr(s"$startCol DIV $width"), expr(s"$endCol DIV $width"))
+    df.filter(col(startCol) <= col(endCol))
+      .withColumn("__bucket", explode(sequence(b0,
+        when(b1 - b0 >= MaxBucketsPerInterval, raise_error(concat(
+          lit(s"interval join: span exceeds $MaxBucketsPerInterval buckets " +
+            s"at bucketWidth=$width — raise bucketWidth or clean the span ["),
+          col(startCol).cast("string"), lit(","),
+          col(endCol).cast("string"), lit("]")))).otherwise(b1))))
+  }
+
   /** Interval (range) join — pair every left "point" row with the right
     * interval rows whose `[startCol, endCol]` contain it (inclusive,
     * non-negative domain). Spark has no native interval join: a raw
@@ -336,22 +359,15 @@ object EventLog {
     * |points| + Σ(span/width) interval replicas; pick `bucketWidth`
     * near the typical interval length (wider = fewer replicas, narrower
     * = fewer false candidates per bucket). Both input relations keep
-    * their columns; callers alias clashing names before the join.
+    * their columns; callers alias clashing names before the join
+    * (`__bucket` itself is reserved and rejected).
     */
-  /** Explode interval rows to the fixed-width buckets they overlap.
-    * Integer DIV, not floor(double /): block numbers are longs and a
-    * double quotient loses precision past 2^53.
-    */
-  private def bucketSpan(df: DataFrame, startCol: String, endCol: String,
-      width: Long): DataFrame = df
-    .filter(col(startCol) <= col(endCol))
-    .withColumn("__bucket", explode(sequence(
-      expr(s"$startCol DIV $width"), expr(s"$endCol DIV $width"))))
-
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long = 64L): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket"),
+      "the interval join reserves the __bucket column name; rename it")
     val pb = points.withColumn("__bucket",
       expr(s"$pointCol DIV $bucketWidth"))
     pb.join(bucketSpan(intervals, startCol, endCol, bucketWidth),
@@ -369,7 +385,8 @@ object EventLog {
     * `greatest(s1 DIV w, s2 DIV w)`, it lies inside BOTH intervals
     * whenever they overlap, and it is unique per pair: every overlapping
     * pair matches exactly once with no post-join `dropDuplicates`
-    * shuffle. Callers alias clashing column names before the join.
+    * shuffle. Callers alias clashing column names before the join
+    * (`__bucket` itself is reserved and rejected).
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       leftStart: String, leftEnd: String,

@@ -180,6 +180,18 @@ class EventLogSpec extends AnyFunSuite {
     assert(counts == 0)
   }
 
+  test("rangeJoin fails loudly on corrupt oversized spans and reserved names") {
+    import org.apache.spark.sql.functions.col
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val huge = Seq((10L, 0L, 1L << 40)).toDF("iid", "s", "e")
+    val err = intercept[Exception](
+      EventLog.rangeJoin(points, huge, "p", "s", "e", 64L).collect())
+    assert(err.getMessage != null)
+    val clash = points.withColumn("__bucket", col("p"))
+    intercept[IllegalArgumentException](
+      EventLog.rangeJoin(clash, huge, "p", "s", "e", 64L))
+  }
+
   test("intervalOverlapJoin: exact overlaps, each pair matched once") {
     import org.apache.spark.sql.functions.col
     val a = Seq((1L, 0L, 5L), (2L, 60L, 70L), (3L, 100L, 300L))

@@ -90,11 +90,13 @@ class HardeningSpec extends AnyFunSuite {
     // interval join: the whole point of the bucketized shape is that the
     // BETWEEN condition rides a bucket equi-join as residual — a nested
     // loop means the equi-key was lost
-    val rj = SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.01")
-    val rjPlan = rj.queryExecution.executedPlan.toString
-    assert(!rjPlan.contains("BroadcastNestedLoopJoin") &&
-      !rjPlan.contains("CartesianProduct"),
-      "range join regressed to a nested loop / cartesian")
+    for (q <- Seq("q_range_join", "q_overlap_join")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q regressed to a nested loop / cartesian")
+    }
 
     // importance selection: global top-k must be TakeOrdered (partial
     // per-partition top-k), never a global sort
