@@ -234,6 +234,39 @@ object SparkEntry {
           col("amount").cast("bigint").as("amount"))
     }),
 
+    // P2 — nested array roundtrip: uint[][] through the nested tail
+    // kernel, double-exploded; inner shapes vary per event.
+    "p2_abi_nested_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse("Matrix(uint[][] m)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val n = (col("event_id") % 2 + 1).cast("int") // 1 or 2 inner arrays
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      def w(c: org.apache.spark.sql.Column) = EventDecoder.encodeWordFromLong(c)
+      def wl(v: Long) = EventDecoder.encodeWordFromLong(lit(v))
+      val empty = lit(Array.emptyByteArray)
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          concat(
+            wl(32), w(n.cast("long")),
+            w(n.cast("long") * 32), // off0: after the n offset words
+            when(n >= 2, w(n.cast("long") * 32 + 64)).otherwise(empty),
+            wl(1), w(cents), // inner0 = [cents]
+            when(n >= 2, concat(wl(2), w(cents + 1), w(cents + 2)))
+              .otherwise(empty)).as("data"))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          posexplode(col("m")).as(Seq("i", "row")))
+        .select(col("block_number"), col("log_index"),
+          col("i").cast("bigint").as("i"),
+          posexplode(col("row")).as(Seq("j", "x")))
+        .select(col("block_number"), col("log_index"), col("i"),
+          col("j").cast("bigint").as("j"), col("x").cast("bigint").as("x"))
+    }),
+
     // P2 — dynamic-element array roundtrip: encode a string[] tag list
     // per event (variable count AND variable element length), decode it
     // back through the offset-indirected DynTailArray kernel, explode.
@@ -1154,6 +1187,19 @@ object SparkEntry {
          SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
            cents + i AS amount
          FROM base, unnest(generate_series(0, n - 1)) t(i)""",
+
+    "p2_abi_nested_roundtrip" ->
+      s"""WITH base AS (
+           SELECT block_number, log_index,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id % 2 + 1 AS n
+           FROM ($EvKeys) WHERE event_type = 'purchase')
+         SELECT block_number, log_index, CAST(0 AS BIGINT) AS i,
+           CAST(0 AS BIGINT) AS j, cents AS x FROM base
+         UNION ALL SELECT block_number, log_index, 1, 0, cents + 1
+           FROM base WHERE n = 2
+         UNION ALL SELECT block_number, log_index, 1, 1, cents + 2
+           FROM base WHERE n = 2""",
 
     "p2_abi_dynarray_roundtrip" ->
       s"""WITH base AS (

@@ -123,6 +123,52 @@ object AbiRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** `uintN[][]` / `intN[][]` nested tail decode: the outer tail is
+    * `[n][off_0…off_{n-1}][inner tails…]` (offsets relative to the start
+    * of the outer element list), each inner tail `[m][word_0…word_{m-1}]`
+    * with one 32-byte word per element → `ARRAY<ARRAY<DECIMAL(38,0)>>`.
+    * Same defensive contract as the flat kernels: malformed outer
+    * head/count → null ARRAY; malformed per-element offset or inner
+    * count → null INNER array; inner counts clamp to what the blob
+    * holds; overflowing words → null elements. Never throws.
+    */
+  def nestedWordTailArray(data: Array[Byte], headIdx: Int,
+      signed: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val off = offsetWord(data, headIdx * 32L)
+    if (off < 0) return null
+    val n0 = offsetWord(data, off.toLong)
+    if (n0 < 0) return null
+    val base = off + 32L
+    val n = math.min(n0.toLong, math.max(0L, (data.length - base) / 32L)).toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val rel = offsetWord(data, base + i * 32L)
+      out(i) =
+        if (rel < 0) null
+        else {
+          val m0 = offsetWord(data, base + rel)
+          if (m0 < 0) null
+          else {
+            val ibase = base + rel + 32L
+            val m = math.min(m0.toLong,
+              math.max(0L, (data.length - ibase) / 32L)).toInt
+            val inner = new Array[Any](m)
+            var j = 0
+            while (j < m) {
+              val start = (ibase + j * 32L).toInt
+              val w = java.util.Arrays.copyOfRange(data, start, start + 32)
+              inner(j) = if (signed) i256ToDecimal(w) else u256ToDecimal(w)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(inner)
+          }
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** `string[]` / `bytes[]` tail decode — DYNAMIC elements: the tail is
     * `[n][off_0…off_{n-1}][elem tails…]` with per-element offsets relative
     * to the start of the element list, each element `[len][payload]`.
@@ -327,6 +373,35 @@ case class WordTailSliceArray(child: Expression, headIdx: Int, kind: String)
     copy(child = newChild)
 }
 
+/** Nested twin of [[WordTailArray]] for `uintN[][]` / `intN[][]` tails —
+  * offset-indirected inner arrays decoded in one compiled runtime call.
+  */
+case class NestedWordTailArray(child: Expression, headIdx: Int,
+    signed: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ArrayType(DecimalType(38, 0)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_nested_word_tail_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.nestedWordTailArray(input.asInstanceOf[Array[Byte]], headIdx, signed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.nestedWordTailArray(
+          ${c.value}, $headIdx, $signed);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NestedWordTailArray =
+    copy(child = newChild)
+}
+
 /** Dynamic-element twin of [[WordTailSliceArray]] for `string[]` /
   * `bytes[]` tails (and their fixed-size `[k]` forms via `fixedK >= 0`)
   * — offset-indirected elements decoded in one compiled runtime call.
@@ -378,6 +453,10 @@ object abi {
   /** `address[]`/`bytes32[]`/`bool[]` dynamic tail → typed array. */
   def wordTailSliceArray(data: Column, headIdx: Int, kind: String): Column =
     wrap(WordTailSliceArray(ex(data), headIdx, kind))
+
+  /** `uintN[][]`/`intN[][]` nested tail → ARRAY<ARRAY<DECIMAL>>. */
+  def nestedWordTailArray(data: Column, headIdx: Int, signed: Boolean): Column =
+    wrap(NestedWordTailArray(ex(data), headIdx, signed))
 
   /** `string[]`/`bytes[]` tail (dynamic elements; `fixedK >= 0` for the
     * fixed-size `[k]` form) → ARRAY<STRING> / ARRAY<BINARY>.

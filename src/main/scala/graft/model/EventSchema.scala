@@ -106,19 +106,24 @@ object EventSchema {
   // multiples of 8 in 8..256 — e.g. uint24 in Uniswap V3's PoolCreated).
   // Arrays of every scalar element type are accepted, both dynamic `T[]`
   // and fixed-size `T[k]` (k ≥ 1) — including the dynamic-element
-  // string[]/bytes[] forms (offset-indirected tails). Nested arrays
-  // (`T[][]`, `T[2][]`) stay excluded by the grammar.
+  // string[]/bytes[] forms (offset-indirected tails) and NUMERIC nested
+  // arrays `uintN[][]`/`intN[][]`. Other nesting (`address[][]`,
+  // `T[2][]`, tuples) stays excluded by the grammar.
   private val TypeRe =
     ("(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?" +
-      "|(?:address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[[0-9]*\\])").r
+      "|(?:address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[[0-9]*\\]" +
+      "|(?:uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[\\]\\[\\])").r
 
   private def validWidth(t: String): Boolean = {
     val elem = t.indexOf('[') match {
       case -1 => t
       case i  =>
-        // fixed-size arrays must have k ≥ 1 ([] stays valid: dynamic)
-        val k = t.substring(i + 1, t.length - 1)
-        if (k.nonEmpty && k.toInt < 1) return false
+        // dynamic `[]` / nested `[][]` carry no size; fixed `[k]` needs k ≥ 1
+        val suffix = t.substring(i)
+        if (suffix != "[]" && suffix != "[][]") {
+          val k = t.substring(i + 1, t.length - 1)
+          if (k.nonEmpty && k.toInt < 1) return false
+        }
         t.substring(0, i)
     }
     val digits = elem.dropWhile(!_.isDigit).takeWhile(_.isDigit)

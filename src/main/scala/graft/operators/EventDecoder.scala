@@ -83,7 +83,12 @@ object EventDecoder {
       abi.dynTailArray(data, headIdx, asString = elemT == "string", fixedK = k)
     } else if (t.endsWith("[]")) {
       val elemT = t.dropRight(2)
-      if (elemT.startsWith("uint") || elemT.startsWith("int"))
+      if (elemT.endsWith("[]"))
+        // nested numeric arrays — must route BEFORE the flat numeric
+        // check ("uint256[]".startsWith("uint") is also true)
+        abi.nestedWordTailArray(data, headIdx,
+          signed = elemT.startsWith("int"))
+      else if (elemT.startsWith("uint") || elemT.startsWith("int"))
         // the common case (amounts, ids) decodes through one native
         // kernel call — the whole element loop stays compiled
         abi.wordTailArray(data, headIdx, signed = elemT.startsWith("int"))

@@ -38,6 +38,10 @@ object GraftFunctions {
       litInt(es(1), "abi_word_tail_slice_array"),
       litString(es(2), "abi_word_tail_slice_array"))),
     "abi_word_nonzero" -> (es => WordNonZero(es.head)),
+    "abi_nested_word_tail_array" -> (es => NestedWordTailArray(es.head,
+      litInt(es(1), "abi_nested_word_tail_array"),
+      signed = if (es.length > 2) litBool(es(2), "abi_nested_word_tail_array")
+        else false)),
     "abi_dyn_tail_array" -> (es => DynTailArray(es.head,
       litInt(es(1), "abi_dyn_tail_array"),
       asString = litBool(es(2), "abi_dyn_tail_array"),

@@ -244,6 +244,41 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(outS == Seq(Some("x"), None))
   }
 
+  test("uint[][] nested tails decode; malformed inner offsets null that inner only") {
+    val schema = EventSchema.parse("Matrix(uint[][] m, uint tag)")
+    assert(schema.signature == "Matrix(uint256[][],uint256)")
+    // m = [[7],[8,9]]: [head=0x40][tag=5][n=2][off0=0x40][off1=0x80]
+    //                  [m0=1][7][m1=2][8][9]
+    val data = word("40") ++ word("5") ++ word("2") ++
+      word("40") ++ word("80") ++
+      word("1") ++ word("7") ++ word("2") ++ word("8") ++ word("9")
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select(expr("transform(m, r -> transform(r, x -> cast(x as long)))"),
+        $"tag".cast("long"))
+      .as[(Seq[Seq[Long]], Long)].collect().head
+    assert(out == ((Seq(Seq(7L), Seq(8L, 9L)), 5L)))
+
+    // inner offset with a nonzero high byte → that inner array nulls out
+    val evil = word("40"); evil(3) = 1
+    val dataBad = word("20") ++ word("2") ++ evil ++ word("80") ++
+      word("1") ++ word("7") ++ word("2") ++ word("8") ++ word("9")
+    val schemaB = EventSchema.parse("M2(uint[][] m)")
+    val rawBad = Seq((1L, schemaB.topic0, dataBad))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outBad = EventDecoder.decode(rawBad, schemaB)
+      .select(expr("transform(m, r -> transform(r, x -> cast(x as long)))"))
+      .as[Seq[Option[Seq[Long]]]].collect().head
+    assert(outBad == Seq(None, Some(Seq(8L, 9L))))
+  }
+
   test("string[k] fixed-size dynamic arrays: one head word, k offsets, no length") {
     val schema = EventSchema.parse("Pair2(string[2] ab, uint v)")
     assert(schema.signature == "Pair2(string[2],uint256)")

@@ -186,6 +186,7 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.AbiRuntime.dynTailArray(blob, headIdx, asString = true, -1)
       graft.functions.AbiRuntime.dynTailArray(blob, headIdx, asString = false, 3)
       graft.functions.AbiRuntime.wordTailArray(blob, headIdx, signed = false)
+      graft.functions.AbiRuntime.nestedWordTailArray(blob, headIdx, signed = true)
       graft.functions.AbiRuntime.wordTailSliceArray(blob, headIdx, 0)
       graft.functions.AbiRuntime.wordTailSliceArray(blob, headIdx, 2)
     }
