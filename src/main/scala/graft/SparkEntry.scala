@@ -745,6 +745,25 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(table(s, dir, "documents"), k = 500)),
 
+    // Stratified-sampling gate: seeded hash sampling at per-language
+    // rates; the oracle states each stratum's total and the expected
+    // rate-adherence verdict (hash-uniformity puts the kept fraction
+    // within a wide tolerance of the rate; the decision itself is
+    // deterministic and growth-stable — see TextOps.stratifiedHashSample).
+    "pipeline_stratified_gate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val rates = Map("en" -> 0.5, "de" -> 0.25)
+      val kept = TextOps.stratifiedHashSample(docs, rates)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      docs.filter(col("lang").isin(rates.keys.toSeq: _*))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          (abs(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs")
+            - when(col("lang") === "en", 0.5).otherwise(0.25)) <= 0.15)
+            .as("frac_ok"))
+    }),
+
     // BPE merge-pair counts: tokenizer-training prep (first merge round).
     "text_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairCounts(table(s, dir, "documents"), k = 200)),
@@ -1532,6 +1551,10 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS n_occurrences FROM w GROUP BY 1)
          SELECT token, n_occurrences FROM c
          ORDER BY n_occurrences DESC, token LIMIT 500""",
+
+    "pipeline_stratified_gate" ->
+      """SELECT lang, count(*) AS n_docs, true AS frac_ok FROM documents
+         WHERE lang IN ('en', 'de') GROUP BY 1""",
 
     "text_bpe_pairs" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word FROM documents),

@@ -302,6 +302,27 @@ object TextOps {
         lit("eval")).otherwise(lit("train")))
   }
 
+  /** Deterministic per-stratum sampling: keep a row iff
+    * `xxhash64(key, salt) mod 10000 < rate(stratum) * 10000`. The
+    * executable form of a mixing schedule ([[mixtureWeights]] decides
+    * the rates, this applies them): row-local and shuffle-free, exactly
+    * reproducible across runs/machines/partitionings, and STABLE UNDER
+    * CORPUS GROWTH — adding documents never flips existing keep
+    * decisions (the same contract as [[hashSplit]], which `sample()`
+    * and `sampleBy()` break: their assignment follows partition layout
+    * and sampler state). Strata absent from `rates` are dropped.
+    */
+  def stratifiedHashSample(df: DataFrame, rates: Map[String, Double],
+      stratumCol: String = "lang", keyCol: String = "doc_id",
+      salt: Long = 42L): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val permyriad = rates.foldLeft(lit(0.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    } * 10000
+    df.filter(pmod(xxhash64(col(keyCol), lit(salt)), lit(10000)) < permyriad)
+  }
+
   /** Document fingerprint: rolling polynomial hash over the characters,
     * `acc = (acc*131 + ascii(c)) mod 1e9+7` — deterministic, engine-neutral
     * (the oracle replays the same fold), and row-local. Runs as the native

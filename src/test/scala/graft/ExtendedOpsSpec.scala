@@ -292,6 +292,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"(${dropped.size}/${exactDropped.size} dominated docs caught)")
   }
 
+  test("stratifiedHashSample: deterministic, growth-stable, rate-adherent") {
+    val rates = Map("en" -> 0.5, "de" -> 0.0)
+    val kept = TextOps.stratifiedHashSample(docs, rates)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    // dropped stratum and unknown strata yield nothing
+    assert(kept.forall(_._2 == "en"))
+    // deterministic across invocations
+    val again = TextOps.stratifiedHashSample(docs, rates)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(kept == again)
+    // growth-stable: sampling a SUBSET never flips existing decisions
+    val subset = TextOps.stratifiedHashSample(
+        docs.filter($"doc_id" % 2 === 0), rates)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(subset == kept.filter(_._1 % 2 == 0))
+  }
+
   test("bpePairCounts: occurrence-weighted adjacent char pairs") {
     val d = Seq((1L, "aaa ab"), (2L, "aaa")).toDF("doc_id", "text")
     // "aaa"×2 → pairs aa,aa ×2 = 4; "ab"×1 → ab ×1; single chars excluded
