@@ -302,6 +302,40 @@ object SparkEntry {
           col("idx").cast("bigint").as("idx"), col("tag"))
     }),
 
+    // P2 — tuple (struct) roundtrip: a static tuple inlined beside a
+    // dynamic tuple (string component) decoded through the
+    // offset-relative component area; the oracle restates both structs'
+    // fields relationally.
+    "p2_abi_tuple_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "Trade((address maker, uint64 qty) pair, (uint256 amount, string note) info)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val qty = (col("event_id") % 5 + 1).cast("long")
+      val note = concat(lit("t"), col("user_id").cast("string")).cast("binary")
+      val zero = Array[Byte](0)
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          concat(
+            EventDecoder.encodeWordFromLong(col("user_id")), // pair.maker
+            EventDecoder.encodeWordFromLong(qty),            // pair.qty
+            EventDecoder.encodeWordFromLong(lit(96L)),       // info head
+            EventDecoder.encodeWordFromLong(cents),          // info.amount
+            EventDecoder.encodeWordFromLong(lit(64L)),       // info.note rel
+            EventDecoder.encodeWordFromLong(length(note).cast("long")),
+            rpad(note, 32, zero)).as("data"))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          concat(lit("0x"), lower(hex(col("pair.maker")))).as("maker"),
+          col("pair.qty").cast("bigint").as("qty"),
+          col("info.amount").cast("bigint").as("amount_cents"),
+          col("info.note").as("note"))
+    }),
+
     // P3 — address/hex render helper parity
     "p3_address_hex" -> ((s, dir) =>
       events(s, dir)
@@ -1229,6 +1263,14 @@ object SparkEntry {
            CASE WHEN i = 0 THEN event_type
                 ELSE 'u' || CAST(user_id AS VARCHAR) END AS tag
          FROM base, unnest(generate_series(0, n - 1)) t(i)""",
+
+    "p2_abi_tuple_roundtrip" ->
+      s"""SELECT block_number, log_index,
+           '0x' || lpad(lower(hex(user_id)), 40, '0') AS maker,
+           event_id % 5 + 1 AS qty,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents,
+           't' || CAST(user_id AS VARCHAR) AS note
+         FROM ($EvKeys) WHERE event_type = 'purchase'""",
 
     "p3_address_hex" ->
       """SELECT user_id, '0x' || lpad(lower(hex(user_id)), 40, '0') AS addr

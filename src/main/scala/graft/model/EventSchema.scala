@@ -10,6 +10,11 @@ final case class EventParam(name: String, solType: String, indexed: Boolean) {
   def canonicalType: String = solType match {
     case "uint" => "uint256"
     case "int"  => "int256"
+    case t if t.startsWith("(") =>
+      // tuple: canonicalize each component, strip component names
+      EventSchema.tupleOf(t).fold(t)(_.map { case (ct, _) =>
+        EventParam(name, ct, indexed).canonicalType
+      }.mkString("(", ",", ")"))
     case t if t.endsWith("[]") =>
       EventParam(name, t.dropRight(2), indexed).canonicalType + "[]"
     case t if t.endsWith("]") =>
@@ -88,8 +93,35 @@ object EventSchema {
         canonical.substring(open + 1, canonical.length - 1).toInt))
     }
 
+  /** Tuple type `(T1[ name1],T2[ name2],…)` → component (type,
+    * optional name) list; None when `t` isn't a tuple or nests another
+    * tuple (nesting stays grammar-excluded). Works on both the declared
+    * form (with names) and the canonical form (names stripped).
+    */
+  def tupleOf(t: String): Option[Seq[(String, Option[String])]] = {
+    val s = t.trim
+    if (!(s.startsWith("(") && s.endsWith(")"))) None
+    else {
+      val body = s.substring(1, s.length - 1)
+      if (body.contains("(") || body.contains(")")) None
+      else Some(body.split(",", -1).toSeq.map { comp =>
+        comp.trim.split("\\s+").toSeq match {
+          case Seq(tp)     => (tp, None)
+          case Seq(tp, nm) => (tp, Some(nm))
+          case _           => ("", None) // invalid; rejected by parseParam
+        }
+      })
+    }
+  }
+
   /** Spark type for one canonical Solidity type (see `sparkType`). */
   def sparkTypeOf(solType: String): DataType = solType match {
+    case t if t.startsWith("(") =>
+      val comps = tupleOf(t).getOrElse(
+        throw new IllegalArgumentException(s"unsupported type: $t"))
+      StructType(comps.zipWithIndex.map { case ((ct, nm), i) =>
+        StructField(nm.getOrElse(s"f$i"), sparkTypeOf(ct), nullable = true)
+      })
     case t if t.endsWith("[]") => ArrayType(sparkTypeOf(t.dropRight(2)))
     case t if staticArrayOf(t).isDefined =>
       ArrayType(sparkTypeOf(staticArrayOf(t).get._1))
@@ -107,11 +139,17 @@ object EventSchema {
   // Arrays of every scalar element type are accepted, both dynamic `T[]`
   // and fixed-size `T[k]` (k ≥ 1) — including the dynamic-element
   // string[]/bytes[] forms (offset-indirected tails) and NUMERIC nested
-  // arrays `uintN[][]`/`intN[][]`. Other nesting (`address[][]`,
-  // `T[2][]`, tuples) stays excluded by the grammar.
+  // arrays `uintN[][]`/`intN[][]`. Tuples `(T1,T2,…)` of SCALAR
+  // components (optionally named: `(uint256 amount, address to)`) are
+  // accepted as param types — Solidity structs in events. Other nesting
+  // (`address[][]`, `T[2][]`, tuple arrays, nested tuples) stays
+  // excluded by the grammar.
+  private val Scalar =
+    "address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?"
+  private val ScalarRe = s"($Scalar)".r
   private val TypeRe =
-    ("(address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?" +
-      "|(?:address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[[0-9]*\\]" +
+    (s"($Scalar" +
+      s"|(?:$Scalar)\\[[0-9]*\\]" +
       "|(?:uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[\\]\\[\\])").r
 
   private def validWidth(t: String): Boolean = {
@@ -153,20 +191,72 @@ object EventSchema {
     val body = s.substring(open + 1, close).trim
     val params =
       if (body.isEmpty) Seq.empty[EventParam]
-      else body.split(",").toSeq.map(parseParam)
+      else splitTopLevel(body).map(parseParam)
     val dup = params.groupBy(_.name).collectFirst { case (n, ps) if ps.size > 1 => n }
     require(dup.isEmpty, s"duplicate parameter name: ${dup.get}")
     EventSchema(name, params, anonymous)
   }
 
+  /** Split a param list on commas at paren depth 0 only — tuple
+    * components carry their own commas.
+    */
+  private def splitTopLevel(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '('                 => depth += 1
+        case ')'                 => depth -= 1
+        case ',' if depth == 0   => out += body.substring(start, i); start = i + 1
+        case _                   =>
+      }
+      i += 1
+    }
+    out += body.substring(start)
+    out.result()
+  }
+
   private def parseParam(raw: String): EventParam = {
-    val toks = raw.trim.split("\\s+").toSeq
+    val r = raw.trim
+    if (r.startsWith("(")) return parseTupleParam(r)
+    val toks = r.split("\\s+").toSeq
     toks match {
       case Seq(TypeRe(t), "indexed", n) if n.matches(ident) && validWidth(t) =>
         EventParam(n, t, indexed = true)
       case Seq(TypeRe(t), n) if n.matches(ident) && validWidth(t) =>
         EventParam(n, t, indexed = false)
-      case _ => throw new IllegalArgumentException(s"bad parameter: `${raw.trim}`")
+      case _ => throw new IllegalArgumentException(s"bad parameter: `${r}`")
+    }
+  }
+
+  /** Tuple param `(T1 [n1],…) [indexed] name`: scalar components only
+    * (no arrays / nested tuples), optional per-component names, no array
+    * suffix on the tuple itself. The stored solType keeps component
+    * names (they become struct field names); `canonicalType` strips
+    * them for signature hashing.
+    */
+  private def parseTupleParam(r: String): EventParam = {
+    def bad() = throw new IllegalArgumentException(s"bad parameter: `$r`")
+    val close = r.indexOf(')')
+    if (close < 0) bad()
+    val comps = tupleOf(r.substring(0, close + 1)).getOrElse(bad())
+    if (comps.isEmpty || !comps.forall { case (t, nm) =>
+        ScalarRe.matches(t) && validWidth(t) && nm.forall(_.matches(ident))
+      }) bad()
+    val named = comps.flatMap(_._2)
+    if (named.distinct.size != named.size) bad()
+    val solType = comps.map {
+      case (t, Some(n)) => s"$t $n"
+      case (t, None)    => t
+    }.mkString("(", ",", ")")
+    r.substring(close + 1).trim.split("\\s+").toSeq match {
+      case Seq("indexed", n) if n.matches(ident) =>
+        EventParam(n, solType, indexed = true)
+      case Seq(n) if n.matches(ident) =>
+        EventParam(n, solType, indexed = false)
+      case _ => bad()
     }
   }
 }

@@ -17,6 +17,8 @@ import graft.model.{EventParam, EventSchema}
   *  - non-indexed static params read consecutive 32-byte words of `data`;
   *  - `string`/`bytes` are dynamic: their head word is a byte offset into
   *    `data`, the tail holds `[len][payload]`;
+  *  - tuples (Solidity structs) decode to Spark STRUCT columns: static
+  *    tuples are inlined words, dynamic ones offset-indirected;
   *  - a log whose `topic0` doesn't match the schema decodes to all-null
   *    (nullable-on-mismatch, vs. the reference's panic — SURVEY §2.2 P2).
   *
@@ -47,22 +49,29 @@ object EventDecoder {
   private def decodeStatic(p: EventParam, w: Column): Column =
     decodeStaticType(p.canonicalType, w)
 
+  /** Canonical form of a bare type string (`uint` → `uint256`). */
+  private def canonicalOf(t: String): String =
+    EventParam("_", t, indexed = false).canonicalType
+
   /** ABI dynamic-ness is recursive: `string[k]`/`bytes[k]` are fixed-size
     * arrays of DYNAMIC elements and therefore dynamic themselves (one
-    * head word, offset-indirected tail), unlike static `T[k]`.
+    * head word, offset-indirected tail), unlike static `T[k]`; a tuple
+    * is dynamic iff any component is.
     */
   private def isDynamicType(t: String): Boolean =
     t == "string" || t == "bytes" || t.endsWith("[]") ||
-      graft.model.EventSchema.staticArrayOf(t).exists(a => isDynamicType(a._1))
+      graft.model.EventSchema.staticArrayOf(t).exists(a => isDynamicType(a._1)) ||
+      graft.model.EventSchema.tupleOf(t).exists(_.exists(c => isDynamicType(c._1)))
 
   private def isDynamic(p: EventParam): Boolean = isDynamicType(p.canonicalType)
 
-  /** ABI: ANY indexed array (fixed-size included) is stored as the keccak
-    * hash of its encoding — decode keeps the 32-byte topic, like the
-    * dynamic types.
+  /** ABI: ANY indexed array or tuple (struct) — fixed-size/static
+    * included — is stored as the keccak hash of its encoding; decode
+    * keeps the 32-byte topic, like the dynamic types.
     */
   private def indexedAsHash(p: EventParam): Boolean =
-    isDynamic(p) || p.canonicalType.endsWith("]")
+    isDynamic(p) || p.canonicalType.endsWith("]") ||
+      p.canonicalType.startsWith("(")
 
   /** Decode a dynamic param whose head word sits at data word `headIdx`:
     * offset → `[len][payload]` in the data tail. For `T[]` (static `T`)
@@ -128,6 +137,32 @@ object EventDecoder {
     }
   }
 
+  /** Decode a DYNAMIC tuple (struct with ≥1 string/bytes component):
+    * the head word at data word `headIdx` holds a byte offset to the
+    * tuple's own encoding — a head area of one word per component, where
+    * static components sit inline and dynamic ones hold an offset
+    * RELATIVE TO THE TUPLE START to their `[len][payload]` tail
+    * (standard ABI tuple encoding). Stays expression-level (substring +
+    * the native u256), i.e. inside whole-stage codegen, like the scalar
+    * string/bytes path above.
+    */
+  private def decodeDynamicTuple(comps: Seq[(String, Option[String])],
+      data: Column, headIdx: Int): Column = {
+    val off = abi.u256(word(data, headIdx)).cast("int")
+    struct(comps.zipWithIndex.map { case ((t0, nm), i) =>
+      val t = canonicalOf(t0)
+      val slot = substring(data, off + lit(i * 32) + 1, lit(32))
+      val c =
+        if (t == "string" || t == "bytes") {
+          val rel = abi.u256(slot).cast("int")
+          val len = abi.u256(substring(data, off + rel + 1, lit(32))).cast("int")
+          val payload = substring(data, off + rel + 33, len)
+          if (t == "string") payload.cast("string") else payload
+        } else decodeStaticType(t, slot)
+      c.as(nm.getOrElse(s"f$i"))
+    }: _*)
+  }
+
   /** Binary substring with Column offsets (the Int-only Scala overload
     * can't take computed offsets).
     */
@@ -183,12 +218,25 @@ object EventDecoder {
     var dataWord = 0
     val fromData = schema.dataParams.map { p =>
       val w = word(data, dataWord)
+      val tuple = graft.model.EventSchema.tupleOf(p.solType)
       val c = graft.model.EventSchema.staticArrayOf(p.canonicalType) match {
         case Some((elemT, k)) if !isDynamicType(elemT) =>
           val arr = array((0 until k).map(i =>
             decodeStaticType(elemT, word(data, dataWord + i))): _*)
           dataWord += k - 1 // +1 below
           arr
+        case _ if tuple.isDefined && !isDynamic(p) =>
+          // static tuple (struct): components inlined, one word each
+          val comps = tuple.get
+          val st = struct(comps.zipWithIndex.map { case ((t, nm), i) =>
+            decodeStaticType(canonicalOf(t), word(data, dataWord + i))
+              .as(nm.getOrElse(s"f$i"))
+          }: _*)
+          dataWord += comps.size - 1 // +1 below
+          st
+        case _ if tuple.isDefined =>
+          // dynamic tuple: ONE head word → offset-relative component area
+          decodeDynamicTuple(tuple.get, data, dataWord)
         case _ =>
           // dynamic params — string[k]/bytes[k] included — take ONE head
           // word regardless of k

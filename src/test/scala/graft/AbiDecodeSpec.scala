@@ -344,6 +344,70 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(outI._1.toSeq == fakeHash.toSeq && outI._2 == 5L)
   }
 
+  test("static tuple params decode inline; later params keep their offset") {
+    // Trade((address maker,uint256 amount) order, uint fee):
+    // data = [maker word][amount word][fee] — fee must read word 2
+    val schema = EventSchema.parse(
+      "Trade((address maker, uint256 amount) order, uint fee)")
+    assert(schema.signature == "Trade((address,uint256),uint256)")
+    val maker = Hex.address("0x" + "77" * 20)
+    val raw = Seq((1L, schema.topic0, pad32(maker) ++ word("2a") ++ word("7")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"order.maker", $"order.amount".cast("long"), $"fee".cast("long"))
+      .as[(Array[Byte], Long, Long)].collect().head
+    assert(out._1.toSeq == maker.toSeq && out._2 == 42L && out._3 == 7L)
+    // mismatched topic0 → the whole struct nulls out
+    val bad = Seq((2L, Keccak256.hash("Other()"),
+        pad32(maker) ++ word("2a") ++ word("7")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val badOut = EventDecoder.decode(bad, schema)
+      .select(isnull($"order"), isnull($"fee")).as[(Boolean, Boolean)]
+      .collect().head
+    assert(badOut == ((true, true)))
+  }
+
+  test("dynamic tuple params decode through the offset-relative component area") {
+    // Listing((uint256 id,string uri,bool live) item, uint v):
+    // data = [head item=0x40][v][tuple: id word, uri off=0x60 (rel), live,
+    //         len, payload]
+    val schema = EventSchema.parse(
+      "Listing((uint256 id, string uri, bool live) item, uint v)")
+    assert(schema.signature == "Listing((uint256,string,bool),uint256)")
+    val uri = "ipfs://x"
+    val data = word("40") ++ word("5") ++
+      word("9") ++ word("60") ++ word("1") ++
+      word(uri.length.toHexString) ++ padRight(uri.getBytes("UTF-8"), 32)
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"item.id".cast("long"), $"item.uri", $"item.live",
+        $"v".cast("long"))
+      .as[(Long, String, Boolean, Long)].collect().head
+    assert(out == ((9L, uri, true, 5L)))
+  }
+
+  test("indexed tuples are stored hashed — decode keeps the topic word") {
+    val schema = EventSchema.parse("Keyed((uint256,address) indexed k, uint v)")
+    val fakeHash = Keccak256.hash("struct-hash")
+    val raw = Seq((1L, schema.topic0, fakeHash, word("5")))
+      .toDF("block_number", "topic0", "topic1", "data")
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"k", $"v".cast("long")).as[(Array[Byte], Long)].collect().head
+    assert(out._1.toSeq == fakeHash.toSeq && out._2 == 5L)
+  }
+
   test("dynamic string param decodes from offset/len tail") {
     val schema = EventSchema.parse("Note(address indexed who, string message)")
     val who = Hex.address("0x" + "33" * 20)

@@ -84,6 +84,38 @@ class ModelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventSchema.parse("T(address a, uint a)"))
   }
 
+  test("tuple params: canonical signature, struct field names, rejects") {
+    val e = EventSchema.parse(
+      "Swap((address maker, uint256 amount) order, (uint,string) info)")
+    assert(e.params.map(_.name) == Seq("order", "info"))
+    // canonical form strips component names and widens uint → uint256
+    assert(e.params.map(_.canonicalType) ==
+      Seq("(address,uint256)", "(uint256,string)"))
+    assert(e.signature == "Swap((address,uint256),(uint256,string))")
+    // declared names become struct fields; unnamed components get f{i}
+    val st = e.dataStruct
+    assert(st("order").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("maker", "amount"))
+    assert(st("info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("f0", "f1"))
+    // indexed tuples parse (stored hashed, like indexed arrays)
+    val ix = EventSchema.parse("T((uint256,address) indexed key, uint v)")
+    assert(ix.indexedParams.map(_.name) == Seq("key"))
+
+    // rejects: empty tuple, nested tuple, tuple array, arrays inside,
+    // unknown component type, bad width, duplicate component names
+    intercept[IllegalArgumentException](EventSchema.parse("T(() x)"))
+    intercept[IllegalArgumentException](
+      EventSchema.parse("T((uint,(address,uint)) x)"))
+    intercept[IllegalArgumentException](
+      EventSchema.parse("T((uint,address)[] x)"))
+    intercept[IllegalArgumentException](EventSchema.parse("T((uint[],bool) x)"))
+    intercept[IllegalArgumentException](EventSchema.parse("T((widget) x)"))
+    intercept[IllegalArgumentException](EventSchema.parse("T((uint7) x)"))
+    intercept[IllegalArgumentException](
+      EventSchema.parse("T((uint a,bool a) x)"))
+  }
+
   test("topics array view roundtrips topic0..topic3 with trailing nulls") {
     import TestSpark.spark
     import spark.implicits._
