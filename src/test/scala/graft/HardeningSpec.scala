@@ -106,6 +106,35 @@ class HardeningSpec extends AnyFunSuite {
       "top-k selection must plan as TakeOrderedAndProject")
   }
 
+  test("plan guards: shuffle-exchange counts hold their ceilings") {
+    // every groupBy/join/distinct is a shuffle at 100 TB — the headline
+    // plans are all single-shuffle (two-phase agg, broadcast dims) or
+    // shuffle-free (scan + codegen'd map). A count above the recorded
+    // ceiling means a partial agg was lost, a broadcast regressed to
+    // sort-merge, or a repartition crept in.
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // formatted node headers: "(5) Exchange" = shuffle; broadcast
+      // prints as BroadcastExchange, reuse as ReusedExchange
+      plan.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    }
+    val ceilings = Map(
+      "q1_pricing_summary" -> 1, "q6_forecast_revenue" -> 1,
+      "q3_segment_revenue" -> 1, "q5_nation_revenue" -> 1,
+      "q14_promo_revenue" -> 1, "q18_big_orders" -> 1,
+      "flagship_raw_netflow" -> 1, "a3_netflow" -> 1,
+      "dedup_exact" -> 1, "text_token_stats" -> 0,
+      "s1_log_scan" -> 0, "w_sessionize" -> 1,
+      "q_window_running" -> 1, "j4_ordered_merge" -> 1)
+    for ((q, max) <- ceilings) {
+      val n = shuffles(q)
+      assert(n <= max,
+        s"$q plans $n shuffle exchanges > ceiling $max — an extra shuffle crept in")
+    }
+  }
+
   test("reorg guard: removed=true aborts the batch query, clean data passes") {
     val clean = batchEvents.limit(100)
       .withColumn("removed", lit(false))
