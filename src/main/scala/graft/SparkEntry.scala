@@ -336,6 +336,39 @@ object SparkEntry {
           col("info.note").as("note"))
     }),
 
+    // P2 — tuple-ARRAY roundtrip: (address,uint256)[] fills with
+    // per-event varying count through the static-tuple tail kernel,
+    // exploded so the oracle states every (taker, amt) pair.
+    "p2_abi_tuplearray_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "Fills((address taker, uint256 amt)[] fills)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val n = (col("event_id") % 2 + 1).cast("int")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      def tup(i: Int) = concat(
+        EventDecoder.encodeWordFromLong(col("user_id") + i),
+        EventDecoder.encodeWordFromLong(cents + i))
+      val empty = lit(Array.emptyByteArray)
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          concat(
+            EventDecoder.encodeWordFromLong(lit(32L)),
+            EventDecoder.encodeWordFromLong(n.cast("long")),
+            tup(0),
+            when(n >= 2, tup(1)).otherwise(empty)).as("data"))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          posexplode(col("fills")).as(Seq("idx", "f")))
+        .select(col("block_number"), col("log_index"),
+          col("idx").cast("bigint").as("idx"),
+          concat(lit("0x"), lower(hex(col("f.taker")))).as("taker"),
+          col("f.amt").cast("bigint").as("amt"))
+    }),
+
     // P3 — address/hex render helper parity
     "p3_address_hex" -> ((s, dir) =>
       events(s, dir)
@@ -1271,6 +1304,17 @@ object SparkEntry {
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents,
            't' || CAST(user_id AS VARCHAR) AS note
          FROM ($EvKeys) WHERE event_type = 'purchase'""",
+
+    "p2_abi_tuplearray_roundtrip" ->
+      s"""WITH base AS (
+           SELECT block_number, log_index, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id % 2 + 1 AS n
+           FROM ($EvKeys) WHERE event_type = 'purchase')
+         SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
+           '0x' || lpad(lower(hex(user_id + i)), 40, '0') AS taker,
+           cents + i AS amt
+         FROM base, unnest(generate_series(0, n - 1)) t(i)""",
 
     "p3_address_hex" ->
       """SELECT user_id, '0x' || lpad(lower(hex(user_id)), 40, '0') AS addr

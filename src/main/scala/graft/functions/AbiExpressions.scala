@@ -169,6 +169,52 @@ object AbiRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** `(T1,…,Tk)[]` tail decode — dynamic array of STATIC tuples: the
+    * tail is `[n][tuple_0 words]…[tuple_{n-1} words]`, each tuple k
+    * consecutive words (static tuples inline in arrays; no per-element
+    * offsets). `kinds(j)`: 0 = address, 1 = bytes32, 2 = bool,
+    * 3 = unsigned numeric, 4 = signed numeric. Same defensive contract
+    * as the flat kernels: head/length words outside the blob → null
+    * ARRAY; the claimed count clamps to what the blob holds (k words per
+    * element); overflowing numeric words → null FIELDS. Never throws.
+    */
+  def tupleWordTailArray(data: Array[Byte], headIdx: Int,
+      kinds: Array[Int]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val off = offsetWord(data, headIdx * 32L)
+    if (off < 0) return null
+    val n0 = offsetWord(data, off.toLong)
+    if (n0 < 0) return null
+    val k = kinds.length
+    val n = math.min(n0.toLong,
+      math.max(0L, (data.length - off - 32L) / (32L * k))).toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val fields = new Array[Any](k)
+      var j = 0
+      while (j < k) {
+        val start = off + 32 + (i * k + j) * 32
+        fields(j) = kinds(j) match {
+          case 0 => java.util.Arrays.copyOfRange(data, start + 12, start + 32)
+          case 1 => java.util.Arrays.copyOfRange(data, start, start + 32)
+          case 2 =>
+            var nz = false
+            var b = start
+            while (b < start + 32 && !nz) { nz = data(b) != 0; b += 1 }
+            nz
+          case 3 => u256ToDecimal(
+            java.util.Arrays.copyOfRange(data, start, start + 32))
+          case _ => i256ToDecimal(
+            java.util.Arrays.copyOfRange(data, start, start + 32))
+        }
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** `string[]` / `bytes[]` tail decode — DYNAMIC elements: the tail is
     * `[n][off_0…off_{n-1}][elem tails…]` with per-element offsets relative
     * to the start of the element list, each element `[len][payload]`.
@@ -402,6 +448,54 @@ case class NestedWordTailArray(child: Expression, headIdx: Int,
     copy(child = newChild)
 }
 
+/** Tuple twin of [[WordTailArray]] for `(T1,…,Tk)[]` tails — arrays of
+  * static tuples decoded to `ARRAY<STRUCT<…>>` in one compiled runtime
+  * call. `comps` holds (canonical scalar type, struct field name) per
+  * component.
+  */
+case class TupleWordTailArray(child: Expression, headIdx: Int,
+    comps: Seq[(String, String)]) extends UnaryExpression {
+  private val kinds: Array[Int] = comps.map {
+    case ("address", _) => 0
+    case ("bytes32", _) => 1
+    case ("bool", _)    => 2
+    case (t, _) if t.startsWith("uint") => 3
+    case (t, _) if t.startsWith("int")  => 4
+    case (t, _) => throw new IllegalArgumentException(
+      s"abi_tuple_word_tail_array: unsupported component type $t")
+  }.toArray
+
+  override def dataType: DataType = ArrayType(StructType(comps.map {
+    case (t, nm) => StructField(nm, t match {
+      case "address" | "bytes32" => BinaryType
+      case "bool"                => BooleanType
+      case _                     => DecimalType(38, 0)
+    }, nullable = true)
+  }))
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_tuple_word_tail_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.tupleWordTailArray(input.asInstanceOf[Array[Byte]], headIdx, kinds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kindsRef = ctx.addReferenceObj("kinds", kinds, "int[]")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.tupleWordTailArray(
+          ${c.value}, $headIdx, $kindsRef);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TupleWordTailArray =
+    copy(child = newChild)
+}
+
 /** Dynamic-element twin of [[WordTailSliceArray]] for `string[]` /
   * `bytes[]` tails (and their fixed-size `[k]` forms via `fixedK >= 0`)
   * — offset-indirected elements decoded in one compiled runtime call.
@@ -457,6 +551,13 @@ object abi {
   /** `uintN[][]`/`intN[][]` nested tail → ARRAY<ARRAY<DECIMAL>>. */
   def nestedWordTailArray(data: Column, headIdx: Int, signed: Boolean): Column =
     wrap(NestedWordTailArray(ex(data), headIdx, signed))
+
+  /** `(T1,…,Tk)[]` static-tuple-array tail → ARRAY<STRUCT<…>>; `comps`
+    * = (canonical scalar type, field name) per component.
+    */
+  def tupleWordTailArray(data: Column, headIdx: Int,
+      comps: Seq[(String, String)]): Column =
+    wrap(TupleWordTailArray(ex(data), headIdx, comps))
 
   /** `string[]`/`bytes[]` tail (dynamic elements; `fixedK >= 0` for the
     * fixed-size `[k]` form) → ARRAY<STRING> / ARRAY<BINARY>.

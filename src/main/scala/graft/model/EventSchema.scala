@@ -10,13 +10,13 @@ final case class EventParam(name: String, solType: String, indexed: Boolean) {
   def canonicalType: String = solType match {
     case "uint" => "uint256"
     case "int"  => "int256"
-    case t if t.startsWith("(") =>
+    case t if t.endsWith("[]") =>
+      EventParam(name, t.dropRight(2), indexed).canonicalType + "[]"
+    case t if t.startsWith("(") && t.endsWith(")") =>
       // tuple: canonicalize each component, strip component names
       EventSchema.tupleOf(t).fold(t)(_.map { case (ct, _) =>
         EventParam(name, ct, indexed).canonicalType
       }.mkString("(", ",", ")"))
-    case t if t.endsWith("[]") =>
-      EventParam(name, t.dropRight(2), indexed).canonicalType + "[]"
     case t if t.endsWith("]") =>
       val open = t.lastIndexOf('[')
       EventParam(name, t.substring(0, open), indexed).canonicalType +
@@ -116,13 +116,13 @@ object EventSchema {
 
   /** Spark type for one canonical Solidity type (see `sparkType`). */
   def sparkTypeOf(solType: String): DataType = solType match {
-    case t if t.startsWith("(") =>
+    case t if t.endsWith("[]") => ArrayType(sparkTypeOf(t.dropRight(2)))
+    case t if t.startsWith("(") && t.endsWith(")") =>
       val comps = tupleOf(t).getOrElse(
         throw new IllegalArgumentException(s"unsupported type: $t"))
       StructType(comps.zipWithIndex.map { case ((ct, nm), i) =>
         StructField(nm.getOrElse(s"f$i"), sparkTypeOf(ct), nullable = true)
       })
-    case t if t.endsWith("[]") => ArrayType(sparkTypeOf(t.dropRight(2)))
     case t if staticArrayOf(t).isDefined =>
       ArrayType(sparkTypeOf(staticArrayOf(t).get._1))
     case "address"             => BinaryType
@@ -231,11 +231,13 @@ object EventSchema {
     }
   }
 
-  /** Tuple param `(T1 [n1],…) [indexed] name`: scalar components only
-    * (no arrays / nested tuples), optional per-component names, no array
-    * suffix on the tuple itself. The stored solType keeps component
-    * names (they become struct field names); `canonicalType` strips
-    * them for signature hashing.
+  /** Tuple param `(T1 [n1],…)[[]] [indexed] name`: scalar components
+    * only (no nested arrays / tuples), optional per-component names. A
+    * `[]` suffix makes it a dynamic array of tuples — then every
+    * component must be STATIC (string/bytes elements would need
+    * per-element offset indirection; grammar-excluded). The stored
+    * solType keeps component names (they become struct field names);
+    * `canonicalType` strips them for signature hashing.
     */
   private def parseTupleParam(r: String): EventParam = {
     def bad() = throw new IllegalArgumentException(s"bad parameter: `$r`")
@@ -247,11 +249,17 @@ object EventSchema {
       }) bad()
     val named = comps.flatMap(_._2)
     if (named.distinct.size != named.size) bad()
-    val solType = comps.map {
+    val tupleT = comps.map {
       case (t, Some(n)) => s"$t $n"
       case (t, None)    => t
     }.mkString("(", ",", ")")
-    r.substring(close + 1).trim.split("\\s+").toSeq match {
+    val rest0 = r.substring(close + 1).trim
+    val isArray = rest0.startsWith("[]")
+    if (isArray && comps.exists(c => c._1 == "string" || c._1 == "bytes"))
+      bad()
+    val solType = if (isArray) tupleT + "[]" else tupleT
+    val rest = if (isArray) rest0.drop(2).trim else rest0
+    rest.split("\\s+").toSeq match {
       case Seq("indexed", n) if n.matches(ident) =>
         EventParam(n, solType, indexed = true)
       case Seq(n) if n.matches(ident) =>

@@ -92,7 +92,15 @@ object EventDecoder {
       abi.dynTailArray(data, headIdx, asString = elemT == "string", fixedK = k)
     } else if (t.endsWith("[]")) {
       val elemT = t.dropRight(2)
-      if (elemT.endsWith("[]"))
+      if (elemT.startsWith("(")) {
+        // array of STATIC tuples: k inline words per element, decoded to
+        // ARRAY<STRUCT> by one native kernel call. Field names come from
+        // the DECLARED solType (canonical strips them).
+        val comps = graft.model.EventSchema.tupleOf(p.solType.dropRight(2)).get
+        abi.tupleWordTailArray(data, headIdx, comps.zipWithIndex.map {
+          case ((ct, nm), i) => (canonicalOf(ct), nm.getOrElse(s"f$i"))
+        })
+      } else if (elemT.endsWith("[]"))
         // nested numeric arrays — must route BEFORE the flat numeric
         // check ("uint256[]".startsWith("uint") is also true)
         abi.nestedWordTailArray(data, headIdx,

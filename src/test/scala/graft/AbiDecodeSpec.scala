@@ -396,6 +396,48 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out == ((9L, uri, true, 5L)))
   }
 
+  test("tuple arrays decode to ARRAY<STRUCT>; malformed heads null out, counts clamp") {
+    val schema = EventSchema.parse(
+      "Fills((address taker, uint256 amt, bool ok)[] fills, uint nonce)")
+    assert(schema.signature == "Fills((address,uint256,bool)[],uint256)")
+    val a1 = Hex.address("0x" + "aa" * 20)
+    val a2 = Hex.address("0x" + "bb" * 20)
+    // data = [head fills=0x40][nonce=9][n=2][t0: addr,amt,ok][t1: …]
+    val data = word("40") ++ word("9") ++ word("2") ++
+      pad32(a1) ++ word("64") ++ word("1") ++
+      pad32(a2) ++ word("c8") ++ word("0")
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select(posexplode($"fills").as(Seq("i", "f")), $"nonce".cast("long"))
+      .select($"i", lower(hex($"f.taker")), $"f.amt".cast("long"), $"f.ok",
+        $"nonce")
+      .as[(Int, String, Long, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, "aa" * 20, 100L, true, 9L),
+      (1, "bb" * 20, 200L, false, 9L)))
+
+    // claimed n=1000 clamps to what the blob holds (3 words per tuple);
+    // a head offset outside the blob nulls the whole array
+    val schemaB = EventSchema.parse("B((uint,bool)[] xs)")
+    val clamp = word("20") ++ word("3e8") ++ word("2a") ++ word("1")
+    val rawB = Seq(
+      (1L, schemaB.topic0, clamp),
+      (2L, schemaB.topic0, word("ffff")))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outB = EventDecoder.decode(rawB, schemaB)
+      .select($"block_number", coalesce(size($"xs"), lit(-1)))
+      .as[(Long, Int)].collect().toMap
+    assert(outB(1L) == 1)  // 1000 claimed, blob holds one 2-word tuple
+    assert(outB(2L) == -1) // malformed head → null array
+  }
+
   test("indexed tuples are stored hashed — decode keeps the topic word") {
     val schema = EventSchema.parse("Keyed((uint256,address) indexed k, uint v)")
     val fakeHash = Keccak256.hash("struct-hash")

@@ -102,13 +102,28 @@ class ModelSpec extends AnyFunSuite {
     val ix = EventSchema.parse("T((uint256,address) indexed key, uint v)")
     assert(ix.indexedParams.map(_.name) == Seq("key"))
 
-    // rejects: empty tuple, nested tuple, tuple array, arrays inside,
-    // unknown component type, bad width, duplicate component names
+    // tuple ARRAYS: static components only, canonical keeps the suffix
+    val ta = EventSchema.parse("Orders((address buyer, uint256 amt)[] orders)")
+    assert(ta.params.head.canonicalType == "(address,uint256)[]")
+    assert(ta.signature == "Orders((address,uint256)[])")
+    assert(ta.dataStruct("orders").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("buyer",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("amt",
+            org.apache.spark.sql.types.DecimalType(38, 0))))))
+
+    // rejects: empty tuple, nested tuple, fixed-size tuple array,
+    // dynamic components in a tuple array, arrays inside, unknown
+    // component type, bad width, duplicate component names
     intercept[IllegalArgumentException](EventSchema.parse("T(() x)"))
     intercept[IllegalArgumentException](
       EventSchema.parse("T((uint,(address,uint)) x)"))
     intercept[IllegalArgumentException](
-      EventSchema.parse("T((uint,address)[] x)"))
+      EventSchema.parse("T((uint,address)[2] x)"))
+    intercept[IllegalArgumentException](
+      EventSchema.parse("T((string,uint)[] x)"))
     intercept[IllegalArgumentException](EventSchema.parse("T((uint[],bool) x)"))
     intercept[IllegalArgumentException](EventSchema.parse("T((widget) x)"))
     intercept[IllegalArgumentException](EventSchema.parse("T((uint7) x)"))
