@@ -508,6 +508,31 @@ object SparkEntry {
     "w_sessionize" -> ((s, dir) =>
       EventLog.sessionize(events(s, dir), 20L)),
 
+    // Session windows end-to-end through the STREAMING engine: replay
+    // through the DSv2 block source into the native session_window
+    // aggregation (sessions merge across micro-batches in the state
+    // store, append mode evicts each once closed). The oracle is the
+    // batch sessionize restricted to CLOSED sessions — a session closes
+    // when the watermark (max block) reaches its end (session_to + gap);
+    // the open last session per user is exactly what eviction
+    // withholds. session_seq is reconstructed by ranking closed sessions
+    // on session_from: closure only withholds a SUFFIX per user, so the
+    // ordinals of closed sessions are already final.
+    "w_sessionize_stream" -> ((s, dir) => {
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        confirmations = 0L)
+      val closed = runStreamingGate(s, "w_sess_gate",
+        graft.streaming.StreamOps.sessionizeStreamEvicting(stream, 20L))
+      closed.withColumn("session_seq",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("session_from")))
+            - 1).cast("bigint"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("session_from"), col("session_to"))
+    }),
+
     // Interval join: per session, count OTHER users' purchases landing
     // inside its block span — bucketized equi-join + residual BETWEEN
     // (never a BroadcastNestedLoop; see EventLog.rangeJoin). The oracle
@@ -1392,6 +1417,12 @@ object SparkEntry {
          FROM w GROUP BY 1""",
 
     "w_sessionize" -> SessionizeSql,
+
+    "w_sessionize_stream" ->
+      s"""WITH sess AS ($SessionizeSql),
+         h AS (SELECT max(block_number) AS mb FROM ($EvKeys))
+         SELECT user_id, session_seq, n_events, session_from, session_to
+         FROM sess, h WHERE session_to + 20 <= mb""",
 
     "q_range_join" ->
       s"""WITH sess AS ($SessionizeSql),

@@ -148,6 +148,41 @@ object StreamOps {
         col("n_events"), col("sum_value"), col("window_from"), col("window_to"))
   }
 
+  /** W-session on an unbounded stream with STATE EVICTION: per-key
+    * session windows over the block axis via Spark's native streaming
+    * `session_window` (sessions merge across micro-batches in the state
+    * store). Gap semantics match the batch [[graft.operators.EventLog
+    * .sessionize]] exactly: batch keeps events in one session while the
+    * block gap is ≤ `gapBlocks`; `session_window` merges windows that
+    * overlap OR TOUCH (verified: gap == duration still merges), so the
+    * duration is exactly `gapBlocks` seconds on the 1-block-=-1-second
+    * axis. Append mode emits each session EXACTLY ONCE when the
+    * watermark reaches its end (last block + gap; end <= watermark
+    * emits — verified at the boundary), then drops its state — bounded
+    * by sessions-in-flight on an infinite tail.
+    *
+    * Output (key, n_events, session_from, session_to) matches the batch
+    * operator minus `session_seq` — an ordinal over a stream has no
+    * fixed meaning until sessions close; callers can rank closed
+    * sessions by `session_from` (closure only withholds the OPEN last
+    * session per key, a suffix, so ranks of closed sessions are final).
+    */
+  def sessionizeStreamEvicting(stream: DataFrame, gapBlocks: Long,
+      keyCol: String = "user_id", lateBlocks: Long = 0L): DataFrame = {
+    require(gapBlocks >= 1, "gapBlocks must be >= 1 (a window needs duration)")
+    stream
+      .withColumn("block_ts", timestamp_seconds(col("block_number")))
+      .withWatermark("block_ts", s"$lateBlocks seconds")
+      .groupBy(col(keyCol),
+        session_window(col("block_ts"), s"$gapBlocks seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("block_number").as("session_from"),
+        max("block_number").as("session_to"))
+      .select(col(keyCol), col("n_events"),
+        col("session_from"), col("session_to"))
+  }
+
   /** Exact streaming dedup with BOUNDED state: drop rows whose key was
     * already seen within `withinBlocks` of the block frontier. Block
     * numbers map to the synthetic event-time axis (1 block = 1 second,

@@ -205,6 +205,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows <= 4, s"state not evicted: $stateRows rows retained")
   }
 
+  test("session_window boundary semantics: touching merges, end==watermark emits") {
+    // these two boundaries are what make sessionizeStreamEvicting match
+    // the batch gap-≤ rule with duration = gapBlocks exactly; pin them
+    // so a Spark behavior change fails loudly here instead of as an
+    // oracle mismatch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, block)
+    // user 1: gap 21 == duration → merges; user 2: gap 22 → splits;
+    // user 3: session ends at 79, end = 79+21 = 100 == watermark → emits
+    mem.addData((1L, 0L), (1L, 21L), (2L, 0L), (2L, 22L), (3L, 58L),
+      (3L, 79L), (9L, 100L))
+    val df = mem.toDF.toDF("user_id", "block_number")
+      .withColumn("block_ts", timestamp_seconds($"block_number"))
+      .withWatermark("block_ts", "0 seconds")
+      .groupBy($"user_id", session_window($"block_ts", "21 seconds"))
+      .agg(count(lit(1)).as("n"), min("block_number").as("from"),
+        max("block_number").as("to"))
+      .select("user_id", "n", "from", "to")
+    val q = df.writeStream.format("memory").queryName("sess_probe")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_probe")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L, 21L), (2L, 1L, 0L, 0L),
+      (2L, 1L, 22L, 22L), (3L, 2L, 58L, 79L)))
+  }
+
+  test("streaming sessionize equals batch closed sessions; state evicted") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 25L, confirmations = 0L)
+    val q = StreamOps.sessionizeStreamEvicting(stream, gapBlocks = 5L)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_stream")
+      .select("user_id", "n_events", "session_from", "session_to")
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly once per session
+    assert(got.map(g => (g._1, g._3)).distinct.length == got.length)
+    // emitted set == batch sessions whose window closed (end ≤ head)
+    val batch = EventLog.sessionize(batchEvents, 5L)
+      .select("user_id", "n_events", "session_from", "session_to")
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(s => s._4 + 5L <= headBlock).toSet
+    assert(got.toSet == batch,
+      s"missing=${batch -- got.toSet} extra=${got.toSet -- batch}")
+    // state bounded by sessions-in-flight: at most the OPEN last session
+    // per user survives eviction (closed ones are dropped on emit)
+    val nUsers = batchEvents.select("user_id").distinct().count()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+    assert(stateRows <= nUsers,
+      s"session state not evicted: $stateRows rows for $nUsers users")
+  }
+
   test("dedupStream: duplicates inside the horizon drop, keys re-admit after expiry") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 20L, confirmations = 0L)
