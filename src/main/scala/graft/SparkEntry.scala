@@ -847,12 +847,17 @@ object SparkEntry {
       val rates = Map("en" -> 0.5, "de" -> 0.25)
       val kept = TextOps.stratifiedHashSample(docs, rates)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      // expected rate derived from the SAME map the sampler uses — a
+      // tuned rate can't drift out of sync with the verdict
+      val expectedRate = rates.foldLeft(lit(Double.NaN)) {
+        case (acc, (k, r)) => when(col("lang") === k, lit(r)).otherwise(acc)
+      }
       docs.filter(col("lang").isin(rates.keys.toSeq: _*))
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .join(kept, Seq("lang"), "left")
         .select(col("lang"), col("n_docs"),
           (abs(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs")
-            - when(col("lang") === "en", 0.5).otherwise(0.25)) <= 0.15)
+            - expectedRate) <= 0.15)
             .as("frac_ok"))
     }),
 

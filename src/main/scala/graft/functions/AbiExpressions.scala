@@ -455,6 +455,8 @@ case class NestedWordTailArray(child: Expression, headIdx: Int,
   */
 case class TupleWordTailArray(child: Expression, headIdx: Int,
     comps: Seq[(String, String)]) extends UnaryExpression {
+  require(comps.nonEmpty,
+    "abi_tuple_word_tail_array: tuple needs at least one component")
   private val kinds: Array[Int] = comps.map {
     case ("address", _) => 0
     case ("bytes32", _) => 1

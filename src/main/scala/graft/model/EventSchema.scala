@@ -247,8 +247,13 @@ object EventSchema {
     if (comps.isEmpty || !comps.forall { case (t, nm) =>
         ScalarRe.matches(t) && validWidth(t) && nm.forall(_.matches(ident))
       }) bad()
-    val named = comps.flatMap(_._2)
-    if (named.distinct.size != named.size) bad()
+    // FINAL field names must be unique — a declared name can also
+    // collide with the f{i} fallback of an unnamed position (e.g.
+    // `(uint, bool f0)`), which would build a struct with two f0 fields
+    val fieldNames = comps.zipWithIndex.map { case ((_, nm), i) =>
+      nm.getOrElse(s"f$i")
+    }
+    if (fieldNames.distinct.size != fieldNames.size) bad()
     val tupleT = comps.map {
       case (t, Some(n)) => s"$t $n"
       case (t, None)    => t

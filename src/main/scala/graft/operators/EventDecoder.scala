@@ -153,22 +153,36 @@ object EventDecoder {
     * (standard ABI tuple encoding). Stays expression-level (substring +
     * the native u256), i.e. inside whole-stage codegen, like the scalar
     * string/bytes path above.
+    *
+    * Defensive like the tail kernels: a head offset whose component
+    * area doesn't fit the blob nulls the whole STRUCT; a malformed
+    * per-component offset/length word nulls that COMPONENT (substring
+    * past the blob would otherwise fabricate 0/false/"" — plausible
+    * wrong values). Oversized words null out via the non-ANSI int cast.
     */
   private def decodeDynamicTuple(comps: Seq[(String, Option[String])],
       data: Column, headIdx: Int): Column = {
+    val k = comps.size
     val off = abi.u256(word(data, headIdx)).cast("int")
-    struct(comps.zipWithIndex.map { case ((t0, nm), i) =>
+    val headOk = length(data) >= lit((headIdx + 1) * 32) &&
+      off.isNotNull && off + lit(32 * k) <= length(data)
+    val st = struct(comps.zipWithIndex.map { case ((t0, nm), i) =>
       val t = canonicalOf(t0)
       val slot = substring(data, off + lit(i * 32) + 1, lit(32))
       val c =
         if (t == "string" || t == "bytes") {
           val rel = abi.u256(slot).cast("int")
+          val relOk = rel.isNotNull && off + rel + lit(32) <= length(data)
           val len = abi.u256(substring(data, off + rel + 1, lit(32))).cast("int")
+          // payload clamps to the blob (substring stops at the end);
+          // a malformed offset or length word nulls the component
           val payload = substring(data, off + rel + 33, len)
-          if (t == "string") payload.cast("string") else payload
+          when(relOk && len.isNotNull,
+            if (t == "string") payload.cast("string") else payload)
         } else decodeStaticType(t, slot)
       c.as(nm.getOrElse(s"f$i"))
     }: _*)
+    when(headOk, st)
   }
 
   /** Binary substring with Column offsets (the Int-only Scala overload

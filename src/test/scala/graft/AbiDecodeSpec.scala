@@ -438,6 +438,43 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(outB(2L) == -1) // malformed head → null array
   }
 
+  test("malformed dynamic-tuple payloads null out, never fabricate zeros") {
+    val schema = EventSchema.parse("L((uint256 id, string uri) item)")
+    val good = word("20") ++ word("9") ++ word("40") ++
+      word("1") ++ padRight("x".getBytes("UTF-8"), 32)
+    // head offset past the blob → whole struct null (a blind substring
+    // would decode id = 0, uri = "")
+    val badHead = word("ffff")
+    // component offset word with a nonzero high byte → that component
+    // nulls, the static sibling still decodes
+    val evilRel = word("40"); evilRel(5) = 1
+    val badRel = word("20") ++ word("9") ++ evilRel ++
+      word("1") ++ padRight("x".getBytes("UTF-8"), 32)
+    // truncated: head + id word only, no offset/len/payload
+    val truncated = word("20") ++ word("9")
+    val raw = Seq((1L, good), (2L, badHead), (3L, badRel), (4L, truncated))
+      .map { case (i, d) => (i, schema.topic0, d) }
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"block_number", isnull($"item"),
+        $"item.id".cast("long"), $"item.uri")
+      .as[(Long, Boolean, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((false, Some(9L), Some("x"))))
+    assert(out(2L)._1, "out-of-blob head must null the struct")
+    assert(out(3L) == ((false, Some(9L), None)),
+      "malformed component offset must null only that component")
+    assert(out(4L)._1, "truncated component area must null the struct")
+  }
+
+  test("tuple-array expression rejects an empty component list") {
+    intercept[IllegalArgumentException](
+      graft.functions.abi.tupleWordTailArray(lit(Array[Byte]()), 0, Seq.empty))
+  }
+
   test("indexed tuples are stored hashed — decode keeps the topic word") {
     val schema = EventSchema.parse("Keyed((uint256,address) indexed k, uint v)")
     val fakeHash = Keccak256.hash("struct-hash")

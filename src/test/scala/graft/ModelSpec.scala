@@ -129,6 +129,10 @@ class ModelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EventSchema.parse("T((uint7) x)"))
     intercept[IllegalArgumentException](
       EventSchema.parse("T((uint a,bool a) x)"))
+    // a declared name colliding with an unnamed position's f{i} fallback
+    // would build a struct with duplicate field names
+    intercept[IllegalArgumentException](
+      EventSchema.parse("T((uint, bool f0) x)"))
   }
 
   test("topics array view roundtrips topic0..topic3 with trailing nulls") {
