@@ -369,6 +369,52 @@ object SparkEntry {
           col("f.amt").cast("bigint").as("amt"))
     }),
 
+    // P2 — DYNAMIC-tuple-ARRAY roundtrip: (string memo, uint256 amt)[]
+    // — the string component makes every element tuple dynamic, so the
+    // tail carries per-element offsets and each element its own
+    // head/tail encoding; decoded by one kernel call, exploded so the
+    // oracle states every (memo, amt) pair.
+    "p2_abi_dyntuplearray_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "FillsD((string memo, uint256 amt)[] fills)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val n = (col("event_id") % 2 + 1).cast("int")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val zero = Array[Byte](0)
+      def memo(i: Int) =
+        concat(lit("m"), (col("user_id") + i).cast("string")).cast("binary")
+      // element tuple: [memo rel=0x40][amt][len][payload] = 4 words
+      def tup(i: Int) = concat(
+        EventDecoder.encodeWordFromLong(lit(64L)),
+        EventDecoder.encodeWordFromLong(cents + i),
+        EventDecoder.encodeWordFromLong(length(memo(i)).cast("long")),
+        rpad(memo(i), 32, zero))
+      val empty = lit(Array.emptyByteArray)
+      // element-list base follows the count word: off_i = n*32 + i*0x80
+      val off0 = n.cast("long") * 32L
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          concat(
+            EventDecoder.encodeWordFromLong(lit(32L)),       // array head
+            EventDecoder.encodeWordFromLong(n.cast("long")), // count
+            EventDecoder.encodeWordFromLong(off0),
+            when(n >= 2, EventDecoder.encodeWordFromLong(off0 + 128L))
+              .otherwise(empty),
+            tup(0),
+            when(n >= 2, tup(1)).otherwise(empty)).as("data"))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          posexplode(col("fills")).as(Seq("idx", "f")))
+        .select(col("block_number"), col("log_index"),
+          col("idx").cast("bigint").as("idx"),
+          col("f.memo").as("memo"),
+          col("f.amt").cast("bigint").as("amt"))
+    }),
+
     // P3 — address/hex render helper parity
     "p3_address_hex" -> ((s, dir) =>
       events(s, dir)
@@ -1343,6 +1389,17 @@ object SparkEntry {
            FROM ($EvKeys) WHERE event_type = 'purchase')
          SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
            '0x' || lpad(lower(hex(user_id + i)), 40, '0') AS taker,
+           cents + i AS amt
+         FROM base, unnest(generate_series(0, n - 1)) t(i)""",
+
+    "p2_abi_dyntuplearray_roundtrip" ->
+      s"""WITH base AS (
+           SELECT block_number, log_index, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             event_id % 2 + 1 AS n
+           FROM ($EvKeys) WHERE event_type = 'purchase')
+         SELECT block_number, log_index, CAST(i AS BIGINT) AS idx,
+           'm' || CAST(user_id + i AS VARCHAR) AS memo,
            cents + i AS amt
          FROM base, unnest(generate_series(0, n - 1)) t(i)""",
 

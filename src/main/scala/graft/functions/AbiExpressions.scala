@@ -236,6 +236,16 @@ object AbiRuntime {
         if (n < 0) return null
         (off + 32L, n)
       }
+    dynElems(data, base, n0, asString)
+  }
+
+  /** Offset-indirected `[off_0…off_{n-1}][elem tails…]` element list at
+    * absolute byte `base`, each element `[len][payload]` — the body shared
+    * by [[dynTailArray]] and the string/bytes-array components of
+    * [[tupleAt]]. Claimed count and payload lengths clamp to the blob.
+    */
+  private def dynElems(data: Array[Byte], base: Long, n0: Int,
+      asString: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     // one offset word per element bounds the count the blob can hold
     val n = math.min(n0.toLong, math.max(0L, (data.length - base) / 32L)).toInt
     val out = new Array[Any](n)
@@ -256,6 +266,136 @@ object AbiRuntime {
             else b
           }
         }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // Component kind codes shared by the dynamic-tuple kernels ([[tupleAt]],
+  // [[dynTupleTailStruct]], [[dynTupleWordTailArray]]):
+  //   static (one inline word): 0 address, 1 bytes32, 2 bool,
+  //     3 unsigned numeric, 4 signed numeric
+  //   dynamic (offset word → tail): 5 string, 6 bytes,
+  //     7 uint[], 8 int[], 9 address[], 10 bytes32[], 11 bool[],
+  //     12 string[], 13 bytes[]
+
+  /** One static element of `kind` (0..4) from the 32-byte word at `start`
+    * (caller guarantees `start + 32 <= data.length`).
+    */
+  private def staticAt(data: Array[Byte], start: Int, kind: Int): Any =
+    kind match {
+      case 0 => java.util.Arrays.copyOfRange(data, start + 12, start + 32)
+      case 1 => java.util.Arrays.copyOfRange(data, start, start + 32)
+      case 2 =>
+        var nz = false
+        var b = start
+        while (b < start + 32 && !nz) { nz = data(b) != 0; b += 1 }
+        nz
+      case 3 => u256ToDecimal(
+        java.util.Arrays.copyOfRange(data, start, start + 32))
+      case _ => i256ToDecimal(
+        java.util.Arrays.copyOfRange(data, start, start + 32))
+    }
+
+  /** Decode one DYNAMIC tuple whose own encoding starts at absolute byte
+    * `base`: a head area of one word per component — static components
+    * inline, dynamic ones an offset RELATIVE TO `base` to their tail
+    * (`[len][payload]` for string/bytes, `[n][elems…]` for arrays, the
+    * array elements themselves offset-indirected again for string[] /
+    * bytes[]). Defensive: a head area that doesn't fit the blob → null
+    * TUPLE; a malformed component offset/length/count → null COMPONENT;
+    * counts and payloads clamp to the blob. Never throws.
+    */
+  def tupleAt(data: Array[Byte], base: Long,
+      kinds: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = kinds.length
+    if (base < 0 || base + 32L * k > data.length) return null
+    val fields = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val kind = kinds(i)
+      fields(i) =
+        if (kind <= 4) staticAt(data, (base + i * 32L).toInt, kind)
+        else {
+          val rel = offsetWord(data, base + i * 32L)
+          if (rel < 0) null
+          else kind match {
+            case 5 | 6 =>
+              val len = offsetWord(data, base + rel)
+              if (len < 0) null
+              else {
+                val start = base + rel + 32L // in bounds: the len word was
+                val plen = math.min(len.toLong, data.length - start).toInt
+                val b = java.util.Arrays.copyOfRange(
+                  data, start.toInt, start.toInt + math.max(plen, 0))
+                if (kind == 5)
+                  org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+                else b
+              }
+            case 12 | 13 =>
+              val n0 = offsetWord(data, base + rel)
+              if (n0 < 0) null
+              else dynElems(data, base + rel + 32L, n0, asString = kind == 12)
+            case _ =>
+              val n0 = offsetWord(data, base + rel)
+              if (n0 < 0) null
+              else {
+                val ebase = base + rel + 32L
+                val n = math.min(n0.toLong,
+                  math.max(0L, (data.length - ebase) / 32L)).toInt
+                val elems = new Array[Any](n)
+                // 7 uint[] → 3, 8 int[] → 4, 9 address[] → 0,
+                // 10 bytes32[] → 1, 11 bool[] → 2
+                val ek = kind match {
+                  case 7 => 3; case 8 => 4; case 9 => 0; case 10 => 1
+                  case _ => 2
+                }
+                var j = 0
+                while (j < n) {
+                  elems(j) = staticAt(data, (ebase + j * 32L).toInt, ek)
+                  j += 1
+                }
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(elems)
+              }
+          }
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+  }
+
+  /** Dynamic tuple PARAM decode: the head word at data word `headIdx`
+    * holds the byte offset of the tuple's own encoding → [[tupleAt]].
+    * Null struct when the head word lies outside the blob.
+    */
+  def dynTupleTailStruct(data: Array[Byte], headIdx: Int,
+      kinds: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    val off = offsetWord(data, headIdx * 32L)
+    if (off < 0) return null
+    tupleAt(data, off.toLong, kinds)
+  }
+
+  /** `(T1,…,Tk)[]` tail decode — dynamic array of DYNAMIC tuples: the
+    * tail is `[n][off_0…off_{n-1}][tuple encodings…]` with per-element
+    * offsets relative to the start of the element list, each element a
+    * tuple decoded by [[tupleAt]] at its own base. Same defensive
+    * contract: head/length words outside the blob → null ARRAY; a
+    * malformed per-element offset → null ELEMENT; the claimed count
+    * clamps to one offset word per element. Never throws.
+    */
+  def dynTupleWordTailArray(data: Array[Byte], headIdx: Int,
+      kinds: Array[Int]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val off = offsetWord(data, headIdx * 32L)
+    if (off < 0) return null
+    val n0 = offsetWord(data, off.toLong)
+    if (n0 < 0) return null
+    val base = off + 32L
+    val n = math.min(n0.toLong, math.max(0L, (data.length - base) / 32L)).toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val rel = offsetWord(data, base + i * 32L)
+      out(i) = if (rel < 0) null else tupleAt(data, base + rel, kinds)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -530,6 +670,121 @@ case class DynTailArray(child: Expression, headIdx: Int, asString: Boolean,
     copy(child = newChild)
 }
 
+/** comps (canonical type, field name) → kind codes + Spark field types
+  * for the dynamic-tuple kernels (codes documented at
+  * [[AbiRuntime.staticAt]]'s kind table).
+  */
+private[functions] object TupleComps {
+  def kindOf(t: String): Int = t match {
+    case "address" => 0
+    case "bytes32" => 1
+    case "bool"    => 2
+    case "string"  => 5
+    case "bytes"   => 6
+    case "address[]" => 9
+    case "bytes32[]" => 10
+    case "bool[]"    => 11
+    case "string[]"  => 12
+    case "bytes[]"   => 13
+    case t if t.endsWith("[]") && t.startsWith("uint") => 7
+    case t if t.endsWith("[]") && t.startsWith("int")  => 8
+    case t if t.startsWith("uint") => 3
+    case t if t.startsWith("int")  => 4
+    case other => throw new IllegalArgumentException(
+      s"abi dynamic tuple: unsupported component type $other")
+  }
+
+  def fieldType(t: String): DataType = kindOf(t) match {
+    case 0 | 1 | 6 => BinaryType
+    case 2         => BooleanType
+    case 3 | 4     => DecimalType(38, 0)
+    case 5         => StringType
+    case 7 | 8     => ArrayType(DecimalType(38, 0))
+    case 9 | 10    => ArrayType(BinaryType)
+    case 11        => ArrayType(BooleanType)
+    case 12        => ArrayType(StringType)
+    case _         => ArrayType(BinaryType)
+  }
+
+  def structOf(comps: Seq[(String, String)]): StructType =
+    StructType(comps.map { case (t, nm) =>
+      StructField(nm, fieldType(t), nullable = true)
+    })
+}
+
+/** DYNAMIC tuple param decode (≥1 string/bytes/array component) through
+  * one compiled runtime call — the kernel twin of the expression-level
+  * offset-relative path, required once a component is itself an ARRAY
+  * (a per-element loop can't stay expression-level). `comps` holds
+  * (canonical type, struct field name) per component.
+  */
+case class DynTupleTailStruct(child: Expression, headIdx: Int,
+    comps: Seq[(String, String)]) extends UnaryExpression {
+  require(comps.nonEmpty,
+    "abi_dyn_tuple_tail_struct: tuple needs at least one component")
+  private val kinds: Array[Int] = comps.map(c => TupleComps.kindOf(c._1)).toArray
+
+  override def dataType: DataType = TupleComps.structOf(comps)
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_dyn_tuple_tail_struct"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.dynTupleTailStruct(input.asInstanceOf[Array[Byte]], headIdx, kinds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kindsRef = ctx.addReferenceObj("kinds", kinds, "int[]")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.dynTupleTailStruct(
+          ${c.value}, $headIdx, $kindsRef);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DynTupleTailStruct =
+    copy(child = newChild)
+}
+
+/** Dynamic twin of [[TupleWordTailArray]] for `(T1,…,Tk)[]` tails whose
+  * tuple is DYNAMIC (string/bytes/array components): per-element offset
+  * indirection, each element its own tuple encoding — decoded to
+  * `ARRAY<STRUCT<…>>` in one compiled runtime call.
+  */
+case class DynTupleWordTailArray(child: Expression, headIdx: Int,
+    comps: Seq[(String, String)]) extends UnaryExpression {
+  require(comps.nonEmpty,
+    "abi_dyn_tuple_word_tail_array: tuple needs at least one component")
+  private val kinds: Array[Int] = comps.map(c => TupleComps.kindOf(c._1)).toArray
+
+  override def dataType: DataType = ArrayType(TupleComps.structOf(comps))
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_dyn_tuple_word_tail_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AbiRuntime.dynTupleWordTailArray(input.asInstanceOf[Array[Byte]], headIdx, kinds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kindsRef = ctx.addReferenceObj("kinds", kinds, "int[]")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.AbiRuntime.dynTupleWordTailArray(
+          ${c.value}, $headIdx, $kindsRef);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DynTupleWordTailArray =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the ABI expressions. */
 object abi {
   private def wrap(e: Expression): Column = GraftColumnShim.column(e)
@@ -567,6 +822,20 @@ object abi {
   def dynTailArray(data: Column, headIdx: Int, asString: Boolean,
       fixedK: Int = -1): Column =
     wrap(DynTailArray(ex(data), headIdx, asString, fixedK))
+
+  /** DYNAMIC tuple param (string/bytes/array components) → STRUCT<…>;
+    * `comps` = (canonical type, field name) per component.
+    */
+  def dynTupleTailStruct(data: Column, headIdx: Int,
+      comps: Seq[(String, String)]): Column =
+    wrap(DynTupleTailStruct(ex(data), headIdx, comps))
+
+  /** `(T1,…,Tk)[]` DYNAMIC-tuple-array tail (per-element offsets) →
+    * ARRAY<STRUCT<…>>; `comps` = (canonical type, field name).
+    */
+  def dynTupleWordTailArray(data: Column, headIdx: Int,
+      comps: Seq[(String, String)]): Column =
+    wrap(DynTupleWordTailArray(ex(data), headIdx, comps))
 
   /** 20-byte address literal from hex — the reference's `address()` util
     * as a Column (eth_event_stream/src/lib.rs:7-15).

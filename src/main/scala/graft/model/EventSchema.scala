@@ -139,14 +139,16 @@ object EventSchema {
   // Arrays of every scalar element type are accepted, both dynamic `T[]`
   // and fixed-size `T[k]` (k ≥ 1) — including the dynamic-element
   // string[]/bytes[] forms (offset-indirected tails) and NUMERIC nested
-  // arrays `uintN[][]`/`intN[][]`. Tuples `(T1,T2,…)` of SCALAR
-  // components (optionally named: `(uint256 amount, address to)`) are
-  // accepted as param types — Solidity structs in events. Other nesting
-  // (`address[][]`, `T[2][]`, tuple arrays, nested tuples) stays
-  // excluded by the grammar.
+  // arrays `uintN[][]`/`intN[][]`. Tuples `(T1,T2,…)` — Solidity structs
+  // in events — accept scalar and dynamic-array-of-scalar `T[]`
+  // components (optionally named: `(uint256 amount, address[] routes)`),
+  // both bare and as tuple ARRAYS `(…)[]` (static tuples inline, dynamic
+  // ones offset-indirected per element). Other nesting (`address[][]`,
+  // `T[2][]`, fixed arrays inside tuples, nested tuples) stays excluded
+  // by the grammar.
   private val Scalar =
     "address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?"
-  private val ScalarRe = s"($Scalar)".r
+  private val CompRe = s"(?:$Scalar)(?:\\[\\])?".r
   private val TypeRe =
     (s"($Scalar" +
       s"|(?:$Scalar)\\[[0-9]*\\]" +
@@ -231,11 +233,12 @@ object EventSchema {
     }
   }
 
-  /** Tuple param `(T1 [n1],…)[[]] [indexed] name`: scalar components
-    * only (no nested arrays / tuples), optional per-component names. A
-    * `[]` suffix makes it a dynamic array of tuples — then every
-    * component must be STATIC (string/bytes elements would need
-    * per-element offset indirection; grammar-excluded). The stored
+  /** Tuple param `(T1 [n1],…)[[]] [indexed] name`: components are
+    * scalars or dynamic arrays of scalars `T[]` (no fixed-size `[k]`,
+    * nested arrays, or nested tuples), optional per-component names. A
+    * `[]` suffix makes it a dynamic array of tuples; dynamic components
+    * (string/bytes/arrays) are allowed in both forms — a tuple with any
+    * dynamic component encodes offset-indirected, per ABI. The stored
     * solType keeps component names (they become struct field names);
     * `canonicalType` strips them for signature hashing.
     */
@@ -245,7 +248,7 @@ object EventSchema {
     if (close < 0) bad()
     val comps = tupleOf(r.substring(0, close + 1)).getOrElse(bad())
     if (comps.isEmpty || !comps.forall { case (t, nm) =>
-        ScalarRe.matches(t) && validWidth(t) && nm.forall(_.matches(ident))
+        CompRe.matches(t) && validWidth(t) && nm.forall(_.matches(ident))
       }) bad()
     // FINAL field names must be unique — a declared name can also
     // collide with the f{i} fallback of an unnamed position (e.g.
@@ -260,8 +263,6 @@ object EventSchema {
     }.mkString("(", ",", ")")
     val rest0 = r.substring(close + 1).trim
     val isArray = rest0.startsWith("[]")
-    if (isArray && comps.exists(c => c._1 == "string" || c._1 == "bytes"))
-      bad()
     val solType = if (isArray) tupleT + "[]" else tupleT
     val rest = if (isArray) rest0.drop(2).trim else rest0
     rest.split("\\s+").toSeq match {

@@ -93,13 +93,18 @@ object EventDecoder {
     } else if (t.endsWith("[]")) {
       val elemT = t.dropRight(2)
       if (elemT.startsWith("(")) {
-        // array of STATIC tuples: k inline words per element, decoded to
-        // ARRAY<STRUCT> by one native kernel call. Field names come from
-        // the DECLARED solType (canonical strips them).
+        // array of tuples, decoded to ARRAY<STRUCT> by one native kernel
+        // call: STATIC tuples inline k words per element; DYNAMIC ones
+        // (string/bytes/array components) are offset-indirected per
+        // element. Field names come from the DECLARED solType (canonical
+        // strips them).
         val comps = graft.model.EventSchema.tupleOf(p.solType.dropRight(2)).get
-        abi.tupleWordTailArray(data, headIdx, comps.zipWithIndex.map {
-          case ((ct, nm), i) => (canonicalOf(ct), nm.getOrElse(s"f$i"))
-        })
+          .zipWithIndex.map {
+            case ((ct, nm), i) => (canonicalOf(ct), nm.getOrElse(s"f$i"))
+          }
+        if (comps.exists(c => isDynamicType(c._1)))
+          abi.dynTupleWordTailArray(data, headIdx, comps)
+        else abi.tupleWordTailArray(data, headIdx, comps)
       } else if (elemT.endsWith("[]"))
         // nested numeric arrays — must route BEFORE the flat numeric
         // check ("uint256[]".startsWith("uint") is also true)
@@ -257,8 +262,17 @@ object EventDecoder {
           dataWord += comps.size - 1 // +1 below
           st
         case _ if tuple.isDefined =>
-          // dynamic tuple: ONE head word → offset-relative component area
-          decodeDynamicTuple(tuple.get, data, dataWord)
+          // dynamic tuple: ONE head word → offset-relative component
+          // area. An ARRAY component forces the kernel path (a bounded
+          // per-element loop can't stay expression-level); string/bytes
+          // -only tuples keep the inline expression path.
+          if (tuple.get.exists(c => isDynamicType(canonicalOf(c._1)) &&
+              c._1 != "string" && c._1 != "bytes"))
+            abi.dynTupleTailStruct(data, dataWord,
+              tuple.get.zipWithIndex.map { case ((ct, nm), i) =>
+                (canonicalOf(ct), nm.getOrElse(s"f$i"))
+              })
+          else decodeDynamicTuple(tuple.get, data, dataWord)
         case _ =>
           // dynamic params — string[k]/bytes[k] included — take ONE head
           // word regardless of k

@@ -470,6 +470,101 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out(4L)._1, "truncated component area must null the struct")
   }
 
+  test("tuples with array components decode through the dynamic-tuple kernel") {
+    // Meta((uint256 id, uint[] xs, string s) m, uint v):
+    // data = [head m=0x40][v=7][tuple: id=9, xs rel=0x60, s rel=0xc0,
+    //         xs: n=2,5,6, s: len=3,"abc".pad]
+    val schema = EventSchema.parse(
+      "Meta((uint256 id, uint[] xs, string s) m, uint v)")
+    assert(schema.signature == "Meta((uint256,uint256[],string),uint256)")
+    val data = word("40") ++ word("7") ++
+      word("9") ++ word("60") ++ word("c0") ++
+      word("2") ++ word("5") ++ word("6") ++
+      word("3") ++ padRight("abc".getBytes("UTF-8"), 32)
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"m.id".cast("long"),
+        expr("transform(m.xs, x -> cast(x as long))"), $"m.s",
+        $"v".cast("long"))
+      .as[(Long, Seq[Long], String, Long)].collect().head
+    assert(out == ((9L, Seq(5L, 6L), "abc", 7L)))
+
+    // malformed array-component offset → that COMPONENT nulls, the
+    // static sibling still decodes (same contract as string components)
+    val evilRel = word("60"); evilRel(5) = 1
+    val dataBad = word("40") ++ word("7") ++
+      word("9") ++ evilRel ++ word("c0") ++
+      word("2") ++ word("5") ++ word("6") ++
+      word("3") ++ padRight("abc".getBytes("UTF-8"), 32)
+    val rawBad = Seq((1L, schema.topic0, dataBad))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outBad = EventDecoder.decode(rawBad, schema)
+      .select($"m.id".cast("long"), isnull($"m.xs"), $"m.s")
+      .as[(Long, Boolean, String)].collect().head
+    assert(outBad == ((9L, true, "abc")))
+  }
+
+  test("arrays of DYNAMIC tuples decode with per-element offsets") {
+    // Fills((address taker, string memo)[] fills, uint nonce):
+    // tail = [n=2][off0=0x40][off1=0xc0][t0: taker, memo rel=0x40,
+    //         len=2, "hi".pad][t1: taker2, memo rel=0x40, len=1, "y".pad]
+    val schema = EventSchema.parse(
+      "Fills2((address taker, string memo)[] fills, uint nonce)")
+    assert(schema.signature == "Fills2((address,string)[],uint256)")
+    val a1 = Hex.address("0x" + "aa" * 20)
+    val a2 = Hex.address("0x" + "bb" * 20)
+    def elem(addr: Array[Byte], memo: String) =
+      pad32(addr) ++ word("40") ++ word(memo.length.toHexString) ++
+        padRight(memo.getBytes("UTF-8"), 32)
+    val data = word("40") ++ word("9") ++
+      word("2") ++ word("40") ++ word("c0") ++
+      elem(a1, "hi") ++ elem(a2, "y")
+    val raw = Seq((1L, schema.topic0, data))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = EventDecoder.decode(raw, schema)
+      .select(posexplode($"fills").as(Seq("i", "f")), $"nonce".cast("long"))
+      .select($"i", lower(hex($"f.taker")), $"f.memo", $"nonce")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out == Seq((0, "aa" * 20, "hi", 9L), (1, "bb" * 20, "y", 9L)))
+
+    // a malformed per-element offset nulls that ELEMENT only; a count
+    // beyond the blob's offset words clamps
+    val evil = word("c0"); evil(3) = 1
+    val dataBad = word("40") ++ word("9") ++
+      word("3e8") ++ word("40") ++ evil ++
+      elem(a1, "hi") ++ elem(a2, "y")
+    val rawBad = Seq((1L, schema.topic0, dataBad))
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outBad = EventDecoder.decode(rawBad, schema)
+      .select($"fills").as[Seq[Option[(Array[Byte], String)]]].collect().head
+    // n=1000 claimed; the blob holds 10 offset-word slots after the count
+    assert(outBad.length == 10)
+    assert(outBad(0).exists(_._2 == "hi"))
+    assert(outBad(1).isEmpty, "evil per-element offset must null the element")
+  }
+
+  test("tuple grammar rejects fixed arrays and nested tuples in components") {
+    intercept[IllegalArgumentException](
+      EventSchema.parse("X((uint[2] a) t)"))
+    intercept[IllegalArgumentException](
+      EventSchema.parse("X(((uint,bool) inner, uint b) t)"))
+    intercept[IllegalArgumentException](
+      EventSchema.parse("X((uint[][] a) t)"))
+  }
+
   test("tuple-array expression rejects an empty component list") {
     intercept[IllegalArgumentException](
       graft.functions.abi.tupleWordTailArray(lit(Array[Byte]()), 0, Seq.empty))

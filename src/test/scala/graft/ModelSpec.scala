@@ -114,17 +114,29 @@ class ModelSpec extends AnyFunSuite {
           org.apache.spark.sql.types.StructField("amt",
             org.apache.spark.sql.types.DecimalType(38, 0))))))
 
+    // dynamic components — string/bytes AND dynamic arrays — are allowed
+    // in both tuple forms (kernel-decoded, offset-indirected)
+    val dyn = EventSchema.parse("T((string,uint)[] x, (uint[] xs,bool ok) y)")
+    assert(dyn.params.map(_.canonicalType) ==
+      Seq("(string,uint256)[]", "(uint256[],bool)"))
+    assert(dyn.dataStruct("y").dataType ==
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("xs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DecimalType(38, 0))),
+        org.apache.spark.sql.types.StructField("ok",
+          org.apache.spark.sql.types.BooleanType))))
+
     // rejects: empty tuple, nested tuple, fixed-size tuple array,
-    // dynamic components in a tuple array, arrays inside, unknown
-    // component type, bad width, duplicate component names
+    // fixed/nested arrays inside, unknown component type, bad width,
+    // duplicate component names
     intercept[IllegalArgumentException](EventSchema.parse("T(() x)"))
     intercept[IllegalArgumentException](
       EventSchema.parse("T((uint,(address,uint)) x)"))
     intercept[IllegalArgumentException](
       EventSchema.parse("T((uint,address)[2] x)"))
     intercept[IllegalArgumentException](
-      EventSchema.parse("T((string,uint)[] x)"))
-    intercept[IllegalArgumentException](EventSchema.parse("T((uint[],bool) x)"))
+      EventSchema.parse("T((uint[3],bool) x)"))
     intercept[IllegalArgumentException](EventSchema.parse("T((widget) x)"))
     intercept[IllegalArgumentException](EventSchema.parse("T((uint7) x)"))
     intercept[IllegalArgumentException](
