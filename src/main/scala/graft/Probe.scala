@@ -41,11 +41,11 @@ object Probe {
       Seq("query_id", "vec_id")))
     println("topk_ivf: " + recall(
       Similarity.bruteForceTopK(emb, q, 10),
-      Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4),
+      Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6),
       Seq("query_id", "vec_id")))
     println("neardup_lsh: " + recall(
       Similarity.bruteForceNearDupPairs(emb, 0.45),
-      Similarity.cosineNearDupPairs(emb, 0.45, planes = 6, tables = 8),
+      Similarity.cosineNearDupPairs(emb, 0.45, planes = 5, tables = 12),
       Seq("v1", "v2")))
     println("neardup_ivf: " + recall(
       Similarity.bruteForceNearDupPairs(emb, 0.45),

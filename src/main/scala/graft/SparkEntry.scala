@@ -974,11 +974,13 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       recallGate(
         exact = Similarity.bruteForceNearDupPairs(emb, 0.45),
-        // hyperplane LSH at a 0.45 threshold (63° pairs) is recall-weak by
-        // construction (~0.46 expected at 6 planes × 8 tables; measured
-        // 0.57 / 0.51) — the documented tables-vs-cost tradeoff
+        // hyperplane LSH at a 0.45 threshold (63° pairs): expected
+        // recall ≈ 1-(1-p^planes)^tables with p ≈ 0.65, so 5 planes ×
+        // 12 tables ≈ 0.77 for threshold-grazing pairs (6×8 ≈ 0.46 was
+        // too weak on small fixtures). Fewer planes = bigger buckets =
+        // more exact-verify work — the documented recall-vs-cost dial.
         approx = Similarity.cosineNearDupPairs(emb, 0.45,
-          planes = 6, tables = 8),
+          planes = 5, tables = 12),
         keys = Seq("v1", "v2"), floor = 0.5, subset = true)
     }),
 
@@ -987,8 +989,10 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
       recallGate(
         exact = Similarity.bruteForceTopK(emb, q, k = 10),
-        // measured recall@10: 0.76 (sf0.01) / 0.64 (sf0.1)
-        approx = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4,
+        // nprobe 6/16 lists: probing more lists is the standard IVF
+        // recall dial (4/16 measured 0.58-0.76 across fixtures, too
+        // close to the floor; cost grows linearly in nprobe)
+        approx = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 6,
           corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet"))),
         keys = Seq("query_id", "vec_id"), floor = 0.6)
     }),
