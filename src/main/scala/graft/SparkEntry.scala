@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventDecoder, EventLog, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, EventDecoder, EventLog, Multimodal, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -630,6 +630,22 @@ object SparkEntry {
           when(col("n_exact") === 0, lit(true))
             .otherwise(abs(col("n_approx") - col("n_exact")).cast("double")
               / col("n_exact") <= 0.15).as("sketch_ok"))
+    }),
+
+    // Heavy hitters via count-min sketch, exactly verified: the sketch
+    // pass (map-side mergeable summaries, no row shuffle) can't
+    // undercount, so the verify pass over survivors only discards —
+    // the result is EXACT and hash-matches a plain GROUP BY/HAVING
+    // oracle. Threshold = 1.15x the mean per-key count (ceil'd to an
+    // integer so both engines compare the same value).
+    "agg_heavy_hitters" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val stats = ev.agg(
+        count(lit(1)).cast("double").as("n"),
+        countDistinct(col("user_id")).cast("double").as("d")).head
+      val minCount = math.ceil(1.15 * stats.getDouble(0) / stats.getDouble(1)).toLong
+      Sketches.heavyHitters(ev, col("user_id"), minCount)
+        .select(col("hh_key").as("user_id"), col("n_rows"))
     }),
 
     // Sketch gate: approx_percentile vs the exact median — verdict-only
@@ -1516,6 +1532,13 @@ object SparkEntry {
 
     "agg_percentile_gate" ->
       """SELECT count(*) AS n_values, true AS sketch_ok FROM events""",
+
+    "agg_heavy_hitters" ->
+      """WITH t AS (
+           SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS mean
+           FROM events)
+         SELECT user_id, count(*) AS n_rows FROM events
+         GROUP BY 1 HAVING count(*) >= (SELECT ceil(1.15 * mean) FROM t)""",
 
     "w2_per_block" ->
       s"""SELECT block_number,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.sketches
+
+/** Mergeable-sketch operators — the bounded-memory summaries a 100 TB
+  * pipeline computes in one pass where an exact answer would need a
+  * full shuffle.
+  *
+  * No reference counterpart (extension surface, like the dedup/ANN
+  * family): the reference's only aggregate is the netflow fold
+  * (eth_event_stream/examples/stream_multi.rs:33-70). Heavy-hitter
+  * detection is the skew-detection primitive behind the salted
+  * aggregation escape hatch ([[EventLog.saltedNetflow]]) — at scale you
+  * sketch FIRST to find the hot keys, then salt exactly those.
+  *
+  * Everything here rides Spark's own `count_min_sketch` aggregate
+  * (map-side partial sketches, one small binary merged at the
+  * reducer — no row shuffle) plus the native [[graft.functions.CmsEstimate]]
+  * probe; the candidate set is the caller's (sketches estimate counts,
+  * they don't enumerate keys).
+  */
+object Sketches {
+
+  /** One-row DataFrame holding a count-min sketch of `key` —
+    * `eps`·N additive overcount with probability `confidence`, never an
+    * undercount. Partial sketches build map-side per partition and merge
+    * associatively: the shuffle is O(sketch bytes × partitions),
+    * independent of row count or key cardinality.
+    */
+  def cmsSketch(df: DataFrame, key: Column, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.agg(
+      count_min_sketch(key, lit(eps), lit(confidence), lit(seed))
+        .as("cms"),
+      count(lit(1)).as("n_rows"))
+
+  /** Probe every row of `candidates` against the (single-row) sketch:
+    * appends `est_count` (and the sketch's `n_rows` for error-bound
+    * math). The sketch side is one row — Catalyst broadcasts it; the
+    * candidate side streams, so probing N candidates is a map-only job.
+    */
+  def cmsProbe(sketch: DataFrame, candidates: DataFrame,
+      key: Column): DataFrame =
+    candidates
+      .join(broadcast(sketch))
+      .withColumn("est_count", sketches.cmsEstimate(col("cms"), key))
+      .drop("cms")
+
+  /** Keys whose sketched count clears `minCount`, verified exactly in a
+    * second pass over only the surviving candidates — the classic
+    * sketch-then-verify heavy-hitter shape. `candidates` defaults to the
+    * distinct keys of `df` (exact mode); pass a pre-thinned candidate
+    * set (e.g. per-partition top-k) to keep the probe sub-linear at
+    * scale. Because count-min never undercounts, the sketch pass has NO
+    * false negatives: the verify pass only discards, never misses.
+    */
+  def heavyHitters(df: DataFrame, key: Column, minCount: Long,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sk = cmsSketch(df, key)
+    val cand = candidates.getOrElse(df.select(key.as("hh_key")).distinct())
+    val probed = cmsProbe(sk, cand, col("hh_key"))
+      .filter(col("est_count") >= minCount)
+    // exact verify over survivors only: the semi-join keeps the big
+    // side's scan but aggregates just the candidate keys
+    df.select(key.as("hh_key"))
+      .join(broadcast(probed.select("hh_key")), Seq("hh_key"), "left_semi")
+      .groupBy("hh_key").agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= minCount)
+  }
+}

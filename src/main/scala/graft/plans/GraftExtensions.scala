@@ -42,6 +42,7 @@ object GraftFunctions {
       litInt(es(1), "abi_nested_word_tail_array"),
       signed = if (es.length > 2) litBool(es(2), "abi_nested_word_tail_array")
         else false)),
+    "cms_estimate" -> (es => CmsEstimate(es(0), es(1))),
     "abi_dyn_tail_array" -> (es => DynTailArray(es.head,
       litInt(es(1), "abi_dyn_tail_array"),
       asString = litBool(es(2), "abi_dyn_tail_array"),
