@@ -868,6 +868,16 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"))),
 
+    // Char-trigram LM cross-entropy (self-trained quality filter): the
+    // double score stays engine-side (float rounding differs), the
+    // exact per-doc count sums hash-match the string-gram oracle — the
+    // hashed-gram ↔ string-gram count equivalence the other gram
+    // queries rely on.
+    "text_char_lm" -> ((s, dir) =>
+      TextOps.charLmScore(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_grams"), col("sum_tri"),
+          col("sum_ctx"))),
+
     "text_langid" -> ((s, dir) => TextOps.langId(table(s, dir, "documents"))),
 
     "text_quality" -> ((s, dir) =>
@@ -1690,6 +1700,20 @@ object SparkEntry {
              row_number() OVER (PARTITION BY pred_lang ORDER BY quality DESC, l.doc_id) AS rank
            FROM lang l JOIN q ON l.doc_id = q.doc_id)
          SELECT doc_id, pred_lang, rank FROM r WHERE rank <= 100""",
+
+    "text_char_lm" ->
+      """WITH tg AS (
+           SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri,
+                  substr(text, CAST(i AS INT), 2) AS ctx
+           FROM documents,
+                unnest(generate_series(1, greatest(length(text) - 2, 0))) t(i)),
+         tc AS (SELECT tri, count(*) AS c_tri FROM tg GROUP BY 1),
+         cc AS (SELECT ctx, count(*) AS c_ctx FROM tg GROUP BY 1)
+         SELECT tg.doc_id, count(*) AS n_grams,
+           CAST(sum(tc.c_tri) AS BIGINT) AS sum_tri,
+           CAST(sum(cc.c_ctx) AS BIGINT) AS sum_ctx
+         FROM tg JOIN tc USING (tri) JOIN cc USING (ctx)
+         GROUP BY 1""",
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -120,6 +120,50 @@ object VectorRuntime {
       java.util.Arrays.copyOf(out, k))
   }
 
+  /** Ordered per-position hashes of the sliding CHARACTER n-grams (one
+    * per codepoint position, multiplicity kept): the char-level twin of
+    * [[ngramHashes]], for character-LM statistics where position
+    * alignment matters -- position i's (n-1)-gram is the CONTEXT of
+    * position i's n-gram, so two calls with n and n-1 stay index-aligned
+    * under `slice`. Same polynomial combine + splitmix finalizer; counts
+    * over these hashes equal counts over the substring grams themselves
+    * modulo negligible 64-bit collisions (the `ngramJaccardPairs`
+    * equivalence).
+    */
+  def charNgramHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val s = text.toString
+    val cps = new Array[Long](s.length)
+    var m = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(m) = cp
+      m += 1
+      i += Character.charCount(cp)
+    }
+    val cnt = m - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](cnt)
+    var p = 0
+    while (p < cnt) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = h * 0x100000001b3L + cps(p + j)
+        j += 1
+      }
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      out(p) = z
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
   private def isAlnum(c: Char): Boolean =
@@ -329,6 +373,27 @@ case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** `char_ngram_hashes(string, n) -> array<long>` -- ordered per-position
+  * character n-gram hashes (multiplicity kept, index-aligned across n).
+  */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "char_ngram_hashes: n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.charNgramHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.charNgramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
 /** `token_counts(string) → array<long>(n_ws, n_bpe)` — fused tokenizer
   * counters (regex-equivalent, single pass).
   */
@@ -439,6 +504,9 @@ object vec {
   /** Every-occurrence variant (multiplicity survives for mode counts). */
   def ngramHashesAll(tokenHashes: Column, n: Int): Column =
     wrap(NgramHashes(ex(tokenHashes), n, distinct = false))
+  /** Ordered per-position char n-gram hashes (see [[CharNgramHashes]]). */
+  def charNgramHashes(text: Column, n: Int): Column =
+    wrap(CharNgramHashes(ex(text), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
   def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))
   def minHashSig(hashes: Column, numHashes: Int): Column =

@@ -390,6 +390,60 @@ object TextOps {
         (col("sum_target") + 1).cast("double") / (col("sum_all") + 1).cast("double"))
   }
 
+  /** Character-n-gram language-model scoring (the KenLM-shaped quality
+    * filter of CCNet/Wenzek et al. 2020, self-trained on the corpus):
+    * pass 1 counts every char n-gram and its (n−1)-char context across
+    * the corpus; pass 2 scores each document's per-position
+    * cross-entropy under the add-k model
+    * `P(c | ctx) = (C(ctx·c) + k) / (C(ctx) + k·V)` with V = the corpus
+    * alphabet size. Natural text re-uses frequent grams → low entropy;
+    * gibberish/boilerplate-shuffled text scores high.
+    *
+    * Scale shape: gram hashing is the compiled row-local
+    * [[graft.functions.CharNgramHashes]] kernel (64-bit keys, never gram
+    * strings), position alignment comes from slicing the (n−1)-gram
+    * array to the n-gram array's length (context of position i IS
+    * position i), and both passes are plain map-side-combined groupBys
+    * over the exploded positions — persisted once, since the count
+    * tables join straight back to the same exploded rows. Nothing is
+    * quadratic; the model table is O(distinct grams).
+    *
+    * Returns per doc: `n_grams`, `sum_tri`/`sum_ctx` (exact integer
+    * count sums — the oracle-checkable plumbing) and `xent` (the double
+    * score; engines differ in float rounding, so like the percentile
+    * gate only the integers cross to the oracle).
+    */
+  def charLmScore(df: DataFrame, n: Int = 3, k: Int = 1,
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    require(n >= 2, "charLmScore: n must be >= 2 (a context must exist)")
+    val grams = graft.functions.vec.charNgramHashes(col(textCol), n)
+    val ctxs = graft.functions.vec.charNgramHashes(col(textCol), n - 1)
+    val pos0 = df.select(col(idCol),
+        explode(arrays_zip(
+          slice(ctxs, lit(1), size(grams)).as("ctx"),
+          grams.as("gram"))).as("p"))
+      .select(col(idCol), col("p.ctx").as("ctx"), col("p.gram").as("gram"))
+    val pos = storage.fold(pos0)(pos0.persist)
+    val gramC = pos.groupBy("gram").agg(count(lit(1)).as("c_gram"))
+    val ctxC = pos.groupBy("ctx").agg(count(lit(1)).as("c_ctx"))
+    // alphabet size: one tiny distinct-count job, broadcast as a 1-row
+    // dimension (the hybridPhases pattern)
+    val vocab = df.select(
+        explode(graft.functions.vec.charNgramHashes(col(textCol), 1)).as("ch"))
+      .agg(countDistinct(col("ch")).as("v"))
+    pos.join(gramC, "gram").join(ctxC, "ctx")
+      .join(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum("c_gram").as("sum_tri"),
+        sum("c_ctx").as("sum_ctx"),
+        avg(log(col("c_ctx") + lit(k) * col("v")) -
+          log(col("c_gram") + lit(k))).as("xent"))
+  }
+
   /** BPE tokenizer-training prep: symbol-pair frequencies for the first
     * merge round (Sennrich et al. 2016) — each word occurrence
     * contributes its adjacent character pairs with multiplicity.

@@ -457,4 +457,48 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .as[Boolean].collect().head
     assert(all)
   }
+
+  test("char n-gram hashes: per-position, codepoint-walked, aligned across n") {
+    import graft.functions.vec
+    val d = Seq(("abcab", 1)).toDF("text", "id")
+    val (tri, bi) = d.select(
+        vec.charNgramHashes($"text", 3), vec.charNgramHashes($"text", 2))
+      .as[(Seq[Long], Seq[Long])].collect().head
+    assert(tri.length == 3 && bi.length == 4)
+    // repeated grams hash identically: "ab" at positions 0 and 3
+    assert(bi(0) == bi(3) && bi(0) != bi(1))
+    // surrogate pairs count as ONE character (like DuckDB substr)
+    val emoji = "a😀b" // 3 codepoints, 4 UTF-16 units
+    val t = Seq((emoji, 1)).toDF("text", "id")
+      .select(vec.charNgramHashes($"text", 3)).as[Seq[Long]].collect().head
+    assert(t.length == 1)
+    // shorter than n → empty, never negative allocation
+    val e = Seq(("ab", 1)).toDF("text", "id")
+      .select(vec.charNgramHashes($"text", 3)).as[Seq[Long]].collect().head
+    assert(e.isEmpty)
+  }
+
+  test("char LM score: natural text scores lower entropy than gibberish") {
+    // 30 docs sharing a repetitive natural phrase + 2 gibberish docs:
+    // the self-trained trigram model must rank gibberish higher-entropy
+    val natural = (1 to 30).map(i =>
+      (i.toLong, s"the cat sat on the mat number $i"))
+    val junk = Seq(
+      (101L, "qzxj vkwp brfg hmtd lsnc"),
+      (102L, "zzqx jjwv ppkf ggth ddmr"))
+    val df = (natural ++ junk).toDF("doc_id", "text")
+    val out = TextOps.charLmScore(df, storage = None)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    val nat = natural.map(d => out(d._1)).sum / natural.size
+    assert(out(101L) > nat && out(102L) > nat,
+      s"gibberish must score above natural: ${out(101L)}, ${out(102L)} vs $nat")
+    // exact count plumbing on a hand-checked fixture: "aaaa" has two
+    // "aaa" positions (count 2 each); the context "aa" is counted over
+    // TRIGRAM positions only (2), matching the oracle's tg-derived cc
+    val tiny = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val row = TextOps.charLmScore(tiny, storage = None)
+      .select($"n_grams", $"sum_tri", $"sum_ctx")
+      .as[(Long, Long, Long)].collect().head
+    assert(row == ((2L, 4L, 4L)))
+  }
 }
