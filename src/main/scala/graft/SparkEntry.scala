@@ -579,6 +579,26 @@ object SparkEntry {
           col("session_from"), col("session_to"))
     }),
 
+    // Stream-STREAM interval join end-to-end through the streaming
+    // engine: purchases and clicks replayed as two independent sources,
+    // inner-joined per user within ±5 blocks under dual watermarks
+    // (bounded symmetric-hash state). Inner-join append parity: the
+    // drained stream equals the batch join row-for-row.
+    "q_stream_interval_join" -> ((s, dir) => {
+      val step = fifthOfHead(s, s"$dir/events.parquet")
+      def side(t: String) = graft.streaming.StreamOps.readBlockStream(
+          s, s"$dir/events.parquet", blockStep = step, confirmations = 0L)
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("block_number"))
+      val joined = graft.streaming.StreamOps.intervalJoinStream(
+        side("purchase"), side("click"), lowerBlocks = 5L, upperBlocks = 5L)
+      runStreamingGate(s, "ssij_gate", joined)
+        .select(col("event_id").as("p_event_id"),
+          col("block_number").as("p_block"),
+          col("r_event_id").as("c_event_id"),
+          col("r_block_number").as("c_block"))
+    }),
+
     // Interval join: per session, count OTHER users' purchases landing
     // inside its block span — bucketized equi-join + residual BETWEEN
     // (never a BroadcastNestedLoop; see EventLog.rangeJoin). The oracle
@@ -1515,6 +1535,17 @@ object SparkEntry {
          h AS (SELECT max(block_number) AS mb FROM ($EvKeys))
          SELECT user_id, session_seq, n_events, session_from, session_to
          FROM sess, h WHERE session_to + 20 <= mb""",
+
+    "q_stream_interval_join" ->
+      s"""WITH e AS ($EvKeys),
+         p AS (SELECT event_id, user_id, block_number FROM e
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, block_number FROM e
+               WHERE event_type = 'click')
+         SELECT p.event_id AS p_event_id, p.block_number AS p_block,
+           c.event_id AS c_event_id, c.block_number AS c_block
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.block_number BETWEEN p.block_number - 5 AND p.block_number + 5""",
 
     "q_range_join" ->
       s"""WITH sess AS ($SessionizeSql),

@@ -183,6 +183,44 @@ object StreamOps {
         col("session_from"), col("session_to"))
   }
 
+  /** Stream-stream INNER interval join with bounded state: rows of
+    * `left` pair with `right` rows of the same `keyCol` whose block lies
+    * in `[l.block − lowerBlocks, l.block + upperBlocks]`. Blocks map to
+    * the synthetic event-time axis (1 block = 1 second, as everywhere in
+    * this engine) and BOTH sides carry watermarks, so Spark's
+    * symmetric-hash join evicts buffered rows once the other side's
+    * watermark clears the interval bound — state is O(interval × rate),
+    * not O(stream), on an infinite tail. Inner-join matches are emitted
+    * as they form (append mode), so a drained stream yields exactly the
+    * batch join's rows — the parity the oracle checks.
+    *
+    * Right-side columns come back prefixed with `r_` (a self-join of one
+    * logical stream is the common case and the names would collide).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      lowerBlocks: Long, upperBlocks: Long, keyCol: String = "user_id",
+      lateBlocks: Long = 0L): DataFrame = {
+    require(lowerBlocks >= 0 && upperBlocks >= 0,
+      "interval bounds are non-negative offsets around the left block")
+    // +1 like dedupStream: block 0 must not sit AT the epoch — the
+    // initial watermark is 0 and buffered rows at-or-below it are
+    // discarded as late, which would silently drop block-0 matches.
+    // Both sides shift equally, so the interval is unchanged.
+    val l = left
+      .withColumn("l_ts", timestamp_seconds(col("block_number") + 1))
+      .withWatermark("l_ts", s"$lateBlocks seconds")
+    val r0 = right.columns.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val r = r0
+      .withColumn("r_ts", timestamp_seconds(col("r_block_number") + 1))
+      .withWatermark("r_ts", s"$lateBlocks seconds")
+    l.join(r,
+        col(keyCol) === col(s"r_$keyCol") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lowerBlocks SECONDS") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $upperBlocks SECONDS"))
+      .drop("l_ts", "r_ts")
+  }
+
   /** Exact streaming dedup with BOUNDED state: drop rows whose key was
     * already seen within `withinBlocks` of the block frontier. Block
     * numbers map to the synthetic event-time axis (1 block = 1 second,

@@ -263,6 +263,38 @@ class StreamingSpec extends AnyFunSuite {
       s"session state not evicted: $stateRows rows for $nUsers users")
   }
 
+  test("stream-stream interval join equals batch; buffered state evicted") {
+    def side(t: String) = StreamOps.readBlockStream(spark, path,
+        blockStep = 20L, confirmations = 0L)
+      .filter($"event_type" === t)
+      .select($"event_id", $"user_id", $"block_number")
+    val joined = StreamOps.intervalJoinStream(side("purchase"), side("click"),
+      lowerBlocks = 5L, upperBlocks = 5L)
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssij")
+      .select($"event_id", $"r_event_id").as[(Long, Long)].collect()
+    val p = batchEvents.filter($"event_type" === "purchase")
+      .select($"event_id".as("pe"), $"user_id".as("pu"), $"block_number".as("pb"))
+    val c = batchEvents.filter($"event_type" === "click")
+      .select($"event_id".as("ce"), $"user_id".as("cu"), $"block_number".as("cb"))
+    val batch = p.join(c,
+        $"pu" === $"cu" && $"cb".between($"pb" - 5, $"pb" + 5))
+      .select($"pe", $"ce").as[(Long, Long)].collect().toSet
+    assert(got.toSet == batch, "drained stream must equal the batch join")
+    assert(got.length == batch.size, "append mode must not re-emit pairs")
+    // the symmetric-hash join buffers only rows the other side's
+    // watermark hasn't cleared — far fewer than the full input by the
+    // final micro-batch
+    val inputRows = p.count() + c.count()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(Long.MaxValue)
+    assert(stateRows < inputRows / 2,
+      s"join state not evicted: $stateRows of $inputRows buffered")
+  }
+
   test("dedupStream: duplicates inside the horizon drop, keys re-admit after expiry") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 20L, confirmations = 0L)
