@@ -585,7 +585,10 @@ object SparkEntry {
     // (bounded symmetric-hash state). Inner-join append parity: the
     // drained stream equals the batch join row-for-row.
     "q_stream_interval_join" -> ((s, dir) => {
-      val step = fifthOfHead(s, s"$dir/events.parquet")
+      // ~2 catch-up batches per side: the dual-source join already runs
+      // 2x the micro-batches of the single-source streaming queries, and
+      // multi-batch join semantics are spec-covered — keep the gate lean
+      val step = fifthOfHead(s, s"$dir/events.parquet") * 3
       def side(t: String) = graft.streaming.StreamOps.readBlockStream(
           s, s"$dir/events.parquet", blockStep = step, confirmations = 0L)
         .filter(col("event_type") === t)
@@ -666,6 +669,27 @@ object SparkEntry {
       val minCount = math.ceil(1.15 * stats.getDouble(0) / stats.getDouble(1)).toLong
       Sketches.heavyHitters(ev, col("user_id"), minCount)
         .select(col("hh_key").as("user_id"), col("n_rows"))
+    }),
+
+    // Re-aggregatable distinct-count rollup: per-block-range HLL
+    // sketches UNIONED to a global estimate — the 100 TB pattern where
+    // partial sketches are stored per partition/day and any rollup is a
+    // cheap union instead of a re-scan. Gate: union estimate within 5%
+    // of the exact global distinct (Datasketches HLL, lgK=12 ⇒ ~1.6%).
+    "agg_hll_union_gate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val parts = ev
+        .groupBy((col("block_number") / 20).cast("long").as("bucket"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val unioned = parts.agg(
+        count(lit(1)).as("n_parts"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(broadcast(unioned))
+        .select(col("n_exact"), col("n_parts"),
+          when(col("n_exact") === 0, lit(true))
+            .otherwise(abs(col("est") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).as("sketch_ok"))
     }),
 
     // Sketch gate: approx_percentile vs the exact median — verdict-only
@@ -1573,6 +1597,12 @@ object SparkEntry {
 
     "agg_percentile_gate" ->
       """SELECT count(*) AS n_values, true AS sketch_ok FROM events""",
+
+    "agg_hll_union_gate" ->
+      s"""SELECT
+           (SELECT count(DISTINCT user_id) FROM ($EvKeys)) AS n_exact,
+           (SELECT count(DISTINCT block_number // 20) FROM ($EvKeys)) AS n_parts,
+           true AS sketch_ok""",
 
     "agg_heavy_hitters" ->
       """WITH t AS (

@@ -104,6 +104,13 @@ class HardeningSpec extends AnyFunSuite {
     val selPlan = sel.queryExecution.executedPlan.toString
     assert(selPlan.contains("TakeOrderedAndProject"),
       "top-k selection must plan as TakeOrderedAndProject")
+
+    // heavy hitters: the exact-verify pass semi-joins the fact scan
+    // against the tiny survivor set — broadcast, never a fact shuffle
+    val hh = SparkEntry.queries("agg_heavy_hitters")(spark, "/root/testdata/sf0.01")
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    assert(hhPlan.contains("BroadcastHashJoin") && hhPlan.contains("LeftSemi"),
+      "heavy-hitter verify must broadcast-semi-join the survivors")
   }
 
   test("plan guards: shuffle-exchange counts hold their ceilings") {
@@ -127,7 +134,13 @@ class HardeningSpec extends AnyFunSuite {
       "flagship_raw_netflow" -> 1, "a3_netflow" -> 1,
       "dedup_exact" -> 1, "text_token_stats" -> 0,
       "s1_log_scan" -> 0, "w_sessionize" -> 1,
-      "q_window_running" -> 1, "j4_ordered_merge" -> 1)
+      "q_window_running" -> 1, "j4_ordered_merge" -> 1,
+      // sketch + distinct candidates + verify agg — the fact side is
+      // never shuffled by key (semi join builds on the tiny survivor set)
+      "agg_heavy_hitters" -> 3,
+      // gram counts, ctx counts, vocab, final per-doc agg; the exploded
+      // positions themselves never shuffle (joins broadcast/reuse)
+      "text_char_lm" -> 4)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,
