@@ -666,7 +666,11 @@ object SparkEntry {
       val stats = ev.agg(
         count(lit(1)).cast("double").as("n"),
         countDistinct(col("user_id")).cast("double").as("d")).head
-      val minCount = math.ceil(1.15 * stats.getDouble(0) / stats.getDouble(1)).toLong
+      // mean-first grouping mirrors the oracle's `ceil(1.15 * mean)`
+      // exactly — (1.15*n)/d and 1.15*(n/d) can differ by 1 ulp, which
+      // flips ceil on integer-adjacent values
+      val minCount =
+        math.ceil(1.15 * (stats.getDouble(0) / stats.getDouble(1))).toLong
       Sketches.heavyHitters(ev, col("user_id"), minCount)
         .select(col("hh_key").as("user_id"), col("n_rows"))
     }),

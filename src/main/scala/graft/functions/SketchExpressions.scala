@@ -8,24 +8,31 @@ import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.types._
 
 /** Runtime for [[CmsEstimate]]: deserializes a Spark
-  * `CountMinSketch` blob and probes one key. The last-seen sketch is
-  * memoized per thread by content (first 16 bytes + length as a cheap
-  * fingerprint, then full equality) — the probe side of a heavy-hitter
-  * query broadcasts ONE sketch row against many candidate keys, so
-  * deserialization runs once per task, not once per row.
+  * `CountMinSketch` blob and probes one key. Deserialized sketches are
+  * cached by blob IDENTITY (a `WeakHashMap` keyed on the `byte[]`
+  * instance — array `equals` is reference equality, so lookups are one
+  * identity hash, never a content compare). [[graft.operators.Sketches
+  * .cmsProbe]] embeds the blob as a plan literal, so every row of a
+  * probe passes the SAME array instance and deserialization runs once
+  * per executor; weak keys release the ~MB sketch when the plan is
+  * dropped. A caller feeding content-distinct blob copies per row
+  * (e.g. via a join column instead of a literal) would deserialize per
+  * row — use the literal-embedding probe API for bulk probes.
   */
 object CmsRuntime {
-  private val cache =
-    new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]()
+  private val byInstance = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Byte],
+      org.apache.spark.util.sketch.CountMinSketch]())
 
   private def sketchOf(
       bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch = {
-    val cached = cache.get()
-    if (cached != null && java.util.Arrays.equals(cached._1, bytes)) cached._2
+    val hit = byInstance.get(bytes)
+    if (hit != null) hit
     else {
+      // racing misses both deserialize; last put wins — harmless
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(bytes))
-      cache.set((bytes, cms))
+      byInstance.put(bytes, cms)
       cms
     }
   }
@@ -33,9 +40,13 @@ object CmsRuntime {
   def estimate(bytes: Array[Byte], key: Long): Long =
     sketchOf(bytes).estimateCount(java.lang.Long.valueOf(key))
 
+  // UTF-8 bytes hash identically to the String path
+  // (CountMinSketchImpl.getHashBuckets(String) delegates to the byte[]
+  // overload via getBytesFromUTF8String), so probe with the raw bytes —
+  // no per-row UTF-16 decode/re-encode round trip.
   def estimateString(
       bytes: Array[Byte], key: org.apache.spark.unsafe.types.UTF8String): Long =
-    sketchOf(bytes).estimateCount(key.toString)
+    sketchOf(bytes).estimateCount(key.getBytes)
 }
 
 /** `cms_estimate(sketch, key)` — probe a `count_min_sketch(...)` blob for

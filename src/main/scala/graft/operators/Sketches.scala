@@ -39,15 +39,21 @@ object Sketches {
 
   /** Probe every row of `candidates` against the (single-row) sketch:
     * appends `est_count` (and the sketch's `n_rows` for error-bound
-    * math). The sketch side is one row — Catalyst broadcasts it; the
-    * candidate side streams, so probing N candidates is a map-only job.
+    * math). The sketch is collected once (a one-row planning action,
+    * like broadcasting a scalar) and embedded as a plan LITERAL: the
+    * probe is then a map-only projection with no join, and every row
+    * hands [[graft.functions.CmsRuntime]] the same blob instance, so
+    * the executor-side cache hits on identity — no per-row copy or
+    * content compare of the ~MB blob.
     */
   def cmsProbe(sketch: DataFrame, candidates: DataFrame,
-      key: Column): DataFrame =
+      key: Column): DataFrame = {
+    val row = sketch.select(col("cms"), col("n_rows")).head
     candidates
-      .join(broadcast(sketch))
-      .withColumn("est_count", sketches.cmsEstimate(col("cms"), key))
-      .drop("cms")
+      .withColumn("est_count",
+        sketches.cmsEstimate(lit(row.getAs[Array[Byte]]("cms")), key))
+      .withColumn("n_rows", lit(row.getAs[Long]("n_rows")))
+  }
 
   /** Keys whose sketched count clears `minCount`, verified exactly in a
     * second pass over only the surviving candidates — the classic
