@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EventDecoder, EventLog, Multimodal, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, EventDecoder, EventLog, Multimodal, Sampling, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -911,6 +911,28 @@ object SparkEntry {
           avg(when(col("split") === "eval", 1.0).otherwise(0.0)).as("frac"))
         .select(col("n_docs"),
           col("frac").between(0.05, 0.15).as("frac_ok"))
+    }),
+
+    // Systematic PPS sampling (sample docs proportional to their size —
+    // the "token-weighted subset" selection a mixture schedule executes):
+    // exact integer arithmetic end to end, so the oracle replays the
+    // selection bit-for-bit. The running total comes from the bucketed
+    // distributed prefix sum, never a global single-partition window.
+    "pipeline_pps_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      Sampling.ppsSample(docs, col("w"), k = 50)
+        .select(col("doc_id"), col("w"), col("cum"), col("pick"))
+    }),
+
+    // Equal-frequency quality binning (curriculum buckets): global rank
+    // via the same bucketed prefix sum, NTILE-equivalent bin in integer
+    // math; per-doc assignments hash-match the oracle's window rank.
+    "text_quality_bins" -> ((s, dir) => {
+      val q = TextOps.qualityScore(table(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      Sampling.quantileBins(q, col("quality"), nbins = 10)
+        .select(col("doc_id"), col("quality"), col("rank"), col("bin"))
     }),
 
     "text_token_stats" -> ((s, dir) =>
@@ -1872,6 +1894,25 @@ object SparkEntry {
 
     "pipeline_split_gate" ->
       """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",
+
+    "pipeline_pps_sample" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents),
+         c AS (SELECT doc_id, w,
+                 CAST(sum(w) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM w),
+         t AS (SELECT max(cum) AS total FROM c)
+         SELECT doc_id, w, cum, (cum * 50) // total AS pick
+         FROM c, t
+         WHERE (cum * 50) // total > ((cum - w) * 50) // total""",
+
+    "text_quality_bins" ->
+      s"""WITH t AS (SELECT doc_id, $QualitySql AS quality FROM documents),
+         r AS (SELECT doc_id, quality,
+                 row_number() OVER (ORDER BY quality, doc_id) AS rank,
+                 count(*) OVER () AS n
+               FROM t)
+         SELECT doc_id, quality, rank, ((rank - 1) * 10) // n AS bin FROM r""",
 
     "pipeline_mixture" ->
       s"""WITH v AS ($LangVotesCte),

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-dependent sampling/ranking operators built on a DISTRIBUTED
+  * prefix sum — the primitive that makes "global cumulative anything"
+  * scale. A naive `sum() OVER (ORDER BY ...)` with no partition key
+  * collapses the whole table into one task; here the global order is
+  * bucketed by a caller-supplied order-monotone bucket key, per-bucket
+  * totals are prefix-summed on the tiny bucket table (rows = #buckets,
+  * bounded, never corpus-sized), and each row finishes with a
+  * within-bucket window plus its bucket's broadcast offset. Two shuffles
+  * over the data (bucket agg + bucket window), both partitioned —
+  * nothing global.
+  *
+  * No reference counterpart (extension surface): the reference's only
+  * ordered scan is the per-block merge (eth_event_stream/src/sink.rs:
+  * 103-122), which never needs a corpus-wide running total.
+  */
+object Sampling {
+
+  /** Appends `cum` = running total of `weight` over the global order
+    * `(bucket, orderCols...)`. `bucket` MUST be monotone in the intended
+    * global order (rows in a lower bucket sort before every row of a
+    * higher bucket) and low-cardinality relative to the data (thousands
+    * of buckets at 100 TB — e.g. `id / width` or a coarse value range).
+    */
+  def orderedCumsum(df: DataFrame, bucket: Column, orderCols: Seq[Column],
+      weight: Column, cumName: String = "cum",
+      totalName: Option[String] = None): DataFrame = {
+    val withB = df.withColumn("__bucket", bucket.cast("long"))
+      .withColumn("__w", weight.cast("long"))
+    // tiny table: one row per bucket; the single-partition window is
+    // bounded by #buckets, not by data size. The grand total rides
+    // along for free (callers needing T would otherwise re-run the
+    // whole cumsum subtree just to max() it).
+    val offsets = withB.groupBy(col("__bucket"))
+      .agg(sum(col("__w")).as("__bsum"))
+      .withColumn("__off",
+        coalesce(sum(col("__bsum")).over(
+          Window.orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total",
+        sum(col("__bsum")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__bucket"), col("__off"), col("__total"))
+    val local = Window.partitionBy(col("__bucket"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = withB.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(cumName, col("__off") + sum(col("__w")).over(local))
+    totalName.fold(joined.drop("__total"))(t =>
+        joined.withColumnRenamed("__total", t))
+      .drop("__bucket", "__w", "__off")
+  }
+
+  /** Systematic probability-proportional-to-size sampling: lay every
+    * row's integer `weight` end to end on a line of total length T, and
+    * select the row under each of the `k` evenly spaced points
+    * `T/k, 2T/k, ..., T` (computed in exact integer arithmetic as
+    * "the row's (cum−w, cum] interval contains a multiple of T/k",
+    * i.e. `floor(cum·k/T) > floor((cum−w)·k/T)`). Classic PPS/systematic
+    * design: selection probability ∝ weight, deterministic given the
+    * order, no RNG and no float — so an SQL oracle reproduces it
+    * bit-for-bit. A row heavier than T/k is selected once with
+    * certainty (standard PPS-with-certainty), so the output can have
+    * slightly fewer than `k` rows on extreme skew.
+    *
+    * Scale shape: one [[orderedCumsum]] (bucketed, never a global
+    * single-partition window) + a broadcast of the 1-row total.
+    */
+  def ppsSample(df: DataFrame, weight: Column, k: Int,
+      idCol: String = "doc_id", bucketWidth: Long = 64L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cum = orderedCumsum(df, expr(s"$idCol div $bucketWidth"),
+      Seq(col(idCol)), weight, "cum", totalName = Some("total"))
+    // `div` keeps the selection in exact integer arithmetic (`/` on
+    // longs is DOUBLE division in Spark SQL — a parity hazard)
+    cum.withColumn("__w", weight.cast("long"))
+      .withColumn("pick", expr(s"(cum * $k) div total"))
+      .withColumn("__prev", expr(s"((cum - __w) * $k) div total"))
+      .filter(col("pick") > col("__prev"))
+      .drop("__w", "__prev", "total")
+  }
+
+  /** Equal-frequency quantile binning (curriculum bucketing): global
+    * rank by `(score, idCol)` via the bucketed prefix sum (bucket = the
+    * coarse score range, order-monotone because the score IS the order),
+    * then `bin = floor((rank−1)·nbins/n)` in pure integer math. Bin
+    * sizes differ by at most one, with the larger bins spread EVENLY
+    * across the range (SQL NTILE instead front-loads every extra row
+    * into the first bins — same family, different tie placement).
+    * Scores must already be deterministic cross-engine (they are:
+    * `text_quality` hash-matches), so rank ties break on `idCol`.
+    */
+  def quantileBins(df: DataFrame, score: Column, nbins: Int,
+      idCol: String = "doc_id", scoreBuckets: Int = 64): DataFrame = {
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    // clamp into [0, scoreBuckets-1]; monotone in score
+    val bucket = least(greatest(floor(score * scoreBuckets), lit(0)),
+      lit(scoreBuckets - 1))
+    val ranked = orderedCumsum(df.withColumn("__score", score), bucket,
+      Seq(col("__score"), col(idCol)), lit(1L), "rank",
+      totalName = Some("__n"))
+    ranked.withColumn("bin", expr(s"((rank - 1) * $nbins) div __n"))
+      .drop("__n")
+  }
+}

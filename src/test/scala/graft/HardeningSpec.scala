@@ -140,7 +140,11 @@ class HardeningSpec extends AnyFunSuite {
       "agg_heavy_hitters" -> 3,
       // gram counts, ctx counts, vocab, final per-doc agg; the exploded
       // positions themselves never shuffle (joins broadcast/reuse)
-      "text_char_lm" -> 4)
+      "text_char_lm" -> 4,
+      // distributed prefix sum: bucket agg + bucket-partitioned window
+      // over the data, plus the bounded bucket-table window — never a
+      // global single-partition window over corpus rows
+      "pipeline_pps_sample" -> 3, "text_quality_bins" -> 3)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,

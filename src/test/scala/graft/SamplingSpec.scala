@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Distributed prefix sum + the order-dependent sampling/ranking ops
+  * built on it (systematic PPS sampling, quantile binning).
+  */
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ids with gaps + varying weights, deterministic
+  private def fixture = (0 until 200)
+    .map(i => (i * 3L + (i % 5), (i * 37 % 91 + 1).toLong))
+    .toDF("doc_id", "w")
+
+  test("orderedCumsum equals the single-partition global window") {
+    val got = Sampling.orderedCumsum(fixture, expr("doc_id div 64"),
+      Seq(col("doc_id")), col("w"))
+    val expect = fixture.withColumn("cum",
+      sum(col("w")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select("doc_id", "cum").except(
+      expect.select("doc_id", "cum")).isEmpty)
+    assert(expect.select("doc_id", "cum").except(
+      got.select("doc_id", "cum")).isEmpty)
+  }
+
+  test("orderedCumsum is partitioning-invariant") {
+    val scrambled = fixture.repartition(7, col("w"))
+    val a = Sampling.orderedCumsum(fixture, expr("doc_id div 64"),
+      Seq(col("doc_id")), col("w")).select("doc_id", "cum").collect().toSet
+    val b = Sampling.orderedCumsum(scrambled, expr("doc_id div 64"),
+      Seq(col("doc_id")), col("w")).select("doc_id", "cum").collect().toSet
+    assert(a == b)
+  }
+
+  test("ppsSample selects exactly k rows and hits every k-th weight point") {
+    val k = 10
+    val picked = Sampling.ppsSample(fixture, col("w"), k)
+      .select("doc_id", "w", "cum", "pick")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val total = fixture.agg(sum("w")).as[Long].head()
+    // no weight exceeds total/k in this fixture → exactly k picks,
+    // one per selection point
+    assert(picked.length == k)
+    assert(picked.map(_._4).toSeq == (1L to k.toLong))
+    // each picked row's (cum-w, cum] interval contains its point i*total/k
+    picked.foreach { case (id, w, cum, pick) =>
+      val point = pick * total / k // floor; selection means point in interval
+      assert(cum * k / total == pick && (cum - w) * k / total < pick,
+        s"doc $id: interval (${cum - w}, $cum] misses point $point")
+    }
+  }
+
+  test("ppsSample selection probability tracks weight (heavy rows always in)") {
+    // one row carries half the total weight → certainty selection
+    val df = (Seq((0L, 1000L)) ++ (1 to 100).map(i => (i.toLong, 10L)))
+      .toDF("doc_id", "w")
+    val picked = Sampling.ppsSample(df, col("w"), 5)
+      .select("doc_id").as[Long].collect()
+    assert(picked.contains(0L))
+  }
+
+  test("quantileBins: sizes differ by at most 1, bins follow score order") {
+    val df = (0 until 137).map(i => (i.toLong, (i * 31 % 97) / 97.0))
+      .toDF("doc_id", "score")
+    val got = Sampling.quantileBins(df, col("score"), nbins = 7,
+      idCol = "doc_id")
+      .select(col("doc_id"), col("score"), col("rank"), col("bin"))
+      .as[(Long, Double, Long, Long)].collect()
+    val sizes = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 7L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // bin is monotone in rank; rank is monotone in (score, doc_id)
+    val byRank = got.sortBy(_._3)
+    assert(byRank.map(_._4).sameElements(byRank.map(_._4).sorted))
+    assert(byRank.map(r => (r._2, r._1)).sameElements(
+      byRank.map(r => (r._2, r._1)).sorted))
+    // exact formula parity with the oracle: bin = ((rank-1)*k) div n
+    got.foreach { case (_, _, rank, bin) =>
+      assert(bin == (rank - 1) * 7 / 137)
+    }
+  }
+
+  test("quantileBins handles scores at the clamp edges") {
+    val df = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 2.5), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val got = Sampling.quantileBins(df, col("score"), nbins = 5)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    // rank order follows score order even outside [0,1)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 5L -> 3L, 3L -> 4L, 4L -> 5L))
+  }
+}
