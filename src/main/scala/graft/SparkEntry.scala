@@ -913,6 +913,17 @@ object SparkEntry {
           col("frac").between(0.05, 0.15).as("frac_ok"))
     }),
 
+    // Duplicated-substring spans (Lee et al. 2022 semantics at k-gram
+    // granularity): merged per-doc token ranges covered by any word
+    // 5-gram occurring ≥2× in the corpus. Gram counting runs on native
+    // 64-bit gram hashes; the oracle replays it with gram STRINGS — the
+    // same hashed↔string count equivalence the other gram queries rely
+    // on — and the identical gap-and-islands merge.
+    "text_substring_dedup" -> ((s, dir) =>
+      Dedup.substringSpans(table(s, dir, "documents"), k = 5)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"), col("n_dup_grams"))),
+
     // Systematic PPS sampling (sample docs proportional to their size —
     // the "token-weighted subset" selection a mixture schedule executes):
     // exact integer arithmetic end to end, so the oracle replays the
@@ -1894,6 +1905,29 @@ object SparkEntry {
 
     "pipeline_split_gate" ->
       """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",
+
+    "text_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+         pos AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, unnest(l) AS tok FROM toks),
+         g AS (SELECT doc_id, i,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+               FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+               QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         m AS (SELECT g.doc_id, g.i AS s, g.i + 4 AS e FROM g JOIN dup USING (gram)),
+         mm AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+                FROM m),
+         isl AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 FROM mm)
+         SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) + 1 AS span_tokens, count(*) AS n_dup_grams
+         FROM isl GROUP BY doc_id, island""",
 
     "pipeline_pps_sample" ->
       """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents),

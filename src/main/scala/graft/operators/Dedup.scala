@@ -418,4 +418,69 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("d1", "d2", "hamming")
   }
+
+  // -------------------------------------------------------------------
+  // Duplicated-substring spans (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better": remove every substring
+  // that appears more than once in the corpus, not just whole-document
+  // duplicates)
+  // -------------------------------------------------------------------
+
+  /** Per-document spans of duplicated text: every word `k`-gram whose
+    * corpus occurrence count reaches `minOcc` (within- OR cross-document
+    * repeats both count) marks its `k` token positions; overlapping or
+    * adjacent marked ranges merge into maximal spans — the cut list a
+    * substring-level dedup pass applies. Output per span: 1-based
+    * `span_start`/`span_end` token positions, the span's token length,
+    * and how many duplicated grams support it.
+    *
+    * Scale shape: gram hashes come ORDERED from the compiled
+    * [[graft.functions.NgramHashes]] kernel (position = array index, no
+    * window/lead over token rows, no gram strings); the occurrence count
+    * is one map-side-combined groupBy on 64-bit keys; marking is a join
+    * back on those keys (the exploded starts persist once, both sides
+    * read them); the interval merge is the classic gap-and-islands pair
+    * of windows, partitioned BY DOCUMENT — never a global sort. The
+    * suffix-array construction of the paper is replaced by the gram
+    * hash-join: same ≥k-token duplicated-substring semantics, because a
+    * duplicated run of length L ≥ k is exactly a run of L−k+1 duplicated
+    * k-grams (shorter duplicates are invisible at either formulation's
+    * granularity k).
+    */
+  def substringSpans(df: DataFrame, k: Int = 5, minOcc: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minOcc >= 2, s"need k >= 1, minOcc >= 2; got $k, $minOcc")
+    val tokHashes = transform(TextOps.wsTokens(lower(col(textCol))),
+      w => xxhash64(w))
+    val starts0 = df.select(col(idCol),
+      posexplode(graft.functions.vec.ngramHashesAll(tokHashes, k))
+        .as(Seq("pos0", "gram")))
+    val starts = storage.fold(starts0)(starts0.persist)
+    val dup = starts.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select(col("gram"))
+    val marked = starts.join(dup, "gram")
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("s"),
+        (col("pos0") + k).cast("long").as("e"))
+    val prev = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runni = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("__maxe", max(col("e")).over(prev))
+      .withColumn("__new",
+        when(col("__maxe").isNull || col("s") > col("__maxe") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(runni))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("__island")
+  }
 }

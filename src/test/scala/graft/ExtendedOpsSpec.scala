@@ -501,4 +501,25 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().head
     assert(row == ((2L, 4L, 4L)))
   }
+
+  test("substringSpans: cross-doc phrase merges overlaps; within-doc repeat splits on gap") {
+    val docs = Seq(
+      (1L, "x1 x2 q w e r t y x3 x4"), // shared phrase at tokens 3..8
+      (2L, "z1 q w e r t y z2 z3"), // same phrase at tokens 2..7
+      (3L, "p1 p2 p3 p4 p5 m p1 p2 p3 p4 p5"), // self-repeat, gap at 6
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8") // clean
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, k = 5, storage = None)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_dup_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // "q w e r t" and "w e r t y" both occur twice -> overlapping grams
+    // merge into one span per doc; doc 3's two occurrences of the same
+    // 5-gram leave token 6 uncovered -> two spans; doc 4 emits nothing
+    assert(spans == Set(
+      (1L, 3L, 8L, 6L, 2L),
+      (2L, 2L, 7L, 6L, 2L),
+      (3L, 1L, 5L, 5L, 1L),
+      (3L, 7L, 11L, 5L, 1L)))
+  }
 }
