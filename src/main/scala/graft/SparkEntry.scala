@@ -913,6 +913,20 @@ object SparkEntry {
           col("frac").between(0.05, 0.15).as("frac_ok"))
     }),
 
+    // BPE train + encode: merges learned from the corpus's collapsed
+    // word-frequency table (the standard trainer shape), applied by the
+    // compiled kernel; the gate checks BPE's defining invariants per doc
+    // (lossless word round trip, token-count bounds) plus the exact
+    // word count — the token count itself is model-dependent and stays
+    // engine-side, like the other spec-gated scores.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = TextOps.bpeTrainMerges(docs, numMerges = 100)
+      TextOps.bpeApplyStats(docs, merges)
+        .select(col("doc_id"), col("n_words"), col("roundtrip_ok"),
+          col("bounds_ok"))
+    }),
+
     // Duplicated-substring spans (Lee et al. 2022 semantics at k-gram
     // granularity): merged per-doc token ranges covered by any word
     // 5-gram occurring ≥2× in the corpus. Gram counting runs on native
@@ -1905,6 +1919,12 @@ object SparkEntry {
 
     "pipeline_split_gate" ->
       """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",
+
+    "text_bpe_encode" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_words,
+           true AS roundtrip_ok, true AS bounds_ok
+         FROM documents""",
 
     "text_substring_dedup" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),

@@ -295,6 +295,50 @@ object VectorRuntime {
     while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
     eq
   }
+
+  /** Greedy BPE encoding of ONE word (no whitespace inside): start from
+    * single code points, repeatedly merge the adjacent pair with the
+    * LOWEST merge rank until no ranked pair remains — the standard
+    * inference rule matching how the merge list was learned (rank order
+    * = learning order). `ranks` keys are "left right" (space-joined;
+    * words are `\S+` so units never contain a space).
+    */
+  def bpeEncode(word: org.apache.spark.unsafe.types.UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    val units = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      units.add(s.substring(i, i + n))
+      i += n
+    }
+    var done = units.size < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < units.size - 1) {
+        val r = ranks.get(units.get(j) + " " + units.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0) done = true
+      else {
+        units.set(best, units.get(best) + units.get(best + 1))
+        units.remove(best + 1)
+        done = units.size < 2
+      }
+    }
+    val out = new Array[AnyRef](units.size)
+    var k = 0
+    while (k < out.length) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(units.get(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `dot(array<float|double>, array<float|double>) → double`. */
@@ -492,6 +536,39 @@ case class SigAgreement(left: Expression, right: Expression)
 }
 
 /** Column-API surface. */
+/** `bpe_encode(word) → array<string>` — greedy merge-rank BPE encoding
+  * of one whitespace-free word under the learned merge list (embedded in
+  * the plan; the rank map rebuilds once per executor via the transient
+  * lazy val and rides codegen as a reference object).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.bpeEncode(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.bpeEncode($c, $ranksRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 object vec {
   private def wrap(e: Expression): Column = GraftColumnShim.column(e)
   private def ex(c: Column): Expression = GraftColumnShim.expression(c)
@@ -517,4 +594,6 @@ object vec {
     wrap(QuantStats(ex(v), levels))
   def winnowHashes(gramHashes: Column, w: Int): Column =
     wrap(WinnowHashes(ex(gramHashes), w))
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    wrap(BpeEncode(ex(word), merges))
 }

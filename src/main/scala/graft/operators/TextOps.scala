@@ -469,4 +469,89 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
   }
+
+  /** Classic BPE merge learning (Sennrich et al. 2016) over the corpus
+    * vocabulary: collect the top-`maxVocab` `(word, count)` table (the
+    * standard trainer shape — real tokenizer trainers operate on the
+    * collapsed word-frequency dict, which is bounded by vocabulary, not
+    * corpus size), then repeatedly merge the most frequent adjacent unit
+    * pair. Fully deterministic: vocab truncation orders by
+    * `(count desc, word)`, pair ties break lexicographically. Returns
+    * merges in learned (= inference rank) order for [[bpeApplyStats]].
+    */
+  def bpeTrainMerges(df: DataFrame, numMerges: Int, maxVocab: Int = 10000,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(numMerges >= 0 && maxVocab >= 1)
+    val words: Array[(String, Long)] = df
+      .select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = words.map { case (w, n) =>
+      val units = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val len = Character.charCount(cp)
+        units += w.substring(i, i + len)
+        i += len
+      }
+      (units.toArray, n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (u, n) =>
+        var i = 0
+        while (i < u.length - 1) {
+          val k = (u(i), u(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        vocab = vocab.map { case (u, n) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < u.length) {
+            if (i < u.length - 1 && u(i) == a && u(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += u(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge list to every word of every document through
+    * the compiled [[graft.functions.BpeEncode]] kernel and emit the
+    * per-document verification stats: word count, BPE token count, the
+    * lossless round trip (every word re-concatenates from its tokens —
+    * BPE's defining invariant) and the count bounds
+    * `n_words ≤ n_tokens ≤ total word chars`. One explode + one
+    * map-side-combined groupBy; the merge table rides the plan as a
+    * reference object, never a join.
+    */
+  def bpeApplyStats(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        explode_outer(wsTokens(lower(col(textCol)))).as("w"))
+      .withColumn("toks",
+        graft.functions.vec.bpeEncode(col("w"), merges))
+      .groupBy(col(idCol))
+      .agg(count(col("w")).as("n_words"),
+        coalesce(sum(size(col("toks"))), lit(0L)).as("n_tokens"),
+        coalesce(bool_and(array_join(col("toks"), "") === col("w")), lit(true))
+          .as("roundtrip_ok"),
+        coalesce(sum(length(col("w"))), lit(0L)).as("n_word_chars"))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        col("roundtrip_ok"),
+        (col("n_tokens") >= col("n_words") &&
+          col("n_tokens") <= col("n_word_chars")).as("bounds_ok"))
 }

@@ -502,6 +502,30 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(row == ((2L, 4L, 4L)))
   }
 
+  test("BPE: trainer learns the classic merges; kernel encodes by rank; round trip holds") {
+    val corpus = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMerges(corpus, numMerges = 3)
+    // pair counts: (l,o)=5 ties (o,w)=5 -> lexicographic; then (lo,w)=5;
+    // then (low,e)=2 ties (e,r)=2 -> (e,r) wins lexicographically
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+
+    val enc = corpus.sparkSession.range(1)
+      .select(graft.functions.vec.bpeEncode(lit("lower"), merges).as("t"))
+      .selectExpr("t").as[Seq[String]].collect().head
+    assert(enc == Seq("low", "er"))
+
+    val docs = Seq((1L, "low lower lowest"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+    val stats = TextOps.bpeApplyStats(docs, merges)
+      .select($"doc_id", $"n_words", $"n_tokens", $"roundtrip_ok", $"bounds_ok")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSet
+    // lowest -> low e s t (no (e,s)/(s,t) merges learned) = 4 tokens
+    assert(stats == Set(
+      (1L, 3L, 1L + 2L + 4L, true, true),
+      (2L, 0L, 0L, true, true),
+      (3L, 0L, 0L, true, true)))
+  }
+
   test("substringSpans: cross-doc phrase merges overlaps; within-doc repeat splits on gap") {
     val docs = Seq(
       (1L, "x1 x2 q w e r t y x3 x4"), // shared phrase at tokens 3..8
