@@ -103,14 +103,16 @@ object SparkEntry {
     *    Verify/Bench invocations must not accumulate /tmp garbage.
     */
   private def runStreamingGate(s: SparkSession, sinkName: String,
-      out: DataFrame, scratch: Seq[String] = Nil): DataFrame = {
+      out: DataFrame, scratch: Seq[String] = Nil,
+      outputMode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Append()): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sg").toString
     s.catalog.dropTempView(sinkName)
     val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = out.writeStream.format("memory").queryName(sinkName)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -655,6 +657,14 @@ object SparkEntry {
               / col("n_exact") <= 0.15).as("sketch_ok"))
     }),
 
+    // One-pass column profiling over the raw table (row/non-null/
+    // distinct counts, typed min/max per column, single aggregation +
+    // stack unpivot); every statistic is exact and hash-matched.
+    "meta_profile" -> ((s, dir) =>
+      Sketches.profile(events(s, dir),
+        numericCols = Seq("event_id", "user_id", "value"),
+        stringCols = Seq("event_type"))),
+
     // Heavy hitters via count-min sketch, exactly verified: the sketch
     // pass (map-side mergeable summaries, no row shuffle) can't
     // undercount, so the verify pass over survivors only discards —
@@ -732,6 +742,23 @@ object SparkEntry {
     "a3_netflow" -> ((s, dir) =>
       EventLog.netflow(events(s, dir), "purchase", "click")
         .withColumn("netflow", col("netflow").cast("double"))),
+
+    // A3 as the reference actually runs it — STREAMING: the events table
+    // replays through the DSv2 block source in ~5 micro-batches, the
+    // netflow aggregate accumulates per-key state across batches
+    // (complete mode; the memory sink's final table IS the final state),
+    // and the result must hash-match the batch oracle — the stream_multi
+    // flagship semantic (stream_multi.rs:33-70) under the driver's gate.
+    "a3_netflow_stream" -> ((s, dir) => {
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        confirmations = 0L)
+      runStreamingGate(s, "a3_stream_gate",
+          graft.streaming.StreamOps.netflowStream(stream, "purchase", "click"),
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
+        .withColumn("netflow", col("netflow").cast("double"))
+    }),
 
     // A3 — derived monitor counts over the netflow state
     "a3_netflow_monitor" -> ((s, dir) =>
@@ -1655,6 +1682,27 @@ object SparkEntry {
            (SELECT count(DISTINCT block_number // 20) FROM ($EvKeys)) AS n_parts,
            true AS sketch_ok""",
 
+    "meta_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(event_id) AS n_nonnull,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM events
+         UNION ALL
+         SELECT 'value', count(*), count(value), count(DISTINCT value),
+           min(value), max(value), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(event_type), max(event_type)
+         FROM events""",
+
     "agg_heavy_hitters" ->
       """WITH t AS (
            SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS mean
@@ -1691,6 +1739,12 @@ object SparkEntry {
          GROUP BY block_number""",
 
     "a3_netflow" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS netflow
+         FROM events WHERE event_type IN ('purchase', 'click') GROUP BY user_id""",
+
+    "a3_netflow_stream" ->
       """SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
                          ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS netflow

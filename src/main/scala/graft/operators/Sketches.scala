@@ -63,6 +63,42 @@ object Sketches {
     * scale. Because count-min never undercounts, the sketch pass has NO
     * false negatives: the verify pass only discards, never misses.
     */
+  /** One-pass column profiling (the ANALYZE-style summary a pipeline
+    * runs before planning dedup/mixing over an unknown table): per
+    * column, row/non-null/distinct counts and typed min/max — numeric
+    * extremes in `min_num`/`max_num`, string extremes in
+    * `min_str`/`max_str`, the other pair null. All statistics fold in a
+    * single aggregation (map-side partials; the multi-`countDistinct`
+    * plans via Expand — swap in `approx_count_distinct` at the 100 TB
+    * tier, gated like `agg_sketch_gate`), then one `stack` unpivots the
+    * 1-row result — no per-column scans.
+    */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val cols = numericCols.map((_, true)) ++ stringCols.map((_, false))
+    require(cols.nonEmpty, "profile: no columns given")
+    val aggs = cols.flatMap { case (c, isNum) =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd")) ++
+        (if (isNum) Seq(min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+        else Seq(min(col(c)).as(s"${c}__smin"),
+          max(col(c)).as(s"${c}__smax")))
+    }
+    val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacks = cols.map { case (c, isNum) =>
+      if (isNum)
+        s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+      else
+        s"'$c', __n, `${c}__nn`, `${c}__nd`, CAST(NULL AS DOUBLE), " +
+          s"CAST(NULL AS DOUBLE), `${c}__smin`, `${c}__smax`"
+    }.mkString(", ")
+    agged.selectExpr(s"stack(${cols.size}, $stacks) AS " +
+      "(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, " +
+      "min_str, max_str)")
+  }
+
   def heavyHitters(df: DataFrame, key: Column, minCount: Long,
       candidates: Option[DataFrame] = None): DataFrame = {
     val sk = cmsSketch(df, key)

@@ -55,6 +55,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(out2 == Seq(35L -> 35L, 40L -> 40L))
   }
 
+  test("profile: one-pass stats with nulls, numeric and string columns") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (None, Some("b"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val rows = Sketches.profile(df, numericCols = Seq("id", "v"),
+        stringCols = Seq("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7)))).toSet
+    assert(rows == Set(
+      ("id", 3L, 2L, 2L, Some(1.0), Some(2.0), None, None),
+      ("v", 3L, 3L, 2L, Some(-1.0), Some(2.5), None, None),
+      ("s", 3L, 2L, 2L, None, None, Some("a"), Some("b"))))
+  }
+
   test("cms_estimate is exposed as a SQL function") {
     graft.plans.GraftFunctions.register(spark)
     skewed.createOrReplaceTempView("sk_skewed")
