@@ -657,6 +657,15 @@ object SparkEntry {
               / col("n_exact") <= 0.15).as("sketch_ok"))
     }),
 
+    // Z-order clustering stats: interleave (user_id, block_number) bits
+    // into a Morton value, assign fixed z ranges (one per would-be
+    // output file) and emit each range's min/max of BOTH dimensions —
+    // the footer statistics that let a Z-ordered layout prune scans on
+    // either predicate. Pure integer bit arithmetic; hash-matched.
+    "meta_zorder" -> ((s, dir) =>
+      graft.operators.Layout.zOrderStats(events(s, dir),
+        "user_id", "block_number", bits = 16, nRanges = 16)),
+
     // One-pass column profiling over the raw table (row/non-null/
     // distinct counts, typed min/max per column, single aggregation +
     // stack unpivot); every statistic is exact and hash-matched.
@@ -1681,6 +1690,24 @@ object SparkEntry {
            (SELECT count(DISTINCT user_id) FROM ($EvKeys)) AS n_exact,
            (SELECT count(DISTINCT block_number // 20) FROM ($EvKeys)) AS n_parts,
            true AS sketch_ok""",
+
+    "meta_zorder" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"(((ab >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((bb >> $i) & 1) * ${1L << (2 * i)})").mkString(" + ")
+      s"""WITH e AS ($EvKeys),
+         mx AS (SELECT max(user_id) AS amax, max(block_number) AS bmax FROM e),
+         nb AS (SELECT user_id, block_number,
+                  (user_id * 65536) // (amax + 1) AS ab,
+                  (block_number * 65536) // (bmax + 1) AS bb
+                FROM e, mx),
+         z AS (SELECT user_id, block_number, $zTerms AS z FROM nb)
+         SELECT z // ${(1L << 32) / 16} AS z_range, count(*) AS n_rows,
+           min(user_id) AS min_a, max(user_id) AS max_a,
+           min(block_number) AS min_b, max(block_number) AS max_b,
+           min(z) AS min_z, max(z) AS max_z
+         FROM z GROUP BY 1"""
+    },
 
     "meta_profile" ->
       """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(event_id) AS n_nonnull,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: space-filling-curve (Z-order) clustering for
+  * multi-dimension scan pruning. At 100 TB a table laid out by one key
+  * prunes only on that key; writing files in Z-value order bounds EVERY
+  * interleaved dimension within each file, so min/max footer stats prune
+  * scans on either predicate — the standard lakehouse clustering trick,
+  * expressed with plain integer bit arithmetic (codegen-friendly, no
+  * UDF).
+  *
+  * No reference counterpart (extension surface): the reference's only
+  * layout is block-ordered ingestion (eth_event_stream/src/sink.rs:23-24);
+  * Z-order generalizes that to (block, address)-style two-key locality.
+  */
+object Layout {
+
+  /** 2-D Z (Morton) value: interleaves the low `bits` of `a` (odd
+    * positions) and `b` (even positions). Inputs must already be
+    * bucketized into `[0, 2^bits)` — pass `id div width` buckets, not
+    * raw wide values (bits beyond `bits` are ignored, which would break
+    * locality silently).
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** Cluster `df` for writing: range-partition by Z value and sort within
+    * partitions — each output file then covers a tight Z range, i.e. a
+    * bounded rectangle in `(a, b)` space for footer-stats pruning.
+    * (Range boundaries come from Spark's sampling; deterministic stats
+    * live in [[zOrderStats]].)
+    */
+  def zOrderLayout(df: DataFrame, a: Column, b: Column, bits: Int,
+      numFiles: Int): DataFrame = {
+    val z = zValue(a, b, bits)
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+  }
+
+  /** The pruning evidence, deterministically: normalize each dimension
+    * into `[0, 2^bits)` by its observed max (`(v · 2^bits) div (max+1)`,
+    * exact integer arithmetic — the stats pass any real layout job runs
+    * first anyway), assign each row to a fixed Z-value range (simulating
+    * one output file per range) and emit per range the row count plus
+    * min/max of BOTH raw dimensions and of z — the footer statistics a
+    * Z-ordered layout yields. Value-based ranges (z div width), not
+    * `repartitionByRange`, so the result is reproducible in any engine.
+    * Dimension values must stay below `2^(63-bits)` (the scale factor
+    * must not overflow a long).
+    */
+  def zOrderStats(df: DataFrame, aCol: String, bCol: String, bits: Int,
+      nRanges: Int): DataFrame = {
+    require(nRanges >= 1 && (2 * bits) < 63)
+    val width = (1L << (2 * bits)) / nRanges
+    require(width >= 1, s"more ranges ($nRanges) than z values")
+    val scale = 1L << bits
+    val maxes = df.agg(max(col(aCol)).as("__amax"), max(col(bCol)).as("__bmax"))
+    df.join(broadcast(maxes))
+      .withColumn("__ab", expr(s"($aCol * $scale) div (__amax + 1)"))
+      .withColumn("__bb", expr(s"($bCol * $scale) div (__bmax + 1)"))
+      .withColumn("z", zValue(col("__ab"), col("__bb"), bits))
+      .withColumn("z_range", expr(s"z div $width"))
+      .groupBy(col("z_range"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(aCol)).as("min_a"), max(col(aCol)).as("max_a"),
+        min(col(bCol)).as("min_b"), max(col(bCol)).as("max_b"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+  }
+}

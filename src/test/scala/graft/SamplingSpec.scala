@@ -87,6 +87,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("zValue interleaves bits; zOrderStats bounds both dims per range") {
+    import graft.operators.Layout
+    // golden: a=0b101 (odd positions), b=0b011 (even positions)
+    // z = 1<<5 | 0<<3 | 1<<1 | 0<<4 | 1<<2 | 1<<0 = 32+2+4+1 = 39
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .as[Long].collect().head
+    assert(z == 39L)
+
+    val df = (0 until 256).map(i => (i.toLong % 16, i.toLong / 16))
+      .toDF("a", "b")
+    val stats = Layout.zOrderStats(df, "a", "b", bits = 4, nRanges = 4)
+      .select($"z_range", $"n_rows", $"min_a", $"max_a", $"min_b", $"max_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum == 256L)
+    // Z property: each quarter of z space is a 8x8 quadrant pair —
+    // both dims bounded to half their range, never the full extent
+    stats.foreach { case (r, _, minA, maxA, minB, maxB) =>
+      assert(maxA - minA <= 7 && maxB - minB <= 7,
+        s"range $r spans a=[$minA,$maxA] b=[$minB,$maxB]")
+    }
+  }
+
   test("quantileBins handles scores at the clamp edges") {
     val df = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 2.5), (5L, 0.5))
       .toDF("doc_id", "score")
