@@ -657,6 +657,15 @@ object SparkEntry {
               / col("n_exact") <= 0.15).as("sketch_ok"))
     }),
 
+    // Tukey-fence outlier screen per event type: q1/q3 as exact ORDER
+    // STATISTICS (percentile_disc semantics — integer ranks through the
+    // grouped distributed rank, no interpolation, so the quartile
+    // doubles are engine-exact) and the outlier count outside
+    // [q1-1.5*IQR, q3+1.5*IQR]; fully hash-matched.
+    "agg_iqr_outliers" -> ((s, dir) =>
+      Sampling.iqrOutliers(events(s, dir), "value", "event_type",
+        "event_id", expr("CAST(floor(value) AS BIGINT)"))),
+
     // Z-order clustering stats: interleave (user_id, block_number) bits
     // into a Morton value, assign fixed z ranges (one per would-be
     // output file) and emit each range's min/max of BOTH dimensions —
@@ -1690,6 +1699,21 @@ object SparkEntry {
            (SELECT count(DISTINCT user_id) FROM ($EvKeys)) AS n_exact,
            (SELECT count(DISTINCT block_number // 20) FROM ($EvKeys)) AS n_parts,
            true AS sketch_ok""",
+
+    "agg_iqr_outliers" ->
+      """WITH r AS (SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM events),
+         q AS (SELECT event_type, max(n) AS n,
+                 max(CASE WHEN rank = (n + 3) // 4 THEN value END) AS q1,
+                 max(CASE WHEN rank = (3 * n + 3) // 4 THEN value END) AS q3
+               FROM r GROUP BY 1)
+         SELECT q.event_type, q.n, q.q1, q.q3,
+           (SELECT count(*) FROM events e WHERE e.event_type = q.event_type
+              AND (e.value < q.q1 - (q.q3 - q.q1) * 1.5
+                OR e.value > q.q3 + (q.q3 - q.q1) * 1.5)) AS n_outliers
+         FROM q""",
 
     "meta_zorder" -> {
       val zTerms = (0 until 16).map(i =>

@@ -21,39 +21,79 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Appends `cum` = running total of `weight` over the global order
-    * `(bucket, orderCols...)`. `bucket` MUST be monotone in the intended
-    * global order (rows in a lower bucket sort before every row of a
-    * higher bucket) and low-cardinality relative to the data (thousands
-    * of buckets at 100 TB — e.g. `id / width` or a coarse value range).
+  /** Appends `cum` = running total of `weight` over the order
+    * `(bucket, orderCols...)` — globally, or within each `partCols`
+    * group (grouped running totals / ranks at any group size: a plain
+    * `Window.partitionBy(group)` puts one GROUP in one task, which dies
+    * on a 100 TB group; here a group only ever contributes
+    * `(group, bucket)` slices). `bucket` MUST be monotone in the
+    * intended order (rows in a lower bucket sort before every row of a
+    * higher bucket within their group) and low-cardinality relative to
+    * the data (thousands of buckets — e.g. `id / width` or a coarse
+    * value range).
     */
   def orderedCumsum(df: DataFrame, bucket: Column, orderCols: Seq[Column],
       weight: Column, cumName: String = "cum",
-      totalName: Option[String] = None): DataFrame = {
+      totalName: Option[String] = None,
+      partCols: Seq[String] = Nil): DataFrame = {
     val withB = df.withColumn("__bucket", bucket.cast("long"))
       .withColumn("__w", weight.cast("long"))
-    // tiny table: one row per bucket; the single-partition window is
-    // bounded by #buckets, not by data size. The grand total rides
+    val parts = partCols.map(col)
+    // tiny table: one row per (group, bucket); the per-group window is
+    // bounded by #buckets, not by data size. The per-group total rides
     // along for free (callers needing T would otherwise re-run the
     // whole cumsum subtree just to max() it).
-    val offsets = withB.groupBy(col("__bucket"))
+    val offsets = withB.groupBy((parts :+ col("__bucket")): _*)
       .agg(sum(col("__w")).as("__bsum"))
       .withColumn("__off",
         coalesce(sum(col("__bsum")).over(
-          Window.orderBy(col("__bucket"))
+          Window.partitionBy(parts: _*).orderBy(col("__bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__total",
-        sum(col("__bsum")).over(Window.orderBy(col("__bucket"))
+        sum(col("__bsum")).over(Window.partitionBy(parts: _*)
+          .orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__bucket"), col("__off"), col("__total"))
-    val local = Window.partitionBy(col("__bucket"))
+      .select((parts :+ col("__bucket") :+ col("__off") :+ col("__total")): _*)
+    val local = Window.partitionBy((parts :+ col("__bucket")): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = withB.join(broadcast(offsets), Seq("__bucket"))
+    val joined = withB.join(broadcast(offsets), partCols :+ "__bucket")
       .withColumn(cumName, col("__off") + sum(col("__w")).over(local))
     totalName.fold(joined.drop("__total"))(t =>
         joined.withColumnRenamed("__total", t))
       .drop("__bucket", "__w", "__off")
+  }
+
+  /** Exact rank-based quartiles + Tukey-fence outlier counts per group
+    * (the data-quality screen over a value column): q1/q3 are ORDER
+    * STATISTICS — the values at ranks `ceil(n/4)` and `ceil(3n/4)`
+    * (`percentile_disc` semantics; integer ranks, no interpolation, so
+    * any engine reproduces the exact doubles) — and a row is an outlier
+    * outside `[q1 − 1.5·IQR, q3 + 1.5·IQR]` (same IEEE arithmetic on
+    * identical inputs both sides). Ranking runs through the grouped
+    * [[orderedCumsum]] (value-range buckets), never one-task-per-group
+    * windows; the quartile pick is a conditional aggregate over the
+    * ranked rows; the outlier count is one broadcast join back.
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, valueBuckets: Column): DataFrame = {
+    val ranked = orderedCumsum(df, valueBuckets,
+      Seq(col(valueCol), col(idCol)), lit(1L), "rank",
+      totalName = Some("n"), partCols = Seq(groupCol))
+    val q = ranked.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rank") === expr("(n + 3) div 4"), col(valueCol)))
+          .as("q1"),
+        max(when(col("rank") === expr("(3 * n + 3) div 4"), col(valueCol)))
+          .as("q3"))
+    df.join(broadcast(q), groupCol)
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"),
+        count(when(
+          col(valueCol) < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+            col(valueCol) > col("q3") + (col("q3") - col("q1")) * 1.5,
+          1)).as("n_outliers"))
   }
 
   /** Systematic probability-proportional-to-size sampling: lay every

@@ -87,6 +87,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped orderedCumsum ranks within each group like per-group windows") {
+    val df = (0 until 120).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 17 % 41).toLong)).toDF("id", "g", "v")
+    val got = Sampling.orderedCumsum(df, expr("v div 8"),
+        Seq(col("v"), col("id")), lit(1L), "rank", totalName = Some("n"),
+        partCols = Seq("g"))
+      .select("id", "rank", "n")
+    val expect = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("id", "rank", "n")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
+  test("iqrOutliers: quartiles are exact order statistics, fences count correctly") {
+    // group a: values 1..8 plus a wild 100 -> n=9, q1 = rank ceil(9/4)=3
+    // -> value 3, q3 = rank ceil(27/4)=7 -> value 7, IQR=4,
+    // fences [-3, 13] -> one outlier (100)
+    val rows = (1 to 8).map(v => (v.toLong, "a", v.toDouble)) :+
+      (9L, "a", 100.0)
+    val out = Sampling.iqrOutliers(rows.toDF("event_id", "event_type", "value"),
+        "value", "event_type", "event_id",
+        expr("CAST(floor(value) AS BIGINT)"))
+      .select($"event_type", $"n", $"q1", $"q3", $"n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    assert(out == Set(("a", 9L, 3.0, 7.0, 1L)))
+  }
+
   test("zValue interleaves bits; zOrderStats bounds both dims per range") {
     import graft.operators.Layout
     // golden: a=0b101 (odd positions), b=0b011 (even positions)
