@@ -657,6 +657,13 @@ object SparkEntry {
               / col("n_exact") <= 0.15).as("sketch_ok"))
     }),
 
+    // Deterministic negative sampling for contrastive pairs: 3 modular-
+    // hash-derived partner docs per doc over the dense id space (self-
+    // pairs shift by one), partner payload attached by a keyed join —
+    // RNG-free, bit-for-bit oracle replay.
+    "pipeline_negatives" -> ((s, dir) =>
+      Sampling.negativePairs(table(s, dir, "documents"), k = 3)),
+
     // Tukey-fence outlier screen per event type: q1/q3 as exact ORDER
     // STATISTICS (percentile_disc semantics — integer ranks through the
     // grouped distributed rank, no interpolation, so the quartile
@@ -1699,6 +1706,17 @@ object SparkEntry {
            (SELECT count(DISTINCT user_id) FROM ($EvKeys)) AS n_exact,
            (SELECT count(DISTINCT block_number // 20) FROM ($EvKeys)) AS n_parts,
            true AS sketch_ok""",
+
+    "pipeline_negatives" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+         c AS (SELECT d.doc_id, j.j AS neg_rank,
+                 ((d.doc_id % n.n) * 1000003 + (j.j + 1) * 40503) % n.n AS raw, n.n AS nn
+               FROM documents d, n, generate_series(0, 2) j(j)),
+         x AS (SELECT doc_id, neg_rank,
+                 CASE WHEN raw = doc_id THEN (raw + 1) % nn ELSE raw END AS neg_id
+               FROM c)
+         SELECT x.doc_id, x.neg_rank, x.neg_id, d2.lang AS neg_lang
+         FROM x JOIN documents d2 ON d2.doc_id = x.neg_id""",
 
     "agg_iqr_outliers" ->
       """WITH r AS (SELECT event_type, value,

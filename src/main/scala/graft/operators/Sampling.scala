@@ -64,6 +64,37 @@ object Sampling {
       .drop("__bucket", "__w", "__off")
   }
 
+  /** Deterministic negative sampling (contrastive-training prep): `k`
+    * pseudo-random partner documents per document, derived by modular
+    * hashing over a DENSE id space (`neg = (id·P + (j+1)·Q) mod n`,
+    * multiplicative-hash constants; an accidental self-pair shifts by
+    * one) — RNG-free, so any engine replays the exact pair set. The
+    * partner join is a plain shuffle join keyed on `neg_id` (broadcast
+    * when the doc table is small); generation itself is row-local
+    * `transform`/`posexplode`, no cross join anywhere. Ids must be dense
+    * `0..n-1` (re-key with [[orderedCumsum]] ranks first if not).
+    */
+  def negativePairs(df: DataFrame, k: Int, idCol: String = "doc_id",
+      payloadCols: Seq[String] = Seq("lang")): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val raw = df.select(col(idCol))
+      .join(broadcast(n))
+      .select(col(idCol), col("__n"),
+        posexplode(expr(s"transform(sequence(0, ${k - 1}), " +
+          s"j -> (($idCol % __n) * 1000003 + (CAST(j AS BIGINT) + 1) * 40503) % __n)"))
+          .as(Seq("neg_rank", "__raw")))
+      .select(col(idCol), col("neg_rank").cast("long").as("neg_rank"),
+        when(col("__raw") === col(idCol), (col("__raw") + 1) % col("__n"))
+          .otherwise(col("__raw")).as("neg_id"))
+    val partners = df.select(
+      (col(idCol).as("neg_id") +: payloadCols.map(c =>
+        col(c).as(s"neg_$c"))): _*)
+    raw.join(partners, "neg_id")
+      .select((col(idCol) +: col("neg_rank") +: col("neg_id") +:
+        payloadCols.map(c => col(s"neg_$c"))): _*)
+  }
+
   /** Exact rank-based quartiles + Tukey-fence outlier counts per group
     * (the data-quality screen over a value column): q1/q3 are ORDER
     * STATISTICS — the values at ranks `ceil(n/4)` and `ceil(3n/4)`

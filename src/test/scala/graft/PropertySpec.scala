@@ -192,6 +192,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode: round trip and monotone shrinkage on arbitrary words/merges") {
+    val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val genCase = for {
+      words <- Gen.nonEmptyListOf(genWord)
+      nMerges <- Gen.choose(0, 8)
+    } yield (words.distinct, nMerges)
+    forAll(genCase) { case (words, nMerges) =>
+      val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val merges = graft.operators.TextOps.bpeTrainMerges(corpus, nMerges)
+      val enc = words.toDF("w")
+        .select($"w", graft.functions.vec.bpeEncode($"w", merges).as("t"))
+        .as[(String, Seq[String])].collect()
+      enc.foreach { case (w, toks) =>
+        assert(toks.mkString("") == w, s"round trip broke for '$w'")
+        assert(toks.nonEmpty && toks.length <= w.length)
+        // every token is either a single char or a product of learned merges
+        val vocab = merges.map { case (a, b) => a + b }.toSet
+        toks.filter(_.length > 1).foreach(t =>
+          assert(vocab.contains(t), s"token '$t' not in learned vocab"))
+      }
+    }
+  }
+
   test("simhash: hamming distance grows with symmetric difference") {
     val base = (0 until 30).map(i => s"w$i")
     val df = Seq(

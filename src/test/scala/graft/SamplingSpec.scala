@@ -102,6 +102,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("negativePairs: k partners each, never self, all ids real, deterministic") {
+    val docs = (0 until 20).map(i => (i.toLong, s"l${i % 4}"))
+      .toDF("doc_id", "lang")
+    val pairs = Sampling.negativePairs(docs, k = 3)
+      .select($"doc_id", $"neg_rank", $"neg_id", $"neg_lang")
+      .as[(Long, Long, Long, String)].collect()
+    assert(pairs.length == 60)
+    assert(pairs.forall { case (d, _, neg, _) => d != neg })
+    assert(pairs.forall { case (_, _, neg, l) =>
+      neg >= 0 && neg < 20 && l == s"l${neg % 4}" })
+    val again = Sampling.negativePairs(docs, k = 3)
+      .select($"doc_id", $"neg_rank", $"neg_id", $"neg_lang")
+      .as[(Long, Long, Long, String)].collect()
+    assert(pairs.toSet == again.toSet)
+  }
+
   test("iqrOutliers: quartiles are exact order statistics, fences count correctly") {
     // group a: values 1..8 plus a wild 100 -> n=9, q1 = rank ceil(9/4)=3
     // -> value 3, q3 = rank ceil(27/4)=7 -> value 7, IQR=4,
