@@ -1716,7 +1716,8 @@ object SparkEntry {
                  CASE WHEN raw = doc_id THEN (raw + 1) % nn ELSE raw END AS neg_id
                FROM c)
          SELECT x.doc_id, x.neg_rank, x.neg_id, d2.lang AS neg_lang
-         FROM x JOIN documents d2 ON d2.doc_id = x.neg_id""",
+         FROM x JOIN documents d2 ON d2.doc_id = x.neg_id
+         WHERE x.neg_id <> x.doc_id""",
 
     "agg_iqr_outliers" ->
       """WITH r AS (SELECT event_type, value,
@@ -2045,7 +2046,7 @@ object SparkEntry {
 
     "text_bpe_encode" ->
       """SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_words,
+           coalesce(CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT), 0) AS n_words,
            true AS roundtrip_ok, true AS bounds_ok
          FROM documents""",
 

@@ -57,7 +57,18 @@ object Sampling {
     val local = Window.partitionBy((parts :+ col("__bucket")): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = withB.join(broadcast(offsets), partCols :+ "__bucket")
+    // NULL-SAFE join keys: groupBy keeps null bucket/group keys, and a
+    // plain equality join would silently drop those rows. Null buckets
+    // rank where Spark's window ordering puts nulls (FIRST ascending);
+    // engines differ on null placement, so oracle authors order
+    // explicitly or exclude nulls upstream.
+    val offKeys = (partCols :+ "__bucket").map(k => s"__r_$k")
+    val offsetsR = (partCols :+ "__bucket").zip(offKeys)
+      .foldLeft(offsets) { case (d, (k, r)) => d.withColumnRenamed(k, r) }
+    val cond = (partCols :+ "__bucket").zip(offKeys)
+      .map { case (k, r) => col(k) <=> col(r) }.reduce(_ && _)
+    val joined = withB.join(broadcast(offsetsR), cond)
+      .drop(offKeys: _*)
       .withColumn(cumName, col("__off") + sum(col("__w")).over(local))
     totalName.fold(joined.drop("__total"))(t =>
         joined.withColumnRenamed("__total", t))
@@ -87,6 +98,9 @@ object Sampling {
       .select(col(idCol), col("neg_rank").cast("long").as("neg_rank"),
         when(col("__raw") === col(idCol), (col("__raw") + 1) % col("__n"))
           .otherwise(col("__raw")).as("neg_id"))
+      // degenerate n=1 table: the shift lands back on the only doc —
+      // emit nothing rather than a self-pair labeled negative
+      .filter(col("neg_id") =!= col(idCol))
     val partners = df.select(
       (col(idCol).as("neg_id") +: payloadCols.map(c =>
         col(c).as(s"neg_$c"))): _*)
@@ -106,8 +120,12 @@ object Sampling {
     * windows; the quartile pick is a conditional aggregate over the
     * ranked rows; the outlier count is one broadcast join back.
     */
-  def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String,
+  def iqrOutliers(df0: DataFrame, valueCol: String, groupCol: String,
       idCol: String, valueBuckets: Column): DataFrame = {
+    // explicit null policy: a null value is not an outlier and a null
+    // group is not a population — both are excluded from ranking AND
+    // counting (define null handling upstream if it matters)
+    val df = df0.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
     val ranked = orderedCumsum(df, valueBuckets,
       Seq(col(valueCol), col(idCol)), lit(1L), "rank",
       totalName = Some("n"), partCols = Seq(groupCol))
@@ -169,13 +187,16 @@ object Sampling {
   def quantileBins(df: DataFrame, score: Column, nbins: Int,
       idCol: String = "doc_id", scoreBuckets: Int = 64): DataFrame = {
     require(nbins >= 1, s"nbins must be >= 1, got $nbins")
-    // clamp into [0, scoreBuckets-1]; monotone in score
-    val bucket = least(greatest(floor(score * scoreBuckets), lit(0)),
-      lit(scoreBuckets - 1))
+    // clamp into [0, scoreBuckets-1], monotone in SORT order: NaN sorts
+    // after every double (Spark and DuckDB agree) but floor(NaN)
+    // buckets to 0 — route NaN to the top bucket explicitly
+    val bucket = when(isnan(score), lit(scoreBuckets - 1))
+      .otherwise(least(greatest(floor(score * scoreBuckets), lit(0)),
+        lit(scoreBuckets - 1)))
     val ranked = orderedCumsum(df.withColumn("__score", score), bucket,
       Seq(col("__score"), col(idCol)), lit(1L), "rank",
       totalName = Some("__n"))
     ranked.withColumn("bin", expr(s"((rank - 1) * $nbins) div __n"))
-      .drop("__n")
+      .drop("__n", "__score")
   }
 }

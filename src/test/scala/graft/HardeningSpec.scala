@@ -144,7 +144,9 @@ class HardeningSpec extends AnyFunSuite {
       // distributed prefix sum: bucket agg + bucket-partitioned window
       // over the data, plus the bounded bucket-table window — never a
       // global single-partition window over corpus rows
-      "pipeline_pps_sample" -> 3, "text_quality_bins" -> 3)
+      "pipeline_pps_sample" -> 3, "text_quality_bins" -> 3,
+      // grouped rank (3 as above) + quartile pick + fence-count aggs
+      "agg_iqr_outliers" -> 5)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,

@@ -158,4 +158,37 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(calls == 1)
     assert(Thread.interrupted(), "interrupt flag should be restored") // clears it
   }
+
+  test("orderedCumsum keeps rows with null bucket and null group keys") {
+    import graft.operators.Sampling
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), None),
+      (3L, None, Some(5L)), (4L, None, None)
+    ).toDF("id", "g", "v")
+    val out = Sampling.orderedCumsum(df, col("v") / 8, Seq(col("id")),
+      lit(1L), "rank", totalName = Some("n"), partCols = Seq("g"))
+    assert(out.count() == 4L, "null-keyed rows must survive the offsets join")
+    // per-group totals include the null-bucket rows
+    val ns = out.select($"g", $"n").distinct()
+      .as[(Option[String], Long)].collect().toMap
+    assert(ns == Map(Some("a") -> 2L, None -> 2L))
+  }
+
+  test("quantileBins routes NaN scores to the top of the order") {
+    import graft.operators.Sampling
+    val df = Seq((1L, 0.2), (2L, Double.NaN), (3L, 0.9), (4L, 0.5))
+      .toDF("doc_id", "score")
+    val got = Sampling.quantileBins(df, col("score"), nbins = 4)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    // NaN sorts after every double in Spark AND DuckDB -> rank 4
+    assert(got == Map(1L -> 1L, 4L -> 2L, 3L -> 3L, 2L -> 4L))
+    assert(!Sampling.quantileBins(df, col("score"), nbins = 4)
+      .columns.contains("__score"))
+  }
+
+  test("negativePairs on a single-document table emits nothing, never a self-pair") {
+    import graft.operators.Sampling
+    val one = Seq((0L, "en")).toDF("doc_id", "lang")
+    assert(Sampling.negativePairs(one, k = 3).count() == 0L)
+  }
 }
