@@ -1111,6 +1111,12 @@ object SparkEntry {
           col("sample_rate"), col("duration_ms"),
           length(col("payload")).cast("bigint").as("byte_len"))),
 
+    // Resize through the metadata contract (payload transcode is the
+    // stubbed codec step; the dimension math is the real surface)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.attachMedia(table(s, dir, "documents")))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"))),
+
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
           Multimodal.attachMedia(table(s, dir, "documents")).repartition(8))
@@ -2122,6 +2128,13 @@ object SparkEntry {
            CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
            CAST(1000 + doc_id % 9000 AS INT) AS duration_ms,
            CAST(3 + octet_length(unhex(sha256(text))) AS BIGINT) AS byte_len
+         FROM documents""",
+
+    "mm_resize" ->
+      """SELECT doc_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(greatest((16 + doc_id % 64) // 2, 1) AS INT) AS width,
+           CAST(greatest((16 + doc_id % 48) // 2, 1) AS INT) AS height
          FROM documents""",
 
     "mm_features" ->

@@ -155,6 +155,41 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("zOrderLayout: written files bound BOTH dims tighter than id order") {
+    import graft.operators.Layout
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 2654435761L % 64), (i * 40503L % 64))
+    }.toDF("id", "a", "b")
+
+    def fileSpans(d: org.apache.spark.sql.DataFrame, dir: String): Seq[(Long, Long)] = {
+      d.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(max($"a") - min($"a"), max($"b") - min($"b"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft_zo").toString
+    try {
+      val zSpans = fileSpans(
+        Layout.zOrderLayout(df, $"a", $"b", bits = 6, numFiles = 16),
+        s"$base/z")
+      val idSpans = fileSpans(df.repartitionByRange(16, $"id"), s"$base/id")
+      def meanArea(s: Seq[(Long, Long)]) =
+        s.map { case (x, y) => (x + 1.0) * (y + 1.0) }.sum / s.length
+      // id-ordered files see the full 64x64 domain; z-ordered files see
+      // bounded rectangles — at least 4x tighter on average
+      assert(meanArea(zSpans) * 4 < meanArea(idSpans),
+        s"z=${meanArea(zSpans)} id=${meanArea(idSpans)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("quantileBins handles scores at the clamp edges") {
     val df = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 2.5), (5L, 0.5))
       .toDF("doc_id", "score")
