@@ -990,6 +990,12 @@ object SparkEntry {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_tokens"), col("n_dup_grams"))),
 
+    // The APPLY half of substring dedup: documents rebuilt with every
+    // duplicated-5-gram-covered token cut (canonical single-space
+    // rebuild; fully-duplicated docs come back empty, never dropped).
+    "text_substring_dedup_apply" -> ((s, dir) =>
+      Dedup.applySubstringDedup(table(s, dir, "documents"), k = 5)),
+
     // Systematic PPS sampling (sample docs proportional to their size —
     // the "token-weighted subset" selection a mixture schedule executes):
     // exact integer arithmetic end to end, so the oracle replays the
@@ -2078,6 +2084,29 @@ object SparkEntry {
          SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
            max(e) - min(s) + 1 AS span_tokens, count(*) AS n_dup_grams
          FROM isl GROUP BY doc_id, island""",
+
+    "text_substring_dedup_apply" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+         pos AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, unnest(l) AS tok FROM toks),
+         g AS (SELECT doc_id, i,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+               FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+               QUALIFY lead(tok, 4) OVER w IS NOT NULL),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT g.doc_id, g.i + o.o AS i
+                 FROM g JOIN dup USING (gram), generate_series(0, 4) o(o)),
+         kept AS (SELECT p.doc_id, p.i, p.tok
+                  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.i = p.i
+                  WHERE c.i IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                   count(*) AS n_kept
+                 FROM kept GROUP BY 1)
+         SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(len(t.l), 0) - coalesce(a.n_kept, 0) AS n_dropped
+         FROM toks t LEFT JOIN agg a USING (doc_id)""",
 
     "pipeline_pps_sample" ->
       """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents),

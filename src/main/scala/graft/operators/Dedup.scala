@@ -447,12 +447,14 @@ object Dedup {
     * k-grams (shorter duplicates are invisible at either formulation's
     * granularity k).
     */
-  def substringSpans(df: DataFrame, k: Int = 5, minOcc: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id",
-      storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared candidate stage for the substring-dedup pair: 0-based start
+    * positions (`pos0`) of every word `k`-gram whose corpus occurrence
+    * count reaches `minOcc`. The exploded starts persist once — both
+    * the occurrence count and the join-back read them.
+    */
+  private def dupGramStarts(df: DataFrame, k: Int, minOcc: Int,
+      textCol: String, idCol: String,
+      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
     require(k >= 1 && minOcc >= 2, s"need k >= 1, minOcc >= 2; got $k, $minOcc")
     val tokHashes = transform(TextOps.wsTokens(lower(col(textCol))),
       w => xxhash64(w))
@@ -464,7 +466,16 @@ object Dedup {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc)
       .select(col("gram"))
-    val marked = starts.join(dup, "gram")
+    starts.join(dup, "gram").select(col(idCol), col("pos0"))
+  }
+
+  def substringSpans(df: DataFrame, k: Int = 5, minOcc: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val marked = dupGramStarts(df, k, minOcc, textCol, idCol, storage)
       .select(col(idCol), (col("pos0") + 1).cast("long").as("s"),
         (col("pos0") + k).cast("long").as("e"))
     val prev = Window.partitionBy(col(idCol)).orderBy(col("s"))
@@ -482,5 +493,43 @@ object Dedup {
         count(lit(1)).as("n_dup_grams"))
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .drop("__island")
+  }
+
+  /** The APPLY half of substring dedup: cut every duplicated-gram-covered
+    * token and rebuild each document from the survivors (tokens joined
+    * by single spaces — the canonical whitespace form; spacing inside
+    * cut regions is gone by definition). Documents whose text is fully
+    * duplicated come back as empty strings, never dropped rows.
+    * Coverage explodes each duplicated start into its `k` positions
+    * (bounded k× blowup of the DUPLICATED region only), dedups them and
+    * anti-joins the token positions — no window needed on this path.
+    */
+  def applySubstringDedup(df: DataFrame, k: Int = 5, minOcc: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    val tokPos = df.select(col(idCol),
+      posexplode(TextOps.wsTokens(lower(col(textCol))))
+        .as(Seq("pos0", "tok")))
+    val covered = dupGramStarts(df, k, minOcc, textCol, idCol, storage)
+      .select(col(idCol),
+        explode(sequence(col("pos0"), col("pos0") + k - 1)).as("pos0"))
+      .distinct()
+    val kept = tokPos.join(covered, Seq(idCol, "pos0"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos0"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        coalesce(size(TextOps.wsTokens(lower(col(textCol)))).cast("long"),
+          lit(0L)).as("__total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 }

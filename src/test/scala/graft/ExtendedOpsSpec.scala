@@ -526,6 +526,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, true, true)))
   }
 
+  test("applySubstringDedup cuts exactly the covered tokens, keeps empty docs") {
+    val docs = Seq(
+      (1L, "x1 x2 q w e r t y x3 x4"),
+      (2L, "z1 q w e r t y z2 z3"),
+      (3L, "p1 p2 p3 p4 p5 m p1 p2 p3 p4 p5"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (5L, "q w e r t y") // fully duplicated phrase -> empty rebuild
+    ).toDF("doc_id", "text")
+    val out = Dedup.applySubstringDedup(docs, k = 5, storage = None)
+      .select($"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "x1 x2 x3 x4", 4L, 6L)))
+    assert(out(2L) == ((2L, "z1 z2 z3", 3L, 6L)))
+    assert(out(3L) == ((3L, "m", 1L, 10L)))
+    assert(out(4L) == ((4L, "u1 u2 u3 u4 u5 u6 u7 u8", 8L, 0L)))
+    assert(out(5L) == ((5L, "", 0L, 6L)))
+  }
+
   test("substringSpans: cross-doc phrase merges overlaps; within-doc repeat splits on gap") {
     val docs = Seq(
       (1L, "x1 x2 q w e r t y x3 x4"), // shared phrase at tokens 3..8
