@@ -154,6 +154,38 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables co-locate the join: sort-merge with zero shuffles") {
+    // the 100 TB co-location path: both sides pre-bucketed on the join
+    // key -> SortMergeJoin consumes bucket layout directly, no Exchange
+    // on either side (vs. two full shuffles for unbucketed inputs)
+    val oldBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS graft_bk_events")
+    spark.sql("DROP TABLE IF EXISTS graft_bk_users")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      batchEvents.select($"event_id", $"user_id", $"value")
+        .write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable("graft_bk_events")
+      batchEvents.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+        .write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable("graft_bk_users")
+      val j = spark.table("graft_bk_events")
+        .join(spark.table("graft_bk_users"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it actually runs correct
+      assert(j.count() == batchEvents.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bk_events")
+      spark.sql("DROP TABLE IF EXISTS graft_bk_users")
+    }
+  }
+
   test("reorg guard: removed=true aborts the batch query, clean data passes") {
     val clean = batchEvents.limit(100)
       .withColumn("removed", lit(false))
