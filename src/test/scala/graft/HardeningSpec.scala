@@ -186,6 +186,36 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed join partition (skew=true in the final plan)") {
+    // the runtime half of the skew story (the compile-time half is the
+    // salted aggregation): one hot key dominates the left side; with
+    // test-scaled thresholds AQE must mark and split the skewed
+    // partition instead of letting one task drag the stage
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .select((when($"id" % 10 === 0, $"id" % 7).otherwise(0L)).as("k"),
+          $"id".as("payload"))
+      val right = spark.range(7).select($"id".as("k"), ($"id" * 2).as("r"))
+      val j = left.join(right, "k")
+      // drive the join through ITS OWN QueryExecution (count() would
+      // plan a separate query and leave this adaptive plan unfinalized)
+      assert(j.collect().length == 200000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
+
   test("reorg guard: removed=true aborts the batch query, clean data passes") {
     val clean = batchEvents.limit(100)
       .withColumn("removed", lit(false))
