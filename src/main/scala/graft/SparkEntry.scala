@@ -132,6 +132,42 @@ object SparkEntry {
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  /** Fixture-keyed /tmp scratch with atomic population (shared by the
+    * queries that derive a one-time input from a fixture table): the dir
+    * name embeds the fixture's mtime+size (stale copies never reused),
+    * `populate` writes into a run-private temp sibling that is RENAMED
+    * into place (concurrent runs: one wins, the other discards), and
+    * older-version/orphaned dirs for the same fixture are pruned
+    * age-gated on every call (younger than an hour may belong to a live
+    * run). Returns the scratch root.
+    */
+  private def fixtureScratch(s: SparkSession, srcPath: String, tag: String,
+      markerSubdir: String)(populate: String => Unit): String = {
+    val pathPart = srcPath.replaceAll("[^A-Za-z0-9]", "_")
+    val scratch = s"/tmp/graft_${tag}_cache_" +
+      tableKey(s, srcPath).replaceAll("[^A-Za-z0-9]", "_")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scratch/$markerSubdir/_SUCCESS"))) {
+      val tmp = s"$scratch.tmp.${java.util.UUID.randomUUID}"
+      populate(tmp)
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(scratch),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // lost the race (or target appeared) — keep the winner's copy
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val stale = new java.io.File("/tmp").listFiles()
+    if (stale != null) stale
+      .filter(f => f.getName.startsWith(s"graft_${tag}_cache_$pathPart") &&
+        f.getAbsolutePath != scratch &&
+        f.lastModified() < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    scratch
+  }
+
   /** ~5 micro-batch chunk size for a replay of `path`, from footer stats. */
   private def fifthOfHead(s: SparkSession, path: String): Long = {
     val head = new graft.sources.FooterHeadTracker("event_id")
@@ -151,6 +187,38 @@ object SparkEntry {
   // Queries — one per implemented operator from SURVEY.md §2.
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema-on-read JSONL ingestion with a corrupt-record policy — how
+    // LLM corpora actually arrive. The fixture table is converted ONCE
+    // to JSON lines plus three deterministic broken lines (fixture-keyed
+    // scratch, atomic populate), then read back under the declared
+    // schema in PERMISSIVE mode: malformed lines land in
+    // _corrupt_record instead of killing the job or silently vanishing.
+    // Gate: per-language counts survive the round trip exactly and the
+    // corrupt bucket holds exactly the injected lines.
+    "src_jsonl_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "jl",
+        "docs") { tmp =>
+        import s.implicits._
+        docs.selectExpr(
+            "to_json(struct(doc_id, text, lang, source, n_chars)) AS value")
+          .unionAll(Seq("{\"doc_id\": broken", "not json at all",
+            "{\"doc_id\":}").toDF("value"))
+          .coalesce(4).write.mode("overwrite").text(s"$tmp/docs")
+      }
+      val read = s.read
+        .schema(docs.schema.add("_corrupt_record",
+          org.apache.spark.sql.types.StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$scratch/docs")
+        .cache() // Spark requires materialization to query _corrupt_record
+      read.groupBy(
+          when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+            .otherwise(col("lang")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // S1/S2 — bounded log range scan with signature + block-range pushdown
     "s1_log_scan" -> ((s, dir) =>
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
@@ -500,43 +568,11 @@ object SparkEntry {
       // fixture's mtime+size (stale copies are never reused) and one dir
       // per fixture version bounds /tmp growth; it is therefore NOT
       // deleted after the run, unlike the per-run checkpoint.
-      val pathPart = s"$dir/events.parquet".replaceAll("[^A-Za-z0-9]", "_")
-      val scratch = "/tmp/graft_dd_cache_" +
-        tableKey(s, s"$dir/events.parquet").replaceAll("[^A-Za-z0-9]", "_")
       val ev = s.read.parquet(s"$dir/events.parquet")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$scratch/events/_SUCCESS"))) {
-        // populate ATOMICALLY: write into a run-private temp sibling and
-        // rename into place, so a concurrent run against the same fixture
-        // either wins the rename or discards its copy — never two writers
-        // interleaving inside one directory. Then prune cache dirs for
-        // OLDER versions of this fixture path (the mtime+size key changes
-        // on regeneration and nothing else evicts them) plus temp dirs
-        // orphaned by killed runs. Both prunes are AGE-GATED: a dir
-        // younger than an hour may belong to a live run (an old-version
-        // cache a still-running bench streams from, or a temp mid-write)
-        // and deleting it would fail that run mid-query; anything older
-        // is garbage — harness runs take minutes.
-        val tmp = s"$scratch.tmp.${java.util.UUID.randomUUID}"
+      val scratch = fixtureScratch(s, s"$dir/events.parquet", "dd",
+        "events") { tmp =>
         ev.unionAll(ev).write.mode("overwrite").parquet(s"$tmp/events")
-        try java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(scratch),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          // lost the race (or target appeared) — keep the winner's copy
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        }
       }
-      // prune on EVERY run, not just cache misses: an old-version dir that
-      // was too young to delete at the regeneration moment would otherwise
-      // survive forever once the current key starts hitting its cache
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      val stale = new java.io.File("/tmp").listFiles()
-      if (stale != null) stale
-        .filter(f => f.getName.startsWith(s"graft_dd_cache_$pathPart") &&
-          f.getAbsolutePath != scratch &&
-          f.lastModified() < cutoff)
-        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$scratch/events",
         blockStep = fifthOfHead(s, s"$scratch/events"), confirmations = 0L)
@@ -2061,6 +2097,10 @@ object SparkEntry {
            coalesce(CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT), 0) AS n_words,
            true AS roundtrip_ok, true AS bounds_ok
          FROM documents""",
+
+    "src_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+         UNION ALL SELECT '__corrupt__' AS lang, 3 AS n_docs""",
 
     "text_substring_dedup" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
