@@ -1026,6 +1026,13 @@ object SparkEntry {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_tokens"), col("n_dup_grams"))),
 
+    // Asymmetric containment near-dup (|A∩B|/|A| over gram sets): the
+    // subset-inclusion screen Jaccard misses — a doc quoted wholesale
+    // inside a longer one scores ~1 here. Ordered pairs, exact oracle.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), n = 3,
+        minContainment = 0.9)),
+
     // The APPLY half of substring dedup: documents rebuilt with every
     // duplicated-5-gram-covered token cut (canonical single-space
     // rebuild; fully-duplicated docs come back empty, never dropped).
@@ -1901,6 +1908,17 @@ object SparkEntry {
          SELECT d1, d2, CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) AS jaccard
          FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
          WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8""",
+
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1,2)
+         SELECT d1, d2, CAST(shared AS DOUBLE)/CAST(c1.n AS DOUBLE) AS containment
+         FROM p JOIN c c1 ON c1.doc_id = d1
+         WHERE CAST(shared AS DOUBLE)/CAST(c1.n AS DOUBLE) >= 0.9""",
 
     "pipeline_prep" ->
       s"""WITH q AS (

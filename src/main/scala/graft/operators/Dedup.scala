@@ -103,6 +103,45 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup: `|A∩B| / |A|` — how much of doc A's
+    * gram set lives inside doc B. Jaccard misses subset inclusion (a
+    * short doc quoted wholesale inside a long one scores low because the
+    * union is dominated by the long doc); containment is the standard
+    * complement (Broder's resemblance vs containment) and the screen
+    * that catches quote/boilerplate inclusion. Emits ORDERED pairs
+    * (d1 contained in d2, both directions evaluated) above the
+    * threshold. Same candidate shape as [[ngramJaccardPairs]]: gram-hash
+    * self-join (df-cappable), denominators from the uncapped per-doc
+    * gram counts.
+    */
+  def containmentPairs(df: DataFrame, n: Int = 3,
+      minContainment: Double = 0.9, textCol: String = "text",
+      idCol: String = "doc_id", maxGramDf: Option[Int] = None): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        explode(gramHashes(col(textCol), n)).as("gram"))
+    val filtered = maxGramDf match {
+      case Some(cap) =>
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") <= cap)
+        grams.join(freq, "gram").select("doc_id", "gram")
+      case None => grams
+    }
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_grams", "n1"), "d1")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n1").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("d1", "d2", "containment")
+  }
+
   // -------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------

@@ -526,6 +526,19 @@ class ExtendedOpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, true, true)))
   }
 
+  test("containment finds subset inclusion that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (0 until 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, minContainment = 0.9)
+      .select($"d1", $"d2", $"containment")
+      .as[(Long, Long, Double)].collect()
+    // all of doc 1's grams live in doc 2 -> containment 1.0 one way only
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+    assert(jac.isEmpty, "Jaccard should miss the subset pair")
+  }
+
   test("applySubstringDedup cuts exactly the covered tokens, keeps empty docs") {
     val docs = Seq(
       (1L, "x1 x2 q w e r t y x3 x4"),
