@@ -1001,6 +1001,21 @@ object SparkEntry {
           col("frac").between(0.05, 0.15).as("frac_ok"))
     }),
 
+    // Web-corpus cleaning chain on a synthesized dirty twin of each doc
+    // (markup wrapper + a decomposed combining accent on every 'e'):
+    // strip tags → NFC → collapse whitespace. The CLEANED STRINGS
+    // hash-match the oracle's replay (DuckDB nfc_normalize folds
+    // e+U+0301 to é exactly like the kernel) — byte-exact cleaning,
+    // not just counts.
+    "text_clean" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val dirty = concat(lit("<p class=\"x\">"),
+        regexp_replace(col("text"), "e", "e\u0301"),
+        lit("</p>  <br/> "))
+      docs.select(col("doc_id"), TextOps.cleanText(dirty).as("clean_text"),
+        length(TextOps.cleanText(dirty)).cast("bigint").as("clean_len"))
+    }),
+
     // BPE train + encode: merges learned from the corpus's collapsed
     // word-frequency table (the standard trainer shape), applied by the
     // compiled kernel; the gate checks BPE's defining invariants per doc
@@ -2109,6 +2124,19 @@ object SparkEntry {
 
     "pipeline_split_gate" ->
       """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",
+
+    "text_clean" ->
+      """WITH d AS (SELECT doc_id,
+               '<p class="x">' || replace(text, 'e', 'e' || chr(769)) || '</p>  <br/> ' AS dirty
+             FROM documents),
+         c AS (SELECT doc_id,
+                 trim(regexp_replace(
+                   nfc_normalize(regexp_replace(dirty, '<[^>]*>', ' ', 'g')),
+                   '\s+', ' ', 'g')) AS clean_text
+               FROM d)
+         SELECT doc_id, clean_text,
+           CAST(length(clean_text) AS BIGINT) AS clean_len
+         FROM c""",
 
     "text_bpe_encode" ->
       """SELECT doc_id,

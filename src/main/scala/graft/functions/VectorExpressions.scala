@@ -296,6 +296,17 @@ object VectorRuntime {
     eq
   }
 
+  /** Unicode NFC with an `isNormalized` fast path (no allocation for
+    * ASCII / already-composed text).
+    */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Greedy BPE encoding of ONE word (no whitespace inside): start from
     * single code points, repeatedly merge the adjacent pair with the
     * LOWEST merge rank until no ranked pair remains — the standard
@@ -536,6 +547,27 @@ case class SigAgreement(left: Expression, right: Expression)
 }
 
 /** Column-API surface. */
+/** `nfc_normalize(string) → string` — Unicode NFC normalization (the
+  * canonical-composition pass of every text-cleaning chain; combining
+  * sequences like `e`+U+0301 fold to `é`). Wraps `java.text.Normalizer`
+  * with a fast-path skip via `isNormalized` (ASCII and already-NFC text
+  * costs one scan, no allocation) — matching any engine's NFC, e.g.
+  * DuckDB's `nfc_normalize`, byte for byte.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** `bpe_encode(word) → array<string>` — greedy merge-rank BPE encoding
   * of one whitespace-free word under the learned merge list (embedded in
   * the plan; the rank map rebuilds once per executor via the transient
@@ -596,4 +628,5 @@ object vec {
     wrap(WinnowHashes(ex(gramHashes), w))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     wrap(BpeEncode(ex(word), merges))
+  def nfc(text: Column): Column = wrap(NfcNormalize(ex(text)))
 }

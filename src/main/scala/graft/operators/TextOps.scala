@@ -470,6 +470,19 @@ object TextOps {
       .limit(k)
   }
 
+  /** The standard web-corpus cleaning chain, row-local and fully
+    * codegen'd: strip markup tags (`<...>` → space), Unicode-NFC
+    * normalize (compiled [[graft.functions.NfcNormalize]] kernel with an
+    * already-normalized fast path), collapse whitespace runs to single
+    * spaces, trim. Each step is deterministic and reproducible in any
+    * engine (DuckDB: `regexp_replace(..., 'g')` + `nfc_normalize`), so
+    * cleaned TEXT hash-matches, not just counts.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.vec.nfc(regexp_replace(text, "<[^>]*>", " ")),
+      "\\s+", " "))
+
   /** Classic BPE merge learning (Sennrich et al. 2016) over the corpus
     * vocabulary: collect the top-`maxVocab` `(word, count)` table (the
     * standard trainer shape — real tokenizer trainers operate on the

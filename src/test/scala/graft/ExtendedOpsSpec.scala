@@ -526,6 +526,17 @@ class ExtendedOpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, true, true)))
   }
 
+  test("cleanText: strips tags, folds combining accents, collapses whitespace") {
+    val cleaned = Seq("<div>héllo   <b>world</b></div>\t mixed")
+      .toDF("t")
+      .select(TextOps.cleanText($"t").as("c")).as[String].collect().head
+    assert(cleaned == "héllo world mixed") // é is the COMPOSED form
+    // already-clean ASCII passes through untouched
+    val id = Seq("plain text").toDF("t")
+      .select(TextOps.cleanText($"t").as("c")).as[String].collect().head
+    assert(id == "plain text")
+  }
+
   test("containment finds subset inclusion that Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"
     val long = short + " " + (0 until 40).map(i => s"f$i").mkString(" ")
