@@ -700,6 +700,31 @@ object SparkEntry {
     "pipeline_negatives" -> ((s, dir) =>
       Sampling.negativePairs(table(s, dir, "documents"), k = 3)),
 
+    // PIVOT: per-100-block bucket × event-type count matrix. Explicit
+    // pivot values keep it a single-pass conditional aggregation (no
+    // value-discovery job) with deterministic columns; absent cells
+    // coalesce to 0 to match the oracle's FILTER counts.
+    "q_pivot_event_matrix" -> ((s, dir) => {
+      val p = events(s, dir)
+        .groupBy(expr("block_number div 100").as("block_bucket"))
+        .pivot("event_type", EventSources)
+        .agg(count(lit(1)))
+      p.select(col("block_bucket") +:
+        EventSources.map(e => coalesce(col(e), lit(0L)).as(e)): _*)
+    }),
+
+    // Grouped HLL gate: per-event-type approximate distinct users vs
+    // exact, verdict within 5% per group (lgK=12 ⇒ ~1.6% expected) —
+    // the grouped companion of the global agg_hll_union_gate.
+    "agg_grouped_hll" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+        .select(col("event_type"), col("n_exact"),
+          when(col("n_exact") === 0, lit(true))
+            .otherwise(abs(col("est") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).as("sketch_ok"))),
+
     // Tukey-fence outlier screen per event type: q1/q3 as exact ORDER
     // STATISTICS (percentile_disc semantics — integer ranks through the
     // grouped distributed rank, no interpolation, so the quartile
@@ -1788,6 +1813,19 @@ object SparkEntry {
          SELECT x.doc_id, x.neg_rank, x.neg_id, d2.lang AS neg_lang
          FROM x JOIN documents d2 ON d2.doc_id = x.neg_id
          WHERE x.neg_id <> x.doc_id""",
+
+    "q_pivot_event_matrix" ->
+      """SELECT (event_id // 10) // 100 AS block_bucket,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+
+    "agg_grouped_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS sketch_ok
+         FROM events GROUP BY 1""",
 
     "agg_iqr_outliers" ->
       """WITH r AS (SELECT event_type, value,
