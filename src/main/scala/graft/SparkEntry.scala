@@ -146,16 +146,29 @@ object SparkEntry {
     val pathPart = srcPath.replaceAll("[^A-Za-z0-9]", "_")
     val scratch = s"/tmp/graft_${tag}_cache_" +
       tableKey(s, srcPath).replaceAll("[^A-Za-z0-9]", "_")
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$scratch/$markerSubdir/_SUCCESS"))) {
+    val marker = java.nio.file.Paths.get(s"$scratch/$markerSubdir/_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
       val tmp = s"$scratch.tmp.${java.util.UUID.randomUUID}"
       populate(tmp)
-      try java.nio.file.Files.move(
+      def move(): Unit = java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(scratch),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try move()
       catch { case _: java.nio.file.FileSystemException =>
-        // lost the race (or target appeared) — keep the winner's copy
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        // target exists. If it carries the marker we lost a healthy race —
+        // keep the winner's copy. A MARKER-LESS target (half-deleted dir,
+        // a committer configured to skip _SUCCESS) would otherwise make
+        // every future call re-populate and discard — evict it and retry
+        // once; on a second loss, defer to the age-gated prune below.
+        if (java.nio.file.Files.exists(marker))
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        else {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+          try move()
+          catch { case _: java.nio.file.FileSystemException =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          }
+        }
       }
     }
     val cutoff = System.currentTimeMillis() - 3600L * 1000
@@ -1037,8 +1050,8 @@ object SparkEntry {
       val dirty = concat(lit("<p class=\"x\">"),
         regexp_replace(col("text"), "e", "e\u0301"),
         lit("</p>  <br/> "))
-      docs.select(col("doc_id"), TextOps.cleanText(dirty).as("clean_text"),
-        length(TextOps.cleanText(dirty)).cast("bigint").as("clean_len"))
+      docs.select(col("doc_id"), TextOps.cleanText(dirty).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("bigint"))
     }),
 
     // BPE train + encode: merges learned from the corpus's collapsed

@@ -296,11 +296,15 @@ object VectorRuntime {
     eq
   }
 
-  /** Unicode NFC with an `isNormalized` fast path (no allocation for
-    * ASCII / already-composed text).
+  /** Unicode NFC. Fast paths: pure-ASCII input (`numBytes == numChars`
+    * ⇒ every codepoint is single-byte ⇒ always NFC) returns the input
+    * with ZERO allocation — the dominant case in web corpora; non-ASCII
+    * already-composed text pays one decode + `isNormalized` scan but no
+    * normalize pass.
     */
   def nfc(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
+    if (s.numBytes() == s.numChars()) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(
@@ -546,7 +550,6 @@ case class SigAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Column-API surface. */
 /** `nfc_normalize(string) → string` — Unicode NFC normalization (the
   * canonical-composition pass of every text-cleaning chain; combining
   * sequences like `e`+U+0301 fold to `é`). Wraps `java.text.Normalizer`

@@ -72,9 +72,13 @@ object Dedup {
     * bound (pairs that share only stopword-shingles are deliberately
     * dropped).
     */
-  def ngramJaccardPairs(df: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id",
-      maxGramDf: Option[Int] = None): DataFrame = {
+  /** Shared gram-hash candidate stage for the pairwise near-dup metrics:
+    * exploded `(doc_id, gram)` rows — df-capped for CANDIDATE GENERATION
+    * when `maxGramDf` is set — plus the UNCAPPED per-doc gram counts
+    * (the metric denominators always use the full gram set).
+    */
+  private def gramCandidates(df: DataFrame, n: Int, textCol: String,
+      idCol: String, maxGramDf: Option[Int]): (DataFrame, DataFrame) = {
     val grams = df
       .select(col(idCol).as("doc_id"),
         explode(gramHashes(col(textCol), n)).as("gram"))
@@ -85,7 +89,13 @@ object Dedup {
         grams.join(freq, "gram").select("doc_id", "gram")
       case None => grams
     }
-    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    (filtered, grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxGramDf: Option[Int] = None): DataFrame = {
+    val (filtered, counts) = gramCandidates(df, n, textCol, idCol, maxGramDf)
     val shared = filtered.as("a")
       .join(filtered.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -117,17 +127,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, n: Int = 3,
       minContainment: Double = 0.9, textCol: String = "text",
       idCol: String = "doc_id", maxGramDf: Option[Int] = None): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("doc_id"),
-        explode(gramHashes(col(textCol), n)).as("gram"))
-    val filtered = maxGramDf match {
-      case Some(cap) =>
-        val freq = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
-          .filter(col("gram_df") <= cap)
-        grams.join(freq, "gram").select("doc_id", "gram")
-      case None => grams
-    }
-    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val (filtered, counts) = gramCandidates(df, n, textCol, idCol, maxGramDf)
     filtered.as("a")
       .join(filtered.as("b"),
         col("a.gram") === col("b.gram") &&
@@ -465,27 +465,6 @@ object Dedup {
   // duplicates)
   // -------------------------------------------------------------------
 
-  /** Per-document spans of duplicated text: every word `k`-gram whose
-    * corpus occurrence count reaches `minOcc` (within- OR cross-document
-    * repeats both count) marks its `k` token positions; overlapping or
-    * adjacent marked ranges merge into maximal spans — the cut list a
-    * substring-level dedup pass applies. Output per span: 1-based
-    * `span_start`/`span_end` token positions, the span's token length,
-    * and how many duplicated grams support it.
-    *
-    * Scale shape: gram hashes come ORDERED from the compiled
-    * [[graft.functions.NgramHashes]] kernel (position = array index, no
-    * window/lead over token rows, no gram strings); the occurrence count
-    * is one map-side-combined groupBy on 64-bit keys; marking is a join
-    * back on those keys (the exploded starts persist once, both sides
-    * read them); the interval merge is the classic gap-and-islands pair
-    * of windows, partitioned BY DOCUMENT — never a global sort. The
-    * suffix-array construction of the paper is replaced by the gram
-    * hash-join: same ≥k-token duplicated-substring semantics, because a
-    * duplicated run of length L ≥ k is exactly a run of L−k+1 duplicated
-    * k-grams (shorter duplicates are invisible at either formulation's
-    * granularity k).
-    */
   /** Shared candidate stage for the substring-dedup pair: 0-based start
     * positions (`pos0`) of every word `k`-gram whose corpus occurrence
     * count reaches `minOcc`. The exploded starts persist once — both
@@ -508,6 +487,27 @@ object Dedup {
     starts.join(dup, "gram").select(col(idCol), col("pos0"))
   }
 
+  /** Per-document spans of duplicated text: every word `k`-gram whose
+    * corpus occurrence count reaches `minOcc` (within- OR cross-document
+    * repeats both count) marks its `k` token positions; overlapping or
+    * adjacent marked ranges merge into maximal spans — the cut list a
+    * substring-level dedup pass applies. Output per span: 1-based
+    * `span_start`/`span_end` token positions, the span's token length,
+    * and how many duplicated grams support it.
+    *
+    * Scale shape: gram hashes come ORDERED from the compiled
+    * [[graft.functions.NgramHashes]] kernel (position = array index, no
+    * window/lead over token rows, no gram strings); the occurrence count
+    * is one map-side-combined groupBy on 64-bit keys; marking is a join
+    * back on those keys (the exploded starts persist once, both sides
+    * read them); the interval merge is the classic gap-and-islands pair
+    * of windows, partitioned BY DOCUMENT — never a global sort. The
+    * suffix-array construction of the paper is replaced by the gram
+    * hash-join: same ≥k-token duplicated-substring semantics, because a
+    * duplicated run of length L ≥ k is exactly a run of L−k+1 duplicated
+    * k-grams (shorter duplicates are invisible at either formulation's
+    * granularity k).
+    */
   def substringSpans(df: DataFrame, k: Int = 5, minOcc: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
