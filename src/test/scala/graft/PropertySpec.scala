@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, EventLog}
@@ -189,6 +189,53 @@ class PropertySpec extends AnyFunSuite {
       graft.functions.AbiRuntime.nestedWordTailArray(blob, headIdx, signed = true)
       graft.functions.AbiRuntime.wordTailSliceArray(blob, headIdx, 0)
       graft.functions.AbiRuntime.wordTailSliceArray(blob, headIdx, 2)
+    }
+  }
+
+  test("orderedCumsum equals the naive per-group window on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val genRows = Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 500L)
+      g <- Gen.oneOf("x", "y")
+      w <- Gen.choose(0L, 50L)
+    } yield (id, g, w))
+    forAll(genRows, n = 6) { rows =>
+      whenever(rows.nonEmpty) {
+        // ids must be unique within a group for a deterministic order
+        val d = rows.distinctBy(r => (r._1, r._2)).toDF("id", "g", "w")
+        val got = Sampling.orderedCumsum(d, expr("id div 32"),
+          Seq(col("id")), col("w"), "cum", totalName = Some("n"),
+          partCols = Seq("g")).select("g", "id", "cum", "n")
+        val wspec = Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val expect = d
+          .withColumn("cum", sum(col("w")).over(wspec))
+          .withColumn("n", sum(col("w")).over(Window.partitionBy(col("g"))))
+          .select("g", "id", "cum", "n")
+        assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+      }
+    }
+  }
+
+  test("zValue matches an independent bit-interleave on arbitrary inputs") {
+    import graft.operators.Layout
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val gen = Gen.listOfN(30, for {
+      a <- Gen.choose(0L, 65535L)
+      b <- Gen.choose(0L, 65535L)
+    } yield (a, b))
+    forAll(gen, n = 4) { pairs =>
+      whenever(pairs.nonEmpty) {
+        val got = pairs.toDF("a", "b")
+          .select(col("a"), col("b"),
+            Layout.zValue(col("a"), col("b"), 16).as("z"))
+          .as[(Long, Long, Long)].collect()
+        got.foreach { case (a, b, z) => assert(z == ref(a, b, 16)) }
+      }
     }
   }
 
