@@ -1079,6 +1079,19 @@ object SparkEntry {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("span_tokens"), col("n_dup_grams"))),
 
+    // Incremental dedup: the second half of the doc table arrives as a
+    // "new shard" and dedups against the first half (the existing
+    // corpus' hash index) and within itself — no recompute over the old
+    // side. Emits the surviving new ids; exact anti-join oracle.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") > half),
+          docs.filter(col("doc_id") <= half))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Asymmetric containment near-dup (|A∩B|/|A| over gram sets): the
     // subset-inclusion screen Jaccard misses — a doc quoted wholesale
     // inside a longer one scores ~1 here. Ordered pairs, exact oracle.
@@ -1974,6 +1987,16 @@ object SparkEntry {
          SELECT d1, d2, CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) AS jaccard
          FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
          WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8""",
+
+    "dedup_incremental" ->
+      """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents),
+         old AS (SELECT DISTINCT text FROM documents, h WHERE doc_id <= half),
+         fresh AS (SELECT d.doc_id, d.lang, d.text FROM documents d, h
+                   WHERE d.doc_id > h.half
+                     AND NOT EXISTS (SELECT 1 FROM old o WHERE o.text = d.text)),
+         win AS (SELECT text, min(doc_id) AS doc_id FROM fresh GROUP BY text)
+         SELECT f.doc_id, f.lang FROM fresh f JOIN win w
+           ON w.text = f.text AND w.doc_id = f.doc_id""",
 
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),

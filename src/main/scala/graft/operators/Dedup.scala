@@ -31,6 +31,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** Incremental exact dedup — the shape a production pipeline actually
+    * runs: a NEW shard arrives and is deduplicated against the existing
+    * corpus (and internally) WITHOUT recomputing anything over the old
+    * data. The existing side collapses to distinct content hashes (in
+    * production a persisted fingerprint index, re-read not re-derived);
+    * the new side anti-joins on its sha-256 and then exact-dedups
+    * within itself (min-id winner). Output: the surviving new rows.
+    */
+  def incrementalExact(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val index = corpus.select(sha2(col(textCol), 256).as("text_hash"))
+      .distinct()
+    val hashed = newDocs.withColumn("text_hash", sha2(col(textCol), 256))
+    val fresh = hashed.join(index, Seq("text_hash"), "left_anti")
+    val winners = fresh.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(winners, Seq("text_hash", idCol), "left_semi")
+      .drop("text_hash")
+  }
+
   // -------------------------------------------------------------------
   // Word n-gram shingles + exact Jaccard (the verifier path)
   // -------------------------------------------------------------------

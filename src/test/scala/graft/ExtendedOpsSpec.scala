@@ -526,6 +526,18 @@ class ExtendedOpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, true, true)))
   }
 
+  test("incrementalExact drops cross-corpus and within-shard duplicates only") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "aaa"), // duplicates the corpus -> dropped
+      (11L, "ccc"), (12L, "ccc"), // within-shard dup -> min id wins
+      (13L, "ddd") // genuinely new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(fresh, corpus)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("cleanText: strips tags, folds combining accents, collapses whitespace") {
     val cleaned = Seq("<div>héllo   <b>world</b></div>\t mixed")
       .toDF("t")
