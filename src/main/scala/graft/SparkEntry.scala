@@ -285,6 +285,34 @@ object SparkEntry {
           col("value").cast("bigint").as("value_cents"))
     }),
 
+    // P2 fixed-size bytesN — the bytes4-selector/bytes16-UUID class of
+    // static params (value LEFT-aligned in its word, unlike right-
+    // aligned uintN): a selector word is synthesized from sha-256 of the
+    // user id, decoded through the declared schema, and the oracle
+    // recomputes the same 4 bytes directly.
+    "p2_abi_bytesn_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "Call(address indexed from, bytes4 selector, uint value)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val selWord = concat(
+        unhex(substring(sha2(col("user_id").cast("string").cast("binary"),
+          256), 1, 8)),
+        lit(new Array[Byte](28)))
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+          concat(selWord, EventDecoder.encodeWordFromLong(
+            (col("value").cast("decimal(18,2)") * 100).cast("bigint")))
+            .as("data"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          lower(hex(col("selector"))).as("selector_hex"),
+          col("value").cast("bigint").as("value_cents"))
+    }),
+
     // P2 dynamic arrays — uint[] through the full tail encode/decode:
     // per-event arrays of 1..3 amounts are synthesized relationally
     // ([head offset][n][words…]), decoded back through the array tail
@@ -1635,6 +1663,12 @@ object SparkEntry {
     "p2_abi_roundtrip" ->
       s"""SELECT block_number, log_index,
            '0x' || lpad(lower(hex(user_id)), 40, '0') AS from_addr,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+         FROM ($EvKeys) WHERE event_type = 'purchase'""",
+
+    "p2_abi_bytesn_roundtrip" ->
+      s"""SELECT block_number, log_index,
+           substr(sha256(CAST(user_id AS VARCHAR)), 1, 8) AS selector_hex,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
          FROM ($EvKeys) WHERE event_type = 'purchase'""",
 

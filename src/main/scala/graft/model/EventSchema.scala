@@ -128,7 +128,8 @@ object EventSchema {
     case "address"             => BinaryType
     case "bool"                => BooleanType
     case "string"              => StringType
-    case "bytes32" | "bytes"   => BinaryType
+    case t if t.startsWith("bytes") &&
+      t.drop(5).forall(_.isDigit)     => BinaryType // bytes, bytesN
     case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }
@@ -148,9 +149,13 @@ object EventSchema {
   // by the grammar.
   private val Scalar =
     "address|bool|string|bytes32|bytes|uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?"
+  // fixed-size byte arrays below a word (`bytes4` selectors, `bytes16`
+  // UUIDs, …): static one-word params, value LEFT-aligned. Scalar
+  // positions only (not array/tuple elements).
+  private val BytesN = "bytes(?:3[01]|[12][0-9]|[1-9])"
   private val CompRe = s"(?:$Scalar)(?:\\[\\])?".r
   private val TypeRe =
-    (s"($Scalar" +
+    (s"($Scalar|$BytesN" +
       s"|(?:$Scalar)\\[[0-9]*\\]" +
       "|(?:uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[\\]\\[\\])").r
 
@@ -166,10 +171,16 @@ object EventSchema {
         }
         t.substring(0, i)
     }
-    val digits = elem.dropWhile(!_.isDigit).takeWhile(_.isDigit)
-    digits.isEmpty || {
-      val w = digits.toInt
-      w >= 8 && w <= 256 && w % 8 == 0
+    if (elem.startsWith("bytes")) {
+      // bytesN widths are BYTE counts 1..32, not bit widths
+      val d = elem.drop("bytes".length)
+      d.isEmpty || (d.toInt >= 1 && d.toInt <= 32)
+    } else {
+      val digits = elem.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+      digits.isEmpty || {
+        val w = digits.toInt
+        w >= 8 && w <= 256 && w % 8 == 0
+      }
     }
   }
 

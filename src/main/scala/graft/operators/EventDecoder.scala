@@ -39,6 +39,10 @@ object EventDecoder {
     // decode to the same value (true) as the bool[] tail kernel gives it
     case "bool"              => abi.nonZeroWord(w)
     case "bytes32"           => w
+    // bytesN (N < 32): static one-word value, LEFT-aligned — take the
+    // first N bytes (uintN is the opposite, right-aligned)
+    case t if t.startsWith("bytes") && t.drop(5).nonEmpty =>
+      substring(w, 1, t.drop(5).toInt)
     case t if t.startsWith("uint") => abi.u256(w)
     case t if t.startsWith("int")  => abi.i256(w)
     case other => throw new IllegalArgumentException(

@@ -166,6 +166,17 @@ class ModelSpec extends AnyFunSuite {
     assert(back._3 == null && back._4 == null)
   }
 
+  test("bytesN: widths 1..32 parse as static BinaryType; 0/33 rejected") {
+    val e = EventSchema.parse("Call(bytes4 sel, bytes16 uuid, bytes31 odd)")
+    assert(e.dataStruct.fieldNames.toSeq == Seq("sel", "uuid", "odd"))
+    assert(e.dataStruct.fields.forall(
+      _.dataType == org.apache.spark.sql.types.BinaryType))
+    intercept[IllegalArgumentException](EventSchema.parse("X(bytes0 a)"))
+    intercept[IllegalArgumentException](EventSchema.parse("X(bytes33 a)"))
+    // scalar position only — no bytesN arrays or tuple components
+    intercept[IllegalArgumentException](EventSchema.parse("X(bytes4[] a)"))
+  }
+
   test("decoded struct shapes (macro lib.rs:159-178, :201-206 parity)") {
     val e = EventSchema.parse(
       "Transfer(address indexed from, address indexed to, uint value)")
