@@ -1145,6 +1145,19 @@ object SparkEntry {
         .select(col("doc_id"), col("w"), col("cum"), col("pick"))
     }),
 
+    // Per-LANGUAGE curriculum bins: the grouped twin of
+    // text_quality_bins — quartile assignment within each language via
+    // the grouped prefix sum (multilingual pipelines schedule curricula
+    // per language, not globally); per-doc hash-match.
+    "text_quality_bins_lang" -> ((s, dir) => {
+      val q = TextOps.langQuality(table(s, dir, "documents"))
+        .select(col("doc_id"), col("pred_lang"), col("quality"))
+      Sampling.quantileBins(q, col("quality"), nbins = 4,
+          partCols = Seq("pred_lang"))
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          col("rank"), col("bin"))
+    }),
+
     // Equal-frequency quality binning (curriculum buckets): global rank
     // via the same bucketed prefix sum, NTILE-equivalent bin in integer
     // math; per-doc assignments hash-match the oracle's window rank.
@@ -2312,6 +2325,19 @@ object SparkEntry {
          SELECT doc_id, w, cum, (cum * 50) // total AS pick
          FROM c, t
          WHERE (cum * 50) // total > ((cum - w) * 50) // total""",
+
+    "text_quality_bins_lang" ->
+      s"""WITH v AS ($LangVotesCte),
+         lang AS (SELECT doc_id, $LangCaseSql AS pred_lang FROM v),
+         q AS (SELECT d.doc_id, l.pred_lang, $QualitySql AS quality
+               FROM documents d JOIN lang l USING (doc_id)),
+         r AS (SELECT doc_id, pred_lang, quality,
+                 row_number() OVER (PARTITION BY pred_lang
+                   ORDER BY quality, doc_id) AS rank,
+                 count(*) OVER (PARTITION BY pred_lang) AS n
+               FROM q)
+         SELECT doc_id, pred_lang, quality, rank,
+           ((rank - 1) * 4) // n AS bin FROM r""",
 
     "text_quality_bins" ->
       s"""WITH t AS (SELECT doc_id, $QualitySql AS quality FROM documents),

@@ -185,7 +185,8 @@ object Sampling {
     * `text_quality` hash-matches), so rank ties break on `idCol`.
     */
   def quantileBins(df: DataFrame, score: Column, nbins: Int,
-      idCol: String = "doc_id", scoreBuckets: Int = 64): DataFrame = {
+      idCol: String = "doc_id", scoreBuckets: Int = 64,
+      partCols: Seq[String] = Nil): DataFrame = {
     require(nbins >= 1, s"nbins must be >= 1, got $nbins")
     // clamp into [0, scoreBuckets-1], monotone in SORT order: NaN sorts
     // after every double (Spark and DuckDB agree) but floor(NaN)
@@ -193,9 +194,11 @@ object Sampling {
     val bucket = when(isnan(score), lit(scoreBuckets - 1))
       .otherwise(least(greatest(floor(score * scoreBuckets), lit(0)),
         lit(scoreBuckets - 1)))
+    // partCols ⇒ per-group bins (per-language curriculum): rank and n
+    // are computed within each group by the grouped prefix sum
     val ranked = orderedCumsum(df.withColumn("__score", score), bucket,
       Seq(col("__score"), col(idCol)), lit(1L), "rank",
-      totalName = Some("__n"))
+      totalName = Some("__n"), partCols = partCols)
     ranked.withColumn("bin", expr(s"((rank - 1) * $nbins) div __n"))
       .drop("__n", "__score")
   }
