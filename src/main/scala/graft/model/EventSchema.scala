@@ -128,8 +128,11 @@ object EventSchema {
     case "address"             => BinaryType
     case "bool"                => BooleanType
     case "string"              => StringType
-    case t if t.startsWith("bytes") &&
-      t.drop(5).forall(_.isDigit)     => BinaryType // bytes, bytesN
+    // bytes (dynamic) and bytesN, N in 1..32 ONLY — an invalid width
+    // must keep failing fast here, not classify as valid binary
+    case t if t.startsWith("bytes") && t.drop(5).forall(_.isDigit) &&
+      (t.length == 5 || (t.length <= 7 &&
+        t.drop(5).toInt >= 1 && t.drop(5).toInt <= 32)) => BinaryType
     case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }

@@ -39,9 +39,13 @@ object EventDecoder {
     // decode to the same value (true) as the bool[] tail kernel gives it
     case "bool"              => abi.nonZeroWord(w)
     case "bytes32"           => w
-    // bytesN (N < 32): static one-word value, LEFT-aligned — take the
-    // first N bytes (uintN is the opposite, right-aligned)
-    case t if t.startsWith("bytes") && t.drop(5).nonEmpty =>
+    // bytesN (1 ≤ N < 32): static one-word value, LEFT-aligned — take
+    // the first N bytes (uintN is the opposite, right-aligned). The
+    // width guard keeps invalid types on the error path below instead
+    // of silently slicing wrong.
+    case t if t.startsWith("bytes") && t.drop(5).forall(_.isDigit) &&
+        t.drop(5).nonEmpty && t.length <= 7 &&
+        t.drop(5).toInt >= 1 && t.drop(5).toInt <= 32 =>
       substring(w, 1, t.drop(5).toInt)
     case t if t.startsWith("uint") => abi.u256(w)
     case t if t.startsWith("int")  => abi.i256(w)
