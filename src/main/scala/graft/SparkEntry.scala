@@ -1453,6 +1453,14 @@ object SparkEntry {
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
           count(lit(1)).as("n_items"))),
 
+    // CUBE — all 2^2 grouping sets in one pass (Expand + single
+    // aggregation), completing the rollup/cube pair
+    "q_cube_counts" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))),
+
     // analytic window function: per-customer running order total
     "q_window_running" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -2461,6 +2469,12 @@ object SparkEntry {
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n_items
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube_counts" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
