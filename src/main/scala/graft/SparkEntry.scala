@@ -170,6 +170,15 @@ object SparkEntry {
           }
         }
       }
+      // the double-loss window (evicted a marker-less target, lost the
+      // retry to ANOTHER marker-less writer) must not hand the caller a
+      // half-populated dir — verify the winner actually carries the
+      // marker and fail loudly; the next run starts clean
+      if (!java.nio.file.Files.exists(marker))
+        throw new IllegalStateException(
+          s"fixture scratch $scratch has no $markerSubdir/_SUCCESS marker " +
+            "after populate+move — concurrent populate race left an " +
+            "unverified dir; re-run (stale dirs are pruned age-gated)")
     }
     val cutoff = System.currentTimeMillis() - 3600L * 1000
     val stale = new java.io.File("/tmp").listFiles()
@@ -225,7 +234,10 @@ object SparkEntry {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(s"$scratch/docs")
-        .cache() // Spark requires materialization to query _corrupt_record
+        // Spark requires materialization to query _corrupt_record; the
+        // cache lives until the per-query clearCache in Verify/Bench
+        // (operator persist contract)
+        .cache()
       read.groupBy(
           when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
             .otherwise(col("lang")).as("lang"))

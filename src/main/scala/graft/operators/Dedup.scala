@@ -209,9 +209,10 @@ object Dedup {
     *
     * At 100 TB the win is step 1: the verify join shuffles ~fpp of the
     * corpus gram volume instead of all of it (AQE still broadcasts the
-    * bench side when it fits). The `mightContainLong` filter is a scalar
-    * UDF — one compiled sketch probe per gram, map-side; it costs a
-    * codegen-stage boundary, which the 100× shuffle cut dwarfs.
+    * bench side when it fits). The probe is the compiled
+    * [[graft.functions.BloomMightContain]] expression — the serialized
+    * filter rides as a plan literal (the [[Sketches.cmsProbe]] pattern)
+    * and the per-gram probe stays inside whole-stage codegen.
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13, fpp: Double = 0.01,
@@ -222,11 +223,12 @@ object Dedup {
     // planning actions (like inferDim): size then build the sketch
     val bloom = benchGrams.stat.bloomFilter("gram",
       math.max(benchGrams.count(), 1L), fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    val blobStream = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(blobStream)
     val contaminated = corpus
       .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
-      .filter(mightContain(col("gram")))
+      .filter(graft.functions.sketches.bloomMightContain(
+        lit(blobStream.toByteArray), col("gram")))
       .join(benchGrams, Seq("gram"), "left_semi")
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
@@ -488,7 +490,10 @@ object Dedup {
   /** Shared candidate stage for the substring-dedup pair: 0-based start
     * positions (`pos0`) of every word `k`-gram whose corpus occurrence
     * count reaches `minOcc`. The exploded starts persist once — both
-    * the occurrence count and the join-back read them.
+    * the occurrence count and the join-back read them. Persist contract
+    * (the minHashLshPairs convention): the cache outlives the call — the
+    * lazy result reads it — and the CALLER releases it after consuming
+    * the result (Verify/Bench clear all caches per query).
     */
   private def dupGramStarts(df: DataFrame, k: Int, minOcc: Int,
       textCol: String, idCol: String,

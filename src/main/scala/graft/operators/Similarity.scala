@@ -27,14 +27,40 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Hard bound on the brute-force baselines: they are EXACT VERIFIERS
+    * for the recall gates, O(corpus × queries) / O(n²) by definition, and
+    * must never be pointed at a full corpus — the scale paths are
+    * [[lshTopK]]/[[ivfTopK]] and [[cosineNearDupPairs]]/
+    * [[ivfNearDupPairs]]. The guard is one planning-action count
+    * (parquet row-group metadata, not a scan) that fails LOUDLY past the
+    * bound instead of launching an n² job. Callers with a genuinely
+    * bounded non-fixture input can raise `maxRows` explicitly.
+    */
+  private def requireBruteScale(df: DataFrame, maxRows: Long,
+      what: String, alternative: String): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$what is an exact O(n²)-class baseline capped at $maxRows rows " +
+        s"(got $n): it exists to verify the recall gates at fixture " +
+        s"scale — use $alternative on a corpus, or raise maxRows if the " +
+        "input really is bounded")
+  }
+
   /** Exact brute-force cosine top-k: the `queries` side (small, e.g. a
     * probe batch) is broadcast against the corpus; ranking partitions by
     * query so parallelism = number of queries × AQE splits. Emits
     * `(query_id, rank, vec_id)` — ranks only, floats stay internal, so
     * results are engine-comparable.
+    *
+    * Cost is O(corpus × queries): the corpus side streams (scale-safe),
+    * so the guard caps the BROADCAST query side — an unbounded query set
+    * is what turns this into the all-pairs job.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = 4096L): DataFrame = {
+    requireBruteScale(queries, maxRows, "bruteForceTopK's query side",
+      "lshTopK or ivfTopK")
     val c = corpus.select(col(idCol), col(vecCol),
       norm(col(vecCol)).as("cnrm"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -234,10 +260,14 @@ object Similarity {
   /** Exact all-pairs cosine near-dups: the O(n²) baseline the LSH variant
     * approximates. Norms precomputed per side ⇒ one dot per pair. Only
     * viable when one side fits broadcast / the pair count is bounded; at
-    * 100 TB use [[cosineNearDupPairs]].
+    * 100 TB use [[cosineNearDupPairs]]. Guarded: past `maxRows` the call
+    * fails loudly instead of launching the n² self-join.
     */
   def bruteForceNearDupPairs(df: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = 65536L): DataFrame = {
+    requireBruteScale(df, maxRows, "bruteForceNearDupPairs",
+      "cosineNearDupPairs or ivfNearDupPairs")
     val side = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
     side.as("a")
       .join(side.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))

@@ -100,15 +100,28 @@ object Sketches {
   }
 
   def heavyHitters(df: DataFrame, key: Column, minCount: Long,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      maxBroadcastKeys: Long = 1L << 22): DataFrame = {
     val sk = cmsSketch(df, key)
     val cand = candidates.getOrElse(df.select(key.as("hh_key")).distinct())
     val probed = cmsProbe(sk, cand, col("hh_key"))
       .filter(col("est_count") >= minCount)
     // exact verify over survivors only: the semi-join keeps the big
-    // side's scan but aggregates just the candidate keys
+    // side's scan but aggregates just the candidate keys. Heavy hitters
+    // are SELECTIVE by definition; but a low minCount (or the default
+    // all-distinct-keys candidates on a high-cardinality key) can leave
+    // survivors near full cardinality, where an unconditional broadcast
+    // blows the driver — size the survivor set (one count over the
+    // already-aggregated probe) and fall back to a plain semi-join
+    // (AQE re-chooses the strategy from runtime stats) past the bound.
+    // operator-internal persist (minHashLshPairs contract: Verify/Bench
+    // clear caches per query): the sizing count and the verify join read
+    // one materialization of the candidate-distinct + probe pipeline
+    val survivors = probed.select("hh_key").persist()
+    val small = survivors.count() <= maxBroadcastKeys
     df.select(key.as("hh_key"))
-      .join(broadcast(probed.select("hh_key")), Seq("hh_key"), "left_semi")
+      .join(if (small) broadcast(survivors) else survivors,
+        Seq("hh_key"), "left_semi")
       .groupBy("hh_key").agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") >= minCount)
   }

@@ -412,6 +412,12 @@ object TextOps {
     * count sums — the oracle-checkable plumbing) and `xent` (the double
     * score; engines differ in float rounding, so like the percentile
     * gate only the integers cross to the oracle).
+    *
+    * Persist contract (the minHashLshPairs convention): the exploded
+    * positions stay cached after the call — the lazy result reads them
+    * up to three times — and the CALLER releases them once the result
+    * is consumed (Verify/Bench clear all caches per query); pass
+    * `storage = None` to recompute per consumer instead.
     */
   def charLmScore(df: DataFrame, n: Int = 3, k: Int = 1,
       textCol: String = "text", idCol: String = "doc_id",

@@ -60,23 +60,31 @@ object StreamOps {
   /** A1 — the `EventReducer` surface as explicit keyed state:
     * `mapGroupsWithState` folding (inflow − outflow) per key across
     * micro-batches. Emits the running netflow per key each update.
+    *
+    * State folds in DECIMAL (38,18 through the encoder; the inputs are
+    * 2-dp values), exactly like every other netflow path
+    * ([[graft.operators.EventLog.netflow]] folds decimal(38,2)) — a
+    * double fold would read cancelled flows as ±1e-9 instead of exactly
+    * 0, a semantic drift from the oracled batch result.
     */
   def statefulNetflow(
       stream: DataFrame, inflowType: String, outflowType: String,
-      keyCol: String = "user_id"): Dataset[(Long, Double)] = {
+      keyCol: String = "user_id"): Dataset[(Long, BigDecimal)] = {
     val spark = stream.sparkSession
     import spark.implicits._
     val deltas = stream
       .filter(col("event_type").isin(inflowType, outflowType))
       .select(col(keyCol).cast("long"),
         when(col("event_type") === inflowType, col("value"))
-          .otherwise(-col("value")).cast("double"))
-      .as[(Long, Double)]
+          .otherwise(-col("value")).cast("decimal(38,18)"))
+      .as[(Long, BigDecimal)]
     deltas.groupByKey(_._1)
-      .mapGroupsWithState[Double, (Long, Double)](
+      .mapGroupsWithState[BigDecimal, (Long, BigDecimal)](
         GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
-          val sum = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+        (key: Long, rows: Iterator[(Long, BigDecimal)],
+            state: GroupState[BigDecimal]) =>
+          val sum = rows.foldLeft(
+            state.getOption.getOrElse(BigDecimal(0)))(_ + _._2)
           state.update(sum)
           key -> sum
       }
@@ -88,15 +96,29 @@ object StreamOps {
     * `reduce_synced_events` contract (sink.rs:134-151). The fold runs where
     * the reference's did (a single consumer), while upstream scan/decode
     * stays distributed.
+    *
+    * Each micro-batch is COLLECTED to the driver — that is the contract
+    * (a sequential fold cannot distribute), so the batch size is the
+    * driver-memory bound. `maxBatchRows` fails LOUDLY when a batch
+    * exceeds it (the count is one cheap aggregate before the collect):
+    * pointed at an unbounded stream with too coarse a `blockStep`, the
+    * query dies with instructions instead of OOMing the driver.
     */
   def runOrderedReducer(
       stream: DataFrame,
       checkpoint: String,
-      reduce: (Long, Seq[Row]) => Unit): StreamingQuery =
+      reduce: (Long, Seq[Row]) => Unit,
+      maxBatchRows: Long = 1L << 22): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        require(n <= maxBatchRows,
+          s"ordered reducer batch $batchId holds $n rows > maxBatchRows=" +
+            s"$maxBatchRows; the per-block fold collects each micro-batch " +
+            "to the driver (the reference's single-consumer contract) — " +
+            "lower blockStep so batches stay bounded, or raise maxBatchRows")
         batch
           .sort(col("block_number"), col("log_index"))
           .collect()
@@ -252,11 +274,12 @@ object StreamOps {
   def runSuffixReducer(
       stream: DataFrame,
       checkpoint: String,
-      reduce: (Long, Seq[Row]) => Unit): StreamingQuery =
+      reduce: (Long, Seq[Row]) => Unit,
+      maxBatchRows: Long = 1L << 22): StreamingQuery =
     runOrderedReducer(stream, checkpoint, (block, rows) => {
       var i = 0
       while (i < rows.size) { reduce(block, rows.drop(i)); i += 1 }
-    })
+    }, maxBatchRows)
 
   /** In-memory monitorable state for reducers — the dashboard the flagship
     * example polls from the main thread (stream_multi.rs:118-143).

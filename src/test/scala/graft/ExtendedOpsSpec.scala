@@ -264,6 +264,22 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"IVF recall@10 = $recall (nlist=8, nprobe=3 ⇒ ~3/8 corpus scanned)")
   }
 
+  test("brute-force baselines refuse corpus-scale input (loud O(n²) guard)") {
+    // the guard must trip BEFORE any n² job is planned — a tiny maxRows
+    // against the fixture exercises the exact production failure shape
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceNearDupPairs(emb, 0.45, maxRows = 10L)
+    }
+    assert(e1.getMessage.contains("cosineNearDupPairs"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, 10, maxRows = 10L)
+    }
+    assert(e2.getMessage.contains("lshTopK"))
+    // bounded inputs still pass (the registered gates rely on this)
+    assert(Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 2), 3)
+      .count() > 0)
+  }
+
   test("decontaminateBloom matches exact decontamination (FPs verified away)") {
     val corpus = docs.filter($"doc_id" % 13 =!= 0)
     val bench = docs.filter($"doc_id" % 13 === 0)

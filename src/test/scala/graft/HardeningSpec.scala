@@ -111,6 +111,16 @@ class HardeningSpec extends AnyFunSuite {
     val hhPlan = hh.queryExecution.executedPlan.toString
     assert(hhPlan.contains("BroadcastHashJoin") && hhPlan.contains("LeftSemi"),
       "heavy-hitter verify must broadcast-semi-join the survivors")
+
+    // bloom decontamination: the prefilter is the compiled
+    // bloom_might_contain expression — a ScalaUDF would break the
+    // map-side probe out of whole-stage codegen
+    val db = SparkEntry.queries("decon_bloom")(spark, "/root/testdata/sf0.01")
+    val dbPlan = db.queryExecution.executedPlan.toString
+    assert(dbPlan.contains("bloom_might_contain"),
+      "bloom prefilter expression missing from the plan")
+    assert(!dbPlan.contains("UDF"),
+      "bloom probe regressed to a scalar UDF")
   }
 
   test("plan guards: shuffle-exchange counts hold their ceilings") {

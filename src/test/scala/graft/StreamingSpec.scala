@@ -101,15 +101,17 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", tmp()).start()
     try q.processAllAvailable() finally q.stop()
-    // last update per key = final state
+    // last update per key = final state; the decimal fold must be
+    // BIT-IDENTICAL to the batch decimal(38,2) netflow — cancelled
+    // flows read exactly 0, never the double fold's ±1e-9
     val streamed = spark.table("nf_state")
-      .groupBy($"user_id").agg(last($"netflow").as("netflow"))
-      .as[(Long, Double)].collect().toMap
+      .groupBy($"user_id")
+      .agg(last($"netflow").cast("decimal(38,2)").as("netflow"))
+      .as[(Long, BigDecimal)].collect().toMap
     val batch = EventLog.netflow(batchEvents, "purchase", "click")
-      .select($"user_id", $"netflow".cast("double"))
-      .as[(Long, Double)].collect().toMap
-    assert(streamed.keySet == batch.keySet)
-    streamed.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-6) }
+      .select($"user_id", $"netflow".cast("decimal(38,2)"))
+      .as[(Long, BigDecimal)].collect().toMap
+    assert(streamed == batch)
   }
 
   test("live tail: appended blocks are picked up by later triggers (S4/S6)") {
