@@ -27,6 +27,15 @@ object Probe {
       Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8),
       Dedup.minHashLshPairs(docs, n = 3, numHashes = 64, bands = 16, minJaccard = 0.5),
       Seq("d1", "d2")))
+    val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    println("inc_neardup: " + recall(
+      Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+        .filter(col("d2") > half),
+      Dedup.incrementalNearDupPairs(docs.filter(col("doc_id") > half),
+        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
+          n = 3, numHashes = 64, bands = 16),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5),
+      Seq("d1", "d2")))
     println("simhash@0.95: " + recall(
       Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.95),
       Dedup.simHashPairs(docs, maxDist = 3), Seq("d1", "d2")))

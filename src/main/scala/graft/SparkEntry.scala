@@ -1132,6 +1132,47 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Incremental NEAR-dup — the production companion of
+    // dedup_incremental: the new shard's near-dup pairs are found
+    // against a PERSISTED MinHash band index of the existing corpus
+    // (fixture-keyed scratch: built once, read back off parquet — the
+    // old side is never re-shingled). Gated two ways: recall vs the
+    // exact Jaccard pairs touching the shard, and exact set+estimate
+    // EQUALITY against the full recompute over (old ∪ new) — the
+    // incremental path must be indistinguishable from rerunning
+    // minHashLshPairs on everything.
+    "dedup_incremental_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
+        "index") { tmp =>
+        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
+            n = 3, numHashes = 64, bands = 16)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+      }
+      val inc = Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") > half),
+        s.read.parquet(s"$scratch/index"),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5).persist()
+      // old ids ≤ half < new ids and d1 < d2 ⇒ "touches the new shard"
+      // is exactly d2 > half
+      val full = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5).filter(col("d2") > half).persist()
+      // set + estimate equality: full outer on (d1, d2) — no one-sided
+      // rows, identical estimates (same sigs ⇒ same binary fractions)
+      val eq = full.withColumnRenamed("est_jaccard", "ef")
+        .join(inc.withColumnRenamed("est_jaccard", "ei"),
+          Seq("d1", "d2"), "full")
+        .agg(((count(when(col("ef").isNull || col("ei").isNull, 1)) === 0)
+          && coalesce(max(abs(col("ef") - col("ei"))) <= 1e-12, lit(true)))
+          .as("equal_ok"))
+      recallGate(
+        exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+          .filter(col("d2") > half),
+        approx = inc, keys = Seq("d1", "d2"), floor = 0.9)
+        .crossJoin(broadcast(eq))
+    }),
+
     // Asymmetric containment near-dup (|A∩B|/|A| over gram sets): the
     // subset-inclusion screen Jaccard misses — a doc quoted wholesale
     // inside a longer one scores ~1 here. Ordered pairs, exact oracle.
@@ -1579,6 +1620,24 @@ object SparkEntry {
        FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
        WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard"""
 
+  /** Gate oracle for the incremental near-dup self-check: the exact
+    * n-gram-Jaccard pair count RESTRICTED to pairs touching the new
+    * shard (d2 > half — old ids ≤ half < new ids under d1 < d2), plus
+    * the expected recall/equality booleans.
+    */
+  private def ngramGateNewShardSql(minJaccard: Double): String =
+    s"""WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents),
+       w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+       g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+             FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+       c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
+       SELECT count(*) AS n_exact, true AS recall_ok, true AS equal_ok
+       FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2, h
+       WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard
+         AND d2 > h.half"""
+
   /** Shared oracle: per-user gap-20 session windows (mirrors
     * EventLog.sessionize; reused by the range-join oracle).
     */
@@ -1637,6 +1696,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> ngramGateSql(0.8),
+    "dedup_incremental_neardup" -> ngramGateNewShardSql(0.8),
     "dedup_winnow" -> ngramGateSql(0.8),
     "dedup_simhash" -> ngramGateSql(0.95),
     "sim_topk_lsh" -> TopKGateSql,

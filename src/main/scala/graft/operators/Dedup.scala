@@ -259,6 +259,27 @@ object Dedup {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
 
+  /** Banded MinHash index rows for a corpus: one `(doc_id, sig, band_idx,
+    * band_key)` row per document × band — signature and band keys both
+    * row-local (zero shuffle). This IS the persistable near-dup index: a
+    * production pipeline writes it partitioned by `band_idx` once per
+    * corpus snapshot, and every future shard dedups against the parquet
+    * WITHOUT re-shingling a single old document
+    * ([[incrementalNearDupPairs]]).
+    */
+  def minHashBandIndex(df: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    df.select(
+        col(idCol).as("doc_id"),
+        minHashSignature(col(textCol), n, numHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_key")))
+  }
+
   /** MinHash+LSH near-dup pairs: signature (row-local) → band keys
     * (row-local) → explode bands → self-join per (band_idx, band_key)
     * bucket → estimate Jaccard from signature agreement. The bucket join is
@@ -270,19 +291,11 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("doc_id"),
-      minHashSignature(col(textCol), n, numHashes).as("sig"))
     // materialize the banded signatures once — a DataFrame self-join
     // re-evaluates its lineage per side, doubling signature compute.
     // MLlib-style operator-internal persist; lives until session end, so
     // loops over many corpora should pass storage=None (or unpersist).
-    val banded0 = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand))
-        .as(Seq("band_idx", "band_key")))
+    val banded0 = minHashBandIndex(df, n, numHashes, bands, textCol, idCol)
     val banded = storage.fold(banded0)(banded0.persist)
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -293,6 +306,62 @@ object Dedup {
         col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .dropDuplicates("d1", "d2")
     pairs
+      .withColumn("est_jaccard",
+        graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("d1", "d2", "est_jaccard")
+  }
+
+  /** Incremental near-dup dedup — the production shape that completes
+    * [[incrementalExact]]: a NEW shard arrives and its near-dup pairs
+    * against the existing corpus (and within itself) are found against a
+    * PERSISTED [[minHashBandIndex]] of the old side, which is therefore
+    * never re-shingled, re-hashed, or even re-read beyond its index rows.
+    *
+    * Semantics: identical hash family, banding, and signature-agreement
+    * estimate as [[minHashLshPairs]], so the output EQUALS the full
+    * recompute over (old ∪ new) restricted to pairs touching the new
+    * shard — the equivalence the registered gate asserts. `newDocs` and
+    * the indexed corpus must be id-disjoint (same contract as
+    * [[incrementalExact]]).
+    *
+    * Scale shape: the new side's index rows are row-local and persisted
+    * once; candidates come from ONE bounded-fanout join of the (old ∪
+    * new) index against the new index per (band_idx, band_key) bucket —
+    * the old index is |corpus| × bands narrow rows read off parquet
+    * (partition-prunable by band_idx), and nothing old enters a shuffle
+    * except bucket-sharing candidates. Pair orientation is normalized
+    * (least/greatest) so a new doc pairs with old docs on EITHER side of
+    * its id.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, index: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val newBanded0 = minHashBandIndex(newDocs, n, numHashes, bands,
+      textCol, idCol)
+    val newBanded = storage.fold(newBanded0)(newBanded0.persist)
+    // one join covers new↔old AND new↔new: the left side is the union of
+    // both index halves, the right side only the new shard — every pair
+    // with ≥1 new endpoint shares a band bucket here, old↔old pairs
+    // never form (old rows only ever sit on the left)
+    val all = index.select("doc_id", "sig", "band_idx", "band_key")
+      .unionByName(newBanded.select("doc_id", "sig", "band_idx", "band_key"))
+    val aNew = col("a.doc_id") < col("b.doc_id")
+    all.as("a")
+      .join(newBanded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        when(aNew, col("a.sig")).otherwise(col("b.sig")).as("sig1"),
+        when(aNew, col("b.sig")).otherwise(col("a.sig")).as("sig2"))
+      .dropDuplicates("d1", "d2")
       .withColumn("est_jaccard",
         graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
           .cast("double") / numHashes)

@@ -554,6 +554,29 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Set(11L, 13L))
   }
 
+  test("incrementalNearDupPairs equals the full recompute on the shard") {
+    val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+    // forward split: old = low ids, new = high ids
+    val idx = Dedup.minHashBandIndex(docs.filter($"doc_id" <= half),
+      n = 3, numHashes = 64, bands = 16)
+    val inc = Dedup.incrementalNearDupPairs(docs.filter($"doc_id" > half),
+        idx, n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5, storage = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full.filter(_._2 > half), "forward split diverged")
+    assert(inc.nonEmpty, "vacuous fixture: no near-dup pair touches the shard")
+    // REVERSED split: the new shard's ids are SMALLER than the corpus's —
+    // pairs must still normalize (least/greatest), touching = d1 <= half
+    val idx2 = Dedup.minHashBandIndex(docs.filter($"doc_id" > half),
+      n = 3, numHashes = 64, bands = 16)
+    val inc2 = Dedup.incrementalNearDupPairs(docs.filter($"doc_id" <= half),
+        idx2, n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc2 == full.filter(_._1 <= half), "reversed split diverged")
+  }
+
   test("cleanText: strips tags, folds combining accents, collapses whitespace") {
     val cleaned = Seq("<div>héllo   <b>world</b></div>\t mixed")
       .toDF("t")
