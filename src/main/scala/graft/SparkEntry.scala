@@ -571,6 +571,49 @@ object SparkEntry {
       EventLog.blockAlign(events(s, dir), EventSources, 0L, 19L)
         .withColumn("sum_value", col("sum_value").cast("double"))),
 
+    // J2 end-to-end through the STREAMING engine: replay through the
+    // DSv2 block source into the watermark-driven flush — dense
+    // block×source cells (EMPTY cells included, the defining J2
+    // semantic) emitted exactly once when the frontier passes each
+    // block. At drain the watermark sits past the last block (a late
+    // row for it would be dropped), so every block ≤ max is closed and
+    // the oracle is the batch block-align spine over the full range.
+    "j2_flush_stream" -> ((s, dir) => {
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        confirmations = 0L)
+      runStreamingGate(s, "j2_flush_gate",
+        graft.streaming.StreamOps.flushIncludingStream(stream, EventSources))
+    }),
+
+    // A1 — the ordered/suffix reducer driver surface (the reference's
+    // reduce_synced_events single-consumer contract, sink.rs:134-151)
+    // under the oracle: micro-batches replay block-ascending with
+    // per-block log_index order, each per-block SUFFIX slice feeds the
+    // reducer, and the reducer counts view→click adjacencies from each
+    // suffix head — each adjacent pair heads exactly one suffix, so the
+    // fold restates the a2 batch semantics and the a2 SQL is the oracle.
+    "a1_suffix_reducer" -> ((s, dir) => {
+      val matches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        confirmations = 0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_a1").toString
+      val q = graft.streaming.StreamOps.runSuffixReducer(stream, ckpt,
+        (block, suffix) =>
+          if (suffix.lengthCompare(2) >= 0 &&
+            suffix.head.getAs[String]("event_type") == "view" &&
+            suffix(1).getAs[String]("event_type") == "click")
+            matches.merge(block, 1L, (a, b) => a + b))
+      try q.processAllAvailable()
+      finally { q.stop(); deleteRecursively(ckpt) }
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      matches.asScala.toSeq.toDF("block_number", "n_matches")
+    }),
+
     // J4 — ordered k-way merge restoring intra-block total order
     "j4_ordered_merge" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -803,6 +846,29 @@ object SparkEntry {
       Sketches.profile(events(s, dir),
         numericCols = Seq("event_id", "user_id", "value"),
         stringCols = Seq("event_type"))),
+
+    // The profiling scale tier: approx_count_distinct (HLL++, one
+    // ordinary aggregation pass — no Expand row multiplication)
+    // replacing the exact multi-countDistinct, gated per column against
+    // the exact distinct count like agg_sketch_gate (rsd 5% ⇒ a 15%
+    // tolerance holds with wide margin); the row/non-null counts and
+    // typed min/max stay exact and hash-match directly.
+    "meta_profile_approx" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val nums = Seq("event_id", "user_id", "value")
+      val strs = Seq("event_type")
+      val exact = Sketches.profile(ev, nums, strs)
+        .select(col("col_name"), col("n_distinct").as("n_exact"))
+      Sketches.profileApprox(ev, nums, strs)
+        .withColumnRenamed("n_distinct", "n_approx")
+        .join(exact, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_exact"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"),
+          when(col("n_exact") === 0, lit(true))
+            .otherwise(abs(col("n_approx") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.15).as("sketch_ok"))
+    }),
 
     // Heavy hitters via count-min sketch, exactly verified: the sketch
     // pass (map-side mergeable summaries, no row shuffle) can't
@@ -1867,6 +1933,31 @@ object SparkEntry {
            CAST(coalesce(g.sum_value, 0) AS DOUBLE) AS sum_value
          FROM spine LEFT JOIN g ON spine.block_number = g.block_number AND spine.source = g.source""",
 
+    "j2_flush_stream" ->
+      s"""WITH e AS ($EvKeys),
+         mx AS (SELECT max(block_number) AS mb FROM e),
+         spine AS (
+           SELECT b.block_number, s.source
+           FROM (SELECT unnest(generate_series(0, (SELECT mb FROM mx))) AS block_number) b
+           CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) s(source)),
+         g AS (
+           SELECT block_number, event_type AS source, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           FROM e GROUP BY 1, 2)
+         SELECT spine.block_number, spine.source,
+           coalesce(g.n_events, 0) AS n_events,
+           CAST(coalesce(g.sum_value, 0) AS DOUBLE) AS sum_value
+         FROM spine LEFT JOIN g ON spine.block_number = g.block_number AND spine.source = g.source""",
+
+    "a1_suffix_reducer" ->
+      s"""WITH seq AS (
+           SELECT block_number, event_type,
+             lead(event_type) OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS next_type
+           FROM ($EvKeys))
+         SELECT block_number, count(*) AS n_matches
+         FROM seq WHERE event_type = 'view' AND next_type = 'click'
+         GROUP BY block_number""",
+
     "j4_ordered_merge" ->
       s"""SELECT block_number,
            row_number() OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS pos_in_block,
@@ -2032,6 +2123,28 @@ object SparkEntry {
          SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            min(event_type), max(event_type)
+         FROM events""",
+
+    "meta_profile_approx" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows, count(event_id) AS n_nonnull,
+           count(DISTINCT event_id) AS n_exact,
+           CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           true AS sketch_ok
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), true
+         FROM events
+         UNION ALL
+         SELECT 'value', count(*), count(value), count(DISTINCT value),
+           min(value), max(value), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), true
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(event_type), max(event_type), true
          FROM events""",
 
     "agg_heavy_hitters" ->

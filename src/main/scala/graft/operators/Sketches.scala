@@ -69,9 +69,9 @@ object Sketches {
     * extremes in `min_num`/`max_num`, string extremes in
     * `min_str`/`max_str`, the other pair null. All statistics fold in a
     * single aggregation (map-side partials; the multi-`countDistinct`
-    * plans via Expand — swap in `approx_count_distinct` at the 100 TB
-    * tier, gated like `agg_sketch_gate`), then one `stack` unpivots the
-    * 1-row result — no per-column scans.
+    * plans via Expand — [[profileApprox]] is the registered 100 TB tier
+    * that collapses it to one sketch pass), then one `stack` unpivots
+    * the 1-row result — no per-column scans.
     */
   def profile(df: DataFrame, numericCols: Seq[String],
       stringCols: Seq[String]): DataFrame = {
@@ -80,6 +80,41 @@ object Sketches {
     val aggs = cols.flatMap { case (c, isNum) =>
       Seq(count(col(c)).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd")) ++
+        (if (isNum) Seq(min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+        else Seq(min(col(c)).as(s"${c}__smin"),
+          max(col(c)).as(s"${c}__smax")))
+    }
+    val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacks = cols.map { case (c, isNum) =>
+      if (isNum)
+        s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+      else
+        s"'$c', __n, `${c}__nn`, `${c}__nd`, CAST(NULL AS DOUBLE), " +
+          s"CAST(NULL AS DOUBLE), `${c}__smin`, `${c}__smax`"
+    }.mkString(", ")
+    agged.selectExpr(s"stack(${cols.size}, $stacks) AS " +
+      "(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, " +
+      "min_str, max_str)")
+  }
+
+  /** The 100 TB tier of [[profile]]: identical output shape except
+    * `n_distinct` is `approx_count_distinct` (HLL++, default rsd 5%).
+    * The exact profile's multi-`countDistinct` plans via Expand — one
+    * row-multiplying duplication of the scan per distinct column — while
+    * the sketches fold in ONE ordinary map-side-mergeable aggregation
+    * pass: profiling cost becomes a single scan regardless of how many
+    * columns are profiled. Registered gated (`meta_profile_approx`),
+    * like every approximate operator in the engine.
+    */
+  def profileApprox(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val cols = numericCols.map((_, true)) ++ stringCols.map((_, false))
+    require(cols.nonEmpty, "profileApprox: no columns given")
+    val aggs = cols.flatMap { case (c, isNum) =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd")) ++
         (if (isNum) Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"))
         else Seq(min(col(c)).as(s"${c}__smin"),

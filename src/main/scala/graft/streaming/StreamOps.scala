@@ -170,6 +170,85 @@ object StreamOps {
         col("n_events"), col("sum_value"), col("window_from"), col("window_to"))
   }
 
+  /** Per-source flush state for [[flushIncludingStream]]: the highest
+    * block already emitted plus the open per-block cells
+    * `block → (n_events, cents)`. Cents keep the fold exact at 2 dp —
+    * the same decimal-exactness contract as the netflow paths.
+    */
+  final case class FlushSrcState(lastFlushed: Long,
+      cells: Map[Long, (Long, Long)])
+
+  /** J2 on an unbounded stream — the reference's block-aligned
+    * `flush_including` (sink.rs:229-246) as a streaming operator: one
+    * DENSE `(block_number, source, n_events, sum_value)` row per block ×
+    * source cell — EMPTY cells included, the defining J2 semantic —
+    * emitted exactly once when the watermark (the J1 frontier on the
+    * 1-block-=-1-second axis) passes the block.
+    *
+    * Shape: `flatMapGroupsWithState` keyed by source with event-time
+    * timeout. Rows buffer into per-block cells; every wake (data or
+    * timeout) flushes the contiguous run of closed blocks — block `b` is
+    * closed once `b+1 ≤ watermark`, i.e. when a late row for it would be
+    * dropped — from `lastFlushed+1` upward, empty blocks synthesized as
+    * zero cells, and re-arms the timeout just past the current watermark
+    * so the trailing no-data micro-batch drains the tail. State is
+    * O(open blocks × sources), watermark-bounded like the evicting
+    * window; each emitted cell leaves the state map immediately.
+    *
+    * A source with NO events in the stream never forms a group (keyed
+    * state only exists where keys appeared), so callers wanting its zero
+    * cells must seed at least one event per registered source — the
+    * batch [[graft.operators.EventLog.flushIncluding]] covers the fully
+    * static spine.
+    */
+  def flushIncludingStream(stream: DataFrame, sources: Seq[String],
+      fromBlock: Long = 0L, lateBlocks: Long = 0L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val src = stream
+      .filter(col("event_type").isin(sources: _*))
+      // +1 like dedupStream: block 0 must not sit AT the epoch
+      .withColumn("block_ts", timestamp_seconds(col("block_number") + 1))
+      .withWatermark("block_ts", s"$lateBlocks seconds")
+      // the watermark column must reach the stateful operator — the
+      // event-time-timeout checker rejects a plan whose watermark
+      // attribute was projected away before flatMapGroupsWithState
+      .select(col("event_type").as("source"), col("block_number"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("block_ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[FlushSrcState, (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (source: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+            state: GroupState[FlushSrcState]) =>
+          val st = state.getOption
+            .getOrElse(FlushSrcState(fromBlock - 1, Map.empty))
+          var cells = st.cells
+          rows.foreach { case (_, b, c, _) =>
+            val (n, sum) = cells.getOrElse(b, (0L, 0L))
+            cells += b -> (n + 1, sum + c)
+          }
+          // block b is final once rows for it would be dropped as late
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val hi = wmSec - 1L
+          val out = (st.lastFlushed + 1) to hi map { b =>
+            val (n, sum) = cells.getOrElse(b, (0L, 0L))
+            (b, source, n, sum)
+          }
+          cells = cells.filter(_._1 > hi)
+          state.update(FlushSrcState(math.max(st.lastFlushed, hi), cells))
+          // wake on the next watermark advance (must arm strictly past it)
+          state.setTimeoutTimestamp((wmSec + 1) * 1000L)
+          out.iterator
+      }
+      .toDF("block_number", "source", "n_events", "sum_cents")
+      // exact-cents ÷ 100.0: both operands exact ⇒ the correctly-rounded
+      // double equals the oracle's decimal(18,2) → DOUBLE cast
+      .select(col("block_number"), col("source"), col("n_events"),
+        (col("sum_cents") / lit(100.0)).as("sum_value"))
+  }
+
   /** W-session on an unbounded stream with STATE EVICTION: per-key
     * session windows over the block axis via Spark's native streaming
     * `session_window` (sessions merge across micro-batches in the state

@@ -121,6 +121,17 @@ class HardeningSpec extends AnyFunSuite {
       "bloom prefilter expression missing from the plan")
     assert(!dbPlan.contains("UDF"),
       "bloom probe regressed to a scalar UDF")
+
+    // approximate profiling: the whole point of the sketch tier is ONE
+    // ordinary aggregation pass — the exact profile's multi-
+    // countDistinct Expand (row multiplication per distinct column)
+    // must not appear
+    val pa = graft.operators.Sketches.profileApprox(
+      spark.read.parquet("/root/testdata/sf0.01/events.parquet"),
+      numericCols = Seq("event_id", "user_id", "value"),
+      stringCols = Seq("event_type"))
+    assert(!pa.queryExecution.executedPlan.toString.contains("Expand"),
+      "profileApprox must not plan an Expand")
   }
 
   test("plan guards: shuffle-exchange counts hold their ceilings") {

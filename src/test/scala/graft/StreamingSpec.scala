@@ -332,6 +332,30 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup state not evicting: $stateRows rows for ${emitted.size} keys")
   }
 
+  test("streaming flush emits the dense batch block-align cells once (J2)") {
+    val sources = Seq("click", "error", "purchase", "signup", "view")
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 25L, confirmations = 0L)
+    val q = StreamOps.flushIncludingStream(stream, sources)
+      .writeStream.format("memory").queryName("j2_flush_spec")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("j2_flush_spec")
+      .select($"block_number", $"source", $"n_events", $"sum_value")
+      .as[(Long, String, Long, Double)].collect()
+    // exactly once: no (block, source) cell emitted twice across batches
+    assert(streamed.map(r => (r._1, r._2)).distinct.length == streamed.length)
+    val batch = EventLog.blockAlign(batchEvents, sources, 0L, headBlock)
+      .select($"block_number", $"source", $"n_events",
+        $"sum_value".cast("double"))
+      .as[(Long, String, Long, Double)].collect()
+    assert(streamed.toSet == batch.toSet,
+      s"streamed ${streamed.length} cells != batch ${batch.length}")
+    // density: every (block, source) cell of the full range is present
+    assert(streamed.length == (headBlock + 1) * sources.length)
+  }
+
   test("suffix reducer + NetflowState: monitor matches batch (A1/A2/B2)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 50L, confirmations = 0L)
