@@ -973,6 +973,13 @@ object SparkEntry {
     "a2_sequence3" -> ((s, dir) =>
       EventLog.sequencePattern(events(s, dir), Seq("view", "view", "click"))),
 
+    // A2 generalized to a regex over the per-block type sequence:
+    // one-or-more views immediately followed by a click ("v+c") —
+    // quantified patterns the fixed-adjacency matcher can't express;
+    // non-overlapping leftmost-match semantics agree between engines.
+    "a2_regex_pattern" -> ((s, dir) =>
+      EventLog.regexPattern(events(s, dir), "v+c")),
+
     // A3 — flagship netflow reducer
     "a3_netflow" -> ((s, dir) =>
       EventLog.netflow(events(s, dir), "purchase", "click")
@@ -1132,6 +1139,61 @@ object SparkEntry {
           docs.filter(col("doc_id") % 89 =!= 0),
           docs.filter(col("doc_id") % 89 === 0), n = 3, fpp = 0.01)
         .select("doc_id")
+    }),
+
+    // Fraction-threshold decontamination: drop docs whose gram overlap
+    // with the eval set exceeds 50% (the calibrated dial between the
+    // any-gram rule and keeping everything). A third eval split
+    // (mod 83) so the three decontamination oracles stay independent.
+    "decon_fraction" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminateFraction(
+          docs.filter(col("doc_id") % 83 =!= 0),
+          docs.filter(col("doc_id") % 83 === 0), n = 3, maxOverlap = 0.5)
+        .select("doc_id")
+    }),
+
+    // Deterministic training-order shuffle: pos = rank of
+    // xxhash64(doc_id, seed) via the bucketed prefix sum (no global
+    // single-task sort). The hash is engine-internal, so the gate
+    // asserts the permutation INVARIANTS the trainer relies on — exact
+    // 0..n-1 coverage — and the oracle states the count and verdicts;
+    // determinism/partition-invariance are pinned in SamplingSpec.
+    "pipeline_shuffle_gate" -> ((s, dir) => {
+      val sh = Sampling.shufflePositions(table(s, dir, "documents"))
+      sh.agg(count(lit(1)).as("n_docs"),
+        coalesce(countDistinct(col("pos")) === count(lit(1)), lit(true))
+          .as("perm_ok"),
+        coalesce(min(col("pos")) === 0 &&
+          max(col("pos")) === count(lit(1)) - 1, lit(true)).as("range_ok"))
+    }),
+
+    // Incremental index MAINTENANCE — the third leg of the incremental
+    // dedup story: appending the new shard's band index to the
+    // persisted old-corpus index must equal rebuilding the index from
+    // scratch over (old ∪ new), row for row (band keys AND signatures).
+    "dedup_index_update" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      // the same fixture-keyed index dedup_incremental_neardup reads
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
+        "index") { tmp =>
+        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
+            n = 3, numHashes = 64, bands = 16)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+      }
+      val updated = s.read.parquet(s"$scratch/index")
+        .unionByName(Dedup.minHashBandIndex(
+          docs.filter(col("doc_id") > half), n = 3, numHashes = 64, bands = 16))
+      val rebuilt = Dedup.minHashBandIndex(docs, n = 3, numHashes = 64,
+        bands = 16)
+      val eq = updated.as("u").join(rebuilt.as("r"),
+          Seq("doc_id", "band_idx"), "full")
+        .agg((count(when(col("u.band_key").isNull || col("r.band_key").isNull
+          || col("u.band_key") =!= col("r.band_key")
+          || !(col("u.sig") === col("r.sig")), 1)) === 0).as("equal_ok"))
+      updated.agg(count(lit(1)).as("n_index_rows"))
+        .crossJoin(broadcast(eq))
     }),
 
     // Gopher-style repetition scores (dup-word + top-bigram fractions).
@@ -2193,6 +2255,15 @@ object SparkEntry {
          FROM seq WHERE event_type = 'view' AND next_type = 'click'
          GROUP BY block_number""",
 
+    "a2_regex_pattern" ->
+      s"""WITH seq AS (
+           SELECT block_number,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY log_index, event_id) AS s
+           FROM ($EvKeys) GROUP BY block_number)
+         SELECT block_number,
+           CAST(len(regexp_extract_all(s, 'v+c')) AS BIGINT) AS n_matches
+         FROM seq WHERE len(regexp_extract_all(s, 'v+c')) > 0""",
+
     "a2_sequence3" ->
       s"""WITH seq AS (
            SELECT block_number, event_type,
@@ -2313,6 +2384,28 @@ object SparkEntry {
          bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 89 != 0)
          SELECT doc_id FROM documents
          WHERE doc_id % 89 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "decon_fraction" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 83 = 0),
+         tot AS (SELECT doc_id, count(*) AS n FROM g WHERE doc_id % 83 != 0 GROUP BY 1),
+         sh AS (SELECT g.doc_id, count(*) AS s FROM g JOIN bg USING (gram)
+                WHERE g.doc_id % 83 != 0 GROUP BY 1)
+         SELECT d.doc_id FROM documents d
+         LEFT JOIN tot ON tot.doc_id = d.doc_id
+         LEFT JOIN sh ON sh.doc_id = d.doc_id
+         WHERE d.doc_id % 83 != 0
+           AND coalesce(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0) <= 0.5""",
+
+    "pipeline_shuffle_gate" ->
+      """SELECT count(*) AS n_docs, true AS perm_ok, true AS range_ok
+         FROM documents""",
+
+    "dedup_index_update" ->
+      """SELECT CAST(count(*) * 16 AS BIGINT) AS n_index_rows, true AS equal_ok
+         FROM documents""",
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),

@@ -195,6 +195,36 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Fraction-threshold decontamination — the calibrated dial between
+    * [[decontaminate]]'s any-gram rule and keeping everything: a doc is
+    * dropped only when MORE than `maxOverlap` of its distinct grams
+    * occur in the benchmark set (at n=13 any-gram is near-exact-
+    * substring matching; at smaller n or on boilerplate-heavy corpora
+    * the fraction rule is the standard production dial). Scale shape
+    * improves on the any-gram screen: per-doc gram TOTALS are row-local
+    * (`size(gramHashes)` — no shuffle at all), and only the grams that
+    * HIT the broadcast benchmark set reach the per-doc counting shuffle
+    * — contamination-sized, not corpus-sized. Docs with no grams are
+    * kept (overlap 0 by convention).
+    */
+  def decontaminateFraction(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13, maxOverlap: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("gram")).distinct()
+    val totals = corpus.select(col(idCol),
+      size(gramHashes(col(textCol), n)).cast("long").as("__n"))
+    val shared = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__shared"))
+    val kept = totals.join(shared, Seq(idCol), "left")
+      .filter(coalesce(col("__shared"), lit(0L)).cast("double")
+        / greatest(col("__n"), lit(1L)).cast("double") <= maxOverlap)
+      .select(idCol)
+    corpus.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Bloom-prefiltered decontamination — for when the benchmark's
     * distinct gram set outgrows a broadcast join relation (a hashed
     * relation costs ~16+ B/key; a 1%-fpp Bloom costs ~1.2 B/key, an

@@ -452,6 +452,29 @@ object EventLog {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** A2 generalized to a REGEX over the per-block type sequence — the
+    * suffix-slice matcher (sink.rs:134-151) extended from fixed
+    * adjacency to arbitrary patterns (quantifiers, alternation): each
+    * event contributes one character (the first letter of its type —
+    * distinct across the registered sources), the block's events
+    * concatenate in the (log_index, event_id) total order, and
+    * `regexp_count` counts non-overlapping leftmost matches. One
+    * aggregation shuffle (the per-block collect is the J2 flush-cell
+    * shape — blocks are bounded, never corpus-sized groups) and the
+    * regex scan runs per block inside the engine, never a driver loop.
+    */
+  def regexPattern(df: DataFrame, pattern: String,
+      orderCols: Seq[String] = Seq("log_index", "event_id")): DataFrame =
+    df.groupBy(col("block_number"))
+      .agg(concat_ws("",
+        transform(
+          array_sort(collect_list(struct(
+            orderCols.map(col) :+ substring(col("event_type"), 1, 1).as("c"): _*))),
+          x => x.getField("c"))).as("__seq"))
+      .select(col("block_number"),
+        regexp_count(col("__seq"), lit(pattern)).cast("bigint").as("n_matches"))
+      .filter(col("n_matches") > 0)
+
   /** A3 — the reference's flagship netflow aggregate
     * (eth_event_stream/examples/stream_multi.rs:33-70): outflow events
     * subtract `value` from the key, inflow events add it. Decimal keeps the

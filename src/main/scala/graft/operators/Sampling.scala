@@ -75,6 +75,23 @@ object Sampling {
       .drop("__bucket", "__w", "__off")
   }
 
+  /** Deterministic corpus shuffle for training order: `pos` = 0-based
+    * rank of `xxhash64(id, seed)` (id tie-break), the seeded
+    * reproducible global permutation every trainer wants for epoch
+    * ordering — RNG-free, so the same seed replays the same order on
+    * any cluster. Ranking rides the bucketed prefix sum: the bucket is
+    * the hash's high bits (`>> 54`, arithmetic shift — monotone in the
+    * signed hash order), so no single-task global sort ever forms.
+    */
+  def shufflePositions(df: DataFrame, seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    val withH = df.withColumn("__h", xxhash64(col(idCol), lit(seed)))
+    orderedCumsum(withH, expr("shiftright(__h, 54)"),
+        Seq(col("__h"), col(idCol)), lit(1L), "pos")
+      .withColumn("pos", col("pos") - 1)
+      .drop("__h")
+  }
+
   /** Deterministic negative sampling (contrastive-training prep): `k`
     * pseudo-random partner documents per document, derived by modular
     * hashing over a DENSE id space (`neg = (id·P + (j+1)·Q) mod n`,

@@ -554,6 +554,31 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Set(11L, 13L))
   }
 
+  test("decontaminateFraction: gentler than any-gram, full overlap drops") {
+    val corpus = docs.filter($"doc_id" % 13 =!= 0)
+    val bench = docs.filter($"doc_id" % 13 === 0)
+    val anyGram = Dedup.decontaminate(corpus, bench, n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val frac = Dedup.decontaminateFraction(corpus, bench, n = 3,
+        maxOverlap = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // the any-gram rule drops a superset: fraction keeps ⊇ any-gram keeps
+    assert(anyGram.subsetOf(frac))
+    // a full-overlap doc (exact dup of a bench doc) drops under BOTH
+    val benchText = bench.select($"text").as[String].head()
+    val poisoned = corpus.unionByName(
+      Seq((999999L, benchText, "en", "x", benchText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val keptP = Dedup.decontaminateFraction(poisoned, bench, n = 3,
+        maxOverlap = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!keptP.contains(999999L))
+    // threshold 1.0 keeps everything except (vacuously) nothing
+    val all = Dedup.decontaminateFraction(corpus, bench, n = 3,
+        maxOverlap = 1.0).count()
+    assert(all == corpus.count())
+  }
+
   test("incrementalNearDupPairs equals the full recompute on the shard") {
     val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
     // forward split: old = low ids, new = high ids

@@ -18,6 +18,22 @@ class SamplingSpec extends AnyFunSuite {
     .map(i => (i * 3L + (i % 5), (i * 37 % 91 + 1).toLong))
     .toDF("doc_id", "w")
 
+  test("shufflePositions: exact permutation, deterministic, seed-sensitive") {
+    val docs = fixture.select("doc_id")
+    val a = Sampling.shufflePositions(docs)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(a.values.toSet == (0L until 200L).toSet, "not a 0..n-1 permutation")
+    // partition-invariant and deterministic: same seed replays the order
+    val b = Sampling.shufflePositions(docs.repartition(13))
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // a different seed is a different permutation (overwhelmingly)
+    val c = Sampling.shufflePositions(docs, seed = 7L)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toMap
+    assert(c != a)
+    assert(c.values.toSet == (0L until 200L).toSet)
+  }
+
   test("orderedCumsum equals the single-partition global window") {
     val got = Sampling.orderedCumsum(fixture, expr("doc_id div 64"),
       Seq(col("doc_id")), col("w"))
