@@ -167,7 +167,20 @@ class HardeningSpec extends AnyFunSuite {
       // global single-partition window over corpus rows
       "pipeline_pps_sample" -> 3, "text_quality_bins" -> 3,
       // grouped rank (3 as above) + quartile pick + fence-count aggs
-      "agg_iqr_outliers" -> 5)
+      "agg_iqr_outliers" -> 5,
+      // one per-block aggregation; the regex scan is map-side
+      "a2_regex_pattern" -> 1,
+      // shared-gram count (1) + totals⋈shared (1); totals are row-local
+      // and the benchmark grams broadcast — corpus grams shuffle only
+      // after the benchmark-hit semi-join
+      "decon_fraction" -> 2,
+      // prefix-sum rank (3, as pps/bins) + the countDistinct perm gate
+      "pipeline_shuffle_gate" -> 5,
+      // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
+      // band indexes themselves are row-local
+      "dedup_index_update" -> 4,
+      // pure scan + codegen'd decode projection — shuffle-free
+      "p2_abi_fixed_roundtrip" -> 0)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,
