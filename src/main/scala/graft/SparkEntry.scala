@@ -1423,6 +1423,20 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(table(s, dir, "documents"), k = 500)),
 
+    // Blocklist screen (C4-style badword gate): distinct-hit count per
+    // doc against a plan-literal wordlist, keep ⟺ ≤1 hit — row-local,
+    // zero shuffle. Stand-in list = common fixture stopwords so both
+    // branches of the verdict are exercised.
+    "text_blocklist" -> ((s, dir) =>
+      TextOps.blocklistScreen(table(s, dir, "documents"),
+        blocklist = Seq("the", "and", "of"), maxDistinctHits = 1)),
+
+    // Characteristic terms (exact integer tf-idf): per-doc top-3 tokens
+    // by (tf desc, df asc, token asc) after the df ≤ N/2 stopword
+    // screen — keyword extraction with a total order, no float scores.
+    "text_characteristic_terms" -> ((s, dir) =>
+      TextOps.characteristicTerms(table(s, dir, "documents"), k = 3)),
+
     // Stratified-sampling gate: seeded hash sampling at per-language
     // rates; the oracle states each stratum's total and the expected
     // rate-adherence verdict (hash-uniformity puts the kept fraction
@@ -2526,6 +2540,29 @@ object SparkEntry {
          c AS (SELECT token, count(*) AS n_occurrences FROM w GROUP BY 1)
          SELECT token, n_occurrences FROM c
          ORDER BY n_occurrences DESC, token LIMIT 500""",
+
+    "text_blocklist" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(['the', 'and', 'of'],
+             w -> list_contains(regexp_extract_all(lower(text), '\S+'), w)))
+             AS BIGINT) AS n_blocked,
+           len(list_filter(['the', 'and', 'of'],
+             w -> list_contains(regexp_extract_all(lower(text), '\S+'), w)))
+             <= 1 AS kept
+         FROM documents""",
+
+    "text_characteristic_terms" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+                 HAVING count(*) <= floor((SELECT count(*) FROM documents) * 0.5)),
+         r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfq.df ASC, tf.tok ASC) AS rank
+               FROM tf JOIN dfq USING (tok))
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df
+         FROM r WHERE rank <= 3""",
 
     "pipeline_stratified_gate" ->
       """SELECT lang, count(*) AS n_docs, true AS frac_ok FROM documents

@@ -200,26 +200,31 @@ object Dedup {
     * dropped only when MORE than `maxOverlap` of its distinct grams
     * occur in the benchmark set (at n=13 any-gram is near-exact-
     * substring matching; at smaller n or on boilerplate-heavy corpora
-    * the fraction rule is the standard production dial). Scale shape
-    * improves on the any-gram screen: per-doc gram TOTALS are row-local
-    * (`size(gramHashes)` — no shuffle at all), and only the grams that
-    * HIT the broadcast benchmark set reach the per-doc counting shuffle
-    * — contamination-sized, not corpus-sized. Docs with no grams are
-    * kept (overlap 0 by convention).
+    * the fraction rule is the standard production dial). Scale shape:
+    * the corpus is shingled ONCE (the gram array computes in one
+    * projection; `size` rides the explode's retained child output, so
+    * the kernel never re-runs per consumer), hits come from the
+    * broadcast benchmark set map-side, and the per-doc counting groupBy
+    * partial-aggregates before its shuffle — O(docs) rows move, never
+    * the gram volume. Docs with no grams are kept (overlap 0 by
+    * convention; `explode_outer` keeps their row alive).
     */
   def decontaminateFraction(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13, maxOverlap: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val benchGrams = benchmark
       .select(explode(gramHashes(col(textCol), n)).as("gram")).distinct()
-    val totals = corpus.select(col(idCol),
-      size(gramHashes(col(textCol), n)).cast("long").as("__n"))
-    val shared = corpus
-      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__shared"))
-    val kept = totals.join(shared, Seq(idCol), "left")
-      .filter(coalesce(col("__shared"), lit(0L)).cast("double")
+      .withColumn("__hit", lit(1))
+    val exploded = corpus
+      .select(col(idCol), gramHashes(col(textCol), n).as("__g"))
+      .select(col(idCol), size(col("__g")).cast("long").as("__n"),
+        explode_outer(col("__g")).as("gram"))
+    val kept = exploded
+      // null gram (gramless doc) never equals a key — __hit stays null
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("__n"), count(col("__hit")).as("__shared"))
+      .filter(col("__shared").cast("double")
         / greatest(col("__n"), lit(1L)).cast("double") <= maxOverlap)
       .select(idCol)
     corpus.join(kept, Seq(idCol), "left_semi")

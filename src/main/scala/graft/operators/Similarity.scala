@@ -40,8 +40,10 @@ object Similarity {
       what: String, alternative: String): Unit = {
     // LIMIT-bounded count: per-partition LocalLimit stops the scan after
     // maxRows+1 rows, so the guard itself stays cheap even when pointed
-    // at the very corpus it is refusing
-    val cap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    // at the very corpus it is refusing. Saturate BEFORE the +1 — a
+    // caller opting out with maxRows = Long.MaxValue must not wrap into
+    // a negative limit.
+    val cap = (math.min(maxRows, Int.MaxValue.toLong - 1) + 1).toInt
     val n = df.limit(cap).count()
     require(n <= maxRows,
       s"$what is an exact O(n²)-class baseline capped at $maxRows rows " +

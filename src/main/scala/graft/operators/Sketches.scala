@@ -24,13 +24,19 @@ import graft.functions.sketches
   */
 object Sketches {
 
+  /** Default count-min eps (additive overcount ≤ eps·N): shared by
+    * [[cmsSketch]] and the [[heavyHitters]] survivor-size certificate —
+    * the two must agree or the bound is unsound.
+    */
+  private val CmsDefaultEps = 1e-4
+
   /** One-row DataFrame holding a count-min sketch of `key` —
     * `eps`·N additive overcount with probability `confidence`, never an
     * undercount. Partial sketches build map-side per partition and merge
     * associatively: the shuffle is O(sketch bytes × partitions),
     * independent of row count or key cardinality.
     */
-  def cmsSketch(df: DataFrame, key: Column, eps: Double = 1e-4,
+  def cmsSketch(df: DataFrame, key: Column, eps: Double = CmsDefaultEps,
       confidence: Double = 0.99, seed: Int = 42): DataFrame =
     df.agg(
       count_min_sketch(key, lit(eps), lit(confidence), lit(seed))
@@ -152,14 +158,18 @@ object Sketches {
     // are SELECTIVE by definition; but a low minCount (or the default
     // all-distinct-keys candidates on a high-cardinality key) can leave
     // survivors near full cardinality, where an unconditional broadcast
-    // blows the driver. TRUE heavy hitters number ≤ n_rows / minCount —
-    // when even that bound sits far inside the budget (4× headroom for
-    // sketch false positives, which only cluster near the threshold),
-    // broadcast without a sizing job; otherwise pay one count over the
-    // persisted probe and fall back to a plain semi-join (AQE re-chooses
-    // from runtime stats) past the bound.
-    val surelySmall =
-      nRows / math.max(minCount, 1L) <= maxBroadcastKeys / 4
+    // blows the driver. The analytic certificate must account for sketch
+    // FALSE POSITIVES, not just true heavy hitters: count-min overcounts
+    // by ≤ eps·N (per key, at the sketch confidence), so every SURVIVOR
+    // has true count ≥ minCount − eps·N, and survivors number ≤
+    // N / (minCount − eps·N) — provided minCount clears the eps·N slack
+    // at all. When minCount ≲ eps·N (the reviewer case: low threshold on
+    // a huge table) the sketch passes nearly every candidate and NO
+    // analytic bound exists — pay the sizing count. 4× budget headroom
+    // absorbs the (1 − confidence) stragglers beyond the eps bound.
+    val fpSlack = (CmsDefaultEps * nRows).toLong
+    val surelySmall = minCount > fpSlack &&
+      nRows / math.max(minCount - fpSlack, 1L) <= maxBroadcastKeys / 4
     val side =
       if (surelySmall) broadcast(survivors)
       else {

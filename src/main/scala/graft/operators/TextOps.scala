@@ -255,6 +255,61 @@ object TextOps {
       .limit(k)
   }
 
+  /** Blocklist screen — the C4-style badword filter that is the first
+    * gate of every web-corpus pipeline: per doc, the number of DISTINCT
+    * blocklist words present and the keep verdict (≤ `maxDistinctHits`;
+    * 0 = the classic any-hit drop). Entirely row-local and codegen'd —
+    * `array_intersect` of the token array against the blocklist
+    * LITERAL (blocklists are KBs; they ride in the plan, no join, no
+    * shuffle, no interpreted lambda).
+    */
+  def blocklistScreen(df: DataFrame, blocklist: Seq[String],
+      maxDistinctHits: Int = 0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist screens nothing")
+    val hits = coalesce(
+      size(array_intersect(wsTokens(lower(col(textCol))),
+        array(blocklist.map(lit(_)): _*))).cast("long"), lit(0L))
+    df.select(col(idCol), hits.as("n_blocked"),
+      (hits <= maxDistinctHits).as("kept"))
+  }
+
+  /** Characteristic terms per document — tf-idf-style keyword
+    * extraction in EXACT integer form so any engine replays it
+    * bit-for-bit: per (doc, token) term frequency, corpus document
+    * frequency, a df stopword screen (`df ≤ maxDfFrac · N` — idf does
+    * nothing but demote corpus-wide words, so the screen IS the integer
+    * idf), then the per-doc top-k by (tf DESC, df ASC, token ASC) — a
+    * total order, no float scores.
+    *
+    * Scale shape: tf and df are map-side-combined groupBys (token skew
+    * eaten by partial aggregation, the vocabTopK argument); the df join
+    * keys on token; the top-k window partitions BY DOCUMENT (bounded
+    * groups — a doc has bounded distinct tokens), never globally.
+    */
+  def characteristicTerms(df: DataFrame, k: Int = 5,
+      maxDfFrac: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && maxDfFrac > 0)
+    // one planning action (parquet-metadata count) sizes the df screen
+    val n = df.count()
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= math.floor(n * maxDfFrac).toLong)
+    tf.join(dfreq, "tok")
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("tok").asc))
+          .cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "tok", "tf", "df")
+  }
+
   /** Temperature-scaled mixture weights (the multilingual/domain mixing
     * rule: sample group i proportionally to `n_i^alpha`, here α = 1/2 so
     * low-resource groups are upsampled): per group, the document count,

@@ -229,7 +229,11 @@ object StreamOps {
             val (n, sum) = cells.getOrElse(b, (0L, 0L))
             cells += b -> (n + 1, sum + c)
           }
-          // block b is final once rows for it would be dropped as late
+          // block b is final once rows for it would be dropped as late:
+          // Spark drops rows AT-or-below the watermark (ts ≤ wm — the
+          // empirically-pinned rule behind the +1 epoch shift in
+          // dedupStream/intervalJoinStream), so block b (ts b+1) is
+          // droppable exactly when b+1 ≤ wmSec
           val wmSec = state.getCurrentWatermarkMs() / 1000L
           val hi = wmSec - 1L
           val out = (st.lastFlushed + 1) to hi map { b =>
@@ -238,8 +242,12 @@ object StreamOps {
           }
           cells = cells.filter(_._1 > hi)
           state.update(FlushSrcState(math.max(st.lastFlushed, hi), cells))
-          // wake on the next watermark advance (must arm strictly past it)
-          state.setTimeoutTimestamp((wmSec + 1) * 1000L)
+          // wake on the next watermark advance: timeouts fire only when
+          // the watermark moves STRICTLY past the armed timestamp, so
+          // arm 1 ms past it — a full second would miss a final
+          // one-block advance (wm + 1 s == new watermark never fires)
+          // and silently drop the tail cells
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
           out.iterator
       }
       .toDF("block_number", "source", "n_events", "sum_cents")

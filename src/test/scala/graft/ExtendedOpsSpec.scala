@@ -554,6 +554,26 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Set(11L, 13L))
   }
 
+  test("blocklistScreen + characteristicTerms: edge docs behave") {
+    val d = Seq(
+      (1L, "the quick fox and the dog"),
+      (2L, "clean words only here"),
+      (3L, "")).toDF("doc_id", "text")
+    // doc 1 hits both words (distinct count 2); empty doc hits nothing
+    assert(TextOps.blocklistScreen(d, Seq("the", "and"), 0)
+      .as[(Long, Long, Boolean)].collect().toSet ==
+      Set((1L, 2L, false), (2L, 0L, true), (3L, 0L, true)))
+    // characteristic terms: corpus-wide word screened out at df ≤ N/2
+    val corp = Seq((1L, "alpha alpha shared"), (2L, "beta shared"),
+      (3L, "gamma shared")).toDF("doc_id", "text")
+    val terms = TextOps.characteristicTerms(corp, k = 2)
+      .select($"doc_id", $"rank", $"tok").as[(Long, Long, String)]
+      .collect().toSet
+    // "shared" (df 3 > 1.5) is screened; per-doc uniques survive
+    assert(terms == Set((1L, 1L, "alpha"), (2L, 1L, "beta"),
+      (3L, 1L, "gamma")))
+  }
+
   test("decontaminateFraction: gentler than any-gram, full overlap drops") {
     val corpus = docs.filter($"doc_id" % 13 =!= 0)
     val bench = docs.filter($"doc_id" % 13 === 0)

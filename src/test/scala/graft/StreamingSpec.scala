@@ -356,6 +356,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == (headBlock + 1) * sources.length)
   }
 
+  test("streaming flush drains the tail when the final advance is one block") {
+    // regression: with the timeout armed a full second past the
+    // watermark, a final one-block advance (wm+1s == new watermark,
+    // never strictly exceeded) silently dropped the last block's cells
+    val sources = Seq("click", "error", "purchase", "signup", "view")
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = headBlock, confirmations = 0L) // last batch = 1 block
+    val q = StreamOps.flushIncludingStream(stream, sources)
+      .writeStream.format("memory").queryName("j2_flush_tail")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("j2_flush_tail")
+    assert(got.count() == (headBlock + 1) * sources.length,
+      "tail cells missing after the final one-block watermark advance")
+    assert(got.agg(max($"block_number")).head().getLong(0) == headBlock)
+  }
+
   test("suffix reducer + NetflowState: monitor matches batch (A1/A2/B2)") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 50L, confirmations = 0L)
