@@ -370,23 +370,25 @@ object StreamOps {
 
   /** In-memory monitorable state for reducers — the dashboard the flagship
     * example polls from the main thread (stream_multi.rs:118-143).
+    *
+    * Folds in `BigDecimal` like every other netflow path: an inflow and
+    * its cancelling outflow are the SAME binary double negated, so the
+    * decimal fold cancels to exactly 0 — no epsilon, no drift from the
+    * oracled batch monitor.
     */
   final class NetflowState {
-    private val flows = new ConcurrentHashMap[Long, Double]()
+    private val flows = new ConcurrentHashMap[Long, BigDecimal]()
     def add(key: Long, delta: Double): Unit =
-      flows.merge(key, delta, (a, b) => a + b)
-    def snapshot: Map[Long, Double] = {
+      flows.merge(key, BigDecimal(delta), (a, b) => a + b)
+    def snapshot: Map[Long, BigDecimal] = {
       import scala.jdk.CollectionConverters._
       flows.asScala.toMap
     }
-    /** (tracked keys, positive flows, negative flows). The fold runs in
-      * double, so |x| < ε counts as zero (a decimal-exact fold would say
-      * exactly 0 for cancelled flows).
-      */
+    /** (tracked keys, positive flows, negative flows) — exact. */
     def counts: (Long, Long, Long) = {
       val s = snapshot
       (s.size.toLong,
-        s.count(_._2 > 1e-9).toLong, s.count(_._2 < -1e-9).toLong)
+        s.count(_._2 > 0).toLong, s.count(_._2 < 0).toLong)
     }
   }
 }
