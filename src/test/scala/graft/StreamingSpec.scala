@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -26,8 +25,7 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val headBlock: Long =
     batchEvents.agg(max("block_number")).head().getLong(0)
 
-  private def tmp(): String =
-    Files.createTempDirectory("graft-stream").toString
+  private def tmp(): String = TestSpark.tempDir("graft-stream")
 
   test("replay source honors confirmation lag and block_step chunking") {
     val stream = StreamOps.readBlockStream(spark, path,

@@ -14,4 +14,26 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    tempDirs.asScala.foreach { p =>
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** Temp dir removed at JVM exit — specs creating per-test scratch
+    * (streaming checkpoints etc.) must use this, or every `sbt test`
+    * run leaks dozens of dirs into /tmp for the host's lifetime.
+    */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
 }
