@@ -262,6 +262,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-point decode roundtrips arbitrary scaled longs at any N") {
+    // raw int64 two's-complement words at random scales: decode must
+    // equal BigDecimal(raw, N) exactly — signed, zero, extremes
+    val gen = for {
+      raw <- Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.oneOf(0L, 1L, -1L, Long.MaxValue, Long.MinValue))
+      n <- Gen.choose(1, 18)
+    } yield (raw, n)
+    forAll(gen, n = 16) { case (raw, n) =>
+      val schema = graft.model.EventSchema.parse(
+        s"F(ufixed128x$n a, fixed128x$n b)")
+      val wordOf: Long => Array[Byte] = v =>
+        BigInt(v).toByteArray.reverse
+          .padTo(32, (if (v < 0) -1 else 0).toByte).reverse
+      val pos = math.abs(math.max(raw, Long.MinValue + 1))
+      val data = wordOf(pos) ++ wordOf(raw)
+      val raws = Seq((1L, data)).toDF("id", "data")
+        .withColumn("topic0", lit(schema.topic0))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+        .withColumn("block_number", lit(1L))
+        .withColumn("log_index", lit(0L))
+      val row = graft.operators.EventDecoder.decode(raws, schema)
+        .select($"a", $"b")
+        .as[(Option[BigDecimal], Option[BigDecimal])].collect().head
+      assert(row._1.get == BigDecimal(BigInt(pos), n),
+        s"ufixed raw=$pos n=$n")
+      assert(row._2.get == BigDecimal(BigInt(raw), n),
+        s"fixed raw=$raw n=$n")
+    }
+  }
+
   test("simhash: hamming distance grows with symmetric difference") {
     val base = (0 until 30).map(i => s"w$i")
     val df = Seq(
