@@ -603,6 +603,9 @@ object SparkEntry {
     // block. At drain the watermark sits past the last block (a late
     // row for it would be dropped), so every block ≤ max is closed and
     // the oracle is the batch block-align spine over the full range.
+    // "transfer" is a registered source with ZERO events anywhere —
+    // its all-zero cells come from the initial-state seeding (the
+    // reference's add_source registration), not from data.
     "j2_flush_stream" -> ((s, dir) => {
       // ~2-3 catch-up batches (the q_stream_interval_join rationale):
       // the watermark advances mid-stream — the flush-at-frontier
@@ -612,7 +615,27 @@ object SparkEntry {
         blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
         confirmations = 0L)
       runStreamingGate(s, "j2_flush_gate",
-        graft.streaming.StreamOps.flushIncludingStream(stream, EventSources))
+        graft.streaming.StreamOps.flushIncludingStream(stream,
+          EventSources :+ "transfer"))
+    }),
+
+    // J1 through the STREAMING engine — the reference's defining
+    // topology (stream_multi.rs:105-114): TWO independent DSv2 block
+    // streams at DIFFERENT rates (blockStep 1× vs 3×), one source per
+    // leg, synced by the MIN frontier (sink.rs:187-197) into the
+    // stateful flush. Cells emit exactly once as the min watermark
+    // passes each block — never past the slower leg's frontier
+    // (StreamingSpec pins that mid-stream) — and at drain the dense
+    // spine ends at min(max block per source): the synced range, which
+    // is exactly what the oracle states.
+    "j1_frontier_stream" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val step = fifthOfHead(s, path)
+      def leg(mult: Long) = graft.streaming.StreamOps.readBlockStream(
+        s, path, blockStep = step * mult, confirmations = 0L)
+      runStreamingGate(s, "j1_sync_gate",
+        graft.streaming.StreamOps.flushIncludingSyncedStream(
+          Seq("purchase" -> leg(1L), "click" -> leg(3L))))
     }),
 
     // A1 — the ordered/suffix reducer driver surface (the reference's
@@ -642,6 +665,41 @@ object SparkEntry {
       import s.implicits._
       import scala.jdk.CollectionConverters._
       matches.asScala.toSeq.toDF("block_number", "n_matches")
+    }),
+
+    // A1 as a typed distributed Aggregator (SURVEY §2.5): the netflow
+    // fold through the registered UDAF — reduce map-side, merge across
+    // the shuffle, decimal buffer — against the same a3 oracle. The
+    // signed-delta projection is identical to EventLog.netflow; only
+    // the fold operator differs (Aggregator vs built-in sum).
+    "a1_aggregator_netflow" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(-dec(col("value"))).cast("decimal(38,18)").as("delta"))
+        .groupBy(col("user_id"))
+        .agg(graft.functions.Aggregators.decimalSumOf(col("delta"))
+          .cast("double").as("netflow"))),
+
+    // The same Aggregator under the STREAMING engine (complete mode —
+    // the UDAF's partial/merge contract is what lets state accumulate
+    // across micro-batches), replayed through the DSv2 block source.
+    "a1_aggregator_stream" -> ((s, dir) => {
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
+        confirmations = 0L)
+      runStreamingGate(s, "a1_udaf_gate",
+        stream
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", dec(col("value")))
+              .otherwise(-dec(col("value"))).cast("decimal(38,18)").as("delta"))
+          .groupBy(col("user_id"))
+          .agg(graft.functions.Aggregators.decimalSumOf(col("delta"))
+            .cast("double").as("netflow")),
+        outputMode = org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
     // J4 — ordered k-way merge restoring intra-block total order
@@ -2036,7 +2094,25 @@ object SparkEntry {
          spine AS (
            SELECT b.block_number, s.source
            FROM (SELECT unnest(generate_series(0, (SELECT mb FROM mx))) AS block_number) b
-           CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) s(source)),
+           CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'), ('transfer')) s(source)),
+         g AS (
+           SELECT block_number, event_type AS source, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           FROM e GROUP BY 1, 2)
+         SELECT spine.block_number, spine.source,
+           coalesce(g.n_events, 0) AS n_events,
+           CAST(coalesce(g.sum_value, 0) AS DOUBLE) AS sum_value
+         FROM spine LEFT JOIN g ON spine.block_number = g.block_number AND spine.source = g.source""",
+
+    "j1_frontier_stream" ->
+      s"""WITH e AS ($EvKeys),
+         f AS (SELECT min(hw) AS frontier FROM (
+           SELECT max(block_number) AS hw FROM e
+           WHERE event_type IN ('purchase', 'click') GROUP BY event_type)),
+         spine AS (
+           SELECT b.block_number, s.source
+           FROM (SELECT unnest(generate_series(0, (SELECT frontier FROM f))) AS block_number) b
+           CROSS JOIN (VALUES ('purchase'), ('click')) s(source)),
          g AS (
            SELECT block_number, event_type AS source, count(*) AS n_events,
              sum(CAST(value AS DECIMAL(18,2))) AS sum_value
@@ -2054,6 +2130,18 @@ object SparkEntry {
          SELECT block_number, count(*) AS n_matches
          FROM seq WHERE event_type = 'view' AND next_type = 'click'
          GROUP BY block_number""",
+
+    "a1_aggregator_netflow" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS netflow
+         FROM events WHERE event_type IN ('purchase', 'click') GROUP BY user_id""",
+
+    "a1_aggregator_stream" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS netflow
+         FROM events WHERE event_type IN ('purchase', 'click') GROUP BY user_id""",
 
     "j4_ordered_merge" ->
       s"""SELECT block_number,

@@ -25,6 +25,19 @@ object AbiRuntime {
     if (d.changePrecision(38, 0)) d else null
   }
 
+  /** Scaled variant (`ufixedMxN` decode): the raw word is the UNSCALED
+    * value, so `Decimal(raw, scale)` covers the full Decimal(38,scale)
+    * range — the null threshold is 38 significant digits of the raw
+    * word, identical to the scale-0 policy (not 38−N, which a
+    * divide-after-cast decode would impose).
+    */
+  def u256ToDecimal(bytes: Array[Byte], scale: Int): Decimal = {
+    if (scale == 0) return u256ToDecimal(bytes)
+    val bi = new java.math.BigInteger(1, bytes)
+    val d = Decimal(scala.math.BigDecimal(new java.math.BigDecimal(bi, scale)))
+    if (d.changePrecision(38, scale)) d else null
+  }
+
   /** Signed (two's-complement) int256 word → Decimal(38,0), null on overflow
     * (and on an empty slice — a truncated word must not throw).
     */
@@ -33,6 +46,15 @@ object AbiRuntime {
     val bi = new java.math.BigInteger(bytes)
     val d = Decimal(scala.math.BigDecimal(bi))
     if (d.changePrecision(38, 0)) d else null
+  }
+
+  /** Scaled variant (`fixedMxN` decode) — see [[u256ToDecimal]]. */
+  def i256ToDecimal(bytes: Array[Byte], scale: Int): Decimal = {
+    if (scale == 0) return i256ToDecimal(bytes)
+    if (bytes.length == 0) return null
+    val bi = new java.math.BigInteger(bytes)
+    val d = Decimal(scala.math.BigDecimal(new java.math.BigDecimal(bi, scale)))
+    if (d.changePrecision(38, scale)) d else null
   }
 
   def keccak256(bytes: Array[Byte]): Array[Byte] = Keccak256.hash(bytes)
@@ -402,17 +424,22 @@ object AbiRuntime {
   }
 }
 
-/** ABI u256 word → Decimal(38,0) as a native Catalyst expression
+/** ABI u256 word → Decimal(38, scale) as a native Catalyst expression
   * (decode path of the reference's generated `cast_u256`,
-  * eth_event_macro/src/lib.rs:97-107).
+  * eth_event_macro/src/lib.rs:97-107). `scale` > 0 is the `ufixedMxN`
+  * decode: the raw word IS the unscaled value (value = raw · 10⁻ⁿ), so
+  * building `Decimal(raw, n)` directly covers the FULL Decimal(38,n)
+  * value range — null only when the raw word exceeds 38 significant
+  * digits, the same wide-int overflow policy as scale 0.
   */
-case class U256ToDecimal(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = DecimalType(38, 0)
+case class U256ToDecimal(child: Expression, scale: Int = 0)
+    extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, scale)
   override def nullable: Boolean = true
   override def prettyName: String = "u256_to_decimal"
 
   override protected def nullSafeEval(input: Any): Any =
-    AbiRuntime.u256ToDecimal(input.asInstanceOf[Array[Byte]])
+    AbiRuntime.u256ToDecimal(input.asInstanceOf[Array[Byte]], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -421,7 +448,7 @@ case class U256ToDecimal(child: Expression) extends UnaryExpression {
       boolean ${ev.isNull} = true;
       org.apache.spark.sql.types.Decimal ${ev.value} = null;
       if (!${c.isNull}) {
-        ${ev.value} = graft.functions.AbiRuntime.u256ToDecimal(${c.value});
+        ${ev.value} = graft.functions.AbiRuntime.u256ToDecimal(${c.value}, $scale);
         ${ev.isNull} = ${ev.value} == null;
       }""")
   }
@@ -430,14 +457,15 @@ case class U256ToDecimal(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Signed twin of [[U256ToDecimal]]. */
-case class I256ToDecimal(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = DecimalType(38, 0)
+/** Signed twin of [[U256ToDecimal]] (`scale` > 0 = `fixedMxN`). */
+case class I256ToDecimal(child: Expression, scale: Int = 0)
+    extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, scale)
   override def nullable: Boolean = true
   override def prettyName: String = "i256_to_decimal"
 
   override protected def nullSafeEval(input: Any): Any =
-    AbiRuntime.i256ToDecimal(input.asInstanceOf[Array[Byte]])
+    AbiRuntime.i256ToDecimal(input.asInstanceOf[Array[Byte]], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -446,7 +474,7 @@ case class I256ToDecimal(child: Expression) extends UnaryExpression {
       boolean ${ev.isNull} = true;
       org.apache.spark.sql.types.Decimal ${ev.value} = null;
       if (!${c.isNull}) {
-        ${ev.value} = graft.functions.AbiRuntime.i256ToDecimal(${c.value});
+        ${ev.value} = graft.functions.AbiRuntime.i256ToDecimal(${c.value}, $scale);
         ${ev.isNull} = ${ev.value} == null;
       }""")
   }
@@ -792,6 +820,11 @@ object abi {
 
   def u256(c: Column): Column = wrap(U256ToDecimal(ex(c)))
   def i256(c: Column): Column = wrap(I256ToDecimal(ex(c)))
+  /** `ufixedMxN`/`fixedMxN` decode: Decimal(38, n) built directly from
+    * the raw word (full-range, see [[AbiRuntime.u256ToDecimal]]).
+    */
+  def u256Scaled(c: Column, n: Int): Column = wrap(U256ToDecimal(ex(c), n))
+  def i256Scaled(c: Column, n: Int): Column = wrap(I256ToDecimal(ex(c), n))
   def keccak256(c: Column): Column = wrap(Keccak256Hash(ex(c)))
 
   /** ABI bool word → any-nonzero-byte (same test as the `bool[]` kernel). */

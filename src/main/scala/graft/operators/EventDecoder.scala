@@ -47,19 +47,17 @@ object EventDecoder {
         t.drop(5).nonEmpty && t.length <= 7 &&
         t.drop(5).toInt >= 1 && t.drop(5).toInt <= 32 =>
       substring(w, 1, t.drop(5).toInt)
-    // fixedMxN / ufixedMxN: raw intM scaled by 10^-N. Two-step
-    // exactness: cap the claimed precision to the representable integer
-    // digits FIRST (unrepresentable magnitudes null out — the wide-int
-    // overflow policy), so the divide keeps scale N instead of
-    // collapsing to the 6-digit minimum Spark's decimal precision-loss
-    // rule forces when the dividend claims 38 integer digits.
+    // fixedMxN / ufixedMxN: raw intM scaled by 10^-N, decoded in ONE
+    // step — the kernel builds Decimal(raw, N) directly, so the whole
+    // Decimal(38,N) value range is covered and the null threshold is 38
+    // significant digits OF THE RAW WORD (same wide-int overflow policy
+    // as uintN/intN). A divide-after-cast decode would cap the raw word
+    // at 38−N digits, nulling values like ufixed128x6 1e27 that
+    // Decimal(38,6) represents fine.
     case t if t.startsWith("ufixed") || t.startsWith("fixed") =>
       // lastIndexOf: the type name itself contains an 'x' (fi_x_ed)
       val n = t.substring(t.lastIndexOf('x') + 1).toInt
-      val raw = if (t.startsWith("ufixed")) abi.u256(w) else abi.i256(w)
-      (raw.cast(org.apache.spark.sql.types.DecimalType(38 - n, 0))
-        / lit(BigDecimal(10).pow(n)))
-        .cast(org.apache.spark.sql.types.DecimalType(38, n))
+      if (t.startsWith("ufixed")) abi.u256Scaled(w, n) else abi.i256Scaled(w, n)
     case t if t.startsWith("uint") => abi.u256(w)
     case t if t.startsWith("int")  => abi.i256(w)
     case other => throw new IllegalArgumentException(

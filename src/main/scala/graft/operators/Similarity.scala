@@ -39,24 +39,31 @@ object Similarity {
   /** Guard-verdict cache keyed on the CANONICALIZED plan + bound: the
     * verify/bench harnesses evaluate each registered query twice per
     * session, and the bounded count is job-overhead-priced — a repeat of
-    * the same input re-uses the first verdict. Only passing verdicts are
-    * cached (a failure throws). Weak-value-free and tiny: one Boolean
-    * per distinct guarded plan per session.
+    * the same input re-uses the first verdict. The key holds the plan
+    * ITSELF (structural equality), not its 32-bit hashCode — a hash
+    * collision must not silently skip the O(n²) guard — plus the
+    * optimizer size estimate, so the same path re-read after the backing
+    * files grew re-verifies instead of reusing a stale pass. Only
+    * passing verdicts are cached (a failure throws). Bounded: cleared
+    * past 128 entries (each key pins a plan tree).
     */
   private val bruteGuardCache =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, BigInt, Long)]()
 
   private def requireBruteScale(df: DataFrame, maxRows: Long,
       what: String, alternative: String): Unit = {
     // stats fast path: the optimizer's size estimate for a parquet-backed
-    // relation is the file byte count — if even a 16 B/row floor (an
-    // id + embedding row never compresses below that outside of
-    // degenerate constant corpora) cannot fit maxRows rows, the input is
-    // certified without running a job. Anything bigger pays one
-    // LIMIT-bounded count, whose verdict is cached per canonical plan.
+    // relation is the file byte count — if even a 16 B/row floor cannot
+    // fit maxRows rows, the input is certified without running a job.
+    // CAVEAT on the constant: an id + embedding row never compresses
+    // below 16 B outside degenerate near-constant corpora, but such a
+    // corpus COULD slip under the floor — the floor is a heuristic
+    // certificate for real payloads; anything bigger pays the
+    // LIMIT-bounded count below, which stays the authoritative guard.
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est >= 0 && est <= BigInt(maxRows) * 16) return
-    val key = (df.queryExecution.logical.canonicalized.hashCode(), maxRows)
+    val key = (df.queryExecution.logical.canonicalized, est, maxRows)
     if (bruteGuardCache.contains(key)) return
     // LIMIT-bounded count: per-partition LocalLimit stops the scan after
     // maxRows+1 rows, so the guard itself stays cheap even when pointed
@@ -70,6 +77,7 @@ object Similarity {
         s"(input exceeds it): it exists to verify the recall gates at " +
         s"fixture scale — use $alternative on a corpus, or raise maxRows " +
         "if the input really is bounded")
+    if (bruteGuardCache.size > 128) bruteGuardCache.clear()
     bruteGuardCache.add(key)
   }
 

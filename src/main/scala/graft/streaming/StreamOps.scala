@@ -185,41 +185,101 @@ object StreamOps {
     * emitted exactly once when the watermark (the J1 frontier on the
     * 1-block-=-1-second axis) passes the block.
     *
-    * Shape: `flatMapGroupsWithState` keyed by source with event-time
-    * timeout. Rows buffer into per-block cells; every wake (data or
-    * timeout) flushes the contiguous run of closed blocks — block `b` is
-    * closed once `b+1 ≤ watermark`, i.e. when a late row for it would be
-    * dropped — from `lastFlushed+1` upward, empty blocks synthesized as
-    * zero cells, and re-arms the timeout just past the current watermark
-    * so the trailing no-data micro-batch drains the tail. State is
-    * O(open blocks × sources), watermark-bounded like the evicting
-    * window; each emitted cell leaves the state map immediately.
-    *
-    * A source with NO events in the stream never forms a group (keyed
-    * state only exists where keys appeared), so callers wanting its zero
-    * cells must seed at least one event per registered source — the
-    * batch [[graft.operators.EventLog.flushIncluding]] covers the fully
-    * static spine.
+    * The watermark is assigned BEFORE the registered-source filter, so
+    * the frontier advances with the whole chain: trailing blocks that
+    * carry only unregistered event types still close their cells, and
+    * the dense spine agrees with the batch `blockAlign` oracle built
+    * over all events. Registered sources are SEEDED into the stateful
+    * operator's initial state (`FlushSrcState(fromBlock−1, ∅)` per
+    * source — the reference's `add_source` registration,
+    * sink.rs:175-179), so a source with zero events in the stream still
+    * forms a group, arms its timeout on the first batch, and emits its
+    * zero cells as the frontier passes — no caller-side seeding.
     */
   def flushIncludingStream(stream: DataFrame, sources: Seq[String],
       fromBlock: Long = 0L, lateBlocks: Long = 0L): DataFrame = {
-    val spark = stream.sparkSession
-    import spark.implicits._
-    val src = stream
-      .filter(col("event_type").isin(sources: _*))
+    val withWm = stream
       // +1 like dedupStream: block 0 must not sit AT the epoch
       .withColumn("block_ts", timestamp_seconds(col("block_number") + 1))
       .withWatermark("block_ts", s"$lateBlocks seconds")
+      .filter(col("event_type").isin(sources: _*))
+    flushCells(withWm, sources, fromBlock)
+  }
+
+  /** J1 × J2 — the reference's defining topology: N INDEPENDENT source
+    * streams synced by the MIN frontier (`stream_multi.rs:105-114`;
+    * sink.rs:187-197). Each leg is one registered source with its OWN
+    * watermark — its frontier is its own high-water mark, advancing at
+    * its own rate — and Spark's multi-watermark policy (min, the
+    * default) makes the stateful flush see exactly the reference's
+    * `min(source_vals)` frontier: no cell is emitted past the SLOWEST
+    * source's frontier, and at drain the dense spine ends at
+    * `min(max block per leg)` — the synced range.
+    */
+  def flushIncludingSyncedStream(legs: Seq[(String, DataFrame)],
+      fromBlock: Long = 0L, lateBlocks: Long = 0L): DataFrame = {
+    require(legs.nonEmpty, "at least one source leg")
+    val unioned = legs.map { case (source, df) =>
+      df.filter(col("event_type") === source)
+        .withColumn("block_ts", timestamp_seconds(col("block_number") + 1))
+        .withWatermark("block_ts", s"$lateBlocks seconds")
+    }.reduce(_ unionByName _)
+    flushCells(unioned, legs.map(_._1), fromBlock)
+  }
+
+  /** Shared stateful core of the J2 flush variants. `withWm` must carry
+    * `event_type`, `block_number`, `value`, and a watermarked `block_ts`
+    * on the block+1 axis.
+    *
+    * Shape: `flatMapGroupsWithState` keyed by source with event-time
+    * timeout, initial state seeding every registered source. Rows buffer
+    * into per-block cells; every wake (data or timeout) flushes the
+    * contiguous run of closed blocks — block `b` is closed once
+    * `b+1 ≤ watermark`, i.e. when a late row for it would be dropped —
+    * from `lastFlushed+1` upward, empty blocks synthesized as zero
+    * cells, and re-arms the timeout just past the current watermark so
+    * the trailing no-data micro-batch drains the tail. State is O(open
+    * blocks × sources), watermark-bounded like the evicting window; each
+    * emitted cell leaves the state map immediately.
+    *
+    * Exactness: values fold as integer CENTS under an ASSERTED 2-dp
+    * contract — a value with more than 2 decimal places fails the query
+    * loudly (`assert_true`) instead of silently rounding into the
+    * decimal(18,2) cast. The per-cell Long sum is exact to 2^63; the
+    * final `/ 100.0` double is correctly rounded while |sum_cents| ≤
+    * 2^53 (≈ 9e13 cents PER CELL — a per-block-per-source sum never
+    * near it; callers folding coarser cells should widen to a decimal
+    * state like [[statefulNetflow]]).
+    */
+  private def flushCells(withWm: DataFrame, sources: Seq[String],
+      fromBlock: Long): DataFrame = {
+    val spark = withWm.sparkSession
+    import spark.implicits._
+    val v2 = col("value").cast("decimal(18,2)")
+    val cents = (v2 * 100).cast("long") +
+      // null (assert passed) coalesces to +0; >2 dp throws mid-batch
+      coalesce(
+        assert_true(
+          col("value").cast("decimal(18,6)") === v2.cast("decimal(18,6)"),
+          concat(lit("flushIncludingStream: value "),
+            col("value").cast("string"),
+            lit(" has more than 2 decimal places — the exact-cents fold " +
+              "is a 2-dp contract; fold decimal (statefulNetflow) for " +
+              "finer scales"))).cast("long"),
+        lit(0L))
+    val src = withWm
       // the watermark column must reach the stateful operator — the
       // event-time-timeout checker rejects a plan whose watermark
       // attribute was projected away before flatMapGroupsWithState
       .select(col("event_type").as("source"), col("block_number"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
-        col("block_ts"))
+        cents.as("cents"), col("block_ts"))
       .as[(String, Long, Long, java.sql.Timestamp)]
+    val initial = sources.distinct
+      .map(s => s -> FlushSrcState(fromBlock - 1, Map.empty[Long, (Long, Long)]))
+      .toDS().groupByKey(_._1).mapValues(_._2)
     src.groupByKey(_._1)
       .flatMapGroupsWithState[FlushSrcState, (Long, String, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(), initial) {
         (source: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
             state: GroupState[FlushSrcState]) =>
           val st = state.getOption

@@ -65,19 +65,31 @@ class AbiDecodeSpec extends AnyFunSuite {
     assert(out._1.get == BigDecimal("123.456789"))
     assert(out._2.get == BigDecimal("-123.456789"))
     assert(out._3.get == BigDecimal(5))
-    // overflow: 10^21 at scale 6 needs 15 int digits — fits; 10^33 at
-    // scale 6 exceeds the 32 int digits Decimal(38,6) can hold → null
-    val big = Seq((1L,
+    // the null threshold is 38 significant digits of the RAW word (the
+    // full Decimal(38,6) value range): value 10^33 (raw 10^39, 40
+    // digits) overflows → null, but value 10^27 (raw 10^33) fits
+    // Decimal(38,6) and must decode — the divide-after-cast decode
+    // used to null it at the 38−N raw-digit cap
+    def decodePrice(dataBlob: Array[Byte]): Option[BigDecimal] = {
+      val df = Seq((1L, dataBlob)).toDF("id", "data")
+        .withColumn("topic0", lit(schema.topic0))
+        .withColumn("topic1", lit(null).cast("binary"))
+        .withColumn("topic2", lit(null).cast("binary"))
+        .withColumn("topic3", lit(null).cast("binary"))
+        .withColumn("block_number", lit(1L)).withColumn("log_index", lit(0L))
+      EventDecoder.decode(df, schema)
+        .select($"price").as[Option[BigDecimal]].collect().head
+    }
+    val over = decodePrice(
       w((BigInt(10).pow(33) * BigInt(10).pow(6)).toString(16)) ++
-        w("0") ++ w("0"))).toDF("id", "data")
-      .withColumn("topic0", lit(schema.topic0))
-      .withColumn("topic1", lit(null).cast("binary"))
-      .withColumn("topic2", lit(null).cast("binary"))
-      .withColumn("topic3", lit(null).cast("binary"))
-      .withColumn("block_number", lit(1L)).withColumn("log_index", lit(0L))
-    val over = EventDecoder.decode(big, schema)
-      .select($"price").as[Option[BigDecimal]].collect().head
+        w("0") ++ w("0"))
     assert(over.isEmpty, "out-of-range fixed magnitude must null, not wrap")
+    val wide = decodePrice(
+      w((BigInt(10).pow(27) * BigInt(10).pow(6)).toString(16)) ++
+        w("0") ++ w("0"))
+    assert(wide.contains(BigDecimal(BigInt(10).pow(27))),
+      "a value inside Decimal(38,6) must decode even when the raw word " +
+        "exceeds 38−N digits")
   }
 
   test("keccak256 expression matches the pure-Scala digest") {

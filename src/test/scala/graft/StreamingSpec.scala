@@ -470,4 +470,106 @@ class StreamingSpec extends AnyFunSuite {
       .agg(sum("n_matches")).head().getLong(0)
     assert(matches == batchMatches)
   }
+
+  test("synced flush never emits past the slower source's frontier (J1 stream)") {
+    // two INDEPENDENT replay streams at different rates: the purchase leg
+    // crawls (~8 batches), the click leg drains in one — emission must
+    // follow the MIN frontier, i.e. the slow leg (sink.rs:187-197)
+    val slowStep = math.max(1L, headBlock / 8)
+    val slow = StreamOps.readBlockStream(spark, path,
+      blockStep = slowStep, confirmations = 0L)
+    val fast = StreamOps.readBlockStream(spark, path,
+      blockStep = headBlock + 1, confirmations = 0L)
+    val out = StreamOps.flushIncludingSyncedStream(
+      Seq("purchase" -> slow, "click" -> fast))
+    // per-batch max emitted block (None for empty batches)
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val m = df.agg(max("block_number")).head()
+        if (!m.isNullAt(0)) perBatch.put(id, m.getLong(0))
+        ()
+      }
+      .start()
+    val progress =
+      try { q.processAllAvailable(); q.recentProgress.toSeq }
+      finally q.stop()
+    import scala.jdk.CollectionConverters._
+    // the min frontier AFTER batch i = min over sources of the committed
+    // endOffset (a BlockOffset is its block number); batch i's emission
+    // is governed by the watermark from batches < i, so it must stay at
+    // or below the PREVIOUS batch's min frontier — mid-stream, that is
+    // the slow leg's offset
+    val minEndByBatch = progress.map { p =>
+      p.batchId -> p.sources.map(_.endOffset.trim.toLong).min
+    }.toMap
+    val checked = perBatch.asScala.toSeq.sortBy(_._1).flatMap {
+      case (batchId, maxBlk) =>
+        minEndByBatch.get(batchId - 1).map { frontier =>
+          assert(maxBlk <= frontier,
+            s"batch $batchId emitted block $maxBlk past the slower " +
+              s"source's frontier $frontier")
+          batchId
+        }
+    }
+    assert(checked.size >= 2, "need ≥2 emitting batches to pin the bound")
+    // emission genuinely happened MID-stream (before the final batch),
+    // and the drained spine ends exactly at the synced min frontier
+    val emitted = perBatch.asScala.toSeq.sortBy(_._1)
+    assert(emitted.init.nonEmpty && emitted.init.exists(_._2 >= 0))
+    val batchFrontier = batchEvents
+      .filter($"event_type".isin("purchase", "click"))
+      .groupBy($"event_type").agg(max($"block_number").as("hw"))
+      .agg(min($"hw")).head().getLong(0)
+    assert(emitted.map(_._2).max == batchFrontier)
+  }
+
+  test("registered source with zero events emits its zero cells (seeded J2)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+      blockStep = 10L, confirmations = 0L, toBlock = Some(30L))
+    val out = StreamOps.flushIncludingStream(stream,
+      Seq("purchase", "ghost"))
+    val q = out.writeStream.format("memory").queryName("seeded_flush")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("seeded_flush")
+    // "ghost" never appears in the data: its dense zero cells come from
+    // the initial-state registration alone
+    val ghost = got.filter($"source" === "ghost")
+      .select($"block_number", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(ghost.map(_._1).toSeq == (0L to 30L),
+      "ghost spine must densely cover the closed range")
+    assert(ghost.forall(c => c._2 == 0L && c._3 == 0.0))
+    // and the real source still matches the batch alignment
+    val purchase = got.filter($"source" === "purchase")
+      .select($"block_number", $"n_events").as[(Long, Long)].collect().toMap
+    val expected = EventLog
+      .blockAlign(batchEvents.filter($"block_number" <= 30L),
+        Seq("purchase"), 0L, 30L)
+      .select($"block_number", $"n_events").as[(Long, Long)].collect().toMap
+    assert(purchase == expected)
+  }
+
+  test("flush cents fold rejects >2-dp values loudly (2-dp contract)") {
+    val stream = StreamOps.readBlockStream(spark, path,
+        blockStep = 50L, confirmations = 0L, toBlock = Some(10L))
+      .withColumn("value", col("value") + lit(0.001))
+    val out = StreamOps.flushIncludingStream(stream, Seq("purchase"))
+    val q = out.writeStream.format("memory").queryName("flush_3dp")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("2 decimal places")),
+      s"expected the 2-dp contract failure, got: ${messages(e)}")
+  }
 }
