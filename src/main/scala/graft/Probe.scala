@@ -52,6 +52,10 @@ object Probe {
       Similarity.bruteForceTopK(emb, q, 10),
       Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6),
       Seq("query_id", "vec_id")))
+    println("topk_ivfpq: " + recall(
+      Similarity.bruteForceTopK(emb, q, 10),
+      Similarity.ivfPQTopK(emb, q, 10, nlist = 16, nprobe = 6, rerank = 4),
+      Seq("query_id", "vec_id")))
     println("neardup_lsh: " + recall(
       Similarity.bruteForceNearDupPairs(emb, 0.45),
       Similarity.cosineNearDupPairs(emb, 0.45, planes = 5, tables = 12),

@@ -77,9 +77,11 @@ object SparkEntry {
     // both sides feed two joins (recall + subset/anti) — persist so the
     // exact O(n²) baseline and the approximate pipeline (LSH banding /
     // IVF k-means) run once, not per consuming join; Verify/Bench clear
-    // all caches after each query (operator persist contract)
-    val e = exact.select(keys.map(col): _*).persist()
-    val a = approx.select(keys.map(col): _*).dropDuplicates(keys).persist()
+    // all caches after each query, and CacheScope releases them for
+    // scoped callers (operator persist contract)
+    val e = graft.CacheScope.persist(exact.select(keys.map(col): _*))
+    val a = graft.CacheScope.persist(
+      approx.select(keys.map(col): _*).dropDuplicates(keys))
     val base = e.join(a.withColumn("hit", lit(1)), keys, "left").agg(
       count(lit(1)).as("n_exact"),
       // 0 exact pairs ⇒ 0/0 ⇒ null — a vacuously perfect approximate
@@ -228,16 +230,16 @@ object SparkEntry {
             "{\"doc_id\":}").toDF("value"))
           .coalesce(4).write.mode("overwrite").text(s"$tmp/docs")
       }
-      val read = s.read
+      // Spark requires materialization to query _corrupt_record; the
+      // cache lives until the per-query clearCache in Verify/Bench, or
+      // the ambient CacheScope (operator persist contract)
+      val read = graft.CacheScope.persist(s.read
         .schema(docs.schema.add("_corrupt_record",
           org.apache.spark.sql.types.StringType))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(s"$scratch/docs")
-        // Spark requires materialization to query _corrupt_record; the
-        // cache lives until the per-query clearCache in Verify/Bench
-        // (operator persist contract)
-        .cache()
+        .json(s"$scratch/docs"),
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       read.groupBy(
           when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
             .otherwise(col("lang")).as("lang"))
@@ -1038,6 +1040,14 @@ object SparkEntry {
     "a2_regex_pattern" -> ((s, dir) =>
       EventLog.regexPattern(events(s, dir), "v+c")),
 
+    // A2 regex CEP ACROSS block boundaries: the same v+c pattern over
+    // sliding 4-block windows every 2 blocks — a view run ending one
+    // block before its click now matches (the per-block matcher can't
+    // see it). Window order key = (block, log_index, event_id).
+    "a2_regex_window" -> ((s, dir) =>
+      EventLog.regexPatternWindow(events(s, dir), "v+c",
+        from = 0L, size = 4L, slide = 2L)),
+
     // A3 — flagship netflow reducer
     "a3_netflow" -> ((s, dir) =>
       EventLog.netflow(events(s, dir), "purchase", "click")
@@ -1615,6 +1625,22 @@ object SparkEntry {
         keys = Seq("query_id", "vec_id"), floor = 0.6)
     }),
 
+    // The IVF-PQ tier: int8 residual codes inside the lists — the
+    // candidate join moves bytes, not float arrays — with exact-cosine
+    // rerank of the top rerank·k approximate survivors. Same recall
+    // gate and floor as sim_topk_ivf (nprobe 6/16): the PQ cut only
+    // changes WHICH candidates reach the exact rerank.
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      recallGate(
+        exact = Similarity.bruteForceTopK(emb, q, k = 10),
+        approx = Similarity.ivfPQTopK(emb, q, k = 10, nlist = 16, nprobe = 6,
+          rerank = 4,
+          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet"))),
+        keys = Seq("query_id", "vec_id"), floor = 0.6)
+    }),
+
     "sim_neardup_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       recallGate(
@@ -1916,6 +1942,7 @@ object SparkEntry {
     "dedup_simhash" -> ngramGateSql(0.95),
     "sim_topk_lsh" -> TopKGateSql,
     "sim_topk_ivf" -> TopKGateSql,
+    "sim_topk_ivfpq" -> TopKGateSql,
     "sim_neardup_lsh" -> NearDupGateSql,
     "sim_neardup_ivf" -> NearDupGateSql,
     // exact semantic dedup drops = docs with ANY smaller-id neighbor ≥ τ
@@ -2363,6 +2390,23 @@ object SparkEntry {
              string_agg(substr(event_type, 1, 1), '' ORDER BY log_index, event_id) AS s
            FROM ($EvKeys) GROUP BY block_number)
          SELECT block_number,
+           CAST(len(regexp_extract_all(s, 'v+c')) AS BIGINT) AS n_matches
+         FROM seq WHERE len(regexp_extract_all(s, 'v+c')) > 0""",
+
+    "a2_regex_window" ->
+      s"""WITH ev AS (
+           SELECT *, (block_number - 0) // 2 AS q, (block_number - 0) % 2 AS r
+           FROM ($EvKeys) WHERE block_number >= 0),
+         w AS (
+           SELECT ev.*, q - j AS window_id
+           FROM ev, unnest(generate_series(0, least(q, (4 - 1 - r) // 2))) AS t(j)
+           WHERE r <= 4 - 1),
+         seq AS (
+           SELECT window_id,
+             string_agg(substr(event_type, 1, 1), ''
+               ORDER BY block_number, log_index, event_id) AS s
+           FROM w GROUP BY window_id)
+         SELECT window_id,
            CAST(len(regexp_extract_all(s, 'v+c')) AS BIGINT) AS n_matches
          FROM seq WHERE len(regexp_extract_all(s, 'v+c')) > 0""",
 

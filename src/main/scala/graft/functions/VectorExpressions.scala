@@ -287,6 +287,57 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(maxErr, scale))
   }
 
+  /** Residual int8 quantization (the PQ encode step): against centroid
+    * `c`, `scale = max|v−c| / levels` and `codes[i] = rint((v_i−c_i)/
+    * scale)` — per-vector scale, symmetric, so reconstruction error per
+    * element is ≤ scale/2 by construction (the [[quantStats]] bound on
+    * the residual). Returns `(codes: byte[], scale)`; the codes array is
+    * `dim` BYTES — the compact index payload that replaces the float
+    * vector in candidate joins.
+    */
+  def quantResidual(v: ArrayData, vFloat: Boolean, c: ArrayData,
+      levels: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    if (n != c.numElements()) throw new IllegalArgumentException(
+      s"quant_residual: dimension mismatch $n vs ${c.numElements()}")
+    def elem(i: Int): Double = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val r = math.abs(elem(i) - c.getDouble(i))
+      if (r > maxAbs) maxAbs = r
+      i += 1
+    }
+    // zero residual (vector == centroid): any positive scale is exact
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / levels
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      codes(i) = math.rint((elem(i) - c.getDouble(i)) / scale).toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](codes, scale))
+  }
+
+  /** Dot of a float/double query vector with int8 residual codes (the PQ
+    * approximate-distance inner loop): `Σ q_i · codes_i` — the caller
+    * multiplies by the stored scale. Bytes are signed, matching encode.
+    */
+  def dotCodes(q: ArrayData, qFloat: Boolean, codes: Array[Byte]): Double = {
+    val n = codes.length
+    if (q.numElements() != n) throw new IllegalArgumentException(
+      s"dot_codes: dimension mismatch ${q.numElements()} vs $n")
+    var acc = 0.0
+    var i = 0
+    if (qFloat) {
+      while (i < n) { acc += q.getFloat(i).toDouble * codes(i); i += 1 }
+    } else {
+      while (i < n) { acc += q.getDouble(i) * codes(i); i += 1 }
+    }
+    acc
+  }
+
   /** Count of equal slots between two signatures (Jaccard estimator). */
   def sigAgreement(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -378,6 +429,63 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `quant_residual(array<float|double>, array<double>, levels) →
+  * struct<codes: binary, scale: double>` — PQ residual encode against a
+  * per-row centroid (see [[VectorRuntime.quantResidual]]).
+  */
+case class QuantResidual(left: Expression, right: Expression, levels: Int)
+    extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"quant_residual expects array<float|double> vector, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def prettyName: String = "quant_residual"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.quantResidual(a.asInstanceOf[ArrayData], isFloat,
+      b.asInstanceOf[ArrayData], levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime.quantResidual($a, $isFloat, $b, $levels)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_codes(array<float|double>, binary) → double` — query × int8
+  * residual codes (see [[VectorRuntime.dotCodes]]).
+  */
+case class VectorDotCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_codes expects array<float|double> query, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_codes"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.dotCodes(a.asInstanceOf[ArrayData], isFloat,
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime.dotCodes($a, $isFloat, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotCodes =
     copy(left = newLeft, right = newRight)
 }
 
@@ -627,6 +735,10 @@ object vec {
     wrap(SigAgreement(ex(a), ex(b)))
   def quantStats(v: Column, levels: Int): Column =
     wrap(QuantStats(ex(v), levels))
+  def quantResidual(v: Column, centroid: Column, levels: Int): Column =
+    wrap(QuantResidual(ex(v), ex(centroid), levels))
+  def dotCodes(q: Column, codes: Column): Column =
+    wrap(VectorDotCodes(ex(q), ex(codes)))
   def winnowHashes(gramHashes: Column, w: Int): Column =
     wrap(WinnowHashes(ex(gramHashes), w))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =

@@ -252,9 +252,9 @@ object Dedup {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13, fpp: Double = 0.01,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(gramHashes(col(textCol), n)).as("gram")).distinct()
-      .persist() // three consumers: count, bloom build, verify join
+    // three consumers (count, bloom build, verify join) — scope-aware
+    val benchGrams = graft.CacheScope.persist(benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("gram")).distinct())
     // planning actions (like inferDim): size then build the sketch
     val bloom = benchGrams.stat.bloomFilter("gram",
       math.max(benchGrams.count(), 1L), fpp)
@@ -331,7 +331,7 @@ object Dedup {
     // MLlib-style operator-internal persist; lives until session end, so
     // loops over many corpora should pass storage=None (or unpersist).
     val banded0 = minHashBandIndex(df, n, numHashes, bands, textCol, idCol)
-    val banded = storage.fold(banded0)(banded0.persist)
+    val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -378,7 +378,7 @@ object Dedup {
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val newBanded0 = minHashBandIndex(newDocs, n, numHashes, bands,
       textCol, idCol)
-    val newBanded = storage.fold(newBanded0)(newBanded0.persist)
+    val newBanded = storage.fold(newBanded0)(graft.CacheScope.persist(newBanded0, _))
     // one join covers new↔old AND new↔new: the left side is the union of
     // both index halves, the right side only the new shard — every pair
     // with ≥1 new endpoint shares a band bucket here, old↔old pairs
@@ -521,6 +521,12 @@ object Dedup {
       i += 1
     }
     releaseCheckpoint(edges)
+    // the FINAL labels checkpoint backs the returned DataFrame — inside
+    // a CacheScope it is released at scope exit (after which the result
+    // is unusable, per the scope contract); otherwise the ContextCleaner
+    // reclaims it once the caller drops the plan
+    val labelsFinal = labels
+    graft.CacheScope.onExit(() => releaseCheckpoint(labelsFinal))
     docs.select(col(idCol).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -569,7 +575,7 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), k -> shiftright(simhash, k * 16) & 65535L)"))
         .as(Seq("chunk_idx", "chunk")))
-    val banded = storage.fold(banded0)(banded0.persist)
+    val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -608,7 +614,7 @@ object Dedup {
     val starts0 = df.select(col(idCol),
       posexplode(graft.functions.vec.ngramHashesAll(tokHashes, k))
         .as(Seq("pos0", "gram")))
-    val starts = storage.fold(starts0)(starts0.persist)
+    val starts = storage.fold(starts0)(graft.CacheScope.persist(starts0, _))
     val dup = starts.groupBy(col("gram"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc)

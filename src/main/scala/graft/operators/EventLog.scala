@@ -475,6 +475,41 @@ object EventLog {
         regexp_count(col("__seq"), lit(pattern)).cast("bigint").as("n_matches"))
       .filter(col("n_matches") > 0)
 
+  /** A2 across BLOCK BOUNDARIES — the regex matcher widened from the
+    * reference's per-block suffix scope to a SLIDING `size`-block
+    * sequence every `slide` blocks: real monitoring patterns span
+    * blocks (a `v+c` whose views close one block and whose click opens
+    * the next never matches per-block). Same machinery as
+    * [[slidingWindow]] (each event explodes into its ≤⌈size/slide⌉
+    * covering windows — bounded, row-local fanout) composed with the
+    * [[regexPattern]] aggregation; the per-window order key grows a
+    * leading `block_number` so cross-block concatenation follows the
+    * J4 total order. Groups are window-bounded (size × per-block rate),
+    * never corpus-sized, and the regex scan stays inside the engine.
+    */
+  def regexPatternWindow(df: DataFrame, pattern: String, from: Long,
+      size: Long, slide: Long,
+      orderCols: Seq[String] = Seq("log_index", "event_id")): DataFrame = {
+    require(size >= 1 && slide >= 1)
+    // identical non-negative index arithmetic to slidingWindow (DIV
+    // truncation vs floor only agrees on non-negatives)
+    val q = expr(s"(block_number - $from) DIV $slide")
+    val r = expr(s"(block_number - $from) % $slide")
+    val jmax = expr(s"($size - 1 - ((block_number - $from) % $slide)) DIV $slide")
+    df.filter(col("block_number") >= from && r <= size - 1)
+      .withColumn("window_id", explode(sequence(q - least(q, jmax), q)))
+      .groupBy(col("window_id"))
+      .agg(concat_ws("",
+        transform(
+          array_sort(collect_list(struct(
+            (col("block_number") +: orderCols.map(col)) :+
+              substring(col("event_type"), 1, 1).as("c"): _*))),
+          x => x.getField("c"))).as("__seq"))
+      .select(col("window_id"),
+        regexp_count(col("__seq"), lit(pattern)).cast("bigint").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** A3 — the reference's flagship netflow aggregate
     * (eth_event_stream/examples/stream_multi.rs:33-70): outflow events
     * subtract `value` from the key, inflow events add it. Decimal keeps the

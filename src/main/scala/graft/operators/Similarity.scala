@@ -292,6 +292,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol), col("sim"))
   }
 
+  /** IVF-PQ — the genuinely-100 TB ANN index shape. Like [[ivfTopK]] the
+    * coarse quantizer routes each vector to its nearest list, but the
+    * list rows store int8 RESIDUAL codes (`vec − centroid`, per-vector
+    * scale — the [[graft.functions.QuantResidual]] kernel, same math as
+    * [[int8RoundTrip]]) instead of the float vector: the candidate join
+    * moves ~dim BYTES per row where IVF moves ~4·dim (float32), cutting
+    * the widest shuffle of the ANN path ~4×. Scoring is two-stage:
+    *
+    *  1. approximate sim from the reconstructed residual dot —
+    *     `q·v ≈ q·c_list + scale·(q·codes)`, where `q·c_list` is
+    *     computed ONCE per (query, probed list) on the tiny broadcast
+    *     query side and the per-candidate cost is one compiled byte-dot
+    *     ([[graft.functions.VectorDotCodes]]);
+    *  2. the top `rerank·k` survivors per query fetch their float
+    *     vectors by id — a broadcast join, survivors are
+    *     queries × rerank·k, never corpus-sized — for EXACT cosine
+    *     rerank, so PQ error only affects which candidates reach the
+    *     exact stage, not the reported similarities.
+    *
+    * Same recall-gate form as the other ANN paths; `rerank` is the
+    * recall-vs-width dial PQ adds on top of `nprobe`.
+    */
+  def ivfPQTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
+      rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusKey: Option[String] = None): DataFrame = {
+    val centroids =
+      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)
+    val nearestLists = this.nearestLists(centroids) _
+    val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    // the PQ index rows — what a deployment persists: (id, list, codes,
+    // scale, norm). No float arrays enter the candidate join.
+    val indexed = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"),
+        element_at(nearestLists(col(vecCol), 1), 1).getField("list").as("list"))
+      .select(col(idCol), col("list"), col("cnrm"),
+        vec.quantResidual(col(vecCol),
+          element_at(centLit, col("list") + 1), 127).as("qr"))
+      .select(col(idCol), col("list"), col("cnrm"),
+        col("qr").getField("codes").as("codes"),
+        col("qr").getField("scale").as("qscale"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnrm"),
+        explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+      .withColumn("qc",
+        vec.dot(col("qvec"), element_at(centLit, col("list") + 1)))
+    val survivors = indexed.join(broadcast(q), Seq("list"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        ((col("qc") + col("qscale") * vec.dotCodes(col("qvec"), col("codes")))
+          / (col("qnrm") * col("cnrm"))).as("asim"))
+      .withColumn("arank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("asim").desc, col(idCol))))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col(idCol))
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"))
+      .join(broadcast(survivors), Seq(idCol))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"), norm(col(vecCol)).as("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        (vec.dot(col("qv"), col(vecCol)) / (col("qnrm") * col("cnrm")))
+          .as("sim"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("sim"))
+  }
+
   /** Exact all-pairs cosine near-dups: the O(n²) baseline the LSH variant
     * approximates. Norms precomputed per side ⇒ one dot per pair. Only
     * viable when one side fits broadcast / the pair count is bounded; at
@@ -337,7 +411,7 @@ object Similarity {
       posexplode(array((0 until tables).map(t =>
         lshBucket(col(vecCol), planes, dim, seed = 42L + t)): _*))
         .as(Seq("table_idx", "bucket")))
-    val banded = storage.fold(banded0)(banded0.persist)
+    val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
     // verify INLINE on the join output, dedup only the narrow survivors:
     // a candidate pair shared by several tables costs a few extra dots
     // (codegen'd, map-side) instead of shuffling rows that carry two full
@@ -396,7 +470,7 @@ object Similarity {
     val listed0 = df.select(
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
-    val listed = storage.fold(listed0)(listed0.persist)
+    val listed = storage.fold(listed0)(graft.CacheScope.persist(listed0, _))
     // same narrow-shuffle shape as [[cosineNearDupPairs]]: verify inline,
     // dedup only (v1, v2, sim) survivors
     listed.as("a")

@@ -174,9 +174,10 @@ object Sketches {
       if (surelySmall) broadcast(survivors)
       else {
         // operator-internal persist (minHashLshPairs contract:
-        // Verify/Bench clear caches per query): sizing count + verify
-        // join read one materialization of the probe pipeline
-        val p = survivors.persist()
+        // Verify/Bench clear caches per query; CacheScope releases it
+        // for scoped callers): sizing count + verify join read one
+        // materialization of the probe pipeline
+        val p = graft.CacheScope.persist(survivors)
         if (p.count() <= maxBroadcastKeys) broadcast(p) else p
       }
     df.select(key.as("hh_key"))

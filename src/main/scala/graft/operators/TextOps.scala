@@ -432,7 +432,7 @@ object TextOps {
     // contract: Verify/Bench clear caches per query).
     val grams0 = df.select(col(idCol), isTarget.as("is_target"),
       explode(Dedup.gramHashes(col(textCol), n)).as("gram"))
-    val grams = storage.fold(grams0)(grams0.persist)
+    val grams = storage.fold(grams0)(graft.CacheScope.persist(grams0, _))
     val dfTable = grams.groupBy("gram").agg(
       count(lit(1)).as("df_all"),
       count(when(col("is_target"), 1)).as("df_target"))
@@ -486,7 +486,7 @@ object TextOps {
           slice(ctxs, lit(1), size(grams)).as("ctx"),
           grams.as("gram"))).as("p"))
       .select(col(idCol), col("p.ctx").as("ctx"), col("p.gram").as("gram"))
-    val pos = storage.fold(pos0)(pos0.persist)
+    val pos = storage.fold(pos0)(graft.CacheScope.persist(pos0, _))
     val gramC = pos.groupBy("gram").agg(count(lit(1)).as("c_gram"))
     val ctxC = pos.groupBy("ctx").agg(count(lit(1)).as("c_ctx"))
     // alphabet size: one tiny distinct-count job, broadcast as a 1-row

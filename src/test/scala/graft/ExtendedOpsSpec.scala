@@ -264,6 +264,71 @@ class ExtendedOpsSpec extends AnyFunSuite {
     info(s"IVF recall@10 = $recall (nlist=8, nprobe=3 ⇒ ~3/8 corpus scanned)")
   }
 
+  test("IVF-PQ top-k: recall holds and reported sims are EXACT cosines") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.ivfPQTopK(emb, queries, 10, nlist = 8, nprobe = 3,
+      rerank = 4)
+    val pqPairs = pq.select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(pqPairs.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall@10 = $recall")
+    info(s"IVF-PQ recall@10 = $recall (nlist=8, nprobe=3, rerank=4)")
+    // stage-2 contract: every reported similarity is the exact cosine,
+    // untouched by the PQ approximation (only candidate SELECTION is
+    // approximate)
+    val pqSims = pq.select($"query_id", $"vec_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val exactSims = queries.select($"vec_id".as("query_id"), $"embedding".as("q"))
+      .crossJoin(emb.select($"vec_id", $"embedding"))
+      .select($"query_id", $"vec_id",
+        (Similarity.dot($"q", $"embedding") /
+          (Similarity.norm($"q") * Similarity.norm($"embedding"))).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pqSims.foreach { case (qid, vid, sim) =>
+      assert(math.abs(sim - exactSims((qid, vid))) < 1e-12,
+        s"PQ-reported sim for ($qid,$vid) is not the exact cosine")
+    }
+  }
+
+  test("quant_residual/dot_codes kernels: reconstruction and dot error bounds") {
+    import graft.functions.vec
+    val d = Seq(
+      (Array(1.0f, -0.5f, 0.25f, 0.0f), Array(0.9, -0.4, 0.2, 0.1)),
+      // binary-exact values: 0.3f widened to double is NOT 0.3, so the
+      // zero-residual case needs representable constants
+      (Array(0.25f, 0.5f, -0.75f, 1.0f), Array(0.25, 0.5, -0.75, 1.0))
+    ).toDF("v", "c")
+    val rows = d.select(
+        vec.quantResidual($"v", $"c", 127).as("qr"), $"v", $"c")
+      .select($"qr.codes", $"qr.scale", $"v", $"c")
+      .as[(Array[Byte], Double, Array[Float], Array[Double])].collect()
+    rows.foreach { case (codes, scale, v, c) =>
+      assert(codes.length == v.length)
+      // per-element reconstruction error ≤ scale/2 (the QuantStats bound
+      // applied to the residual)
+      v.indices.foreach { i =>
+        val recon = c(i) + scale * codes(i)
+        assert(math.abs(v(i) - recon) <= scale / 2 + 1e-12,
+          s"elem $i: |${v(i)} - $recon| > $scale/2")
+      }
+    }
+    // vector == centroid: zero residual, all-zero codes, exact
+    val (z, _, _, _) = rows(1)
+    assert(z.forall(_ == 0))
+    // dot_codes equals the plain integer dot of query × codes
+    val q = Array(0.5, -1.0, 2.0, 0.25)
+    val got = d.limit(1).select(
+        vec.dotCodes(typedLit(q), vec.quantResidual($"v", $"c", 127)
+          .getField("codes")))
+      .as[Double].collect().head
+    val codes0 = rows(0)._1
+    val want = q.indices.map(i => q(i) * codes0(i)).sum
+    assert(math.abs(got - want) < 1e-12)
+  }
+
   test("brute-force baselines refuse corpus-scale input (loud O(n²) guard)") {
     // the guard must trip BEFORE any n² job is planned — a tiny maxRows
     // against the fixture exercises the exact production failure shape

@@ -310,4 +310,24 @@ class HardeningSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(salted == direct)
   }
+
+  test("CacheScope: every registered query releases its internal storage") {
+    // a library caller outside Verify/Bench (which clear caches per
+    // query) must be able to loop ANY registered query over many corpora
+    // without accumulating session-lifetime blocks: run each one
+    // standalone inside a scope — consuming the result inside, per the
+    // scope contract — and require zero net-new persistent RDDs (plain
+    // caches AND label-propagation checkpoints) once the scope closes
+    val dir = "/root/testdata/sf0.001"
+    val leaks = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        CacheScope.withCaches { fn(spark, dir).count() }
+        val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+        if (leaked.isEmpty) None else Some(s"$name -> RDDs $leaked")
+    }
+    assert(leaks.isEmpty,
+      s"queries leaked persistent storage past their CacheScope:\n" +
+        leaks.mkString("\n"))
+  }
 }
