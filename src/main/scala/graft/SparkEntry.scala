@@ -246,6 +246,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // S4 over the WIRE — the live-transport seam under the correctness
+    // gate: the DSv2 rpc-logs source fetches eth_getLogs ranges
+    // executor-side from the deterministic SimEthNode (the sandbox has
+    // no network; a real endpoint swaps in HttpJsonRpcTransport and
+    // nothing else changes), decodes the data word through the standard
+    // ABI kernel, and must hash-match the oracle restating the node's
+    // pure log function relationally (generate_series). Head 120,
+    // confirmations 2 ⇒ blocks 0..118, 3 logs each.
+    "src_rpc_logs" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim",
+        new graft.sources.SimEthNode(head = 120L, logsPerBlock = 3))
+      s.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim").option("confirmations", "2")
+        .option("fetchBlocks", "25").load()
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+    }),
+
     // S1/S2 — bounded log range scan with signature + block-range pushdown
     "s1_log_scan" -> ((s, dir) =>
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
@@ -1967,6 +1985,11 @@ object SparkEntry {
          l0 AS (SELECT doc_id, doc_id AS cl FROM documents),
          ${labelSteps(5)}
          SELECT doc_id FROM l5 WHERE doc_id = cl""",
+
+    "src_rpc_logs" ->
+      """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
+         FROM (SELECT unnest(generate_series(0, 118)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i""",
 
     "s1_log_scan" ->
       s"""SELECT event_id, block_number, log_index, user_id, value
