@@ -180,7 +180,17 @@ class HardeningSpec extends AnyFunSuite {
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
       // pure scan + codegen'd decode projection — shuffle-free
-      "p2_abi_fixed_roundtrip" -> 0)
+      "p2_abi_fixed_roundtrip" -> 0,
+      // the UDAF keeps the same partial/merge plan shape as built-in sum
+      "a1_aggregator_netflow" -> 1,
+      // window explode is row-local; one per-window aggregation
+      "a2_regex_window" -> 1,
+      // executor-side RPC fetch + codegen'd decode — shuffle-free
+      "src_rpc_logs" -> 0,
+      // recall gate over the PQ path: brute rank + approx arank + exact
+      // rerank rank (one query_id exchange each) + the gate's own
+      // join/agg pair; candidate and id-fetch joins all broadcast
+      "sim_topk_ivfpq" -> 6)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,
