@@ -60,6 +60,11 @@ object Probe {
       Similarity.bruteForceNearDupPairs(emb, 0.45),
       Similarity.cosineNearDupPairs(emb, 0.45, planes = 5, tables = 12),
       Seq("v1", "v2")))
+    println("neardup_ivfpq: " + recall(
+      Similarity.bruteForceNearDupPairs(emb, 0.45),
+      Similarity.ivfPQNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3,
+        slack = 0.05),
+      Seq("v1", "v2")))
     println("neardup_ivf: " + recall(
       Similarity.bruteForceNearDupPairs(emb, 0.45),
       Similarity.ivfNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3),

@@ -1670,6 +1670,22 @@ object SparkEntry {
         keys = Seq("v1", "v2"), floor = 0.85, subset = true)
     }),
 
+    // The PQ tier of the near-dup path: the per-list SELF-join moves
+    // int8 residual codes (~dim bytes/side) instead of float arrays,
+    // the approximate cut runs at threshold − slack, and exact cosine
+    // verifies every survivor — subset_ok holds by construction, the
+    // recall floor measures what the quantized cut loses (same floor
+    // as sim_neardup_ivf: the slack absorbs the PQ error).
+    "sim_neardup_ivfpq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      recallGate(
+        exact = Similarity.bruteForceNearDupPairs(emb, 0.45),
+        approx = Similarity.ivfPQNearDupPairs(emb, 0.45, nlist = 16,
+          nprobe = 3, slack = 0.05,
+          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet"))),
+        keys = Seq("v1", "v2"), floor = 0.85, subset = true)
+    }),
+
     // SemDeDup-style semantic dedup: cluster-scoped near-dup drops with
     // the min-id winner rule. Gate: exact-cosine verification means ZERO
     // false drops (subset), and the quantizer catches ≥ the IVF near-dup
@@ -1963,6 +1979,7 @@ object SparkEntry {
     "sim_topk_ivfpq" -> TopKGateSql,
     "sim_neardup_lsh" -> NearDupGateSql,
     "sim_neardup_ivf" -> NearDupGateSql,
+    "sim_neardup_ivfpq" -> NearDupGateSql,
     // exact semantic dedup drops = docs with ANY smaller-id neighbor ≥ τ
     "sim_semantic_dedup" ->
       """SELECT count(DISTINCT b.vec_id) AS n_exact, true AS recall_ok,

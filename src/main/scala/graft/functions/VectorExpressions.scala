@@ -338,6 +338,20 @@ object VectorRuntime {
     acc
   }
 
+  /** Integer dot of two int8 code vectors (the PQ pair-scoring inner
+    * loop): `Σ a_i · b_i` in exact Long arithmetic (bounded by
+    * dim · 127² ≪ 2^63).
+    */
+  def codesDot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = a.length
+    if (n != b.length) throw new IllegalArgumentException(
+      s"codes_dot: dimension mismatch $n vs ${b.length}")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i).toLong * b(i); i += 1 }
+    acc
+  }
+
   /** Count of equal slots between two signatures (Jaccard estimator). */
   def sigAgreement(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -486,6 +500,27 @@ case class VectorDotCodes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDotCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `codes_dot(binary, binary) → long` — int8 × int8 code dot (see
+  * [[VectorRuntime.codesDot]]).
+  */
+case class CodesDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "codes_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.codesDot(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime.codesDot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodesDot =
     copy(left = newLeft, right = newRight)
 }
 
@@ -739,6 +774,8 @@ object vec {
     wrap(QuantResidual(ex(v), ex(centroid), levels))
   def dotCodes(q: Column, codes: Column): Column =
     wrap(VectorDotCodes(ex(q), ex(codes)))
+  def codesDot(a: Column, b: Column): Column =
+    wrap(CodesDot(ex(a), ex(b)))
   def winnowHashes(gramHashes: Column, w: Int): Column =
     wrap(WinnowHashes(ex(gramHashes), w))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =

@@ -484,6 +484,74 @@ object Similarity {
       .dropDuplicates("v1", "v2")
   }
 
+  /** IVF-PQ near-dup pairs — the PQ tier where it matters MOST: the
+    * near-dup candidate join is a per-list SELF-join, so BOTH sides of
+    * the widest ANN shuffle carry vector payloads; with PQ they carry
+    * ~dim bytes of residual codes instead (~4× narrower than
+    * [[ivfNearDupPairs]]'s float arrays, ~8× in-memory).
+    *
+    * Scoring decomposes over the shared list centroid `c`:
+    * `a·b ≈ (c + s_a·q_a)·(c + s_b·q_b)
+    *       = |c|² + s_a·(c·q_a) + s_b·(c·q_b) + s_a·s_b·(q_a·q_b)` —
+    * `|c|²` is a per-list literal, `c·q` is precomputed ONCE per index
+    * row at encode time (`cdot`), so the per-pair cost is one compiled
+    * int8×int8 dot ([[graft.functions.CodesDot]], exact Long
+    * arithmetic) plus scalar math. Pairs whose approximate sim clears
+    * `threshold − slack` fetch their float vectors by id and are
+    * verified by EXACT cosine — zero false positives (the `subset_ok`
+    * contract), with `slack` absorbing the quantization error on the
+    * approximate cut (per-element residual error ≤ scale/2; the
+    * recall gate measures what survives).
+    */
+  def ivfPQNearDupPairs(df: DataFrame, threshold: Double = 0.95,
+      nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
+      slack: Double = 0.05,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusKey: Option[String] = None): DataFrame = {
+    val centroids =
+      trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)
+    val nearestLists = this.nearestLists(centroids) _
+    val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    val cNorm2 = array(centroids.map(c => lit(c.map(x => x * x).sum)): _*)
+    // the PQ index rows (multi-assigned to nprobe lists so pairs split
+    // by a boundary still meet): (id, list, nrm, codes, scale, c·codes)
+    val indexed = df
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+        explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+      .select(col(idCol), col("list"), col("nrm"),
+        vec.quantResidual(col(vecCol),
+          element_at(centLit, col("list") + 1), 127).as("qr"))
+      .select(col(idCol), col("list"), col("nrm"),
+        col("qr").getField("codes").as("codes"),
+        col("qr").getField("scale").as("qscale"))
+      .withColumn("cdot",
+        vec.dotCodes(element_at(centLit, col("list") + 1), col("codes")))
+    val a = indexed.as("a")
+    val b = indexed.as("b")
+    val approxDot =
+      element_at(cNorm2, col("a.list") + 1) +
+        col("a.qscale") * col("a.cdot") + col("b.qscale") * col("b.cdot") +
+        col("a.qscale") * col("b.qscale") *
+          vec.codesDot(col("a.codes"), col("b.codes")).cast("double")
+    val survivors = a.join(b,
+        col("a.list") === col("b.list") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          approxDot / (col("a.nrm") * col("b.nrm")) >= threshold - slack)
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
+      .dropDuplicates("v1", "v2")
+    // exact verification of the bounded survivor set: fetch both float
+    // vectors by id, keep only true ≥-threshold pairs (subset_ok)
+    val side = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("n0"))
+    survivors
+      .join(side.select(col(idCol).as("v1"), col(vecCol).as("va"),
+        col("n0").as("na")), Seq("v1"))
+      .join(side.select(col(idCol).as("v2"), col(vecCol).as("vb"),
+        col("n0").as("nb")), Seq("v2"))
+      .filter(vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("v1"), col("v2"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the embedding space with the seeded coarse

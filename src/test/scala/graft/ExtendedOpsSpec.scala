@@ -293,6 +293,28 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ near-dup: pairs ⊆ brute-force pairs (exact verify), recall holds") {
+    val exact = Similarity.bruteForceNearDupPairs(emb, 0.45)
+      .as[(Long, Long)].collect().toSet
+    val pq = Similarity.ivfPQNearDupPairs(emb, 0.45, nlist = 8, nprobe = 3,
+        slack = 0.05)
+      .as[(Long, Long)].collect().toSet
+    // zero false positives: every emitted pair passed exact cosine
+    assert(pq.subsetOf(exact), s"false positives: ${pq -- exact}")
+    val recall = if (exact.isEmpty) 1.0
+      else exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ near-dup recall = $recall")
+    info(s"IVF-PQ near-dup recall = $recall (nlist=8, nprobe=3, slack=0.05)")
+  }
+
+  test("codes_dot kernel equals the integer dot of the byte vectors") {
+    import graft.functions.vec
+    val d = Seq((Array[Byte](1, -2, 3, 127), Array[Byte](-128, 5, 0, 2)))
+      .toDF("a", "b")
+    val got = d.select(vec.codesDot($"a", $"b")).as[Long].collect().head
+    assert(got == (1 * -128 + -2 * 5 + 3 * 0 + 127 * 2).toLong)
+  }
+
   test("quant_residual/dot_codes kernels: reconstruction and dot error bounds") {
     import graft.functions.vec
     val d = Seq(
