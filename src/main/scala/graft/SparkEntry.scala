@@ -264,6 +264,44 @@ object SparkEntry {
           graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
     }),
 
+    // S2 as DSv2 FILTER PUSHDOWN over the wire: the idiomatic
+    // `.filter()` on an rpc-logs scan lands address equality and block
+    // bounds in the eth_getLogs request itself and SHRINKS the partition
+    // plan (pruned ranges are never fetched) — build_filter parity,
+    // stream.rs:94-102. Spark re-evaluates the same predicates as
+    // residuals, so the node filter is wire-width optimization, not the
+    // correctness authority. Address 0xaa…aa = even log indexes.
+    "src_rpc_pushdown" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim_push",
+        new graft.sources.SimEthNode(head = 120L, logsPerBlock = 3))
+      s.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim_push").option("confirmations", "2")
+        .option("fetchBlocks", "25").load()
+        .filter(col("address") ===
+            lit(graft.model.Hex.decode("aa" * 20)) &&
+          col("block_number").between(40L, 80L))
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+    }),
+
+    // Multi-address + topic0 server-side filters (the reference's
+    // build_filter takes LISTS, stream.rs:94-102): one request carrying
+    // a two-contract address array, aggregated per contract.
+    "src_rpc_multi" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim_multi",
+        new graft.sources.SimEthNode(head = 60L, logsPerBlock = 4))
+      s.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim_multi").option("confirmations", "0")
+        .option("fetchBlocks", "16")
+        .option("address", "0x" + "aa" * 20 + ",0x" + "bb" * 20)
+        .option("topic0", "0x" + "cc" * 32).load()
+        .select(lower(hex(col("address"))).as("addr"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+        .groupBy(col("addr"))
+        .agg(count(lit(1)).as("n_logs"),
+          sum(col("v")).cast("bigint").as("sum_v"))
+    }),
+
     // S1/S2 — bounded log range scan with signature + block-range pushdown
     "s1_log_scan" -> ((s, dir) =>
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
@@ -2007,6 +2045,21 @@ object SparkEntry {
       """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
          FROM (SELECT unnest(generate_series(0, 118)) AS b) b
          CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i""",
+
+    "src_rpc_pushdown" ->
+      """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
+         FROM (SELECT unnest(generate_series(40, 80)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i
+         WHERE i.i % 2 = 0""",
+
+    "src_rpc_multi" ->
+      ("""SELECT CASE WHEN i.i % 2 = 0 THEN '""" + "aa" * 20 +
+        """' ELSE '""" + "bb" * 20 + """' END AS addr,
+         count(*) AS n_logs,
+         CAST(sum(b.b * 1000 + i.i) AS BIGINT) AS sum_v
+         FROM (SELECT unnest(generate_series(0, 60)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+         GROUP BY 1"""),
 
     "s1_log_scan" ->
       s"""SELECT event_id, block_number, log_index, user_id, value

@@ -57,6 +57,13 @@ object EventDecoder {
     case t if t.startsWith("ufixed") || t.startsWith("fixed") =>
       // lastIndexOf: the type name itself contains an 'x' (fi_x_ed)
       val n = t.substring(t.lastIndexOf('x') + 1).toInt
+      // ABI permits N up to 80; Spark Decimal stops at scale 38. Refuse
+      // loudly like the `other =>` branch — building DecimalType(38, N)
+      // past that would throw an unrelated precision<scale plan error
+      // instead of the documented null-on-overflow VALUE policy.
+      if (n > 38) throw new IllegalArgumentException(
+        s"unsupported ABI type $t: fractional scale $n exceeds Spark " +
+          "Decimal's maximum scale of 38")
       if (t.startsWith("ufixed")) abi.u256Scaled(w, n) else abi.i256Scaled(w, n)
     case t if t.startsWith("uint") => abi.u256(w)
     case t if t.startsWith("int")  => abi.i256(w)

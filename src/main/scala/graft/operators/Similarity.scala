@@ -47,9 +47,18 @@ object Similarity {
     * passing verdicts are cached (a failure throws). Bounded: cleared
     * past 128 entries (each key pins a plan tree).
     */
-  private val bruteGuardCache =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, BigInt, Long)]()
+  // access-ordered LRU: repeats of hot guard verdicts stay cached; only
+  // the single least-recently-used entry is evicted past capacity (a
+  // wholesale clear() would force re-verification of every hot repeat)
+  private val bruteGuardCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, BigInt, Long),
+        java.lang.Boolean](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, BigInt, Long),
+            java.lang.Boolean]): Boolean = size() > 128
+    })
 
   private def requireBruteScale(df: DataFrame, maxRows: Long,
       what: String, alternative: String): Unit = {
@@ -64,7 +73,7 @@ object Similarity {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est >= 0 && est <= BigInt(maxRows) * 16) return
     val key = (df.queryExecution.logical.canonicalized, est, maxRows)
-    if (bruteGuardCache.contains(key)) return
+    if (bruteGuardCache.get(key) != null) return
     // LIMIT-bounded count: per-partition LocalLimit stops the scan after
     // maxRows+1 rows, so the guard itself stays cheap even when pointed
     // at the very corpus it is refusing. Saturate BEFORE the +1 — a
@@ -77,8 +86,7 @@ object Similarity {
         s"(input exceeds it): it exists to verify the recall gates at " +
         s"fixture scale — use $alternative on a corpus, or raise maxRows " +
         "if the input really is bounded")
-    if (bruteGuardCache.size > 128) bruteGuardCache.clear()
-    bruteGuardCache.add(key)
+    bruteGuardCache.put(key, java.lang.Boolean.TRUE)
   }
 
   /** Exact brute-force cosine top-k: the `queries` side (small, e.g. a
@@ -540,13 +548,19 @@ object Similarity {
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
       .dropDuplicates("v1", "v2")
     // exact verification of the bounded survivor set: fetch both float
-    // vectors by id, keep only true ≥-threshold pairs (subset_ok)
+    // vectors by id, keep only true ≥-threshold pairs (subset_ok). The
+    // survivor side is BROADCAST into both joins (like ivfPQTopK's
+    // rerank) so the corpus streams through each verify pass unshuffled;
+    // the approx cut at threshold−slack bounds the broadcast — survivor
+    // count ≈ true-pair count, and the second broadcast carries one
+    // float vector per pair, still pair-bounded, never corpus-bounded.
     val side = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("n0"))
-    survivors
-      .join(side.select(col(idCol).as("v1"), col(vecCol).as("va"),
-        col("n0").as("na")), Seq("v1"))
-      .join(side.select(col(idCol).as("v2"), col(vecCol).as("vb"),
-        col("n0").as("nb")), Seq("v2"))
+    val withA = side
+      .select(col(idCol).as("v1"), col(vecCol).as("va"), col("n0").as("na"))
+      .join(broadcast(survivors), Seq("v1"))
+    side
+      .select(col(idCol).as("v2"), col(vecCol).as("vb"), col("n0").as("nb"))
+      .join(broadcast(withA), Seq("v2"))
       .filter(vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= threshold)
       .select(col("v1"), col("v2"))

@@ -36,8 +36,12 @@ object BlockStore {
 
 /** B3 — retry policy parity: exponential backoff from 10 ms with jitter,
   * 4 attempts (reference: eth_event_stream/src/stream.rs:148-150,
-  * :160-166). For driver-side source RPC, not task-side work (Spark task
-  * retries cover executors).
+  * :160-166). Two sanctioned contexts: driver-side source RPC with the
+  * defaults, and TRANSPORT-level transients inside executor tasks — there
+  * callers pass a trimmed budget (e.g. `attempts = 3, initialDelayMs = 5`,
+  * ≤ ~15 ms total sleep) so the in-task backoff absorbs connection blips
+  * without stacking meaningfully under Spark's own task-retry layer,
+  * which remains the authority for everything slower.
   */
 object Retry {
   def withBackoff[T](

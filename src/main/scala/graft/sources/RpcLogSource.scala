@@ -11,8 +11,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -97,19 +98,34 @@ object EthJsonRpc {
   /** `eth_getLogs` request for `[fromBlock, toBlock]` (inclusive, like
     * the RPC spec) with optional server-side address / topic0 filters —
     * the reference builds exactly this filter from its registered
-    * streams (stream.rs:152-158).
+    * streams (stream.rs:94-102, :152-158), where `address` is a LIST of
+    * contracts and each topic slot may be a LIST (OR semantics). One
+    * entry serializes as a bare string (the common wire shape), several
+    * as a JSON array — both are valid per the RPC spec.
     */
   def getLogsRequest(id: Long, fromBlock: Long, toBlock: Long,
-      address: Option[String] = None, topic0: Option[String] = None): String = {
+      addresses: Seq[String] = Nil, topics0: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("jsonrpc", "2.0").put("id", id).put("method", "eth_getLogs")
     val filter = mapper.createObjectNode()
     filter.put("fromBlock", quantity(fromBlock))
     filter.put("toBlock", quantity(toBlock))
-    address.foreach(filter.put("address", _))
-    topic0.foreach { t =>
-      val topics = mapper.createArrayNode(); topics.add(t)
-      filter.set[ObjectNode]("topics", topics)
+    addresses match {
+      case Seq() =>
+      case Seq(one) => filter.put("address", one)
+      case many =>
+        val arr = mapper.createArrayNode(); many.foreach(arr.add)
+        filter.set[ObjectNode]("address", arr)
+    }
+    topics0 match {
+      case Seq() =>
+      case Seq(one) =>
+        val topics = mapper.createArrayNode(); topics.add(one)
+        filter.set[ObjectNode]("topics", topics)
+      case many =>
+        val slot0 = mapper.createArrayNode(); many.foreach(slot0.add)
+        val topics = mapper.createArrayNode(); topics.add(slot0)
+        filter.set[ObjectNode]("topics", topics)
     }
     val params = mapper.createArrayNode(); params.add(filter)
     root.set[ObjectNode]("params", params)
@@ -185,6 +201,102 @@ final class RpcHeadTracker(transport: JsonRpcTransport) {
   }
 }
 
+/** One head-subscription SESSION — the seam a real deployment implements
+  * over a WebSocket `eth_subscribe("newHeads")`. `connect()` either
+  * returns the session's announcement iterator or throws (connection
+  * failure); iterator exhaustion models the socket dropping. Pure
+  * interface so the reconnect machinery is drillable offline.
+  */
+trait HeadFeed {
+  def connect(): Iterator[Long]
+}
+
+/** A head feed over the JSON-RPC transport: each `next()` asks
+  * `eth_blockNumber`, each session serves `pollsPerSession` announcements
+  * then "disconnects". In production a WS [[HeadFeed]] replaces this; the
+  * finite-session variant exists so [[SimEthNode.headSequence]] can drill
+  * disconnect/reconnect deterministically.
+  */
+final class RpcHeadFeed(transport: JsonRpcTransport,
+    pollsPerSession: Int = Int.MaxValue, pollIntervalMs: Long = 0L,
+    sleep: Long => Unit = Thread.sleep) extends HeadFeed {
+  override def connect(): Iterator[Long] =
+    (0 until pollsPerSession).iterator.map { i =>
+      if (i > 0 && pollIntervalMs > 0) sleep(pollIntervalMs)
+      EthJsonRpc.parseBlockNumber(
+        transport.call(EthJsonRpc.blockNumberRequest(1L)))
+    }
+}
+
+/** PUSH-based head subscription — the reference's `BlockNotify` watcher
+  * (data_feed/block.rs:17-68) re-expressed as a latest-value channel: a
+  * daemon pump drains the feed into one atomic max (the same monotonic
+  * guard as [[RpcHeadTracker]] — a regressing announcement never moves
+  * the head backwards), and readers take the latest value without ever
+  * touching the wire. Reconnect policy matches the reference: up to
+  * `triesPerConnect` backoff attempts per connect (block.rs:25-26), and
+  * an INFINITE outer loop that re-subscribes after any disconnect or
+  * exhausted retry burst (block.rs:54-61) until `close()`.
+  */
+final class HeadSubscription(feed: HeadFeed,
+    triesPerConnect: Int = 5, backoffMs: Long = 10L,
+    sleep: Long => Unit = Thread.sleep) extends AutoCloseable {
+  private val latest = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+  @volatile private var closed = false
+  /** Observability: connect attempts so far (tests drill the reconnect
+    * policy through it) and the most recent connect/stream error.
+    */
+  @volatile private[graft] var connects = 0L
+  @volatile private[graft] var lastError: Throwable = null
+
+  private val pump = new Thread(() => {
+    while (!closed) {
+      try {
+        val it = Retry.withBackoff(
+          attempts = triesPerConnect, initialDelayMs = backoffMs,
+          sleep = sleep)(() => { connects += 1; feed.connect() })
+        while (!closed && it.hasNext) {
+          val h = it.next()
+          latest.getAndUpdate(prev => math.max(prev, h))
+        }
+        // iterator exhausted = disconnect: fall through, outer loop
+        // re-subscribes (the reference's `loop { … }`, block.rs:54-61)
+      } catch {
+        case _: InterruptedException => closed = true
+        case scala.util.control.NonFatal(e) =>
+          lastError = e
+          try sleep(backoffMs) catch { case _: InterruptedException => closed = true }
+      }
+    }
+  }, "graft-head-subscription")
+  pump.setDaemon(true)
+  pump.start()
+
+  def currentHead(): Option[Long] = {
+    val v = latest.get()
+    if (v == Long.MinValue) None else Some(v)
+  }
+
+  /** Latest head, waiting up to `timeoutMs` for the FIRST announcement
+    * to land (later reads are instant channel reads).
+    */
+  def awaitFirst(timeoutMs: Long): Option[Long] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var h = currentHead()
+    while (h.isEmpty && !closed && System.nanoTime() < deadline) {
+      Thread.sleep(1L)
+      h = currentHead()
+    }
+    h
+  }
+
+  override def close(): Unit = {
+    closed = true
+    pump.interrupt()
+    pump.join(2000L)
+  }
+}
+
 object RpcLogSource {
   /** The engine's raw-log schema (FIXTURES.md §1.2): what
     * [[graft.operators.EventDecoder.decode]] consumes directly. Topics
@@ -230,15 +342,35 @@ object RpcLogSource {
         "rpc-logs requires a `url` or registered `transport` option"))
 }
 
+/** `addresses`/`topics0`: `None` = no server-side filter; `Some(xs)` =
+  * filter to exactly `xs` (normalized lowercase `0x…`). `Some(Nil)` is a
+  * satisfiable-by-nothing contradiction (e.g. an option filter
+  * intersected with a disjoint pushed filter) — the scan plans ZERO
+  * partitions instead of asking the node for an empty set.
+  */
 private[sources] final case class RpcParams(
     transport: JsonRpcTransport,
     blockStep: Long, confirmations: Long, fromBlock: Long, toBlock: Long,
-    fetchBlocks: Long, address: Option[String], topic0: Option[String]) {
+    fetchBlocks: Long, addresses: Option[Seq[String]],
+    topics0: Option[Seq[String]], headMode: String) {
   require(blockStep >= 1, "blockStep must be >= 1")
   require(fetchBlocks >= 1, "fetchBlocks must be >= 1")
+  require(headMode == "poll" || headMode == "subscribe",
+    s"headMode must be poll|subscribe, got $headMode")
+
+  def matchable: Boolean = addresses.forall(_.nonEmpty) && topics0.forall(_.nonEmpty)
+  def addressList: Seq[String] = addresses.getOrElse(Nil)
+  def topic0List: Seq[String] = topics0.getOrElse(Nil)
 }
 
 private[sources] object RpcParams {
+  /** Comma-separated hex list option → normalized filter (the RPC spec's
+    * address/topic slots take one value or a list).
+    */
+  private def hexList(v: String): Seq[String] =
+    v.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(s => "0x" + Hex.strip0x(s).toLowerCase).toSeq
+
   def apply(options: JMap[String, String]): RpcParams = {
     val o = options.asScala
     RpcParams(
@@ -252,8 +384,9 @@ private[sources] object RpcParams {
       // partition — the reference's block_step chunking
       // (stream.rs:214-226) mapped onto task parallelism
       fetchBlocks = o.getOrElse("fetchblocks", o.getOrElse("fetchBlocks", "100")).toLong,
-      address = o.get("address"),
-      topic0 = o.get("topic0"))
+      addresses = o.get("address").map(hexList),
+      topics0 = o.get("topic0").map(hexList),
+      headMode = o.getOrElse("headmode", o.getOrElse("headMode", "poll")))
   }
 }
 
@@ -263,11 +396,14 @@ private[sources] final case class RpcRangePartition(from: Long, to: Long)
 
 /** Executor-side fetch: ONE `eth_getLogs` per partition, retried with
   * backoff (B3), parsed rows streamed out. The transport travels inside
-  * this factory (Serializable).
+  * this factory (Serializable). Task-context retry budget is trimmed
+  * (3 tries from 5 ms) so transport-level backoff stays well under
+  * Spark's own task-retry layer instead of stacking multiplicatively
+  * on it — Spark retries cover everything past these fast transients.
   */
 private[sources] final class RpcRangeReaderFactory(
-    transport: JsonRpcTransport, address: Option[String],
-    topic0: Option[String]) extends PartitionReaderFactory {
+    transport: JsonRpcTransport, addresses: Seq[String],
+    topics0: Seq[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val range = p.asInstanceOf[RpcRangePartition]
     new PartitionReader[InternalRow] {
@@ -275,9 +411,9 @@ private[sources] final class RpcRangeReaderFactory(
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (it == null) {
-          val logs = Retry.withBackoff()(() =>
+          val logs = Retry.withBackoff(attempts = 3, initialDelayMs = 5L)(() =>
             EthJsonRpc.parseLogs(transport.call(EthJsonRpc.getLogsRequest(
-              1L, range.from, range.to, address, topic0))))
+              1L, range.from, range.to, addresses, topics0))))
           it = logs.iterator.map(RpcLogSource.toRow)
         }
         if (it.hasNext) { current = it.next(); true } else false
@@ -299,15 +435,34 @@ private[sources] object RpcRanges {
 /** Streaming side: the replay source's offset/admission mechanics over
   * the RPC transport. Offsets are the same inclusive `BlockOffset`
   * frontier, so checkpoints restart-resync structurally (S7).
+  *
+  * Head discovery is pluggable (`headMode` option): `poll` asks
+  * `eth_blockNumber` once per trigger; `subscribe` reads a
+  * [[HeadSubscription]] latest-value channel fed by a background pump
+  * with the reference's reconnect policy (data_feed/block.rs:17-68) —
+  * the trigger never blocks on the wire once the first head lands.
   */
 private[sources] class RpcLogStream(params: RpcParams)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   import params._
 
-  private val head = new RpcHeadTracker(transport)
+  private val poller = new RpcHeadTracker(transport)
+  @volatile private var subscription: HeadSubscription = null
+  private def currentHead(): Option[Long] = headMode match {
+    case "subscribe" =>
+      if (subscription == null) synchronized {
+        if (subscription == null)
+          // 50 ms announcement cadence: the pump must not busy-spin the
+          // polling fallback feed (a real WS feed blocks in next())
+          subscription = new HeadSubscription(
+            new RpcHeadFeed(transport, pollIntervalMs = 50L))
+      }
+      subscription.awaitFirst(10000L)
+    case _ => poller.currentHead()
+  }
   private def syncedEnd(): Long =
-    head.currentHead().map(h => math.min(h - confirmations, toBlock))
+    currentHead().map(h => math.min(h - confirmations, toBlock))
       .getOrElse(fromBlock - 1)
 
   private var availableNowTarget: Option[Long] = None
@@ -340,13 +495,18 @@ private[sources] class RpcLogStream(params: RpcParams)
     BlockOffset(math.max(syncedEnd(), fromBlock - 1))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    RpcRanges.partitions(BlockOffset.of(start) + 1, BlockOffset.of(end), fetchBlocks)
+    if (!params.matchable) Array.empty
+    else RpcRanges.partitions(
+      BlockOffset.of(start) + 1, BlockOffset.of(end), fetchBlocks)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RpcRangeReaderFactory(transport, address, topic0)
+    new RpcRangeReaderFactory(transport, addressList, topic0List)
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    val s = subscription
+    if (s != null) s.close()
+  }
 }
 
 /** Batch side: the historical chunked scan (S3) over RPC — the full
@@ -355,6 +515,7 @@ private[sources] class RpcLogStream(params: RpcParams)
   */
 private[sources] class RpcLogBatch(params: RpcParams) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
+    if (!params.matchable) return Array.empty
     val head = new RpcHeadTracker(params.transport)
     val hi = head.currentHead()
       .map(h => math.min(h - params.confirmations, params.toBlock))
@@ -362,15 +523,112 @@ private[sources] class RpcLogBatch(params: RpcParams) extends Batch {
     RpcRanges.partitions(params.fromBlock, hi, params.fetchBlocks)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RpcRangeReaderFactory(params.transport, params.address, params.topic0)
+    new RpcRangeReaderFactory(params.transport, params.addressList,
+      params.topic0List)
 }
 
-private[sources] class RpcLogScan(params: RpcParams) extends Scan {
+private[sources] class RpcLogScan(params: RpcParams,
+    pushed: Array[Filter]) extends Scan {
   override def readSchema(): StructType = RpcLogSource.LogSchema
-  override def description(): String = "rpc-logs"
+  override def description(): String =
+    "rpc-logs, PushedFilters: [" + pushed.mkString(", ") + "]"
   override def toBatch: Batch = new RpcLogBatch(params)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RpcLogStream(params)
+}
+
+/** S2 as DSv2 FILTER PUSHDOWN — the idiomatic
+  * `read.format("rpc-logs").load().filter(...)` lands address / topic0 /
+  * block-range predicates in the `eth_getLogs` request itself
+  * (`build_filter` parity, eth_event_stream/src/stream.rs:94-102)
+  * instead of shipping every log in the range across the wire and
+  * filtering client-side:
+  *
+  *  - `address`/`topic0` equality and IN-lists become the request's
+  *    server-side filter lists (intersected with any `address`/`topic0`
+  *    READER OPTIONS — both constrain the result, and a disjoint
+  *    intersection plans zero partitions);
+  *  - `block_number` bounds narrow `fromBlock`/`toBlock`, so the
+  *    partition plan itself shrinks — pruned ranges are never fetched;
+  *  - every pushed filter is ALSO kept as a Spark-side residual
+  *    (`pushFilters` returns its input unchanged): the node filter is a
+  *    transport-width optimization, Spark's own evaluation stays the
+  *    correctness authority even against a sloppy node.
+  *
+  * Streaming reads keep using reader options for server-side filters —
+  * micro-batch planning builds its scan before optimizer pushdown runs.
+  */
+private[sources] final class RpcScanBuilder(base: RpcParams)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var params = base
+  private var accepted: Array[Filter] = Array.empty
+
+  private def hexValue(v: Any): Option[String] = v match {
+    case b: Array[Byte] => Some("0x" + Hex.encode(b).toLowerCase)
+    case s: String => Some("0x" + Hex.strip0x(s).toLowerCase)
+    case _ => None
+  }
+
+  /** Intersect an existing filter list with a pushed one: both must
+    * hold, and `None` means unconstrained.
+    */
+  private def meet(cur: Option[Seq[String]], pushedVals: Seq[String]): Option[Seq[String]] =
+    Some(cur.fold(pushedVals)(c => c.filter(pushedVals.toSet)))
+
+  private def longValue(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Fold one source filter into the params; None = not translatable. */
+  private def translate(p: RpcParams, f: Filter): Option[RpcParams] = f match {
+    case EqualTo(c, v) if c.equalsIgnoreCase("address") =>
+      hexValue(v).map(h => p.copy(addresses = meet(p.addresses, Seq(h))))
+    case EqualNullSafe(c, v) if c.equalsIgnoreCase("address") && v != null =>
+      hexValue(v).map(h => p.copy(addresses = meet(p.addresses, Seq(h))))
+    case In(c, vs) if c.equalsIgnoreCase("address") =>
+      val hs = vs.toSeq.flatMap(hexValue)
+      if (hs.size == vs.length) Some(p.copy(addresses = meet(p.addresses, hs)))
+      else None
+    case EqualTo(c, v) if c.equalsIgnoreCase("topic0") =>
+      hexValue(v).map(h => p.copy(topics0 = meet(p.topics0, Seq(h))))
+    case EqualNullSafe(c, v) if c.equalsIgnoreCase("topic0") && v != null =>
+      hexValue(v).map(h => p.copy(topics0 = meet(p.topics0, Seq(h))))
+    case In(c, vs) if c.equalsIgnoreCase("topic0") =>
+      val hs = vs.toSeq.flatMap(hexValue)
+      if (hs.size == vs.length) Some(p.copy(topics0 = meet(p.topics0, hs)))
+      else None
+    case EqualTo(c, v) if c.equalsIgnoreCase("block_number") =>
+      longValue(v).map(b => p.copy(
+        fromBlock = math.max(p.fromBlock, b), toBlock = math.min(p.toBlock, b)))
+    case GreaterThan(c, v) if c.equalsIgnoreCase("block_number") =>
+      longValue(v).map(b => p.copy(fromBlock = math.max(p.fromBlock, b + 1)))
+    case GreaterThanOrEqual(c, v) if c.equalsIgnoreCase("block_number") =>
+      longValue(v).map(b => p.copy(fromBlock = math.max(p.fromBlock, b)))
+    case LessThan(c, v) if c.equalsIgnoreCase("block_number") =>
+      longValue(v).map(b => p.copy(toBlock = math.min(p.toBlock, b - 1)))
+    case LessThanOrEqual(c, v) if c.equalsIgnoreCase("block_number") =>
+      longValue(v).map(b => p.copy(toBlock = math.min(p.toBlock, b)))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val acc = Array.newBuilder[Filter]
+    filters.foreach { f =>
+      translate(params, f) match {
+        case Some(np) => params = np; acc += f
+        case None =>
+      }
+    }
+    accepted = acc.result()
+    // everything stays a residual — the pushed copy only narrows the wire
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def build(): Scan = new RpcLogScan(params, accepted)
 }
 
 private[sources] class RpcLogTable(params: RpcParams)
@@ -381,7 +639,7 @@ private[sources] class RpcLogTable(params: RpcParams)
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new RpcLogScan(params)
+    new RpcScanBuilder(params)
 }
 
 /** `spark.read/readStream.format("graft.sources.RpcLogProvider")`.
@@ -390,7 +648,14 @@ private[sources] class RpcLogTable(params: RpcParams)
   * `blockStep` (max blocks per micro-batch, default 1000);
   * `fetchBlocks` (blocks per eth_getLogs call/partition, default 100);
   * `confirmations` (default 2); `fromBlock`/`toBlock`; optional
-  * `address`/`topic0` server-side filters.
+  * `address`/`topic0` server-side filters (comma-separated lists
+  * allowed — the RPC spec's OR semantics); `headMode` `poll` (default,
+  * one `eth_blockNumber` per trigger) or `subscribe` (background
+  * [[HeadSubscription]] latest-value channel with reconnects).
+  *
+  * Batch reads additionally push `filter(...)` predicates on
+  * `address`/`topic0`/`block_number` into the request — see
+  * [[RpcScanBuilder]].
   */
 class RpcLogProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -438,17 +703,32 @@ final class SimEthNode(head: Long, logsPerBlock: Int,
         val f = req.path("params").get(0)
         val from = EthJsonRpc.parseQuantityHex(f.path("fromBlock").asText())
         val to = EthJsonRpc.parseQuantityHex(f.path("toBlock").asText())
-        val address = Option(f.get("address")).map(_.asText())
+        // per the RPC spec both `address` and each topic slot accept one
+        // value or a list (OR); honor BOTH so filtered requests are
+        // actually exercised — a fixture that ignored topics would let a
+        // broken topic0 pushdown pass unnoticed
+        def oneOrMany(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+          if (n == null || n.isNull) Nil
+          else if (n.isArray) n.elements().asScala.map(_.asText().toLowerCase).toSeq
+          else Seq(n.asText().toLowerCase)
+        val addrFilter = oneOrMany(f.get("address"))
+        val topic0Filter = Option(f.get("topics"))
+          .filter(t => t.isArray && t.size() > 0)
+          .map(t => oneOrMany(t.get(0))).getOrElse(Nil)
+        val fixtureTopic0 = "0x" + "cc" * 32
         val logs = (from to to).flatMap { b =>
           (0 until logsPerBlock).map { i =>
             val addr = if (i % 2 == 0) "0x" + "aa" * 20 else "0x" + "bb" * 20
             (b, i, addr)
           }
-        }.filter { case (_, _, a) => address.forall(_ == a) }
+        }.filter { case (_, _, a) =>
+          (addrFilter.isEmpty || addrFilter.contains(a)) &&
+            (topic0Filter.isEmpty || topic0Filter.contains(fixtureTopic0))
+        }
           .map { case (b, i, addr) =>
             val data = "0x" + ("%064x".format(b * 1000 + i))
             val tx = "0x" + ("%064x".format(b))
-            s"""{"address":"$addr","topics":["0x${"cc" * 32}"],""" +
+            s"""{"address":"$addr","topics":["$fixtureTopic0"],""" +
               s""""data":"$data","blockNumber":"${hexQty(b)}",""" +
               s""""logIndex":"${hexQty(i.toLong)}","transactionHash":"$tx",""" +
               s""""removed":${removedBlocks.contains(b)}}"""

@@ -220,6 +220,11 @@ object StreamOps {
       fromBlock: Long = 0L, lateBlocks: Long = 0L): DataFrame = {
     require(legs.nonEmpty, "at least one source leg")
     val unioned = legs.map { case (source, df) =>
+      // INTENTIONALLY filter-then-watermark — the opposite of
+      // flushIncludingStream's single-chain order: each leg's frontier
+      // must be its OWN high-water mark (sink.rs:26-29), so the
+      // watermark is computed from the rows that survive the source
+      // filter, not from the whole unfiltered chain.
       df.filter(col("event_type") === source)
         .withColumn("block_ts", timestamp_seconds(col("block_number") + 1))
         .withWatermark("block_ts", s"$lateBlocks seconds")
@@ -260,7 +265,10 @@ object StreamOps {
       // null (assert passed) coalesces to +0; >2 dp throws mid-batch
       coalesce(
         assert_true(
-          col("value").cast("decimal(18,6)") === v2.cast("decimal(18,6)"),
+          // raw-double roundtrip: a ≤2-dp value survives the
+          // decimal(18,2) cast bit-exactly, so ANY >2-dp double fails —
+          // no detection limit from comparing at a fixed wider scale
+          v2.cast("double") === col("value").cast("double"),
           concat(lit("flushIncludingStream: value "),
             col("value").cast("string"),
             lit(" has more than 2 decimal places — the exact-cents fold " +

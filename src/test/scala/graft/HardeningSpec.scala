@@ -98,6 +98,17 @@ class HardeningSpec extends AnyFunSuite {
         s"$q regressed to a nested loop / cartesian")
     }
 
+    // PQ near-dup exact verify: the bounded survivor set must BROADCAST
+    // into BOTH corpus-side verify joins (matching ivfPQTopK's rerank) —
+    // statically hinted, so the corpus streams unshuffled through the
+    // verify even where AQE wouldn't convert the join
+    val nd = graft.operators.Similarity.ivfPQNearDupPairs(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+      threshold = 0.9)
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(ndPlan).size >= 2,
+      "survivor verify joins lost their broadcast build side")
+
     // importance selection: global top-k must be TakeOrdered (partial
     // per-partition top-k), never a global sort
     val sel = SparkEntry.queries("pipeline_dsir_select")(spark, "/root/testdata/sf0.01")
@@ -187,6 +198,11 @@ class HardeningSpec extends AnyFunSuite {
       "a2_regex_window" -> 1,
       // executor-side RPC fetch + codegen'd decode — shuffle-free
       "src_rpc_logs" -> 0,
+      // pushed filters narrow the request + partition plan; still a
+      // pure scan + projection — shuffle-free
+      "src_rpc_pushdown" -> 0,
+      // one per-contract aggregation over the filtered fetch
+      "src_rpc_multi" -> 1,
       // recall gate over the PQ path: brute rank + approx arank + exact
       // rerank rank (one query_id exchange each) + the gate's own
       // join/agg pair; candidate and id-fetch joins all broadcast

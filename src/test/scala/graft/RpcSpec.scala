@@ -8,7 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.abi
 import graft.model.Hex
 import graft.operators.EventLog
-import graft.sources.{EthJsonRpc, JsonRpcTransport, RpcHeadTracker, RpcLogSource, SimEthNode}
+import graft.sources.{EthJsonRpc, HeadFeed, HeadSubscription, JsonRpcTransport, RpcHeadFeed, RpcHeadTracker, RpcLogSource, SimEthNode}
+
+/** Transport wrapper that records every (request, response) exchange in a
+  * STATIC buffer — reader factories serialize transports per task, so an
+  * instance field would record into a throwaway copy; local-mode tasks
+  * share the JVM, so the companion buffer sees executor-side calls too.
+  */
+object RecordingNode {
+  val exchanges = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+  def getLogs: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    exchanges.asScala.toSeq.filter(_._1.contains("eth_getLogs"))
+  }
+}
+final class RecordingNode(inner: JsonRpcTransport) extends JsonRpcTransport {
+  override def call(requestJson: String): String = {
+    val resp = inner.call(requestJson)
+    RecordingNode.exchanges.add((requestJson, resp))
+    resp
+  }
+}
 
 class RpcSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -23,9 +43,18 @@ class RpcSpec extends AnyFunSuite {
       """{"jsonrpc":"2.0","id":1,"method":"eth_getLogs","params":""" +
         """[{"fromBlock":"0x10","toBlock":"0xff"}]}""")
     val filtered = EthJsonRpc.getLogsRequest(2L, 0L, 1L,
-      address = Some("0x" + "aa" * 20), topic0 = Some("0x" + "cc" * 32))
+      addresses = Seq("0x" + "aa" * 20), topics0 = Seq("0x" + "cc" * 32))
     assert(filtered.contains(""""address":"0x""" + "aa" * 20 + "\""))
     assert(filtered.contains(""""topics":["0x""" + "cc" * 32 + "\"]"))
+    // LIST filters (build_filter takes address/topic lists, stream.rs:94-102):
+    // two addresses → JSON array; two topic0 values → array in slot 0
+    val multi = EthJsonRpc.getLogsRequest(3L, 0L, 1L,
+      addresses = Seq("0x" + "aa" * 20, "0x" + "bb" * 20),
+      topics0 = Seq("0x" + "cc" * 32, "0x" + "dd" * 32))
+    assert(multi.contains(
+      """"address":["0x""" + "aa" * 20 + """","0x""" + "bb" * 20 + "\"]"))
+    assert(multi.contains(
+      """"topics":[["0x""" + "cc" * 32 + """","0x""" + "dd" * 32 + "\"]]"))
   }
 
   test("codec: parses logs, quantities, removed flag; errors are loud") {
@@ -225,6 +254,187 @@ class RpcSpec extends AnyFunSuite {
         ("%040x".format((b + i) % 3), b * 10 + i)))
       .groupMapReduce(_._1)(_._2)(_ + _)
     assert(got == expected)
+  }
+
+  test("DSv2 pushdown: .filter() lands address/topic0/block bounds in eth_getLogs " +
+      "and narrows the partition plan (stream.rs:94-102 build_filter parity)") {
+    RecordingNode.exchanges.clear()
+    RpcLogSource.registerTransport("fake_push",
+      new RecordingNode(new SimEthNode(head = 60L, logsPerBlock = 2)))
+    val df = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_push").option("confirmations", "0")
+      .option("fetchBlocks", "10").load()
+      .filter($"address" === lit(Hex.decode("aa" * 20)) &&
+        $"topic0" === lit(Hex.decode("cc" * 32)) &&
+        $"block_number".between(25L, 44L))
+    // the scan itself must advertise the pushed filters (graft.Explain)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("rpc-logs, PushedFilters: ["), "no pushed-filter section")
+    assert(plan.contains("EqualTo(address,") && plan.contains("EqualTo(topic0,"),
+      "address/topic0 equality not pushed")
+    assert(plan.contains("GreaterThanOrEqual(block_number,25") &&
+      plan.contains("LessThanOrEqual(block_number,44"),
+      "block bounds not pushed")
+
+    // blocks 25..44, address 0xaa…aa ⇒ even log index only ⇒ 1 log/block
+    val rows = df.select($"block_number", $"log_index").as[(Long, Long)]
+      .collect().toSet
+    assert(rows == (25L to 44L).map((_, 0L)).toSet)
+
+    val gets = RecordingNode.getLogs
+    // narrowed partition plan: 25..44 at fetchBlocks=10 = exactly 2
+    // requests — pruned ranges are never fetched
+    assert(gets.size == 2, s"expected 2 range fetches, saw ${gets.size}")
+    gets.foreach { case (req, _) =>
+      assert(req.contains(""""address":"0x""" + "aa" * 20 + "\""),
+        "address filter missing from the wire request")
+      assert(req.contains(""""topics":["0x""" + "cc" * 32 + "\"]"),
+        "topic0 filter missing from the wire request")
+      val m = new ObjectMapper().readTree(req).path("params").get(0)
+      val from = EthJsonRpc.parseQuantityHex(m.path("fromBlock").asText())
+      val to = EthJsonRpc.parseQuantityHex(m.path("toBlock").asText())
+      assert(from >= 25L && to <= 44L, s"unnarrowed range [$from,$to]")
+    }
+    // fewer rows crossed the transport: the node served exactly the 20
+    // matching logs, not the 2-per-block unfiltered range
+    val served = gets.map { case (_, resp) => EthJsonRpc.parseLogs(resp).size }.sum
+    assert(served == 20, s"node served $served rows, expected 20")
+  }
+
+  test("pushdown ∩ options contradiction plans ZERO partitions (no wire calls)") {
+    RecordingNode.exchanges.clear()
+    // option pins address to 0xaa…aa; the query filters to 0xbb…bb —
+    // nothing can match, so the scan must not ask the node at all
+    RpcLogSource.registerTransport("fake_contradict",
+      new RecordingNode(new SimEthNode(head = 30L, logsPerBlock = 2)))
+    val df = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_contradict").option("confirmations", "0")
+      .option("address", "0x" + "aa" * 20).load()
+      .filter($"address" === lit(Hex.decode("bb" * 20)))
+    assert(df.count() == 0L)
+    assert(RecordingNode.getLogs.isEmpty,
+      "a satisfiable-by-nothing filter still reached the node")
+  }
+
+  test("In-list pushdown: isin over two contracts becomes the address LIST filter") {
+    RecordingNode.exchanges.clear()
+    RpcLogSource.registerTransport("fake_inlist",
+      new RecordingNode(new SimEthNode(head = 20L, logsPerBlock = 4)))
+    val df = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_inlist").option("confirmations", "0")
+      .option("fetchBlocks", "21").load()
+      .filter($"address".isin(Hex.decode("aa" * 20), Hex.decode("bb" * 20)) &&
+        $"block_number" <= 9L)
+    assert(df.count() == 10L * 4)
+    val gets = RecordingNode.getLogs
+    assert(gets.size == 1)
+    assert(gets.head._1.contains(
+      """"address":["0x""" + "aa" * 20 + """","0x""" + "bb" * 20 + "\"]"),
+      "In-list did not serialize as the RPC address array")
+  }
+
+  test("multi-address reader option: two-contract query over one filtered request") {
+    RecordingNode.exchanges.clear()
+    RpcLogSource.registerTransport("fake_multi",
+      new RecordingNode(new SimEthNode(head = 15L, logsPerBlock = 4)))
+    val got = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_multi").option("confirmations", "0")
+      .option("fetchBlocks", "16")
+      .option("address", "0x" + "aa" * 20 + ",0x" + "bb" * 20)
+      .option("topic0", "0x" + "cc" * 32).load()
+      .select(lower(hex($"address")).as("addr"), $"log_index")
+    val byAddr = got.groupBy($"addr").count().as[(String, Long)].collect().toMap
+    // 16 blocks × 4 logs: even indexes at 0xaa…aa, odd at 0xbb…bb
+    assert(byAddr == Map("aa" * 20 -> 32L, "bb" * 20 -> 32L))
+    val req = RecordingNode.getLogs.head._1
+    assert(req.contains(""""address":["0x""" + "aa" * 20))
+    assert(req.contains(""""topics":["0x""" + "cc" * 32 + "\"]"))
+  }
+
+  test("head subscription: latest-value channel, monotonic guard, reconnects " +
+      "across disconnects (block.rs:17-68)") {
+    // sessions of 2 announcements each: [5,7] drop [6,9] drop [20,20] …
+    // the 6 after the drop must not regress the channel below 7
+    val node = new SimEthNode(head = 20L, logsPerBlock = 1,
+      headSequence = Seq(5L, 7L, 6L, 9L))
+    val sub = new HeadSubscription(
+      new RpcHeadFeed(node, pollsPerSession = 2), backoffMs = 1L)
+    try {
+      assert(sub.awaitFirst(10000L).nonEmpty, "no head announcement arrived")
+      val deadline = System.nanoTime() + 10000L * 1000000L
+      var seen = Set.empty[Long]
+      while (sub.currentHead() != Some(20L) && System.nanoTime() < deadline) {
+        sub.currentHead().foreach(seen += _)
+        Thread.sleep(1L)
+      }
+      assert(sub.currentHead() == Some(20L), s"never reached head 20: $seen")
+      // every observed intermediate respects the monotonic guard
+      assert(!seen.contains(6L) || seen.contains(7L),
+        "regressing announcement 6 must not surface before 7")
+      assert(sub.connects >= 3L, "disconnects did not trigger re-subscription")
+    } finally sub.close()
+  }
+
+  test("head subscription: connect failures retry with backoff (5-try inner, " +
+      "infinite outer, block.rs:25-26, :54-61)") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new HeadFeed {
+      override def connect(): Iterator[Long] = {
+        // fails 7 times: more than one 5-try burst, so the infinite
+        // OUTER loop must also re-enter before the feed comes up
+        if (attempts.incrementAndGet() <= 7) throw new java.io.IOException("ws down")
+        Iterator.continually(42L).take(3)
+      }
+    }
+    val sub = new HeadSubscription(flaky, triesPerConnect = 5, backoffMs = 1L)
+    try {
+      assert(sub.awaitFirst(10000L) == Some(42L),
+        "subscription never recovered from connect failures")
+      assert(attempts.get() >= 8)
+    } finally sub.close()
+    // close() is terminal: the channel keeps its last value, no new connects
+    val after = attempts.get()
+    Thread.sleep(20L)
+    assert(attempts.get() == after, "pump survived close()")
+  }
+
+  test("streaming with headMode=subscribe drains to the subscribed head") {
+    RpcLogSource.registerTransport("fake_sub_stream",
+      new SimEthNode(head = 30L, logsPerBlock = 1))
+    val stream = spark.readStream.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_sub_stream").option("confirmations", "0")
+      .option("headMode", "subscribe").option("blockStep", "8").load()
+    val q = stream.writeStream.format("memory").queryName("rpc_sub_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("rpc_sub_stream").count() == 31L)
+    assert(spark.table("rpc_sub_stream")
+      .agg(max("block_number")).head().getLong(0) == 30L)
+  }
+
+  test("RPC stream restart from checkpoint: no duplicate, no missing " +
+      "(block_number, log_index) keys (S7 over the wire)") {
+    val ckpt = tmp()
+    val out = tmp()
+    def run(head: Long): Unit = {
+      RpcLogSource.registerTransport("fake_restart",
+        new SimEthNode(head = head, logsPerBlock = 2))
+      val q = spark.readStream.format("graft.sources.RpcLogProvider")
+        .option("transport", "fake_restart").option("confirmations", "0")
+        .option("blockStep", "4").load()
+        .writeStream.format("parquet").outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(head = 15L) // kill mid-range: the chain will keep growing
+    run(head = 27L) // restart from the SAME checkpoint, node advanced
+    val keys = spark.read.parquet(out)
+      .select($"block_number", $"log_index").as[(Long, Long)].collect().toSeq
+    val expected = for (b <- 0L to 27L; i <- 0L to 1L) yield (b, i)
+    assert(keys.size == keys.distinct.size, "restart re-emitted committed ranges")
+    assert(keys.toSet == expected.toSet, "restart dropped or invented ranges")
   }
 
   test("Trigger.AvailableNow drains the snapshotted head then stops") {
