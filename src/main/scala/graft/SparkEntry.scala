@@ -284,6 +284,21 @@ object SparkEntry {
           graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
     }),
 
+    // Adaptive range bisection under the correctness gate: the node
+    // caps responses at 20 logs (public providers reject oversized
+    // eth_getLogs ranges with −32005), so the 50-block fetch partitions
+    // must recursively split — result identical to the uncapped scan.
+    "src_rpc_adaptive" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim_capped",
+        new graft.sources.SimEthNode(head = 90L, logsPerBlock = 3,
+          maxLogsPerRequest = 20))
+      s.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim_capped").option("confirmations", "2")
+        .option("fetchBlocks", "50").load()
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+    }),
+
     // Multi-address + topic0 server-side filters (the reference's
     // build_filter takes LISTS, stream.rs:94-102): one request carrying
     // a two-contract address array, aggregated per contract.
@@ -2051,6 +2066,11 @@ object SparkEntry {
          FROM (SELECT unnest(generate_series(40, 80)) AS b) b
          CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i
          WHERE i.i % 2 = 0""",
+
+    "src_rpc_adaptive" ->
+      """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
+         FROM (SELECT unnest(generate_series(0, 88)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i""",
 
     "src_rpc_multi" ->
       ("""SELECT CASE WHEN i.i % 2 = 0 THEN '""" + "aa" * 20 +

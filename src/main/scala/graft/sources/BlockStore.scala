@@ -44,11 +44,17 @@ object BlockStore {
   * which remains the authority for everything slower.
   */
 object Retry {
+  /** `retryIf` narrows WHICH non-fatal errors retry — deterministic
+    * protocol errors (e.g. a node's range-limit rejection) should
+    * propagate on the first attempt instead of burning the backoff
+    * budget on a result that cannot change.
+    */
   def withBackoff[T](
       attempts: Int = 4,
       initialDelayMs: Long = 10L,
       jitter: Double = 0.1,
-      sleep: Long => Unit = Thread.sleep)(op: () => T): T = {
+      sleep: Long => Unit = Thread.sleep,
+      retryIf: Throwable => Boolean = _ => true)(op: () => T): T = {
     require(attempts >= 1)
     var delay = initialDelayMs
     var last: Throwable = null
@@ -59,6 +65,7 @@ object Retry {
         // never retry fatal errors; propagate interrupts with the flag set
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) if !retryIf(e) => throw e
         case scala.util.control.NonFatal(e) =>
           last = e
           if (i < attempts - 1) {

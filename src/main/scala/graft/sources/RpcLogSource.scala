@@ -77,6 +77,15 @@ final class HttpJsonRpcTransport(url: String,
   }
 }
 
+/** The node rejected an `eth_getLogs` range as TOO LARGE — a
+  * deterministic protocol answer (public providers cap results around
+  * 10k entries / a response-size budget and answer code −32005 or a
+  * "too large"-shaped message), not a transient: callers split the
+  * range instead of retrying it.
+  */
+final class RpcRangeTooLargeException(message: String)
+    extends java.io.IOException(message)
+
 /** One parsed `eth_getLogs` entry in the engine's raw-log shape. */
 final case class EthLog(
     address: Array[Byte], topics: Seq[Array[Byte]], data: Array[Byte],
@@ -143,12 +152,30 @@ object EthJsonRpc {
     * retry wrapper treats it as transient, like the reference's
     * `retry(..)` around every call, stream.rs:159-166).
     */
+  /** Range-limit rejections, as public providers phrase them: code
+    * −32005 ("limit exceeded") or a message naming a result/response
+    * size cap. Deterministic — retrying the identical request cannot
+    * succeed, so these classify separately from transients.
+    */
+  private def isRangeLimit(code: Int, message: String): Boolean = {
+    val m = message.toLowerCase
+    code == -32005 ||
+      m.contains("more than") && m.contains("results") ||
+      m.contains("response size") || m.contains("too large") ||
+      m.contains("block range") && m.contains("limit") ||
+      m.contains("query timeout exceeded")
+  }
+
   private def result(responseJson: String): JsonNode = {
     val root = mapper.readTree(responseJson)
     val err = root.get("error")
-    if (err != null && !err.isNull)
-      throw new java.io.IOException("JSON-RPC error " +
-        s"${err.path("code").asInt()}: ${err.path("message").asText()}")
+    if (err != null && !err.isNull) {
+      val code = err.path("code").asInt()
+      val message = err.path("message").asText()
+      if (isRangeLimit(code, message))
+        throw new RpcRangeTooLargeException(s"JSON-RPC error $code: $message")
+      throw new java.io.IOException(s"JSON-RPC error $code: $message")
+    }
     val res = root.get("result")
     if (res == null) throw new java.io.IOException(
       s"JSON-RPC response has no result: $responseJson")
@@ -404,18 +431,42 @@ private[sources] final case class RpcRangePartition(from: Long, to: Long)
 private[sources] final class RpcRangeReaderFactory(
     transport: JsonRpcTransport, addresses: Seq[String],
     topics0: Seq[String]) extends PartitionReaderFactory {
+
+  /** Fetch `[from, to]`, ADAPTIVELY BISECTING on the node's range-limit
+    * rejection (−32005 / "too large"): `fetchBlocks` is a static guess,
+    * but a real provider's cap is dynamic (log density varies 100× block
+    * to block) — at backfill scale the alternative is sizing every
+    * partition for the densest block in 100 TB of history. The split is
+    * lazy (the right half is not requested until the left half drains),
+    * transients still retry per sub-range, and the limit error itself
+    * never burns the retry budget (`retryIf` — the identical request
+    * cannot succeed). A SINGLE block over the cap cannot split further
+    * and fails loudly.
+    */
+  private def fetchRange(from: Long, to: Long): Iterator[EthLog] = {
+    try Retry.withBackoff(attempts = 3, initialDelayMs = 5L,
+        retryIf = !_.isInstanceOf[RpcRangeTooLargeException])(() =>
+      EthJsonRpc.parseLogs(transport.call(EthJsonRpc.getLogsRequest(
+        1L, from, to, addresses, topics0)))).iterator
+    catch {
+      case e: RpcRangeTooLargeException =>
+        if (from >= to) throw new java.io.IOException(
+          s"eth_getLogs for the SINGLE block $from still exceeds the " +
+            "node's response limit — cannot split further; use a node " +
+            s"with a higher cap for this block (${e.getMessage})", e)
+        val mid = from + (to - from) / 2
+        fetchRange(from, mid) ++ fetchRange(mid + 1, to)
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val range = p.asInstanceOf[RpcRangePartition]
     new PartitionReader[InternalRow] {
       private var it: Iterator[InternalRow] = _
       private var current: InternalRow = _
       override def next(): Boolean = {
-        if (it == null) {
-          val logs = Retry.withBackoff(attempts = 3, initialDelayMs = 5L)(() =>
-            EthJsonRpc.parseLogs(transport.call(EthJsonRpc.getLogsRequest(
-              1L, range.from, range.to, addresses, topics0))))
-          it = logs.iterator.map(RpcLogSource.toRow)
-        }
+        if (it == null)
+          it = fetchRange(range.from, range.to).map(RpcLogSource.toRow)
         if (it.hasNext) { current = it.next(); true } else false
       }
       override def get(): InternalRow = current
@@ -686,7 +737,8 @@ class RpcLogProvider extends TableProvider
   */
 final class SimEthNode(head: Long, logsPerBlock: Int,
     removedBlocks: Set[Long] = Set.empty,
-    headSequence: Seq[Long] = Nil) extends JsonRpcTransport {
+    headSequence: Seq[Long] = Nil,
+    maxLogsPerRequest: Int = Int.MaxValue) extends JsonRpcTransport {
   private val heads = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
   headSequence.foreach(h => heads.add(h))
 
@@ -733,7 +785,13 @@ final class SimEthNode(head: Long, logsPerBlock: Int,
               s""""logIndex":"${hexQty(i.toLong)}","transactionHash":"$tx",""" +
               s""""removed":${removedBlocks.contains(b)}}"""
           }
-        s"""{"jsonrpc":"2.0","id":1,"result":[${logs.mkString(",")}]}"""
+        // response cap: real providers reject oversized ranges with
+        // −32005 instead of answering (the adaptive-split drill)
+        if (logs.size > maxLogsPerRequest)
+          s"""{"jsonrpc":"2.0","id":1,"error":{"code":-32005,""" +
+            s""""message":"query returned more than $maxLogsPerRequest results"}}"""
+        else
+          s"""{"jsonrpc":"2.0","id":1,"result":[${logs.mkString(",")}]}"""
       case other =>
         s"""{"jsonrpc":"2.0","id":1,"error":{"code":-32601,"message":"method $other not found"}}"""
     }

@@ -203,6 +203,9 @@ class HardeningSpec extends AnyFunSuite {
       "src_rpc_pushdown" -> 0,
       // one per-contract aggregation over the filtered fetch
       "src_rpc_multi" -> 1,
+      // the bisection happens inside each partition's fetch — the plan
+      // stays a pure scan + projection
+      "src_rpc_adaptive" -> 0,
       // recall gate over the PQ path: brute rank + approx arank + exact
       // rerank rank (one query_id exchange each) + the gate's own
       // join/agg pair; candidate and id-fetch joins all broadcast

@@ -437,6 +437,80 @@ class RpcSpec extends AnyFunSuite {
     assert(keys.toSet == expected.toSet, "restart dropped or invented ranges")
   }
 
+  test("range-limit rejections classify as RpcRangeTooLarge (deterministic, " +
+      "not transient)") {
+    intercept[graft.sources.RpcRangeTooLargeException] {
+      EthJsonRpc.parseLogs(
+        """{"jsonrpc":"2.0","id":1,"error":{"code":-32005,
+           "message":"query returned more than 10000 results"}}""")
+    }
+    // message-shaped variant (providers differ on the code)
+    intercept[graft.sources.RpcRangeTooLargeException] {
+      EthJsonRpc.parseLogs(
+        """{"jsonrpc":"2.0","id":1,"error":{"code":-32602,
+           "message":"Log response size exceeded"}}""")
+    }
+    // ordinary errors stay plain IOException (and DO retry)
+    val e = intercept[java.io.IOException] {
+      EthJsonRpc.parseLogs(
+        """{"jsonrpc":"2.0","id":1,"error":{"code":-32000,"message":"boom"}}""")
+    }
+    assert(!e.isInstanceOf[graft.sources.RpcRangeTooLargeException])
+  }
+
+  test("adaptive bisection: a capped node forces range splits, result stays " +
+      "complete and the retry budget is not burned on the limit error") {
+    RecordingNode.exchanges.clear()
+    // 41 blocks × 3 logs = 123 logs; cap 10 ⇒ any range > 3 blocks rejects
+    RpcLogSource.registerTransport("fake_capped",
+      new RecordingNode(new SimEthNode(head = 40L, logsPerBlock = 3,
+        maxLogsPerRequest = 10)))
+    val got = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_capped").option("confirmations", "0")
+      .option("fetchBlocks", "50").load()
+      .select($"block_number", $"log_index").as[(Long, Long)].collect().toSet
+    assert(got == (for (b <- 0L to 40L; i <- 0L to 2L) yield (b, i)).toSet)
+    val gets = RecordingNode.getLogs
+    // splits happened; every SUCCESSFUL response honors the cap; each
+    // rejected range was asked exactly ONCE (retryIf skips the backoff)
+    assert(gets.size > 2, "the capped node should force bisection")
+    val (rejected, served) = gets.partition(_._2.contains("-32005"))
+    assert(rejected.nonEmpty && served.nonEmpty)
+    served.foreach { case (_, resp) =>
+      assert(EthJsonRpc.parseLogs(resp).size <= 10)
+    }
+    assert(rejected.map(_._1).distinct.size == rejected.size,
+      "a deterministic limit rejection was retried verbatim")
+  }
+
+  test("a single block over the node's cap fails loudly (cannot split further)") {
+    RpcLogSource.registerTransport("fake_dense",
+      new SimEthNode(head = 5L, logsPerBlock = 12, maxLogsPerRequest = 10))
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "fake_dense").option("confirmations", "0")
+        .load().count()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("cannot split further"))
+  }
+
+  test("streaming over a capped node drains completely (splits inside each " +
+      "micro-batch fetch)") {
+    RpcLogSource.registerTransport("fake_capped_stream",
+      new SimEthNode(head = 20L, logsPerBlock = 3, maxLogsPerRequest = 10))
+    val stream = spark.readStream.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_capped_stream").option("confirmations", "0")
+      .option("blockStep", "20").option("fetchBlocks", "20").load()
+    val q = stream.writeStream.format("memory").queryName("rpc_capped_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("rpc_capped_stream").count() == 21L * 3)
+  }
+
   test("Trigger.AvailableNow drains the snapshotted head then stops") {
     RpcLogSource.registerTransport("fake_avail",
       new SimEthNode(head = 30L, logsPerBlock = 1))
