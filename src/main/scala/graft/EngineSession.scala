@@ -102,6 +102,50 @@ final class EngineSession(
   def decode(logs: DataFrame, handle: StreamHandle): DataFrame =
     EventDecoder.decode(logs.filter(handleMatch(handle)), handle.schema)
 
+  /** Single-pass multi-event decode: the reference dispatches EACH log to
+    * its stream by `(address, topic0)` once per log (sink.rs:86-99 routes
+    * on the signature key), whereas per-handle `decode` re-reads the raw
+    * frame once per registration — at backfill scale that is N scans of
+    * history for N events. This is the one-scan shape: a single
+    * projection routes every row (`event_name`) and decodes every
+    * registered schema behind its own routing guard, so unmatched
+    * structs are null and each log's decode work is only its own
+    * handle's expressions (the `when` short-circuits per row).
+    *
+    * Output: `block_number`, `log_index`, `address`, `event_name`, then
+    * one nullable struct column per registration holding the schema's
+    * typed params, non-null exactly on the rows that routed to it.
+    * Struct columns are named by the lower-cased event name; two
+    * registrations of the same declaration on different addresses get
+    * deterministic `_2`, `_3`… suffixes in registration order.
+    *
+    * Stays a pure narrow projection — no shuffle, codegen-friendly, and
+    * column pruning reaches through the structs (selecting one event's
+    * fields drops the other events' decode expressions from the plan).
+    */
+  def decodeAll(logs: DataFrame): DataFrame = {
+    val hs = sources
+    require(hs.nonEmpty, "decodeAll needs at least one registered stream")
+    val counts = mutable.Map.empty[String, Int]
+    val names = hs.map { h =>
+      val base = h.schema.name.toLowerCase
+      val n = counts.getOrElse(base, 0) + 1
+      counts(base) = n
+      if (n == 1) base else s"${base}_$n"
+    }
+    val topics = Seq(col("topic0"), col("topic1"), col("topic2"), col("topic3"))
+    val eventName = hs.zip(names).foldRight(lit(null).cast("string")) {
+      case ((h, n), acc) => when(handleMatch(h), lit(n)).otherwise(acc)
+    }
+    val structs = hs.zip(names).map { case (h, n) =>
+      val fields = EventDecoder.decodedColumns(h.schema, topics, col("data"))
+        .map { case (pn, c) => c.as(pn) }
+      when(handleMatch(h), struct(fields: _*)).as(n)
+    }
+    logs.select(Seq(col("block_number"), col("log_index"), col("address"),
+      eventName.as("event_name")) ++ structs: _*)
+  }
+
   /** J1 over the registry: the synchronized frontier across registered
     * `(address, topic0)` signatures — zero rows while any registered
     * stream has produced nothing (`synced_including` = None,

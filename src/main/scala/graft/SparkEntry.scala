@@ -1151,6 +1151,45 @@ object SparkEntry {
     // signature filter, ABI decode, ordered union, netflow fold
     // (stream_multi.rs:33-70). Raw logs are synthesized relationally from
     // events, so the oracle can state the expected result directly.
+    // P2/S8 — SINGLE-PASS multi-event decode: two registered
+    // declarations (Transfer on contract aa, Approval on contract bb),
+    // one projection routes every raw log by (address, topic0) and
+    // decodes BOTH schemas behind their routing guards — the
+    // reference's per-log dispatch (sink.rs:86-99) without one scan of
+    // history per event. Struct fields flatten to disjoint nullable
+    // columns; the oracle restates the roundtrip from the source table.
+    "p2_decode_multi" -> ((s, dir) => {
+      val declT = "Transfer(address indexed from, address indexed to, uint value)"
+      val declA = "Approval(address indexed owner, uint spent)"
+      val session = new EngineSession(s,
+        StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
+      session.register("0x" + "aa" * 20, declT)
+      session.register("0x" + "bb" * 20, declA)
+      val ev = events(s, dir).filter(col("event_type").isin("purchase", "click"))
+      val isT = col("event_type") === "purchase"
+      val cents =
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val raw = ev.select(
+          col("block_number"), col("log_index"),
+          when(isT, graft.functions.abi.address("0x" + "aa" * 20))
+            .otherwise(graft.functions.abi.address("0x" + "bb" * 20))
+            .as("address"),
+          when(isT, graft.functions.abi.topic0(declT))
+            .otherwise(graft.functions.abi.topic0(declA)).as("topic0"),
+          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+          when(isT, EventDecoder.encodeWordFromLong(col("user_id") + 1))
+            .cast("binary").as("topic2"),
+          lit(null).cast("binary").as("topic3"),
+          EventDecoder.encodeWordFromLong(cents).as("data"))
+      session.decodeAll(session.rawLogFilter(raw))
+        .select(col("block_number"), col("log_index"), col("event_name"),
+          concat(lit("0x"), lower(hex(col("transfer.from")))).as("t_from"),
+          concat(lit("0x"), lower(hex(col("transfer.to")))).as("t_to"),
+          col("transfer.value").cast("bigint").as("t_value"),
+          concat(lit("0x"), lower(hex(col("approval.owner")))).as("a_owner"),
+          col("approval.spent").cast("bigint").as("a_spent"))
+    }),
+
     "flagship_raw_netflow" -> ((s, dir) => {
       val decl = "Transfer(address indexed from, address indexed to, uint value)"
       val addrIn = "0x" + "aa" * 20  // inflow contract (purchase events)
@@ -2555,6 +2594,24 @@ object SparkEntry {
            count(*) FILTER (WHERE netflow > 0) AS n_positive,
            count(*) FILTER (WHERE netflow < 0) AS n_negative
          FROM nf""",
+
+    "p2_decode_multi" ->
+      s"""SELECT block_number, log_index,
+           CASE WHEN event_type = 'purchase' THEN 'transfer'
+                ELSE 'approval' END AS event_name,
+           CASE WHEN event_type = 'purchase'
+                THEN '0x' || lpad(lower(hex(user_id)), 40, '0') END AS t_from,
+           CASE WHEN event_type = 'purchase'
+                THEN '0x' || lpad(lower(hex(user_id + 1)), 40, '0') END AS t_to,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+             AS t_value,
+           CASE WHEN event_type = 'click'
+                THEN '0x' || lpad(lower(hex(user_id)), 40, '0') END AS a_owner,
+           CASE WHEN event_type = 'click'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+             AS a_spent
+         FROM ($EvKeys) WHERE event_type IN ('purchase', 'click')""",
 
     "flagship_raw_netflow" ->
       """SELECT '0x' || lpad(lower(hex(user_id)), 40, '0') AS from_addr,

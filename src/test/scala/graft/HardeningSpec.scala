@@ -192,6 +192,8 @@ class HardeningSpec extends AnyFunSuite {
       "dedup_index_update" -> 4,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
+      // single-pass multi-event decode: one routed projection, no shuffle
+      "p2_decode_multi" -> 0,
       // the UDAF keeps the same partial/merge plan shape as built-in sum
       "a1_aggregator_netflow" -> 1,
       // window explode is row-local; one per-window aggregation

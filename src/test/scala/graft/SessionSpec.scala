@@ -87,6 +87,46 @@ class SessionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s2.register(usdc, "Pair(uint a) anonymous"))
   }
 
+  test("decodeAll: one projection routes and decodes every registration") {
+    val s = new EngineSession(spark)
+    val hT = s.register(usdc, transfer)
+    val hA = s.register("0x" + "bb" * 20,
+      "Approval(address indexed owner, uint spent)")
+    val from = Hex.address("0x" + "11" * 20)
+    val to = Hex.address("0x" + "22" * 20)
+    def word(addr: Array[Byte]) = Array.fill[Byte](12)(0) ++ addr
+    val logs = Seq(
+      (1L, 0L, hT.address, hT.topic0, word(from), word(to),
+        Hex.decode("00" * 31 + "2a")),
+      (2L, 0L, hA.address, hA.topic0, word(from), null,
+        Hex.decode("00" * 31 + "07")))
+      .toDF("block_number", "log_index", "address", "topic0",
+        "topic1", "topic2", "data")
+      .withColumn("topic3", lit(null).cast("binary"))
+    val out = s.decodeAll(logs).orderBy($"block_number")
+    // struct columns are named by event, disjointly null
+    val rows = out.select($"event_name", $"transfer.value".cast("long"),
+      $"transfer.from", $"approval.owner", $"approval.spent".cast("long"))
+      .collect()
+    assert(rows(0).getString(0) == "transfer")
+    assert(rows(0).getLong(1) == 42L)
+    assert(rows(0).getAs[Array[Byte]](2).toSeq == from.toSeq)
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4))
+    assert(rows(1).getString(0) == "approval")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(1).getAs[Array[Byte]](3).toSeq == from.toSeq)
+    assert(rows(1).getLong(4) == 7L)
+    // same declaration registered twice (second address) uniquifies
+    val s2 = new EngineSession(spark)
+    s2.register(usdc, transfer)
+    s2.register("0x" + "cc" * 20, transfer)
+    val cols = s2.decodeAll(logs).columns.toSeq
+    assert(cols.contains("transfer") && cols.contains("transfer_2"))
+    // single-pass shape: no shuffle anywhere in the plan
+    assert(!s.decodeAll(logs).queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
   test("frontier over registered signatures: None until all produce") {
     val s = new EngineSession(spark)
     val h1 = s.register(usdc, transfer)
