@@ -125,6 +125,13 @@ object SparkEntry {
     s.table(sinkName)
   }
 
+  /** Scratch the RETURNED DataFrame is still backed by (the caller
+    * writes/collects it after this function returns, so it cannot be
+    * deleted eagerly): cleaned at JVM exit.
+    */
+  private def onJvmExitDelete(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+
   private def deleteRecursively(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
@@ -297,6 +304,32 @@ object SparkEntry {
         .option("fetchBlocks", "50").load()
         .select(col("block_number"), col("log_index"),
           graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+    }),
+
+    // S7 write path end-to-end: RPC stream → BlockSink (idempotent
+    // block-bucketed parquet, dynamic overwrite per (bucket, epoch)) →
+    // read the FILES back. blockStep 20 versus bucketBlocks 16 forces
+    // consecutive epochs to share buckets, the exact surface a naive
+    // overwrite clobbers; the oracle restates the node's pure log
+    // function plus the bucketing.
+    "s7_sink_roundtrip" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim_sink",
+        new graft.sources.SimEthNode(head = 80L, logsPerBlock = 3))
+      val out = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ck").toString
+      val stream = s.readStream.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim_sink").option("confirmations", "0")
+        .option("blockStep", "20").load()
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+      val q = graft.streaming.BlockSink.start(stream, out, ckpt,
+        bucketBlocks = 16L)
+      try q.processAllAvailable() finally q.stop()
+      deleteRecursively(ckpt)
+      onJvmExitDelete(out) // the result frame stays file-backed until written
+      s.read.parquet(out)
+        .select(col("block_bucket").cast("bigint").as("block_bucket"),
+          col("block_number"), col("log_index"), col("v"))
     }),
 
     // Multi-address + topic0 server-side filters (the reference's
@@ -2109,6 +2142,12 @@ object SparkEntry {
     "src_rpc_adaptive" ->
       """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
          FROM (SELECT unnest(generate_series(0, 88)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i""",
+
+    "s7_sink_roundtrip" ->
+      """SELECT b.b // 16 AS block_bucket, b.b AS block_number,
+           i.i AS log_index, b.b * 1000 + i.i AS v
+         FROM (SELECT unnest(generate_series(0, 80)) AS b) b
          CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) i""",
 
     "src_rpc_multi" ->

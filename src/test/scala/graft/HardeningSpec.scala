@@ -208,6 +208,9 @@ class HardeningSpec extends AnyFunSuite {
       // the bisection happens inside each partition's fetch — the plan
       // stays a pure scan + projection
       "src_rpc_adaptive" -> 0,
+      // the returned frame is a pure scan of the sink's files; the
+      // ingest itself runs inside foreachBatch epochs
+      "s7_sink_roundtrip" -> 0,
       // recall gate over the PQ path: brute rank + approx arank + exact
       // rerank rank (one query_id exchange each) + the gate's own
       // join/agg pair; candidate and id-fetch joins all broadcast
