@@ -1948,6 +1948,60 @@ object SparkEntry {
           o.filter(year(col("o_orderdate")) === 1995).select("o_custkey"))
     }),
 
+    // Q4-style: EXISTS as a LEFT SEMI join — the probe side never fans
+    // out, so no post-join dedup; the non-equi late-shipment predicate
+    // rides on the join condition
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q12-style: conditional CASE aggregation over the fact⋈dim join,
+    // one pass, keyed by ship year
+    "q12_priority_lines" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_lines"),
+          sum(when(high, 0L).otherwise(1L)).as("low_lines"))
+    }),
+
+    // Q16-style: broadcast ANTI-join exclusion (complaint suppliers)
+    // + distinct supplier count per brand/size band
+    "q16_supplier_variety" -> ((s, dir) => {
+      val excluded = table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      table(s, dir, "lineitem")
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), (col("p_size") % 5).as("size_band"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q19-style: disjunctive brand/size/quantity predicate bands — the
+    // join stays the equi `l_partkey = p_partkey` (broadcast), the OR
+    // evaluates as a post-join filter, never a cartesian
+    "q19_branded_revenue" -> ((s, dir) => {
+      def band(brand: String, sizeTo: Int, qFrom: Int, qTo: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeTo) &&
+          col("l_quantity").between(qFrom, qTo)
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
+          band("Brand#34", 15, 20, 30))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q5_nation_revenue" -> ((s, dir) => {
       val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = table(s, dir, "nation")
@@ -3172,6 +3226,41 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+
+    "q12_priority_lines" ->
+      """SELECT year(l_shipdate) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size % 5 AS size_band,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2""",
+
+    "q19_branded_revenue" ->
+      s"""SELECT CAST(sum($Revenue) AS DOUBLE) AS revenue, count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""
   )
 }

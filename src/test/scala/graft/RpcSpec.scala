@@ -256,6 +256,73 @@ class RpcSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream_multi over the wire: TWO registered events, ONE stream, " +
+      "single-pass decodeAll dispatch") {
+    // the reference's multi-event main loop (stream_multi.rs:33-70):
+    // register N declarations, watch one log feed, route each log to its
+    // stream by (address, topic0) — here as one rpc-logs stream through
+    // EngineSession.decodeAll, so history crosses the wire ONCE for both
+    val declT = "Transfer(address indexed from, address indexed to, uint value)"
+    val declA = "Approval(address indexed owner, uint spent)"
+    val sess = new EngineSession(spark,
+      StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
+    val hT = sess.register("0x" + "aa" * 20, declT)
+    val hA = sess.register("0x" + "bb" * 20, declA)
+    final class TwoEventNode(head: Long) extends JsonRpcTransport {
+      private def hexQty(v: Long): String = "0x" + java.lang.Long.toHexString(v)
+      override def call(requestJson: String): String = {
+        val req = new ObjectMapper().readTree(requestJson)
+        req.path("method").asText() match {
+          case "eth_blockNumber" =>
+            s"""{"jsonrpc":"2.0","id":1,"result":"${hexQty(head)}"}"""
+          case "eth_getLogs" =>
+            val f = req.path("params").get(0)
+            val from = EthJsonRpc.parseQuantityHex(f.path("fromBlock").asText())
+            val to = EthJsonRpc.parseQuantityHex(f.path("toBlock").asText())
+            val logs = (from to to).flatMap { b =>
+              val t = s"""{"address":"0x${"aa" * 20}","topics":[
+                 "${hT.schema.topic0Hex}","0x${"%064x".format(b % 5)}",
+                 "0x${"%064x".format(b % 5 + 1)}"],
+                 "data":"0x${"%064x".format(b * 10)}",
+                 "blockNumber":"${hexQty(b)}","logIndex":"0x0",
+                 "transactionHash":"0x${"%064x".format(b)}",
+                 "removed":false}""".replaceAll("\n\\s*", "")
+              val a = s"""{"address":"0x${"bb" * 20}","topics":[
+                 "${hA.schema.topic0Hex}","0x${"%064x".format(b % 5)}"],
+                 "data":"0x${"%064x".format(b * 10 + 1)}",
+                 "blockNumber":"${hexQty(b)}","logIndex":"0x1",
+                 "transactionHash":"0x${"%064x".format(b)}",
+                 "removed":false}""".replaceAll("\n\\s*", "")
+              Seq(t, a)
+            }
+            s"""{"jsonrpc":"2.0","id":1,"result":[${logs.mkString(",")}]}"""
+          case other =>
+            s"""{"jsonrpc":"2.0","id":1,"error":{"code":-32601,"message":"$other"}}"""
+        }
+      }
+    }
+    val head = 24L
+    RpcLogSource.registerTransport("fake_two_events", new TwoEventNode(head))
+    val stream = spark.readStream.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_two_events").option("confirmations", "0")
+      .option("blockStep", "10").load()
+    val routed = sess.decodeAll(sess.rawLogFilter(stream))
+      .select($"block_number", $"event_name",
+        $"transfer.value".cast("long").as("t_value"),
+        $"approval.spent".cast("long").as("a_spent"))
+    val q = routed.writeStream.format("memory").queryName("rpc_decode_all")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("rpc_decode_all")
+      .select($"block_number", $"event_name", $"t_value", $"a_spent")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    val expected = (0L to head).flatMap(b => Seq(
+      (b, "transfer", Some(b * 10), None),
+      (b, "approval", None, Some(b * 10 + 1)))).toSet
+    assert(got == expected)
+  }
+
   test("DSv2 pushdown: .filter() lands address/topic0/block bounds in eth_getLogs " +
       "and narrows the partition plan (stream.rs:94-102 build_filter parity)") {
     RecordingNode.exchanges.clear()
