@@ -350,6 +350,28 @@ object SparkEntry {
           sum(col("v")).cast("bigint").as("sum_v"))
     }),
 
+    // TOPIC-SLOT filters over the wire — the RPC spec's positional
+    // `topics` array (slot 1..3 = indexed event params, OR within a
+    // slot, AND across slots): `.filter()` equality on topic1 and an
+    // IN-list on topic2 push down to the request's slots, so the node
+    // serves only matching logs (slot filters are how the reference's
+    // indexed-param subscriptions stay narrow at backfill scale). The
+    // fixture's topic1 = word(log_index), topic2 = word(block % 5);
+    // Spark re-evaluates both predicates as residuals.
+    "src_rpc_topic_slots" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim_slots",
+        new graft.sources.SimEthNode(head = 100L, logsPerBlock = 4,
+          topicsPerLog = 3))
+      def word(v: Long) = graft.model.Hex.decode("%064x".format(v))
+      s.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim_slots").option("confirmations", "2")
+        .option("fetchBlocks", "25").load()
+        .filter(col("topic1") === lit(word(1L)) &&
+          col("topic2").isin(lit(word(0L)), lit(word(2L))))
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+    }),
+
     // S1/S2 — bounded log range scan with signature + block-range pushdown
     "s1_log_scan" -> ((s, dir) =>
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
@@ -2212,6 +2234,12 @@ object SparkEntry {
          FROM (SELECT unnest(generate_series(0, 60)) AS b) b
          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
          GROUP BY 1"""),
+
+    "src_rpc_topic_slots" ->
+      """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
+         FROM (SELECT unnest(generate_series(0, 98)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+         WHERE i.i = 1 AND b.b % 5 IN (0, 2)""",
 
     "s1_log_scan" ->
       s"""SELECT event_id, block_number, log_index, user_id, value

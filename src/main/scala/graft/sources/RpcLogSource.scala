@@ -105,15 +105,19 @@ object EthJsonRpc {
     java.lang.Long.parseLong(Hex.strip0x(s), 16)
 
   /** `eth_getLogs` request for `[fromBlock, toBlock]` (inclusive, like
-    * the RPC spec) with optional server-side address / topic0 filters —
+    * the RPC spec) with optional server-side address / topic filters —
     * the reference builds exactly this filter from its registered
     * streams (stream.rs:94-102, :152-158), where `address` is a LIST of
-    * contracts and each topic slot may be a LIST (OR semantics). One
-    * entry serializes as a bare string (the common wire shape), several
-    * as a JSON array — both are valid per the RPC spec.
+    * contracts and EACH of the four topic slots may independently be a
+    * LIST (OR within a slot, AND across slots — the spec's positional
+    * semantics, which is how indexed event params filter server-side).
+    * `topics(i)` empty = wildcard for slot i; wildcards serialize as
+    * JSON `null`, trailing wildcards are trimmed, one entry serializes
+    * as a bare string (the common wire shape), several as a JSON array.
     */
   def getLogsRequest(id: Long, fromBlock: Long, toBlock: Long,
-      addresses: Seq[String] = Nil, topics0: Seq[String] = Nil): String = {
+      addresses: Seq[String] = Nil, topics: Seq[Seq[String]] = Nil): String = {
+    require(topics.size <= 4, s"at most 4 topic slots, got ${topics.size}")
     val root = mapper.createObjectNode()
     root.put("jsonrpc", "2.0").put("id", id).put("method", "eth_getLogs")
     val filter = mapper.createObjectNode()
@@ -126,15 +130,17 @@ object EthJsonRpc {
         val arr = mapper.createArrayNode(); many.foreach(arr.add)
         filter.set[ObjectNode]("address", arr)
     }
-    topics0 match {
-      case Seq() =>
-      case Seq(one) =>
-        val topics = mapper.createArrayNode(); topics.add(one)
-        filter.set[ObjectNode]("topics", topics)
-      case many =>
-        val slot0 = mapper.createArrayNode(); many.foreach(slot0.add)
-        val topics = mapper.createArrayNode(); topics.add(slot0)
-        filter.set[ObjectNode]("topics", topics)
+    val slots = topics.reverse.dropWhile(_.isEmpty).reverse
+    if (slots.nonEmpty) {
+      val arr = mapper.createArrayNode()
+      slots.foreach {
+        case Seq()    => arr.addNull()
+        case Seq(one) => arr.add(one)
+        case many =>
+          val slot = mapper.createArrayNode(); many.foreach(slot.add)
+          arr.add(slot)
+      }
+      filter.set[ObjectNode]("topics", arr)
     }
     val params = mapper.createArrayNode(); params.add(filter)
     root.set[ObjectNode]("params", params)
@@ -369,25 +375,32 @@ object RpcLogSource {
         "rpc-logs requires a `url` or registered `transport` option"))
 }
 
-/** `addresses`/`topics0`: `None` = no server-side filter; `Some(xs)` =
+/** `addresses`/`topics(i)`: `None` = no server-side filter; `Some(xs)` =
   * filter to exactly `xs` (normalized lowercase `0x…`). `Some(Nil)` is a
   * satisfiable-by-nothing contradiction (e.g. an option filter
   * intersected with a disjoint pushed filter) — the scan plans ZERO
-  * partitions instead of asking the node for an empty set.
+  * partitions instead of asking the node for an empty set. `topics` is
+  * always 4 entries, one per RPC topic slot (slot 0 = signature, slots
+  * 1..3 = indexed event params).
   */
 private[sources] final case class RpcParams(
     transport: JsonRpcTransport,
     blockStep: Long, confirmations: Long, fromBlock: Long, toBlock: Long,
     fetchBlocks: Long, addresses: Option[Seq[String]],
-    topics0: Option[Seq[String]], headMode: String) {
+    topics: Seq[Option[Seq[String]]], headMode: String) {
   require(blockStep >= 1, "blockStep must be >= 1")
   require(fetchBlocks >= 1, "fetchBlocks must be >= 1")
+  require(topics.size == 4, s"topics must carry 4 slots, got ${topics.size}")
   require(headMode == "poll" || headMode == "subscribe",
     s"headMode must be poll|subscribe, got $headMode")
 
-  def matchable: Boolean = addresses.forall(_.nonEmpty) && topics0.forall(_.nonEmpty)
+  def matchable: Boolean =
+    addresses.forall(_.nonEmpty) && topics.forall(_.forall(_.nonEmpty))
   def addressList: Seq[String] = addresses.getOrElse(Nil)
-  def topic0List: Seq[String] = topics0.getOrElse(Nil)
+  /** Wire shape: one list per slot, `Nil` = wildcard (trailing
+    * wildcards trimmed by the codec).
+    */
+  def topicLists: Seq[Seq[String]] = topics.map(_.getOrElse(Nil))
 }
 
 private[sources] object RpcParams {
@@ -412,7 +425,7 @@ private[sources] object RpcParams {
       // (stream.rs:214-226) mapped onto task parallelism
       fetchBlocks = o.getOrElse("fetchblocks", o.getOrElse("fetchBlocks", "100")).toLong,
       addresses = o.get("address").map(hexList),
-      topics0 = o.get("topic0").map(hexList),
+      topics = (0 to 3).map(i => o.get(s"topic$i").map(hexList)),
       headMode = o.getOrElse("headmode", o.getOrElse("headMode", "poll")))
   }
 }
@@ -430,7 +443,7 @@ private[sources] final case class RpcRangePartition(from: Long, to: Long)
   */
 private[sources] final class RpcRangeReaderFactory(
     transport: JsonRpcTransport, addresses: Seq[String],
-    topics0: Seq[String]) extends PartitionReaderFactory {
+    topics: Seq[Seq[String]]) extends PartitionReaderFactory {
 
   /** Fetch `[from, to]`, ADAPTIVELY BISECTING on the node's range-limit
     * rejection (−32005 / "too large"): `fetchBlocks` is a static guess,
@@ -447,7 +460,7 @@ private[sources] final class RpcRangeReaderFactory(
     try Retry.withBackoff(attempts = 3, initialDelayMs = 5L,
         retryIf = !_.isInstanceOf[RpcRangeTooLargeException])(() =>
       EthJsonRpc.parseLogs(transport.call(EthJsonRpc.getLogsRequest(
-        1L, from, to, addresses, topics0)))).iterator
+        1L, from, to, addresses, topics)))).iterator
     catch {
       case e: RpcRangeTooLargeException =>
         if (from >= to) throw new java.io.IOException(
@@ -551,7 +564,7 @@ private[sources] class RpcLogStream(params: RpcParams)
       BlockOffset.of(start) + 1, BlockOffset.of(end), fetchBlocks)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RpcRangeReaderFactory(transport, addressList, topic0List)
+    new RpcRangeReaderFactory(transport, addressList, topicLists)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = {
@@ -575,7 +588,7 @@ private[sources] class RpcLogBatch(params: RpcParams) extends Batch {
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new RpcRangeReaderFactory(params.transport, params.addressList,
-      params.topic0List)
+      params.topicLists)
 }
 
 private[sources] class RpcLogScan(params: RpcParams,
@@ -634,6 +647,19 @@ private[sources] final class RpcScanBuilder(base: RpcParams)
     case _ => None
   }
 
+  /** `topic0..topic3` → slot index (the four positional filter slots of
+    * the RPC spec; slots 1..3 are where indexed event params land).
+    */
+  private def topicSlot(c: String): Option[Int] = {
+    val l = c.toLowerCase
+    if (l.length == 6 && l.startsWith("topic") && l.last >= '0' && l.last <= '3')
+      Some(l.last - '0')
+    else None
+  }
+
+  private def withTopic(p: RpcParams, slot: Int, hs: Seq[String]): RpcParams =
+    p.copy(topics = p.topics.updated(slot, meet(p.topics(slot), hs)))
+
   /** Fold one source filter into the params; None = not translatable. */
   private def translate(p: RpcParams, f: Filter): Option[RpcParams] = f match {
     case EqualTo(c, v) if c.equalsIgnoreCase("address") =>
@@ -644,13 +670,13 @@ private[sources] final class RpcScanBuilder(base: RpcParams)
       val hs = vs.toSeq.flatMap(hexValue)
       if (hs.size == vs.length) Some(p.copy(addresses = meet(p.addresses, hs)))
       else None
-    case EqualTo(c, v) if c.equalsIgnoreCase("topic0") =>
-      hexValue(v).map(h => p.copy(topics0 = meet(p.topics0, Seq(h))))
-    case EqualNullSafe(c, v) if c.equalsIgnoreCase("topic0") && v != null =>
-      hexValue(v).map(h => p.copy(topics0 = meet(p.topics0, Seq(h))))
-    case In(c, vs) if c.equalsIgnoreCase("topic0") =>
+    case EqualTo(c, v) if topicSlot(c).isDefined =>
+      hexValue(v).map(h => withTopic(p, topicSlot(c).get, Seq(h)))
+    case EqualNullSafe(c, v) if topicSlot(c).isDefined && v != null =>
+      hexValue(v).map(h => withTopic(p, topicSlot(c).get, Seq(h)))
+    case In(c, vs) if topicSlot(c).isDefined =>
       val hs = vs.toSeq.flatMap(hexValue)
-      if (hs.size == vs.length) Some(p.copy(topics0 = meet(p.topics0, hs)))
+      if (hs.size == vs.length) Some(withTopic(p, topicSlot(c).get, hs))
       else None
     case EqualTo(c, v) if c.equalsIgnoreCase("block_number") =>
       longValue(v).map(b => p.copy(
@@ -733,12 +759,18 @@ class RpcLogProvider extends TableProvider
   * data = the 32-byte word of `b*1000 + i`; blocks in `removedBlocks`
   * serve `removed: true` (reorg-guard drills). `headSequence` pre-seeds
   * successive `eth_blockNumber` answers (head-regression drills), then
-  * the fixed `head` serves forever.
+  * the fixed `head` serves forever. `topicsPerLog` (1..3) adds indexed
+  * params: topic1 = the word of `i` (log index), topic2 = the word of
+  * `b % 5` — both restatable relationally, so slot-filter drills have
+  * an exact oracle.
   */
 final class SimEthNode(head: Long, logsPerBlock: Int,
     removedBlocks: Set[Long] = Set.empty,
     headSequence: Seq[Long] = Nil,
-    maxLogsPerRequest: Int = Int.MaxValue) extends JsonRpcTransport {
+    maxLogsPerRequest: Int = Int.MaxValue,
+    topicsPerLog: Int = 1) extends JsonRpcTransport {
+  require(topicsPerLog >= 1 && topicsPerLog <= 3,
+    s"topicsPerLog must be 1..3, got $topicsPerLog")
   private val heads = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
   headSequence.foreach(h => heads.add(h))
 
@@ -756,31 +788,41 @@ final class SimEthNode(head: Long, logsPerBlock: Int,
         val from = EthJsonRpc.parseQuantityHex(f.path("fromBlock").asText())
         val to = EthJsonRpc.parseQuantityHex(f.path("toBlock").asText())
         // per the RPC spec both `address` and each topic slot accept one
-        // value or a list (OR); honor BOTH so filtered requests are
-        // actually exercised — a fixture that ignored topics would let a
-        // broken topic0 pushdown pass unnoticed
+        // value or a list (OR within a slot, AND across slots); honor
+        // ALL FOUR slots so filtered requests are actually exercised —
+        // a fixture that ignored a slot would let a broken pushdown
+        // pass unnoticed
         def oneOrMany(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
           if (n == null || n.isNull) Nil
           else if (n.isArray) n.elements().asScala.map(_.asText().toLowerCase).toSeq
           else Seq(n.asText().toLowerCase)
         val addrFilter = oneOrMany(f.get("address"))
-        val topic0Filter = Option(f.get("topics"))
-          .filter(t => t.isArray && t.size() > 0)
-          .map(t => oneOrMany(t.get(0))).getOrElse(Nil)
+        val slotFilters: Seq[Seq[String]] = Option(f.get("topics"))
+          .filter(_.isArray)
+          .map(t => (0 until t.size()).map(i => oneOrMany(t.get(i))))
+          .getOrElse(Nil)
         val fixtureTopic0 = "0x" + "cc" * 32
+        def word(v: Long): String = "0x" + "%064x".format(v)
         val logs = (from to to).flatMap { b =>
           (0 until logsPerBlock).map { i =>
             val addr = if (i % 2 == 0) "0x" + "aa" * 20 else "0x" + "bb" * 20
-            (b, i, addr)
+            val topics = Seq(fixtureTopic0, word(i.toLong), word(b % 5))
+              .take(topicsPerLog)
+            (b, i, addr, topics)
           }
-        }.filter { case (_, _, a) =>
+        }.filter { case (_, _, a, topics) =>
           (addrFilter.isEmpty || addrFilter.contains(a)) &&
-            (topic0Filter.isEmpty || topic0Filter.contains(fixtureTopic0))
+            slotFilters.zipWithIndex.forall { case (fs, slot) =>
+              // spec: a constrained slot requires the log to HAVE that
+              // topic and match one of the slot's values
+              fs.isEmpty || (slot < topics.size && fs.contains(topics(slot)))
+            }
         }
-          .map { case (b, i, addr) =>
+          .map { case (b, i, addr, topics) =>
             val data = "0x" + ("%064x".format(b * 1000 + i))
             val tx = "0x" + ("%064x".format(b))
-            s"""{"address":"$addr","topics":["$fixtureTopic0"],""" +
+            val topicsJson = topics.map(t => s""""$t"""").mkString(",")
+            s"""{"address":"$addr","topics":[$topicsJson],""" +
               s""""data":"$data","blockNumber":"${hexQty(b)}",""" +
               s""""logIndex":"${hexQty(i.toLong)}","transactionHash":"$tx",""" +
               s""""removed":${removedBlocks.contains(b)}}"""

@@ -208,6 +208,8 @@ class HardeningSpec extends AnyFunSuite {
       // the bisection happens inside each partition's fetch — the plan
       // stays a pure scan + projection
       "src_rpc_adaptive" -> 0,
+      // slot filters ride the request; scan + residual filter only
+      "src_rpc_topic_slots" -> 0,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,

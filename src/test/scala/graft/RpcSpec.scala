@@ -43,18 +43,25 @@ class RpcSpec extends AnyFunSuite {
       """{"jsonrpc":"2.0","id":1,"method":"eth_getLogs","params":""" +
         """[{"fromBlock":"0x10","toBlock":"0xff"}]}""")
     val filtered = EthJsonRpc.getLogsRequest(2L, 0L, 1L,
-      addresses = Seq("0x" + "aa" * 20), topics0 = Seq("0x" + "cc" * 32))
+      addresses = Seq("0x" + "aa" * 20), topics = Seq(Seq("0x" + "cc" * 32)))
     assert(filtered.contains(""""address":"0x""" + "aa" * 20 + "\""))
     assert(filtered.contains(""""topics":["0x""" + "cc" * 32 + "\"]"))
     // LIST filters (build_filter takes address/topic lists, stream.rs:94-102):
     // two addresses → JSON array; two topic0 values → array in slot 0
     val multi = EthJsonRpc.getLogsRequest(3L, 0L, 1L,
       addresses = Seq("0x" + "aa" * 20, "0x" + "bb" * 20),
-      topics0 = Seq("0x" + "cc" * 32, "0x" + "dd" * 32))
+      topics = Seq(Seq("0x" + "cc" * 32, "0x" + "dd" * 32)))
     assert(multi.contains(
       """"address":["0x""" + "aa" * 20 + """","0x""" + "bb" * 20 + "\"]"))
     assert(multi.contains(
       """"topics":[["0x""" + "cc" * 32 + """","0x""" + "dd" * 32 + "\"]]"))
+    // SLOT filters (the RPC spec's positional topics array): a wildcard
+    // slot serializes as null, an indexed-param slot carries its value,
+    // trailing wildcards are trimmed
+    val slots = EthJsonRpc.getLogsRequest(4L, 0L, 1L,
+      topics = Seq(Nil, Seq("0x" + "11" * 32), Nil, Nil))
+    assert(slots.contains(""""topics":[null,"0x""" + "11" * 32 + "\"]"),
+      s"slot-1 filter with trimmed trailing wildcards, got $slots")
   }
 
   test("codec: parses logs, quantities, removed flag; errors are loud") {
@@ -399,6 +406,66 @@ class RpcSpec extends AnyFunSuite {
     assert(gets.head._1.contains(
       """"address":["0x""" + "aa" * 20 + """","0x""" + "bb" * 20 + "\"]"),
       "In-list did not serialize as the RPC address array")
+  }
+
+  test("topic-slot pushdown: topic1 equality + topic2 IN-list land in the " +
+      "positional topics array (indexed-param filters, AND across slots)") {
+    RecordingNode.exchanges.clear()
+    RpcLogSource.registerTransport("fake_slots",
+      new RecordingNode(new SimEthNode(head = 20L, logsPerBlock = 4,
+        topicsPerLog = 3)))
+    def word(v: Long): Array[Byte] = Hex.decode("%064x".format(v))
+    def wordHex(v: Long): String = "0x" + "%064x".format(v)
+    val df = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_slots").option("confirmations", "0")
+      .option("fetchBlocks", "21").load()
+      .filter($"topic1" === lit(word(2L)) &&
+        $"topic2".isin(lit(word(0L)), lit(word(3L))))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("EqualTo(topic1,") && plan.contains("In(topic2,"),
+      s"slot filters not pushed: $plan")
+
+    // fixture: topic1 = word(log index), topic2 = word(block % 5) —
+    // i = 2, b % 5 ∈ {0, 3} over blocks 0..20
+    val expected = (0L to 20L).filter(b => b % 5 == 0 || b % 5 == 3)
+      .map((_, 2L)).toSet
+    val rows = df.select($"block_number", $"log_index").as[(Long, Long)]
+      .collect().toSet
+    assert(rows == expected)
+
+    val gets = RecordingNode.getLogs
+    assert(gets.size == 1)
+    val req = gets.head._1
+    // slot 0 unconstrained → null wildcard; slot 1 bare value; slot 2 array
+    assert(req.contains(""""topics":[null,"""" + wordHex(2L) + """",[""" +
+      "\"" + wordHex(0L) + """","""" + wordHex(3L) + "\"]]"),
+      s"positional slots malformed on the wire: $req")
+    // the node itself enforced the slots: only matching logs crossed
+    val served = EthJsonRpc.parseLogs(gets.head._2).size
+    assert(served == expected.size, s"node served $served, expected ${expected.size}")
+  }
+
+  test("topic1..topic3 reader options feed the same slots (option ∩ pushdown meet)") {
+    RecordingNode.exchanges.clear()
+    RpcLogSource.registerTransport("fake_slot_opts",
+      new RecordingNode(new SimEthNode(head = 10L, logsPerBlock = 4,
+        topicsPerLog = 3)))
+    def wordHex(v: Long): String = "0x" + "%064x".format(v)
+    // option pins topic1 ∈ {word(1), word(2)}; the filter narrows to
+    // word(2) — the meet is the singleton; topic2 rides as an option only
+    val df = spark.read.format("graft.sources.RpcLogProvider")
+      .option("transport", "fake_slot_opts").option("confirmations", "0")
+      .option("fetchBlocks", "11")
+      .option("topic1", wordHex(1L) + "," + wordHex(2L))
+      .option("topic2", wordHex(0L)).load()
+      .filter($"topic1" === lit(Hex.decode("%064x".format(2L))))
+    val rows = df.select($"block_number", $"log_index").as[(Long, Long)]
+      .collect().toSet
+    assert(rows == (0L to 10L).filter(_ % 5 == 0).map((_, 2L)).toSet)
+    val req = RecordingNode.getLogs.head._1
+    assert(req.contains(""""topics":[null,"""" + wordHex(2L) + """","""" +
+      wordHex(0L) + "\"]"), s"slot meet malformed on the wire: $req")
   }
 
   test("multi-address reader option: two-contract query over one filtered request") {
