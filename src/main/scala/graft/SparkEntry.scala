@@ -372,6 +372,26 @@ object SparkEntry {
           graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
     }),
 
+    // P2/S2 — the DECODED-param filter path end-to-end: the user writes
+    // the idiomatic `abi.u256(topic2) === 2` / `abi.u256(topic1) >= 2`;
+    // IndexedParamRewrite turns both into raw-word predicates (equality
+    // AND the lexicographic range — 32-byte unsigned big-endian words
+    // sort numerically as bytes), the DSv2 source ships the topic2
+    // equality in the eth_getLogs slot filter, and Spark evaluates the
+    // binary range residually. No decode expression survives the plan.
+    "p2_indexed_pushdown" -> ((s, dir) => {
+      graft.sources.RpcLogSource.registerTransport("verify_sim_indexed",
+        new graft.sources.SimEthNode(head = 100L, logsPerBlock = 4,
+          topicsPerLog = 3))
+      s.read.format("graft.sources.RpcLogProvider")
+        .option("transport", "verify_sim_indexed").option("confirmations", "2")
+        .option("fetchBlocks", "25").load()
+        .filter(graft.functions.abi.u256(col("topic2")) === lit(2) &&
+          graft.functions.abi.u256(col("topic1")) >= lit(2))
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
+    }),
+
     // S1/S2 — bounded log range scan with signature + block-range pushdown
     "s1_log_scan" -> ((s, dir) =>
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
@@ -2240,6 +2260,12 @@ object SparkEntry {
          FROM (SELECT unnest(generate_series(0, 98)) AS b) b
          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
          WHERE i.i = 1 AND b.b % 5 IN (0, 2)""",
+
+    "p2_indexed_pushdown" ->
+      """SELECT b.b AS block_number, i.i AS log_index, b.b * 1000 + i.i AS v
+         FROM (SELECT unnest(generate_series(0, 98)) AS b) b
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+         WHERE b.b % 5 = 2 AND i.i >= 2""",
 
     "s1_log_scan" ->
       s"""SELECT event_id, block_number, log_index, user_id, value

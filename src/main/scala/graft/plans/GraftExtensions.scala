@@ -89,14 +89,30 @@ object GraftFunctions {
     }
   }
 
-  /** Register every function on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every function on a live session, plus the decoded-param
+    * rewrite via `experimental.extraOptimizations`. NOTE the experimental
+    * batch runs AFTER DSv2 scan pushdown, so on a live session the
+    * rewrite benefits only physical-planning pushdowns (parquet
+    * row-group pruning); sessions built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions` get the rule in
+    * the operator-optimization batch, ahead of DSv2 pushdown.
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, b) => GraftFunctionShim.register(spark, name, b) }
+    if (!spark.experimental.extraOptimizations.contains(IndexedParamRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IndexedParamRewrite
+  }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the decoded-param
+  * filter rewrite (injected into the operator-optimization batch, which
+  * runs BEFORE the early-scan-pushdown batch — so rewritten topic
+  * equalities reach both the DSv2 `rpc-logs` translation and parquet
+  * row-group pruning).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, b) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -104,4 +120,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft", name),
           b))
     }
+    ext.injectOptimizerRule(_ => IndexedParamRewrite)
+  }
 }

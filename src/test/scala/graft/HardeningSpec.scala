@@ -210,6 +210,9 @@ class HardeningSpec extends AnyFunSuite {
       "src_rpc_adaptive" -> 0,
       // slot filters ride the request; scan + residual filter only
       "src_rpc_topic_slots" -> 0,
+      // decoded-param filters rewrite to raw-word predicates before the
+      // scan: pushed slot filter + binary residual, no shuffle
+      "p2_indexed_pushdown" -> 0,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,
