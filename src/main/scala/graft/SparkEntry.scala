@@ -1690,6 +1690,15 @@ object SparkEntry {
     "text_characteristic_terms" -> ((s, dir) =>
       TextOps.characteristicTerms(table(s, dir, "documents"), k = 3)),
 
+    // BM25 keyword search: top-10 docs for a 3-term query. The oracle
+    // replays the identical formula in DuckDB and compares the RANKING +
+    // integer evidence; the raw score stays engine-side (ln differs in
+    // the last ulp between libm implementations — measured 1/4500 args).
+    "text_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(table(s, dir, "documents"),
+          queryTerms = Seq("spark", "vector", "hash"), k = 10)
+        .drop("score")),
+
     // Stratified-sampling gate: seeded hash sampling at per-language
     // rates; the oracle states each stratum's total and the expected
     // rate-adherence verdict (hash-uniformity puts the kept fraction
@@ -3028,6 +3037,27 @@ object SparkEntry {
          ORDER BY n_occurrences DESC, pair LIMIT 200""",
 
     "text_importance_weights" -> ImportanceWeightsSql,
+
+    "text_bm25_topk" ->
+      """WITH p AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         d AS (SELECT doc_id, len(ws) AS dl FROM p),
+         stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM d),
+         t AS (SELECT doc_id, unnest(ws) AS tok FROM p),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+                WHERE tok IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
+         dft AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1),
+         c AS (SELECT tf.doc_id, tf.tf, d.dl,
+                 ln((stats.n - dft.dfreq + 0.5) / (dft.dfreq + 0.5) + 1.0) *
+                   (tf.tf * (1.2 + 1.0)) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl * stats.n / CAST(stats.sdl AS DOUBLE))) AS contrib
+               FROM tf JOIN dft USING (tok) JOIN d USING (doc_id) CROSS JOIN stats),
+         s AS (SELECT doc_id, count(*) AS matched_terms,
+                 CAST(sum(tf) AS BIGINT) AS tf_sum, max(dl) AS dl,
+                 sum(contrib) AS score FROM c GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, matched_terms, tf_sum,
+           CAST(dl AS BIGINT) AS dl
+         FROM r WHERE rank <= 10""",
 
     "pipeline_dsir_select" ->
       s"""SELECT doc_id, weight FROM ($ImportanceWeightsSql)

@@ -255,6 +255,79 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 keyword-search top-k (Robertson/Spärck Jones probabilistic
+    * ranking, the non-negative `ln(1 + (N−df+0.5)/(df+0.5))` idf variant):
+    * score every document against a literal query-term set, return the
+    * top `k` with their ranking evidence.
+    *
+    * Scale shape: document length is the row-local compiled token count
+    * (no explode for `dl`); the explode keeps ONLY query terms before its
+    * groupBy, so the corpus-sized shuffle carries ≤ |terms| rows per
+    * matching doc; per-term document frequencies are a ≤|terms|-row
+    * aggregate broadcast back; and the global top-k runs as
+    * TakeOrderedAndProject (per-partition heads merged on the driver),
+    * never a full sort. Corpus stats (N, Σdl) are exact integer
+    * aggregates, so `avgdl` is deterministic.
+    *
+    * The per-doc score folds term contributions in DETERMINISTIC term
+    * order (window cumsum over `ORDER BY tok`, the mixtureWeights
+    * convention) — IEEE addition is order-sensitive, and an unordered
+    * aggregate would let ranks at float-level near-ties differ run to
+    * run. Exact ties break by `doc_id`. The integer evidence columns
+    * (`matched_terms`, `tf_sum`, `dl`) plus the rank are the
+    * oracle-checkable surface; the score itself is engine-specific in
+    * its last ulp (`ln` differs between libm implementations).
+    */
+  def bm25TopK(df: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    // corpus stats: one exact integer aggregate (N docs, total tokens)
+    val Seq(nDocs, sumDl) = df
+      .agg(count(lit(1)), coalesce(sum(size(wsTokens(lower(col(textCol))))), lit(0L)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    // persisted because dft, the contributions, and the evidence all
+    // read it (≤ |terms| rows per matching doc — the corpus-sized
+    // explode runs ONCE; operator persist contract: callers clear
+    // caches per query, or pass storage = None)
+    val tf0 = df
+      .select(col(idCol).as("doc_id"),
+        size(wsTokens(lower(col(textCol)))).cast("bigint").as("dl"),
+        explode(wsTokens(lower(col(textCol)))).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*)) // pre-shuffle term screen
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val tf = storage.fold(tf0)(graft.CacheScope.persist(tf0, _))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val contrib = tf.join(broadcast(dft), "tok")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") * nDocs / sumDl.toDouble)))
+    val perDoc = contrib
+      .withColumn("score",
+        sum(col("contrib")).over(w.partitionBy(col("doc_id")).orderBy(col("tok"))))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("tok").desc)))
+      .filter(col("rn") === 1) // the completed ordered fold — one row per doc
+      .select(col("doc_id"), col("score"))
+    val evidence = tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"), sum(col("tf")).as("tf_sum"),
+        max(col("dl")).as("dl"))
+    perDoc.join(evidence, "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .select("rank", "doc_id", "matched_terms", "tf_sum", "dl", "score")
+  }
+
   /** Blocklist screen — the C4-style badword filter that is the first
     * gate of every web-corpus pipeline: per doc, the number of DISTINCT
     * blocklist words present and the keep verdict (≤ `maxDistinctHits`;

@@ -544,6 +544,36 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("bm25TopK: hand-computed golden — ranking, evidence, scores") {
+    // N=4, Σdl=10, avgdl=2.5; query {apple, cherry}, df(apple)=df(cherry)=2
+    // → idf = ln((4−2+0.5)/2.5 + 1) = ln 2. Contributions (k1=1.2, b=.75):
+    //   d1 apple tf2 dl3: ln2·4.4/(2+1.2·(0.25+0.9))   = 0.9023
+    //   d2 cherry tf1 dl2: ln2·2.2/(1+1.2·(0.25+0.6))  = 0.7549
+    //   d3 cherry tf3 + apple tf1, dl4                 = 0.9651+0.5566
+    //   d4: no match — absent from the result entirely
+    val d = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry apple"), (4L, "dog"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(d, Seq("apple", "cherry"), k = 3,
+        storage = None)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(
+      (1L, 3L, 2L, 4L, 4L), // rank 1: d3, both terms, tf_sum 4, dl 4
+      (2L, 1L, 1L, 2L, 3L),
+      (3L, 2L, 1L, 1L, 2L)))
+    val ln2 = math.log(2.0)
+    val expected = Map(
+      3L -> (ln2 * 6.6 / 4.74 + ln2 * 2.2 / 2.74),
+      1L -> ln2 * 4.4 / 3.38,
+      2L -> ln2 * 2.2 / 2.02)
+    out.foreach(r => assert(math.abs(r._6 - expected(r._2)) < 1e-9,
+      s"score for doc ${r._2}"))
+    // k larger than the match set: only matching docs return
+    assert(TextOps.bm25TopK(d, Seq("apple", "cherry"), k = 10,
+      storage = None).count() == 3)
+  }
+
   test("int8 round-trip: error ≤ scale/2, zero vector exact, scale = max|x|/127") {
     val d = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),

@@ -213,6 +213,10 @@ class HardeningSpec extends AnyFunSuite {
       // decoded-param filters rewrite to raw-word predicates before the
       // scan: pushed slot filter + binary residual, no shuffle
       "p2_indexed_pushdown" -> 0,
+      // one explode→(doc,term) agg over the persisted term table, the
+      // tiny dft agg, the doc-ordered fold window, the evidence agg;
+      // top-k is TakeOrderedAndProject, never a global sort
+      "text_bm25_topk" -> 4,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,
