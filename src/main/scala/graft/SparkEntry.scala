@@ -1690,6 +1690,13 @@ object SparkEntry {
     "text_characteristic_terms" -> ((s, dir) =>
       TextOps.characteristicTerms(table(s, dir, "documents"), k = 3)),
 
+    // Per-source frequency cap: ≤15 docs per source, bottom-15 by a
+    // cross-engine-identical md5 digest — the oracle checks the exact
+    // KEPT SET, not just its size.
+    "text_source_cap" -> ((s, dir) =>
+      TextOps.sourceCap(table(s, dir, "documents"), cap = 15)
+        .select(col("source"), col("doc_id"), col("keep_rank"))),
+
     // BM25 keyword search: top-10 docs for a 3-term query. The oracle
     // replays the identical formula in DuckDB and compares the RANKING +
     // integer evidence; the raw score stays engine-side (ln differs in
@@ -3037,6 +3044,15 @@ object SparkEntry {
          ORDER BY n_occurrences DESC, pair LIMIT 200""",
 
     "text_importance_weights" -> ImportanceWeightsSql,
+
+    "text_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS keep_rank
+         FROM documents)
+         SELECT source, doc_id, CAST(keep_rank AS BIGINT) AS keep_rank
+         FROM r WHERE keep_rank <= 15""",
 
     "text_bm25_topk" ->
       """WITH p AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),

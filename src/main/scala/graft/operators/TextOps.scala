@@ -430,6 +430,37 @@ object TextOps {
         lit("eval")).otherwise(lit("train")))
   }
 
+  /** Per-source frequency cap (the RefinedWeb/host-level downsampling
+    * gate: no single site may dominate the corpus): keep at most `cap`
+    * documents per `groupCol`, chosen as the bottom-`cap` of a
+    * DETERMINISTIC per-doc digest — i.e. a uniform without-replacement
+    * sample per source, reproducible across runs/engines/partitionings.
+    * Under corpus growth a kept doc is evicted only when `cap` docs
+    * with smaller digests exist in its source (the bottom-k sketch
+    * property); no reshuffle of survivors ever happens.
+    *
+    * The digest is `md5(source:doc_id[:salt])` — chosen over xxhash64
+    * because every engine computes md5 over utf-8 bytes identically, so
+    * the KEPT SET (not just its size) is oracle-checkable. Scale shape:
+    * the digest is row-local; the rank is one window shuffle keyed on
+    * source, and the `keep_rank <= cap` filter becomes a
+    * WindowGroupLimit — map tasks pre-trim to `cap` rows per source
+    * BEFORE the exchange, so a mega-source (the classic skew case)
+    * ships ≤ cap·tasks rows, never its full row set.
+    */
+  def sourceCap(df: DataFrame, cap: Int, groupCol: String = "source",
+      idCol: String = "doc_id", salt: Option[String] = None): DataFrame = {
+    require(cap >= 1)
+    val digest = md5(concat(col(groupCol), lit(":"),
+      col(idCol).cast("string"),
+      salt.map(s => lit(":" + s)).getOrElse(lit(""))).cast("binary"))
+    df.withColumn("keep_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(digest, col(idCol))).cast("bigint"))
+      .filter(col("keep_rank") <= cap)
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff
     * `xxhash64(key, salt) mod 10000 < rate(stratum) * 10000`. The
     * executable form of a mixing schedule ([[mixtureWeights]] decides

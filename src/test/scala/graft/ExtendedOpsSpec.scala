@@ -544,6 +544,43 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("sourceCap: bottom-cap by md5 digest, growth evicts but never " +
+      "reshuffles, map-side WindowGroupLimit in the plan") {
+    def digest(src: String, id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val base = (0L to 9L).map(i => (i, if (i < 6) "a" else "b", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val kept = TextOps.sourceCap(base, cap = 2)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    // reference: bottom-2 md5 per source, computed independently
+    val expect = Seq("a" -> (0L to 5L), "b" -> (6L to 9L)).flatMap {
+      case (s, ids) =>
+        ids.sortBy(id => (digest(s, id), id)).take(2).map((s, _))
+    }.toSet
+    assert(kept == expect)
+
+    // growth: add docs to source b only — a's kept set is untouched;
+    // b's new kept set is the bottom-2 of the GROWN hash population
+    // (supersets never reshuffle, they only evict)
+    val grown = base.union(
+      (10L to 14L).map(i => (i, "b", s"t$i")).toDF("doc_id", "source", "text"))
+    val kept2 = TextOps.sourceCap(grown, cap = 2)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    assert(kept2.filter(_._1 == "a") == kept.filter(_._1 == "a"))
+    val bAll = (6L to 14L).sortBy(id => (digest("b", id), id)).take(2)
+      .map(("b", _)).toSet
+    assert(kept2.filter(_._1 == "b") == bAll)
+
+    // skew safety: the rank<=cap filter compiles to a map-side
+    // WindowGroupLimit, so a mega-source never ships its full row set
+    val plan = TextOps.sourceCap(base, cap = 2).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("bm25TopK: hand-computed golden — ranking, evidence, scores") {
     // N=4, Σdl=10, avgdl=2.5; query {apple, cherry}, df(apple)=df(cherry)=2
     // → idf = ln((4−2+0.5)/2.5 + 1) = ln 2. Contributions (k1=1.2, b=.75):

@@ -217,6 +217,9 @@ class HardeningSpec extends AnyFunSuite {
       // tiny dft agg, the doc-ordered fold window, the evidence agg;
       // top-k is TakeOrderedAndProject, never a global sort
       "text_bm25_topk" -> 4,
+      // row-local digest + one source-keyed window (WindowGroupLimit
+      // pre-trims map-side)
+      "text_source_cap" -> 1,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,
