@@ -1690,6 +1690,13 @@ object SparkEntry {
     "text_characteristic_terms" -> ((s, dir) =>
       TextOps.characteristicTerms(table(s, dir, "documents"), k = 3)),
 
+    // Overlapping char-window chunking: size 64, stride 48 (25% overlap),
+    // deterministic (doc_id, chunk_idx) identity — pure string ops, the
+    // oracle replays every chunk byte-for-byte.
+    "text_chunk" -> ((s, dir) =>
+      TextOps.chunkDocuments(table(s, dir, "documents"), size = 64,
+        stride = 48)),
+
     // Per-source frequency cap: ≤15 docs per source, bottom-15 by a
     // cross-engine-identical md5 digest — the oracle checks the exact
     // KEPT SET, not just its size.
@@ -3044,6 +3051,15 @@ object SparkEntry {
          ORDER BY n_occurrences DESC, pair LIMIT 200""",
 
     "text_importance_weights" -> ImportanceWeightsSql,
+
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+         c AS (SELECT doc_id, CAST(s.st AS BIGINT) AS chunk_start,
+                 substr(text, CAST(s.st AS INT) + 1, 64) AS chunk_text
+               FROM d, unnest(generate_series(0, len(text) - 1, 48)) AS s(st))
+         SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
+           chunk_text, CAST(len(chunk_text) AS BIGINT) AS chunk_len
+         FROM c""",
 
     "text_source_cap" ->
       """WITH r AS (SELECT source, doc_id,

@@ -430,6 +430,34 @@ object TextOps {
         lit("eval")).otherwise(lit("train")))
   }
 
+  /** Overlapping character-window chunking (training-sample / RAG-index
+    * prep): one row per `(doc, window)` with chunk starts at
+    * `0, stride, 2·stride, …` while the start lies inside the text —
+    * trailing chunks run shorter than `size`, `stride < size` gives
+    * overlap, `stride > size` gives gapped sampling. Chunk identity is
+    * the deterministic `(doc_id, chunk_idx = start/stride)` pair, so
+    * re-chunking a grown corpus never renumbers existing chunks.
+    *
+    * Entirely row-local (`sequence` → `explode` → `substr`): no shuffle,
+    * no state, embarrassingly parallel at any scale; output size is
+    * `Σ ceil(len/stride)` rows. Empty/null docs produce no chunks.
+    */
+  def chunkDocuments(df: DataFrame, size: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size >= 1 && stride >= 1)
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - 1, lit(stride)))
+          .as("chunk_start"),
+        col(textCol))
+      .select(col(idCol),
+        (col("chunk_start") / stride).cast("bigint").as("chunk_idx"),
+        col("chunk_start").cast("bigint").as("chunk_start"),
+        substr(col(textCol), col("chunk_start") + 1, lit(size))
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("bigint"))
+  }
+
   /** Per-source frequency cap (the RefinedWeb/host-level downsampling
     * gate: no single site may dominate the corpus): keep at most `cap`
     * documents per `groupCol`, chosen as the bottom-`cap` of a

@@ -544,6 +544,29 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("chunkDocuments: overlap, short tails, gapped stride, empty docs, " +
+      "deterministic identity, shuffle-free plan") {
+    val d = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // size 4, stride 3: doc 1 (len 10) starts 0,3,6,9 → last is 1 char
+    val out = TextOps.chunkDocuments(d, size = 4, stride = 3)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, "abcd", 4L), (1L, 1L, 3L, "defg", 4L),
+      (1L, 2L, 6L, "ghij", 4L), (1L, 3L, 9L, "j", 1L),
+      (2L, 0L, 0L, "xy", 2L)))
+    // stride > size: gapped sampling, identity stays start/stride
+    val gap = TextOps.chunkDocuments(d, size = 2, stride = 5)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(gap == Set(
+      (1L, 0L, 0L, "ab", 2L), (1L, 1L, 5L, "fg", 2L),
+      (2L, 0L, 0L, "xy", 2L)))
+    // row-local: no exchange anywhere in the plan
+    val plan = TextOps.chunkDocuments(d, 4, 3).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("sourceCap: bottom-cap by md5 digest, growth evicts but never " +
       "reshuffles, map-side WindowGroupLimit in the plan") {
     def digest(src: String, id: Long): String = {

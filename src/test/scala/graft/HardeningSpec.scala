@@ -220,6 +220,8 @@ class HardeningSpec extends AnyFunSuite {
       // row-local digest + one source-keyed window (WindowGroupLimit
       // pre-trims map-side)
       "text_source_cap" -> 1,
+      // sequence→explode→substr — shuffle-free
+      "text_chunk" -> 0,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,
