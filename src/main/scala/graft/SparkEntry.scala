@@ -1690,6 +1690,26 @@ object SparkEntry {
     "text_characteristic_terms" -> ((s, dir) =>
       TextOps.characteristicTerms(table(s, dir, "documents"), k = 3)),
 
+    // Hybrid retrieval: BM25 top-20 ⊕ longest-doc top-20 fused by
+    // reciprocal rank (1/(60+rank)), top-10 out. Rank-only fusion makes
+    // the two scorers commensurable; every fused-score op is an
+    // exactly-rounded IEEE division/sum in deterministic order, so THE
+    // FLOAT SCORE ITSELF hash-matches the DuckDB replay (unlike the
+    // underlying BM25 score, whose ln is libm-specific).
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bm25 = TextOps.bm25TopK(docs,
+          queryTerms = Seq("spark", "vector", "hash"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val longest = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars").desc, col("doc_id"))).cast("bigint"))
+        .select(col("doc_id"), col("rank"))
+      Similarity.reciprocalRankFusion(Seq(bm25, longest), k = 10)
+    }),
+
     // Overlapping char-window chunking: size 64, stride 48 (25% overlap),
     // deterministic (doc_id, chunk_idx) identity — pure string ops, the
     // oracle replays every chunk byte-for-byte.
@@ -2191,6 +2211,28 @@ object SparkEntry {
        SELECT doc_id, n_grams, sum_target, sum_all,
          CAST(sum_target + 1 AS DOUBLE) / CAST(sum_all + 1 AS DOUBLE) AS weight
        FROM s"""
+
+  /** Shared BM25 ranking pipeline (mirrors [[TextOps.bm25TopK]] term for
+    * term): every matching doc with its integer evidence and rank.
+    */
+  private val Bm25RankSql =
+    """WITH p AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+       d AS (SELECT doc_id, len(ws) AS dl FROM p),
+       stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM d),
+       t AS (SELECT doc_id, unnest(ws) AS tok FROM p),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+              WHERE tok IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
+       dft AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1),
+       c AS (SELECT tf.doc_id, tf.tf, d.dl,
+               ln((stats.n - dft.dfreq + 0.5) / (dft.dfreq + 0.5) + 1.0) *
+                 (tf.tf * (1.2 + 1.0)) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl * stats.n / CAST(stats.sdl AS DOUBLE))) AS contrib
+             FROM tf JOIN dft USING (tok) JOIN d USING (doc_id) CROSS JOIN stats),
+       s AS (SELECT doc_id, count(*) AS matched_terms,
+               CAST(sum(tf) AS BIGINT) AS tf_sum, max(dl) AS dl,
+               sum(contrib) AS score FROM c GROUP BY 1),
+       r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
+       SELECT doc_id, matched_terms, tf_sum, dl, rank FROM r"""
 
   /** Gate oracle for the cosine near-dup self-checks: exact pair count at
     * the threshold + the expected recall/subset booleans.
@@ -3071,25 +3113,28 @@ object SparkEntry {
          FROM r WHERE keep_rank <= 15""",
 
     "text_bm25_topk" ->
-      """WITH p AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
-         d AS (SELECT doc_id, len(ws) AS dl FROM p),
-         stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM d),
-         t AS (SELECT doc_id, unnest(ws) AS tok FROM p),
-         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
-                WHERE tok IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
-         dft AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1),
-         c AS (SELECT tf.doc_id, tf.tf, d.dl,
-                 ln((stats.n - dft.dfreq + 0.5) / (dft.dfreq + 0.5) + 1.0) *
-                   (tf.tf * (1.2 + 1.0)) /
-                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl * stats.n / CAST(stats.sdl AS DOUBLE))) AS contrib
-               FROM tf JOIN dft USING (tok) JOIN d USING (doc_id) CROSS JOIN stats),
-         s AS (SELECT doc_id, count(*) AS matched_terms,
-                 CAST(sum(tf) AS BIGINT) AS tf_sum, max(dl) AS dl,
-                 sum(contrib) AS score FROM c GROUP BY 1),
-         r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
-         SELECT CAST(rank AS BIGINT) AS rank, doc_id, matched_terms, tf_sum,
+      s"""SELECT CAST(rank AS BIGINT) AS rank, doc_id, matched_terms, tf_sum,
            CAST(dl AS BIGINT) AS dl
-         FROM r WHERE rank <= 10""",
+         FROM ($Bm25RankSql) WHERE rank <= 10""",
+
+    "hybrid_rrf_topk" ->
+      s"""WITH r1 AS (SELECT doc_id, rank FROM ($Bm25RankSql) WHERE rank <= 20),
+         r2 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+                FROM documents QUALIFY rank <= 20),
+         u AS (SELECT doc_id, 0 AS ri, 1.0 / (rank + 60) AS contrib FROM r1
+               UNION ALL
+               SELECT doc_id, 1 AS ri, 1.0 / (rank + 60) AS contrib FROM r2),
+         f AS (SELECT doc_id,
+                 count(*) OVER (PARTITION BY doc_id) AS n_rankings,
+                 sum(contrib) OVER (PARTITION BY doc_id ORDER BY ri) AS cum,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY ri DESC) AS rn
+               FROM u),
+         s AS (SELECT doc_id, n_rankings, cum AS rrf_score FROM f WHERE rn = 1),
+         o AS (SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+                 doc_id, n_rankings, rrf_score FROM s)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(n_rankings AS BIGINT) AS n_rankings, rrf_score
+         FROM o WHERE rank <= 10""",
 
     "pipeline_dsir_select" ->
       s"""SELECT doc_id, weight FROM ($ImportanceWeightsSql)

@@ -380,6 +380,49 @@ object Similarity {
     * 100 TB use [[cosineNearDupPairs]]. Guarded: past `maxRows` the call
     * fails loudly instead of launching the n² self-join.
     */
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard hybrid-
+    * search combiner: BM25 ⊕ ANN, or any mix of ranked retrievals):
+    * fuse N rankings into `score(d) = Σ_r 1/(rrfK + rank_r(d))` over the
+    * rankings that retrieved `d`, and return the top `k`. Rank-only
+    * fusion is what makes heterogeneous scorers (lexical scores,
+    * cosines) commensurable — raw scores never mix.
+    *
+    * Every arithmetic op here is an exactly-rounded IEEE division/sum
+    * folded in DETERMINISTIC ranking order (window cumsum over the
+    * ranking index) — no transcendentals — so unlike the underlying
+    * BM25/cosine scores, the fused score is bit-identical across
+    * engines and fully oracle-checkable.
+    *
+    * Scale shape: inputs are top-`k'` retrievals (tiny — k'·N rows, not
+    * corpora); one union + one doc-keyed window covers fold and
+    * evidence; the final top-k is TakeOrderedAndProject. Ties break by
+    * id.
+    */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int,
+      rrfK: Int = 60, idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking to fuse")
+    require(k >= 1 && rrfK >= 0)
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("bigint").as("rank"))
+        .withColumn("ranking_idx", lit(i))
+        .withColumn("contrib", lit(1.0) / (col("rank") + rrfK))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ranking_idx"))
+    tagged
+      .withColumn("rrf_score", sum(col("contrib")).over(w))
+      .withColumn("n_rankings", count(lit(1)).over(
+        Window.partitionBy(col(idCol))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("ranking_idx").desc)))
+      .filter(col("rn") === 1) // the completed ordered fold
+      .select(col(idCol), col("n_rankings"), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol))).cast("bigint"))
+      .select(col("rank"), col(idCol), col("n_rankings"), col("rrf_score"))
+  }
+
   def bruteForceNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxRows: Long = 65536L): DataFrame = {

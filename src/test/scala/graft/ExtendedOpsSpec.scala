@@ -544,6 +544,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("reciprocalRankFusion: hand-computed fusion, overlap evidence, " +
+      "tie-break, bit-exact scores") {
+    // ranking A: d1,d2,d3 — ranking B: d3,d4
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val out = Similarity.reciprocalRankFusion(Seq(a, b), k = 4, rrfK = 60)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val s = Map( // exact IEEE expectations, same op order as the operator
+      1L -> 1.0 / 61, 2L -> 1.0 / 62, 3L -> (1.0 / 63 + 1.0 / 61),
+      4L -> 1.0 / 62)
+    // d3 first (both rankings), then d1; d2 and d4 tie EXACTLY
+    // (1/62 bit-equal) → doc_id breaks
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 3L, 2L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 4L, 1L)))
+    out.foreach(r => assert(r._4 == s(r._2), s"bit-exact score for ${r._2}"))
+  }
+
   test("chunkDocuments: overlap, short tails, gapped stride, empty docs, " +
       "deterministic identity, shuffle-free plan") {
     val d = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, ""),

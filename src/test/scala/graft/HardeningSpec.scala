@@ -222,6 +222,10 @@ class HardeningSpec extends AnyFunSuite {
       "text_source_cap" -> 1,
       // sequence→explode→substr — shuffle-free
       "text_chunk" -> 0,
+      // bm25's 4 + the doc-keyed fusion window (retrieval tails are
+      // TakeOrdered single-partition — exchange-reused, measured 4;
+      // +1 margin for AQE reuse wobble)
+      "hybrid_rrf_topk" -> 5,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,
