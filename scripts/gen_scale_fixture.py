@@ -64,7 +64,12 @@ def main():
     nrng = np.random.default_rng(42)
     centroids = nrng.normal(size=(n_labels, dim)).astype(np.float32)
     labels = nrng.integers(0, n_labels, size=n_vecs)
-    vecs = centroids[labels] + 0.25 * nrng.normal(
+    # noise σ sized so cosine pair density at the 0.45 near-dup
+    # threshold matches the driver's embeddings (~0.05-0.1 pairs/vec,
+    # NOT tight clusters — a tight fixture makes the RESULT SET itself
+    # quadratic, which no index can fix): within-cluster cosine ≈
+    # 1/(1+σ²) ≈ 0.14 with a thin tail over the threshold
+    vecs = centroids[labels] + 2.5 * nrng.normal(
         size=(n_vecs, dim)).astype(np.float32)
     emb = pa.table({
         "vec_id": pa.array(range(n_vecs), pa.int64()),

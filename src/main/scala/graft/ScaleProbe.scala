@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** Scale-evidence harness: times the RAW ANN operators — no exact-verify
+  * gates — at a given fixture dir, under the FIXED small-corpus IVF
+  * sizing (`nlist = 16`, what the oracled gate queries pin) and under
+  * the auto `√n` sizing (`nlist = 0`). The oracled `sim_*` queries are
+  * deliberately self-VERIFYING (they compare against the O(n²) brute
+  * baseline), so they are the wrong thing to time past bench scale;
+  * this main measures what a deployment actually runs.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.ScaleProbe"` —
+  * prints one JSON line of seconds per (operator, sizing).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+
+    def time(tag: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = CacheScope.withCaches(body)
+      spark.catalog.clearCache()
+      (tag, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val runs = Seq(
+      time("topk_ivf_fixed16") {
+        Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6).count() },
+      time("topk_ivf_auto") {
+        Similarity.ivfTopK(emb, q, 10, nprobe = 6).count() },
+      time("topk_ivfpq_fixed16") {
+        Similarity.ivfPQTopK(emb, q, 10, nlist = 16, nprobe = 6).count() },
+      time("topk_ivfpq_auto") {
+        Similarity.ivfPQTopK(emb, q, 10, nprobe = 6).count() },
+      time("neardup_ivf_fixed16") {
+        Similarity.ivfNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3).count() },
+      time("neardup_ivf_auto") {
+        Similarity.ivfNearDupPairs(emb, 0.45, nprobe = 3).count() },
+      time("neardup_ivfpq_fixed16") {
+        Similarity.ivfPQNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3).count() },
+      time("neardup_ivfpq_auto") {
+        Similarity.ivfPQNearDupPairs(emb, 0.45, nprobe = 3).count() })
+
+    val fields = runs.map { case (tag, sec, rows) =>
+      f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }.mkString(",")
+    println(s"""{"n_vecs":$n,$fields}""")
+    spark.stop()
+  }
+}

@@ -257,6 +257,25 @@ object Similarity {
         _ => trainCentroids(corpus, vecCol, nlist, trainSample))
     }
 
+  /** Auto-sizing for the IVF family: `nlist = 0` (the default) resolves
+    * to `√n` clamped to [16, 4096] — the standard IVF sizing rule. The
+    * per-list population stays `n/nlist ≈ √n`, so the near-dup per-list
+    * candidate SELF-JOIN costs `n²·nprobe²/(2·nlist) ≈ n^1.5` instead
+    * of the `n²/const` a FIXED list count degrades to as the corpus
+    * grows — at 10× the bench corpus the fixed-16 default costs ~100×
+    * more candidate dots for 10× data (PERF.md scale evidence).
+    * `nprobe` deliberately does NOT scale with `nlist`: for top-k the
+    * probed fraction shrinks (candidates stay `nprobe·√n`); for
+    * near-dup a small constant probe (boundary coverage) is what keeps
+    * the self-join subquadratic — scaling it with `nlist` would cancel
+    * the win (`n²·frac²·nlist` grows again). Recall comes from the
+    * recall gates, which re-measure whenever fixtures change.
+    */
+  private[graft] def autoNlist(df: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist
+    else math.min(4096,
+      math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt))
+
   /** Row-local nearest-centroid assignment: nlist squared-distance
     * expressions, argmin by struct-min (dist, list) — no UDF. Centroids
     * ride as literals.
@@ -275,11 +294,11 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
+      nlist: Int = 0, nprobe: Int = 4, trainSample: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val nearestLists = this.nearestLists(
-      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)) _
+      trainCentroidsCached(corpusKey, corpus, vecCol, autoNlist(corpus, nlist), trainSample)) _
 
     val c = corpus.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("cnrm"),
@@ -323,12 +342,12 @@ object Similarity {
     * recall-vs-width dial PQ adds on top of `nprobe`.
     */
   def ivfPQTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainSample: Int = 10000,
+      nlist: Int = 0, nprobe: Int = 4, trainSample: Int = 10000,
       rerank: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val centroids =
-      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)
+      trainCentroidsCached(corpusKey, corpus, vecCol, autoNlist(corpus, nlist), trainSample)
     val nearestLists = this.nearestLists(centroids) _
     val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     // the PQ index rows — what a deployment persists: (id, list, codes,
@@ -511,13 +530,13 @@ object Similarity {
     * consuming the result (Verify/Bench clear all caches per query).
     */
   def ivfNearDupPairs(df: DataFrame, threshold: Double = 0.95,
-      nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
+      nlist: Int = 0, nprobe: Int = 2, trainSample: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       corpusKey: Option[String] = None): DataFrame = {
     val nearestLists = this.nearestLists(
-      trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)) _
+      trainCentroidsCached(corpusKey, df, vecCol, autoNlist(df, nlist), trainSample)) _
     val listed0 = df.select(
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
@@ -555,12 +574,12 @@ object Similarity {
     * recall gate measures what survives).
     */
   def ivfPQNearDupPairs(df: DataFrame, threshold: Double = 0.95,
-      nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
+      nlist: Int = 0, nprobe: Int = 2, trainSample: Int = 10000,
       slack: Double = 0.05,
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val centroids =
-      trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)
+      trainCentroidsCached(corpusKey, df, vecCol, autoNlist(df, nlist), trainSample)
     val nearestLists = this.nearestLists(centroids) _
     val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     val cNorm2 = array(centroids.map(c => lit(c.map(x => x * x).sum)): _*)
@@ -626,7 +645,7 @@ object Similarity {
     * batch — never an all-pairs comparison.
     */
   def semanticDedup(df: DataFrame, threshold: Double = 0.95,
-      nlist: Int = 16, nprobe: Int = 2, trainSample: Int = 10000,
+      nlist: Int = 0, nprobe: Int = 2, trainSample: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val dominated = ivfNearDupPairs(df, threshold, nlist, nprobe,

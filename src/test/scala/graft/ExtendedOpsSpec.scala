@@ -544,6 +544,21 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("IVF auto-sizing: explicit nlist wins; default resolves to √n " +
+      "clamped to [16, 4096]") {
+    val small = spark.range(100).toDF("vec_id")
+    val mid = spark.range(2500).toDF("vec_id")
+    assert(Similarity.autoNlist(small, 8) == 8, "explicit passes through")
+    assert(Similarity.autoNlist(small, 0) == 16, "√100 clamps up to 16")
+    assert(Similarity.autoNlist(mid, 0) == 50, "√2500 = 50")
+    // the tuned fixture queries keep explicit small-corpus sizing, so
+    // an auto default must never change an oracled gate: pin that the
+    // IVF top-k result under auto sizing still returns full rank sets
+    val ivf = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 2), 3)
+    assert(ivf.groupBy($"query_id").count().as[(Long, Long)]
+      .collect().toMap.values.forall(_ == 3L))
+  }
+
   test("reciprocalRankFusion: hand-computed fusion, overlap evidence, " +
       "tie-break, bit-exact scores") {
     // ranking A: d1,d2,d3 — ranking B: d3,d4
