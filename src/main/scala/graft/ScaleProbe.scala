@@ -37,7 +37,20 @@ object ScaleProbe {
       (tag, (System.nanoTime() - t0) / 1e9, rows)
     }
 
-    val runs = Seq(
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+
+    val dedupRuns = Seq(
+      time("dedup_exact_raw") {
+        graft.operators.Dedup.exact(docs).count() },
+      time("dedup_minhash_raw") {
+        graft.operators.Dedup.minHashLshPairs(docs).count() },
+      time("dedup_simhash_raw") {
+        graft.operators.Dedup.simHashPairs(docs).count() },
+      time("dedup_winnow_raw") {
+        graft.operators.Dedup.winnowPairs(docs).count() })
+
+    val runs = dedupRuns ++ Seq(
       time("topk_ivf_fixed16") {
         Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6).count() },
       time("topk_ivf_auto") {
@@ -57,7 +70,7 @@ object ScaleProbe {
 
     val fields = runs.map { case (tag, sec, rows) =>
       f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }.mkString(",")
-    println(s"""{"n_vecs":$n,$fields}""")
+    println(s"""{"n_vecs":$n,"n_docs":$nDocs,$fields}""")
     spark.stop()
   }
 }
