@@ -253,6 +253,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Schema-on-read CSV ingestion, the jsonl twin: same PERMISSIVE +
+    // corrupt-capture contract over the other ubiquitous text format —
+    // short rows and type-failing rows land in the corrupt bucket, never
+    // silently null-padded. Gate: per-language counts survive the round
+    // trip exactly and the corrupt bucket holds exactly the injected
+    // lines.
+    "src_csv_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "cv",
+        "docs") { tmp =>
+        import s.implicits._
+        docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .coalesce(4).write.mode("overwrite").csv(s"$tmp/docs")
+        Seq("broken", "not_a_number,t,en,src0,5", "only,two")
+          .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/docs")
+      }
+      val read = graft.CacheScope.persist(s.read
+        .schema(docs.schema.add("_corrupt_record",
+          org.apache.spark.sql.types.StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(s"$scratch/docs"),
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      read.groupBy(
+          when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+            .otherwise(col("lang")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // S4 over the WIRE — the live-transport seam under the correctness
     // gate: the DSv2 rpc-logs source fetches eth_getLogs ranges
     // executor-side from the deterministic SimEthNode (the sandbox has
@@ -3166,6 +3196,10 @@ object SparkEntry {
          FROM documents""",
 
     "src_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+         UNION ALL SELECT '__corrupt__' AS lang, 3 AS n_docs""",
+
+    "src_csv_ingest" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
          UNION ALL SELECT '__corrupt__' AS lang, 3 AS n_docs""",
 

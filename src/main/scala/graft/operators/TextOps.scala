@@ -479,10 +479,15 @@ object TextOps {
   def sourceCap(df: DataFrame, cap: Int, groupCol: String = "source",
       idCol: String = "doc_id", salt: Option[String] = None): DataFrame = {
     require(cap >= 1)
+    // null group or id ⇒ null digest, and engines DISAGREE on null sort
+    // position (Spark nulls-first, DuckDB nulls-last) — a null-keyed row
+    // would silently rank differently per engine, so exclude it loudly
+    // from the capped population instead
+    val keyed = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
     val digest = md5(concat(col(groupCol), lit(":"),
       col(idCol).cast("string"),
       salt.map(s => lit(":" + s)).getOrElse(lit(""))).cast("binary"))
-    df.withColumn("keep_rank",
+    keyed.withColumn("keep_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(groupCol))
           .orderBy(digest, col(idCol))).cast("bigint"))
