@@ -571,6 +571,56 @@ class RpcSpec extends AnyFunSuite {
     assert(keys.toSet == expected.toSet, "restart dropped or invented ranges")
   }
 
+  test("decoded-param filter on a STREAMING rpc-logs source: correct " +
+      "client-side (Spark has no streaming-scan filter pushdown); the " +
+      "topic option is the wire-narrowing path and both results agree") {
+    def run(withOption: Boolean): (Set[(Long, Long)], Seq[(String, String)]) = {
+      RecordingNode.exchanges.clear()
+      RpcLogSource.registerTransport("fake_stream_decoded",
+        new RecordingNode(new SimEthNode(head = 12L, logsPerBlock = 4,
+          topicsPerLog = 3)))
+      val out = tmp()
+      val reader = spark.readStream.format("graft.sources.RpcLogProvider")
+        .option("transport", "fake_stream_decoded")
+        .option("confirmations", "0").option("blockStep", "6")
+      val withOpt =
+        if (withOption) reader.option("topic2", "0x" + "%064x".format(2L))
+        else reader
+      // the idiomatic DECODED filter stays in both variants — Spark is
+      // the correctness authority; the option only narrows the wire
+      val q = withOpt.load()
+        .filter(graft.functions.abi.u256($"topic2") === lit(2)) // word(b%5)
+        .select($"block_number", $"log_index")
+        .writeStream.format("parquet").outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp()).option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+      (spark.read.parquet(out).as[(Long, Long)].collect().toSet,
+        RecordingNode.getLogs)
+    }
+    val expected = (0L to 12L).filter(_ % 5 == 2)
+      .flatMap(b => (0L until 4L).map((b, _))).toSet
+
+    // bare decoded filter: correct, but every log crosses the transport —
+    // streaming DSv2 scans are built from OPTIONS at stream start; Spark
+    // offers no SupportsPushDownFilters hook there (batch DOES push: the
+    // IndexedParamRewriteSpec rpc drill pins it)
+    val (rows1, gets1) = run(withOption = false)
+    assert(rows1 == expected)
+    assert(gets1.map(g => EthJsonRpc.parseLogs(g._2).size).sum == 13 * 4,
+      "without the option, the full range crosses the wire")
+
+    // option + the same decoded filter: identical result, narrowed wire
+    val (rows2, gets2) = run(withOption = true)
+    assert(rows2 == expected)
+    val word2 = "0x" + "%064x".format(2L)
+    gets2.foreach { case (req, _) =>
+      assert(req.contains(""""topics":[null,null,"""" + word2 + "\"]"),
+        s"micro-batch request missing the slot option: $req")
+    }
+    assert(gets2.map(g => EthJsonRpc.parseLogs(g._2).size).sum == expected.size,
+      "with the option, only matching logs cross")
+  }
+
   test("range-limit rejections classify as RpcRangeTooLarge (deterministic, " +
       "not transient)") {
     intercept[graft.sources.RpcRangeTooLargeException] {
