@@ -308,4 +308,85 @@ class PropertySpec extends AnyFunSuite {
     assert(ham(h(1L), h(2L)) == 0)
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
+
+  test("IndexedParamRewrite: rewritten comparisons are extensionally equal " +
+    "to the decode on arbitrary words, scales, and operators") {
+    import java.math.BigInteger
+    def word(bi: BigInteger): Array[Byte] = {
+      val out = new Array[Byte](32)
+      val b = bi.toByteArray
+      val n = math.min(b.length, 32)
+      System.arraycopy(b, b.length - n, out, 32 - n, n)
+      out
+    }
+    val max38 = new BigInteger("9" * 38)
+    // raw magnitudes spanning decodable and null-decode (>38-digit) bands
+    val genRaw: Gen[BigInteger] = Gen.oneOf(
+      Gen.choose(0L, 200L).map(BigInteger.valueOf),
+      Gen.choose(0L, Long.MaxValue).map(BigInteger.valueOf),
+      Gen.choose(0L, Long.MaxValue).map(v =>
+        BigInteger.valueOf(v).multiply(BigInteger.TEN.pow(20))),
+      Gen.const(max38), Gen.const(max38.add(BigInteger.ONE)),
+      Gen.const(BigInteger.TWO.pow(255)))
+    val genCase = for {
+      raws <- Gen.listOfN(12, genRaw)
+      lit0 <- genRaw
+      // nudge the literal off the exact grid sometimes (fractional /
+      // off-by-one bounds are where floor/ceil arithmetic breaks)
+      cents <- Gen.choose(0, 99)
+      scale <- Gen.oneOf(0, 2)
+      op <- Gen.choose(0, 4)
+    } yield (raws, lit0, cents, scale, op)
+
+    forAll(genCase, n = 40) { case (raws, lit0, cents, scale, op) =>
+      val rows = raws.distinct.zipWithIndex.map { case (r, i) =>
+        (Array.fill[Byte](20)(1: Byte), word(BigInteger.ZERO), word(r),
+          word(BigInteger.ZERO), null: Array[Byte], word(BigInteger.ZERO),
+          i.toLong, null: Array[Byte], 0L, false)
+      }
+      val df = spark.createDataFrame(
+        rows.toDF("address", "topic0", "topic1", "topic2", "topic3",
+          "data", "block_number", "transaction_hash", "log_index",
+          "removed").rdd, graft.model.LogSchema.struct)
+      // literal value at the decode scale, with a fractional tail when
+      // scale > 0 (cents) — BigDecimal(unscaled=lit0*100+cents, 2)
+      val v =
+        if (scale == 0) new java.math.BigDecimal(lit0)
+        else new java.math.BigDecimal(
+          lit0.multiply(BigInteger.valueOf(100))
+            .add(BigInteger.valueOf(cents.toLong)), 2)
+      // keep the literal inside Decimal(38, scale) or the lit() itself
+      // overflows before the rewrite is even in play
+      whenever(v.precision <= 38) {
+        val decode = graft.functions.abi.u256Scaled($"topic1", scale)
+        val pred = op match {
+          case 0 => decode === lit(v)
+          case 1 => decode > lit(v)
+          case 2 => decode >= lit(v)
+          case 3 => decode < lit(v)
+          case 4 => decode <= lit(v)
+        }
+        val filtered = df.filter(pred)
+        // the rewrite must fire (binary predicates, no decode left)
+        assert(!filtered.queryExecution.optimizedPlan.toString
+          .contains("u256_to_decimal"), "rewrite did not fire")
+        val got = filtered.select($"block_number").as[Long].collect().toSet
+        val expect = raws.distinct.zipWithIndex.collect {
+          case (r, i) if r.abs.compareTo(max38) <= 0 && {
+            val dec = new java.math.BigDecimal(r, scale)
+            val c = dec.compareTo(v)
+            op match {
+              case 0 => c == 0
+              case 1 => c > 0
+              case 2 => c >= 0
+              case 3 => c < 0
+              case 4 => c <= 0
+            }
+          } => i.toLong
+        }.toSet
+        assert(got == expect,
+          s"op=$op scale=$scale v=$v raws=${raws.distinct.mkString(",")}")
+      }
+    }
+  }
 }
