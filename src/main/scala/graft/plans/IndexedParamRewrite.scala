@@ -58,12 +58,16 @@ import graft.functions.{I256ToDecimal, U256ToDecimal}
   *  - `u256(topicN) >/≥/</≤ lit` → lexicographic bounds on the word:
   *    for fixed-width big-endian UNSIGNED words, numeric order IS
   *    unsigned-lexicographic order — Spark's BinaryType ordering and
-  *    parquet's binary min/max stats both compare that way. The upper
-  *    bound is always capped at the 38-nines word: wider raws decode to
-  *    null (dropped by the original conjunct), so the cap — not an
-  *    unbounded scan — is what keeps the rewrite exact. `i256` range
-  *    predicates are NOT rewritten: two's-complement words (sign bit
-  *    set) sort above positives lexicographically.
+  *    parquet's binary min/max stats both compare that way. Bounds are
+  *    always clamped to the decodable domain (±38 nines): wider raws
+  *    decode to null (dropped by the original conjunct), so the clamp —
+  *    not an unbounded scan — is what keeps the rewrite exact.
+  *  - `i256(topicN) >/≥/</≤ lit` → at most TWO sign-band byte ranges:
+  *    two's-complement negatives (sign bit set) sort lexicographically
+  *    ABOVE every positive word, but WITHIN each sign band byte order
+  *    equals numeric order — so a signed raw range maps to one band
+  *    per sign it spans, OR'd together (parquet pushes the Or of two
+  *    bounded ranges as row-group stats filters).
   *
   * `In` is matched before [[org.apache.spark.sql.catalyst.optimizer.OptimizeIn]]
   * turns long lists into `InSet` (same fixed-point batch); lists beyond
@@ -205,32 +209,54 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewriteRange(d: Expression, l: Literal, child: LogicalPlan,
       orig: Expression, lower: Boolean, strict: Boolean): Expression =
-    decodeOf(d, child) match {
-      // unsigned only: signed words don't sort numerically as bytes
-      case Some((attr, scale, signed)) if !signed =>
-        litDecimal(l) match {
-          case Some(v) =>
-            val scaled = v.movePointRight(scale)
-            if (lower) {
-              // decode(t) > v  ⟺  raw(t) ≥ floor(v·10^s)+1 ∧ raw(t) ≤ 38 nines
-              val lo =
-                if (strict) scaled.setScale(0, RoundingMode.FLOOR).toBigInteger.add(BigInteger.ONE)
-                else scaled.setScale(0, RoundingMode.CEILING).toBigInteger
-              if (lo.compareTo(Max38) > 0) Literal.FalseLiteral
-              else {
-                val hiBound = LessThanOrEqual(attr, wordLit(Max38))
-                if (lo.signum <= 0) hiBound
-                else And(GreaterThanOrEqual(attr, wordLit(lo)), hiBound)
-              }
-            } else {
-              // decode(t) < v  ⟺  raw(t) ≤ min(ceil(v·10^s)−1, 38 nines)
-              val hi =
-                if (strict) scaled.setScale(0, RoundingMode.CEILING).toBigInteger.subtract(BigInteger.ONE)
-                else scaled.setScale(0, RoundingMode.FLOOR).toBigInteger
-              if (hi.signum < 0) Literal.FalseLiteral
-              else LessThanOrEqual(attr, wordLit(hi.min(Max38)))
-            }
-          case None => orig
+    (decodeOf(d, child), litDecimal(l)) match {
+      case (Some((attr, scale, signed)), Some(v)) =>
+        val scaled = v.movePointRight(scale)
+        // the qualifying RAW range [lo, hi], before the decodable clamp
+        val (lo, hi) =
+          if (lower) {
+            // decode(t) > v ⟺ raw ≥ floor(v·10^s)+1; ≥ v ⟺ raw ≥ ceil
+            val b =
+              if (strict) scaled.setScale(0, RoundingMode.FLOOR)
+                .toBigInteger.add(BigInteger.ONE)
+              else scaled.setScale(0, RoundingMode.CEILING).toBigInteger
+            (b, Max38)
+          } else {
+            // decode(t) < v ⟺ raw ≤ ceil(v·10^s)−1; ≤ v ⟺ raw ≤ floor
+            val b =
+              if (strict) scaled.setScale(0, RoundingMode.CEILING)
+                .toBigInteger.subtract(BigInteger.ONE)
+              else scaled.setScale(0, RoundingMode.FLOOR).toBigInteger
+            (if (signed) Max38.negate else BigInteger.ZERO, b)
+          }
+        // clamp to the decodable domain (decode nulls wider raws — the
+        // clamp, not an unbounded scan, is what keeps the rewrite exact)
+        val floor0 = if (signed) Max38.negate else BigInteger.ZERO
+        val cLo = lo.max(floor0)
+        val cHi = hi.min(Max38)
+        if (cLo.compareTo(cHi) > 0) Literal.FalseLiteral
+        else if (!signed) {
+          // single non-negative band; skip the trivial ≥ word(0) bound
+          val hiBound = LessThanOrEqual(attr, wordLit(cHi, signed))
+          if (cLo.signum <= 0) hiBound
+          else And(GreaterThanOrEqual(attr, wordLit(cLo, signed)), hiBound)
+        } else if (cLo.signum >= 0 || cHi.signum < 0) {
+          // one sign band: within a fixed-width two's-complement sign
+          // band, unsigned-lexicographic order IS numeric order — and
+          // both bounds carry the same sign, so no word from the other
+          // band (or from the null-decode gaps) can slip between them
+          And(GreaterThanOrEqual(attr, wordLit(cLo, signed)),
+            LessThanOrEqual(attr, wordLit(cHi, signed)))
+        } else {
+          // range spans zero → one band per sign. Negative words (sign
+          // bit set) sort lexicographically ABOVE every positive word,
+          // so the bands are disjoint byte ranges; parquet pushes the
+          // Or of the two as row-group stats filters
+          Or(
+            And(GreaterThanOrEqual(attr, wordLit(cLo, signed)),
+              LessThanOrEqual(attr, wordLit(BigInteger.ONE.negate, signed))),
+            And(GreaterThanOrEqual(attr, wordLit(BigInteger.ZERO, signed)),
+              LessThanOrEqual(attr, wordLit(cHi, signed))))
         }
       case _ => orig
     }
@@ -242,8 +268,8 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val Max38 = new BigInteger("9" * 38)
 
-  private def wordLit(raw: BigInteger): Literal =
-    Literal(pad32(raw, negative = false), BinaryType)
+  private def wordLit(raw: BigInteger, signed: Boolean = false): Literal =
+    Literal(pad32(raw, negative = signed && raw.signum < 0), BinaryType)
 
   /** The unique 32-byte word whose decode at `scale` equals `v`; None when
     * no word does (fractional raw, out of the word's range, >38 raw digits).

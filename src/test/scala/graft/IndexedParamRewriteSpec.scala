@@ -128,7 +128,7 @@ class IndexedParamRewriteSpec extends AnyFunSuite {
   }
 
   test("i256: equality on a negative value rewrites to the sign-extended " +
-      "word; range predicates are NOT rewritten (sign bit breaks byte order)") {
+      "word; ranges rewrite to per-sign-band byte ranges") {
     val dir = TestSpark.tempDir("ipr_signed")
     val vals = Seq(-5L, -1L, 0L, 7L)
     val rows = vals.zipWithIndex.map { case (v, i) =>
@@ -145,10 +145,19 @@ class IndexedParamRewriteSpec extends AnyFunSuite {
     assert(!optimized(eq).contains("i256_to_decimal"), optimized(eq))
     assert(blocksOf(eq) == Set(0L))
 
+    // zero-spanning range → Or of a negative band and a positive band,
+    // no decode left in the plan
     val range = signed.filter(abi.i256($"topic1") > lit(-2))
-    assert(optimized(range).contains("i256_to_decimal"),
-      "signed range must stay on the decode")
+    assert(!optimized(range).contains("i256_to_decimal"), optimized(range))
     assert(blocksOf(range) == Set(1L, 2L, 3L))
+    // purely-negative band
+    val neg = signed.filter(abi.i256($"topic1") <= lit(-1) &&
+      abi.i256($"topic1") >= lit(-5))
+    assert(!optimized(neg).contains("i256_to_decimal"), optimized(neg))
+    assert(blocksOf(neg) == Set(0L, 1L))
+    // purely-positive band over the signed decode
+    val pos = signed.filter(abi.i256($"topic1") > lit(0))
+    assert(blocksOf(pos) == Set(3L))
   }
 
   test("soundness gates: NOT/OR positions, non-leaf topics, and " +

@@ -321,26 +321,39 @@ class PropertySpec extends AnyFunSuite {
     }
     val max38 = new BigInteger("9" * 38)
     // raw magnitudes spanning decodable and null-decode (>38-digit) bands
-    val genRaw: Gen[BigInteger] = Gen.oneOf(
+    val genMag: Gen[BigInteger] = Gen.oneOf(
       Gen.choose(0L, 200L).map(BigInteger.valueOf),
       Gen.choose(0L, Long.MaxValue).map(BigInteger.valueOf),
       Gen.choose(0L, Long.MaxValue).map(v =>
         BigInteger.valueOf(v).multiply(BigInteger.TEN.pow(20))),
       Gen.const(max38), Gen.const(max38.add(BigInteger.ONE)),
-      Gen.const(BigInteger.TWO.pow(255)))
+      Gen.const(BigInteger.TWO.pow(254)))
+    def genRaw(signed: Boolean): Gen[BigInteger] =
+      if (!signed) genMag
+      else for { m <- genMag; neg <- Gen.oneOf(true, false) }
+        yield if (neg) m.negate else m
     val genCase = for {
-      raws <- Gen.listOfN(12, genRaw)
-      lit0 <- genRaw
+      signed <- Gen.oneOf(true, false)
+      raws <- Gen.listOfN(12, genRaw(signed))
+      lit0 <- genRaw(signed)
       // nudge the literal off the exact grid sometimes (fractional /
       // off-by-one bounds are where floor/ceil arithmetic breaks)
       cents <- Gen.choose(0, 99)
       scale <- Gen.oneOf(0, 2)
       op <- Gen.choose(0, 4)
-    } yield (raws, lit0, cents, scale, op)
+    } yield (signed, raws, lit0, cents, scale, op)
 
-    forAll(genCase, n = 40) { case (raws, lit0, cents, scale, op) =>
+    forAll(genCase, n = 60) { case (signed, raws, lit0, cents, scale, op) =>
+      def signedWord(bi: BigInteger): Array[Byte] = {
+        val out = new Array[Byte](32)
+        if (bi.signum < 0) java.util.Arrays.fill(out, 0xff.toByte)
+        val b = bi.toByteArray
+        val n = math.min(b.length, 32)
+        System.arraycopy(b, b.length - n, out, 32 - n, n)
+        out
+      }
       val rows = raws.distinct.zipWithIndex.map { case (r, i) =>
-        (Array.fill[Byte](20)(1: Byte), word(BigInteger.ZERO), word(r),
+        (Array.fill[Byte](20)(1: Byte), word(BigInteger.ZERO), signedWord(r),
           word(BigInteger.ZERO), null: Array[Byte], word(BigInteger.ZERO),
           i.toLong, null: Array[Byte], 0L, false)
       }
@@ -358,7 +371,9 @@ class PropertySpec extends AnyFunSuite {
       // keep the literal inside Decimal(38, scale) or the lit() itself
       // overflows before the rewrite is even in play
       whenever(v.precision <= 38) {
-        val decode = graft.functions.abi.u256Scaled($"topic1", scale)
+        val decode =
+          if (signed) graft.functions.abi.i256Scaled($"topic1", scale)
+          else graft.functions.abi.u256Scaled($"topic1", scale)
         val pred = op match {
           case 0 => decode === lit(v)
           case 1 => decode > lit(v)
@@ -369,7 +384,7 @@ class PropertySpec extends AnyFunSuite {
         val filtered = df.filter(pred)
         // the rewrite must fire (binary predicates, no decode left)
         assert(!filtered.queryExecution.optimizedPlan.toString
-          .contains("u256_to_decimal"), "rewrite did not fire")
+          .contains("256_to_decimal"), "rewrite did not fire")
         val got = filtered.select($"block_number").as[Long].collect().toSet
         val expect = raws.distinct.zipWithIndex.collect {
           case (r, i) if r.abs.compareTo(max38) <= 0 && {
@@ -385,7 +400,8 @@ class PropertySpec extends AnyFunSuite {
           } => i.toLong
         }.toSet
         assert(got == expect,
-          s"op=$op scale=$scale v=$v raws=${raws.distinct.mkString(",")}")
+          s"signed=$signed op=$op scale=$scale v=$v " +
+            s"raws=${raws.distinct.mkString(",")}")
       }
     }
   }
