@@ -422,6 +422,35 @@ object SparkEntry {
           graft.functions.abi.u256(col("data")).cast("bigint").as("v"))
     }),
 
+    // P2/S2 signed twin — int256 indexed params (deltas) through the
+    // SAME decoded-filter path, over a written raw-log PARQUET (the
+    // replay/backfill surface): the i256 range rewrite turns the filter
+    // into per-sign-band byte ranges that parquet row-group stats can
+    // prune; decode never runs on non-matching rows.
+    "p2_indexed_signed" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      val scratch = fixtureScratch(s, s"$dir/events.parquet", "sl",
+        "logs") { tmp =>
+        ev.select(
+            lit(Array.fill[Byte](20)(0xaa.toByte)).as("address"),
+            EventDecoder.encodeWordFromLong(lit(1L)).as("topic0"),
+            EventDecoder.encodeWordFromLongSigned(col("user_id") - 75)
+              .as("topic1"),
+            lit(null).cast("binary").as("topic2"),
+            lit(null).cast("binary").as("topic3"),
+            EventDecoder.encodeWordFromLong(col("user_id")).as("data"),
+            col("block_number"), lit(null).cast("binary")
+              .as("transaction_hash"),
+            col("log_index"), lit(false).as("removed"))
+          .write.mode("overwrite").parquet(s"$tmp/logs")
+      }
+      s.read.parquet(s"$scratch/logs")
+        .filter(graft.functions.abi.i256(col("topic1")) >= lit(-50) &&
+          graft.functions.abi.i256(col("topic1")) < lit(25))
+        .select(col("block_number"), col("log_index"),
+          graft.functions.abi.i256(col("topic1")).cast("bigint").as("delta"))
+    }),
+
     // S1/S2 — bounded log range scan with signature + block-range pushdown
     "s1_log_scan" -> ((s, dir) =>
       EventLog.rangeScan(events(s, dir), Seq("purchase"), 10L, 500L)
@@ -2361,6 +2390,12 @@ object SparkEntry {
          FROM (SELECT unnest(generate_series(0, 98)) AS b) b
          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
          WHERE b.b % 5 = 2 AND i.i >= 2""",
+
+    "p2_indexed_signed" ->
+      s"""SELECT block_number, log_index, user_id - 75 AS delta
+         FROM ($EvKeys)
+         WHERE event_type = 'purchase'
+           AND user_id - 75 >= -50 AND user_id - 75 < 25""",
 
     "s1_log_scan" ->
       s"""SELECT event_id, block_number, log_index, user_id, value

@@ -224,6 +224,8 @@ class HardeningSpec extends AnyFunSuite {
       "text_chunk" -> 0,
       // schema-on-read scan + one lang aggregation (the jsonl twin)
       "src_csv_ingest" -> 1,
+      // signed band-range pushdown: pure scan + filter + decode project
+      "p2_indexed_signed" -> 0,
       // bm25's 4 + the doc-keyed fusion window (retrieval tails are
       // TakeOrdered single-partition — exchange-reused, measured 4;
       // +1 margin for AQE reuse wobble)
