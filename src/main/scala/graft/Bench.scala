@@ -14,7 +14,12 @@ object Bench {
     // warm-up: JIT + codegen + shuffle machinery, so per-query timings
     // measure the queries, not session startup
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // scale fixtures may carry only a table subset (gen_scale_fixture) —
+    // warm whichever of the two biggest tables exists
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count()
+    }
     var failed = List.empty[String]
     // optional args = subset of query names (local iteration aid)
     val only = args.toSet
