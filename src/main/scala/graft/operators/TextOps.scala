@@ -290,6 +290,15 @@ object TextOps {
     val Seq(nDocs, sumDl) = df
       .agg(count(lit(1)), coalesce(sum(size(wsTokens(lower(col(textCol))))), lit(0L)))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    // sumDl == 0 ⇔ no doc has any token (sizes are non-negative), so no
+    // term can match — return the empty result directly rather than let
+    // the avgdl division produce a 0-denominator expression downstream
+    if (sumDl == 0L) {
+      return df.limit(0).select(
+        lit(0L).as("rank"), col(idCol).as("doc_id"),
+        lit(0L).as("matched_terms"), lit(0L).as("tf_sum"),
+        lit(0L).as("dl"), lit(0.0).as("score"))
+    }
     // persisted because dft, the contributions, and the evidence all
     // read it (≤ |terms| rows per matching doc — the corpus-sized
     // explode runs ONCE; operator persist contract: callers clear

@@ -41,15 +41,20 @@ import graft.functions.{I256ToDecimal, U256ToDecimal}
   * decode under `NOT`/`OR` or outside a filter is never touched.
   *
   * Shapes rewritten (decode side may sit under a scale-widening decimal
-  * cast — scale can only grow, so the cast is injective; LEGACY/TRY
-  * overflow yields null, which a conjunct treats as false. An ANSI cast
-  * that can overflow — `(38,0)→(38,2)` caps the integer digits — is also
-  * accepted: rows the rewritten predicate keeps are exactly rows whose
-  * cast cannot overflow, and rows where the original would THROW are
-  * dropped instead. That equals evaluating the pushable predicate first
-  * and short-circuiting — an ordering Spark's unspecified
+  * cast — scale can only grow, so the cast is injective on values it
+  * represents. A cast that can overflow — `(38,0)→(38,2)` caps the
+  * integer digits — is handled by ALSO clamping range bounds to the cast
+  * target's representable raw range `±(10^(p−cs) − 10^−cs)·10^s`: every
+  * row the rewritten predicate keeps provably casts without overflow, so
+  * LEGACY (overflow→null, conjunct-false) and ANSI (overflow→throw)
+  * modes agree with the rewrite on kept rows. Rows the rewrite drops are
+  * rows the original evaluates false or null — or would THROW under
+  * ANSI; dropping those equals evaluating the pushable predicate first
+  * and short-circuiting, an ordering Spark's unspecified
   * predicate-evaluation-order semantics already permit, and the same
-  * behavior any filter pushdown gives a throwing residual):
+  * behavior any filter pushdown gives a throwing residual. Equality/IN
+  * literals carry the cast's own type post-analysis, hence are always
+  * representable — no extra clamp needed there):
   *
   *  - `u256/i256(topicN) = lit` (and reversed, `<=>`, `IN (...)`) →
   *    binary equality / IN on the unique encoding; an unrepresentable
@@ -91,25 +96,27 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Decode side of a comparison: `(topic attr, decode scale, signed)`
-    * when `e` is a raw-word decode of a canonical-log topic column,
-    * optionally under a widening non-ANSI decimal cast.
+  /** Decode side of a comparison: `(topic attr, decode scale, signed,
+    * cast target)` when `e` is a raw-word decode of a canonical-log topic
+    * column, optionally under a widening decimal cast (the target type is
+    * surfaced so range rewrites can clamp to its representable range).
     */
   private def decodeOf(e: Expression, child: LogicalPlan)
-      : Option[(AttributeReference, Int, Boolean)] = {
-    val inner: Option[(Expression, Int, Boolean)] = e match {
-      case U256ToDecimal(c, s) => Some((c, s, false))
-      case I256ToDecimal(c, s) => Some((c, s, true))
-      case Cast(U256ToDecimal(c, s), dt: DecimalType, _, _)
-          if dt.scale >= s => Some((c, s, false))
-      case Cast(I256ToDecimal(c, s), dt: DecimalType, _, _)
-          if dt.scale >= s => Some((c, s, true))
-      case _ => None
-    }
+      : Option[(AttributeReference, Int, Boolean, Option[DecimalType])] = {
+    val inner: Option[(Expression, Int, Boolean, Option[DecimalType])] =
+      e match {
+        case U256ToDecimal(c, s) => Some((c, s, false, None))
+        case I256ToDecimal(c, s) => Some((c, s, true, None))
+        case Cast(U256ToDecimal(c, s), dt: DecimalType, _, _)
+            if dt.scale >= s => Some((c, s, false, Some(dt)))
+        case Cast(I256ToDecimal(c, s), dt: DecimalType, _, _)
+            if dt.scale >= s => Some((c, s, true, Some(dt)))
+        case _ => None
+      }
     inner.collect {
-      case (a: AttributeReference, s, signed)
+      case (a: AttributeReference, s, signed, castTo)
           if a.dataType == BinaryType && isTopicName(a.name) &&
-            fromLogLeaf(a, child) => (a, s, signed)
+            fromLogLeaf(a, child) => (a, s, signed, castTo)
     }
   }
 
@@ -182,7 +189,10 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteEq(d: Expression, l: Literal, child: LogicalPlan,
       orig: Expression, nullSafe: Boolean): Expression =
     (decodeOf(d, child), litDecimal(l)) match {
-      case (Some((attr, scale, signed)), Some(v)) =>
+      // a cast above the decode is safe here with no extra check: the
+      // literal carries the cast's own type post-analysis, so a value the
+      // encoding represents is a value the cast represents
+      case (Some((attr, scale, signed, _)), Some(v)) =>
         encodeExact(v, scale, signed) match {
           case Some(word) =>
             val w = Literal(word, BinaryType)
@@ -195,7 +205,7 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteIn(d: Expression, ls: Seq[Literal], child: LogicalPlan,
       orig: Expression): Expression =
     decodeOf(d, child) match {
-      case Some((attr, scale, signed)) =>
+      case Some((attr, scale, signed, _)) =>
         val vs = ls.map(litDecimal)
         if (vs.exists(_.isEmpty)) return orig
         // unrepresentable (or null-literal) elements can never match a
@@ -210,7 +220,7 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewriteRange(d: Expression, l: Literal, child: LogicalPlan,
       orig: Expression, lower: Boolean, strict: Boolean): Expression =
     (decodeOf(d, child), litDecimal(l)) match {
-      case (Some((attr, scale, signed)), Some(v)) =>
+      case (Some((attr, scale, signed, castTo)), Some(v)) =>
         val scaled = v.movePointRight(scale)
         // the qualifying RAW range [lo, hi], before the decodable clamp
         val (lo, hi) =
@@ -229,11 +239,16 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
               else scaled.setScale(0, RoundingMode.FLOOR).toBigInteger
             (if (signed) Max38.negate else BigInteger.ZERO, b)
           }
-        // clamp to the decodable domain (decode nulls wider raws — the
-        // clamp, not an unbounded scan, is what keeps the rewrite exact)
-        val floor0 = if (signed) Max38.negate else BigInteger.ZERO
+        // clamp to the decodable domain (decode nulls wider raws) AND,
+        // under a cast, to the cast target's representable raw range —
+        // raws beyond ±(10^(p−cs) − 10^−cs)·10^s overflow the cast
+        // (LEGACY → null → conjunct-false; ANSI → throw, which the
+        // pushdown short-circuits). The clamps, not an unbounded scan,
+        // are what keep the rewrite exact.
+        val cap = castTo.map(castCapRaw(_, scale)).getOrElse(Max38).min(Max38)
+        val floor0 = if (signed) cap.negate else BigInteger.ZERO
         val cLo = lo.max(floor0)
-        val cHi = hi.min(Max38)
+        val cHi = hi.min(cap)
         if (cLo.compareTo(cHi) > 0) Literal.FalseLiteral
         else if (!signed) {
           // single non-negative band; skip the trivial ≥ word(0) bound
@@ -267,6 +282,18 @@ object IndexedParamRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * AbiRuntime null-thresholds wider raws).
     */
   private val Max38 = new BigInteger("9" * 38)
+
+  /** Largest raw (decode-scale) value whose cast to `dt` cannot overflow:
+    * the target represents values up to `10^(p−cs) − 10^−cs`, i.e. raws
+    * up to `floor((10^(p−cs) − 10^−cs)·10^s)` (the range is symmetric for
+    * the signed decode).
+    */
+  private def castCapRaw(dt: DecimalType, scale: Int): BigInteger =
+    new JBigDecimal(BigInteger.TEN.pow(dt.precision - dt.scale))
+      .subtract(new JBigDecimal(BigInteger.ONE, dt.scale))
+      .movePointRight(scale)
+      .setScale(0, RoundingMode.FLOOR)
+      .toBigInteger
 
   private def wordLit(raw: BigInteger, signed: Boolean = false): Literal =
     Literal(pad32(raw, negative = signed && raw.signum < 0), BinaryType)

@@ -664,6 +664,14 @@ class ExtendedOpsSpec extends AnyFunSuite {
     // k larger than the match set: only matching docs return
     assert(TextOps.bm25TopK(d, Seq("apple", "cherry"), k = 10,
       storage = None).count() == 3)
+
+    // all-empty/whitespace corpus: sumDl = 0 → empty result with the
+    // normal schema, not NaN scores from a 0-denominator avgdl
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val guarded = TextOps.bm25TopK(empty, Seq("apple"), k = 3, storage = None)
+    assert(guarded.columns.toSeq ==
+      Seq("rank", "doc_id", "matched_terms", "tf_sum", "dl", "score"))
+    assert(guarded.count() == 0)
   }
 
   test("int8 round-trip: error ≤ scale/2, zero vector exact, scale = max|x|/127") {

@@ -219,6 +219,53 @@ class IndexedParamRewriteSpec extends AnyFunSuite {
     assert(joined.select($"tag").as[String].collect().toSeq == Seq("x"))
   }
 
+  test("range under a scale-widening cast clamps to the cast target's " +
+      "representable range (overflow rows never leak through the rewrite)") {
+    // The (38,0)→(38,2) cast caps integer digits at 36: raw 10^37 decodes
+    // fine but its cast overflows (LEGACY → null → filter-false; ANSI →
+    // throws, which the pushdown short-circuits). The rewrite must keep
+    // {7} only — before the castCapRaw clamp it also kept 10^37.
+    val dir = TestSpark.tempDir("ipr_castcap")
+    val vals = Seq(BigInteger.valueOf(7), BigInteger.TEN.pow(37))
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (Array.fill[Byte](20)(0xaa.toByte), word(0L), word(v), word(0L),
+        null: Array[Byte], word(0L), i.toLong, null: Array[Byte], 0L, false)
+    }
+    spark.createDataFrame(rows.toDF(
+      "address", "topic0", "topic1", "topic2", "topic3", "data",
+      "block_number", "transaction_hash", "log_index", "removed").rdd,
+      LogSchema.struct).write.mode("overwrite").parquet(dir)
+    val caps = spark.read.schema(LogSchema.struct).parquet(dir)
+
+    val gt = caps.filter(abi.u256($"topic1").cast("decimal(38,2)") >
+      lit(new java.math.BigDecimal("5.5")))
+    assert(!optimized(gt).contains("u256_to_decimal"), optimized(gt))
+    assert(blocksOf(gt) == Set(0L), "cast-overflow row leaked through")
+
+    // un-cast decode over the same data: 10^37 IS decodable and must stay
+    val raw = caps.filter(abi.u256($"topic1") >
+      lit(new java.math.BigDecimal("5.5")))
+    assert(!optimized(raw).contains("u256_to_decimal"))
+    assert(blocksOf(raw) == Set(0L, 1L))
+
+    // signed twin: cast overflow on the negative side
+    val sdir = TestSpark.tempDir("ipr_castcap_signed")
+    val svals = Seq(BigInteger.valueOf(-7), BigInteger.TEN.pow(37).negate)
+    val srows = svals.zipWithIndex.map { case (v, i) =>
+      (Array.fill[Byte](20)(0xaa.toByte), word(0L), word(v), word(0L),
+        null: Array[Byte], word(0L), i.toLong, null: Array[Byte], 0L, false)
+    }
+    spark.createDataFrame(srows.toDF(
+      "address", "topic0", "topic1", "topic2", "topic3", "data",
+      "block_number", "transaction_hash", "log_index", "removed").rdd,
+      LogSchema.struct).write.mode("overwrite").parquet(sdir)
+    val scaps = spark.read.schema(LogSchema.struct).parquet(sdir)
+    val lt = scaps.filter(abi.i256($"topic1").cast("decimal(38,2)") <
+      lit(new java.math.BigDecimal("-5.5")))
+    assert(!optimized(lt).contains("i256_to_decimal"), optimized(lt))
+    assert(blocksOf(lt) == Set(0L), "signed cast-overflow row leaked")
+  }
+
   test("rpc-logs: u256(topic2) equality pushes through the rewrite into " +
       "the eth_getLogs positional slot filter") {
     RpcLogSource.registerTransport("ipr_rpc",

@@ -166,6 +166,45 @@ class ModelSpec extends AnyFunSuite {
     assert(back._3 == null && back._4 == null)
   }
 
+  test("32-byte topic contract: assertTopicWords fails fast on foreign " +
+      "minimal encodings; normalizeTopicWords left-pads them to the word") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // a minimal-length 0x07 — the IndexedParamRewrite soundness hazard
+    val short = Array[Byte](7)
+    val full = new Array[Byte](32); full(31) = 7
+    val df = Seq((0L, 0L, short), (1L, 0L, full), (2L, 1L, null: Array[Byte]))
+      .toDF("block_number", "log_index", "topic1")
+      .withColumn("topic0", lit(full))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+
+    val ex = intercept[Exception](
+      graft.model.LogSchema.assertTopicWords(df).collect())
+    assert(ex.getMessage.contains("topic1") &&
+      ex.getMessage.contains("block_number=0"), ex.getMessage)
+
+    val norm = graft.model.LogSchema.normalizeTopicWords(df)
+      .select("block_number", "topic1")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(norm(0L).toSeq == full.toSeq, "short topic left-padded")
+    assert(norm(1L).toSeq == full.toSeq, "full word untouched")
+    assert(norm(2L) == null, "null stays null")
+    // normalized data passes the gate
+    assert(graft.model.LogSchema.assertTopicWords(
+      graft.model.LogSchema.normalizeTopicWords(df)).count() == 3)
+    // >32 bytes is corrupt, not minimal — normalization refuses
+    val long = Seq((0L, 0L, Array.fill[Byte](33)(1)))
+      .toDF("block_number", "log_index", "topic1")
+      .withColumn("topic0", lit(full))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val ex2 = intercept[Exception](
+      graft.model.LogSchema.normalizeTopicWords(long).collect())
+    assert(ex2.getMessage.contains("longer than"), ex2.getMessage)
+  }
+
   test("bytesN: widths 1..32 parse as static BinaryType; 0/33 rejected") {
     val e = EventSchema.parse("Call(bytes4 sel, bytes16 uuid, bytes31 odd)")
     assert(e.dataStruct.fieldNames.toSeq == Seq("sel", "uuid", "odd"))
