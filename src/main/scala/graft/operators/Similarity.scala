@@ -246,15 +246,22 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Array[Array[Double]]]()
 
+  /** Cache lookup keyed on the REQUESTED `nlist` (0 = auto): the `√n`
+    * auto-sizing resolves lazily inside the miss path, so a cache hit
+    * pays neither the k-means training NOR the corpus `count()` sizing
+    * job — for the same `corpusKey` (same corpus snapshot) the auto
+    * resolution is deterministic, so keying on the request is sound.
+    */
   private def trainCentroidsCached(corpusKey: Option[String], corpus: DataFrame,
       vecCol: String, nlist: Int, trainSample: Int): Array[Array[Double]] =
     corpusKey match {
-      case None => trainCentroids(corpus, vecCol, nlist, trainSample)
+      case None =>
+        trainCentroids(corpus, vecCol, autoNlist(corpus, nlist), trainSample)
       // vecCol is part of the identity: the same corpus snapshot can carry
       // several embedding columns, and centroids trained on one are wrong
       // for another
       case Some(k) => centroidCache.computeIfAbsent((k, vecCol, nlist, trainSample),
-        _ => trainCentroids(corpus, vecCol, nlist, trainSample))
+        _ => trainCentroids(corpus, vecCol, autoNlist(corpus, nlist), trainSample))
     }
 
   /** Auto-sizing for the IVF family: `nlist = 0` (the default) resolves
@@ -298,7 +305,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val nearestLists = this.nearestLists(
-      trainCentroidsCached(corpusKey, corpus, vecCol, autoNlist(corpus, nlist), trainSample)) _
+      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)) _
 
     val c = corpus.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("cnrm"),
@@ -347,7 +354,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val centroids =
-      trainCentroidsCached(corpusKey, corpus, vecCol, autoNlist(corpus, nlist), trainSample)
+      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)
     val nearestLists = this.nearestLists(centroids) _
     val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     // the PQ index rows — what a deployment persists: (id, list, codes,
@@ -536,7 +543,7 @@ object Similarity {
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       corpusKey: Option[String] = None): DataFrame = {
     val nearestLists = this.nearestLists(
-      trainCentroidsCached(corpusKey, df, vecCol, autoNlist(df, nlist), trainSample)) _
+      trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)) _
     val listed0 = df.select(
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
@@ -579,7 +586,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusKey: Option[String] = None): DataFrame = {
     val centroids =
-      trainCentroidsCached(corpusKey, df, vecCol, autoNlist(df, nlist), trainSample)
+      trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)
     val nearestLists = this.nearestLists(centroids) _
     val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     val cNorm2 = array(centroids.map(c => lit(c.map(x => x * x).sum)): _*)

@@ -367,6 +367,38 @@ class HardeningSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("centroid cache hit skips the auto-nlist sizing count: plan " +
+      "construction launches zero Spark jobs") {
+    import graft.operators.Similarity
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val key = Some("hardening-centroid-cache-" + System.nanoTime())
+    // miss path: trains centroids (runs the √n count + k-means jobs) —
+    // materialize once so the cache is warm
+    Similarity.ivfTopK(emb, emb.filter($"vec_id" < 2), 3,
+      nprobe = 2, corpusKey = key).count()
+
+    // hit path: constructing the DataFrame again must be job-free — the
+    // resolved nlist rides in the cache entry, so neither k-means nor
+    // the df.count() sizing job may run at operator-construction time
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 2), 3,
+        nprobe = 2, corpusKey = key)
+      Thread.sleep(1000) // listener delivery is async; jobs submit inline
+      assert(jobs.get() == 0,
+        s"cache-hit ivfTopK construction launched ${jobs.get()} job(s)")
+      assert(df.count() > 0) // the plan itself still works
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("CacheScope: every registered query releases its internal storage") {
     // a library caller outside Verify/Bench (which clear caches per
     // query) must be able to loop ANY registered query over many corpora
