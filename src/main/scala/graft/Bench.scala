@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Reference timing for [[controlSample]] on the round-10 calibration
+    * host (best of three min-of-3 runs — 1.127/0.972/0.999 s — recorded
+    * 2026-08-14; see PERF.md "same-day control"). The control workload
+    * below is FROZEN — raw Spark primitives, no graft code, no fixture
+    * dependence — so its time moves with host state only, and
+    * `drift = control_s / ControlRefSec` normalizes cross-round totals:
+    * a reader divides the bench total by `drift` before comparing
+    * against a recorded prior.
+    */
+  private val ControlRefSec = 0.972
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,14 +33,45 @@ object Bench {
     catch { case _: org.apache.spark.sql.AnalysisException =>
       spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count()
     }
+
+    // ---- same-day host control (PERF.md: intraday drift is 10-25%,
+    // and has exceeded 1.7x across sessions — raw tails are unreadable
+    // without a same-run normalizer) ----
+    def controlSample(): Double = {
+      val t0 = System.nanoTime()
+      // CPU leg: codegen'd arithmetic fold over a range
+      spark.range(30000000L).selectExpr("sum(id * 3 + (id % 7))").collect()
+      // shuffle leg: hash-aggregate across a real exchange
+      spark.range(3000000L).selectExpr("id % 100000 as k", "id as v")
+        .groupBy("k").sum("v").selectExpr("sum(k)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val controlS = (1 to 3).map(_ => controlSample()).min
+    val drift =
+      if (ControlRefSec > 0) controlS / ControlRefSec else 1.0
+
+    // per-query priors (seconds) from the last recorded full run: any
+    // query whose FIRST sample lands >5x its prior takes a third sample,
+    // so a single scheduler hiccup cannot write an outlier into the tail
+    val priors: Map[String, Double] = {
+      val f = new java.io.File("bench_priors.json")
+      if (!f.exists()) Map.empty
+      else try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = m.readTree(f)
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    }
+
     var failed = List.empty[String]
     // optional args = subset of query names (local iteration aid)
     val only = args.toSet
-    // min-of-2 per query, plus a THIRD sample for queries whose best is
-    // still ≥ 1 s — that is where host noise dominates the recorded tail
-    // (PERF.md documents 10-25% same-day spread), so the extra sample
-    // firms up the round-over-round regression signal cheaply: sub-second
-    // queries don't pay it, and the slow ones amortize it
+    // min-of-2 per query, plus a THIRD sample when (a) the best is still
+    // >= 1 s — where host noise dominates the recorded tail — or (b) the
+    // first sample landed >5x the recorded prior (outlier guard)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -53,8 +97,11 @@ object Bench {
           if (ok) Some(elapsed) else None
         }
         val base = (1 to 2).flatMap(_ => sample())
+        val outlier = base.headOption.exists(first =>
+          priors.get(name).exists(p => p > 0 && first > 5 * p))
         val times =
-          if (base.nonEmpty && base.min >= 1.0) base ++ sample() else base
+          if (base.nonEmpty && (base.min >= 1.0 || outlier)) base ++ sample()
+          else base
         // a query that succeeds on any run has a time — only record a
         // failure when EVERY run failed (driver treats the lists as disjoint)
         if (times.isEmpty) failed ::= name
@@ -66,7 +113,7 @@ object Bench {
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries are listed in `failed`, never summed into the total
     val total = succeeded.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
