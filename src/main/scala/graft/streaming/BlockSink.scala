@@ -77,42 +77,105 @@ object BlockSink {
       }
       .start()
 
+  private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
   /** Rewrite one frozen bucket's small per-epoch files into
     * `targetFiles` block-sorted files (ingest leaves one file set per
     * epoch; a long-running tail accumulates hundreds per bucket, and
     * scan cost at 100 TB is dominated by file count × footer reads).
     * The rewrite stages into `<bucket>.compact.tmp` and swaps via two
-    * renames, so a concurrent reader sees the old files or the new —
-    * only run it on buckets past the confirmation horizon, where no
-    * epoch can still append.
+    * renames, so a reader PLANNED after the swap sees a consistent
+    * bucket; a reader still holding the pre-swap file list either
+    * drains its already-open files or fails cleanly with a
+    * missing-file error (retryable) — it can never observe a torn mix
+    * of old and new files. Only run on buckets past the confirmation
+    * horizon, where no epoch can still append.
+    *
+    * == Single-maintenance-writer contract ==
+    *
+    * At most ONE compactor may run against a sink path at a time (the
+    * ingest stream may keep writing — it only touches buckets inside
+    * the confirmation horizon, which are never eligible for
+    * compaction). The contract is the caller's to schedule; what this
+    * code guarantees is that a CRASHED run is detectable and
+    * recoverable rather than silent: a `_compacting_<bucket>` marker
+    * brackets every run, and a new run (of any bucket-state-mutating
+    * entry point) REFUSES to start while a marker or a staged-out
+    * `.old` directory exists — [[recoverBucket]] rolls the bucket back
+    * to a consistent state first. Double-compacting an already-compacted
+    * bucket is a safe no-op-shaped rewrite (same rows, fresh files).
     */
   def compactBucket(spark: org.apache.spark.sql.SparkSession, path: String,
       bucket: Long, targetFiles: Int,
       blockCol: String = "block_number",
       orderCols: Seq[String] = Seq("block_number", "log_index")): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bucketDir = new org.apache.hadoop.fs.Path(s"$path/block_bucket=$bucket")
+    val bucketDir = hadoopPath(s"$path/block_bucket=$bucket")
     require(fs.exists(bucketDir), s"no such bucket: $bucketDir")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/block_bucket=$bucket.compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/block_bucket=$bucket.old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    val rows = spark.read.parquet(bucketDir.toString)
-      // per-epoch split ends at compaction, but partition discovery
-      // requires a UNIFORM directory depth across buckets — compacted
-      // files keep the level under the sentinel epoch −1
-      .withColumn("ingest_batch", lit(-1L))
-      .repartitionByRange(targetFiles, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    rows.write.mode(SaveMode.Overwrite)
-      .partitionBy("ingest_batch").parquet(tmp.toString)
-    if (!fs.rename(bucketDir, old))
-      throw new java.io.IOException(s"compact: cannot stage out $bucketDir")
-    if (!fs.rename(tmp, bucketDir)) {
-      fs.rename(old, bucketDir) // roll back
-      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    val tmp = hadoopPath(s"$path/block_bucket=$bucket.compact.tmp")
+    val old = hadoopPath(s"$path/block_bucket=$bucket.old")
+    val marker = hadoopPath(s"$path/_compacting_$bucket")
+    // a leftover marker or staged-out dir means a compactor crashed (or
+    // is still running): NEVER delete `.old` here — after a crash
+    // between the two renames it may hold the only copy of the bucket
+    if (fs.exists(marker) || fs.exists(old))
+      throw new java.io.IOException(
+        s"compact: prior compaction of bucket $bucket did not complete " +
+          s"(marker=${fs.exists(marker)}, staged=${fs.exists(old)}) — " +
+          "run BlockSink.recoverBucket first")
+    fs.create(marker, false).close()
+    try {
+      fs.delete(tmp, true) // stale tmp from a pre-marker crash is inert
+      val rows = spark.read.parquet(bucketDir.toString)
+        // per-epoch split ends at compaction, but partition discovery
+        // requires a UNIFORM directory depth across buckets — compacted
+        // files keep the level under the sentinel epoch −1
+        .withColumn("ingest_batch", lit(-1L))
+        .repartitionByRange(targetFiles, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+      rows.write.mode(SaveMode.Overwrite)
+        .partitionBy("ingest_batch").parquet(tmp.toString)
+      if (!fs.rename(bucketDir, old))
+        throw new java.io.IOException(s"compact: cannot stage out $bucketDir")
+      if (!fs.rename(tmp, bucketDir)) {
+        fs.rename(old, bucketDir) // roll back
+        throw new java.io.IOException(s"compact: cannot swap in $tmp")
+      }
+      fs.delete(old, true)
+    } finally fs.delete(marker, false)
+  }
+
+  /** Roll a bucket that a crashed compactor left mid-protocol back to a
+    * consistent state (idempotent; run before retrying [[compactBucket]]
+    * when it reports an incomplete prior run):
+    *
+    *  - bucket dir missing but `.old` present → crash BETWEEN the two
+    *    renames: the old files are the only copy — restore them;
+    *  - bucket dir AND `.old` present → crash after swap-in, before
+    *    cleanup: the new files already serve reads — drop `.old`;
+    *  - stray `.compact.tmp` / marker → drop (the tmp never serves
+    *    reads; the marker only gates new runs).
+    *
+    * Never runs concurrently with a live compactor — that is the same
+    * single-maintenance-writer contract as [[compactBucket]].
+    */
+  def recoverBucket(spark: org.apache.spark.sql.SparkSession, path: String,
+      bucket: Long): Unit = {
+    val fs = hadoopPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDir = hadoopPath(s"$path/block_bucket=$bucket")
+    val tmp = hadoopPath(s"$path/block_bucket=$bucket.compact.tmp")
+    val old = hadoopPath(s"$path/block_bucket=$bucket.old")
+    val marker = hadoopPath(s"$path/_compacting_$bucket")
+    if (fs.exists(old)) {
+      if (!fs.exists(bucketDir)) {
+        if (!fs.rename(old, bucketDir))
+          throw new java.io.IOException(s"recover: cannot restore $old")
+      } else fs.delete(old, true)
     }
-    fs.delete(old, true)
+    fs.delete(tmp, true)
+    fs.delete(marker, false)
   }
 }

@@ -122,4 +122,84 @@ class BlockSinkSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/block_bucket=0/ingest_batch=-1").isDirectory)
     assert(dataFiles(s"$out/block_bucket=1").nonEmpty, "neighbour bucket touched")
   }
+
+  test("double-compact is content-stable; a reader planned mid-compaction " +
+      "still resolves (old files or new, never a torn mix)") {
+    val out = tmp()
+    (0 until 4).foreach(e =>
+      BlockSink.writeBatch(rows(e * 2 until (e + 1) * 2), batchId = e.toLong,
+        out, bucketBlocks = 16L))
+    val before = spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet
+
+    BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 2)
+    // a reader whose plan was built BEFORE the second compaction captured
+    // the pre-swap file list: it must either return the full consistent
+    // set or fail CLEANLY with a missing-file error (retryable) — never a
+    // torn mix of old and new files
+    val planned = spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v")
+    BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1)
+    try assert(planned.collect().toSet == before,
+      "reader planned across a compaction saw torn data")
+    catch { case e: org.apache.spark.SparkException =>
+      assert(e.getMessage.contains("FILE_NOT_EXIST") ||
+        e.getMessage.contains("does not exist"), e.getMessage)
+    }
+    // a reader planned AFTER the swap sees the consistent new view
+    assert(spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet == before,
+      "double-compact changed the data")
+  }
+
+  test("crashed compactor: marker/staged state refuses a new run instead " +
+      "of deleting the only copy; recoverBucket restores each crash state") {
+    val out = tmp()
+    BlockSink.writeBatch(rows(0 until 4), batchId = 0L, out, bucketBlocks = 16L)
+    val want = spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // state A: crash mid-write — marker + tmp exist, bucket intact
+    fs.create(p(s"$out/_compacting_0"), false).close()
+    fs.mkdirs(p(s"$out/block_bucket=0.compact.tmp"))
+    val exA = intercept[java.io.IOException](
+      BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1))
+    assert(exA.getMessage.contains("recoverBucket"), exA.getMessage)
+    BlockSink.recoverBucket(spark, out, bucket = 0L)
+    assert(!fs.exists(p(s"$out/_compacting_0")))
+    assert(!fs.exists(p(s"$out/block_bucket=0.compact.tmp")))
+    assert(spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet == want)
+
+    // state B: crash BETWEEN the renames — bucket dir gone, .old is the
+    // only copy. A fresh compact must refuse (the pre-fix code deleted
+    // .old here: data loss); recover must restore the bucket.
+    BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1)
+    fs.create(p(s"$out/_compacting_0"), false).close()
+    assert(fs.rename(p(s"$out/block_bucket=0"), p(s"$out/block_bucket=0.old")))
+    intercept[Exception](
+      BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1))
+    assert(fs.exists(p(s"$out/block_bucket=0.old")),
+      "a refused run must not touch the staged-out copy")
+    BlockSink.recoverBucket(spark, out, bucket = 0L)
+    assert(spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet == want,
+      "recover lost the staged-out copy")
+
+    // state C: crash after swap-in, before cleanup — both dirs exist;
+    // recover keeps the live one and drops .old
+    fs.mkdirs(p(s"$out/block_bucket=0.old"))
+    BlockSink.recoverBucket(spark, out, bucket = 0L)
+    assert(!fs.exists(p(s"$out/block_bucket=0.old")))
+    assert(spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet == want)
+
+    // recovered state compacts cleanly again
+    BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1)
+    assert(spark.read.parquet(out)
+      .select($"block_number", $"log_index", $"v").collect().toSet == want)
+  }
 }
