@@ -199,6 +199,50 @@ object SparkEntry {
     scratch
   }
 
+  /** Shared fixture for the single-pass multi-event decode pair
+    * (`p2_decode_multi` / `p2_decode_multi_stream`): a session with
+    * Transfer@aa + Approval@bb registered, the relational synthesis of
+    * the raw two-contract log frame, and the flattened struct select —
+    * one definition so the batch query, the streaming twin, and the
+    * shared oracle can never drift apart.
+    */
+  private def p2TwoEventSession(s: SparkSession): (EngineSession, (String, String)) = {
+    val declT = "Transfer(address indexed from, address indexed to, uint value)"
+    val declA = "Approval(address indexed owner, uint spent)"
+    val session = new EngineSession(s,
+      StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
+    session.register("0x" + "aa" * 20, declT)
+    session.register("0x" + "bb" * 20, declA)
+    (session, (declT, declA))
+  }
+
+  private def p2TwoEventRaw(ev: DataFrame): DataFrame = {
+    val declT = "Transfer(address indexed from, address indexed to, uint value)"
+    val declA = "Approval(address indexed owner, uint spent)"
+    val isT = col("event_type") === "purchase"
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    ev.select(
+      col("block_number"), col("log_index"),
+      when(isT, graft.functions.abi.address("0x" + "aa" * 20))
+        .otherwise(graft.functions.abi.address("0x" + "bb" * 20))
+        .as("address"),
+      when(isT, graft.functions.abi.topic0(declT))
+        .otherwise(graft.functions.abi.topic0(declA)).as("topic0"),
+      EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
+      when(isT, EventDecoder.encodeWordFromLong(col("user_id") + 1))
+        .cast("binary").as("topic2"),
+      lit(null).cast("binary").as("topic3"),
+      EventDecoder.encodeWordFromLong(cents).as("data"))
+  }
+
+  private def p2DecodeMultiSelect(decoded: DataFrame): DataFrame =
+    decoded.select(col("block_number"), col("log_index"), col("event_name"),
+      concat(lit("0x"), lower(hex(col("transfer.from")))).as("t_from"),
+      concat(lit("0x"), lower(hex(col("transfer.to")))).as("t_to"),
+      col("transfer.value").cast("bigint").as("t_value"),
+      concat(lit("0x"), lower(hex(col("approval.owner")))).as("a_owner"),
+      col("approval.spent").cast("bigint").as("a_spent"))
+
   /** ~5 micro-batch chunk size for a replay of `path`, from footer stats. */
   private def fifthOfHead(s: SparkSession, path: String): Long = {
     val head = new graft.sources.FooterHeadTracker("event_id")
@@ -1293,35 +1337,28 @@ object SparkEntry {
     // history per event. Struct fields flatten to disjoint nullable
     // columns; the oracle restates the roundtrip from the source table.
     "p2_decode_multi" -> ((s, dir) => {
-      val declT = "Transfer(address indexed from, address indexed to, uint value)"
-      val declA = "Approval(address indexed owner, uint spent)"
-      val session = new EngineSession(s,
-        StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
-      session.register("0x" + "aa" * 20, declT)
-      session.register("0x" + "bb" * 20, declA)
+      val (session, _) = p2TwoEventSession(s)
       val ev = events(s, dir).filter(col("event_type").isin("purchase", "click"))
-      val isT = col("event_type") === "purchase"
-      val cents =
-        (col("value").cast("decimal(18,2)") * 100).cast("bigint")
-      val raw = ev.select(
-          col("block_number"), col("log_index"),
-          when(isT, graft.functions.abi.address("0x" + "aa" * 20))
-            .otherwise(graft.functions.abi.address("0x" + "bb" * 20))
-            .as("address"),
-          when(isT, graft.functions.abi.topic0(declT))
-            .otherwise(graft.functions.abi.topic0(declA)).as("topic0"),
-          EventDecoder.encodeWordFromLong(col("user_id")).as("topic1"),
-          when(isT, EventDecoder.encodeWordFromLong(col("user_id") + 1))
-            .cast("binary").as("topic2"),
-          lit(null).cast("binary").as("topic3"),
-          EventDecoder.encodeWordFromLong(cents).as("data"))
-      session.decodeAll(session.rawLogFilter(raw))
-        .select(col("block_number"), col("log_index"), col("event_name"),
-          concat(lit("0x"), lower(hex(col("transfer.from")))).as("t_from"),
-          concat(lit("0x"), lower(hex(col("transfer.to")))).as("t_to"),
-          col("transfer.value").cast("bigint").as("t_value"),
-          concat(lit("0x"), lower(hex(col("approval.owner")))).as("a_owner"),
-          col("approval.spent").cast("bigint").as("a_spent"))
+      p2DecodeMultiSelect(
+        session.decodeAll(session.rawLogFilter(p2TwoEventRaw(ev))))
+    }),
+
+    // P2/S8 STREAMING — the same one-pass routed projection over the
+    // replay STREAM: the reference's sink loop is itself streaming
+    // (sink.rs:199-227 dispatches each incoming log once); decodeAll is
+    // a pure narrow projection, so it applies to a micro-batched stream
+    // unchanged — no state store, Append mode — and the drained memory
+    // sink must hash-match the identical batch oracle.
+    "p2_decode_multi_stream" -> ((s, dir) => {
+      val (session, _) = p2TwoEventSession(s)
+      val stream = graft.streaming.StreamOps.readBlockStream(
+          s, s"$dir/events.parquet",
+          blockStep = fifthOfHead(s, s"$dir/events.parquet"),
+          confirmations = 0L)
+        .filter(col("event_type").isin("purchase", "click"))
+      runStreamingGate(s, "p2_multi_stream_gate",
+        p2DecodeMultiSelect(
+          session.decodeAll(session.rawLogFilter(p2TwoEventRaw(stream)))))
     }),
 
     "flagship_raw_netflow" -> ((s, dir) => {
@@ -1928,6 +1965,56 @@ object SparkEntry {
         keys = Seq("query_id", "vec_id"), floor = 0.6)
     }),
 
+    // The persisted form of the PQ index (VERDICT r9 #3): quantizer +
+    // code rows saved as parquet once (fixture-keyed scratch), top-k
+    // SERVED from the artifact — load centroids, read codes, probe,
+    // rerank — under the same recall gate as the in-session path. This
+    // is the deployment story the corpusKey cache stands in for.
+    "sim_topk_ivfpq_index" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val scratch = fixtureScratch(s, s"$dir/embeddings.parquet", "ivfpq",
+        "codes") { tmp =>
+        Similarity.saveIvfPqIndex(emb, tmp, nlist = 16,
+          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet")))
+      }
+      recallGate(
+        exact = Similarity.bruteForceTopK(emb, q, k = 10),
+        approx = Similarity.ivfPQTopKFromIndex(s, scratch, emb, q, k = 10,
+          nprobe = 6, rerank = 4),
+        keys = Seq("query_id", "vec_id"), floor = 0.6)
+    }),
+
+    // ANN index MAINTENANCE — the PQ mirror of dedup_index_update:
+    // appending a new shard's code rows (quantized under the persisted
+    // index's FROZEN centroids) to the saved codes must equal
+    // rebuilding the code table over (old ∪ new) with those centroids,
+    // row for row — list assignment, residual codes, scale, and norm.
+    // (Retraining the quantizer is by definition a rebuild.)
+    "sim_index_update" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val half = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      val scratch = fixtureScratch(s, s"$dir/embeddings.parquet", "ivfpqold",
+        "codes") { tmp =>
+        Similarity.saveIvfPqIndex(emb.filter(col("vec_id") <= half), tmp,
+          nlist = 16,
+          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet") + ":old"))
+      }
+      val centroids = Similarity.loadIvfPqCentroids(s, scratch)
+      val updated = s.read.parquet(s"$scratch/codes")
+        .unionByName(Similarity.ivfPqCodeRows(
+          emb.filter(col("vec_id") > half), centroids))
+      val rebuilt = Similarity.ivfPqCodeRows(emb, centroids)
+      val eq = updated.as("u").join(rebuilt.as("r"), Seq("vec_id"), "full")
+        .agg((count(when(col("u.list").isNull || col("r.list").isNull
+          || col("u.list") =!= col("r.list")
+          || col("u.cnrm") =!= col("r.cnrm")
+          || col("u.qscale") =!= col("r.qscale")
+          || !(col("u.codes") === col("r.codes")), 1)) === 0).as("equal_ok"))
+      updated.agg(count(lit(1)).as("n_index_rows"))
+        .crossJoin(broadcast(eq))
+    }),
+
     "sim_neardup_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       recallGate(
@@ -2171,6 +2258,27 @@ object SparkEntry {
   private val EvKeys =
     "SELECT *, event_id // 10 AS block_number, event_id % 10 AS log_index FROM events"
 
+  /** Shared oracle for the multi-event decode pair — batch and streaming
+    * produce identical rows, so they share one SQL definition.
+    */
+  private lazy val P2DecodeMultiSql =
+    s"""SELECT block_number, log_index,
+         CASE WHEN event_type = 'purchase' THEN 'transfer'
+              ELSE 'approval' END AS event_name,
+         CASE WHEN event_type = 'purchase'
+              THEN '0x' || lpad(lower(hex(user_id)), 40, '0') END AS t_from,
+         CASE WHEN event_type = 'purchase'
+              THEN '0x' || lpad(lower(hex(user_id + 1)), 40, '0') END AS t_to,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+           AS t_value,
+         CASE WHEN event_type = 'click'
+              THEN '0x' || lpad(lower(hex(user_id)), 40, '0') END AS a_owner,
+         CASE WHEN event_type = 'click'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+           AS a_spent
+       FROM ($EvKeys) WHERE event_type IN ('purchase', 'click')"""
+
   private val Revenue =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -2322,6 +2430,14 @@ object SparkEntry {
     "sim_topk_lsh" -> TopKGateSql,
     "sim_topk_ivf" -> TopKGateSql,
     "sim_topk_ivfpq" -> TopKGateSql,
+    // served-from-parquet index path: same gate shape as the in-session PQ
+    "sim_topk_ivfpq_index" -> TopKGateSql,
+    // append-shard = rebuild equality: every embedding contributes exactly
+    // one code row, and the row-local quantization under frozen centroids
+    // is deterministic — so the oracle is the corpus count + a true flag
+    "sim_index_update" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
+         FROM embeddings""",
     "sim_neardup_lsh" -> NearDupGateSql,
     "sim_neardup_ivf" -> NearDupGateSql,
     "sim_neardup_ivfpq" -> NearDupGateSql,
@@ -2872,23 +2988,10 @@ object SparkEntry {
            count(*) FILTER (WHERE netflow < 0) AS n_negative
          FROM nf""",
 
-    "p2_decode_multi" ->
-      s"""SELECT block_number, log_index,
-           CASE WHEN event_type = 'purchase' THEN 'transfer'
-                ELSE 'approval' END AS event_name,
-           CASE WHEN event_type = 'purchase'
-                THEN '0x' || lpad(lower(hex(user_id)), 40, '0') END AS t_from,
-           CASE WHEN event_type = 'purchase'
-                THEN '0x' || lpad(lower(hex(user_id + 1)), 40, '0') END AS t_to,
-           CASE WHEN event_type = 'purchase'
-                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
-             AS t_value,
-           CASE WHEN event_type = 'click'
-                THEN '0x' || lpad(lower(hex(user_id)), 40, '0') END AS a_owner,
-           CASE WHEN event_type = 'click'
-                THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
-             AS a_spent
-         FROM ($EvKeys) WHERE event_type IN ('purchase', 'click')""",
+    "p2_decode_multi" -> P2DecodeMultiSql,
+    // streaming twin: same decode semantics, same oracle — the drained
+    // memory sink must hash-match the batch result row for row
+    "p2_decode_multi_stream" -> P2DecodeMultiSql,
 
     "flagship_raw_netflow" ->
       """SELECT '0x' || lpad(lower(hex(user_id)), 40, '0') AS from_addr,

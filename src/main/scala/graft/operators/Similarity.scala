@@ -355,11 +355,24 @@ object Similarity {
       corpusKey: Option[String] = None): DataFrame = {
     val centroids =
       trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)
+    ivfPQQuery(ivfPqCodeRows(corpus, centroids, idCol, vecCol), centroids,
+      corpus, queries, k, nprobe, rerank, idCol, vecCol)
+  }
+
+  /** The PQ index rows for `corpus` under FROZEN `centroids` — what a
+    * deployment persists: `(id, list, cnrm, codes, qscale)`. Entirely
+    * row-local (assignment + residual quantization ride as compiled
+    * expressions); no float arrays survive into the rows. Appending a
+    * new shard's rows (computed under the SAME centroids) to a persisted
+    * index equals rebuilding over the union — row for row — which is
+    * what makes the index incrementally maintainable; retraining the
+    * quantizer is by definition a rebuild.
+    */
+  def ivfPqCodeRows(corpus: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nearestLists = this.nearestLists(centroids) _
     val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
-    // the PQ index rows — what a deployment persists: (id, list, codes,
-    // scale, norm). No float arrays enter the candidate join.
-    val indexed = corpus
+    corpus
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"),
         element_at(nearestLists(col(vecCol), 1), 1).getField("list").as("list"))
       .select(col(idCol), col("list"), col("cnrm"),
@@ -368,6 +381,19 @@ object Similarity {
       .select(col(idCol), col("list"), col("cnrm"),
         col("qr").getField("codes").as("codes"),
         col("qr").getField("scale").as("qscale"))
+  }
+
+  /** Serve top-k from index rows (in-memory or read back off parquet):
+    * the two-stage approximate-then-exact-rerank query of [[ivfPQTopK]],
+    * with the code rows supplied instead of derived. `corpus` is touched
+    * only by the rerank stage's broadcast id-fetch of survivor vectors.
+    */
+  def ivfPQQuery(indexed: DataFrame, centroids: Array[Array[Double]],
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nearestLists = this.nearestLists(centroids) _
+    val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnrm"),
@@ -399,6 +425,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("sim"))
   }
+
+  // ---- persisted IVF-PQ index -------------------------------------------
+
+  /** Save a trained IVF-PQ index as a first-class parquet artifact:
+    * `<dir>/centroids` (list, centroid) + `<dir>/codes` (the
+    * [[ivfPqCodeRows]]). This is the deployment shape the session-local
+    * centroid cache stands in for during a single run — persisted, the
+    * quantizer survives the session and new shards append via
+    * [[ivfPqCodeRows]] under [[loadIvfPqCentroids]] without touching the
+    * old side (same maintenance contract as the MinHash band index).
+    */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String,
+      nlist: Int = 0, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusKey: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    val centroids =
+      trainCentroidsCached(corpusKey, corpus, vecCol, nlist, trainSample)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfPqCodeRows(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The quantizer back off parquet (list-ordered). Centroid tables are
+    * nlist × dim doubles — a driver-side collect by design, exactly like
+    * the trained in-memory form.
+    */
+  def loadIvfPqCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("list"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Top-k served from a persisted index: codes and quantizer read back
+    * from `dir`; `corpus` feeds only the exact-rerank vector fetch.
+    */
+  def ivfPQTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPQQuery(spark.read.parquet(s"$dir/codes"),
+      loadIvfPqCentroids(spark, dir), corpus, queries, k, nprobe, rerank,
+      idCol, vecCol)
 
   /** Exact all-pairs cosine near-dups: the O(n²) baseline the LSH variant
     * approximates. Norms precomputed per side ⇒ one dot per pair. Only

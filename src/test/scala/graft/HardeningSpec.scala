@@ -236,7 +236,13 @@ class HardeningSpec extends AnyFunSuite {
       // recall gate over the PQ path: brute rank + approx arank + exact
       // rerank rank (one query_id exchange each) + the gate's own
       // join/agg pair; candidate and id-fetch joins all broadcast
-      "sim_topk_ivfpq" -> 6)
+      "sim_topk_ivfpq" -> 6,
+      // persisted-index twin: same exchange structure with the codes
+      // read off parquet instead of projected in-session
+      "sim_topk_ivfpq_index" -> 6,
+      // updated⋈rebuilt full-outer (2) + equality agg + row-count agg,
+      // mirroring dedup_index_update; code rows themselves are row-local
+      "sim_index_update" -> 4)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,

@@ -90,6 +90,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming decodeAll equals the batch routed projection (P2/S8)") {
+    // the one-pass multi-schema decode over the replay stream must emit
+    // exactly the batch rows — decodeAll is stateless, so Append mode
+    // and micro-batching cannot change the result set
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"block_number", $"log_index", $"event_name",
+        $"t_value", $"a_spent")
+      .as[(Long, Long, String, Option[Long], Option[Long])].collect().toSet
+    val batch = rows(SparkEntry.queries("p2_decode_multi")(spark, sf))
+    val streamed = rows(SparkEntry.queries("p2_decode_multi_stream")(spark, sf))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState netflow converges to the batch result") {
     val stream = StreamOps.readBlockStream(spark, path,
       blockStep = 25L, confirmations = 0L)
