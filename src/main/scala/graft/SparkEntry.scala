@@ -1792,6 +1792,31 @@ object SparkEntry {
     // exactly-rounded IEEE division/sum in deterministic order, so THE
     // FLOAT SCORE ITSELF hash-matches the DuckDB replay (unlike the
     // underlying BM25 score, whose ln is libm-specific).
+    // Hybrid retrieval in its REAL shape (VERDICT r9 #4): BM25 top-20 ⊕
+    // IVF ANN top-20 over the doc embeddings (vec_id ≡ doc_id in the
+    // fixtures), fused rank-only by RRF. The ANN leg is approximate, so
+    // the gate compares the fused-with-IVF top-10 against the
+    // fused-with-brute top-10 (the bm25 leg is shared — any miss comes
+    // from the recall-gated ANN leg alone); the oracle anchors the
+    // exact-side row count from data, ulp-robust under least(10, ·).
+    "hybrid_bm25_ann_topk" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val bm25 = TextOps.bm25TopK(docs,
+          queryTerms = Seq("spark", "vector", "hash"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val q0 = emb.filter(col("vec_id") === 0)
+      val ann = Similarity.ivfTopK(emb, q0, k = 20, nlist = 16, nprobe = 6,
+          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet")))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      val brute = Similarity.bruteForceTopK(emb, q0, k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      recallGate(
+        exact = Similarity.reciprocalRankFusion(Seq(bm25, brute), k = 10),
+        approx = Similarity.reciprocalRankFusion(Seq(bm25, ann), k = 10),
+        keys = Seq("doc_id"), floor = 0.6)
+    }),
+
     "hybrid_rrf_topk" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val bm25 = TextOps.bm25TopK(docs,
@@ -3284,6 +3309,23 @@ object SparkEntry {
       s"""SELECT CAST(rank AS BIGINT) AS rank, doc_id, matched_terms, tf_sum,
            CAST(dl AS BIGINT) AS dl
          FROM ($Bm25RankSql) WHERE rank <= 10""",
+
+    // the exact side fuses bm25 top-20 with brute cosine top-20 for
+    // query vec 0: both legs carry 20 rows on these fixtures, so the
+    // fused top-10 has exactly least(10, |union|) rows — a membership
+    // count robust to cosine last-ulp rank flips between engines
+    "hybrid_bm25_ann_topk" ->
+      s"""WITH r1 AS (SELECT doc_id FROM ($Bm25RankSql) WHERE rank <= 20),
+         r2 AS (SELECT b.vec_id AS doc_id,
+                  row_number() OVER (
+                    ORDER BY list_cosine_similarity(q.embedding, b.embedding)
+                      DESC, b.vec_id) AS rank
+                FROM embeddings q, embeddings b
+                WHERE q.vec_id = 0 AND b.vec_id != 0
+                QUALIFY rank <= 20)
+         SELECT least(10, count(DISTINCT doc_id)) AS n_exact,
+           true AS recall_ok
+         FROM (SELECT doc_id FROM r1 UNION ALL SELECT doc_id FROM r2)""",
 
     "hybrid_rrf_topk" ->
       s"""WITH r1 AS (SELECT doc_id, rank FROM ($Bm25RankSql) WHERE rank <= 20),

@@ -242,7 +242,11 @@ class HardeningSpec extends AnyFunSuite {
       "sim_topk_ivfpq_index" -> 6,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg,
       // mirroring dedup_index_update; code rows themselves are row-local
-      "sim_index_update" -> 4)
+      "sim_index_update" -> 4,
+      // bm25's 4 + two ANN rank exchanges (ivf + brute) + per-fusion
+      // doc-keyed and global-rank windows (2×2) + the gate join/agg —
+      // every exchange past bm25 moves ≤ 20-row retrieval tails
+      "hybrid_bm25_ann_topk" -> 12)
     for ((q, max) <- ceilings) {
       val n = shuffles(q)
       assert(n <= max,
