@@ -283,22 +283,18 @@ object Similarity {
     else math.min(4096,
       math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt))
 
-  /** Row-local nearest-centroid assignment: nlist squared-distance
-    * expressions, argmin by struct-min (dist, list) — no UDF. Centroids
-    * ride as literals.
+  /** Row-local nearest-centroid assignment as ONE compiled node
+    * ([[graft.functions.NearestCentroidsKernel]]): rank by
+    * `‖c‖² − 2 v·c` (‖v‖² constant per row), ties toward the smaller
+    * list. The earlier per-centroid expression formulation (`nlist`
+    * struct exprs + array_sort) was O(plan size) in `nlist` — under the
+    * `√n` auto-sizing it blew past codegen limits at the 100× tier and
+    * fell back to interpreted evaluation (300 s vs 13 s for the corpus
+    * assignment pass at 200k vectors, nlist 448; PERF.md round 10).
     */
   private def nearestLists(centroids: Array[Array[Double]])(
-      v: Column, n: Int): Column = {
-    val scored = centroids.indices.map { c =>
-      val cent = array(centroids(c).map(lit(_)): _*)
-      // ||v - c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row ⇒
-      // rank by (||c||² - 2 v·c)
-      val cNorm2 = centroids(c).map(x => x * x).sum
-      struct((lit(cNorm2) - lit(2.0) * vec.dot(v, cent)).as("d"),
-        lit(c).as("list"))
-    }
-    slice(array_sort(array(scored: _*)), 1, n)
-  }
+      v: Column, n: Int): Column =
+    vec.nearestCentroids(v, centroids, n)
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 4, trainSample: Int = 10000,
@@ -309,10 +305,10 @@ object Similarity {
 
     val c = corpus.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("cnrm"),
-        element_at(nearestLists(col(vecCol), 1), 1).getField("list").as("list"))
+        element_at(nearestLists(col(vecCol), 1), 1).as("list"))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"),
-        explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+        explode(nearestLists(col(vecCol), nprobe)).as("list"))
     c.join(broadcast(q), Seq("list"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
@@ -374,7 +370,7 @@ object Similarity {
     val centLit = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
     corpus
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"),
-        element_at(nearestLists(col(vecCol), 1), 1).getField("list").as("list"))
+        element_at(nearestLists(col(vecCol), 1), 1).as("list"))
       .select(col(idCol), col("list"), col("cnrm"),
         vec.quantResidual(col(vecCol),
           element_at(centLit, col("list") + 1), 127).as("qr"))
@@ -397,7 +393,7 @@ object Similarity {
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnrm"),
-        explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+        explode(nearestLists(col(vecCol), nprobe)).as("list"))
       .withColumn("qc",
         vec.dot(col("qvec"), element_at(centLit, col("list") + 1)))
     val survivors = indexed.join(broadcast(q), Seq("list"))
@@ -627,7 +623,7 @@ object Similarity {
       trainCentroidsCached(corpusKey, df, vecCol, nlist, trainSample)) _
     val listed0 = df.select(
       col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
-      explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+      explode(nearestLists(col(vecCol), nprobe)).as("list"))
     val listed = storage.fold(listed0)(graft.CacheScope.persist(listed0, _))
     // same narrow-shuffle shape as [[cosineNearDupPairs]]: verify inline,
     // dedup only (v1, v2, sim) survivors
@@ -675,7 +671,7 @@ object Similarity {
     // by a boundary still meet): (id, list, nrm, codes, scale, c·codes)
     val indexed = df
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
-        explode(nearestLists(col(vecCol), nprobe).getField("list")).as("list"))
+        explode(nearestLists(col(vecCol), nprobe)).as("list"))
       .select(col(idCol), col("list"), col("nrm"),
         vec.quantResidual(col(vecCol),
           element_at(centLit, col("list") + 1), 127).as("qr"))
