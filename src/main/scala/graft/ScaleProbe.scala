@@ -12,11 +12,17 @@ import graft.operators.Similarity
   * baseline), so they are the wrong thing to time past bench scale;
   * this main measures what a deployment actually runs.
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.ScaleProbe"` —
-  * prints one JSON line of seconds per (operator, sizing).
+  * Usage: `SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.ScaleProbe [tags…]"`
+  * — prints one JSON line of seconds per (operator, sizing). Optional
+  * args select a tag subset: at the 100× tier the PROBES whose OUTPUT is
+  * corpus-quadratic by corpus semantics (simhash on the low-entropy
+  * synthetic vocab) or whose sizing is the deliberately-degenerate
+  * fixed-16 control are excluded rather than waited out — the 10× tier
+  * already established their scaling stories (PERF.md).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -30,11 +36,12 @@ object ScaleProbe {
     val n = emb.count()
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
 
-    def time(tag: String)(body: => Long): (String, Double, Long) = {
+    def time(tag: String)(body: => Long): Option[(String, Double, Long)] = {
+      if (only.nonEmpty && !only(tag)) return None
       val t0 = System.nanoTime()
       val rows = CacheScope.withCaches(body)
       spark.catalog.clearCache()
-      (tag, (System.nanoTime() - t0) / 1e9, rows)
+      Some((tag, (System.nanoTime() - t0) / 1e9, rows))
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -68,7 +75,7 @@ object ScaleProbe {
       time("neardup_ivfpq_auto") {
         Similarity.ivfPQNearDupPairs(emb, 0.45, nprobe = 3).count() })
 
-    val fields = runs.map { case (tag, sec, rows) =>
+    val fields = runs.flatten.map { case (tag, sec, rows) =>
       f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }.mkString(",")
     println(s"""{"n_vecs":$n,"n_docs":$nDocs,$fields}""")
     spark.stop()

@@ -2273,6 +2273,177 @@ object SparkEntry {
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Q7-style volume shipping: the two-nation trade flow — lineitem is
+    // the only fact; supplier→nation and orders→customer→nation both
+    // collapse to broadcast key→name maps before touching it, so the
+    // plan is one fact scan + one aggregation shuffle
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nation = table(s, dir, "nation")
+      val supp = table(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custOrd = table(s, dir, "orders")
+        .join(broadcast(table(s, dir, "customer")
+            .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+            .select(col("c_custkey"), col("n_name").as("cust_nation"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      table(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).between(1996, 1997))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(custOrd, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+
+    // Q8-style market share: one nation's share of a part type's revenue
+    // inside one region, per year — conditional-sum ratio over a single
+    // fact pass; every dimension broadcasts
+    "q8_market_share" -> ((s, dir) => {
+      val nation = table(s, dir, "nation")
+      val custRegion = table(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val ords = table(s, dir, "orders")
+        .filter(year(col("o_orderdate")).between(1996, 1997))
+        .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+      val suppNation = table(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        // ratio of the two exact decimal sums taken in DOUBLE (the q14
+        // idiom): decimal÷decimal scale rules differ between engines,
+        // IEEE double division of identical operands does not
+        .agg((sum(when(col("supp_nation") === "NATION_3",
+            dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q10-style returned-item ranking: revenue lost to returns per
+    // customer in one quarter, top 20 — TakeOrderedAndProject tail with
+    // a deterministic custkey tiebreak, never a global sort
+    "q10_returned_items" -> ((s, dir) => {
+      val ords = table(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-03-31").cast("timestamp")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(ords), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      rev.join(broadcast(table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // Q13-style customer order-count distribution (adapted: the fixture
+    // carries no o_comment, so the excluded class is a priority tier):
+    // LEFT join keeps zero-order customers, then a distribution over the
+    // per-customer counts — two aggregation shuffles by construction
+    "q13_order_distribution" -> ((s, dir) => {
+      val ords = table(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      table(s, dir, "customer")
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15-style top supplier: quarter revenue per supplier, keep the
+    // max — the scalar-subquery shape as a broadcast of a 1-row agg
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-03-31").cast("timestamp")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+    }),
+
+    // Q17-style small-quantity revenue: the correlated per-part AVG
+    // subquery as a broadcast per-part aggregate re-joined to the fact —
+    // the decorrelation Catalyst would have to find is written directly
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val parts = table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val branded = li.join(broadcast(parts),
+        col("l_partkey") === col("p_partkey"))
+      val avgQty = branded.groupBy(col("p_partkey").as("avg_pk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+      branded.join(broadcast(avgQty), col("p_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg((sum(dec(col("l_extendedprice"))) / 7.0).cast("double")
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q22-style idle-customer opportunity (adapted twice for the
+    // fixture: no c_phone, so the country screen is a nation-key
+    // in-list; and every customer has SOME order, so "idle" means
+    // LAPSED — no order since 2000 — keeping the anti-join non-vacuous):
+    // above-average balances with no recent orders — scalar-subquery
+    // broadcast + left-anti join, grouped per nation
+    "q22_idle_customers" -> ((s, dir) => {
+      val nations = Seq(1, 2, 3, 4, 5, 6).map(lit(_))
+      val cust = table(s, dir, "customer")
+        .filter(col("c_nationkey").isin(nations: _*))
+      // exact decimal sum (the balances are 2-dp money values) divided
+      // in double: deterministic across partition orders AND engines —
+      // a raw double avg would be summation-order-sensitive at the ulp
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(table(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     })
   )
 
@@ -3602,6 +3773,97 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name""",
+
+    "q7_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(sum($Revenue) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $Revenue
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum($Revenue) AS DOUBLE) AS mkt_share,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+           AND year(o_orderdate) BETWEEN 1996 AND 1997
+         GROUP BY 1""",
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, CAST(sum($Revenue) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q13_order_distribution" ->
+      """WITH c AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist FROM c GROUP BY c_count""",
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+           SELECT l_suppkey, sum($Revenue) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
+    "q17_small_quantity" ->
+      """WITH branded AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#12' AND p_type = 'SMALL'),
+         thr AS (
+           SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_threshold
+           FROM branded GROUP BY 1)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+           AS avg_yearly, count(*) AS n_items
+         FROM branded JOIN thr ON l_partkey = pk
+         WHERE l_quantity < qty_threshold""",
+
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_nationkey IN (1, 2, 3, 4, 5, 6)
+           AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / count(*)
+                            FROM customer
+                            WHERE c_acctbal > 0
+                              AND c_nationkey IN (1, 2, 3, 4, 5, 6))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_nationkey""",
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
