@@ -2444,6 +2444,161 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+    }),
+
+    // Q2-style min-cost supplier (adapted: the fixture has no partsupp,
+    // so the part↔supplier cost relation derives from lineitem — the
+    // per-pair MIN price stands in for ps_supplycost): the correlated
+    // per-part MIN subquery decorrelated as a per-part aggregate
+    // re-joined on (part, cost) equality; region dims broadcast, and
+    // both aggregations grow from one (l_partkey, l_suppkey) shuffle
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val dims = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val rps = table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec(col("l_extendedprice"))).as("supplycost"))
+        .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      // per-part MIN over region suppliers as a WINDOW over the already
+      // partially-shuffled rps — one fact scan total, where the
+      // aggregate-and-join-back decorrelation would re-scan lineitem (no
+      // exchange reuse across the two agg subtrees); decimal equality
+      // against the window min is exact, so no float-compare hazard
+      rps.withColumn("min_cost",
+          min(col("supplycost")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_partkey"))))
+        .filter(col("supplycost") === col("min_cost"))
+        .join(broadcast(table(s, dir, "part")
+            .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+        .select(col("s_acctbal").cast("double").as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"),
+          col("supplycost").cast("double").as("supplycost"))
+    }),
+
+    // Q9-style product-type profit (adapted: no partsupp, so the cost
+    // leg of the profit formula is retail price × quantity): part-name
+    // LIKE screen and supplier→nation both broadcast before the fact;
+    // the only big-big join is fact⋈orders on the order key — exact
+    // decimal profit summed, cast to double at the boundary
+    "q9_product_profit" -> ((s, dir) => {
+      val profitParts = table(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      table(s, dir, "lineitem")
+        .join(broadcast(profitParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            - dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .cast("double").as("sum_profit"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q11-style important parts (adapted: lineitem price × quantity
+    // stands in for partsupp value): the HAVING > fraction-of-total
+    // shape — a global 1-row scalar broadcast against the per-part
+    // aggregate; both sums stay exact decimal, the fraction compare
+    // happens in double with identical association on both engines
+    "q11_important_share" -> ((s, dir) => {
+      val scoped = table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "supplier")
+            .join(broadcast(table(s, dir, "nation")
+                .filter(col("n_name") === "NATION_1")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("v"))
+      val perPart = scoped.groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value").cast("double") >
+          col("total_value").cast("double") * 0.0005)
+        .select(col("l_partkey"),
+          col("part_value").cast("double").as("part_value"))
+    }),
+
+    // Q20-style excess shippers (adapted: shipped quantity above half
+    // the per-part average replaces availqty > half of shipped): the
+    // nested-IN chain as semi joins — part screen broadcast into the
+    // fact, per-part threshold via the q17 broadcast idiom, and the
+    // supplier list reaches the dimension as a broadcast semi join
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val shipped = table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+            .filter(col("p_name").like("red%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+      val thr = shipped.groupBy(col("l_partkey").as("t_pk"))
+        .agg((lit(0.5) * sum(col("qty")).cast("double") / count(lit(1)))
+          .as("half_avg"))
+      val excess = shipped
+        .join(broadcast(thr), col("l_partkey") === col("t_pk"))
+        .filter(col("qty").cast("double") > col("half_avg"))
+        .select(col("l_suppkey")).distinct()
+      table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .orderBy(col("s_name"))
+        .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+    }),
+
+    // Q21-style waiting suppliers (adapted: no receipt/commit dates, so
+    // "the line that came back" is the returned flag — multi-supplier
+    // failed orders where ONLY this supplier's lines returned): EXISTS →
+    // left-semi, NOT EXISTS → left-anti, both keyed on the order key
+    // with the different-supplier residual riding the join condition;
+    // the supplier screen broadcasts FIRST so the semi/anti legs probe
+    // the already-narrowed fact
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val suppN3 = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = li.select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(suppN3), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("l2_ok"),
+        col("l_suppkey").as("l2_sk"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+      l1.join(l2, col("l_orderkey") === col("l2_ok") &&
+            col("l_suppkey") =!= col("l2_sk"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_ok") &&
+            col("l_suppkey") =!= col("l3_sk"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     })
   )
 
@@ -3898,6 +4053,91 @@ object SparkEntry {
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-                AND l_quantity BETWEEN 20 AND 30)"""
+                AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+           FROM lineitem GROUP BY 1, 2),
+         rps AS (
+           SELECT ps.*, s_name, s_acctbal, n_name
+           FROM ps JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         mc AS (SELECT l_partkey AS mc_pk, min(supplycost) AS min_cost
+                FROM rps GROUP BY 1)
+         SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+                p_partkey, CAST(supplycost AS DOUBLE) AS supplycost
+         FROM rps JOIN mc ON l_partkey = mc_pk AND supplycost = min_cost
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 15 AND p_type = 'SMALL'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+
+    "q9_product_profit" ->
+      s"""SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(sum($Revenue
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_profit,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+
+    "q11_important_share" ->
+      """WITH scoped AS (
+           SELECT l_partkey,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2)) AS v
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_1'),
+         pv AS (SELECT l_partkey, sum(v) AS part_value FROM scoped GROUP BY 1),
+         tot AS (SELECT sum(part_value) AS total_value FROM pv)
+         SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+         FROM pv, tot
+         WHERE CAST(part_value AS DOUBLE) > CAST(total_value AS DOUBLE) * 0.0005""",
+
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'
+           GROUP BY 1, 2),
+         thr AS (
+           SELECT l_partkey AS t_pk,
+                  0.5 * CAST(sum(qty) AS DOUBLE) / count(*) AS half_avg
+           FROM shipped GROUP BY 1)
+         SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_2'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM shipped JOIN thr ON l_partkey = t_pk
+             WHERE CAST(qty AS DOUBLE) > half_avg)
+         ORDER BY s_name""",
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON l1.l_orderkey = o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100"""
   )
 }
