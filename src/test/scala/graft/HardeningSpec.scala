@@ -262,7 +262,23 @@ class HardeningSpec extends AnyFunSuite {
       "q17_small_quantity" -> 2,
       // scalar avg-balance agg + per-nation agg; recent-orders anti side
       // broadcasts at fixture scale
-      "q22_idle_customers" -> 2)
+      "q22_idle_customers" -> 2,
+      // one (l_partkey, l_suppkey) agg + the per-part window-min
+      // repartition — a single fact scan; top-100 is TakeOrdered
+      "q2_min_cost_supplier" -> 2,
+      // final agg (1 at fixture scale — the screened fact broadcasts
+      // against orders); +2 margin for the fact⋈orders exchanges once
+      // neither side broadcasts, the q7/q8 shape
+      "q9_product_profit" -> 3,
+      // per-part agg + the global-total single-partition agg + its
+      // unreused twin under the crossJoin branch
+      "q11_important_share" -> 3,
+      // shipped agg + per-part threshold agg + supplier distinct +
+      // the ordered output's range exchange + one AQE-reuse wobble
+      "q20_excess_suppliers" -> 5,
+      // semi/anti legs ride the order key (broadcast at fixture
+      // scale); one per-supplier agg, top-100 is TakeOrdered
+      "q21_waiting_suppliers" -> 1)
     val over = ceilings.toSeq.sortBy(_._1).flatMap { case (q, max) =>
       val n = shuffles(q)
       if (n > max) Some(s"$q plans $n shuffle exchanges > ceiling $max") else None
