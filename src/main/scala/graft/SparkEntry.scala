@@ -1680,6 +1680,73 @@ object SparkEntry {
               .as("equal_ok"))))
     }),
 
+    // STREAMING near-dup ingest — the continuous twin of
+    // dedup_incremental_neardup: the new half of the corpus arrives as a
+    // 4-file parquet stream (one micro-batch each), deduped per epoch
+    // against the SAME persisted band index plus the appends of earlier
+    // epochs (StreamOps.nearDupIngestStream: epoch-partitioned
+    // dynamic-overwrite writes, the BlockSink idempotence story applied
+    // to the dedup index). Gate: the drained pair set EQUALS the full
+    // minHashLshPairs recompute restricted to pairs touching the new
+    // half — batch boundaries must leave no seam.
+    "stream_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      // the SAME fixture-keyed base index dedup_incremental_neardup
+      // reads — the old side is shingled once ever, for both queries
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
+        "index") { tmp =>
+        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
+            n = 3, numHashes = 64, bands = 16)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+      }
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "ndsin",
+        "in") { tmp =>
+        docs.filter(col("doc_id") > half)
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_nds").toString
+      onJvmExitDelete(run) // the returned frame scans $run/pairs lazily
+      val stream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamOps.nearDupIngestStream(stream,
+          s"$scratch/index", s"$run/append", s"$run/pairs", s"$run/ckpt",
+          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      // a corpus slice with zero qualifying pairs leaves $run/pairs
+      // schema-less (partition dirs only appear on non-empty epochs)
+      val streamed = try
+          s.read.parquet(s"$run/pairs").select("d1", "d2", "est_jaccard")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          s.createDataFrame(s.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("d1",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("d2",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("est_jaccard",
+                org.apache.spark.sql.types.DoubleType))))
+        }
+      val full = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5).filter(col("d2") > half)
+      docs.filter(col("doc_id") > half)
+        .agg(count(lit(1)).as("n_new_docs"))
+        .crossJoin(broadcast(
+          full.withColumnRenamed("est_jaccard", "ef")
+            .join(streamed.withColumnRenamed("est_jaccard", "es"),
+              Seq("d1", "d2"), "full")
+            .agg(((count(when(col("ef").isNull || col("es").isNull, 1)) === 0)
+              && coalesce(max(abs(col("ef") - col("es"))) <= 1e-12, lit(true)))
+              .as("equal_ok"))))
+    }),
+
     // Asymmetric containment near-dup (|A∩B|/|A| over gram sets): the
     // subset-inclusion screen Jaccard misses — a doc quoted wholesale
     // inside a longer one scores ~1 here. Ordered pairs, exact oracle.
@@ -2773,6 +2840,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> ngramGateSql(0.8),
     "dedup_incremental_neardup" ->
+      """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
+         SELECT count(*) AS n_new_docs, true AS equal_ok
+         FROM documents, h WHERE doc_id > h.half""",
+    // streaming twin: same gate shape — the equality side is asserted in
+    // Spark (full-outer seam check), the oracle anchors the exact count
+    "stream_neardup" ->
       """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
          SELECT count(*) AS n_new_docs, true AS equal_ok
          FROM documents, h WHERE doc_id > h.half""",

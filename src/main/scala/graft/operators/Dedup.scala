@@ -379,10 +379,23 @@ object Dedup {
     val newBanded0 = minHashBandIndex(newDocs, n, numHashes, bands,
       textCol, idCol)
     val newBanded = storage.fold(newBanded0)(graft.CacheScope.persist(newBanded0, _))
-    // one join covers new↔old AND new↔new: the left side is the union of
-    // both index halves, the right side only the new shard — every pair
-    // with ≥1 new endpoint shares a band bucket here, old↔old pairs
-    // never form (old rows only ever sit on the left)
+    bandedNearDupPairs(index, newBanded, numHashes, minJaccard)
+  }
+
+  /** The band-bucket join core of [[incrementalNearDupPairs]], over
+    * PRE-BANDED sides: `index` rows for the existing corpus, `newBanded`
+    * rows for the arriving shard (both in [[minHashBandIndex]] layout).
+    * Callers that already materialized the shard's band rows — the
+    * streaming ingest persists them as the index append itself — feed
+    * them back here without re-shingling a single document.
+    *
+    * One join covers new↔old AND new↔new: the left side is the union of
+    * both index halves, the right side only the new shard — every pair
+    * with ≥1 new endpoint shares a band bucket here, old↔old pairs
+    * never form (old rows only ever sit on the left).
+    */
+  def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
+      numHashes: Int = 64, minJaccard: Double = 0.7): DataFrame = {
     val all = index.select("doc_id", "sig", "band_idx", "band_key")
       .unionByName(newBanded.select("doc_id", "sig", "band_idx", "band_key"))
     val aNew = col("a.doc_id") < col("b.doc_id")

@@ -420,6 +420,80 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       .drop("block_ts")
 
+  /** Continuous near-dup ingest — the deployment shape of
+    * [[graft.operators.Dedup.incrementalNearDupPairs]]: a document
+    * stream drains micro-batch by micro-batch against a PERSISTED
+    * MinHash band index that GROWS with the stream. Per epoch:
+    *
+    *  1. the batch's band rows (row-local) are written to
+    *     `appendDir/ingest_batch=<id>` — the index append IS the
+    *     signature materialization, nothing is shingled twice;
+    *  2. those parquet-backed rows join against (base index ∪ appends
+    *     of EARLIER epochs) via [[Dedup.bandedNearDupPairs]] — so a
+    *     pair is emitted exactly once, in the later endpoint's epoch,
+    *     regardless of how the source carves batches;
+    *  3. the pairs land in `pairsDir/ingest_batch=<id>`.
+    *
+    * Both writes are per-epoch dynamic-partition OVERWRITES (the
+    * [[BlockSink.writeBatch]] idempotence story applied to the dedup
+    * index): a replayed epoch — crash between the two writes included —
+    * deterministically rewrites its own partitions and no others, so
+    * the drained result equals the one-shot batch run of
+    * `incrementalNearDupPairs` over the whole stream. Epoch-exclusion
+    * (`ingest_batch < id`) keeps a replayed epoch's own leftover bands
+    * out of its index side, which would otherwise self-pair every doc.
+    *
+    * Scale: per epoch the only shuffle is the band-bucket join, whose
+    * left side is partition-prunable parquet; state lives entirely in
+    * the two directories, never in the state store — a year-long ingest
+    * holds nothing in memory between epochs.
+    */
+  def nearDupIngestStream(docStream: DataFrame, baseIndexDir: String,
+      appendDir: String, pairsDir: String, checkpoint: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7): StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          nearDupIngestEpoch(batch, baseIndexDir, appendDir, pairsDir, id,
+            n, numHashes, bands, minJaccard)
+      }
+      .start()
+
+  /** One epoch of the near-dup ingest, exposed so the replay-idempotence
+    * contract is directly drillable: calling this twice with the same
+    * `(batch, id)` — the crash-recovery path — rewrites the epoch's own
+    * `ingest_batch=id` partitions with identical content and touches no
+    * others. The `ingest_batch < id` screen keeps the (possibly
+    * leftover) own-epoch bands out of the index side, which would
+    * otherwise self-pair every doc of a replayed batch.
+    */
+  def nearDupIngestEpoch(batch: DataFrame, baseIndexDir: String,
+      appendDir: String, pairsDir: String, id: Long,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7): Unit = {
+    val spark = batch.sparkSession
+    def epochWrite(df: DataFrame, dir: String): Unit =
+      df.withColumn("ingest_batch", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(dir)
+    epochWrite(graft.operators.Dedup.minHashBandIndex(
+      batch, n, numHashes, bands), appendDir)
+    val appended = spark.read.parquet(appendDir)
+    val thisBanded = appended.filter(col("ingest_batch") === id)
+      .drop("ingest_batch")
+    val older = spark.read.parquet(baseIndexDir)
+      .select("doc_id", "sig", "band_idx", "band_key")
+      .unionByName(appended.filter(col("ingest_batch") < id)
+        .drop("ingest_batch"))
+    epochWrite(graft.operators.Dedup.bandedNearDupPairs(
+      older, thisBanded, numHashes, minJaccard), pairsDir)
+  }
+
   /** A2 exact driver parity — `reduce_synced_events` hands every per-block
     * SUFFIX slice `events[i..]` to the reducer so it can pattern-match
     * multi-event sequences from each position (sink.rs:134-151, suffix

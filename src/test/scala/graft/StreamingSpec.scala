@@ -345,6 +345,49 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup state not evicting: $stateRows rows for ${emitted.size} keys")
   }
 
+  test("near-dup ingest: epochs seam-free vs batch; replayed epoch rewrites itself") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+    val newDocs = docs.filter($"doc_id" > half)
+    val base = tmp(); val inDir = tmp(); val run = tmp()
+    graft.operators.Dedup.minHashBandIndex(docs.filter($"doc_id" <= half))
+      .write.parquet(s"$base/index")
+    newDocs.repartitionByRange(3, $"doc_id").write.parquet(s"$inDir/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+    // minJaccard 0: every bucket-sharing candidate emits, so the drill
+    // exercises the seam/replay mechanics on a non-trivial pair set
+    val q = StreamOps.nearDupIngestStream(stream, s"$base/index",
+      s"$run/append", s"$run/pairs", s"$run/ckpt", minJaccard = 0.0)
+    try q.processAllAvailable() finally q.stop()
+    def pairSet() = spark.read.parquet(s"$run/pairs")
+      .select($"d1", $"d2", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val drained = pairSet()
+    // seam-free: micro-batch boundaries must not change the result —
+    // the drained union equals the one-shot incremental run
+    val oneShot = graft.operators.Dedup.incrementalNearDupPairs(
+        newDocs, spark.read.parquet(s"$base/index"), minJaccard = 0.0,
+        storage = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture yields no candidate pairs — vacuous")
+    assert(drained == oneShot,
+      s"stream/batch seam: ${(drained -- oneShot).take(3)} extra, " +
+        s"${(oneShot -- drained).take(3)} missing")
+    // crash replay: re-run the LAST epoch with the same (batch, id) —
+    // the epoch must rewrite its own partitions into the same state
+    // (no duplicated pairs, no self-pairs from its leftover bands)
+    val append = spark.read.parquet(s"$run/append")
+    val lastId = append.agg(max($"ingest_batch").cast("long"))
+      .head.getLong(0)
+    val lastBatch = docs.join(
+      append.filter($"ingest_batch" === lastId).select($"doc_id").distinct(),
+      "doc_id")
+    StreamOps.nearDupIngestEpoch(lastBatch, s"$base/index",
+      s"$run/append", s"$run/pairs", lastId, minJaccard = 0.0)
+    assert(pairSet() == drained, "replayed epoch changed the drained result")
+  }
+
   test("streaming flush emits the dense batch block-align cells once (J2)") {
     val sources = Seq("click", "error", "purchase", "signup", "view")
     val stream = StreamOps.readBlockStream(spark, path,
