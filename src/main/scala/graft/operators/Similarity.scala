@@ -570,8 +570,12 @@ object Similarity {
     // a candidate pair shared by several tables costs a few extra dots
     // (codegen'd, map-side) instead of shuffling rows that carry two full
     // embedding arrays through dropDuplicates — the wide-shuffle killer
-    // at corpus scale
-    banded.as("a")
+    // at corpus scale. SHUFFLE_MERGE pins the bucket join to its
+    // intended shape: both sides are the corpus, and Catalyst's size
+    // estimate for an exploded array-carrying side lands low enough to
+    // broadcast one — which builds the ENTIRE corpus on the driver
+    // (measured: OOM at 200k×64 vectors under an 8 GiB driver)
+    banded.as("a").hint("shuffle_merge")
       .join(banded.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") &&
@@ -626,8 +630,10 @@ object Similarity {
       explode(nearestLists(col(vecCol), nprobe)).as("list"))
     val listed = storage.fold(listed0)(graft.CacheScope.persist(listed0, _))
     // same narrow-shuffle shape as [[cosineNearDupPairs]]: verify inline,
-    // dedup only (v1, v2, sim) survivors
-    listed.as("a")
+    // dedup only (v1, v2, sim) survivors; SHUFFLE_MERGE for the same
+    // reason — a mis-estimated broadcast of the listed corpus side is a
+    // driver OOM at scale (see cosineNearDupPairs)
+    listed.as("a").hint("shuffle_merge")
       .join(listed.as("b"),
         col("a.list") === col("b.list") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -687,30 +693,48 @@ object Similarity {
         col("a.qscale") * col("a.cdot") + col("b.qscale") * col("b.cdot") +
         col("a.qscale") * col("b.qscale") *
           vec.codesDot(col("a.codes"), col("b.codes")).cast("double")
-    val survivors = a.join(b,
+    val survivors0 = a.hint("shuffle_merge").join(b,
         col("a.list") === col("b.list") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           approxDot / (col("a.nrm") * col("b.nrm")) >= threshold - slack)
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
       .dropDuplicates("v1", "v2")
-    // exact verification of the bounded survivor set: fetch both float
-    // vectors by id, keep only true ≥-threshold pairs (subset_ok). The
-    // survivor side is BROADCAST into both joins (like ivfPQTopK's
-    // rerank) so the corpus streams through each verify pass unshuffled;
-    // the approx cut at threshold−slack bounds the broadcast — survivor
-    // count ≈ true-pair count, and the second broadcast carries one
-    // float vector per pair, still pair-bounded, never corpus-bounded.
+    // exact verification of the survivor set: fetch both float vectors
+    // by id, keep only true ≥-threshold pairs (subset_ok). The survivor
+    // side is BROADCAST into both joins (like ivfPQTopK's rerank) so the
+    // corpus streams through each verify pass unshuffled — but only
+    // while the pair count is actually broadcast-able: survivor count ≈
+    // true-pair count, and on a corpus whose pair DENSITY is quadratic
+    // (a mis-sized threshold, or the synthetic low-entropy fixtures)
+    // "pair-bounded" IS corpus-squared — so the count is measured (the
+    // survivors are persisted; the verify joins reuse them) and past
+    // [[MaxBroadcastPairs]] the verify degrades to shuffle joins keyed
+    // on the pair ids: the correct shape once the pair set itself is
+    // the big side.
+    val survivors = graft.CacheScope.persist(survivors0,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hinted: DataFrame => DataFrame =
+      if (survivors.count() <= MaxBroadcastPairs) broadcast
+      else _.hint("shuffle_merge")
     val side = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("n0"))
     val withA = side
       .select(col(idCol).as("v1"), col(vecCol).as("va"), col("n0").as("na"))
-      .join(broadcast(survivors), Seq("v1"))
+      .join(hinted(survivors), Seq("v1"))
     side
       .select(col(idCol).as("v2"), col(vecCol).as("vb"), col("n0").as("nb"))
-      .join(broadcast(withA), Seq("v2"))
+      .join(hinted(withA), Seq("v2"))
       .filter(vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= threshold)
       .select(col("v1"), col("v2"))
   }
+
+  /** Survivor-pair ceiling for the broadcast verify path of
+    * [[ivfPQNearDupPairs]]: 64-dim float rows run ~0.5 KiB as broadcast
+    * build rows, so 2²⁰ pairs sit near 0.5 GiB — comfortable under the
+    * 8 GiB default driver. Above it the verify joins shuffle instead;
+    * no recall or result change, plan shape only.
+    */
+  private val MaxBroadcastPairs = 1L << 20
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
