@@ -3,16 +3,19 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Reference timing for [[controlSample]] on the round-10 calibration
-    * host (best of three min-of-3 runs — 1.127/0.972/0.999 s — recorded
-    * 2026-08-14; see PERF.md "same-day control"). The control workload
-    * below is FROZEN — raw Spark primitives, no graft code, no fixture
-    * dependence — so its time moves with host state only, and
+  /** Reference timing for [[controlSample]] on an IDLE round-10 host
+    * (min-of-3 samples 0.490/0.510/0.578 s recorded 2026-08-14 with
+    * nothing else running; an earlier same-day calibration of 0.972 s
+    * turned out to be contention-inflated — the anchor must be the
+    * idle-host floor so drift = 1.0 means "clean host" and drift > 1
+    * measures contention; see PERF.md "same-day control"). The control
+    * workload below is FROZEN — raw Spark primitives, no graft code, no
+    * fixture dependence — so its time moves with host state only, and
     * `drift = control_s / ControlRefSec` normalizes cross-round totals:
     * a reader divides the bench total by `drift` before comparing
     * against a recorded prior.
     */
-  private val ControlRefSec = 0.972
+  private val ControlRefSec = 0.490
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
