@@ -85,9 +85,11 @@ object SparkEntry {
     val base = e.join(a.withColumn("hit", lit(1)), keys, "left").agg(
       count(lit(1)).as("n_exact"),
       // 0 exact pairs ⇒ 0/0 ⇒ null — a vacuously perfect approximate
-      // result must read true, not fail the oracle compare
-      coalesce(count(col("hit")).cast("double") / count(lit(1)) >= floor,
-        lit(true)).as("recall_ok"))
+      // result must read true, not fail the oracle compare (try_divide:
+      // ANSI mode otherwise THROWS on the empty-exact division before
+      // coalesce ever sees the null)
+      coalesce(try_divide(count(col("hit")).cast("double"),
+        count(lit(1))) >= floor, lit(true)).as("recall_ok"))
     if (!subset) base
     else base.crossJoin(
       a.join(e, keys, "left_anti").agg((count(lit(1)) === 0).as("subset_ok")))
@@ -1502,6 +1504,29 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Fuzzy (MinHash) decontamination: near-dup screen against the eval
+    // split — catches PARAPHRASED benchmark leakage the exact gram
+    // rules above cannot (decon_filter/bloom/fraction all require
+    // verbatim shared grams). Engine-internal hashes ⇒ registered as a
+    // recall gate: approximate contaminated ids (est ≥ 0.5 vs any
+    // bench doc) against the exact cross-split n-gram-Jaccard ≥ 0.8
+    // contamination, same thresholds/floor as dedup_minhash_lsh.
+    // Fourth independent eval split (mod 23 — chosen so the exact
+    // cross-split contamination is non-vacuous at BOTH oracle scales).
+    "decon_minhash" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val isBench = col("doc_id") % 23 === 0
+      val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+        .filter((col("d1") % 23 === 0) =!= (col("d2") % 23 === 0))
+        .select(when(col("d1") % 23 === 0, col("d2")).otherwise(col("d1"))
+          .as("doc_id"))
+        .distinct()
+      val approx = Dedup.contaminatedIdsFuzzy(
+        docs.filter(!isBench), docs.filter(isBench),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      recallGate(exact, approx, Seq("doc_id"), floor = 0.9)
+    }),
+
     // Deterministic training-order shuffle: pos = rank of
     // xxhash64(doc_id, seed) via the bucketed prefix sum (no global
     // single-task sort). The hash is engine-internal, so the gate
@@ -2843,6 +2868,21 @@ object SparkEntry {
       """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
          SELECT count(*) AS n_new_docs, true AS equal_ok
          FROM documents, h WHERE doc_id > h.half""",
+    // fuzzy decontamination gate: exact cross-split contamination count
+    // (the CORPUS-side id of every eval↔corpus pair at Jaccard ≥ 0.8)
+    "decon_minhash" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
+         x AS (SELECT CASE WHEN d1 % 23 = 0 THEN d2 ELSE d1 END AS doc_id
+               FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
+               WHERE (d1 % 23 = 0) <> (d2 % 23 = 0)
+                 AND CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= 0.8)
+         SELECT count(DISTINCT doc_id) AS n_exact, true AS recall_ok FROM x""",
+
     // streaming twin: same gate shape — the equality side is asserted in
     // Spark (full-outer seam check), the oracle anchors the exact count
     "stream_neardup" ->

@@ -230,6 +230,46 @@ object Dedup {
     corpus.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Fuzzy (near-dup) decontamination — the screen for PARAPHRASED
+    * benchmark leakage the exact n-gram rules cannot catch: a corpus
+    * doc is contaminated when its MinHash-ESTIMATED Jaccard against ANY
+    * benchmark doc reaches `minJaccard`. Same hash family, banding, and
+    * signature-agreement estimate as [[minHashLshPairs]] (a candidate
+    * must share a band bucket), so recall follows the standard LSH
+    * S-curve — the registered gate measures it against the exact
+    * cross-split n-gram-Jaccard contamination.
+    *
+    * Scale shape (the decon family contract): band rows are row-local
+    * on both sides; the benchmark side — |benchmark| ≪ |corpus| —
+    * collapses to its band rows and BROADCASTS into the bucket join, so
+    * the corpus is never shuffled; the only aggregation is the distinct
+    * over contaminated ids (bounded by the contamination, not the
+    * corpus).
+    */
+  def contaminatedIdsFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val c = minHashBandIndex(corpus, n, numHashes, bands, textCol, idCol)
+    val b = minHashBandIndex(benchmark, n, numHashes, bands, textCol, idCol)
+      .select(col("sig").as("b_sig"), col("band_idx").as("b_band_idx"),
+        col("band_key").as("b_band_key"))
+    c.join(broadcast(b),
+        col("band_idx") === col("b_band_idx") &&
+          col("band_key") === col("b_band_key"))
+      .filter(graft.functions.vec.sigAgreement(col("sig"), col("b_sig"))
+        .cast("double") / numHashes >= minJaccard)
+      .select("doc_id").distinct()
+  }
+
+  /** The corpus with [[contaminatedIdsFuzzy]]'s docs removed. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpus.join(contaminatedIdsFuzzy(corpus, benchmark, n, numHashes,
+      bands, minJaccard, textCol, idCol), Seq(idCol), "left_anti")
+
   /** Bloom-prefiltered decontamination — for when the benchmark's
     * distinct gram set outgrows a broadcast join relation (a hashed
     * relation costs ~16+ B/key; a 1%-fpp Bloom costs ~1.2 B/key, an
