@@ -196,6 +196,39 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWs, nBpe))
   }
 
+  /** One-pass whitespace tokenization + per-term tf over the LOWERCASED
+    * text, replicating `wsTokens(lower(text))` token equality exactly:
+    * `out(0)` = token count (dl), `out(i+1)` = occurrences of
+    * `terms(i)`. Whitespace is the BMP `\s` class — never a surrogate —
+    * so a plain char scan splits identically to `split("\\s+")` with
+    * empties dropped; lowercase is locale-independent ROOT like
+    * [[tokenCounts]]. One string pass regardless of |terms|, where the
+    * HOF formulation re-evaluated the tokenizer per term.
+    */
+  def termTf(text: org.apache.spark.unsafe.types.UTF8String,
+      terms: Array[String]): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new Array[Long](terms.length + 1)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        out(0) += 1
+        var j = 0
+        while (j < terms.length) {
+          val t = terms(j)
+          if (t.length == i - start && s.regionMatches(start, t, 0, t.length))
+            out(j + 1) += 1
+          j += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Rolling polynomial fingerprint over the text's CODEPOINTS:
     * `acc = (acc*131 + cp) mod m` — the compiled twin of the interpreted
     * `aggregate(split(text,''), ...)` fold (same value: `ascii()` of a
@@ -614,6 +647,32 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `term_tf(string) → array<long>(dl, tf_1..tf_m)` — fused whitespace
+  * tokenizer + per-term counters for a LITERAL term list (one pass, no
+  * explode, no per-term re-tokenization;
+  * [[graft.operators.TextOps.bm25TopK]]'s hot loop).
+  */
+case class TermTf(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_tf"
+
+  @transient private lazy val termArr: Array[String] = terms.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.termTf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termTfTerms", termArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.termTf($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermTf =
+    copy(child = newChild)
+}
+
 /** `rolling_fp(string, mod) → long` — rolling polynomial hash over
   * codepoints (document fingerprinting).
   */
@@ -854,6 +913,8 @@ object vec {
   def charNgramHashes(text: Column, n: Int): Column =
     wrap(CharNgramHashes(ex(text), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
+  def termTf(text: Column, terms: Seq[String]): Column =
+    wrap(TermTf(ex(text), terms))
   def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))
   def minHashSig(hashes: Column, numHashes: Int): Column =
     wrap(MinHashSig(ex(hashes), numHashes))

@@ -260,20 +260,23 @@ object TextOps {
     * score every document against a literal query-term set, return the
     * top `k` with their ranking evidence.
     *
-    * Scale shape: document length is the row-local compiled token count
-    * (no explode for `dl`); the explode keeps ONLY query terms before its
-    * groupBy, so the corpus-sized shuffle carries ≤ |terms| rows per
-    * matching doc; per-term document frequencies are a ≤|terms|-row
-    * aggregate broadcast back; and the global top-k runs as
-    * TakeOrderedAndProject (per-partition heads merged on the driver),
-    * never a full sort. Corpus stats (N, Σdl) are exact integer
-    * aggregates, so `avgdl` is deterministic.
+    * Scale shape: ZERO corpus shuffles. For a literal term set, per-term
+    * tf is a row-local compiled array fold (like `dl`), so the whole
+    * pipeline is one corpus pass for the stats row (N, Σdl, per-term df
+    * — exact integer aggregates, `avgdl` deterministic) and one scored
+    * scan ending in TakeOrderedAndProject (per-partition heads merged on
+    * the driver), never a full sort and never a (doc, term) shuffle. An
+    * inverted-index shape (explode → term screen → (doc, term) groupBy)
+    * is only worth building when it is amortized across MANY queries —
+    * for ad-hoc top-k it cost 4 shuffles and ~30× the time at the 100×
+    * tier.
     *
     * The per-doc score folds term contributions in DETERMINISTIC term
-    * order (window cumsum over `ORDER BY tok`, the mixtureWeights
-    * convention) — IEEE addition is order-sensitive, and an unordered
-    * aggregate would let ranks at float-level near-ties differ run to
-    * run. Exact ties break by `doc_id`. The integer evidence columns
+    * order (a left-associated sum over ascending terms — IEEE addition
+    * is order-sensitive, and an unordered aggregate would let ranks at
+    * float-level near-ties differ run to run; an absent term's contrib
+    * is an exact +0.0, which is identity under IEEE addition). Exact
+    * ties break by `doc_id`. The integer evidence columns
     * (`matched_terms`, `tf_sum`, `dl`) plus the rank are the
     * oracle-checkable surface; the score itself is engine-specific in
     * its last ulp (`ln` differs between libm implementations).
@@ -299,41 +302,61 @@ object TextOps {
         lit(0L).as("matched_terms"), lit(0L).as("tf_sum"),
         lit(0L).as("dl"), lit(0.0).as("score"))
     }
-    // persisted because dft, the contributions, and the evidence all
-    // read it (≤ |terms| rows per matching doc — the corpus-sized
-    // explode runs ONCE; operator persist contract: callers clear
-    // caches per query, or pass storage = None)
-    val tf0 = df
+    // For a KNOWN (small) term set, per-term tf is a ROW-LOCAL array
+    // fold — no (doc, term) explode, no corpus shuffle at all. The base
+    // projection computes dl + tf per term once and feeds both the
+    // one-row stats job (N, Σdl, per-term df — one corpus pass) and the
+    // scored TakeOrdered scan; `storage` persists it across the two.
+    // The inverted-index shape this replaced (explode → term screen →
+    // (doc, term) groupBy → df join → windowed fold) only pays off when
+    // the index is built ONCE and amortized across many queries or the
+    // term set outgrows per-row HOF evaluation — for ad-hoc top-k it
+    // cost 4 shuffles and, at the 100× tier, 56 s vs ~2 s for the scan.
+    val terms = queryTerms.distinct.sorted
+    val tfCol = terms.indices.map(i => col(s"__tf_$i"))
+    // dl + every tf from ONE compiled pass over the text (the fused
+    // TermTf kernel) — an array-HOF formulation re-runs the tokenizer
+    // per term, interpreted
+    val base0 = df
       .select(col(idCol).as("doc_id"),
-        size(wsTokens(lower(col(textCol)))).cast("bigint").as("dl"),
-        explode(wsTokens(lower(col(textCol)))).as("tok"))
-      .filter(col("tok").isin(queryTerms: _*)) // pre-shuffle term screen
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val tf = storage.fold(tf0)(graft.CacheScope.persist(tf0, _))
-    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
-    val contrib = tf.join(broadcast(dft), "tok")
-      .withColumn("idf",
-        log((lit(nDocs.toDouble) - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl") * nDocs / sumDl.toDouble)))
-    val perDoc = contrib
-      .withColumn("score",
-        sum(col("contrib")).over(w.partitionBy(col("doc_id")).orderBy(col("tok"))))
-      .withColumn("rn", row_number().over(
-        w.partitionBy(col("doc_id")).orderBy(col("tok").desc)))
-      .filter(col("rn") === 1) // the completed ordered fold — one row per doc
-      .select(col("doc_id"), col("score"))
-    val evidence = tf.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("matched_terms"), sum(col("tf")).as("tf_sum"),
-        max(col("dl")).as("dl"))
-    perDoc.join(evidence, "doc_id")
+        graft.functions.vec.termTf(col(textCol), terms).as("__tt"))
+      .select(
+        col("doc_id") +: element_at(col("__tt"), 1).as("dl") +:
+          terms.indices.map(i =>
+            element_at(col("__tt"), i + 2).as(s"__tf_$i")): _*)
+    val base = storage.fold(base0)(graft.CacheScope.persist(base0, _))
+    // per-term document frequencies: |terms| more values on the stats
+    // row, same single pass
+    val dfRow = base.agg(
+      sum(when(tfCol.head > 0, 1L).otherwise(0L)),
+      tfCol.tail.map(t => sum(when(t > 0, 1L).otherwise(0L))): _*).head
+    val dfreq = terms.indices.map(i => dfRow.getLong(i))
+    // the per-doc score folds term contributions in DETERMINISTIC term
+    // order — a left-associated sum over ascending terms, exactly the
+    // windowed cumsum of the inverted shape (an absent term's contrib
+    // is an exact +0.0: x + 0.0 preserves x bit-for-bit, idf > 0
+    // always). idf stays a Spark log EXPRESSION over literals (constant
+    // folding uses the same eval as per-row execution — no driver-libm
+    // vs executor-libm ulp seam).
+    val contribs = terms.indices.map { i =>
+      val idf = log((lit(nDocs.toDouble) - lit(dfreq(i)) + 0.5) /
+        (lit(dfreq(i)) + 0.5) + 1.0)
+      idf * (tfCol(i) * (k1 + 1.0)) /
+        (tfCol(i) + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") * nDocs / sumDl.toDouble))
+    }
+    base
+      .withColumn("score", contribs.reduceLeft(_ + _))
+      .withColumn("matched_terms",
+        tfCol.map(t => when(t > 0, 1L).otherwise(0L)).reduceLeft(_ + _))
+      .withColumn("tf_sum", tfCol.reduceLeft(_ + _))
+      // only MATCHING docs rank (the inverted shape never materialized
+      // the rest; a zero-score doc must not pad out a small top-k)
+      .filter(col("matched_terms") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
       .select("rank", "doc_id", "matched_terms", "tf_sum", "dl", "score")
   }
 

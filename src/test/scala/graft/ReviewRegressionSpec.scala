@@ -122,6 +122,26 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(kernel == regex)
   }
 
+  test("termTf: fused kernel matches the declarative tokenize+count path") {
+    val docs = Seq(
+      (1L, "Spark spark  SPARK\tvector"), // case folding + repeated ws
+      (2L, " hash vector hash "),         // leading/trailing ws
+      (3L, "😀 spark café\nhash😀hash"),  // surrogates inside/adjacent
+      (4L, ""), (5L, "   "),              // empty and all-ws docs
+      (6L, "vectorhash vector-hash vector hash")) // no substring matches
+      .toDF("doc_id", "text")
+    val terms = Seq("hash", "spark", "vector")
+    val kernel = docs.select($"doc_id", vec.termTf($"text", terms).as("t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val toks = graft.operators.TextOps.wsTokens(lower($"text"))
+    val declarative = docs.select($"doc_id",
+        (size(toks).cast("long") +: terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long"))
+          match { case h +: rest => array((h +: rest): _*) }).as("t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel == declarative)
+  }
+
   test("vector_dot rejects dimension mismatch instead of truncating") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val e = intercept[Exception](df.select(vec.dot($"a", $"b")).collect())
