@@ -213,10 +213,9 @@ class HardeningSpec extends AnyFunSuite {
       // decoded-param filters rewrite to raw-word predicates before the
       // scan: pushed slot filter + binary residual, no shuffle
       "p2_indexed_pushdown" -> 0,
-      // one explode→(doc,term) agg over the persisted term table, the
-      // tiny dft agg, the doc-ordered fold window, the evidence agg;
-      // top-k is TakeOrderedAndProject, never a global sort
-      "text_bm25_topk" -> 4,
+      // fused TermTf kernel scan + TakeOrderedAndProject: the stats row
+      // is a separate 1-row job, the ranking plan itself never shuffles
+      "text_bm25_topk" -> 0,
       // row-local digest + one source-keyed window (WindowGroupLimit
       // pre-trims map-side)
       "text_source_cap" -> 1,
@@ -226,10 +225,9 @@ class HardeningSpec extends AnyFunSuite {
       "src_csv_ingest" -> 1,
       // signed band-range pushdown: pure scan + filter + decode project
       "p2_indexed_signed" -> 0,
-      // bm25's 4 + the doc-keyed fusion window (retrieval tails are
-      // TakeOrdered single-partition — exchange-reused, measured 4;
-      // +1 margin for AQE reuse wobble)
-      "hybrid_rrf_topk" -> 5,
+      // bm25 is now shuffle-free; the fusion windows ride the ≤ 2k-row
+      // retrieval tails (measured 0; +1 margin for AQE reuse wobble)
+      "hybrid_rrf_topk" -> 1,
       // the returned frame is a pure scan of the sink's files; the
       // ingest itself runs inside foreachBatch epochs
       "s7_sink_roundtrip" -> 0,
@@ -243,10 +241,10 @@ class HardeningSpec extends AnyFunSuite {
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg,
       // mirroring dedup_index_update; code rows themselves are row-local
       "sim_index_update" -> 4,
-      // bm25's 4 + two ANN rank exchanges (ivf + brute) + per-fusion
-      // doc-keyed and global-rank windows (2×2) + the gate join/agg —
-      // every exchange past bm25 moves ≤ 20-row retrieval tails
-      "hybrid_bm25_ann_topk" -> 12,
+      // two ANN rank exchanges (ivf + brute) + fusion windows + the
+      // gate join/agg (bm25 itself shuffle-free; measured 5, +1 margin
+      // for AQE reuse wobble) — every exchange moves ≤ 20-row tails
+      "hybrid_bm25_ann_topk" -> 6,
       // li⋈orders is fact⋈fact on the order key (both sides exchange;
       // bucketing co-locates it at 100 TB — see the bucketed-join gate
       // below) + one aggregation; all true dims broadcast
