@@ -387,7 +387,8 @@ private[sources] final case class RpcParams(
     transport: JsonRpcTransport,
     blockStep: Long, confirmations: Long, fromBlock: Long, toBlock: Long,
     fetchBlocks: Long, addresses: Option[Seq[String]],
-    topics: Seq[Option[Seq[String]]], headMode: String) {
+    topics: Seq[Option[Seq[String]]], headMode: String,
+    wsUrl: Option[String] = None) {
   require(blockStep >= 1, "blockStep must be >= 1")
   require(fetchBlocks >= 1, "fetchBlocks must be >= 1")
   require(topics.size == 4, s"topics must carry 4 slots, got ${topics.size}")
@@ -426,7 +427,8 @@ private[sources] object RpcParams {
       fetchBlocks = o.getOrElse("fetchblocks", o.getOrElse("fetchBlocks", "100")).toLong,
       addresses = o.get("address").map(hexList),
       topics = (0 to 3).map(i => o.get(s"topic$i").map(hexList)),
-      headMode = o.getOrElse("headmode", o.getOrElse("headMode", "poll")))
+      headMode = o.getOrElse("headmode", o.getOrElse("headMode", "poll")),
+      wsUrl = o.get("wsurl").orElse(o.get("wsUrl")))
   }
 }
 
@@ -517,10 +519,14 @@ private[sources] class RpcLogStream(params: RpcParams)
     case "subscribe" =>
       if (subscription == null) synchronized {
         if (subscription == null)
-          // 50 ms announcement cadence: the pump must not busy-spin the
-          // polling fallback feed (a real WS feed blocks in next())
-          subscription = new HeadSubscription(
-            new RpcHeadFeed(transport, pollIntervalMs = 50L))
+          // with `wsUrl` set this is the reference's exact transport
+          // (WS eth_subscribe newHeads, block.rs:22-28); without it, a
+          // polling fallback feed at a 50 ms announcement cadence (the
+          // pump must not busy-spin — a real WS feed blocks in next())
+          subscription = new HeadSubscription(wsUrl match {
+            case Some(u) => new WsHeadFeed(java.net.URI.create(u))
+            case None    => new RpcHeadFeed(transport, pollIntervalMs = 50L)
+          })
       }
       subscription.awaitFirst(10000L)
     case _ => poller.currentHead()
@@ -728,7 +734,11 @@ private[sources] class RpcLogTable(params: RpcParams)
   * `address`/`topic0` server-side filters (comma-separated lists
   * allowed — the RPC spec's OR semantics); `headMode` `poll` (default,
   * one `eth_blockNumber` per trigger) or `subscribe` (background
-  * [[HeadSubscription]] latest-value channel with reconnects).
+  * [[HeadSubscription]] latest-value channel with reconnects); `wsUrl`
+  * (with `headMode=subscribe`: feed the channel from a real WebSocket
+  * `eth_subscribe("newHeads")` via [[WsHeadFeed]] — the reference's
+  * http-url + ws-url pairing, block.rs:43-47 — instead of the polling
+  * fallback over the HTTP transport).
   *
   * Batch reads additionally push `filter(...)` predicates on
   * `address`/`topic0`/`block_number` into the request — see
