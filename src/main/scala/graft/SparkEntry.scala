@@ -208,19 +208,21 @@ object SparkEntry {
     * one definition so the batch query, the streaming twin, and the
     * shared oracle can never drift apart.
     */
-  private def p2TwoEventSession(s: SparkSession): (EngineSession, (String, String)) = {
-    val declT = "Transfer(address indexed from, address indexed to, uint value)"
-    val declA = "Approval(address indexed owner, uint spent)"
+  private val p2DeclT =
+    "Transfer(address indexed from, address indexed to, uint value)"
+  private val p2DeclA = "Approval(address indexed owner, uint spent)"
+
+  private def p2TwoEventSession(s: SparkSession): EngineSession = {
     val session = new EngineSession(s,
       StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
-    session.register("0x" + "aa" * 20, declT)
-    session.register("0x" + "bb" * 20, declA)
-    (session, (declT, declA))
+    session.register("0x" + "aa" * 20, p2DeclT)
+    session.register("0x" + "bb" * 20, p2DeclA)
+    session
   }
 
   private def p2TwoEventRaw(ev: DataFrame): DataFrame = {
-    val declT = "Transfer(address indexed from, address indexed to, uint value)"
-    val declA = "Approval(address indexed owner, uint spent)"
+    val declT = p2DeclT
+    val declA = p2DeclA
     val isT = col("event_type") === "purchase"
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
     ev.select(
@@ -1339,7 +1341,7 @@ object SparkEntry {
     // history per event. Struct fields flatten to disjoint nullable
     // columns; the oracle restates the roundtrip from the source table.
     "p2_decode_multi" -> ((s, dir) => {
-      val (session, _) = p2TwoEventSession(s)
+      val session = p2TwoEventSession(s)
       val ev = events(s, dir).filter(col("event_type").isin("purchase", "click"))
       p2DecodeMultiSelect(
         session.decodeAll(session.rawLogFilter(p2TwoEventRaw(ev))))
@@ -1352,7 +1354,7 @@ object SparkEntry {
     // unchanged — no state store, Append mode — and the drained memory
     // sink must hash-match the identical batch oracle.
     "p2_decode_multi_stream" -> ((s, dir) => {
-      val (session, _) = p2TwoEventSession(s)
+      val session = p2TwoEventSession(s)
       val stream = graft.streaming.StreamOps.readBlockStream(
           s, s"$dir/events.parquet",
           blockStep = fifthOfHead(s, s"$dir/events.parquet"),

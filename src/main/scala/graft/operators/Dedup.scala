@@ -259,7 +259,9 @@ object Dedup {
           col("band_key") === col("b_band_key"))
       .filter(graft.functions.vec.sigAgreement(col("sig"), col("b_sig"))
         .cast("double") / numHashes >= minJaccard)
-      .select("doc_id").distinct()
+      // band index normalizes the id to "doc_id"; surface the CALLER's
+      // idCol so decontaminateFuzzy's left-anti join keys line up
+      .select(col("doc_id").as(idCol)).distinct()
   }
 
   /** The corpus with [[contaminatedIdsFuzzy]]'s docs removed. */

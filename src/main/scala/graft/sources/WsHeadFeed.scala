@@ -21,8 +21,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * exhaustion is the [[HeadFeed]] contract's "socket dropped" signal, so
   * [[HeadSubscription]]'s infinite outer loop re-subscribes, exactly like
   * the reference's `loop { stream_blocks(...) }` (block.rs:54-61).
-  * `connect()` itself THROWS on handshake/subscribe failure so the
-  * 5-try backoff burst (block.rs:25-26) retries it.
+  * `connect()` itself THROWS on handshake failure so the 5-try backoff
+  * burst (block.rs:25-26) retries it; a JSON-RPC ERROR reply to the
+  * (asynchronous) subscribe ends the session immediately — an endpoint
+  * without pub/sub support cycles through the reconnect loop instead of
+  * hanging a head-less socket forever.
   *
   * Parsing follows the Ethereum JSON-RPC pub/sub shape: the subscribe
   * reply `{"id":…,"result":"0xSUBID"}` is consumed silently; each
@@ -37,11 +40,15 @@ final class WsHeadFeed(uri: URI,
     connectTimeoutMs: Long = 10000L,
     queueCapacity: Int = 1024) extends HeadFeed {
 
+  // ONE client per feed, not per session: HttpClient owns selector/worker
+  // threads and (pre-JDK-21) has no close(), so a per-connect instance
+  // would leak a thread set on every reconnect of the infinite outer loop
+  private lazy val client = HttpClient.newHttpClient()
+
   override def connect(): Iterator[Long] = {
     // one queue + listener per session; sentinel `End` marks disconnect
     val queue = new LinkedBlockingQueue[AnyRef](queueCapacity)
     val listener = new WsHeadFeed.HeadListener(queue)
-    val client = HttpClient.newHttpClient()
     val ws =
       try {
         client.newWebSocketBuilder()
@@ -61,7 +68,17 @@ final class WsHeadFeed(uri: URI,
       override def hasNext: Boolean = {
         if (nextHead != null) return true
         if (ended) return false
-        queue.take() match { // interruptible: pump close() unblocks here
+        val item =
+          try queue.take() // interruptible: pump close() unblocks here
+          catch {
+            case e: InterruptedException =>
+              // HeadSubscription.close(): release the socket BEFORE the
+              // pump thread dies, or the connection outlives the stream
+              ended = true
+              try ws.abort() catch { case scala.util.control.NonFatal(_) => }
+              throw e
+          }
+        item match {
           case h: java.lang.Long => nextHead = h; true
           case _ =>
             ended = true
@@ -97,9 +114,12 @@ object WsHeadFeed {
       extends WebSocket.Listener {
     private val buf = new java.lang.StringBuilder()
 
-    // never block the client's selector thread: drop-on-full is safe
-    // because HeadSubscription only ever reads the LATEST head anyway
+    // never block the client's selector thread: dropping a HEAD on a full
+    // queue is safe (HeadSubscription only ever reads the latest), but
+    // `End` MUST land or the reader blocks forever and the reconnect loop
+    // never runs — so End evicts buffered heads until it fits
     private def offer(v: AnyRef): Unit = { queue.offer(v); () }
+    private def offerEnd(): Unit = while (!queue.offer(End)) queue.poll()
 
     override def onOpen(ws: WebSocket): Unit = ws.request(1)
 
@@ -111,7 +131,7 @@ object WsHeadFeed {
         parseHead(msg) match {
           case Right(Some(h)) => offer(java.lang.Long.valueOf(h))
           case Right(None)    => // subscribe ack / unrelated id: ignore
-          case Left(_)        => offer(End) // malformed head ⇒ end session
+          case Left(_)        => offerEnd() // error reply / bad head ⇒ end
         }
       }
       ws.request(1)
@@ -119,9 +139,9 @@ object WsHeadFeed {
     }
 
     override def onClose(ws: WebSocket, statusCode: Int,
-        reason: String): CompletionStage[_] = { offer(End); null }
+        reason: String): CompletionStage[_] = { offerEnd(); null }
 
-    override def onError(ws: WebSocket, error: Throwable): Unit = offer(End)
+    override def onError(ws: WebSocket, error: Throwable): Unit = offerEnd()
   }
 
   /** `Right(Some(head))` for a newHeads notification, `Right(None)` for
@@ -131,7 +151,12 @@ object WsHeadFeed {
   private[graft] def parseHead(msg: String): Either[String, Option[Long]] =
     try {
       val root = mapper.readTree(msg)
-      if (!root.hasNonNull("method") ||
+      if (root.hasNonNull("error"))
+        // e.g. the endpoint rejects eth_subscribe (no pub/sub support):
+        // the session can never produce heads — end it so the reconnect
+        // loop surfaces the condition instead of waiting forever
+        Left(s"JSON-RPC error reply: ${root.get("error")}")
+      else if (!root.hasNonNull("method") ||
           root.get("method").asText() != "eth_subscription") Right(None)
       else {
         val num = root.path("params").path("result").path("number")

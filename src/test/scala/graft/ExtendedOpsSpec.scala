@@ -144,6 +144,22 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(dropped == Set(1L, 3L))
   }
 
+  test("decontaminateFuzzy honors a non-default idCol (regression: ids column was hard-coded)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about spark physical planning"))
+      .toDF("id", "text")
+    val bench = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val kept = Dedup.decontaminateFuzzy(corpus, bench,
+        n = 3, numHashes = 16, bands = 8, minJaccard = 0.5, idCol = "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    assert(Dedup.contaminatedIdsFuzzy(corpus, bench, n = 3, numHashes = 16,
+      bands = 8, minJaccard = 0.5, idCol = "id").columns.toSeq == Seq("id"))
+  }
+
   test("repetition scores: dup-word and top-bigram fractions on crafted docs") {
     val d = Seq(
       (1L, "spam spam spam spam"),      // 4 words, 1 distinct; "spam spam" ×3

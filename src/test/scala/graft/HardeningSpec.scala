@@ -430,11 +430,15 @@ class HardeningSpec extends AnyFunSuite {
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     }
+    // drain the warm-up's queued events first: the async bus delivers
+    // queued JobStarts to listeners attached at DRAIN time, so without
+    // this barrier the hit-path count can see miss-path jobs
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     try {
       val df = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 2), 3,
         nprobe = 2, corpusKey = key)
-      Thread.sleep(1000) // listener delivery is async; jobs submit inline
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext) // flush async delivery
       assert(jobs.get() == 0,
         s"cache-hit ivfTopK construction launched ${jobs.get()} job(s)")
       assert(df.count() > 0) // the plan itself still works

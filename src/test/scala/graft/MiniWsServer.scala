@@ -20,7 +20,8 @@ import java.util.Base64
   * further connects fail at TCP level (drilling the connect-retry burst).
   */
 final class MiniWsServer(sessions: Seq[Seq[Long]],
-    fragmentEvery: Int = Int.MaxValue) extends AutoCloseable {
+    fragmentEvery: Int = Int.MaxValue,
+    rejectSubscribes: Int = 0) extends AutoCloseable {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val uri: java.net.URI = java.net.URI.create(s"ws://127.0.0.1:$port/")
@@ -51,6 +52,14 @@ final class MiniWsServer(sessions: Seq[Seq[Long]],
     require(new String(payload, UTF_8).contains("eth_subscribe"),
       "first client frame must be eth_subscribe")
     subscribesSeen += 1
+    if (subscribesSeen <= rejectSubscribes) {
+      // endpoint without pub/sub support: JSON-RPC error, socket left open
+      writeText(out, """{"jsonrpc":"2.0","id":1,"error":""" +
+        """{"code":-32601,"message":"notifications not supported"}}""",
+        fragment = false)
+      try readFrame(in) catch { case _: Exception => } // wait for client close
+      return
+    }
     writeText(out, """{"jsonrpc":"2.0","id":1,"result":"0xcafe01"}""",
       fragment = false)
     var i = 0

@@ -23,6 +23,9 @@ class WsHeadFeedSpec extends AnyFunSuite {
     assert(WsHeadFeed.parseHead("{not json").isLeft)
     // non-subscription server traffic (e.g. an unrelated reply) is ignored
     assert(WsHeadFeed.parseHead("""{"id":9,"result":[]}""") == Right(None))
+    // a JSON-RPC error reply (subscribe rejected) is session-fatal
+    assert(WsHeadFeed.parseHead(
+      """{"jsonrpc":"2.0","id":1,"error":{"code":-32601}}""").isLeft)
   }
 
   test("one session: handshake, subscribe, heads in order, clean close ends the iterator") {
@@ -62,6 +65,19 @@ class WsHeadFeedSpec extends AnyFunSuite {
         Thread.sleep(5L)
       assert(sub.currentHead() == Some(12L))
       assert(sub.connects >= 2L, "second WS session must have been opened")
+    } finally { sub.close(); server.close() }
+  }
+
+  test("subscribe rejection ends the session (no head-less hang) and the next session recovers") {
+    // connection 1 replies a JSON-RPC error and keeps the socket open —
+    // the session must END (iterator exhausts) rather than hang, and the
+    // reconnect loop must reach the healthy second session
+    val server = new MiniWsServer(Seq(Nil, Seq(8L)), rejectSubscribes = 1)
+    val sub = new HeadSubscription(new WsHeadFeed(server.uri),
+      triesPerConnect = 5, backoffMs = 5L)
+    try {
+      assert(sub.awaitFirst(5000L) == Some(8L))
+      assert(sub.connects >= 2L)
     } finally { sub.close(); server.close() }
   }
 
