@@ -212,6 +212,31 @@ object SparkEntry {
     "Transfer(address indexed from, address indexed to, uint value)"
   private val p2DeclA = "Approval(address indexed owner, uint spent)"
 
+  /** Frozen codebook for `sim_cluster_assign`: 4 × 64-dim centroids whose
+    * components are exact multiples of 0.25, so every `‖c‖²` is an
+    * exactly-representable decimal and the oracle can restate the
+    * kernel's rank-key arithmetic (`‖c‖² − 2·v·c`, dot in element order)
+    * bit-for-bit — one source of truth for the query AND the SQL.
+    */
+  private val ClusterCentroids: Array[Array[Double]] =
+    Array.tabulate(4, 64)((j, d) => (((d + j * 5) % 9) - 4) * 0.25)
+
+  private def clusterAssignSql: String = {
+    val ds = ClusterCentroids.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum // exact: multiples of 0.0625
+      val dot = c.zipWithIndex.map { case (w, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * CAST($w AS DOUBLE)"
+      }.mkString(" + ") // left-assoc chain = the kernel's element order
+      s"CAST($cn2 AS DOUBLE) - 2.0 * ($dot) AS d$j"
+    }.mkString(",\n             ")
+    s"""WITH d AS (SELECT vec_id, $ds FROM embeddings)
+       SELECT vec_id,
+         CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+              WHEN d1 <= d2 AND d1 <= d3 THEN 1
+              WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster
+       FROM d"""
+  }
+
   private def p2TwoEventSession(s: SparkSession): EngineSession = {
     val session = new EngineSession(s,
       StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
@@ -1799,6 +1824,16 @@ object SparkEntry {
         .select(col("doc_id"), col("w"), col("cum"), col("pick"))
     }),
 
+    // Token-budget corpus cut ("the first N training tokens"): docs in
+    // deterministic md5 order until the running whitespace-token total
+    // crosses the budget; rides the bucketed prefix sum (md5's first
+    // byte = the monotone bucket), so no global single-task sort. The
+    // md5 order, the compiled token count, and the crossing-doc
+    // semantics all hash-match the oracle's window restatement.
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSelect(table(s, dir, "documents"),
+        budget = 10000L)),
+
     // Per-LANGUAGE curriculum bins: the grouped twin of
     // text_quality_bins — quartile assignment within each language via
     // the grouped prefix sum (multilingual pipelines schedule curricula
@@ -2186,6 +2221,15 @@ object SparkEntry {
       Similarity.int8RoundTrip(table(s, dir, "embeddings"))
         .agg(count(lit(1)).as("n_vecs"),
           coalesce(min(col("quant_ok")), lit(true)).as("quant_ok"))),
+
+    // Frozen-codebook topic clustering: nearest-centroid assignment
+    // against LITERAL centroids — a direct relational oracle on the
+    // NearestCentroidsKernel itself (rank key ‖c‖²−2·v·c, dot in
+    // element order, ties toward the smaller index), the same compiled
+    // node the k-means–trained IVF tier rides. Row-local; zero shuffles.
+    "sim_cluster_assign" -> ((s, dir) =>
+      Similarity.assignClusters(table(s, dir, "embeddings"),
+        ClusterCentroids)),
 
     // As-of join (extension): for each purchase, the same user's most
     // recent view at-or-before it in the log's total order — the
@@ -3793,6 +3837,19 @@ object SparkEntry {
 
     "sim_quant_gate" ->
       """SELECT count(*) AS n_vecs, true AS quant_ok FROM embeddings""",
+
+    "sim_cluster_assign" -> clusterAssignSql,
+
+    "sample_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens - n_tokens < 10000""",
 
     "pipeline_split_gate" ->
       """SELECT count(*) AS n_docs, true AS frac_ok FROM documents""",

@@ -92,6 +92,35 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Token-budget corpus selection (the "give me a 50 B-token training
+    * set" cut every pretraining run starts with): documents are taken in
+    * a DETERMINISTIC pseudo-random order — `md5(id)`, engine-independent
+    * so any system replays the same cut — until the running whitespace
+    * token total reaches `budget`; the document that crosses the budget
+    * is kept (fill-to-at-least semantics), everything after it is
+    * dropped. The running total rides [[orderedCumsum]] with the md5's
+    * first byte as the monotone bucket, so there is no global
+    * single-task sort — two partitioned shuffles, same as every other
+    * cumulative operator here. Token counting is the compiled
+    * [[graft.functions.TokenCounts]] kernel (one string pass, row-local).
+    */
+  def tokenBudgetSelect(df: DataFrame, budget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val withT = df
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .withColumn("n_tokens",
+        element_at(graft.functions.vec.tokenCounts(col(textCol)), 1))
+    orderedCumsum(withT,
+        conv(substring(col("__ord"), 1, 2), 16, 10).cast("long"),
+        Seq(col("__ord")), col("n_tokens"), "cum_tokens")
+      // keep docs whose window STARTS before the budget line: the
+      // crossing doc stays, so the cut always reaches >= budget tokens
+      // (when the corpus has them)
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic negative sampling (contrastive-training prep): `k`
     * pseudo-random partner documents per document, derived by modular
     * hashing over a DENSE id space (`neg = (id·P + (j+1)·Q) mod n`,

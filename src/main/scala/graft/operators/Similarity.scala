@@ -296,6 +296,21 @@ object Similarity {
       v: Column, n: Int): Column =
     vec.nearestCentroids(v, centroids, n)
 
+  /** Nearest-centroid assignment with CALLER-SUPPLIED centroids — topic
+    * clustering / cluster-balanced curation over a frozen codebook (the
+    * k-means–trained IVF path shares the exact same compiled kernel via
+    * [[ivfTopK]]; here the centroids are explicit literals, which makes
+    * the assignment restatable by a relational oracle: rank key
+    * `‖c‖² − 2·v·c` with the dot accumulated in element order, ties
+    * toward the smaller cluster index). Entirely row-local — zero
+    * shuffles, one codegen'd node, scan-speed at any corpus size.
+    */
+  def assignClusters(df: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+      element_at(vec.nearestCentroids(col(vecCol), centroids, 1), 1)
+        .as("cluster"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 4, trainSample: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -221,6 +221,12 @@ class HardeningSpec extends AnyFunSuite {
       "text_source_cap" -> 1,
       // sequence→explode→substr — shuffle-free
       "text_chunk" -> 0,
+      // frozen-codebook assignment: one compiled kernel projection over
+      // the scan — shuffle-free at any corpus size
+      "sim_cluster_assign" -> 0,
+      // distributed prefix sum (bucket agg + bucketed window + bounded
+      // bucket-table window), same as the other cumsum riders
+      "sample_token_budget" -> 3,
       // schema-on-read scan + one lang aggregation (the jsonl twin)
       "src_csv_ingest" -> 1,
       // signed band-range pushdown: pure scan + filter + decode project

@@ -206,6 +206,45 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSelect: crossing doc kept, order deterministic, budget reached") {
+    val docs = (0L until 40L).map(i => (i, ("w " * (i.toInt % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    val sel = Sampling.tokenBudgetSelect(docs, budget = 50L)
+      .orderBy("cum_tokens")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect()
+    // running total is consistent and the cut straddles the budget:
+    // last kept doc crosses (or the corpus ran out), all before it start
+    // strictly below budget
+    assert(sel.nonEmpty)
+    sel.foldLeft(0L) { case (prev, (_, n, cum)) =>
+      assert(cum == prev + n); cum
+    }
+    val last = sel.last
+    assert(last._3 >= 50L, "cut must reach the budget when tokens exist")
+    assert(last._3 - last._2 < 50L, "crossing doc starts before the budget")
+    assert(sel.init.forall(r => r._3 < 50L), "only ONE doc may cross")
+    // determinism: same cut on re-run (md5 order, no RNG)
+    val again = Sampling.tokenBudgetSelect(docs, budget = 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sel.map(_._1).toSet)
+  }
+
+  test("assignClusters: nearest centroid wins, ties go to the smaller index") {
+    import graft.operators.Similarity
+    val cents = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(1.0, 0.0)) // duplicate of 0: any vector ties 0-vs-2
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)),  // nearest centroid 0
+      (2L, Array(0.1f, 0.9f)),  // nearest centroid 1
+      (3L, Array(0.5f, 0.5f)))  // exact tie 0-vs-1-vs-2 → 0
+    val got = Similarity.assignClusters(
+        vecs.toDF("vec_id", "embedding"), cents)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   test("quantileBins handles scores at the clamp edges") {
     val df = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 2.5), (5L, 0.5))
       .toDF("doc_id", "score")
