@@ -73,7 +73,14 @@ object ScaleProbe {
       time("neardup_ivfpq_fixed16") {
         Similarity.ivfPQNearDupPairs(emb, 0.45, nlist = 16, nprobe = 3).count() },
       time("neardup_ivfpq_auto") {
-        Similarity.ivfPQNearDupPairs(emb, 0.45, nprobe = 3).count() })
+        Similarity.ivfPQNearDupPairs(emb, 0.45, nprobe = 3).count() },
+      time("cluster_assign_raw") {
+        Similarity.assignClusters(emb,
+          Array.tabulate(4, 64)((j, d) => (((d + j * 5) % 9) - 4) * 0.25))
+          .count() },
+      time("token_budget_raw") {
+        graft.operators.Sampling
+          .tokenBudgetSelect(docs, budget = nDocs * 20).count() })
 
     val fields = runs.flatten.map { case (tag, sec, rows) =>
       f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }.mkString(",")
