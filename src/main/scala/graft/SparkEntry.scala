@@ -1967,6 +1967,20 @@ object SparkEntry {
       TextOps.chunkDocuments(table(s, dir, "documents"), size = 64,
         stride = 48)),
 
+    // Corpus-level LINE dedup (RefinedWeb/CCNet boilerplate removal):
+    // the fixture is single-line, so the query derives a multi-line
+    // corpus deterministically (line break after every 6th word) and
+    // injects two shared banner/footer lines every pipeline actually
+    // fights; lines in ≥2 distinct docs vanish from every doc, order
+    // and blanks preserved, rebuilt text byte-exact vs the oracle.
+    "text_line_dedup" -> ((s, dir) => {
+      val lined = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared cookie banner line\n"),
+          regexp_replace(col("text"), "((\\S+\\s+){5}\\S+)\\s+", "$1\n"),
+          lit("\nshared footer line")).as("text"))
+      TextOps.lineDedup(lined, minDocs = 2)
+    }),
+
     // Per-source frequency cap: ≤15 docs per source, bottom-15 by a
     // cross-engine-identical md5 digest — the oracle checks the exact
     // KEPT SET, not just its size.
@@ -3771,6 +3785,35 @@ object SparkEntry {
          ORDER BY n_occurrences DESC, pair LIMIT 200""",
 
     "text_importance_weights" -> ImportanceWeightsSql,
+
+    "text_line_dedup" ->
+      """WITH lined AS (
+           SELECT doc_id,
+             'shared cookie banner line' || chr(10) ||
+             regexp_replace(text, '((\S+\s+){5}\S+)\s+', '\1' || chr(10), 'g') ||
+             chr(10) || 'shared footer line' AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+             unnest(string_split(text, chr(10))) AS line
+           FROM lined),
+         hot AS (
+           SELECT line FROM lines WHERE trim(line) <> ''
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (
+           SELECT l.doc_id, l.pos, l.line
+           FROM lines l ANTI JOIN hot h ON l.line = h.line),
+         rebuilt AS (
+           SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0)
+             AS BIGINT) AS n_lines_removed
+         FROM lined d LEFT JOIN rebuilt r USING (doc_id)""",
 
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),

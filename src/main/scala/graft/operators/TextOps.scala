@@ -708,6 +708,51 @@ object TextOps {
     * engine (DuckDB: `regexp_replace(..., 'g')` + `nfc_normalize`), so
     * cleaned TEXT hash-matches, not just counts.
     */
+  /** Corpus-level LINE deduplication (the RefinedWeb/CCNet boilerplate
+    * pass): a non-blank line appearing in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, license headers) and is
+    * removed from EVERY document; blank lines and document structure are
+    * preserved, and each doc is rebuilt in original line order with a
+    * removed-line count.
+    *
+    * Scale shape: explode to (doc, pos, line) → one line-keyed
+    * aggregation over DISTINCT doc ids (partial aggs apply) → the hot
+    * set is the tiny side of a left-anti join (boilerplate lines are few
+    * by definition — AQE broadcasts it) → one doc-keyed rebuild
+    * aggregation. Three keyed shuffles, nothing global, no collect;
+    * per-doc line order restores via `array_sort` on `(pos, line)`
+    * structs inside the aggregation, never a sort of the corpus.
+    */
+  def lineDedup(df: DataFrame, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1))
+        .as(Seq("pos", "line")))
+    val hot = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    val rebuilt = lines.join(hot.hint("broadcast"), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    // LEFT from the corpus: a doc whose every line was boilerplate
+    // survives as an empty document, it doesn't vanish
+    df.select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast("long").as("__n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+
   def cleanText(text: Column): Column =
     trim(regexp_replace(
       graft.functions.vec.nfc(regexp_replace(text, "<[^>]*>", " ")),

@@ -615,6 +615,21 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("lineDedup: corpus-hot lines removed everywhere, blanks and order kept, all-boilerplate doc survives empty") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\n\nunique beta\nFOOTER"),
+      (2L, "COOKIE BANNER\nunique gamma\nFOOTER"),
+      (3L, "COOKIE BANNER\nFOOTER"), // nothing unique: must survive empty
+      (4L, "solo document line")     // untouched
+    ).toDF("doc_id", "text")
+    val byId = TextOps.lineDedup(docs, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(1L) == (("unique alpha\n\nunique beta", 2L))) // blank kept
+    assert(byId(2L) == (("unique gamma", 2L)))
+    assert(byId(3L) == (("", 2L)))
+    assert(byId(4L) == (("solo document line", 0L)))
+  }
+
   test("sourceCap: bottom-cap by md5 digest, growth evicts but never " +
       "reshuffles, map-side WindowGroupLimit in the plan") {
     def digest(src: String, id: Long): String = {

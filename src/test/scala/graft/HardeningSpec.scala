@@ -224,6 +224,9 @@ class HardeningSpec extends AnyFunSuite {
       // frozen-codebook assignment: one compiled kernel projection over
       // the scan — shuffle-free at any corpus size
       "sim_cluster_assign" -> 0,
+      // line-keyed distinct-doc count (two-phase: 2) + doc-keyed rebuild
+      // (1); the hot-line anti join and the final doc join broadcast
+      "text_line_dedup" -> 3,
       // distributed prefix sum (bucket agg + bucketed window + bounded
       // bucket-table window), same as the other cumsum riders
       "sample_token_budget" -> 3,
