@@ -1505,6 +1505,20 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Per-benchmark contamination audit: ONE corpus-gram pass against
+    // the union of two tagged eval splits — the report a pipeline
+    // publishes per eval suite before training (counts + fractions;
+    // benches with zero hits still report).
+    "decon_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
+        Seq(
+          "eval97" -> docs.filter(col("doc_id") % 97 === 0),
+          "eval89" -> docs.filter(col("doc_id") % 89 === 0)),
+        n = 3)
+    }),
+
     // Bloom-prefiltered decontamination: exact same semantics as
     // decon_filter (false positives removed by the verify join, no false
     // negatives possible) — the 100 TB shape where the corpus grams are
@@ -3595,6 +3609,25 @@ object SparkEntry {
          bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 != 0)
          SELECT doc_id FROM documents
          WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "decon_report" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+               FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         corpus AS (SELECT doc_id FROM documents
+                    WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+         b AS (SELECT DISTINCT 'eval97' AS bench, gram FROM g WHERE doc_id % 97 = 0
+               UNION SELECT DISTINCT 'eval89' AS bench, gram FROM g WHERE doc_id % 89 = 0),
+         hits AS (SELECT b.bench, count(DISTINCT g.doc_id) AS n_contaminated
+                  FROM g JOIN corpus USING (doc_id) JOIN b USING (gram)
+                  GROUP BY b.bench),
+         nc AS (SELECT count(*) AS n_corpus FROM corpus)
+         SELECT v.bench,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           nc.n_corpus,
+           CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / nc.n_corpus AS frac
+         FROM (VALUES ('eval97'), ('eval89')) v(bench)
+         LEFT JOIN hits h ON v.bench = h.bench, nc""",
 
     "decon_bloom" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),

@@ -195,6 +195,41 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Multi-benchmark contamination REPORT in ONE corpus pass: for each
+    * registered benchmark, how many corpus docs share ≥ 1 distinct
+    * n-gram with it and what corpus fraction that is — the audit table a
+    * pipeline publishes per eval suite before training. The corpus
+    * grams are exploded ONCE; the union of all benchmark gram sets
+    * (each tagged with its benchmark name) broadcasts into a single
+    * semi-style join, so adding benchmarks never adds corpus passes.
+    * Corpus rows: `(bench, n_contaminated, n_corpus, frac)`.
+    */
+  def contaminationReport(corpus: DataFrame,
+      benchmarks: Seq[(String, DataFrame)], n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(benchmarks.nonEmpty, "at least one benchmark required")
+    val benchGrams = benchmarks.map { case (name, b) =>
+      b.select(lit(name).as("bench"),
+        explode(gramHashes(col(textCol), n)).as("gram")).distinct()
+    }.reduce(_ unionByName _)
+    val nCorpus = corpus.select(col(idCol)).distinct().count()
+    val hits = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col("bench"), col(idCol)).distinct()
+      .groupBy(col("bench"))
+      .agg(countDistinct(col(idCol)).as("n_contaminated"))
+    // every registered benchmark reports, zero-contamination included
+    import corpus.sparkSession.implicits._
+    benchmarks.map(_._1).toDF("bench")
+      .join(hits, Seq("bench"), "left")
+      .select(col("bench"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        lit(nCorpus).as("n_corpus"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / nCorpus)
+          .as("frac"))
+  }
+
   /** Fraction-threshold decontamination — the calibrated dial between
     * [[decontaminate]]'s any-gram rule and keeping everything: a doc is
     * dropped only when MORE than `maxOverlap` of its distinct grams

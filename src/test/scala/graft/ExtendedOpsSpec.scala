@@ -144,6 +144,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(dropped == Set(1L, 3L))
   }
 
+  test("contaminationReport: one pass, per-bench counts, zero-hit bench still reports") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val benchA = Seq((100L, "xx alpha beta gamma yy")).toDF("doc_id", "text")
+    val benchB = Seq((200L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus,
+        Seq("a" -> benchA, "b" -> benchB), n = 3)
+      .select("bench", "n_contaminated", "n_corpus", "frac")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("a") == ((1L, 3L, 1.0 / 3)))
+    assert(got("b") == ((0L, 3L, 0.0)))
+  }
+
   test("decontaminateFuzzy honors a non-default idCol (regression: ids column was hard-coded)") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

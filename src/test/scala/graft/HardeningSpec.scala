@@ -227,6 +227,10 @@ class HardeningSpec extends AnyFunSuite {
       // line-keyed distinct-doc count (two-phase: 2) + doc-keyed rebuild
       // (1); the hot-line anti join and the final doc join broadcast
       "text_line_dedup" -> 3,
+      // per-bench distinct-gram dedups (one tiny exchange each) + hit
+      // distinct + bench-keyed count; the gram join and the zero-fill
+      // bench-list join broadcast — the corpus explodes exactly once
+      "decon_report" -> 6,
       // distributed prefix sum (bucket agg + bucketed window + bounded
       // bucket-table window), same as the other cumsum riders
       "sample_token_budget" -> 3,
