@@ -2362,6 +2362,31 @@ object SparkEntry {
             .cast("double"))
         .select("o_custkey", "o_orderkey", "running_total")),
 
+    // Retention cohort matrix (product-analytics staple): users bucketed
+    // by first-activity day, distinct-active counts per (cohort, age).
+    // Day math is integer division on the epoch-nano longs — ts exceeds
+    // double precision, so no float division anywhere. The first-event
+    // table is user-keyed like the activity days: the join reuses the
+    // aggregation's exchange instead of a fresh shuffle.
+    "q_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // nanos fixtures read as epoch-nano LONGs (nanosAsLong), micros as
+      // TIMESTAMP — integer day math either way (ns magnitudes exceed
+      // double precision, so never a float division)
+      val dayExpr = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("ts div 86400000000000")
+        // NTZ → TIMESTAMP is a same-wall-clock relabel under the UTC
+        // session tz, matching DuckDB's epoch math on naive timestamps
+        case _ => expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+      }
+      val days = ev.select(col("user_id"), dayExpr.as("day"))
+      val first = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(first, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("age_days"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
     // set operation: customers ordering in both years
     "q_setop_repeat_customers" -> ((s, dir) => {
       val o = table(s, dir, "orders")
@@ -4167,6 +4192,15 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
          INTERSECT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995""",
+
+    "q_retention_cohorts" ->
+      """WITH d AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+             FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+         SELECT f.cohort, d.day - f.cohort AS age_days,
+           count(DISTINCT d.user_id) AS n_users
+         FROM d JOIN f USING (user_id)
+         GROUP BY 1, 2""",
 
     "q5_nation_revenue" ->
       s"""SELECT n_name, CAST(sum($Revenue) AS DOUBLE) AS revenue, count(*) AS n_items

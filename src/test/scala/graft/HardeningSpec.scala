@@ -231,6 +231,9 @@ class HardeningSpec extends AnyFunSuite {
       // distinct + bench-keyed count; the gram join and the zero-fill
       // bench-list join broadcast — the corpus explodes exactly once
       "decon_report" -> 6,
+      // user-keyed first-event agg (1, broadcast back) + distinct-user
+      // two-phase over (cohort, age) (2) — never a global sort
+      "q_retention_cohorts" -> 3,
       // distributed prefix sum (bucket agg + bucketed window + bounded
       // bucket-table window), same as the other cumsum riders
       "sample_token_budget" -> 3,
