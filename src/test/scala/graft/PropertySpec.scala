@@ -405,4 +405,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val genLineDocs: Gen[List[(Long, String)]] = {
+    val genLine = Gen.oneOf(
+      "shared banner", "common footer", "", " ",
+      "alpha beta", "gamma delta", "epsilon", "zeta eta theta")
+    Gen.listOfN(8, Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, genLine)))
+      .map(_.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) })
+  }
+
+  test("lineDedup: reference-model equality on arbitrary line corpora") {
+    forAll(genLineDocs) { docs =>
+      whenever(docs.nonEmpty) {
+        val got = graft.operators.TextOps
+          .lineDedup(docs.toDF("doc_id", "text"), minDocs = 2)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+          .toMap
+        // reference model: a trimmed-nonblank line in >= 2 distinct docs
+        // is removed everywhere; order and blanks preserved
+        val split = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+        val hot = split.flatMap { case (id, ls) =>
+          ls.filter(_.trim.nonEmpty).distinct.map(l => (l, id))
+        }.groupBy(_._1).collect {
+          case (l, occ) if occ.map(_._2).distinct.size >= 2 => l
+        }.toSet
+        val expect = split.map { case (id, ls) =>
+          val kept = ls.filterNot(hot)
+          id -> ((kept.mkString("\n"), (ls.size - kept.size).toLong))
+        }.toMap
+        assert(got == expect)
+      }
+    }
+  }
+
+  test("tokenBudgetSelect: prefix-of-md5-order invariant for any budget") {
+    val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(15, for {
+      id <- Gen.choose(0L, 200L)
+      w <- Gen.choose(0, 9)
+    } yield (id, List.fill(w)("tok").mkString(" ")))
+    forAll(genDocs) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      whenever(docs.nonEmpty) {
+        val budget = 1L + docs.size // small: forces a mid-corpus cut
+        val got = graft.operators.Sampling
+          .tokenBudgetSelect(docs.toDF("doc_id", "text"), budget)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // model: md5-ordered prefix until the budget line is crossed
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def m(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val ordered = docs.sortBy { case (id, _) => m(id) }
+        val (expect, _) = ordered.foldLeft(
+            (Vector.empty[(Long, Long, Long)], 0L)) {
+          case ((acc, cum), (id, t)) =>
+            val n = t.split("\\s+").count(_.nonEmpty).toLong
+            if (cum < budget) (acc :+ ((id, n, cum + n)), cum + n)
+            else (acc, cum + n)
+        }
+        assert(got.sortBy(_._3).toSeq == expect)
+      }
+    }
+  }
 }
