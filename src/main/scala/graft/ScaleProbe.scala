@@ -75,9 +75,8 @@ object ScaleProbe {
       time("neardup_ivfpq_auto") {
         Similarity.ivfPQNearDupPairs(emb, 0.45, nprobe = 3).count() },
       time("cluster_assign_raw") {
-        Similarity.assignClusters(emb,
-          Array.tabulate(4, 64)((j, d) => (((d + j * 5) % 9) - 4) * 0.25))
-          .count() },
+        // the SAME frozen codebook the oracled sim_cluster_assign pins
+        Similarity.assignClusters(emb, SparkEntry.ClusterCentroids).count() },
       time("token_budget_raw") {
         graft.operators.Sampling
           .tokenBudgetSelect(docs, budget = nDocs * 20).count() })

@@ -218,7 +218,7 @@ object SparkEntry {
     * kernel's rank-key arithmetic (`‖c‖² − 2·v·c`, dot in element order)
     * bit-for-bit — one source of truth for the query AND the SQL.
     */
-  private val ClusterCentroids: Array[Array[Double]] =
+  private[graft] val ClusterCentroids: Array[Array[Double]] =
     Array.tabulate(4, 64)((j, d) => (((d + j * 5) % 9) - 4) * 0.25)
 
   private def clusterAssignSql: String = {
@@ -2373,12 +2373,16 @@ object SparkEntry {
       // nanos fixtures read as epoch-nano LONGs (nanosAsLong), micros as
       // TIMESTAMP — integer day math either way (ns magnitudes exceed
       // double precision, so never a float division)
+      // FLOOR division via pmod, not `div` (truncation): the oracle's
+      // `//` floors, and the two disagree on pre-1970 timestamps
       val dayExpr = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          expr("ts div 86400000000000")
+          expr("(ts - pmod(ts, 86400000000000)) div 86400000000000")
         // NTZ → TIMESTAMP is a same-wall-clock relabel under the UTC
         // session tz, matching DuckDB's epoch math on naive timestamps
-        case _ => expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        case _ => expr("""(unix_micros(cast(ts as timestamp))
+            - pmod(unix_micros(cast(ts as timestamp)), 86400000000))
+            div 86400000000""")
       }
       val days = ev.select(col("user_id"), dayExpr.as("day"))
       val first = days.groupBy("user_id").agg(min("day").as("cohort"))

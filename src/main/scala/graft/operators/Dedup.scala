@@ -212,21 +212,24 @@ object Dedup {
       b.select(lit(name).as("bench"),
         explode(gramHashes(col(textCol), n)).as("gram")).distinct()
     }.reduce(_ unionByName _)
-    val nCorpus = corpus.select(col(idCol)).distinct().count()
     val hits = corpus
       .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
-      .select(col("bench"), col(idCol)).distinct()
       .groupBy(col("bench"))
       .agg(countDistinct(col(idCol)).as("n_contaminated"))
-    // every registered benchmark reports, zero-contamination included
+    // every registered benchmark reports, zero-contamination included;
+    // the corpus size rides as a LAZY one-row cross join (no eager count
+    // at construction time — building the report must stay plan-only)
     import corpus.sparkSession.implicits._
     benchmarks.map(_._1).toDF("bench")
       .join(hits, Seq("bench"), "left")
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
       .select(col("bench"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        lit(nCorpus).as("n_corpus"),
-        (coalesce(col("n_contaminated"), lit(0L)).cast("double") / nCorpus)
+        col("n_corpus"),
+        when(col("n_corpus") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_corpus"))
           .as("frac"))
   }
 

@@ -700,14 +700,6 @@ object TextOps {
       .limit(k)
   }
 
-  /** The standard web-corpus cleaning chain, row-local and fully
-    * codegen'd: strip markup tags (`<...>` → space), Unicode-NFC
-    * normalize (compiled [[graft.functions.NfcNormalize]] kernel with an
-    * already-normalized fast path), collapse whitespace runs to single
-    * spaces, trim. Each step is deterministic and reproducible in any
-    * engine (DuckDB: `regexp_replace(..., 'g')` + `nfc_normalize`), so
-    * cleaned TEXT hash-matches, not just counts.
-    */
   /** Corpus-level LINE deduplication (the RefinedWeb/CCNet boilerplate
     * pass): a non-blank line appearing in ≥ `minDocs` DISTINCT documents
     * is boilerplate (nav bars, cookie banners, license headers) and is
@@ -753,6 +745,14 @@ object TextOps {
           .as("n_lines_removed"))
   }
 
+  /** The standard web-corpus cleaning chain, row-local and fully
+    * codegen'd: strip markup tags (`<...>` → space), Unicode-NFC
+    * normalize (compiled [[graft.functions.NfcNormalize]] kernel with an
+    * already-normalized fast path), collapse whitespace runs to single
+    * spaces, trim. Each step is deterministic and reproducible in any
+    * engine (DuckDB: `regexp_replace(..., 'g')` + `nfc_normalize`), so
+    * cleaned TEXT hash-matches, not just counts.
+    */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
       graft.functions.vec.nfc(regexp_replace(text, "<[^>]*>", " ")),

@@ -463,7 +463,9 @@ class PropertySpec extends AnyFunSuite {
             if (cum < budget) (acc :+ ((id, n, cum + n)), cum + n)
             else (acc, cum + n)
         }
-        assert(got.sortBy(_._3).toSeq == expect)
+        // set compare: rows with equal cum (zero-token docs) have no
+        // defined output order, so a sort on cum alone would be flaky
+        assert(got.toSet == expect.toSet)
       }
     }
   }
