@@ -45,6 +45,10 @@ object GraftFunctions {
       signed = if (es.length > 2) litBool(es(2), "abi_nested_word_tail_array")
         else false)),
     "cms_estimate" -> (es => CmsEstimate(es(0), es(1))),
+    "nfc_normalize" -> (es => NfcNormalize(es.head)),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
+    "term_tf" -> (es => TermTf(es.head,
+      litStringSeq(es(1), "term_tf"))),
     "abi_dyn_tail_array" -> (es => DynTailArray(es.head,
       litInt(es(1), "abi_dyn_tail_array"),
       asString = litBool(es(2), "abi_dyn_tail_array"),
@@ -67,6 +71,17 @@ object GraftFunctions {
       case l: Long => l
       case other => throw new IllegalArgumentException(
         s"$fn: expected integer literal, got $other")
+    }
+  }
+
+  private def litStringSeq(e: Expression, fn: String): Seq[String] = {
+    require(e.foldable, s"$fn: the term-list argument must be a literal array")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(String.valueOf).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array<string> literal, got $other")
     }
   }
 

@@ -169,6 +169,15 @@ class SessionSpec extends AnyFunSuite {
     assert(r.getInt(7) == 42)
     assert(r.getBoolean(8)) // high-bit garbage word is still nonzero
     assert(r.getString(9) == "hi") // [head][n=1][off=0x20][len=2]["hi"]
+
+    val r2 = spark.sql(
+      // the decomposed 'e' + U+0301 rides as raw UTF-8 in the literal
+      // (Spark's chr() is ASCII-only, so it can't build it in-SQL)
+      s"""SELECT
+           nfc_normalize('é') AS nfc,
+           term_tf('The cat and THE dog', array('the', 'dog')) AS tf""").head()
+    assert(r2.getString(0) == "é") // e + combining acute → é
+    assert(r2.getSeq[Long](1) == Seq(5L, 2L, 1L)) // dl, tf(the), tf(dog)
   }
 
   test("sequencePattern: k-event runs counted per block") {
