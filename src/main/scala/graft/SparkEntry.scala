@@ -2833,11 +2833,15 @@ object SparkEntry {
     * every oracle that scores quality inline).
     */
   private val QualitySql =
-    """0.4 * least(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0, 1.0)
+    """CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0
+            OR len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) = 0
+       THEN 0.0 ELSE
+       0.4 * least(CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) / 100.0, 1.0)
        + 0.3 * (1.0 - CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'), x -> regexp_full_match(x, '[^a-z0-9]'))) AS DOUBLE)
            / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS DOUBLE))
        + 0.3 * least((CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-           / CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE)) * 4.0, 1.0)"""
+           / CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE)) * 4.0, 1.0)
+       END"""
 
   /** Shared oracle fragments: per-language stopword vote columns over
     * documents and the first-wins argmax (mirror TextOps.langId).
@@ -3766,11 +3770,12 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            least(n_ws / 100.0, 1.0) AS len_score,
-           n_punct / n_bpe AS punct_ratio,
-           n_stop / n_ws AS stop_ratio,
-           n_chars / n_ws AS mean_token_len,
-           0.4 * least(n_ws / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_bpe)
-             + 0.3 * least((n_stop / n_ws) * 4.0, 1.0) AS quality
+           CASE WHEN n_bpe = 0 THEN 0.0 ELSE n_punct / n_bpe END AS punct_ratio,
+           CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop / n_ws END AS stop_ratio,
+           CASE WHEN n_ws = 0 THEN 0.0 ELSE n_chars / n_ws END AS mean_token_len,
+           CASE WHEN n_ws = 0 OR n_bpe = 0 THEN 0.0 ELSE
+             0.4 * least(n_ws / 100.0, 1.0) + 0.3 * (1.0 - n_punct / n_bpe)
+               + 0.3 * least((n_stop / n_ws) * 4.0, 1.0) END AS quality
          FROM t""",
 
     "q_asof_join" ->

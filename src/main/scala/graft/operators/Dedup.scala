@@ -387,7 +387,15 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    df.select(
+    // gramless docs (< n tokens) never enter the index: their signature
+    // would be the CONSTANT empty-min vector, aliasing every short doc
+    // into one identical signature (est_jaccard 1.0 false positives) and
+    // one shared band bucket (quadratic bucket join) — the same aliasing
+    // the string-shingle path documents avoiding. Exact n-gram Jaccard
+    // has no pairs for empty gram sets, so exclusion is the correct
+    // semantics, not an approximation.
+    df.filter(size(gramHashes(col(textCol), n)) > 0)
+      .select(
         col(idCol).as("doc_id"),
         minHashSignature(col(textCol), n, numHashes).as("sig"))
       .select(col("doc_id"), col("sig"),

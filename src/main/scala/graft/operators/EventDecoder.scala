@@ -32,6 +32,15 @@ object EventDecoder {
   private def word(bin: Column, i: Int): Column =
     substring(bin, i * 32 + 1, 32)
 
+  /** Offset/length word → int, NULL (never throw) past Int.MaxValue.
+    * A bare `.cast("int")` only nulls the 2^31..10^38 window under
+    * LEGACY mode — Spark 4 defaults to ANSI, where it would abort the
+    * whole decode job on one corrupt word, violating the
+    * nullable-on-mismatch contract.
+    */
+  private def intWord(c: Column): Column =
+    when(c.between(0, Int.MaxValue), c.cast("int"))
+
   /** Decode one static value of canonical type `t` from a 32-byte word. */
   private def decodeStaticType(t: String, w: Column): Column = t match {
     case "address"           => substring(w, 13, 20)
@@ -152,11 +161,11 @@ object EventDecoder {
         // head or length word outside the blob → null array; a garbage
         // claimed count is clamped to what the blob holds (sequence
         // throws past ~2^31 elements, smaller garbage OOMs/emits junk)
-        val off = abi.u256(word(data, headIdx)).cast("int")
+        val off = intWord(abi.u256(word(data, headIdx)))
         val headOk = length(data) >= lit((headIdx + 1) * 32) &&
           off + lit(32) <= length(data)
         val len = least(
-          abi.u256(substring(data, off + 1, lit(32))).cast("int"),
+          intWord(abi.u256(substring(data, off + 1, lit(32)))),
           greatest(((length(data) - off - lit(32)) / 32).cast("int"), lit(0)))
         val sparkElemT = graft.model.EventSchema.sparkTypeOf(elemT)
         // sequence(0, -1) yields [0, -1] (descending step) — guard n = 0
@@ -169,8 +178,8 @@ object EventDecoder {
               org.apache.spark.sql.types.ArrayType(sparkElemT))))
       }
     } else {
-      val off = abi.u256(word(data, headIdx)).cast("int")
-      val len = abi.u256(substring(data, off + 1, lit(32))).cast("int")
+      val off = intWord(abi.u256(word(data, headIdx)))
+      val len = intWord(abi.u256(substring(data, off + 1, lit(32))))
       val payload = substring(data, off + 33, len)
       if (t == "string") payload.cast("string") else payload
     }
@@ -194,7 +203,7 @@ object EventDecoder {
   private def decodeDynamicTuple(comps: Seq[(String, Option[String])],
       data: Column, headIdx: Int): Column = {
     val k = comps.size
-    val off = abi.u256(word(data, headIdx)).cast("int")
+    val off = intWord(abi.u256(word(data, headIdx)))
     val headOk = length(data) >= lit((headIdx + 1) * 32) &&
       off.isNotNull && off + lit(32 * k) <= length(data)
     val st = struct(comps.zipWithIndex.map { case ((t0, nm), i) =>
@@ -202,9 +211,9 @@ object EventDecoder {
       val slot = substring(data, off + lit(i * 32) + 1, lit(32))
       val c =
         if (t == "string" || t == "bytes") {
-          val rel = abi.u256(slot).cast("int")
+          val rel = intWord(abi.u256(slot))
           val relOk = rel.isNotNull && off + rel + lit(32) <= length(data)
-          val len = abi.u256(substring(data, off + rel + 1, lit(32))).cast("int")
+          val len = intWord(abi.u256(substring(data, off + rel + 1, lit(32))))
           // payload clamps to the blob (substring stops at the end);
           // a malformed offset or length word nulls the component
           val payload = substring(data, off + rel + 33, len)

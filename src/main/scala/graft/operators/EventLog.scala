@@ -280,16 +280,39 @@ object EventLog {
     * truncates toward zero in Spark but floors in some engines
     * (DuckDB `//`), and the two only agree on non-negatives.
     */
-  def slidingWindow(df: DataFrame, from: Long, size: Long, slide: Long): DataFrame = {
+  /** Shared window-coverage explosion for the sliding-window family:
+    * block b (relative: q·slide + r) is covered by windows q−j for
+    * j = 0..min(q, (size−1−r) div slide); r > size−1 ⇔ in a gap (only
+    * possible when slide > size). Non-negative index arithmetic only
+    * (DIV truncation vs floor agree solely on non-negatives) — one
+    * implementation so [[slidingWindow]] and [[regexPatternWindow]] can
+    * never diverge on the coverage math.
+    */
+  private def explodeToSlidingWindows(df: DataFrame, from: Long,
+      size: Long, slide: Long): DataFrame = {
     require(size >= 1 && slide >= 1)
-    // block b (relative: q·slide + r) is covered by windows q−j for
-    // j = 0..min(q, (size−1−r) div slide); r > size−1 ⇔ in a gap
-    // (only possible when slide > size)
     val q = expr(s"(block_number - $from) DIV $slide")
     val r = expr(s"(block_number - $from) % $slide")
     val jmax = expr(s"($size - 1 - ((block_number - $from) % $slide)) DIV $slide")
     df.filter(col("block_number") >= from && r <= size - 1)
       .withColumn("window_id", explode(sequence(q - least(q, jmax), q)))
+  }
+
+  /** Per-block first-letter sequence string in the given total order —
+    * the shared aggregation of the regex matchers ([[regexPattern]],
+    * [[regexPatternWindow]]): events concatenate to one char each inside
+    * a bounded group, never a corpus-wide sort.
+    */
+  private def seqStringAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      orderCols: Seq[String]): DataFrame =
+    grouped.agg(concat_ws("",
+      transform(
+        array_sort(collect_list(struct(
+          orderCols.map(col) :+ substring(col("event_type"), 1, 1).as("c"): _*))),
+        x => x.getField("c"))).as("__seq"))
+
+  def slidingWindow(df: DataFrame, from: Long, size: Long, slide: Long): DataFrame = {
+    explodeToSlidingWindows(df, from, size, slide)
       .groupBy(col("window_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -422,14 +445,10 @@ object EventLog {
     * — each row sees the head of its own suffix — which stays inside
     * whole-stage codegen instead of materializing N² suffixes.
     */
-  def adjacentPattern(df: DataFrame, first: String, second: String): DataFrame = {
-    val w = Window.partitionBy(col("block_number"))
-      .orderBy(col("log_index"), col("event_id"))
-    df.withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("event_type") === first && col("next_type") === second)
-      .groupBy(col("block_number"))
-      .agg(count(lit(1)).as("n_matches"))
-  }
+  def adjacentPattern(df: DataFrame, first: String, second: String): DataFrame =
+    // the 2-element case of the generalized matcher — one window
+    // implementation, so the order key can never silently diverge
+    sequencePattern(df, Seq(first, second))
 
   /** A2 generalized — k-event consecutive sequence pattern: count, per
     * block, the positions whose next k−1 events (in intra-block order)
@@ -465,12 +484,7 @@ object EventLog {
     */
   def regexPattern(df: DataFrame, pattern: String,
       orderCols: Seq[String] = Seq("log_index", "event_id")): DataFrame =
-    df.groupBy(col("block_number"))
-      .agg(concat_ws("",
-        transform(
-          array_sort(collect_list(struct(
-            orderCols.map(col) :+ substring(col("event_type"), 1, 1).as("c"): _*))),
-          x => x.getField("c"))).as("__seq"))
+    seqStringAgg(df.groupBy(col("block_number")), orderCols)
       .select(col("block_number"),
         regexp_count(col("__seq"), lit(pattern)).cast("bigint").as("n_matches"))
       .filter(col("n_matches") > 0)
@@ -490,21 +504,10 @@ object EventLog {
   def regexPatternWindow(df: DataFrame, pattern: String, from: Long,
       size: Long, slide: Long,
       orderCols: Seq[String] = Seq("log_index", "event_id")): DataFrame = {
-    require(size >= 1 && slide >= 1)
-    // identical non-negative index arithmetic to slidingWindow (DIV
-    // truncation vs floor only agrees on non-negatives)
-    val q = expr(s"(block_number - $from) DIV $slide")
-    val r = expr(s"(block_number - $from) % $slide")
-    val jmax = expr(s"($size - 1 - ((block_number - $from) % $slide)) DIV $slide")
-    df.filter(col("block_number") >= from && r <= size - 1)
-      .withColumn("window_id", explode(sequence(q - least(q, jmax), q)))
-      .groupBy(col("window_id"))
-      .agg(concat_ws("",
-        transform(
-          array_sort(collect_list(struct(
-            (col("block_number") +: orderCols.map(col)) :+
-              substring(col("event_type"), 1, 1).as("c"): _*))),
-          x => x.getField("c"))).as("__seq"))
+    seqStringAgg(
+        explodeToSlidingWindows(df, from, size, slide)
+          .groupBy(col("window_id")),
+        "block_number" +: orderCols)
       .select(col("window_id"),
         regexp_count(col("__seq"), lit(pattern)).cast("bigint").as("n_matches"))
       .filter(col("n_matches") > 0)

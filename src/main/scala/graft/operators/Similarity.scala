@@ -701,8 +701,13 @@ object Similarity {
         col("qr").getField("scale").as("qscale"))
       .withColumn("cdot",
         vec.dotCodes(element_at(centLit, col("list") + 1), col("codes")))
-    val a = indexed.as("a")
-    val b = indexed.as("b")
+      // materialize once: the self-join would otherwise re-run the whole
+      // PQ encode pipeline (centroid explode + residual quant + code dot)
+      // per join side — same persist contract as the banded/exploded
+      // sides in minHashLshPairs / cosineNearDupPairs / ivfNearDupPairs
+    val indexedP = graft.CacheScope.persist(indexed)
+    val a = indexedP.as("a")
+    val b = indexedP.as("b")
     val approxDot =
       element_at(cNorm2, col("a.list") + 1) +
         col("a.qscale") * col("a.cdot") + col("b.qscale") * col("b.cdot") +

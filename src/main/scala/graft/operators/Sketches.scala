@@ -61,14 +61,6 @@ object Sketches {
       .withColumn("n_rows", lit(row.getAs[Long]("n_rows")))
   }
 
-  /** Keys whose sketched count clears `minCount`, verified exactly in a
-    * second pass over only the surviving candidates — the classic
-    * sketch-then-verify heavy-hitter shape. `candidates` defaults to the
-    * distinct keys of `df` (exact mode); pass a pre-thinned candidate
-    * set (e.g. per-partition top-k) to keep the probe sub-linear at
-    * scale. Because count-min never undercounts, the sketch pass has NO
-    * false negatives: the verify pass only discards, never misses.
-    */
   /** One-pass column profiling (the ANALYZE-style summary a pipeline
     * runs before planning dedup/mixing over an unknown table): per
     * column, row/non-null/distinct counts and typed min/max — numeric
@@ -80,30 +72,9 @@ object Sketches {
     * the 1-row result — no per-column scans.
     */
   def profile(df: DataFrame, numericCols: Seq[String],
-      stringCols: Seq[String]): DataFrame = {
-    val cols = numericCols.map((_, true)) ++ stringCols.map((_, false))
-    require(cols.nonEmpty, "profile: no columns given")
-    val aggs = cols.flatMap { case (c, isNum) =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd")) ++
-        (if (isNum) Seq(min(col(c)).cast("double").as(s"${c}__min"),
-          max(col(c)).cast("double").as(s"${c}__max"))
-        else Seq(min(col(c)).as(s"${c}__smin"),
-          max(col(c)).as(s"${c}__smax")))
-    }
-    val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stacks = cols.map { case (c, isNum) =>
-      if (isNum)
-        s"'$c', __n, `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`, " +
-          "CAST(NULL AS STRING), CAST(NULL AS STRING)"
-      else
-        s"'$c', __n, `${c}__nn`, `${c}__nd`, CAST(NULL AS DOUBLE), " +
-          s"CAST(NULL AS DOUBLE), `${c}__smin`, `${c}__smax`"
-    }.mkString(", ")
-    agged.selectExpr(s"stack(${cols.size}, $stacks) AS " +
-      "(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, " +
-      "min_str, max_str)")
-  }
+      stringCols: Seq[String]): DataFrame =
+    profileWith(df, numericCols, stringCols, "profile",
+      c => countDistinct(col(c)))
 
   /** The 100 TB tier of [[profile]]: identical output shape except
     * `n_distinct` is `approx_count_distinct` (HLL++, default rsd 5%).
@@ -115,12 +86,22 @@ object Sketches {
     * like every approximate operator in the engine.
     */
   def profileApprox(df: DataFrame, numericCols: Seq[String],
-      stringCols: Seq[String], rsd: Double = 0.05): DataFrame = {
+      stringCols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, numericCols, stringCols, "profileApprox",
+      c => approx_count_distinct(col(c), rsd))
+
+  /** The one profiling implementation: exact and approximate tiers
+    * differ ONLY in the distinct-count aggregate, so the output shape
+    * can never diverge between them.
+    */
+  private def profileWith(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String], name: String,
+      distinctAgg: String => Column): DataFrame = {
     val cols = numericCols.map((_, true)) ++ stringCols.map((_, false))
-    require(cols.nonEmpty, "profileApprox: no columns given")
+    require(cols.nonEmpty, s"$name: no columns given")
     val aggs = cols.flatMap { case (c, isNum) =>
       Seq(count(col(c)).as(s"${c}__nn"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__nd")) ++
+        distinctAgg(c).as(s"${c}__nd")) ++
         (if (isNum) Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"))
         else Seq(min(col(c)).as(s"${c}__smin"),
@@ -140,6 +121,14 @@ object Sketches {
       "min_str, max_str)")
   }
 
+  /** Keys whose sketched count clears `minCount`, verified exactly in a
+    * second pass over only the surviving candidates — the classic
+    * sketch-then-verify heavy-hitter shape. `candidates` defaults to the
+    * distinct keys of `df` (exact mode); pass a pre-thinned candidate
+    * set (e.g. per-partition top-k) to keep the probe sub-linear at
+    * scale. Because count-min never undercounts, the sketch pass has NO
+    * false negatives: the verify pass only discards, never misses.
+    */
   def heavyHitters(df: DataFrame, key: Column, minCount: Long,
       candidates: Option[DataFrame] = None,
       maxBroadcastKeys: Long = 1L << 22): DataFrame = {

@@ -85,9 +85,14 @@ object TextOps {
     * fixed expression order so the IEEE result is engine-reproducible.
     */
   private def qualityExpr: Column =
-    lit(0.4) * least(col("n_ws") / lit(100.0), lit(1.0)) +
-      lit(0.3) * (lit(1.0) - col("n_punct") / col("n_bpe")) +
-      lit(0.3) * least((col("n_stop") / col("n_ws")) * lit(4.0), lit(1.0))
+    // token-less docs score a defined 0.0, not NaN: 0/0 would otherwise
+    // sort ABOVE every real score (NaN orders last ascending) and land
+    // empty docs in the top curriculum bin while a `quality >= t` filter
+    // silently dropped them — two inconsistent fates for the same doc
+    when(col("n_ws") === 0.0 || col("n_bpe") === 0.0, lit(0.0)).otherwise(
+      lit(0.4) * least(col("n_ws") / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - col("n_punct") / col("n_bpe")) +
+        lit(0.3) * least((col("n_stop") / col("n_ws")) * lit(4.0), lit(1.0)))
 
   /** Quality scoring: length/punctuation/stopword components folded into a
     * composite in a fixed expression order so the IEEE result is
@@ -108,9 +113,12 @@ object TextOps {
       .select(
         col(idCol),
         least(col("n_ws") / lit(100.0), lit(1.0)).as("len_score"),
-        (col("n_punct") / col("n_bpe")).as("punct_ratio"),
-        (col("n_stop") / col("n_ws")).as("stop_ratio"),
-        (col("n_chars") / col("n_ws")).as("mean_token_len"),
+        when(col("n_bpe") === 0.0, lit(0.0))
+          .otherwise(col("n_punct") / col("n_bpe")).as("punct_ratio"),
+        when(col("n_ws") === 0.0, lit(0.0))
+          .otherwise(col("n_stop") / col("n_ws")).as("stop_ratio"),
+        when(col("n_ws") === 0.0, lit(0.0))
+          .otherwise(col("n_chars") / col("n_ws")).as("mean_token_len"),
         qualityExpr.as("quality"))
   }
 
@@ -727,7 +735,12 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("line"))
-    val rebuilt = lines.join(hot.hint("broadcast"), Seq("line"), "left_anti")
+    // no forced broadcast: on a web-scale corpus the >= minDocs line set
+    // (nav bars, license headers) can run to hundreds of millions — let
+    // AQE pick broadcast when the measured hot set actually fits, and
+    // fall back to the line-keyed shuffle join when it doesn't (the
+    // heavyHitters lesson: a hint removes Spark's ability to say no)
+    val rebuilt = lines.join(hot, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(

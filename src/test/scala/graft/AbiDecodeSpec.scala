@@ -204,6 +204,25 @@ class AbiDecodeSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(outA(1L) == 1) // claimed 2^31-1 elements, blob holds 1
     assert(outA(2L) == -1) // head offset outside the blob → null array
+
+    // the 2^31..10^38 window: a word that FITS Decimal(38,0) but
+    // overflows int must null, not throw — under Spark 4's ANSI default
+    // a bare cast aborts the whole job on one corrupt word (regression:
+    // intWord range guard)
+    val schemaS = EventSchema.parse("BadS(string s)")
+    val rawS = Seq(
+      (1L, schemaS.topic0, word("100000000")), // offset 2^32
+      (2L, schemaS.topic0,
+        word("20") ++ word("100000000") ++ word("2a"))) // len 2^32
+      .toDF("block_number", "topic0", "data")
+      .withColumn("topic1", lit(null).cast("binary"))
+      .withColumn("topic2", lit(null).cast("binary"))
+      .withColumn("topic3", lit(null).cast("binary"))
+    val outS = EventDecoder.decode(rawS, schemaS)
+      .select($"block_number", $"s").as[(Long, Option[String])]
+      .collect().toMap
+    assert(outS(1L).isEmpty)
+    assert(outS(2L).isEmpty)
   }
 
   test("bool[] tails decode through the slice kernel: nonzero word → true") {

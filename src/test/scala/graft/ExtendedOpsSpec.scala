@@ -144,6 +144,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(dropped == Set(1L, 3L))
   }
 
+  test("minHash banding excludes gramless docs (regression: constant-signature aliasing)") {
+    // two UNRELATED sub-n-token docs: without the gram guard both got
+    // the constant empty-min signature => est_jaccard 1.0 false pair
+    val docs = Seq(
+      (1L, "hello world"), (2L, "foo bar"),
+      (3L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, n = 3, numHashes = 16, bands = 8,
+        minJaccard = 0.3, storage = None)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((1L, 2L)), "gramless docs must never pair")
+    assert(pairs.contains((3L, 4L)), "real near-dups still found")
+    // and a short benchmark doc must not poison fuzzy decontamination
+    val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    assert(Dedup.contaminatedIdsFuzzy(docs, bench, n = 3,
+      numHashes = 16, bands = 8, minJaccard = 0.3).count() == 0)
+  }
+
   test("contaminationReport: one pass, per-bench counts, zero-hit bench still reports") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
@@ -249,6 +267,22 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .select("punct_ratio", "stop_ratio").as[(Double, Double)].collect().head
     assert(q._1 == 2.0 / 6.0)
     assert(q._2 == 1.0 / 4.0) // "the" after lowercasing
+
+    // token-less docs: defined 0.0 everywhere, never NaN (regression:
+    // 0/0 NaN sorted empty docs into the TOP curriculum-quality bin)
+    val empty = Seq((1L, ""), (2L, "   \t "), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val eq = TextOps.qualityScore(empty)
+      .select("doc_id", "punct_ratio", "stop_ratio", "mean_token_len", "quality")
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(eq(1L).forall(v => !v.isNaN) && eq(1L).forall(_ == 0.0))
+    assert(eq(2L).forall(v => !v.isNaN) && eq(2L).forall(_ == 0.0))
+    assert(eq(3L).last > 0.0)
+    val lq = TextOps.langQuality(empty).filter($"doc_id" === 1L)
+      .select("quality").as[Double].collect().head
+    assert(lq == 0.0)
   }
 
   test("langid votes for the list with most stopword hits") {
