@@ -20,6 +20,9 @@ object AbiRuntime {
     * for the width tradeoff).
     */
   def u256ToDecimal(bytes: Array[Byte]): Decimal = {
+    // empty slice (truncated blob) nulls like the signed twin — a
+    // fabricated 0 is a plausible-looking WRONG amount
+    if (bytes.length == 0) return null
     val bi = new java.math.BigInteger(1, bytes)
     val d = Decimal(scala.math.BigDecimal(bi))
     if (d.changePrecision(38, 0)) d else null
@@ -33,6 +36,7 @@ object AbiRuntime {
     */
   def u256ToDecimal(bytes: Array[Byte], scale: Int): Decimal = {
     if (scale == 0) return u256ToDecimal(bytes)
+    if (bytes.length == 0) return null
     val bi = new java.math.BigInteger(1, bytes)
     val d = Decimal(scala.math.BigDecimal(new java.math.BigDecimal(bi, scale)))
     if (d.changePrecision(38, scale)) d else null
@@ -130,16 +134,7 @@ object AbiRuntime {
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val start = off + 32 + i * 32
-      out(i) = kind match {
-        case 0 => java.util.Arrays.copyOfRange(data, start + 12, start + 32)
-        case 1 => java.util.Arrays.copyOfRange(data, start, start + 32)
-        case 2 =>
-          var nz = false
-          var j = start
-          while (j < start + 32 && !nz) { nz = data(j) != 0; j += 1 }
-          nz
-      }
+      out(i) = staticAt(data, off + 32 + i * 32, kind)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -215,20 +210,9 @@ object AbiRuntime {
       val fields = new Array[Any](k)
       var j = 0
       while (j < k) {
-        val start = off + 32 + (i * k + j) * 32
-        fields(j) = kinds(j) match {
-          case 0 => java.util.Arrays.copyOfRange(data, start + 12, start + 32)
-          case 1 => java.util.Arrays.copyOfRange(data, start, start + 32)
-          case 2 =>
-            var nz = false
-            var b = start
-            while (b < start + 32 && !nz) { nz = data(b) != 0; b += 1 }
-            nz
-          case 3 => u256ToDecimal(
-            java.util.Arrays.copyOfRange(data, start, start + 32))
-          case _ => i256ToDecimal(
-            java.util.Arrays.copyOfRange(data, start, start + 32))
-        }
+        // ONE word-decode implementation (staticAt) for scalar, slice,
+        // and tuple paths — the kinds must never diverge
+        fields(j) = staticAt(data, off + 32 + (i * k + j) * 32, kinds(j))
         j += 1
       }
       out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
@@ -252,8 +236,13 @@ object AbiRuntime {
     val off = offsetWord(data, headIdx * 32L)
     if (off < 0) return null
     val (base, n0) =
-      if (fixedK >= 0) (off.toLong, fixedK)
-      else {
+      if (fixedK >= 0) {
+        // the k offset words must start inside the blob: a tail offset
+        // past the end is a malformed payload (null ARRAY, matching the
+        // dynamic path's length-word bounds check), not an empty array
+        if (fixedK > 0 && off.toLong + 32L > data.length) return null
+        (off.toLong, fixedK)
+      } else {
         val n = offsetWord(data, off.toLong)
         if (n < 0) return null
         (off + 32L, n)

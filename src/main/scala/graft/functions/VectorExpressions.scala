@@ -59,6 +59,17 @@ object VectorRuntime {
     out
   }
 
+  /** splitmix64 finalizer — THE mixing step every hash-equivalence in
+    * this file depends on staying bit-identical across kernels
+    * (minhash slots, word-gram hashes, char-gram hashes).
+    */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** MinHash signature of pre-hashed shingles: slot i keeps the min over
     * grams of `mix(h, i)` (splitmix64 finalizer — one multiplicative hash
     * per slot, no string re-hashing).
@@ -71,10 +82,7 @@ object VectorRuntime {
       val h = hashes.getLong(i)
       var s = 0
       while (s < numHashes) {
-        var z = h + 0x9e3779b97f4a7c15L * (s + 1)
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^= z >>> 31
+        val z = mix64(h + 0x9e3779b97f4a7c15L * (s + 1))
         if (z < sig(s)) sig(s) = z
         s += 1
       }
@@ -109,10 +117,7 @@ object VectorRuntime {
         h = h * 0x100000001b3L + tokenHashes.getLong(i + j)
         j += 1
       }
-      var z = h
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= z >>> 31
+      val z = mix64(h)
       if (seen == null || seen.add(z)) { out(k) = z; k += 1 }
       i += 1
     }
@@ -154,11 +159,7 @@ object VectorRuntime {
         h = h * 0x100000001b3L + cps(p + j)
         j += 1
       }
-      var z = h
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= z >>> 31
-      out(p) = z
+      out(p) = mix64(h)
       p += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -385,9 +386,15 @@ object VectorRuntime {
     acc
   }
 
-  /** Count of equal slots between two signatures (Jaccard estimator). */
+  /** Count of equal slots between two signatures (Jaccard estimator).
+    * Widths must match — comparing a persisted 64-hash signature against
+    * a 128-hash one would silently halve the estimate if we compared the
+    * common prefix (the same loud contract as [[dot]]/[[codesDot]]).
+    */
   def sigAgreement(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"sig_agreement: signature width mismatch $n vs ${b.numElements()}")
     var eq = 0
     var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
@@ -485,6 +492,10 @@ case class VectorDot(left: Expression, right: Expression)
   */
 case class QuantResidual(left: Expression, right: Expression, levels: Int)
     extends BinaryExpression {
+  // int8 codes: past 127 the byte wraps and sign-flips every downstream
+  // dot — a loud argument error, not silently corrupted similarities
+  require(levels >= 1 && levels <= 127,
+    s"quant_residual: levels must be in [1, 127], got $levels")
   private def isFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _)  => true
     case ArrayType(DoubleType, _) => false
@@ -575,6 +586,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** `minhash_sig(array<long>, n) → array<long>` over pre-hashed shingles. */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
+  require(numHashes >= 1, s"minhash_sig: numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
@@ -594,6 +606,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   */
 case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
+  require(n >= 1, s"ngram_hashes: n must be >= 1, got $n") // CharNgramHashes contract
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"
 
@@ -713,6 +726,8 @@ case class WinnowHashes(child: Expression, w: Int) extends UnaryExpression {
   * — symmetric int-quantization round-trip error in one compiled pass.
   */
 case class QuantStats(child: Expression, levels: Int) extends UnaryExpression {
+  require(levels >= 1 && levels <= 127,
+    s"quant_stats: levels must be in [1, 127], got $levels")
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _)  => true
     case ArrayType(DoubleType, _) => false
@@ -835,6 +850,12 @@ final class NearestCentroidsKernel(centroids: Array[Array[Double]],
   private val cn2: Array[Double] = centroids.map(_.map(x => x * x).sum)
 
   def apply(v: ArrayData): ArrayData = {
+    // a mismatched vector must fail loudly: on UnsafeArrayData an
+    // out-of-range getFloat is an unchecked memory read, so a short
+    // vector would silently dot garbage into an arbitrary cluster (the
+    // same contract dot()/codesDot() already enforce)
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"nearest_centroids: vector dim ${v.numElements()} vs centroid dim $dim")
     val k = math.min(n, nlist)
     val dist = new Array[Double](k)
     val idx = new Array[Int](k)

@@ -320,7 +320,11 @@ object TextOps {
     // the index is built ONCE and amortized across many queries or the
     // term set outgrows per-row HOF evaluation — for ad-hoc top-k it
     // cost 4 shuffles and, at the 100× tier, 56 s vs ~2 s for the scan.
-    val terms = queryTerms.distinct.sorted
+    // lowercase BEFORE distinct/sort: the kernel tokenizes the
+    // LOWERCASED corpus, so an uppercase query term would silently
+    // match nothing
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct.sorted
     val tfCol = terms.indices.map(i => col(s"__tf_$i"))
     // dl + every tf from ONE compiled pass over the text (the fused
     // TermTf kernel) — an array-HOF formulation re-runs the tokenizer

@@ -58,9 +58,9 @@ object GraftFunctions {
     require(e.foldable, s"$fn: the count argument must be a literal")
     e.eval() match {
       case i: Int  => i
-      case l: Long => l.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: expected integer literal, got $other")
+        s"$fn: expected int-range integer literal, got $other")
     }
   }
 
@@ -78,8 +78,12 @@ object GraftFunctions {
     require(e.foldable, s"$fn: the term-list argument must be a literal array")
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(String.valueOf).toSeq
+        a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map {
+          // String.valueOf(null) would fabricate the term "null"
+          case null => throw new IllegalArgumentException(
+            s"$fn: term list must not contain NULL elements")
+          case s => s.toString
+        }
       case other => throw new IllegalArgumentException(
         s"$fn: expected array<string> literal, got $other")
     }

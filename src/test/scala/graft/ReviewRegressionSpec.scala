@@ -148,6 +148,26 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("kernel guard rails: sig width, vector dim, empty u256, bm25 term case") {
+    // mismatched signature widths fail loudly (silent prefix-compare
+    // halved est_jaccard for mixed-width persisted indexes)
+    val sigs = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    intercept[Exception](sigs.select(vec.sigAgreement($"a", $"b")).collect())
+    // nearest-centroids rejects a wrong-dim vector (unchecked unsafe
+    // read would dot garbage into an arbitrary cluster)
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    intercept[Exception](vecs.select(
+      vec.nearestCentroids($"v", Array(Array(1.0, 0.0, 0.0)), 1)).collect())
+    // empty word (truncated blob) nulls, never a fabricated 0 amount
+    val w = Seq(Tuple1(Array.emptyByteArray)).toDF("w")
+    assert(w.select(graft.functions.abi.u256($"w")).head().isNullAt(0))
+    // uppercase query terms match the lowercased corpus
+    val docs = Seq((1L, "Hello world hello")).toDF("doc_id", "text")
+    val hit = graft.operators.TextOps.bm25TopK(docs, Seq("HELLO"), k = 1,
+      storage = None)
+    assert(hit.select("tf_sum").as[Long].collect().head == 2L)
+  }
+
   test("centroid cache is keyed by vector column, not just corpus key") {
     import graft.operators.Similarity
     // same corpus key, two embedding columns of DIFFERENT dimension: a
