@@ -43,6 +43,10 @@ private[sources] final case class ReplayParams(
     fromBlock: Long,
     toBlock: Long) {
   require(blockStep >= 1, "blockStep must be >= 1")
+  // a zero/negative blockSize otherwise surfaces as a bare '/ by zero'
+  // deep in head tracking with no pointer back to the option
+  require(blockSize >= 1, "blockSize must be >= 1")
+  require(confirmations >= 0, "confirmations must be >= 0")
 }
 
 private[sources] object ReplayParams {
@@ -267,15 +271,23 @@ class BlockReplayStream(streamSchema: StructType, params: ReplayParams)
     * checkpointed start, so a recovered query can never plan below its
     * committed frontier.
     */
+  // progress reporting reuses the LAST head this trigger computed:
+  // reportLatestOffset is called once per trigger right after
+  // latestOffset, and re-running full head discovery there doubled the
+  // per-trigger metadata cost (recursive listing / head RPC) — worse, a
+  // transient failure inside mere progress reporting killed the query
+  @volatile private var lastSyncedEnd: Long = Long.MinValue
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = BlockOffset.of(start)
     val target = availableNowTarget.getOrElse(syncedEnd())
+    lastSyncedEnd = math.max(lastSyncedEnd, target)
     val end = math.max(from, math.min(target, from + blockBudget(limit)))
     if (end == from) start else BlockOffset(end)
   }
 
   override def reportLatestOffset(): Offset =
-    BlockOffset(math.max(syncedEnd(), fromBlock - 1))
+    BlockOffset(math.max(lastSyncedEnd, fromBlock - 1))
 
   @volatile private var currentFactory: PartitionReaderFactory = _
 

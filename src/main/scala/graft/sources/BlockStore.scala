@@ -69,7 +69,12 @@ object Retry {
         case scala.util.control.NonFatal(e) =>
           last = e
           if (i < attempts - 1) {
-            val j = (delay * jitter * ((i * 2654435761L % 1000) / 1000.0)).toLong
+            // REAL per-call randomness: a jitter derived only from the
+            // attempt index is identical in every task, so 200 executors
+            // failing on one node blip would retry in synchronized
+            // bursts — exactly what jitter exists to prevent
+            val j = (delay * jitter * java.util.concurrent.ThreadLocalRandom
+              .current().nextDouble()).toLong
             sleep(delay + j)
             delay *= 2
           }

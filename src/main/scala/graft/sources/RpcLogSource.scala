@@ -225,11 +225,22 @@ object EthJsonRpc {
   */
 final class RpcHeadTracker(transport: JsonRpcTransport) {
   private var maxSeen = Long.MinValue
+  /** Most recent poll failure (observability, like [[HeadSubscription]]). */
+  @volatile private[graft] var lastError: Throwable = null
   def currentHead(): Option[Long] = {
-    val h = Retry.withBackoff()(() =>
-      EthJsonRpc.parseBlockNumber(
-        transport.call(EthJsonRpc.blockNumberRequest(1L))))
-    if (h > maxSeen) maxSeen = h
+    // an outage longer than the retry burst must NOT kill the streaming
+    // query (the reference reconnects forever, block.rs:54-61): serve
+    // the last known head — the monotonic frontier stays correct, the
+    // batch just doesn't advance — or None before the first success
+    // (syncedEnd then plans an empty range and the next trigger retries)
+    try {
+      val h = Retry.withBackoff()(() =>
+        EthJsonRpc.parseBlockNumber(
+          transport.call(EthJsonRpc.blockNumberRequest(1L))))
+      if (h > maxSeen) maxSeen = h
+    } catch {
+      case scala.util.control.NonFatal(e) => lastError = e
+    }
     if (maxSeen == Long.MinValue) None else Some(maxSeen)
   }
 }
@@ -554,15 +565,23 @@ private[sources] class RpcLogStream(params: RpcParams)
     case _ => blockStep
   }
 
+  // progress reporting reuses the LAST head this trigger computed:
+  // reportLatestOffset is called once per trigger right after
+  // latestOffset, and re-running full head discovery there doubled the
+  // per-trigger metadata cost (recursive listing / head RPC) — worse, a
+  // transient failure inside mere progress reporting killed the query
+  @volatile private var lastSyncedEnd: Long = Long.MinValue
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = BlockOffset.of(start)
     val target = availableNowTarget.getOrElse(syncedEnd())
+    lastSyncedEnd = math.max(lastSyncedEnd, target)
     val end = math.max(from, math.min(target, from + blockBudget(limit)))
     if (end == from) start else BlockOffset(end)
   }
 
   override def reportLatestOffset(): Offset =
-    BlockOffset(math.max(syncedEnd(), fromBlock - 1))
+    BlockOffset(math.max(lastSyncedEnd, fromBlock - 1))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     if (!params.matchable) Array.empty

@@ -44,8 +44,15 @@ final class WsHeadFeed(uri: URI,
   // threads and (pre-JDK-21) has no close(), so a per-connect instance
   // would leak a thread set on every reconnect of the infinite outer loop
   private lazy val client = HttpClient.newHttpClient()
+  // last session's socket, reaped at the next connect(): bounds the
+  // close-race leak (pump exits between connect and first take) to at
+  // most one socket per feed lifetime instead of one per reconnect
+  @volatile private var lastWs: WebSocket = null
 
   override def connect(): Iterator[Long] = {
+    val prev = lastWs
+    if (prev != null) try prev.abort()
+      catch { case scala.util.control.NonFatal(_) => }
     // one queue + listener per session; sentinel `End` marks disconnect
     val queue = new LinkedBlockingQueue[AnyRef](queueCapacity)
     val listener = new WsHeadFeed.HeadListener(queue)
@@ -59,7 +66,18 @@ final class WsHeadFeed(uri: URI,
         // unwrap so Retry's NonFatal handling sees the real cause
         case e: CompletionException if e.getCause != null => throw e.getCause
       }
-    ws.sendText(WsHeadFeed.subscribeRequest, true).join()
+    lastWs = ws
+    try ws.sendText(WsHeadFeed.subscribeRequest, true).join()
+    catch {
+      // a rejected subscribe frame must not leak the open socket into
+      // the infinite reconnect loop (one live connection per attempt)
+      case e: Throwable =>
+        try ws.abort() catch { case scala.util.control.NonFatal(_) => }
+        e match {
+          case ce: CompletionException if ce.getCause != null => throw ce.getCause
+          case _ => throw e
+        }
+    }
 
     new Iterator[Long] {
       private var nextHead: java.lang.Long = null
@@ -114,11 +132,17 @@ object WsHeadFeed {
       extends WebSocket.Listener {
     private val buf = new java.lang.StringBuilder()
 
-    // never block the client's selector thread: dropping a HEAD on a full
-    // queue is safe (HeadSubscription only ever reads the latest), but
-    // `End` MUST land or the reader blocks forever and the reconnect loop
-    // never runs — so End evicts buffered heads until it fits
-    private def offer(v: AnyRef): Unit = { queue.offer(v); () }
+    // never block the client's selector thread. A full queue evicts the
+    // OLDEST entry: the reader wants the LATEST head (latest-value
+    // channel), so dropping the newest would serve a frontier up to
+    // queueCapacity announcements stale. `End` is terminal and MUST
+    // land — if eviction pops it, the session is over anyway: re-seat
+    // End and drop the stale head instead.
+    private def offer(v: AnyRef): Unit = {
+      while (!queue.offer(v)) {
+        if (queue.poll().asInstanceOf[AnyRef] eq End) { offerEnd(); return }
+      }
+    }
     private def offerEnd(): Unit = while (!queue.offer(End)) queue.poll()
 
     override def onOpen(ws: WebSocket): Unit = ws.request(1)

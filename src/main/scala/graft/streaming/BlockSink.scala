@@ -83,7 +83,11 @@ object BlockSink {
     * `targetFiles` block-sorted files (ingest leaves one file set per
     * epoch; a long-running tail accumulates hundreds per bucket, and
     * scan cost at 100 TB is dominated by file count × footer reads).
-    * The rewrite stages into `<bucket>.compact.tmp` and swaps via two
+    * The rewrite stages into HIDDEN siblings (`.compact_<bucket>.tmp` /
+    * `.compact_<bucket>.old` — dot-prefixed so partition discovery
+    * skips them; an unhidden `block_bucket=N.tmp` sibling would be
+    * parsed as a partition VALUE, double-reading the bucket and
+    * flipping the inferred partition type to string) and swaps via two
     * renames, so a reader PLANNED after the swap sees a consistent
     * bucket; a reader still holding the pre-swap file list either
     * drains its already-open files or fails cleanly with a
@@ -114,8 +118,8 @@ object BlockSink {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketDir = hadoopPath(s"$path/block_bucket=$bucket")
     require(fs.exists(bucketDir), s"no such bucket: $bucketDir")
-    val tmp = hadoopPath(s"$path/block_bucket=$bucket.compact.tmp")
-    val old = hadoopPath(s"$path/block_bucket=$bucket.old")
+    val tmp = hadoopPath(s"$path/.compact_$bucket.tmp")
+    val old = hadoopPath(s"$path/.compact_$bucket.old")
     val marker = hadoopPath(s"$path/_compacting_$bucket")
     // a leftover marker or staged-out dir means a compactor crashed (or
     // is still running): NEVER delete `.old` here — after a crash
@@ -166,8 +170,8 @@ object BlockSink {
     val fs = hadoopPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketDir = hadoopPath(s"$path/block_bucket=$bucket")
-    val tmp = hadoopPath(s"$path/block_bucket=$bucket.compact.tmp")
-    val old = hadoopPath(s"$path/block_bucket=$bucket.old")
+    val tmp = hadoopPath(s"$path/.compact_$bucket.tmp")
+    val old = hadoopPath(s"$path/.compact_$bucket.old")
     val marker = hadoopPath(s"$path/_compacting_$bucket")
     if (fs.exists(old)) {
       if (!fs.exists(bucketDir)) {

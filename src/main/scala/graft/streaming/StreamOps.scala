@@ -100,7 +100,8 @@ object StreamOps {
     * Each micro-batch is COLLECTED to the driver — that is the contract
     * (a sequential fold cannot distribute), so the batch size is the
     * driver-memory bound. `maxBatchRows` fails LOUDLY when a batch
-    * exceeds it (the count is one cheap aggregate before the collect):
+    * exceeds it (a `limit(max+1)` inside the single collect action — a
+    * separate count would recompute the batch from the source):
     * pointed at an unbounded stream with too coarse a `blockStep`, the
     * query dies with instructions instead of OOMing the driver.
     */
@@ -113,18 +114,24 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = batch.count()
-        require(n <= maxBatchRows,
-          s"ordered reducer batch $batchId holds $n rows > maxBatchRows=" +
+        // ONE action: a separate count() would recompute the whole
+        // micro-batch from the source (an rpc-logs batch re-fetches its
+        // block range from the node). limit(max+1) bounds what can ever
+        // reach the driver; the cap check runs on the collected size
+        // BEFORE any row is handed to the reducer.
+        val rows = batch
+          .sort(col("block_number"), col("log_index"))
+          .limit(math.min(maxBatchRows + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+        require(rows.length <= maxBatchRows,
+          s"ordered reducer batch $batchId exceeds maxBatchRows=" +
             s"$maxBatchRows; the per-block fold collects each micro-batch " +
             "to the driver (the reference's single-consumer contract) — " +
             "lower blockStep so batches stay bounded, or raise maxBatchRows")
-        batch
-          .sort(col("block_number"), col("log_index"))
-          .collect()
+        rows
           .groupBy(_.getAs[Long]("block_number"))
           .toSeq.sortBy(_._1)
-          .foreach { case (block, rows) => reduce(block, rows.toSeq) }
+          .foreach { case (block, rws) => reduce(block, rws.toSeq) }
       }
       // default trigger + processAllAvailable (the J3 barrier); the DSv2
       // source also supports Trigger.AvailableNow (chunked drain-and-stop)
@@ -304,8 +311,18 @@ object StreamOps {
           // droppable exactly when b+1 ≤ wmSec
           val wmSec = state.getCurrentWatermarkMs() / 1000L
           val hi = wmSec - 1L
-          val out = (st.lastFlushed + 1) to hi map { b =>
-            val (n, sum) = cells.getOrElse(b, (0L, 0L))
+          // ITERATOR, never a materialized Seq: the dense spine is the
+          // operator's contract, but a large flush span (fromBlock far
+          // below the live range, or one corrupt far-future row moving
+          // the watermark) must stream through the state function, not
+          // allocate span-many tuples at once
+          // snapshot BEFORE the eviction below: the lazy iterator is
+          // consumed after this function returns, and `cells` is a var
+          // the closure would otherwise read post-filter (all zeros)
+          val flushed = cells
+          val out = Iterator.iterate(st.lastFlushed + 1)(_ + 1)
+            .takeWhile(_ <= hi).map { b =>
+            val (n, sum) = flushed.getOrElse(b, (0L, 0L))
             (b, source, n, sum)
           }
           cells = cells.filter(_._1 > hi)

@@ -164,13 +164,13 @@ class BlockSinkSpec extends AnyFunSuite {
 
     // state A: crash mid-write — marker + tmp exist, bucket intact
     fs.create(p(s"$out/_compacting_0"), false).close()
-    fs.mkdirs(p(s"$out/block_bucket=0.compact.tmp"))
+    fs.mkdirs(p(s"$out/.compact_0.tmp"))
     val exA = intercept[java.io.IOException](
       BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1))
     assert(exA.getMessage.contains("recoverBucket"), exA.getMessage)
     BlockSink.recoverBucket(spark, out, bucket = 0L)
     assert(!fs.exists(p(s"$out/_compacting_0")))
-    assert(!fs.exists(p(s"$out/block_bucket=0.compact.tmp")))
+    assert(!fs.exists(p(s"$out/.compact_0.tmp")))
     assert(spark.read.parquet(out)
       .select($"block_number", $"log_index", $"v").collect().toSet == want)
 
@@ -179,11 +179,31 @@ class BlockSinkSpec extends AnyFunSuite {
     // .old here: data loss); recover must restore the bucket.
     BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1)
     fs.create(p(s"$out/_compacting_0"), false).close()
-    assert(fs.rename(p(s"$out/block_bucket=0"), p(s"$out/block_bucket=0.old")))
+    assert(fs.rename(p(s"$out/block_bucket=0"), p(s"$out/.compact_0.old")))
     intercept[Exception](
       BlockSink.compactBucket(spark, out, bucket = 0L, targetFiles = 1))
-    assert(fs.exists(p(s"$out/block_bucket=0.old")),
+    assert(fs.exists(p(s"$out/.compact_0.old")),
       "a refused run must not touch the staged-out copy")
+    // the staging dirs are HIDDEN (dot-prefixed): a concurrent reader
+    // planned mid-crash must neither double-read the bucket nor have
+    // the block_bucket partition type flip to string (regression:
+    // unhidden block_bucket=N.old siblings were parsed as partitions)
+    val midCrash =
+      try Some(spark.read.parquet(out))
+      catch {
+        // single-bucket fixture: with bucket 0 staged out NOTHING is
+        // visible — exactly right, the hidden dirs must not serve reads
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
+    midCrash.foreach { df =>
+      assert(df.schema.fieldNames.contains("block_bucket") &&
+        df.schema("block_bucket").dataType !=
+          org.apache.spark.sql.types.StringType,
+        "an unhidden staging sibling flipped the partition type to string")
+      assert(df.filter($"block_bucket" === 0L).count() == 0L,
+        "bucket 0 is staged out mid-crash: hidden dirs must not serve reads")
+    }
     BlockSink.recoverBucket(spark, out, bucket = 0L)
     assert(spark.read.parquet(out)
       .select($"block_number", $"log_index", $"v").collect().toSet == want,
@@ -191,9 +211,9 @@ class BlockSinkSpec extends AnyFunSuite {
 
     // state C: crash after swap-in, before cleanup — both dirs exist;
     // recover keeps the live one and drops .old
-    fs.mkdirs(p(s"$out/block_bucket=0.old"))
+    fs.mkdirs(p(s"$out/.compact_0.old"))
     BlockSink.recoverBucket(spark, out, bucket = 0L)
-    assert(!fs.exists(p(s"$out/block_bucket=0.old")))
+    assert(!fs.exists(p(s"$out/.compact_0.old")))
     assert(spark.read.parquet(out)
       .select($"block_number", $"log_index", $"v").collect().toSet == want)
 

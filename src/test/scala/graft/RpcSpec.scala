@@ -114,10 +114,25 @@ class RpcSpec extends AnyFunSuite {
       override def call(requestJson: String): String =
         throw new java.io.IOException("down")
     }
-    val e = intercept[java.io.IOException] {
-      new RpcHeadTracker(dead).currentHead()
+    // a dead node must NOT throw out of the trigger path (that would
+    // kill a poll-mode streaming query on the first brief outage — the
+    // reference reconnects forever): no head yet → None + lastError
+    val deadTracker = new RpcHeadTracker(dead)
+    assert(deadTracker.currentHead().isEmpty)
+    assert(deadTracker.lastError != null &&
+      deadTracker.lastError.getMessage == "down")
+    // outage AFTER a successful poll: the last known head keeps serving
+    class FlickerNode extends JsonRpcTransport {
+      @volatile var up = true
+      override def call(requestJson: String): String =
+        if (up) new SimEthNode(9L, 1).call(requestJson)
+        else throw new java.io.IOException("down")
     }
-    assert(e.getMessage == "down")
+    val flicker = new FlickerNode
+    val t3 = new RpcHeadTracker(flicker)
+    assert(t3.currentHead().contains(9L))
+    flicker.up = false
+    assert(t3.currentHead().contains(9L), "last known head must survive an outage")
   }
 
   test("streaming RPC source: confirmations, chunked admission, decodable payloads") {
