@@ -89,14 +89,9 @@ object Bench {
           // stop the clock BEFORE cache teardown — clearCache cost is
           // bench hygiene, not query time
           val elapsed = (System.nanoTime() - t0) / 1e9
-          // operators may persist internally (LSH signature reuse); drop the
-          // cache between runs so accumulation can't skew later timings
-          spark.catalog.clearCache()
-          // clearCache does NOT free checkpoint RDDs (clusterLabels keeps
-          // its final labels checkpoint alive); each run builds fresh
-          // plans, so dropping every persistent RDD between runs is safe
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          // operators may persist internally (LSH signature reuse); drop
+          // all storage between runs so accumulation can't skew timings
+          CacheScope.releaseAllStorage(spark)
           if (ok) Some(elapsed) else None
         }
         val base = (1 to 2).flatMap(_ => sample())

@@ -60,13 +60,38 @@ object CacheScope {
     * operators created inside it (LIFO). Exceptions in `body` still
     * release — the scope is also the leak guard on the failure path.
     */
+  /** Drop EVERY piece of persistent storage in the session — the
+    * between-queries teardown Bench/Verify share. `clearCache` alone
+    * misses checkpoint RDDs (clusterLabels keeps its final labels
+    * checkpoint alive); callers rebuild fresh plans per query, so
+    * dropping every persistent RDD is safe.
+    */
+  def releaseAllStorage(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def withCaches[A](body: => A): A = {
     val buf = ListBuffer.empty[() => Unit]
     scopes.set(buf :: scopes.get())
+    var bodyFailed = false
     try body
+    catch { case e: Throwable => bodyFailed = true; throw e }
     finally {
       scopes.set(scopes.get().tail)
-      buf.reverseIterator.foreach(_.apply())
+      // every release runs even if one throws: a failing release must
+      // neither leave earlier-registered caches leaked nor mask the
+      // body's real exception — it resurfaces only on the success path
+      var firstFailure: Throwable = null
+      buf.reverseIterator.foreach { r =>
+        try r()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (firstFailure == null) firstFailure = e
+        }
+      }
+      if (firstFailure != null && !bodyFailed) throw firstFailure
     }
   }
 }

@@ -72,6 +72,29 @@ final class EngineSession(
 
   def sources: Seq[StreamHandle] = registry.values.toSeq
 
+  /** Routing predicate for one handle: `(address, topic0)` for named
+    * events; address alone for anonymous ones (whose topic0 is data, not a
+    * signature — see `register`).
+    */
+  private def handleMatch(h: StreamHandle) =
+    if (h.schema.anonymous) col("address") === lit(h.address)
+    else col("address") === lit(h.address) && col("topic0") === lit(h.topic0)
+
+  /** Live ingestion configured by this session: the replay stream with
+    * the session's range, confirmation lag, and admission step — the
+    * StreamFactory fields the reference threads into every stream
+    * (stream.rs:115-119). [[rawLogFilter]] deliberately applies only the
+    * RANGE: confirmation lag is a live-tail safety margin (head − N),
+    * meaningless on an already-finalized replay frame.
+    */
+  def readStream(path: String): DataFrame =
+    graft.streaming.StreamOps.readBlockStream(spark, path,
+      blockStep = config.blockStep,
+      confirmations = config.confirmationBlocks,
+      fromBlock = config.fromBlock,
+      toBlock = if (config.toBlock == Long.MaxValue) None
+        else Some(config.toBlock))
+
   /** P1 over the whole registry: the source-side pushdown filter for a raw
     * log DataFrame — `(address, topic0) ∈ registry AND block ∈ range`
     * (`build_filter`, stream.rs:94-102, generalized to N streams).
@@ -81,14 +104,6 @@ final class EngineSession(
     * that SURVIVE the signature filter, matching the reference (it
     * validates the logs it is about to ingest, not the whole node feed).
     */
-  /** Routing predicate for one handle: `(address, topic0)` for named
-    * events; address alone for anonymous ones (whose topic0 is data, not a
-    * signature — see `register`).
-    */
-  private def handleMatch(h: StreamHandle) =
-    if (h.schema.anonymous) col("address") === lit(h.address)
-    else col("address") === lit(h.address) && col("topic0") === lit(h.topic0)
-
   def rawLogFilter(logs: DataFrame): DataFrame = {
     val sigMatch = sources.map(handleMatch)
       .reduceOption(_ || _)
@@ -133,12 +148,31 @@ final class EngineSession(
       counts(base) = n
       if (n == 1) base else s"${base}_$n"
     }
+    // loud name validation (decode() validates per-schema; the multi
+    // decode adds two NEW collision classes): an event named like a base
+    // output column duplicates it, and an explicit `foo_2` event collides
+    // with the generated suffix of a second `foo`
+    val baseCols = Set("block_number", "log_index", "address", "event_name")
+    val clash = names.filter(baseCols)
+    require(clash.isEmpty,
+      s"decodeAll: event name(s) ${clash.mkString(", ")} collide with the " +
+        "base output columns (block_number, log_index, address, event_name)")
+    require(names.distinct.size == names.size,
+      s"decodeAll: struct names collide after suffixing: " +
+        names.diff(names.distinct).distinct.mkString(", "))
     val topics = Seq(col("topic0"), col("topic1"), col("topic2"), col("topic3"))
     val eventName = hs.zip(names).foldRight(lit(null).cast("string")) {
       case ((h, n), acc) => when(handleMatch(h), lit(n)).otherwise(acc)
     }
     val structs = hs.zip(names).map { case (h, n) =>
-      val fields = EventDecoder.decodedColumns(h.schema, topics, col("data"))
+      // decode() parity: wide numerics carry their lossless `<p>_raw`
+      // 32-byte twin INSIDE the struct — without it the one-scan path
+      // silently nulls real on-chain values (max-uint256 approvals)
+      // that the per-handle path preserves
+      val fields = EventDecoder.decodedWithRaw(h.schema, topics, col("data"))
+        .flatMap { case (pn, c, raw) =>
+          (pn -> c) +: raw.map(w => s"${pn}_raw" -> w).toSeq
+        }
         .map { case (pn, c) => c.as(pn) }
       when(handleMatch(h), struct(fields: _*)).as(n)
     }
@@ -152,6 +186,9 @@ final class EngineSession(
     * sink.rs:187-197).
     */
   def frontier(logs: DataFrame): DataFrame = {
+    // zero registrations would emit one NULL-frontier row from the empty
+    // global agg (0 === 0 synced) — loud, like decodeAll
+    require(sources.nonEmpty, "frontier needs at least one registered stream")
     // delegate to the shared synced_including implementation, keyed by the
     // hex signature string — address alone for anonymous handles (their
     // logs' topic0 is payload, it can never equal the registered hash)

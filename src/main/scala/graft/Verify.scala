@@ -28,11 +28,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // operator-internal persists (LSH)
-      // checkpoint RDDs (clusterLabels' final labels) are not covered by
-      // clearCache; every query builds fresh plans, so dropping them is safe
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      CacheScope.releaseAllStorage(spark) // operator-internal persists
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

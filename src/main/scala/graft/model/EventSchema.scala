@@ -264,6 +264,15 @@ object EventSchema {
     toks match {
       case Seq(TypeRe(t), "indexed", n) if n.matches(ident) && validWidth(t) =>
         EventParam(n, t, indexed = true)
+      // `address indexed` (unnamed indexed param — legal Solidity) would
+      // otherwise match the 2-token case as a NON-indexed param NAMED
+      // "indexed": topic0 stays correct, so logs route fine but every
+      // param decodes from the wrong slot — silently wrong values. The
+      // DSL requires names; an unnamed param must fail loudly.
+      case Seq(TypeRe(_), "indexed") =>
+        throw new IllegalArgumentException(
+          s"bad parameter: `$r` — unnamed params are not supported; " +
+            "give the indexed param a name (`address indexed from`)")
       case Seq(TypeRe(t), n) if n.matches(ident) && validWidth(t) =>
         EventParam(n, t, indexed = false)
       case _ => throw new IllegalArgumentException(s"bad parameter: `${r}`")

@@ -24,7 +24,12 @@ object Hex {
     val out = new Array[Byte](clean.length / 2)
     var i = 0
     while (i < out.length) {
-      out(i) = Integer.parseInt(clean.substring(2 * i, 2 * i + 2), 16).toByte
+      // per-digit, not Integer.parseInt: parseInt accepts '+'/'-' signs,
+      // so a typo'd "-1" pair would silently decode instead of failing
+      val hi = Character.digit(clean.charAt(2 * i), 16)
+      val lo = Character.digit(clean.charAt(2 * i + 1), 16)
+      require(hi >= 0 && lo >= 0, s"invalid hex string: $s")
+      out(i) = ((hi << 4) | lo).toByte
       i += 1
     }
     out

@@ -263,7 +263,7 @@ object EventDecoder {
   /** Decode plan per param: (name, typed column, lossless raw word for the
     * 256-bit numeric family).
     */
-  private def decodedWithRaw(schema: EventSchema,
+  private[graft] def decodedWithRaw(schema: EventSchema,
       topics: Seq[Column], data: Column): Seq[(String, Column, Option[Column])] = {
     val maxIndexed = if (schema.anonymous) 4 else 3
     require(schema.indexedParams.size <= maxIndexed,

@@ -82,6 +82,15 @@ class ModelSpec extends AnyFunSuite {
   test("reject unknown type / duplicate params") {
     intercept[IllegalArgumentException](EventSchema.parse("T(widget a)"))
     intercept[IllegalArgumentException](EventSchema.parse("T(address a, uint a)"))
+    // unnamed INDEXED param: would otherwise parse as a non-indexed
+    // param NAMED "indexed" — topic0 unchanged, so logs route but every
+    // param decodes from the wrong slot (silently wrong values)
+    val e = intercept[IllegalArgumentException](
+      EventSchema.parse("T(address indexed from, address indexed, uint v)"))
+    assert(e.getMessage.contains("unnamed"), e.getMessage)
+    // malformed hex fails loudly (parseInt accepted '+'/'-' signs)
+    intercept[IllegalArgumentException](Hex.decode("-1-1"))
+    intercept[IllegalArgumentException](Hex.decode("zz"))
   }
 
   test("tuple params: canonical signature, struct field names, rejects") {

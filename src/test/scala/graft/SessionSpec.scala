@@ -125,6 +125,30 @@ class SessionSpec extends AnyFunSuite {
     // single-pass shape: no shuffle anywhere in the plan
     assert(!s.decodeAll(logs).queryExecution.executedPlan.toString
       .contains("Exchange"))
+
+    // decode() parity: the wide-numeric raw twin rides INSIDE the struct
+    // — a max-uint256 value nulls the typed column but keeps the word
+    val maxVal = Hex.decode("ff" * 32)
+    val bigLog = Seq((3L, 0L, hT.address, hT.topic0, word(from), word(to),
+        maxVal))
+      .toDF("block_number", "log_index", "address", "topic0",
+        "topic1", "topic2", "data")
+      .withColumn("topic3", lit(null).cast("binary"))
+    val big = s.decodeAll(bigLog)
+      .select($"transfer.value", $"transfer.value_raw").collect().head
+    assert(big.isNullAt(0), "2^256-1 overflows Decimal(38,0)")
+    assert(big.getAs[Array[Byte]](1).toSeq == maxVal.toSeq,
+      "the lossless raw word must survive the one-scan path")
+
+    // name collisions fail loudly instead of duplicating output columns
+    val s3 = new EngineSession(spark)
+    s3.register(usdc, "Address(uint w)")
+    intercept[IllegalArgumentException](s3.decodeAll(logs))
+    val s4 = new EngineSession(spark)
+    s4.register(usdc, transfer)
+    s4.register("0x" + "cc" * 20, transfer)
+    s4.register("0x" + "dd" * 20, "Transfer_2(uint w)")
+    intercept[IllegalArgumentException](s4.decodeAll(logs))
   }
 
   test("frontier over registered signatures: None until all produce") {
@@ -137,6 +161,8 @@ class SessionSpec extends AnyFunSuite {
     assert(s.frontier(one).count() == 0)
     val both = logs((5L, h1.address, h1.topic0), (3L, h2.address, h2.topic0))
     assert(s.frontier(both).as[Long].collect().toSeq == Seq(3L))
+    // zero registrations: loud, not one NULL-frontier row
+    intercept[IllegalArgumentException](new EngineSession(spark).frontier(both))
   }
 
   test("SQL functions registered on a live session") {
