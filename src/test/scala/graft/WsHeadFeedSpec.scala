@@ -68,6 +68,21 @@ class WsHeadFeedSpec extends AnyFunSuite {
     } finally { sub.close(); server.close() }
   }
 
+  test("a full queue evicts the OLDEST heads (latest-value semantics) and End still lands") {
+    // capacity 2, 6 announcements: a stalled reader must still observe
+    // the LATEST head once it drains — dropping the newest would freeze
+    // the frontier up to queueCapacity announcements stale
+    val server = new MiniWsServer(Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+    try {
+      val it = new WsHeadFeed(server.uri, queueCapacity = 2).connect()
+      Thread.sleep(300L) // let the server outrun the un-drained queue
+      val got = it.toList
+      assert(got.lastOption.contains(6L),
+        s"latest head must survive eviction, got $got")
+      assert(got.size <= 2, s"capacity 2 must bound the backlog: $got")
+    } finally server.close()
+  }
+
   test("subscribe rejection ends the session (no head-less hang) and the next session recovers") {
     // connection 1 replies a JSON-RPC error and keeps the socket open —
     // the session must END (iterator exhausts) rather than hang, and the
