@@ -40,8 +40,11 @@ object ScaleProbe {
       if (only.nonEmpty && !only(tag)) return None
       val t0 = System.nanoTime()
       val rows = CacheScope.withCaches(body)
+      // stop the clock BEFORE teardown: unpersisting a cache-heavy
+      // probe's disk-backed blocks is hygiene, not operator cost
+      val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      Some((tag, (System.nanoTime() - t0) / 1e9, rows))
+      Some((tag, sec, rows))
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -51,7 +54,10 @@ object ScaleProbe {
       time("dedup_exact_raw") {
         graft.operators.Dedup.exact(docs).count() },
       time("dedup_minhash_raw") {
-        graft.operators.Dedup.minHashLshPairs(docs).count() },
+        // 0.5 is the cut every gated/production call pins
+        // (dedup_minhash_lsh, decon_minhash, incremental, streaming) —
+        // the operator default 0.7 would time a config no query runs
+        graft.operators.Dedup.minHashLshPairs(docs, minJaccard = 0.5).count() },
       time("dedup_simhash_raw") {
         graft.operators.Dedup.simHashPairs(docs).count() },
       time("dedup_winnow_raw") {
@@ -81,9 +87,15 @@ object ScaleProbe {
         graft.operators.Sampling
           .tokenBudgetSelect(docs, budget = nDocs * 20).count() })
 
-    val fields = runs.flatten.map { case (tag, sec, rows) =>
-      f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }.mkString(",")
-    println(s"""{"n_vecs":$n,"n_docs":$nDocs,$fields}""")
+    val ran = runs.flatten
+    // a tag filter matching nothing is a typo, not an empty result —
+    // and must not emit the trailing-comma malformed JSON it used to
+    require(only.isEmpty || ran.nonEmpty,
+      s"no probe matches tags: ${only.mkString(", ")}")
+    val fields = ran.map { case (tag, sec, rows) =>
+      f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }
+    println((Seq(s""""n_vecs":$n""", s""""n_docs":$nDocs""") ++ fields)
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -37,10 +37,12 @@ object Smoke {
       .option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
     val sn = spark.table("smoke_stream").count()
+    // assert BEFORE reading max: an empty drain yields a null max cell
+    // and getLong would NPE, masking this diagnostic
+    assert(sn > 0, "stream returned no rows")
     val sMax = spark.table("smoke_stream")
       .agg(org.apache.spark.sql.functions.max("block_number")).head().getLong(0)
     println(s"STREAM_ROWS=$sn STREAM_MAX_BLOCK=$sMax")
-    assert(sn > 0, "stream returned no rows")
 
     // partitioned block-store layout: write, pruned range scan back
     val bsPath = java.nio.file.Files.createTempDirectory("graft-bs").toString
@@ -50,6 +52,9 @@ object Smoke {
     val bsRows = sources.BlockStore.rangeScan(spark, bsPath, 0L, 19L, 20L).count()
     println(s"BLOCKSTORE_RANGE_ROWS=$bsRows")
     assert(bsRows > 0, "block store range scan empty")
+    // repeated smoke runs must not accumulate /tmp scratch
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bsPath))
     spark.stop()
   }
 }

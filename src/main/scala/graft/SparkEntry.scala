@@ -135,12 +135,11 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
 
   private def deleteRecursively(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    // one deletion implementation (fixtureScratch already depends on
+    // commons-io); the old hand-rolled Files.walk also left its stream
+    // unclosed on a mid-iteration exception
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    ()
   }
 
   /** Fixture-keyed /tmp scratch with atomic population (shared by the
@@ -290,7 +289,10 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // Queries — one per implemented operator from SURVEY.md §2.
   // ---------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: Verify/Bench/Explain index this map per query
+  // name — a def rebuilt all 162 entries (closures + SQL strings) on
+  // every lookup
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Schema-on-read JSONL ingestion with a corrupt-record policy — how
     // LLM corpora actually arrive. The fixture table is converted ONCE
     // to JSON lines plus three deterministic broken lines (fixture-keyed
@@ -2764,8 +2766,10 @@ object SparkEntry {
     }),
 
     // Q21-style waiting suppliers (adapted: no receipt/commit dates, so
-    // "the line that came back" is the returned flag — multi-supplier
-    // failed orders where ONLY this supplier's lines returned): EXISTS →
+    // "the line that came back" is the returned flag — the supplier's
+    // lines in multi-supplier 'F' orders where NO OTHER supplier's line
+    // returned; the supplier's own lines are NOT screened on the flag,
+    // and both engines state exactly that): EXISTS →
     // left-semi, NOT EXISTS → left-anti, both keyed on the order key
     // with the different-supplier residual riding the join condition;
     // the supplier screen broadcasts FIRST so the semi/anti legs probe
@@ -2969,7 +2973,7 @@ object SparkEntry {
        r AS (SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM p)
        SELECT count(*) AS n_exact, true AS recall_ok FROM r WHERE rank <= 10"""
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> ngramGateSql(0.8),
     "dedup_incremental_neardup" ->
       """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
