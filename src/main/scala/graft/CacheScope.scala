@@ -75,23 +75,25 @@ object CacheScope {
   def withCaches[A](body: => A): A = {
     val buf = ListBuffer.empty[() => Unit]
     scopes.set(buf :: scopes.get())
-    var bodyFailed = false
+    var bodyException: Throwable = null
     try body
-    catch { case e: Throwable => bodyFailed = true; throw e }
+    catch { case e: Throwable => bodyException = e; throw e }
     finally {
       scopes.set(scopes.get().tail)
       // every release runs even if one throws: a failing release must
       // neither leave earlier-registered caches leaked nor mask the
-      // body's real exception — it resurfaces only on the success path
+      // body's real exception — on the failure path it rides along as a
+      // suppressed exception instead of being dropped
       var firstFailure: Throwable = null
       buf.reverseIterator.foreach { r =>
         try r()
         catch {
           case scala.util.control.NonFatal(e) =>
-            if (firstFailure == null) firstFailure = e
+            if (bodyException != null) bodyException.addSuppressed(e)
+            else if (firstFailure == null) firstFailure = e
         }
       }
-      if (firstFailure != null && !bodyFailed) throw firstFailure
+      if (firstFailure != null && bodyException == null) throw firstFailure
     }
   }
 }

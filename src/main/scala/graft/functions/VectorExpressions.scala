@@ -72,9 +72,15 @@ object VectorRuntime {
 
   /** MinHash signature of pre-hashed shingles: slot i keeps the min over
     * grams of `mix(h, i)` (splitmix64 finalizer — one multiplicative hash
-    * per slot, no string re-hashing).
+    * per slot, no string re-hashing). An EMPTY gram set has no signature
+    * and returns null — the min over nothing would be the constant
+    * Long.MaxValue vector, aliasing every gramless doc into one identical
+    * signature (est_jaccard 1.0 false positives) and one shared LSH band
+    * bucket (quadratic bucket join); null lets callers drop such rows
+    * without re-running the gram kernel in a separate filter.
     */
   def minHashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    if (hashes.numElements() == 0) return null
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = hashes.numElements()
     var i = 0
@@ -589,13 +595,18 @@ case class MinHashSig(child: Expression, numHashes: Int)
   require(numHashes >= 1, s"minhash_sig: numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // null for an EMPTY gram set (not just null input) — see
+  // VectorRuntime.minHashSig; codegen below tracks the result null
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
     VectorRuntime.minHashSig(input.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.VectorRuntime.minHashSig($c, $numHashes)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.minHashSig($c, $numHashes);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

@@ -212,9 +212,14 @@ object Dedup {
       b.select(lit(name).as("bench"),
         explode(gramHashes(col(textCol), n)).as("gram")).distinct()
     }.reduce(_ unionByName _)
+    // no broadcast() hint: the union of ALL benchmark gram sets can
+    // outgrow the broadcast ceiling with many/large eval suites, and a
+    // hint removes Spark's ability to say no (the lesson lineDedup
+    // documents) — AQE still picks broadcast when the measured relation
+    // actually fits
     val hits = corpus
       .select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"))
+      .join(benchGrams, Seq("gram"))
       .groupBy(col("bench"))
       .agg(countDistinct(col(idCol)).as("n_contaminated"))
     // every registered benchmark reports, zero-contamination included;
@@ -387,38 +392,85 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // gramless docs (< n tokens) never enter the index: their signature
-    // would be the CONSTANT empty-min vector, aliasing every short doc
-    // into one identical signature (est_jaccard 1.0 false positives) and
-    // one shared band bucket (quadratic bucket join) — the same aliasing
-    // the string-shingle path documents avoiding. Exact n-gram Jaccard
-    // has no pairs for empty gram sets, so exclusion is the correct
-    // semantics, not an approximation.
-    df.filter(size(gramHashes(col(textCol), n)) > 0)
-      .select(
-        col(idCol).as("doc_id"),
+    // gramless docs (< n tokens) never enter the index: MinHashSig
+    // returns NULL for an empty gram set (the constant empty-min vector
+    // would alias every short doc into one identical signature —
+    // est_jaccard 1.0 false positives — and one shared band bucket, a
+    // quadratic bucket join). Exact n-gram Jaccard has no pairs for
+    // empty gram sets, so exclusion is the correct semantics. The rows
+    // drop via posexplode of a null band array — NOT an explicit
+    // filter: Catalyst pushes filters through projects by re-inlining
+    // the aliased expression, which would run the tokenize+hash kernel
+    // a second time per row (measured: ngram_hashes twice in the plan).
+    df.select(col(idCol).as("doc_id"),
         minHashSignature(col(textCol), n, numHashes).as("sig"))
       .select(col("doc_id"), col("sig"),
-        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+        posexplode(when(col("sig").isNotNull,
+          lshBands(col("sig"), bands, rowsPerBand)))
           .as(Seq("band_idx", "band_key")))
   }
+
+  /** Band-bucket occupancy cap — [[gramCandidates]]' `maxGramDf` twin at
+    * the band level. Degenerate-entropy strata (boilerplate, templated
+    * spam; the 100× ScaleProbe's 30-word synthetic vocab measured it at
+    * 226.6 s vs 9.25 s at 10×) collapse many documents into one
+    * `(band_idx, band_key)` bucket, and the bucket join then generates
+    * ≈ n²/buckets candidates. Rows in buckets larger than
+    * `maxBucketSize` are dropped from CANDIDATE GENERATION only: pairs
+    * whose every agreeing band is a mega-bucket are deliberately lost
+    * (the same recall-for-scale contract as `maxGramDf` — such pairs
+    * agree on near-universal content), every other bucket is untouched
+    * and surviving pairs keep their exact `est_jaccard`.
+    *
+    * Plan shape: occupancy is a window count over the bucket key — the
+    * window's shuffle IS the partitioning the bucket join needs, so the
+    * cap adds no exchange (vs a groupBy + semi-join twin, which would
+    * add two). The dropped volume is published plan-only via a
+    * `CollectMetrics` observation (`minhash_bucket_cap*`:
+    * `dropped_rows`, `max_bucket_n`) readable from any
+    * `QueryExecutionListener` / `StreamingQueryProgress` — no extra job.
+    */
+  private def capBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 1,
+      s"maxBucketSize must be > 1 (a 1-doc bucket yields no pairs), got $maxBucketSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key")
+    banded
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .observe(s"minhash_bucket_cap_${bucketCapSeq.incrementAndGet()}",
+        sum(when(col("__bucket_n") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_rows"),
+        max(col("__bucket_n")).as("max_bucket_n"))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+  }
+
+  /** Unique observation names: two DIFFERENT capped frames may land in
+    * one query plan (Spark allows duplicate names only for identical
+    * subtrees, e.g. a self-join).
+    */
+  private val bucketCapSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** MinHash+LSH near-dup pairs: signature (row-local) → band keys
     * (row-local) → explode bands → self-join per (band_idx, band_key)
     * bucket → estimate Jaccard from signature agreement. The bucket join is
-    * the only shuffle and each bucket is small by construction — this is
-    * the plan that survives 1000 executors.
+    * the only shuffle and each bucket is small by construction on a
+    * natural-entropy corpus — this is the plan that survives 1000
+    * executors. For corpora with degenerate strata, set `maxBucketSize`
+    * ([[capBandBuckets]]) to keep candidate growth linear.
     */
   def minHashLshPairs(df: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, minJaccard: Double = 0.7,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxBucketSize: Option[Int] = None): DataFrame = {
     // materialize the banded signatures once — a DataFrame self-join
     // re-evaluates its lineage per side, doubling signature compute.
     // MLlib-style operator-internal persist; lives until session end, so
     // loops over many corpora should pass storage=None (or unpersist).
-    val banded0 = minHashBandIndex(df, n, numHashes, bands, textCol, idCol)
+    val banded1 = minHashBandIndex(df, n, numHashes, bands, textCol, idCol)
+    val banded0 = maxBucketSize.fold(banded1)(capBandBuckets(banded1, _))
     val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
     val pairs = banded.as("a")
       .join(banded.as("b"),
@@ -463,11 +515,12 @@ object Dedup {
       minJaccard: Double = 0.7,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val newBanded0 = minHashBandIndex(newDocs, n, numHashes, bands,
       textCol, idCol)
     val newBanded = storage.fold(newBanded0)(graft.CacheScope.persist(newBanded0, _))
-    bandedNearDupPairs(index, newBanded, numHashes, minJaccard)
+    bandedNearDupPairs(index, newBanded, numHashes, minJaccard, maxBucketSize)
   }
 
   /** The band-bucket join core of [[incrementalNearDupPairs]], over
@@ -483,9 +536,14 @@ object Dedup {
     * never form (old rows only ever sit on the left).
     */
   def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
-      numHashes: Int = 64, minJaccard: Double = 0.7): DataFrame = {
-    val all = index.select("doc_id", "sig", "band_idx", "band_key")
+      numHashes: Int = 64, minJaccard: Double = 0.7,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val all0 = index.select("doc_id", "sig", "band_idx", "band_key")
       .unionByName(newBanded.select("doc_id", "sig", "band_idx", "band_key"))
+    // occupancy counts run over the FULL (old ∪ new) index so the cap is
+    // stable as shards accumulate; capping the left side alone suffices —
+    // a dropped bucket's new-side rows simply find no left match
+    val all = maxBucketSize.fold(all0)(capBandBuckets(all0, _))
     val aNew = col("a.doc_id") < col("b.doc_id")
     all.as("a")
       .join(newBanded.as("b"),

@@ -109,7 +109,15 @@ object StreamOps {
       stream: DataFrame,
       checkpoint: String,
       reduce: (Long, Seq[Row]) => Unit,
-      maxBatchRows: Long = 1L << 22): StreamingQuery =
+      maxBatchRows: Long = 1L << 22): StreamingQuery = {
+    // the driver collect can never hold more than Int.MaxValue rows, so a
+    // cap at or past it is a misconfiguration, not "unlimited": rejecting
+    // it here keeps the limit(max+1) below overflow-free (Long.MaxValue+1
+    // would wrap negative and silently collect zero rows)
+    require(maxBatchRows > 0 && maxBatchRows < Int.MaxValue,
+      s"maxBatchRows=$maxBatchRows must be in [1, ${Int.MaxValue - 1}]: " +
+        "the ordered reducer collects each micro-batch to the driver, so " +
+        "an effectively-unbounded cap cannot be honored")
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -121,7 +129,7 @@ object StreamOps {
         // BEFORE any row is handed to the reducer.
         val rows = batch
           .sort(col("block_number"), col("log_index"))
-          .limit(math.min(maxBatchRows + 1, Int.MaxValue.toLong).toInt)
+          .limit((maxBatchRows + 1).toInt)
           .collect()
         require(rows.length <= maxBatchRows,
           s"ordered reducer batch $batchId exceeds maxBatchRows=" +
@@ -136,6 +144,7 @@ object StreamOps {
       // default trigger + processAllAvailable (the J3 barrier); the DSv2
       // source also supports Trigger.AvailableNow (chunked drain-and-stop)
       .start()
+  }
 
   /** W1 on an unbounded stream: the identical declarative transform as
     * batch — update/complete mode emits windows as they fill. State grows

@@ -983,4 +983,63 @@ class ExtendedOpsSpec extends AnyFunSuite {
       (3L, 1L, 5L, 5L, 1L),
       (3L, 7L, 11L, 5L, 1L)))
   }
+
+  test("maxBucketSize drops mega-bucket candidates, keeps the rest, and reports drops") {
+    // 20 identical docs collapse every band into one 20-doc mega-bucket;
+    // the p/q pair lives in its own 2-doc buckets and must survive the cap
+    val d = ((1 to 20).map(i => (i.toLong, "a b c d e f g")) ++
+      Seq((100L, "p q r s t u v"), (101L, "p q r s t u v"))).toDF("doc_id", "text")
+    // observation metrics surface via the listener bus (async) — collect
+    // them through a QueryExecutionListener and poll briefly
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) =>
+          if (n.startsWith("minhash_bucket_cap")) seen.put(n, r) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val capped = Dedup.minHashLshPairs(d, n = 3, numHashes = 16, bands = 8,
+          minJaccard = 0.5, storage = None, maxBucketSize = Some(5))
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(capped == Set((100L, 101L)),
+        s"mega-bucket pairs must drop, small-bucket pair must survive: $capped")
+      // incremental path: occupancy over (old ∪ new), same outcome
+      val idx = Dedup.minHashBandIndex(d.filter($"doc_id" <= 20),
+        n = 3, numHashes = 16, bands = 8)
+      val inc = Dedup.incrementalNearDupPairs(
+          d.filter($"doc_id" >= 100), idx, n = 3, numHashes = 16, bands = 8,
+          minJaccard = 0.5, storage = None, maxBucketSize = Some(5))
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(inc == Set((100L, 101L)), s"incremental capped pairs: $inc")
+      // the dropped volume is observable: 20 docs × 8 bands of mega-bucket
+      // rows were excluded (8 full buckets of 20 on the identical docs)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var metric: Option[org.apache.spark.sql.Row] = None
+      while (metric.isEmpty && System.nanoTime() < deadline) {
+        metric = seen.values().stream().filter(r =>
+          r.getAs[Long]("dropped_rows") > 0).findFirst()
+          .map[Option[org.apache.spark.sql.Row]](Some(_)).orElse(None)
+        if (metric.isEmpty) Thread.sleep(50)
+      }
+      assert(metric.nonEmpty, "a minhash_bucket_cap observation with drops must fire")
+      assert(metric.get.getAs[Long]("dropped_rows") == 160L,
+        s"expected 20 docs x 8 bands dropped, got ${metric.get}")
+      assert(metric.get.getAs[Long]("max_bucket_n") == 20L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("minHash banding hashes each doc's grams exactly once (plan regression)") {
+    // Catalyst pushes filters through projects by re-inlining aliases; the
+    // old size(gramHashes)>0 guard therefore ran the tokenize+hash kernel
+    // twice per row. The null-signature formulation keeps it at one.
+    val plan = Dedup.minHashBandIndex(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .queryExecution.optimizedPlan.toString
+    val hits = "ngram_hashes".r.findAllIn(plan).length
+    assert(hits == 1, s"expected exactly one ngram_hashes in the plan, got $hits:\n$plan")
+  }
 }
