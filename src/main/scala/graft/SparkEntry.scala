@@ -2199,6 +2199,63 @@ object SparkEntry {
         .crossJoin(broadcast(eq))
     }),
 
+    // STREAMING ANN index ingest — the PQ mirror of stream_neardup,
+    // closing the maintenance triangle (persisted artifact /
+    // batch append = sim_index_update / streaming append): the new half
+    // of the corpus arrives as a 4-file parquet stream, each micro-batch
+    // quantized under the base index's FROZEN centroids and written as
+    // its own idempotent ingest_batch partition
+    // (StreamOps.annIngestStream). Gate: top-k SERVED from the drained
+    // index (base codes ∪ streamed appends) EQUALS top-k from a full
+    // batch rebuild of the code table under the same centroids — batch
+    // boundaries must leave no seam in what the index answers.
+    "stream_ann_ingest" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val half = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+      // the SAME fixture-keyed base index sim_index_update reads — the
+      // old half is trained and coded once ever, for both queries
+      val scratch = fixtureScratch(s, s"$dir/embeddings.parquet", "ivfpqold",
+        "codes") { tmp =>
+        Similarity.saveIvfPqIndex(emb.filter(col("vec_id") <= half), tmp,
+          nlist = 16,
+          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet") + ":old"))
+      }
+      val streamIn = fixtureScratch(s, s"$dir/embeddings.parquet", "annsin",
+        "in") { tmp =>
+        emb.filter(col("vec_id") > half)
+          .repartitionByRange(4, col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_anns").toString
+      onJvmExitDelete(run)
+      val stream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val q = graft.streaming.StreamOps.annIngestStream(stream, scratch,
+        s"$run/append", s"$run/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val centroids = Similarity.loadIvfPqCentroids(s, scratch)
+      val served = s.read.parquet(s"$scratch/codes")
+        .unionByName(s.read.parquet(s"$run/append").drop("ingest_batch"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val drained = Similarity.ivfPQQuery(served, centroids, emb, queries,
+        k = 10, nprobe = 6, rerank = 4)
+      val rebuilt = Similarity.ivfPQQuery(
+        Similarity.ivfPqCodeRows(emb, centroids), centroids, emb, queries,
+        k = 10, nprobe = 6, rerank = 4)
+      // deterministic total order (sim desc, vec_id) ⇒ identical indexes
+      // answer identically rank for rank; full outer leaves no one-sided
+      // rows and sims agree exactly-ish (same arithmetic, same plan)
+      val eq = drained.as("d")
+        .join(rebuilt.as("r"), Seq("query_id", "rank"), "full")
+        .agg((count(when(col("d.vec_id").isNull || col("r.vec_id").isNull
+          || col("d.vec_id") =!= col("r.vec_id")
+          || abs(col("d.sim") - col("r.sim")) > 1e-12, 1)) === 0)
+          .as("equal_ok"))
+      served.agg(count(lit(1)).as("n_index_rows"))
+        .crossJoin(broadcast(eq))
+    }),
+
     "sim_neardup_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       recallGate(
@@ -2726,8 +2783,16 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"),
           (dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("v"))
-      val perPart = scoped.groupBy(col("l_partkey"))
-        .agg(sum(col("v")).as("part_value"))
+      // the per-part aggregate feeds BOTH the share filter and the
+      // global total; AQE reuses the exchange only at stage
+      // materialization time, so without this persist the static plan
+      // carries (and a cold run computes) an identical twin of the
+      // aggregate — including a second scan of the fact. One row per
+      // part, MEMORY_AND_DISK: bounded and spill-safe at any SF.
+      val perPart = graft.CacheScope.persist(
+        scoped.groupBy(col("l_partkey"))
+          .agg(sum(col("v")).as("part_value")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = perPart.agg(sum(col("part_value")).as("total_value"))
       perPart.crossJoin(broadcast(total))
         .filter(col("part_value").cast("double") >
@@ -3011,6 +3076,12 @@ object SparkEntry {
     // one code row, and the row-local quantization under frozen centroids
     // is deterministic — so the oracle is the corpus count + a true flag
     "sim_index_update" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
+         FROM embeddings""",
+    // streaming twin: the served-index row count is the full corpus (one
+    // code row per embedding, frozen-quantizer determinism); the
+    // served-equals-rebuilt equality is asserted in Spark
+    "stream_ann_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
          FROM embeddings""",
     "sim_neardup_lsh" -> NearDupGateSql,

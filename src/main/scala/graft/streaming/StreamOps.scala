@@ -520,6 +520,53 @@ object StreamOps {
       older, thisBanded, numHashes, minJaccard), pairsDir)
   }
 
+  /** Streaming ANN index ingest — the PQ mirror of [[nearDupIngestStream]],
+    * closing the maintenance triangle the MinHash band index already has
+    * (persisted artifact / batch append / streaming append): each
+    * micro-batch of new vectors is quantized under the FROZEN quantizer
+    * at `indexDir/centroids` and its code rows land as the epoch's own
+    * `ingest_batch=id` partition of `appendDir`. The served index is
+    * `indexDir/codes ∪ appendDir`; because code rows are row-local and
+    * deterministic under frozen centroids, append equals rebuild row for
+    * row (the `sim_index_update` contract), so a drained stream leaves an
+    * index indistinguishable from a batch rebuild — the gate
+    * `stream_ann_ingest` asserts on the SERVED top-k. Retraining the
+    * quantizer is by definition a rebuild, exactly as in the batch path.
+    */
+  def annIngestStream(vecStream: DataFrame, indexDir: String,
+      appendDir: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
+    // load the frozen quantizer ONCE at stream start — per-epoch reloads
+    // would re-collect nlist × dim doubles every micro-batch for a
+    // codebook that cannot change under this contract
+    val centroids = graft.operators.Similarity.loadIvfPqCentroids(
+      vecStream.sparkSession, indexDir)
+    vecStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          annIngestEpoch(batch, centroids, appendDir, id, idCol, vecCol)
+      }
+      .start()
+  }
+
+  /** One epoch of the ANN ingest, exposed so the replay-idempotence
+    * contract is directly drillable (the [[nearDupIngestEpoch]] story):
+    * re-running the same `(batch, id)` — crash recovery — dynamically
+    * overwrites only the epoch's own `ingest_batch=id` partition with
+    * identical content and touches no others.
+    */
+  def annIngestEpoch(batch: DataFrame, centroids: Array[Array[Double]],
+      appendDir: String, id: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    graft.operators.Similarity.ivfPqCodeRows(batch, centroids, idCol, vecCol)
+      .withColumn("ingest_batch", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(appendDir)
+
   /** A2 exact driver parity — `reduce_synced_events` hands every per-block
     * SUFFIX slice `events[i..]` to the reducer so it can pattern-match
     * multi-event sequences from each position (sink.rs:134-151, suffix

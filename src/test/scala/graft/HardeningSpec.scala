@@ -284,9 +284,9 @@ class HardeningSpec extends AnyFunSuite {
       // against orders); +2 margin for the fact⋈orders exchanges once
       // neither side broadcasts, the q7/q8 shape
       "q9_product_profit" -> 3,
-      // per-part agg + the global-total single-partition agg + its
-      // unreused twin under the crossJoin branch
-      "q11_important_share" -> 3,
+      // per-part agg (computed once — persisted, both branches read the
+      // cache) + the global-total single-partition agg
+      "q11_important_share" -> 2,
       // shipped agg + per-part threshold agg + supplier distinct +
       // the ordered output's range exchange + one AQE-reuse wobble
       "q20_excess_suppliers" -> 5,

@@ -388,6 +388,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet() == drained, "replayed epoch changed the drained result")
   }
 
+  test("ANN ingest: streamed code rows equal the batch rebuild; replayed epoch rewrites itself") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half = emb.agg(max($"vec_id")).head.getLong(0) / 2
+    val newVecs = emb.filter($"vec_id" > half)
+    val base = tmp(); val inDir = tmp(); val run = tmp()
+    graft.operators.Similarity.saveIvfPqIndex(
+      emb.filter($"vec_id" <= half), base, nlist = 8)
+    newVecs.repartitionByRange(3, $"vec_id").write.parquet(s"$inDir/in")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+    val q = StreamOps.annIngestStream(stream, base, s"$run/append",
+      s"$run/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val centroids = graft.operators.Similarity.loadIvfPqCentroids(spark, base)
+    def codeSet() = spark.read.parquet(s"$run/append")
+      .select($"vec_id", $"list", $"cnrm", $"qscale", $"codes")
+      .as[(Long, Int, Double, Double, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq)).toSet
+    val drained = codeSet()
+    assert(drained.nonEmpty, "no streamed code rows — vacuous drill")
+    // seam-free: the streamed appends are row-for-row the batch
+    // quantization of the new half under the frozen codebook
+    val oneShot = graft.operators.Similarity
+      .ivfPqCodeRows(newVecs, centroids)
+      .select($"vec_id", $"list", $"cnrm", $"qscale", $"codes")
+      .as[(Long, Int, Double, Double, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq)).toSet
+    assert(drained == oneShot,
+      s"stream/batch seam: ${(drained -- oneShot).take(2)} extra, " +
+        s"${(oneShot -- drained).take(2)} missing")
+    // every streamed vector is indexed exactly once across epochs
+    assert(drained.toSeq.map(_._1).distinct.size == newVecs.count(),
+      "append partitions duplicate or drop vectors")
+    // crash replay: same (batch, id) rewrites only its own partition
+    val append = spark.read.parquet(s"$run/append")
+    val lastId = append.agg(max($"ingest_batch").cast("long")).head.getLong(0)
+    val lastBatch = emb.join(
+      append.filter($"ingest_batch" === lastId).select($"vec_id").distinct(),
+      "vec_id")
+    StreamOps.annIngestEpoch(lastBatch, centroids, s"$run/append", lastId)
+    assert(codeSet() == drained, "replayed epoch changed the drained index")
+  }
+
   test("streaming flush emits the dense batch block-align cells once (J2)") {
     val sources = Seq("click", "error", "purchase", "signup", "view")
     val stream = StreamOps.readBlockStream(spark, path,
