@@ -58,6 +58,13 @@ object ScaleProbe {
         // (dedup_minhash_lsh, decon_minhash, incremental, streaming) —
         // the operator default 0.7 would time a config no query runs
         graft.operators.Dedup.minHashLshPairs(docs, minJaccard = 0.5).count() },
+      time("dedup_minhash_capped") {
+        // the band-bucket occupancy guard (maxGramDf's twin): on a
+        // degenerate-entropy stratum the uncapped candidate count grows
+        // ≈ n²/buckets — this row is the measured evidence the cap
+        // restores ~linear growth at the 10×/100× tiers
+        graft.operators.Dedup.minHashLshPairs(docs, minJaccard = 0.5,
+          maxBucketSize = Some(256)).count() },
       time("dedup_simhash_raw") {
         graft.operators.Dedup.simHashPairs(docs).count() },
       time("dedup_winnow_raw") {
@@ -87,13 +94,62 @@ object ScaleProbe {
         graft.operators.Sampling
           .tokenBudgetSelect(docs, budget = nDocs * 20).count() })
 
-    val ran = runs.flatten
+    // ---- recall at scale (VERDICT r10 #3): the oracled gates pin recall
+    // floors at fixture scale only; this measures the √n-nlist +
+    // constant-nprobe claim where it matters. ~100 modulo-spread sample
+    // queries, exact brute top-10 on the sample as ground truth (the
+    // brute guard caps the QUERY side — the corpus side is a linear
+    // broadcast-probe scan), recall = fraction of exact top-10 rows the
+    // approximate index returns. Collects are ≤ 100×10 rows.
+    val recalls = scala.collection.mutable.Map.empty[String, Double]
+    val recallRuns = {
+      import org.apache.spark.sql.functions.col
+      val sampleMod = math.max(1L, n / 100L)
+      val qs = emb.filter(col("vec_id") % sampleMod === 0)
+      var exact: Set[(Long, Long)] = Set.empty
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        import spark.implicits._
+        df.select(col("query_id"), col("vec_id"))
+          .as[(Long, Long)].collect().toSet
+      }
+      def recallRun(tag: String)(approx: => org.apache.spark.sql.DataFrame) =
+        time(tag) {
+          // self-sufficient under tag filters: ground truth computes on
+          // first use if the brute tag itself wasn't selected
+          if (exact.isEmpty)
+            exact = pairs(Similarity.bruteForceTopK(emb, qs, 10))
+          val a = pairs(approx)
+          recalls(tag) = a.count(exact.contains).toDouble / exact.size
+          a.size.toLong
+        }
+      Seq(
+        time("recall_brute_sample") {
+          exact = pairs(Similarity.bruteForceTopK(emb, qs, 10))
+          exact.size.toLong },
+        recallRun("recall_ivf_auto") {
+          Similarity.ivfTopK(emb, qs, 10, nprobe = 6) },
+        recallRun("recall_ivfpq_auto") {
+          Similarity.ivfPQTopK(emb, qs, 10, nprobe = 6, rerank = 4) },
+        // constant probe FRACTION (the gate queries' 6/16 = 0.375 of
+        // lists) instead of constant nprobe: under √n auto-nlist a fixed
+        // nprobe probes a shrinking corpus fraction, so recall decays
+        // with scale — this row measures what holding the fraction
+        // (nprobe ∝ √n, scan cost ∝ √n per query) buys back
+        recallRun("recall_ivf_fracprobe") {
+          val nlistAuto = math.max(1, math.sqrt(n.toDouble).toInt)
+          Similarity.ivfTopK(emb, qs, 10,
+            nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) })
+    }
+
+    val ran = (runs ++ recallRuns).flatten
     // a tag filter matching nothing is a typo, not an empty result —
     // and must not emit the trailing-comma malformed JSON it used to
     require(only.isEmpty || ran.nonEmpty,
       s"no probe matches tags: ${only.mkString(", ")}")
     val fields = ran.map { case (tag, sec, rows) =>
-      f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows}""" }
+      val r = recalls.get(tag)
+        .map(v => f""",\"recall\":$v%.4f""").getOrElse("")
+      f"""\"$tag\":{\"sec\":$sec%.3f,\"rows\":$rows$r}""" }
     println((Seq(s""""n_vecs":$n""", s""""n_docs":$nDocs""") ++ fields)
       .mkString("{", ",", "}"))
     spark.stop()
