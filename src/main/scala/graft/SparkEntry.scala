@@ -1459,6 +1459,27 @@ object SparkEntry {
         keys = Seq("d1", "d2"), floor = 0.9)
     }),
 
+    // Band-bucket occupancy cap (maxGramDf's twin at the band level; the
+    // guard the 100×-tier superlinearity finding demanded): on a
+    // natural-entropy corpus no bucket reaches the cap, so capped pairs
+    // must EQUAL uncapped pairs — the gate pins the guard as recall-free
+    // until a mega-bucket actually forms (the degenerate 30-word-vocab
+    // case where it fires, and what it drops, is drilled in
+    // ExtendedOpsSpec; the 165.5→67.3 s same-result 100× measurement
+    // lives in PERF.md's scale table).
+    "dedup_minhash_cap_gate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val capped = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5, storage = None,
+        maxBucketSize = Some(256))
+      val uncapped = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+        bands = 16, minJaccard = 0.5)
+      val eq = capped.as("c").join(uncapped.as("u"), Seq("d1", "d2"), "full")
+        .agg((count(when(col("c.est_jaccard").isNull
+          || col("u.est_jaccard").isNull, 1)) === 0).as("equal_ok"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(eq))
+    }),
+
     // Winnowing (MOSS) fingerprint candidates: any pair sharing a token
     // run ≥ window+n−1 = 6 shares a fingerprint — a guarantee, not a
     // probability, so the floor sits at 0.95 (Jaccard-0.8 pairs always
@@ -3093,6 +3114,11 @@ object SparkEntry {
 
   lazy val oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> ngramGateSql(0.8),
+    // capped == uncapped on the natural-entropy fixture; the equality is
+    // asserted in Spark (engine-internal hashes), the oracle anchors the
+    // corpus count
+    "dedup_minhash_cap_gate" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS equal_ok FROM documents",
     "dedup_incremental_neardup" ->
       """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
          SELECT count(*) AS n_new_docs, true AS equal_ok

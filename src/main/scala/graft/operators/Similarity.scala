@@ -277,6 +277,14 @@ object Similarity {
     * the self-join subquadratic — scaling it with `nlist` would cancel
     * the win (`n²·frac²·nlist` grows again). Recall comes from the
     * recall gates, which re-measure whenever fixtures change.
+    *
+    * MEASURED top-k recall trade (ScaleProbe, 100-query sample vs brute,
+    * PERF.md scale table): constant `nprobe = 6` decays 0.56 → 0.61 →
+    * 0.46 across the 2k/20k/200k tiers, while a constant probe FRACTION
+    * (`nprobe = 0.375·nlist`, i.e. nprobe ∝ √n, per-query scan cost
+    * ∝ √n) holds 0.87 → 0.98 → 0.99. Deployments that need a recall
+    * floor under auto-sizing should scale `nprobe` with `√n`; the
+    * constant-nprobe default is the latency-first setting.
     */
   private[graft] def autoNlist(df: DataFrame, nlist: Int): Int =
     if (nlist > 0) nlist
