@@ -1469,11 +1469,15 @@ object SparkEntry {
     // lives in PERF.md's scale table).
     "dedup_minhash_cap_gate" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val capped = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
-        bands = 16, minJaccard = 0.5, storage = None,
-        maxBucketSize = Some(256))
-      val uncapped = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
-        bands = 16, minJaccard = 0.5)
+      // ONE shared banding serves both variants (the from-index pair
+      // query) — the corpus is shingled exactly once for this gate
+      val banded = graft.CacheScope.persist(
+        Dedup.minHashBandIndex(docs, n = 3, numHashes = 64, bands = 16),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = Dedup.minHashLshPairsFromIndex(banded,
+        numHashes = 64, minJaccard = 0.5, maxBucketSize = Some(256))
+      val uncapped = Dedup.minHashLshPairsFromIndex(banded,
+        numHashes = 64, minJaccard = 0.5)
       val eq = capped.as("c").join(uncapped.as("u"), Seq("d1", "d2"), "full")
         .agg((count(when(col("c.est_jaccard").isNull
           || col("u.est_jaccard").isNull, 1)) === 0).as("equal_ok"))

@@ -472,8 +472,24 @@ object Dedup {
     val banded1 = minHashBandIndex(df, n, numHashes, bands, textCol, idCol)
     val banded0 = maxBucketSize.fold(banded1)(capBandBuckets(banded1, _))
     val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
+    minHashLshPairsFromIndex(banded, numHashes, minJaccard)
+  }
+
+  /** The full-corpus pair query served FROM A PREBANDED INDEX
+    * ([[minHashBandIndex]] layout — in-memory, or the persisted parquet
+    * artifact read back): the self-join core of [[minHashLshPairs]]
+    * without re-shingling a single document. A deployment that already
+    * maintains the band index (batch appends, streaming ingest) answers
+    * "all near-dup pairs right now" from index rows alone; callers that
+    * want the occupancy guard on a SHARED banding apply `maxBucketSize`
+    * here instead of re-banding per variant.
+    */
+  def minHashLshPairsFromIndex(banded: DataFrame, numHashes: Int = 64,
+      minJaccard: Double = 0.7,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val b = maxBucketSize.fold(banded)(capBandBuckets(banded, _))
+    val pairs = b.as("a")
+      .join(b.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -287,6 +287,11 @@ class HardeningSpec extends AnyFunSuite {
       // per-part agg (computed once — persisted, both branches read the
       // cache) + the global-total single-partition agg
       "q11_important_share" -> 2,
+      // one shared cached banding; capped side pays its occupancy window
+      // per self-join leg (2, partitioned by the join's own bucket key)
+      // + pair-dedup exchanges for both variants (2) + the equality agg
+      // + the count agg; measured 6, +1 AQE wobble margin
+      "dedup_minhash_cap_gate" -> 7,
       // shipped agg + per-part threshold agg + supplier distinct +
       // the ordered output's range exchange + one AQE-reuse wobble
       "q20_excess_suppliers" -> 5,
