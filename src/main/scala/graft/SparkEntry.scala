@@ -1484,6 +1484,36 @@ object SparkEntry {
       docs.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(eq))
     }),
 
+    // Pair serving FROM THE PERSISTED ARTIFACT: the parquet band index
+    // the incremental/streaming queries maintain answers the full pair
+    // query for its own corpus WITHOUT touching documents — index rows
+    // in, pairs out (minHashLshPairsFromIndex). Gate: set + estimate
+    // equality with the from-scratch LSH run over the same slice.
+    "dedup_pairs_from_index" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      // the SAME fixture-keyed index the incremental/streaming gates read
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
+        "index") { tmp =>
+        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
+            n = 3, numHashes = 64, bands = 16)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+      }
+      val served = Dedup.minHashLshPairsFromIndex(
+        s.read.parquet(s"$scratch/index"),
+        numHashes = 64, minJaccard = 0.5)
+      val direct = Dedup.minHashLshPairs(docs.filter(col("doc_id") <= half),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      val eq = served.as("a").join(direct.as("b"), Seq("d1", "d2"), "full")
+        .agg(((count(when(col("a.est_jaccard").isNull
+          || col("b.est_jaccard").isNull, 1)) === 0)
+          && coalesce(max(abs(col("a.est_jaccard") - col("b.est_jaccard")))
+            <= 1e-12, lit(true))).as("equal_ok"))
+      docs.filter(col("doc_id") <= half)
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(eq))
+    }),
+
     // Winnowing (MOSS) fingerprint candidates: any pair sharing a token
     // run ≥ window+n−1 = 6 shares a fingerprint — a guarantee, not a
     // probability, so the floor sits at 0.95 (Jaccard-0.8 pairs always
@@ -3123,6 +3153,12 @@ object SparkEntry {
     // corpus count
     "dedup_minhash_cap_gate" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS equal_ok FROM documents",
+    // served-from-parquet == from-scratch equality asserted in Spark;
+    // the oracle anchors the indexed slice's size
+    "dedup_pairs_from_index" ->
+      """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS equal_ok
+         FROM documents, h WHERE doc_id <= h.half""",
     "dedup_incremental_neardup" ->
       """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
          SELECT count(*) AS n_new_docs, true AS equal_ok
