@@ -112,16 +112,18 @@ object ScaleProbe {
         df.select(col("query_id"), col("vec_id"))
           .as[(Long, Long)].collect().toSet
       }
-      def recallRun(tag: String)(approx: => org.apache.spark.sql.DataFrame) =
+      def recallRun(tag: String)(approx: => org.apache.spark.sql.DataFrame) = {
+        // ground truth is ensured OUTSIDE the timed block: under a tag
+        // filter that skips recall_brute_sample, the brute scan must not
+        // be billed to the first selected recall tag's "sec"
+        if ((only.isEmpty || only(tag)) && exact.isEmpty)
+          exact = pairs(Similarity.bruteForceTopK(emb, qs, 10))
         time(tag) {
-          // self-sufficient under tag filters: ground truth computes on
-          // first use if the brute tag itself wasn't selected
-          if (exact.isEmpty)
-            exact = pairs(Similarity.bruteForceTopK(emb, qs, 10))
           val a = pairs(approx)
           recalls(tag) = a.count(exact.contains).toDouble / exact.size
           a.size.toLong
         }
+      }
       Seq(
         time("recall_brute_sample") {
           exact = pairs(Similarity.bruteForceTopK(emb, qs, 10))
@@ -136,7 +138,10 @@ object ScaleProbe {
         // with scale — this row measures what holding the fraction
         // (nprobe ∝ √n, scan cost ∝ √n per query) buys back
         recallRun("recall_ivf_fracprobe") {
-          val nlistAuto = math.max(1, math.sqrt(n.toDouble).toInt)
+          // the SAME sizing ivfTopK will use (√n with the [16,4096]
+          // clamp) — a re-derived sqrt would drift off the actual list
+          // count below 256 vectors and past the 4096 clamp
+          val nlistAuto = Similarity.autoNlist(emb, 0)
           Similarity.ivfTopK(emb, qs, 10,
             nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) })
     }

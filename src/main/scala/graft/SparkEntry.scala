@@ -200,6 +200,35 @@ object SparkEntry {
     scratch
   }
 
+  /** The fixture-keyed half-corpus MinHash band index shared by every
+    * gate that reads it (`dedup_incremental_neardup`, `stream_neardup`,
+    * `dedup_index_update`, `dedup_pairs_from_index`) — ONE definition of
+    * the build parameters, because the gates share one /tmp cache and
+    * whichever runs first populates it: a drifting copy would silently
+    * hand the others a wrong index.
+    */
+  private def mhIndexScratch(s: SparkSession, dir: String,
+      half: Long): String =
+    fixtureScratch(s, s"$dir/documents.parquet", "mhidx", "index") { tmp =>
+      graft.operators.Dedup.minHashBandIndex(
+          table(s, dir, "documents").filter(col("doc_id") <= half),
+          n = 3, numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(s"$tmp/index")
+    }
+
+  /** The fixture-keyed half-corpus IVF-PQ index shared by
+    * `sim_index_update` and `stream_ann_ingest` — same
+    * one-definition-per-shared-cache rule as [[mhIndexScratch]].
+    */
+  private def ivfPqOldScratch(s: SparkSession, dir: String,
+      half: Long): String =
+    fixtureScratch(s, s"$dir/embeddings.parquet", "ivfpqold", "codes") { tmp =>
+      graft.operators.Similarity.saveIvfPqIndex(
+        table(s, dir, "embeddings").filter(col("vec_id") <= half), tmp,
+        nlist = 16,
+        corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet") + ":old"))
+    }
+
   /** Shared fixture for the single-pass multi-event decode pair
     * (`p2_decode_multi` / `p2_decode_multi_stream`): a session with
     * Transfer@aa + Approval@bb registered, the relational synthesis of
@@ -1475,9 +1504,9 @@ object SparkEntry {
         Dedup.minHashBandIndex(docs, n = 3, numHashes = 64, bands = 16),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val capped = Dedup.minHashLshPairsFromIndex(banded,
-        numHashes = 64, minJaccard = 0.5, maxBucketSize = Some(256))
+        minJaccard = 0.5, maxBucketSize = Some(256))
       val uncapped = Dedup.minHashLshPairsFromIndex(banded,
-        numHashes = 64, minJaccard = 0.5)
+        minJaccard = 0.5)
       val eq = capped.as("c").join(uncapped.as("u"), Seq("d1", "d2"), "full")
         .agg((count(when(col("c.est_jaccard").isNull
           || col("u.est_jaccard").isNull, 1)) === 0).as("equal_ok"))
@@ -1493,15 +1522,9 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
       // the SAME fixture-keyed index the incremental/streaming gates read
-      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
-        "index") { tmp =>
-        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
-            n = 3, numHashes = 64, bands = 16)
-          .write.mode("overwrite").parquet(s"$tmp/index")
-      }
+      val scratch = mhIndexScratch(s, dir, half)
       val served = Dedup.minHashLshPairsFromIndex(
-        s.read.parquet(s"$scratch/index"),
-        numHashes = 64, minJaccard = 0.5)
+        s.read.parquet(s"$scratch/index"), minJaccard = 0.5)
       val direct = Dedup.minHashLshPairs(docs.filter(col("doc_id") <= half),
         n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
       val eq = served.as("a").join(direct.as("b"), Seq("d1", "d2"), "full")
@@ -1701,12 +1724,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
       // the same fixture-keyed index dedup_incremental_neardup reads
-      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
-        "index") { tmp =>
-        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
-            n = 3, numHashes = 64, bands = 16)
-          .write.mode("overwrite").parquet(s"$tmp/index")
-      }
+      val scratch = mhIndexScratch(s, dir, half)
       val updated = s.read.parquet(s"$scratch/index")
         .unionByName(Dedup.minHashBandIndex(
           docs.filter(col("doc_id") > half), n = 3, numHashes = 64, bands = 16))
@@ -1828,12 +1846,7 @@ object SparkEntry {
     "dedup_incremental_neardup" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
-      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
-        "index") { tmp =>
-        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
-            n = 3, numHashes = 64, bands = 16)
-          .write.mode("overwrite").parquet(s"$tmp/index")
-      }
+      val scratch = mhIndexScratch(s, dir, half)
       val inc = Dedup.incrementalNearDupPairs(
         docs.filter(col("doc_id") > half),
         s.read.parquet(s"$scratch/index"),
@@ -1870,12 +1883,7 @@ object SparkEntry {
       val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
       // the SAME fixture-keyed base index dedup_incremental_neardup
       // reads — the old side is shingled once ever, for both queries
-      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mhidx",
-        "index") { tmp =>
-        Dedup.minHashBandIndex(docs.filter(col("doc_id") <= half),
-            n = 3, numHashes = 64, bands = 16)
-          .write.mode("overwrite").parquet(s"$tmp/index")
-      }
+      val scratch = mhIndexScratch(s, dir, half)
       val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "ndsin",
         "in") { tmp =>
         docs.filter(col("doc_id") > half)
@@ -2286,12 +2294,7 @@ object SparkEntry {
     "sim_index_update" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val half = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
-      val scratch = fixtureScratch(s, s"$dir/embeddings.parquet", "ivfpqold",
-        "codes") { tmp =>
-        Similarity.saveIvfPqIndex(emb.filter(col("vec_id") <= half), tmp,
-          nlist = 16,
-          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet") + ":old"))
-      }
+      val scratch = ivfPqOldScratch(s, dir, half)
       val centroids = Similarity.loadIvfPqCentroids(s, scratch)
       val updated = s.read.parquet(s"$scratch/codes")
         .unionByName(Similarity.ivfPqCodeRows(
@@ -2322,12 +2325,7 @@ object SparkEntry {
       val half = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
       // the SAME fixture-keyed base index sim_index_update reads — the
       // old half is trained and coded once ever, for both queries
-      val scratch = fixtureScratch(s, s"$dir/embeddings.parquet", "ivfpqold",
-        "codes") { tmp =>
-        Similarity.saveIvfPqIndex(emb.filter(col("vec_id") <= half), tmp,
-          nlist = 16,
-          corpusKey = Some(tableKey(s, s"$dir/embeddings.parquet") + ":old"))
-      }
+      val scratch = ivfPqOldScratch(s, dir, half)
       val streamIn = fixtureScratch(s, s"$dir/embeddings.parquet", "annsin",
         "in") { tmp =>
         emb.filter(col("vec_id") > half)

@@ -472,7 +472,7 @@ object Dedup {
     val banded1 = minHashBandIndex(df, n, numHashes, bands, textCol, idCol)
     val banded0 = maxBucketSize.fold(banded1)(capBandBuckets(banded1, _))
     val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
-    minHashLshPairsFromIndex(banded, numHashes, minJaccard)
+    minHashLshPairsFromIndex(banded, minJaccard)
   }
 
   /** The full-corpus pair query served FROM A PREBANDED INDEX
@@ -483,8 +483,14 @@ object Dedup {
     * "all near-dup pairs right now" from index rows alone; callers that
     * want the occupancy guard on a SHARED banding apply `maxBucketSize`
     * here instead of re-banding per variant.
+    *
+    * The estimate divisor is the index's OWN signature length
+    * (`size(sig)`), never a parameter: a persisted index read back in a
+    * later session must not depend on the caller remembering the
+    * numHashes it was built with — a mismatched divisor would silently
+    * scale every est_jaccard.
     */
-  def minHashLshPairsFromIndex(banded: DataFrame, numHashes: Int = 64,
+  def minHashLshPairsFromIndex(banded: DataFrame,
       minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val b = maxBucketSize.fold(banded)(capBandBuckets(banded, _))
@@ -499,7 +505,7 @@ object Dedup {
     pairs
       .withColumn("est_jaccard",
         graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
-          .cast("double") / numHashes)
+          .cast("double") / size(col("sig1")))
       .filter(col("est_jaccard") >= minJaccard)
       .select("d1", "d2", "est_jaccard")
   }
@@ -536,7 +542,7 @@ object Dedup {
     val newBanded0 = minHashBandIndex(newDocs, n, numHashes, bands,
       textCol, idCol)
     val newBanded = storage.fold(newBanded0)(graft.CacheScope.persist(newBanded0, _))
-    bandedNearDupPairs(index, newBanded, numHashes, minJaccard, maxBucketSize)
+    bandedNearDupPairs(index, newBanded, minJaccard, maxBucketSize)
   }
 
   /** The band-bucket join core of [[incrementalNearDupPairs]], over
@@ -552,7 +558,7 @@ object Dedup {
     * never form (old rows only ever sit on the left).
     */
   def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
-      numHashes: Int = 64, minJaccard: Double = 0.7,
+      minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val all0 = index.select("doc_id", "sig", "band_idx", "band_key")
       .unionByName(newBanded.select("doc_id", "sig", "band_idx", "band_key"))
@@ -572,9 +578,12 @@ object Dedup {
         when(aNew, col("a.sig")).otherwise(col("b.sig")).as("sig1"),
         when(aNew, col("b.sig")).otherwise(col("a.sig")).as("sig2"))
       .dropDuplicates("d1", "d2")
+      // divisor = the index's own signature length, never a parameter —
+      // a persisted index must not depend on the serving session
+      // remembering its numHashes (see minHashLshPairsFromIndex)
       .withColumn("est_jaccard",
         graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
-          .cast("double") / numHashes)
+          .cast("double") / size(col("sig1")))
       .filter(col("est_jaccard") >= minJaccard)
       .select("d1", "d2", "est_jaccard")
   }

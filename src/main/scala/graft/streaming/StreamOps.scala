@@ -517,7 +517,7 @@ object StreamOps {
       .unionByName(appended.filter(col("ingest_batch") < id)
         .drop("ingest_batch"))
     epochWrite(graft.operators.Dedup.bandedNearDupPairs(
-      older, thisBanded, numHashes, minJaccard), pairsDir)
+      older, thisBanded, minJaccard), pairsDir)
   }
 
   /** Streaming ANN index ingest — the PQ mirror of [[nearDupIngestStream]],

@@ -46,7 +46,7 @@ class LiveEndpointSpec extends AnyFunSuite {
       assert(l.address.length == 20, "address must be 20 bytes")
       assert(l.topics.nonEmpty && l.topics.forall(_.length == 32),
         "topics must be 32-byte words")
-      assert(model.Hex.encode(l.topics.head) == transferTopic0,
+      assert("0x" + model.Hex.encode(l.topics.head) == transferTopic0,
         "server-side topic0 filter not honored")
     }
   }
