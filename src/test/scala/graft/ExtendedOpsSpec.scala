@@ -1032,6 +1032,20 @@ class ExtendedOpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("from-index serving derives the estimate from the index's own sig length") {
+    // a persisted index read back in a later session carries no memory
+    // of its numHashes; the divisor must come from size(sig) — with a
+    // parameter divisor, serving a 128-hash index at the old default 64
+    // yielded est_jaccard up to 2.0 and every candidate passed any cut
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val banded = Dedup.minHashBandIndex(d, n = 3, numHashes = 128, bands = 16)
+    val pairs = Dedup.minHashLshPairsFromIndex(banded, minJaccard = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)),
+      s"identical docs must pair at est exactly 1.0 (divisor = sig length): $pairs")
+  }
+
   test("minHash banding hashes each doc's grams exactly once (plan regression)") {
     // Catalyst pushes filters through projects by re-inlining aliases; the
     // old size(gramHashes)>0 guard therefore ran the tokenize+hash kernel
