@@ -108,7 +108,12 @@ object ScaleProbe {
         Similarity.assignClusters(emb, SparkEntry.ClusterCentroids).count() },
       time("token_budget_raw") {
         graft.operators.Sampling
-          .tokenBudgetSelect(docs, budget = nDocs * 20).count() })
+          .tokenBudgetSelect(docs, budget = nDocs * 20).count() },
+      time("corpus_build_raw") {
+        // the composite deployment chain (exact dedup → gram decon →
+        // quality/lang gate) — the same definition the oracled
+        // pipeline_corpus_build materializes and writes
+        SparkEntry.corpusBuildSelected(docs).count() })
 
     // ---- recall at scale (VERDICT r10 #3): the oracled gates pin recall
     // floors at fixture scale only; this measures the √n-nlist +

@@ -200,6 +200,29 @@ object SparkEntry {
     scratch
   }
 
+  /** The corpus-build selection chain (`pipeline_corpus_build`'s
+    * operator composition, and ScaleProbe's `corpus_build_raw` scale
+    * row — one definition): exact dedup (min-id winners) → benchmark
+    * decontamination (mod-97 eval split, 3-grams) → quality gate ≥ 0.5
+    * + language ID → `(doc_id, pred_lang, n_tokens)`. One lang+quality
+    * pass and one token-stats pass, both over post-decon survivors
+    * only.
+    */
+  private[graft] def corpusBuildSelected(docs: DataFrame): DataFrame = {
+    val winners = graft.operators.Dedup.exact(docs)
+      .select(col("keep_id").as("doc_id"))
+    val corpus = docs.join(winners, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 97 =!= 0)
+    val deconned = graft.operators.Dedup.decontaminate(corpus,
+      docs.filter(col("doc_id") % 97 === 0), n = 3)
+    graft.operators.TextOps.langQuality(deconned)
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(graft.operators.TextOps.tokenStats(deconned)
+        .select(col("doc_id"), col("n_ws_tokens").as("n_tokens")),
+        Seq("doc_id"))
+  }
+
   /** The fixture-keyed half-corpus MinHash band index shared by every
     * gate that reads it (`dedup_incremental_neardup`, `stream_neardup`,
     * `dedup_index_update`, `dedup_pairs_from_index`) — ONE definition of
@@ -1588,21 +1611,9 @@ object SparkEntry {
     // verdict (written rows == one-shot recomputation, row for row).
     "pipeline_corpus_build" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val winners = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val corpus = docs.join(winners, Seq("doc_id"), "left_semi")
-        .filter(col("doc_id") % 97 =!= 0)
-      val deconned = Dedup.decontaminate(corpus,
-        docs.filter(col("doc_id") % 97 === 0), n = 3)
-      // one pass for lang+quality, one for token counts — both on the
-      // post-decon survivors only; materialized once so the four epoch
-      // writes (and the replay) never recompute the chain
-      val selected = graft.CacheScope.persist(
-        TextOps.langQuality(deconned)
-          .filter(col("quality") >= 0.5)
-          .select(col("doc_id"), col("pred_lang"))
-          .join(TextOps.tokenStats(deconned)
-            .select(col("doc_id"), col("n_ws_tokens").as("n_tokens")),
-            Seq("doc_id")),
+      // materialized once so the four epoch writes (and the replay)
+      // never recompute the chain
+      val selected = graft.CacheScope.persist(corpusBuildSelected(docs),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val run = java.nio.file.Files.createTempDirectory("graft_cb").toString
       onJvmExitDelete(run)
