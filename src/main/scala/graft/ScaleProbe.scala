@@ -32,6 +32,12 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up (Bench's discipline): JIT + codegen + shuffle machinery —
+    // without it a single-tag run bills session startup to its first
+    // timed row (measured as a ~5 s floor on otherwise-flat rows)
+    spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+    spark.range(500000L).selectExpr("id % 1000 as k", "id as v")
+      .groupBy("k").sum("v").count()
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
