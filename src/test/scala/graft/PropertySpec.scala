@@ -469,4 +469,35 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("from-index pair serving equals the direct LSH run on arbitrary corpora") {
+    val words = Vector("ab", "cd", "ef", "gh", "ij", "kl")
+    val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(12, for {
+      id <- Gen.choose(0L, 40L)
+      n <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield (id, ws.mkString(" ")))
+    forAll(genDocs, n = 8) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val direct = Dedup.minHashLshPairs(df, n = 2, numHashes = 16,
+          bands = 8, minJaccard = 0.3, storage = None)
+          .collect().map(key).toSet
+        val served = Dedup.minHashLshPairsFromIndex(
+          Dedup.minHashBandIndex(df, n = 2, numHashes = 16, bands = 8),
+          minJaccard = 0.3)
+          .collect().map(key).toSet
+        assert(served == direct, s"served $served != direct $direct")
+        // an occupancy cap no bucket reaches is the identity
+        val capped = Dedup.minHashLshPairsFromIndex(
+          Dedup.minHashBandIndex(df, n = 2, numHashes = 16, bands = 8),
+          minJaccard = 0.3, maxBucketSize = Some(docs.size + 1))
+          .collect().map(key).toSet
+        assert(capped == direct, s"identity cap dropped pairs: $capped != $direct")
+      }
+    }
+  }
 }
