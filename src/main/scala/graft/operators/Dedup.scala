@@ -104,9 +104,16 @@ object Dedup {
         explode(gramHashes(col(textCol), n)).as("gram"))
     val filtered = maxGramDf match {
       case Some(cap) =>
-        val freq = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
-          .filter(col("gram_df") <= cap)
-        grams.join(freq, "gram").select("doc_id", "gram")
+        // df as a WINDOW count over the gram key, not a groupBy+join
+        // twin: the window's shuffle partitions by exactly the key the
+        // downstream pair self-join needs, so the cap costs zero extra
+        // exchanges (the capBandBuckets pattern) — the old shape
+        // re-shuffled the full gram set once for the freq aggregate and
+        // once more to join it back
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+        grams.withColumn("__gram_df", count(lit(1)).over(w))
+          .filter(col("__gram_df") <= cap)
+          .select("doc_id", "gram")
       case None => grams
     }
     (filtered, grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
