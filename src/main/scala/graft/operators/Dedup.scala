@@ -633,9 +633,12 @@ object Dedup {
     val fps = winnowFingerprints(df, n, window, textCol, idCol)
     val filtered = maxFpDf match {
       case Some(cap) =>
-        val freq = fps.groupBy("fp").agg(count(lit(1)).as("fp_df"))
-          .filter(col("fp_df") <= cap)
-        fps.join(freq, "fp").select("doc_id", "fp")
+        // window over the fp key — shares the self-join's partitioning,
+        // no groupBy+join twin (the gramCandidates/capBandBuckets shape)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        fps.withColumn("__fp_df", count(lit(1)).over(w))
+          .filter(col("__fp_df") <= cap)
+          .select("doc_id", "fp")
       case None => fps
     }
     filtered.as("a")
