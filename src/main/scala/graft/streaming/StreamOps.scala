@@ -477,14 +477,15 @@ object StreamOps {
   def nearDupIngestStream(docStream: DataFrame, baseIndexDir: String,
       appendDir: String, pairsDir: String, checkpoint: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7): StreamingQuery =
+      minJaccard: Double = 0.7,
+      maxBucketSize: Option[Int] = None): StreamingQuery =
     docStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
           nearDupIngestEpoch(batch, baseIndexDir, appendDir, pairsDir, id,
-            n, numHashes, bands, minJaccard)
+            n, numHashes, bands, minJaccard, maxBucketSize)
       }
       .start()
 
@@ -499,7 +500,8 @@ object StreamOps {
   def nearDupIngestEpoch(batch: DataFrame, baseIndexDir: String,
       appendDir: String, pairsDir: String, id: Long,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7): Unit = {
+      minJaccard: Double = 0.7,
+      maxBucketSize: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     def epochWrite(df: DataFrame, dir: String): Unit =
       df.withColumn("ingest_batch", lit(id))
@@ -517,7 +519,7 @@ object StreamOps {
       .unionByName(appended.filter(col("ingest_batch") < id)
         .drop("ingest_batch"))
     epochWrite(graft.operators.Dedup.bandedNearDupPairs(
-      older, thisBanded, minJaccard), pairsDir)
+      older, thisBanded, minJaccard, maxBucketSize), pairsDir)
   }
 
   /** Streaming ANN index ingest — the PQ mirror of [[nearDupIngestStream]],
