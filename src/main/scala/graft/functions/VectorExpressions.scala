@@ -203,6 +203,51 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWs, nBpe))
   }
 
+  /** Fused whitespace tokenize + per-token xxhash64 — replicates
+    * `transform(filter(split(text, "\\s+"), _ =!= ""), w => xxhash64(w))`
+    * exactly, without materializing a single token string: the Java
+    * `\s` separators are all ASCII, and a UTF-8 multibyte sequence never
+    * contains an ASCII byte, so a BYTE scan splits identically to the
+    * regex, and each token hashes via the same
+    * `XXH64.hashUnsafeBytes(bytes, 42)` Spark's `xxhash64` applies to
+    * strings. This is the hot head of every gram/minhash/winnow/simhash
+    * pipeline; the `transform` lambda it replaces is a higher-order
+    * function, which Spark evaluates interpreted (CodegenFallback) after
+    * first building the full token-string array per row.
+    */
+  def wsTokenHashes(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    def ws(b: Byte): Boolean =
+      b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+        b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+    // pass 1: token count (exact-size output, no growable buffer churn)
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && ws(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !ws(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      }
+    }
+    val out = new Array[Long](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      while (i < n && ws(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !ws(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+        out(k) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + start, i - start, 42L)
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass whitespace tokenization + per-term tf over the LOWERCASED
     * text, replicating `wsTokens(lower(text))` token equality exactly:
     * `out(0)` = token count (dl), `out(i+1)` = occurrences of
@@ -656,6 +701,26 @@ case class CharNgramHashes(child: Expression, n: Int)
 /** `token_counts(string) → array<long>(n_ws, n_bpe)` — fused tokenizer
   * counters (regex-equivalent, single pass).
   */
+/** `ws_token_hashes(string) → array<long>` — fused whitespace tokenize
+  * + per-token xxhash64 (seed 42, byte-exact with
+  * `transform(wsTokens(text), w => xxhash64(w))`); see
+  * [[VectorRuntime.wsTokenHashes]].
+  */
+case class WsTokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ws_token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.wsTokenHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorRuntime.wsTokenHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokenHashes =
+    copy(child = newChild)
+}
+
 case class TokenCounts(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_counts"
@@ -945,6 +1010,7 @@ object vec {
   def charNgramHashes(text: Column, n: Int): Column =
     wrap(CharNgramHashes(ex(text), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
+  def wsTokenHashes(text: Column): Column = wrap(WsTokenHashes(ex(text)))
   def termTf(text: Column, terms: Seq[String]): Column =
     wrap(TermTf(ex(text), terms))
   def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))

@@ -78,7 +78,7 @@ object Dedup {
     */
   def gramHashes(text: Column, n: Int): Column =
     graft.functions.vec.ngramHashes(
-      transform(TextOps.wsTokens(text), w => xxhash64(w)), n)
+      graft.functions.vec.wsTokenHashes(text), n)
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct gram hashes,
     * join on shared gram (candidate generation), then
@@ -627,7 +627,7 @@ object Dedup {
     df.select(col(idCol).as("doc_id"),
       explode(graft.functions.vec.winnowHashes(
         graft.functions.vec.ngramHashesAll(
-          transform(TextOps.wsTokens(col(textCol)), w => xxhash64(w)), n),
+          graft.functions.vec.wsTokenHashes(col(textCol)), n),
         window)).as("fp"))
 
   /** Winnowing candidate pairs: docs sharing ≥ `minShared` selected
@@ -762,7 +762,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol).as("doc_id"),
       graft.functions.vec.simHash64(
-        transform(TextOps.wsTokens(col(textCol)), w => xxhash64(w)))
+        graft.functions.vec.wsTokenHashes(col(textCol)))
         .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
@@ -815,8 +815,7 @@ object Dedup {
       textCol: String, idCol: String,
       storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
     require(k >= 1 && minOcc >= 2, s"need k >= 1, minOcc >= 2; got $k, $minOcc")
-    val tokHashes = transform(TextOps.wsTokens(lower(col(textCol))),
-      w => xxhash64(w))
+    val tokHashes = graft.functions.vec.wsTokenHashes(lower(col(textCol)))
     val starts0 = df.select(col(idCol),
       posexplode(graft.functions.vec.ngramHashesAll(tokHashes, k))
         .as(Seq("pos0", "gram")))

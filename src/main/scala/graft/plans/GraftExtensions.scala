@@ -28,6 +28,7 @@ object GraftFunctions {
     "ngram_hashes" -> (es => NgramHashes(es.head, litInt(es(1), "ngram_hashes"),
       distinct = if (es.length > 2) litBool(es(2), "ngram_hashes") else true)),
     "token_counts" -> (es => TokenCounts(es.head)),
+    "ws_token_hashes" -> (es => WsTokenHashes(es.head)),
     "char_ngram_hashes" -> (es => CharNgramHashes(es.head,
       litInt(es(1), "char_ngram_hashes"))),
     "rolling_fp" -> (es => RollingFp(es.head, litLong(es(1), "rolling_fp"))),

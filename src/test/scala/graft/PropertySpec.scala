@@ -470,6 +470,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wsTokenHashes kernel is byte-exact with the transform+xxhash64 formulation") {
+    // the fused kernel must reproduce split("\\s+")+filter+xxhash64
+    // EXACTLY — persisted band indexes carry hashes of these tokens, so
+    // any drift would poison every fixture-keyed index cache. Cases:
+    // every \s separator, runs, leading/trailing ws, empties, multibyte
+    // text, and non-\s unicode whitespace lookalikes (NBSP stays a
+    // token character, exactly as in the regex formulation).
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val genText: Gen[String] = Gen.listOfN(30, Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(wsChars),
+      1 -> Gen.oneOf('é', '中', ' ', 'ß', '€'),
+      1 -> Gen.oneOf('.', ',', '-', '@'))).map(_.mkString)
+    val texts = (0 until 40).flatMap(i =>
+      genText.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", " ", "a", " a ", "\t\n", "a b", "中 文 字", "a\uD835\uDD4Fb c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        graft.functions.vec.wsTokenHashes($"text").as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = df.select($"id",
+        transform(graft.operators.TextOps.wsTokens($"text"),
+          w => xxhash64(w)).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) == want(i.toLong),
+        s"mismatch on ${texts(i).map(_.toInt.toHexString)}: " +
+          s"${got(i.toLong)} vs ${want(i.toLong)}")
+    }
+  }
+
   test("from-index pair serving equals the direct LSH run on arbitrary corpora") {
     val words = Vector("ab", "cd", "ef", "gh", "ij", "kl")
     val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(12, for {
