@@ -248,6 +248,30 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** LSH band keys from a MinHash signature: `bands` keys, key `b` =
+    * the XxHash64 fold Spark's `xxhash64(b, slice(sig, b·r+1, r))`
+    * computes — `h = hashInt(b, 42)` then `h = hashLong(elem, h)` per
+    * slice element — reproduced exactly (band keys live in PERSISTED
+    * index caches; any drift poisons them) without the interpreted
+    * `transform` lambda or the 16 slice allocations per row.
+    */
+  def lshBandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L)
+      var j = 0
+      while (j < rowsPerBand) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig.getLong(b * rowsPerBand + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass whitespace tokenization + per-term tf over the LOWERCASED
     * text, replicating `wsTokens(lower(text))` token equality exactly:
     * `out(0)` = token count (dl), `out(i+1)` = occurrences of
@@ -701,6 +725,29 @@ case class CharNgramHashes(child: Expression, n: Int)
 /** `token_counts(string) → array<long>(n_ws, n_bpe)` — fused tokenizer
   * counters (regex-equivalent, single pass).
   */
+/** `lsh_band_keys(array<long>, bands, rowsPerBand) → array<long>` — the
+  * compiled twin of `transform(sequence(0, bands-1), b => xxhash64(b,
+  * slice(sig, b·r+1, r)))`; see [[VectorRuntime.lshBandKeys]].
+  */
+case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"lsh_band_keys: need bands >= 1 and rowsPerBand >= 1, got $bands/$rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.lshBandKeys(
+      input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.lshBandKeys($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
 /** `ws_token_hashes(string) → array<long>` — fused whitespace tokenize
   * + per-token xxhash64 (seed 42, byte-exact with
   * `transform(wsTokens(text), w => xxhash64(w))`); see
@@ -1011,6 +1058,8 @@ object vec {
     wrap(CharNgramHashes(ex(text), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
   def wsTokenHashes(text: Column): Column = wrap(WsTokenHashes(ex(text)))
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =
     wrap(TermTf(ex(text), terms))
   def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))

@@ -382,9 +382,11 @@ object Dedup {
     * Jaccard ≳ (1/bands)^(1/rowsPerBand)).
     */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand))))
+    // compiled kernel, byte-exact with the transform/slice/xxhash64
+    // formulation it replaces (property-pinned — band keys live in
+    // persisted index caches): one loop, no per-band slice allocations,
+    // no interpreted higher-order function
+    graft.functions.vec.lshBandKeys(sig, bands, rowsPerBand)
 
   /** Banded MinHash index rows for a corpus: one `(doc_id, sig, band_idx,
     * band_key)` row per document × band — signature and band keys both

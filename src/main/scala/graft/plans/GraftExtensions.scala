@@ -29,6 +29,8 @@ object GraftFunctions {
       distinct = if (es.length > 2) litBool(es(2), "ngram_hashes") else true)),
     "token_counts" -> (es => TokenCounts(es.head)),
     "ws_token_hashes" -> (es => WsTokenHashes(es.head)),
+    "lsh_band_keys" -> (es => LshBandKeys(es.head,
+      litInt(es(1), "lsh_band_keys"), litInt(es(2), "lsh_band_keys"))),
     "char_ngram_hashes" -> (es => CharNgramHashes(es.head,
       litInt(es(1), "char_ngram_hashes"))),
     "rolling_fp" -> (es => RollingFp(es.head, litLong(es(1), "rolling_fp"))),

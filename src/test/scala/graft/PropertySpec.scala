@@ -502,6 +502,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lshBandKeys kernel is byte-exact with the transform+slice+xxhash64 formulation") {
+    // band keys live in persisted index caches — the compiled fold must
+    // reproduce Spark's XxHash64 over (band_idx, slice) exactly
+    val genSig: Gen[List[Long]] = Gen.listOfN(64, Gen.choose(Long.MinValue, Long.MaxValue))
+    val sigs = (0 until 20).flatMap(i =>
+      genSig.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sig")
+    Seq((16, 4), (8, 8), (1, 64), (64, 1)).foreach { case (bands, r) =>
+      val got = df.select($"id",
+          graft.functions.vec.lshBandKeys($"sig", bands, r).as("k"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = df.select($"id",
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice($"sig", b * r + lit(1), lit(r)))).as("k"))
+        .as[(Long, Seq[Long])].collect().toMap
+      sigs.indices.foreach { i =>
+        assert(got(i.toLong) == want(i.toLong),
+          s"bands=$bands r=$r row $i: ${got(i.toLong)} vs ${want(i.toLong)}")
+      }
+    }
+  }
+
   test("from-index pair serving equals the direct LSH run on arbitrary corpora") {
     val words = Vector("ab", "cd", "ef", "gh", "ij", "kl")
     val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(12, for {
