@@ -161,12 +161,15 @@ object TextOps {
   def repetitionScores(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val base = df
-      .select(col(idCol), wsTokens(lower(col(textCol))).as("ws"))
+      .select(col(idCol), lower(col(textCol)).as("__lt"))
+      .withColumn("ws", wsTokens(col("__lt")))
       .withColumn("n_words", size(col("ws")))
     val top = base.filter(col("n_words") >= 2)
+      // fused tokenize+hash kernel over the lowered text — same tokens
+      // as `ws`, no interpreted per-token xxhash64 lambda
       .select(col(idCol), explode(
         graft.functions.vec.ngramHashesAll(
-          transform(col("ws"), w => xxhash64(w)), 2)).as("bigram"))
+          graft.functions.vec.wsTokenHashes(col("__lt")), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(max(col("cnt")).as("top_cnt"))
     base.join(top, Seq(idCol), "left")
