@@ -256,6 +256,13 @@ object VectorRuntime {
     * `transform` lambda or the 16 slice allocations per row.
     */
   def lshBandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    // loud bounds guard: a too-short signature must never read past the
+    // array — UnsafeArrayData.getLong would silently return adjacent
+    // row memory (asserts are off by default), writing nondeterministic
+    // keys into persisted index caches
+    require(sig.numElements() >= bands * rowsPerBand,
+      s"lsh_band_keys: signature has ${sig.numElements()} slots, need " +
+        s"bands*rowsPerBand = ${bands * rowsPerBand}")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -722,9 +729,6 @@ case class CharNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** `token_counts(string) → array<long>(n_ws, n_bpe)` — fused tokenizer
-  * counters (regex-equivalent, single pass).
-  */
 /** `lsh_band_keys(array<long>, bands, rowsPerBand) → array<long>` — the
   * compiled twin of `transform(sequence(0, bands-1), b => xxhash64(b,
   * slice(sig, b·r+1, r)))`; see [[VectorRuntime.lshBandKeys]].
@@ -768,6 +772,9 @@ case class WsTokenHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `token_counts(string) → array<long>(n_ws, n_bpe)` — fused tokenizer
+  * counters (regex-equivalent, single pass).
+  */
 case class TokenCounts(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_counts"

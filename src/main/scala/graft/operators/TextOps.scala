@@ -160,16 +160,19 @@ object TextOps {
     */
   def repetitionScores(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // ONE tokenization per row: the fused kernel's hash array carries
+    // everything — n_words = its size, distinct words = array_distinct
+    // on the hashes (identical modulo negligible 64-bit collisions, the
+    // same trade gramHashes documents), bigrams = the sliding combine
+    // over it. The previous shape ran the regex split AND string-array
+    // build beside the kernel.
     val base = df
-      .select(col(idCol), lower(col(textCol)).as("__lt"))
-      .withColumn("ws", wsTokens(col("__lt")))
-      .withColumn("n_words", size(col("ws")))
+      .select(col(idCol),
+        graft.functions.vec.wsTokenHashes(lower(col(textCol))).as("wh"))
+      .withColumn("n_words", size(col("wh")))
     val top = base.filter(col("n_words") >= 2)
-      // fused tokenize+hash kernel over the lowered text — same tokens
-      // as `ws`, no interpreted per-token xxhash64 lambda
       .select(col(idCol), explode(
-        graft.functions.vec.ngramHashesAll(
-          graft.functions.vec.wsTokenHashes(col("__lt")), 2)).as("bigram"))
+        graft.functions.vec.ngramHashesAll(col("wh"), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(max(col("cnt")).as("top_cnt"))
     base.join(top, Seq(idCol), "left")
@@ -177,7 +180,7 @@ object TextOps {
         col(idCol),
         col("n_words").cast("bigint").as("n_words"),
         when(col("n_words") > 0,
-          (col("n_words") - size(array_distinct(col("ws")))).cast("double")
+          (col("n_words") - size(array_distinct(col("wh")))).cast("double")
             / col("n_words"))
           .otherwise(lit(0.0)).as("dup_word_frac"),
         coalesce(
