@@ -21,6 +21,19 @@ import graft.operators.Similarity
   * already established their scaling stories (PERF.md).
   */
 object ScaleProbe {
+
+  /** Fixture content identity for probe-local /tmp caches — same recipe
+    * as SparkEntry.tableKey (path + max mtime + total bytes, filesystem
+    * listing only), sanitized into a dir-name-safe token.
+    */
+  private def fixtureKey(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(p).filter(_.isFile)
+    val mt = if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max
+    s"$path@$mt:${stats.map(_.getLen).sum}".replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,8 +93,13 @@ object ScaleProbe {
         // per fixture (untimed — maintenance cost is the incremental
         // path's story); the row times index-rows-in → pairs-out, i.e.
         // what a deployment pays to re-ask "all near-dup pairs now"
-        // without re-shingling a document
-        val idxDir = s"/tmp/graft_probe_mhidx_$nDocs"
+        // without re-shingling a document. The cache dir is keyed on the
+        // fixture's CONTENT identity (path + max mtime + total bytes,
+        // the fixtureScratch convention) — a doc-count-only key would
+        // silently serve a stale index after a fixture regeneration
+        // with the same row count
+        val idxDir = s"/tmp/graft_probe_mhidx_" +
+          fixtureKey(spark, s"$sfDir/documents.parquet")
         if ((only.isEmpty || only("dedup_pairs_served")) &&
             !new java.io.File(s"$idxDir/_SUCCESS").exists())
           graft.operators.Dedup.minHashBandIndex(docs)
@@ -146,6 +164,11 @@ object ScaleProbe {
         if ((only.isEmpty || only(tag)) && exact.isEmpty)
           exact = pairs(Similarity.bruteForceTopK(emb, qs, 10))
         time(tag) {
+          // loud-failure convention: an empty exact top-k means a
+          // degenerate fixture (no sample queries / no corpus), and a
+          // 0/0 recall would print "recall":NaN — invalid JSON
+          require(exact.nonEmpty, s"$tag: exact brute-force top-k is " +
+            "empty — degenerate fixture, recall undefined")
           val a = pairs(approx)
           recalls(tag) = a.count(exact.contains).toDouble / exact.size
           a.size.toLong
@@ -164,13 +187,21 @@ object ScaleProbe {
         // nprobe probes a shrinking corpus fraction, so recall decays
         // with scale — this row measures what holding the fraction
         // (nprobe ∝ √n, scan cost ∝ √n per query) buys back
-        recallRun("recall_ivf_fracprobe") {
+        {
           // the SAME sizing ivfTopK will use (√n with the [16,4096]
           // clamp) — a re-derived sqrt would drift off the actual list
-          // count below 256 vectors and past the 4096 clamp
-          val nlistAuto = Similarity.autoNlist(emb, 0)
-          Similarity.ivfTopK(emb, qs, 10,
-            nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) })
+          // count below 256 vectors and past the 4096 clamp. Computed
+          // OUTSIDE the timed block: autoNlist runs a full corpus count,
+          // which must not be billed to this row's "sec" (it is not part
+          // of the query being compared against recall_ivf_auto)
+          val nlistAuto =
+            if (only.isEmpty || only("recall_ivf_fracprobe"))
+              Similarity.autoNlist(emb, 0)
+            else 0
+          recallRun("recall_ivf_fracprobe") {
+            Similarity.ivfTopK(emb, qs, 10,
+              nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) }
+        })
     }
 
     val ran = (runs ++ recallRuns).flatten

@@ -609,6 +609,43 @@ object Dedup {
       .select("d1", "d2", "est_jaccard")
   }
 
+  /** Source-compatibility bridge for the pre-round-11 signature, which
+    * took `numHashes` in third position: without it, a legacy positional
+    * call like `bandedNearDupPairs(idx, banded, 64)` still compiles
+    * against the current signature via Int→Double widening and silently
+    * sets `minJaccard = 64.0` (zero pairs, no error). The Int overload
+    * wins exact-match resolution over the widening, so such calls land
+    * here instead — `numHashes` is validated against the index's own
+    * signature length (the only divisor ever used now) and then dropped.
+    */
+  @deprecated("numHashes is derived from the index's own signature length; " +
+    "call bandedNearDupPairs(index, newBanded, minJaccard, maxBucketSize)",
+    "round 12")
+  def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
+      numHashes: Int): DataFrame =
+    bandedNearDupPairs(index, requireSigLen(newBanded, numHashes))
+
+  /** Four-positional-arg variant of the bridge above. */
+  @deprecated("numHashes is derived from the index's own signature length; " +
+    "call bandedNearDupPairs(index, newBanded, minJaccard, maxBucketSize)",
+    "round 12")
+  def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
+      numHashes: Int, minJaccard: Double): DataFrame =
+    bandedNearDupPairs(index, requireSigLen(newBanded, numHashes), minJaccard)
+
+  /** Loud guard for the deprecated bridges: the caller-remembered
+    * `numHashes` must agree with the actual signature rows — a mismatch
+    * means the legacy call was ALREADY mis-scaling every est_jaccard, and
+    * must fail rather than silently change meaning. Plan-only
+    * (`assert_true` rides the existing row pipeline — no extra job).
+    */
+  private def requireSigLen(banded: DataFrame, numHashes: Int): DataFrame =
+    banded.withColumn("sig",
+      when(coalesce(assert_true(size(col("sig")) === numHashes,
+          concat(lit(s"bandedNearDupPairs: numHashes=$numHashes does not " +
+            "match the index signature length "), size(col("sig"))))
+          .cast("int"), lit(0)) === 0, col("sig")))
+
   // -------------------------------------------------------------------
   // Winnowing fingerprints (MOSS-style substring dedup)
   // -------------------------------------------------------------------
