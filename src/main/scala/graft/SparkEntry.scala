@@ -1909,9 +1909,13 @@ object SparkEntry {
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
+        // compactEvery=2: the 4-file stream folds its committed append +
+        // pairs partitions mid-run (IngestCompaction), so THIS gate also
+        // pins that the drained result is unchanged by the fold
         val q = graft.streaming.StreamOps.nearDupIngestStream(stream,
           s"$scratch/index", s"$run/append", s"$run/pairs", s"$run/ckpt",
-          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+          compactEvery = Some(2))
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
       // a corpus slice with zero qualifying pairs leaves $run/pairs
@@ -2351,6 +2355,12 @@ object SparkEntry {
       val q = graft.streaming.StreamOps.annIngestStream(stream, scratch,
         s"$run/append", s"$run/ckpt")
       try q.processAllAvailable() finally q.stop()
+      // fold ALL drained epochs into one partition before serving (the
+      // stream is stopped, so every epoch is committed and foldable):
+      // the gate below then asserts the compacted index answers
+      // identically to a full batch rebuild
+      graft.streaming.IngestCompaction.compact(s, s"$run/append",
+        upToEpoch = Long.MaxValue, orderCols = Seq("list"))
       val centroids = Similarity.loadIvfPqCentroids(s, scratch)
       val served = s.read.parquet(s"$scratch/codes")
         .unionByName(s.read.parquet(s"$run/append").drop("ingest_batch"))

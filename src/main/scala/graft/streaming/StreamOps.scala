@@ -472,17 +472,38 @@ object StreamOps {
     * Scale: per epoch the only shuffle is the band-bucket join, whose
     * left side is partition-prunable parquet; state lives entirely in
     * the two directories, never in the state store — a year-long ingest
-    * holds nothing in memory between epochs.
+    * holds nothing in memory between epochs. `compactEvery = Some(m)`
+    * closes the one growth path that leaves: every m-th epoch folds the
+    * committed `ingest_batch` partitions of BOTH directories into one
+    * ([[IngestCompaction]] — crash-safe, auto-recovering inside the
+    * micro-batch loop, which is the single maintenance writer), so the
+    * per-epoch re-list/re-union of the appends touches a bounded
+    * partition count instead of one per epoch ever ingested.
     */
   def nearDupIngestStream(docStream: DataFrame, baseIndexDir: String,
       appendDir: String, pairsDir: String, checkpoint: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.7,
-      maxBucketSize: Option[Int] = None): StreamingQuery =
+      maxBucketSize: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery =
     docStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // fold BEFORE the epoch's own work: the epoch then reads the
+        // compacted layout (fewer files to list and union). upTo=id−1
+        // covers only committed epochs — Structured Streaming commits
+        // batch id−1 before starting id — and a replay of THIS epoch
+        // re-runs recover+compact idempotently (a second fold over an
+        // already-folded range is a no-op).
+        compactEvery.filter(m => id > 0 && id % m == 0).foreach { _ =>
+          Seq(appendDir, pairsDir).foreach { d =>
+            IngestCompaction.recover(batch.sparkSession, d)
+            IngestCompaction.compact(batch.sparkSession, d, id - 1,
+              orderCols = if (d == appendDir)
+                Seq("band_idx", "band_key") else Seq("d1", "d2"))
+          }
+        }
         if (!batch.isEmpty)
           nearDupIngestEpoch(batch, baseIndexDir, appendDir, pairsDir, id,
             n, numHashes, bands, minJaccard, maxBucketSize)
@@ -537,7 +558,8 @@ object StreamOps {
     */
   def annIngestStream(vecStream: DataFrame, indexDir: String,
       appendDir: String, checkpoint: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Option[Int] = None): StreamingQuery = {
     // load the frozen quantizer ONCE at stream start — per-epoch reloads
     // would re-collect nlist × dim doubles every micro-batch for a
     // codebook that cannot change under this contract
@@ -547,6 +569,14 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // same committed-epochs-only fold cadence as nearDupIngestStream;
+        // list-ordered files keep the serving join's nprobe filter
+        // row-group-prunable after the fold
+        compactEvery.filter(m => id > 0 && id % m == 0).foreach { _ =>
+          IngestCompaction.recover(batch.sparkSession, appendDir)
+          IngestCompaction.compact(batch.sparkSession, appendDir, id - 1,
+            orderCols = Seq("list"))
+        }
         if (!batch.isEmpty)
           annIngestEpoch(batch, centroids, appendDir, id, idCol, vecCol)
       }

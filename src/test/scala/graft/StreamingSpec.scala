@@ -429,6 +429,138 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id")
     StreamOps.annIngestEpoch(lastBatch, centroids, s"$run/append", lastId)
     assert(codeSet() == drained, "replayed epoch changed the drained index")
+    // post-drain fold: all epochs committed (stream stopped) — compaction
+    // must bound the partition count to one and preserve content verbatim
+    graft.streaming.IngestCompaction.compact(spark, s"$run/append",
+      upToEpoch = Long.MaxValue, orderCols = Seq("list"))
+    assert(graft.streaming.IngestCompaction.listEpochs(spark, s"$run/append")
+      .size == 1, "fold left more than one partition")
+    assert(codeSet() == drained, "fold changed the served index content")
+  }
+
+  test("ingest compaction: mid-run fold bounds partitions and leaves the " +
+    "drained near-dup result unchanged") {
+    import graft.streaming.IngestCompaction
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+    val newDocs = docs.filter($"doc_id" > half)
+    val base = tmp()
+    graft.operators.Dedup.minHashBandIndex(docs.filter($"doc_id" <= half))
+      .write.parquet(s"$base/index")
+    val quarter = (docs.agg(max($"doc_id")).head.getLong(0) + half) / 2
+    val slices = Seq(
+      newDocs.filter($"doc_id" <= quarter)
+        .filter($"doc_id" % 2 === 0),
+      newDocs.filter($"doc_id" <= quarter).filter($"doc_id" % 2 === 1),
+      newDocs.filter($"doc_id" > quarter).filter($"doc_id" % 2 === 0),
+      newDocs.filter($"doc_id" > quarter).filter($"doc_id" % 2 === 1))
+    // twin runs over identical epoch slices: A never compacts, B folds
+    // the committed epochs between epoch 2 and epoch 3
+    val runA = tmp(); val runB = tmp()
+    slices.zipWithIndex.foreach { case (s, i) =>
+      StreamOps.nearDupIngestEpoch(s, s"$base/index", s"$runA/append",
+        s"$runA/pairs", i.toLong, minJaccard = 0.0)
+    }
+    slices.zipWithIndex.foreach { case (s, i) =>
+      if (i == 3) { // the compactEvery hook's shape: fold before epoch 3
+        Seq(s"$runB/append", s"$runB/pairs").foreach { d =>
+          IngestCompaction.recover(spark, d)
+          IngestCompaction.compact(spark, d, upToEpoch = 2,
+            orderCols = if (d.endsWith("append"))
+              Seq("band_idx", "band_key") else Seq("d1", "d2"))
+        }
+      }
+      StreamOps.nearDupIngestEpoch(s, s"$base/index", s"$runB/append",
+        s"$runB/pairs", i.toLong, minJaccard = 0.0)
+    }
+    def pairSet(run: String) = spark.read.parquet(s"$run/pairs")
+      .select($"d1", $"d2", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    def bandSet(run: String) = spark.read.parquet(s"$run/append")
+      .select($"doc_id", $"band_idx", $"band_key")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pairSet(runA).nonEmpty, "vacuous drill: no pairs at all")
+    assert(pairSet(runB) == pairSet(runA),
+      "fold changed the drained pair set")
+    assert(bandSet(runB) == bandSet(runA),
+      "fold changed the band index content")
+    // partition bound: folded 0..2 into one + epoch 3 = exactly 2
+    assert(IngestCompaction.listEpochs(spark, s"$runB/append") == Seq(2L, 3L),
+      "append partitions not folded to {2, 3}")
+    // a second fold over the already-folded range is a no-op (the
+    // replayed-compaction path inside a recovering foreachBatch)
+    IngestCompaction.recover(spark, s"$runB/append")
+    IngestCompaction.compact(spark, s"$runB/append", upToEpoch = 2,
+      orderCols = Seq("band_idx", "band_key"))
+    assert(bandSet(runB) == bandSet(runA))
+  }
+
+  test("ingest compaction: crash drills — pre-marker rollback, " +
+    "mid-delete roll-forward, post-swap cleanup, marker blocks new runs") {
+    import graft.streaming.IngestCompaction
+    def writeEpochs(dir: String, n: Int): Unit =
+      (0 until n).foreach { e =>
+        spark.range(e * 10, e * 10 + 10)
+          .select($"id", ($"id" * 2).as("v"), lit(e.toLong).as("ingest_batch"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(dir)
+      }
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select($"id", $"v").as[(Long, Long)].collect().toSet
+    val full = (0L until 30L).map(i => (i, i * 2)).toSet
+
+    // (a) pre-marker crash: stale tmp, no marker → recover rolls BACK
+    val a = tmp(); writeEpochs(a, 3)
+    new java.io.File(s"$a/.compact_fold.tmp/junk").getParentFile.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$a/.compact_fold.tmp/junk"), "partial")
+    IngestCompaction.recover(spark, a)
+    assert(!new java.io.File(s"$a/.compact_fold.tmp").exists())
+    assert(IngestCompaction.listEpochs(spark, a) == Seq(0L, 1L, 2L))
+    assert(rows(a) == full)
+
+    // (b) crash mid-delete (marker published, staging complete, one
+    // original already deleted) → recover rolls FORWARD
+    val b = tmp(); writeEpochs(b, 3)
+    spark.read.parquet(b).filter($"ingest_batch" <= 2)
+      .withColumn("ingest_batch", lit(2L)).repartition(1)
+      .write.partitionBy("ingest_batch").parquet(s"$b/.compact_fold.tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$b/_folding"), "0\n1\n2")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$b/ingest_batch=0"))
+    // a fresh compact REFUSES while the marker stands
+    val err = intercept[java.io.IOException] {
+      IngestCompaction.compact(spark, b, upToEpoch = 2)
+    }
+    assert(err.getMessage.contains("recover"))
+    IngestCompaction.recover(spark, b)
+    assert(IngestCompaction.listEpochs(spark, b) == Seq(2L))
+    assert(rows(b) == full, "roll-forward lost or duplicated rows")
+    assert(!new java.io.File(s"$b/_folding").exists())
+
+    // (c) crash after swap, before cleanup (marker + empty tmp remain,
+    // folded partition already in place) → recover just cleans up
+    val c = tmp(); writeEpochs(c, 3)
+    IngestCompaction.compact(spark, c, upToEpoch = 2)
+    assert(rows(c) == full)
+    new java.io.File(s"$c/.compact_fold.tmp").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$c/_folding"), "0\n1\n2")
+    IngestCompaction.recover(spark, c)
+    assert(IngestCompaction.listEpochs(spark, c) == Seq(2L))
+    assert(rows(c) == full)
+    assert(!new java.io.File(s"$c/_folding").exists() &&
+      !new java.io.File(s"$c/.compact_fold.tmp").exists())
+    // recover is idempotent
+    IngestCompaction.recover(spark, c)
+    assert(rows(c) == full)
+
+    // (d) fewer than two foldable partitions → no-op, no artifacts
+    val d = tmp(); writeEpochs(d, 3)
+    IngestCompaction.compact(spark, d, upToEpoch = 0)
+    assert(IngestCompaction.listEpochs(spark, d) == Seq(0L, 1L, 2L))
   }
 
   test("streaming flush emits the dense batch block-align cells once (J2)") {
