@@ -478,6 +478,38 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Relative reconstruction residual of one [[ivfPqCodeRows]] row —
+    * `‖reconstructed residual‖ / ‖vector‖` = `qscale·√(Σ codesᵢ²) /
+    * cnrm` — computed entirely from columns the code row already
+    * carries (one compiled codes self-dot per row, no vector access).
+    * Null for zero-norm vectors (excluded from averages).
+    *
+    * This is THE codebook-drift signal: under a frozen quantizer, a
+    * corpus that drifts away from the training distribution lands
+    * farther from its nearest centroid, so the per-epoch mean of this
+    * value rises above the build-time baseline
+    * ([[pqDriftStats]] over the training corpus' code rows). See
+    * [[graft.streaming.StreamOps.annIngestStream]] for the streaming
+    * emission and the rebuild-trigger guidance.
+    */
+  def relResidual: Column =
+    when(col("cnrm") > 0,
+      col("qscale") *
+        sqrt(vec.codesDot(col("codes"), col("codes")).cast("double")) /
+        col("cnrm"))
+
+  /** One-row drift baseline/summary over code rows (in-memory or read
+    * back off the persisted `codes` artifact): `(mean_rel_residual,
+    * max_rel_residual, n_vectors)`. Computed with the SAME expression
+    * the streaming epochs observe, so baseline and live metric can
+    * never drift apart definitionally.
+    */
+  def pqDriftStats(codeRows: DataFrame): DataFrame =
+    codeRows.agg(
+      avg(relResidual).as("mean_rel_residual"),
+      max(relResidual).as("max_rel_residual"),
+      count(lit(1)).as("n_vectors"))
+
   /** The quantizer back off parquet (list-ordered). Centroid tables are
     * nlist × dim doubles — a driver-side collect by design, exactly like
     * the trained in-memory form.

@@ -555,6 +555,32 @@ object StreamOps {
     * index indistinguishable from a batch rebuild — the gate
     * `stream_ann_ingest` asserts on the SERVED top-k. Retraining the
     * quantizer is by definition a rebuild, exactly as in the batch path.
+    *
+    * == Codebook-drift observability ==
+    *
+    * Freezing the quantizer is the contract, but nothing in the write
+    * path would otherwise tell an operator WHEN the frozen codebook has
+    * gone stale. Every epoch therefore observes
+    * `ann_ingest_drift_<epoch>` — `(mean_rel_residual,
+    * max_rel_residual, n_vectors)`, the
+    * [[graft.operators.Similarity.relResidual]] reconstruction residual
+    * relative to vector norm — as a `CollectMetrics` node riding the
+    * epoch's own write (no extra job; one compiled codes self-dot per
+    * row). Read it from a `QueryExecutionListener` on the session: the
+    * epoch write is a batch query inside `foreachBatch`, so that is
+    * where Spark surfaces `observedMetrics`.
+    *
+    * Rebuild-trigger guidance: record the build-time baseline
+    * `Similarity.pqDriftStats(spark.read.parquet(s"$indexDir/codes"))`
+    * — the identical expression, so the numbers compare directly. The
+    * epoch mean rides ABOVE that baseline as the incoming distribution
+    * leaves the training distribution, and the PQ approximate-score
+    * error grows with it (the asim stage quantizes the residual, so
+    * recall@nprobe decays as residual mass grows). A SUSTAINED epoch
+    * mean ≥ ~1.5× baseline is the practical retrain point — past it the
+    * measured recall dial (PERF.md's √n-nprobe table) no longer
+    * predicts served recall. A single spiky epoch (one odd shard) is
+    * not — which is why the metric is per-epoch, never cumulative.
     */
   def annIngestStream(vecStream: DataFrame, indexDir: String,
       appendDir: String, checkpoint: String,
@@ -593,6 +619,13 @@ object StreamOps {
       appendDir: String, id: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     graft.operators.Similarity.ivfPqCodeRows(batch, centroids, idCol, vecCol)
+      // drift metric rides the epoch write (see annIngestStream's
+      // codebook-drift scaladoc); epoch-unique name — replays re-emit
+      // under the same name in their own (new) query execution
+      .observe(s"ann_ingest_drift_$id",
+        avg(graft.operators.Similarity.relResidual).as("mean_rel_residual"),
+        max(graft.operators.Similarity.relResidual).as("max_rel_residual"),
+        count(lit(1)).as("n_vectors"))
       .withColumn("ingest_batch", lit(id))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

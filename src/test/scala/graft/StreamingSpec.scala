@@ -438,6 +438,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(codeSet() == drained, "fold changed the served index content")
   }
 
+  test("ANN ingest emits per-epoch codebook-drift metrics comparable to " +
+    "the build-time baseline (CollectMetrics, no extra job)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half = emb.agg(max($"vec_id")).head.getLong(0) / 2
+    val newVecs = emb.filter($"vec_id" > half)
+    val base = tmp(); val inDir = tmp(); val run = tmp()
+    graft.operators.Similarity.saveIvfPqIndex(
+      emb.filter($"vec_id" <= half), base, nlist = 8)
+    newVecs.repartitionByRange(3, $"vec_id").write.parquet(s"$inDir/in")
+    val seen = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("ann_ingest_drift_")) seen.put(name, row)
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+      val q = StreamOps.annIngestStream(stream, base, s"$run/append",
+        s"$run/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      // listener delivery is async — wait for all 3 epochs' metrics
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.size == 3, s"expected 3 epoch drift metrics, got " +
+        s"${seen.keySet()}")
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.values.toSeq
+      val totalVecs = rows.map(_.getAs[Long]("n_vectors")).sum
+      assert(totalVecs == newVecs.count(),
+        "drift metric n_vectors does not cover every streamed vector")
+      rows.foreach { r =>
+        val mean = r.getAs[Double]("mean_rel_residual")
+        assert(mean > 0 && mean.isFinite && mean < 10,
+          s"implausible mean_rel_residual $mean")
+        assert(r.getAs[Double]("max_rel_residual") >= mean)
+      }
+      // baseline comparability: the SAME expression over the build-time
+      // codes — same-distribution epochs should sit within a small
+      // factor of it (here the stream IS same-distribution fixture data)
+      val baseline = graft.operators.Similarity.pqDriftStats(
+          spark.read.parquet(s"$base/codes"))
+        .head.getAs[Double]("mean_rel_residual")
+      assert(baseline > 0)
+      rows.foreach { r =>
+        val mean = r.getAs[Double]("mean_rel_residual")
+        assert(mean < baseline * 3,
+          s"same-distribution epoch mean $mean vs baseline $baseline — " +
+            "the drift signal would false-alarm immediately")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ingest compaction: mid-run fold bounds partitions and leaves the " +
     "drained near-dup result unchanged") {
     import graft.streaming.IngestCompaction
