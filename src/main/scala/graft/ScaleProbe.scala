@@ -88,6 +88,13 @@ object ScaleProbe {
         graft.operators.Dedup.simHashPairs(docs).count() },
       time("dedup_winnow_raw") {
         graft.operators.Dedup.winnowPairs(docs).count() },
+      time("mm_dhash_raw") {
+        // the multimodal member of the dedup family: banded gradient
+        // hash + capped bucket join + Hamming verify (row-local hash,
+        // one shuffle — the MinHash plan shape at image scale)
+        graft.operators.Multimodal.dHashNearDupPairs(
+          graft.operators.Multimodal.attachMedia(docs), maxHamming = 6,
+          maxBucketSize = Some(256)).count() },
       {
         // serving pairs FROM THE PERSISTED BAND INDEX: index built once
         // per fixture (untimed — maintenance cost is the incremental

@@ -2214,6 +2214,26 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.attachMedia(table(s, dir, "documents")))),
 
+    // Perceptual-hash (dHash) image near-dup: the multimodal member of
+    // the dedup family — banded gradient hash → bucket join (the
+    // occupancy cap riding the join's own shuffle, shared with MinHash)
+    // → exact Hamming verify. The fixture's sha-derived payloads make
+    // only byte-identical images near, so the input deterministically
+    // re-ids every 5th image as a duplicate (the doubled-input pattern
+    // stream_dedup uses) — the oracle replays the same union; the
+    // hamming>0 verify branch is pinned byte-level in MultimodalSpec.
+    "mm_dhash_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      Multimodal.dHashNearDupPairs(
+        Multimodal.attachMedia(
+          docs.select(col("doc_id"), col("text")).unionByName(dups)),
+        maxHamming = 6, maxBucketSize = Some(256))
+    }),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -4362,6 +4382,49 @@ object SparkEntry {
          SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
            CAST(3 + (i * 32) // n_frames AS BIGINT) AS frame_off
          FROM m, unnest(generate_series(0, n_frames - 1)) AS t(i)""",
+
+    // dHash gradient over the image payload body's hex (= sha256 hex of
+    // the text, the attachMedia contract), 4 bands x 16 bits, cyclic
+    // bit i: h[i] > h[(i+1) mod 64]; window-capped buckets, banded
+    // candidate join, exact Hamming verify — bit-for-bit the Spark plan
+    "mm_dhash_neardup" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         img AS (
+           SELECT doc_id, lower(sha256(text)) AS h FROM base
+           WHERE doc_id % 3 = 0),
+         hash AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM img),
+         banded AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash, unnest(range(4)) AS t(b)),
+         capped AS (
+           SELECT doc_id, bl, band_idx, band_key FROM (
+             SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bn
+             FROM banded)
+           WHERE bn <= 256),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.bl AS bl1, b.bl AS bl2
+           FROM capped a JOIN capped b
+             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT d1, d2,
+             CAST(bit_count(xor(bl1[1], bl2[1])) + bit_count(xor(bl1[2], bl2[2]))
+               + bit_count(xor(bl1[3], bl2[3])) + bit_count(xor(bl1[4], bl2[4]))
+               AS BIGINT) AS hamming
+           FROM cand)
+         SELECT d1, d2, hamming FROM scored WHERE hamming <= 6""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

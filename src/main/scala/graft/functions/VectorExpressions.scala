@@ -171,6 +171,42 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** dHash-style gradient bands over a byte sequence: bit `i` of the
+    * flattened hash is `bytes[i mod n] > bytes[(i+1) mod n]` (unsigned,
+    * cyclic — the standard difference-hash "is this pixel brighter than
+    * its neighbour" gradient, applied to whatever byte sequence the
+    * caller's decode step produced), packed little-endian into `bands`
+    * longs of `bandBits` bits each. Banding IS the near-dup index key
+    * scheme: two images within Hamming distance d of each other agree
+    * on at least one band whenever d < bands (pigeonhole), exactly the
+    * MinHash-band candidate-generation argument.
+    *
+    * Null for inputs shorter than 2 bytes: a 1-byte input has no
+    * gradient and would alias every such doc into one all-zero band
+    * bucket (the MinHashSig empty-gram trap).
+    */
+  def dHashBands(s: org.apache.spark.unsafe.types.UTF8String,
+      bands: Int, bandBits: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < 2) return null
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var v = 0L
+      var j = 0
+      while (j < bandBits) {
+        val i = b * bandBits + j
+        if ((bytes(i % n) & 0xff) > (bytes((i + 1) % n) & 0xff))
+          v |= (1L << j)
+        j += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
   private def isAlnum(c: Char): Boolean =
@@ -708,6 +744,35 @@ case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** `dhash_bands(string, bands, bandBits) → array<long>` — cyclic
+  * byte-gradient difference hash packed into band keys (see
+  * [[VectorRuntime.dHashBands]]). Nullable: null for inputs under 2
+  * bytes (no gradient — would alias into one all-zero bucket).
+  */
+case class DHashBands(child: Expression, bands: Int, bandBits: Int)
+    extends UnaryExpression {
+  require(bands >= 1, s"dhash_bands: bands must be >= 1, got $bands")
+  require(bandBits >= 1 && bandBits <= 63,
+    s"dhash_bands: bandBits must be in [1, 63], got $bandBits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dhash_bands"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.dHashBands(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      bands, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.dHashBands($c, $bands, $bandBits);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DHashBands =
+    copy(child = newChild)
+}
+
 /** `char_ngram_hashes(string, n) -> array<long>` -- ordered per-position
   * character n-gram hashes (multiplicity kept, index-aligned across n).
   */
@@ -1065,6 +1130,8 @@ object vec {
     wrap(CharNgramHashes(ex(text), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
   def wsTokenHashes(text: Column): Column = wrap(WsTokenHashes(ex(text)))
+  def dHashBands(s: Column, bands: Int, bandBits: Int): Column =
+    wrap(DHashBands(ex(s), bands, bandBits))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =

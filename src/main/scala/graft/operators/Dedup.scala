@@ -451,7 +451,7 @@ object Dedup {
     * SPILLABLE run of at most df_max rows, and they are dropped
     * immediately after counting.
     */
-  private def capBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[graft] def capBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     require(maxBucketSize > 1,
       s"maxBucketSize must be > 1 (a 1-doc bucket yields no pairs), got $maxBucketSize")
     val w = org.apache.spark.sql.expressions.Window

@@ -93,6 +93,79 @@ object Multimodal {
       .withColumn("width", greatest(expr("width DIV 2"), lit(1)).cast("int"))
       .withColumn("height", greatest(expr("height DIV 2"), lit(1)).cast("int"))
 
+  /** Perceptual-hash band rows for image payloads — the MULTIMODAL
+    * near-dup index, mirroring [[Dedup.minHashBandIndex]]'s layout
+    * exactly (`doc_id`, the full hash as `bands`, one exploded
+    * `(band_idx, band_key)` row per band): a difference-hash (dHash)
+    * gradient over the image's byte content, packed into `bands` keys
+    * of `bandBits` bits by the compiled
+    * [[graft.functions.DHashBands]] kernel, entirely row-local — the
+    * banded self-join downstream is the only shuffle, the same plan
+    * shape that carries MinHash at 100 TB.
+    *
+    * The GRADIENT SOURCE is the stub seam (same contract as
+    * [[StubDecoder]]): no image codec exists in this container, so the
+    * "pixel brightness sequence" is the hex expansion of the payload
+    * body — deterministic, engine-recomputable (the oracle replays it
+    * as `lower(sha256(text))`), and swapped for a real
+    * decode-grayscale-resize step by changing ONE projection. The
+    * banding, occupancy cap, pair join, and Hamming verify — the parts
+    * that carry the scale — are real either way.
+    */
+  def dHashBandRows(media: DataFrame, bands: Int = 4, bandBits: Int = 16,
+      headerLen: Int = 3): DataFrame = {
+    val body = expr(s"substring(payload, ${headerLen + 1}, " +
+      s"length(payload) - $headerLen)")
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"),
+        graft.functions.vec.dHashBands(lower(hex(body)), bands, bandBits)
+          .as("bands"))
+      // null-hash docs (payload too short for a gradient) drop via the
+      // posexplode, like minHashBandIndex's gramless docs
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Image near-dup pairs: [[dHashBandRows]] → banded self-join (docs
+    * sharing ≥1 band key are candidates — any pair within Hamming
+    * distance < `bands` of each other is guaranteed to collide on some
+    * band, pigeonhole) → exact Hamming verify over the full hash →
+    * `(d1, d2, hamming ≤ maxHamming)`. The same
+    * candidate-then-verify shape as [[Dedup.minHashLshPairs]], with
+    * the same `maxBucketSize` occupancy guard
+    * ([[Dedup.capBandBuckets]]) for degenerate strata (e.g. a corpus
+    * that is 30% one template image): the band layout is shared, so
+    * the guard is too.
+    *
+    * On the deterministic fixture payloads (sha-256 content) only
+    * byte-identical images land within a small Hamming radius — a real
+    * pHash's "visually near" structure appears exactly when a real
+    * decoder replaces the stub seam; the plumbing this operator pins
+    * (banding, cap, join, verify) is decoder-independent.
+    */
+  def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 6,
+      bands: Int = 4, bandBits: Int = 16, headerLen: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val rows0 = dHashBandRows(media, bands, bandBits, headerLen)
+    val rows = maxBucketSize.fold(rows0)(Dedup.capBandBuckets(rows0, _))
+    val hamming = (0 until bands)
+      .map(i => bit_count(element_at(col("b1"), i + 1)
+        .bitwiseXOR(element_at(col("b2"), i + 1))))
+      .reduce(_ + _).cast("bigint")
+    rows.as("a")
+      .join(rows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.bands").as("b1"), col("b.bands").as("b2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+
   /** Frame sampling for video payloads: up to 8 evenly spaced frame
     * offsets into the payload body (STUB: offsets, not decoded frames).
     * Row-local `sequence`/`transform`, exploded to one row per frame.

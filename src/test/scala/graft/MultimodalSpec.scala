@@ -68,6 +68,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dHashBands kernel: exact gradient bits, cyclic wrap, null under 2 bytes") {
+    import graft.functions.vec
+    // hand-computed: "ba" → n=2; bit i compares s[i%2] vs s[(i+1)%2]:
+    // even i: 'b' > 'a' → 1; odd i: 'a' > 'b' → 0 ⇒ each 16-bit band is
+    // 0b0101_0101_0101_0101 = 0x5555
+    val bands = Seq("ba").toDF("s")
+      .select(vec.dHashBands($"s", 4, 16).as("b"))
+      .as[Seq[Long]].collect().head
+    assert(bands == Seq(0x5555L, 0x5555L, 0x5555L, 0x5555L))
+    // a single differing byte flips exactly the bits whose window
+    // touches it — Hamming distance is small and positive
+    val h1 = Seq("0123456789abcdef" * 4).toDF("s")
+      .select(vec.dHashBands($"s", 4, 16).as("b")).as[Seq[Long]].collect().head
+    val h2 = Seq("0123456789abcdef" * 3 + "0123456f89abcdef").toDF("s")
+      .select(vec.dHashBands($"s", 4, 16).as("b")).as[Seq[Long]].collect().head
+    val ham = h1.zip(h2)
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(ham > 0 && ham <= 2, s"one-byte change flipped $ham bits")
+    // under 2 bytes: no gradient → null (never an all-zero alias bucket)
+    val nulls = Seq("x", "").toDF("s")
+      .select(vec.dHashBands($"s", 4, 16).isNull.as("n"))
+      .as[Boolean].collect()
+    assert(nulls.forall(identity))
+  }
+
+  test("dHashNearDupPairs: identical images pair at hamming 0, near pairs " +
+    "survive banding (pigeonhole), cap drops mega-buckets") {
+    // payloads are controlled byte-for-byte through a fake media frame:
+    // kind/payload are the only columns the operator reads
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val base = "0123456789abcdef" * 4 // 32 bytes → 64 hex chars
+    val near = base.substring(0, 40) + "f" + base.substring(41)
+    val far = "fedcba9876543210" * 4
+    val m = media(Seq(1L -> base, 2L -> base, 3L -> near, 4L -> far))
+    val pairs = Multimodal.dHashNearDupPairs(m, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // (1,2) identical → hamming 0; (1,3)/(2,3) near → small hamming —
+    // d < bands(4) guarantees a shared band carried them to the verify
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0L)
+    assert(pairs.filter(_._2 == 3L).forall(p => p._3 > 0 && p._3 <= 6))
+    // occupancy cap: 5 identical docs = a 5-row bucket in EVERY band;
+    // maxBucketSize=4 drops them all → zero pairs, while distinct
+    // near-docs in small buckets are untouched
+    val hot = media((10L to 14L).map(i => i -> base) :+ (20L -> far) :+
+      (21L -> (far.substring(0, 40) + "0" + far.substring(41))))
+    val capped = Multimodal.dHashNearDupPairs(hot, maxHamming = 6,
+        maxBucketSize = Some(4))
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((20L, 21L)),
+      s"cap should drop the 5-doc bucket, keep the small one: $capped")
+  }
+
   test("sampleFrames: bounded count, monotone in-payload offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs))
       .as[(Long, Long, Long)].collect().groupBy(_._1)
