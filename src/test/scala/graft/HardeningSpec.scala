@@ -281,9 +281,10 @@ class HardeningSpec extends AnyFunSuite {
       // scalar avg-balance agg + per-nation agg; recent-orders anti side
       // broadcasts at fixture scale
       "q22_idle_customers" -> 2,
-      // one (l_partkey, l_suppkey) agg + the per-part window-min
-      // repartition — a single fact scan; top-100 is TakeOrdered
-      "q2_min_cost_supplier" -> 2,
+      // ONE exchange total: the up-front l_partkey repartition is reused
+      // by the (l_partkey, l_suppkey) agg (subset-key clustering) AND
+      // the per-part window-min — single fact scan; top-100 TakeOrdered
+      "q2_min_cost_supplier" -> 1,
       // final agg (1 at fixture scale — the screened fact broadcasts
       // against orders); +2 margin for the fact⋈orders exchanges once
       // neither side broadcasts, the q7/q8 shape
