@@ -117,7 +117,52 @@ object ScaleProbe {
             maxBucketSize = Some(256)).count() }
       })
 
-    val runs = dedupRuns ++ Seq(
+    // ---- streaming-ingest tail cost (round-12): the per-epoch
+    // re-list/re-union of the append dir grows with epoch count; the
+    // fold-in compaction bounds it. Two identical 48-epoch ingests
+    // (base = odd ids, stream = even ids in 48 slices), one folding
+    // every 8 epochs — "sec" is the LAST-8-epochs wall time (the tail a
+    // year-long ingest lives in), "rows" the final append partition
+    // count. Fixed work regardless of fixture SF (slice-sized batches).
+    val ingestTail = Seq(None -> "ingest_tail_nofold",
+        Some(8) -> "ingest_tail_fold8").flatMap { case (fold, tag) =>
+      if (only.nonEmpty && !only(tag)) None
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_probe_it").toString
+        try {
+          import org.apache.spark.sql.functions.col
+          val base = docs.filter(col("doc_id") % 2 === 1)
+          graft.operators.Dedup.minHashBandIndex(base)
+            .write.parquet(s"$dir/index")
+          val baseDf = spark.read.parquet(s"$dir/index")
+            .select("doc_id", "sig", "band_idx", "band_key")
+          val epochs = 48
+          var last8 = 0L
+          (0 until epochs).foreach { e =>
+            fold.filter(m => e > 0 && e % m == 0).foreach { _ =>
+              Seq(s"$dir/append", s"$dir/pairs").foreach { d =>
+                graft.streaming.IngestCompaction.recover(spark, d)
+                graft.streaming.IngestCompaction.compact(spark, d, e - 1L)
+              }
+            }
+            val batch = docs.filter(col("doc_id") % 2 === 0 &&
+              (col("doc_id") / 2) % epochs === e)
+            val t0 = System.nanoTime()
+            graft.streaming.StreamOps.nearDupIngestEpoch(batch, baseDf,
+              s"$dir/append", s"$dir/pairs", e.toLong,
+              3, 64, 16, 0.5, None)
+            if (e >= epochs - 8) last8 += System.nanoTime() - t0
+          }
+          val parts = graft.streaming.IngestCompaction
+            .listEpochs(spark, s"$dir/append").size.toLong
+          Some((tag, last8 / 1e9, parts))
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(dir))
+      }
+    }.map(Option(_))
+
+    val runs = dedupRuns ++ ingestTail ++ Seq(
       time("topk_ivf_fixed16") {
         Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6).count() },
       time("topk_ivf_auto") {

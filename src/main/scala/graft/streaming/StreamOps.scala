@@ -485,7 +485,14 @@ object StreamOps {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None,
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    // resolve the base index ONCE at stream start (like annIngestStream's
+    // frozen centroids): the base artifact is immutable by contract, so
+    // its file listing (InMemoryFileIndex) must not be redone every
+    // micro-batch — at corpus scale that is a full directory walk per
+    // epoch for a directory that never changes
+    val baseIndex = docStream.sparkSession.read.parquet(baseIndexDir)
+      .select("doc_id", "sig", "band_idx", "band_key")
     docStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -505,10 +512,11 @@ object StreamOps {
           }
         }
         if (!batch.isEmpty)
-          nearDupIngestEpoch(batch, baseIndexDir, appendDir, pairsDir, id,
+          nearDupIngestEpoch(batch, baseIndex, appendDir, pairsDir, id,
             n, numHashes, bands, minJaccard, maxBucketSize)
       }
       .start()
+  }
 
   /** One epoch of the near-dup ingest, exposed so the replay-idempotence
     * contract is directly drillable: calling this twice with the same
@@ -522,7 +530,23 @@ object StreamOps {
       appendDir: String, pairsDir: String, id: Long,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.7,
-      maxBucketSize: Option[Int] = None): Unit = {
+      maxBucketSize: Option[Int] = None): Unit =
+    nearDupIngestEpoch(batch,
+      batch.sparkSession.read.parquet(baseIndexDir)
+        .select("doc_id", "sig", "band_idx", "band_key"),
+      appendDir, pairsDir, id, n, numHashes, bands, minJaccard,
+      maxBucketSize)
+
+  /** [[nearDupIngestEpoch]] over a pre-resolved base index frame — what
+    * the stream uses so the immutable base artifact's file listing
+    * happens once at stream start, never per micro-batch (the frozen-
+    * centroids hoisting pattern applied to the band index).
+    */
+  def nearDupIngestEpoch(batch: DataFrame, baseIndex: DataFrame,
+      appendDir: String, pairsDir: String, id: Long,
+      n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double,
+      maxBucketSize: Option[Int]): Unit = {
     val spark = batch.sparkSession
     def epochWrite(df: DataFrame, dir: String): Unit =
       df.withColumn("ingest_batch", lit(id))
@@ -535,7 +559,7 @@ object StreamOps {
     val appended = spark.read.parquet(appendDir)
     val thisBanded = appended.filter(col("ingest_batch") === id)
       .drop("ingest_batch")
-    val older = spark.read.parquet(baseIndexDir)
+    val older = baseIndex
       .select("doc_id", "sig", "band_idx", "band_key")
       .unionByName(appended.filter(col("ingest_batch") < id)
         .drop("ingest_batch"))
