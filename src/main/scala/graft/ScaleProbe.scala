@@ -22,17 +22,12 @@ import graft.operators.Similarity
   */
 object ScaleProbe {
 
-  /** Fixture content identity for probe-local /tmp caches — same recipe
-    * as SparkEntry.tableKey (path + max mtime + total bytes, filesystem
-    * listing only), sanitized into a dir-name-safe token.
+  /** Fixture content identity for probe-local /tmp caches —
+    * [[SparkEntry.tableKey]] (ONE recipe: path + max mtime + total
+    * bytes) sanitized into a dir-name-safe token.
     */
-  private def fixtureKey(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats = fs.listStatus(p).filter(_.isFile)
-    val mt = if (stats.isEmpty) 0L else stats.map(_.getModificationTime).max
-    s"$path@$mt:${stats.map(_.getLen).sum}".replaceAll("[^A-Za-z0-9]", "_")
-  }
+  private def fixtureKey(spark: SparkSession, path: String): String =
+    SparkEntry.tableKey(spark, path).replaceAll("[^A-Za-z0-9]", "_")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -140,15 +135,18 @@ object ScaleProbe {
           val epochs = 48
           var last8 = 0L
           (0 until epochs).foreach { e =>
+            val batch = docs.filter(col("doc_id") % 2 === 0 &&
+              (col("doc_id") / 2) % epochs === e)
+            // timer covers the fold too: the cadence's compaction work
+            // is part of the folding configuration's tail cost — timing
+            // only the epochs would overstate the fold's win
+            val t0 = System.nanoTime()
             fold.filter(m => e > 0 && e % m == 0).foreach { _ =>
               Seq(s"$dir/append", s"$dir/pairs").foreach { d =>
                 graft.streaming.IngestCompaction.recover(spark, d)
                 graft.streaming.IngestCompaction.compact(spark, d, e - 1L)
               }
             }
-            val batch = docs.filter(col("doc_id") % 2 === 0 &&
-              (col("doc_id") / 2) % epochs === e)
-            val t0 = System.nanoTime()
             graft.streaming.StreamOps.nearDupIngestEpoch(batch, baseDf,
               s"$dir/append", s"$dir/pairs", e.toLong,
               3, 64, 16, 0.5, None)

@@ -39,7 +39,7 @@ object SparkEntry {
     * read). Used to key the IVF trained-quantizer cache and the
     * stream_dedup doubled-scratch dir.
     */
-  private def tableKey(s: SparkSession, path: String): String = {
+  private[graft] def tableKey(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val stats = fs.listStatus(p).filter(_.isFile)

@@ -623,7 +623,8 @@ object Dedup {
     "round 12")
   def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
       numHashes: Int): DataFrame =
-    bandedNearDupPairs(index, requireSigLen(newBanded, numHashes))
+    bandedNearDupPairs(requireSigLen(index, numHashes),
+      requireSigLen(newBanded, numHashes))
 
   /** Four-positional-arg variant of the bridge above. */
   @deprecated("numHashes is derived from the index's own signature length; " +
@@ -631,13 +632,16 @@ object Dedup {
     "round 12")
   def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
       numHashes: Int, minJaccard: Double): DataFrame =
-    bandedNearDupPairs(index, requireSigLen(newBanded, numHashes), minJaccard)
+    bandedNearDupPairs(requireSigLen(index, numHashes),
+      requireSigLen(newBanded, numHashes), minJaccard)
 
   /** Loud guard for the deprecated bridges: the caller-remembered
-    * `numHashes` must agree with the actual signature rows — a mismatch
-    * means the legacy call was ALREADY mis-scaling every est_jaccard, and
-    * must fail rather than silently change meaning. Plan-only
-    * (`assert_true` rides the existing row pipeline — no extra job).
+    * `numHashes` must agree with the actual signature rows ON BOTH SIDES
+    * (a stale persisted index with a different width is exactly the
+    * mismatched-divisor hazard) — a mismatch means the legacy call was
+    * ALREADY mis-scaling every est_jaccard, and must fail rather than
+    * silently change meaning. Plan-only (`assert_true` rides the
+    * existing row pipeline — no extra job).
     */
   private def requireSigLen(banded: DataFrame, numHashes: Int): DataFrame =
     banded.withColumn("sig",

@@ -145,10 +145,16 @@ object Multimodal {
     */
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 6,
       bands: Int = 4, bandBits: Int = 16, headerLen: Int = 3,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     val rows0 = dHashBandRows(media, bands, bandBits, headerLen)
-    val rows = maxBucketSize.fold(rows0)(Dedup.capBandBuckets(rows0, _))
+    val rows1 = maxBucketSize.fold(rows0)(Dedup.capBandBuckets(rows0, _))
+    // materialize once — a DataFrame self-join re-evaluates its lineage
+    // per side, doubling the hash projection AND the occupancy window
+    // (the minHashLshPairs persist rationale, same operator shape)
+    val rows = storage.fold(rows1)(graft.CacheScope.persist(rows1, _))
     val hamming = (0 until bands)
       .map(i => bit_count(element_at(col("b1"), i + 1)
         .bitwiseXOR(element_at(col("b2"), i + 1))))

@@ -486,6 +486,9 @@ object StreamOps {
       minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery=$compactEvery must be >= 1 (pass None to disable " +
+        "compaction) — a zero cadence would divide by zero mid-stream")
     // resolve the base index ONCE at stream start (like annIngestStream's
     // frozen centroids): the base artifact is immutable by contract, so
     // its file listing (InMemoryFileIndex) must not be redone every
@@ -610,6 +613,9 @@ object StreamOps {
       appendDir: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery=$compactEvery must be >= 1 (pass None to disable " +
+        "compaction) — a zero cadence would divide by zero mid-stream")
     // load the frozen quantizer ONCE at stream start — per-epoch reloads
     // would re-collect nlist × dim doubles every micro-batch for a
     // codebook that cannot change under this contract

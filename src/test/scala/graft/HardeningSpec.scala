@@ -190,10 +190,12 @@ class HardeningSpec extends AnyFunSuite {
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
-      // dHash bands row-local; occupancy window per join side (2 — the
-      // cap rides the bucket join's own partitioning) + pair dedup (1);
-      // Hamming verify is a codegen'd projection
-      "mm_dhash_neardup" -> 3,
+      // dHash bands + occupancy window materialize ONCE (persisted — a
+      // self-join re-evaluates unpersisted lineage per side); visible:
+      // one join-side exchange + pair dedup, the cached subtree's
+      // window exchange runs once at materialization. Hamming verify is
+      // a codegen'd projection
+      "mm_dhash_neardup" -> 2,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
       // single-pass multi-event decode: one routed projection, no shuffle
