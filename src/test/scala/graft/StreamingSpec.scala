@@ -571,8 +571,18 @@ class StreamingSpec extends AnyFunSuite {
       .select($"id", $"v").as[(Long, Long)].collect().toSet
     val full = (0L until 30L).map(i => (i, i * 2)).toSet
 
-    // (a) pre-marker crash: stale tmp, no marker → recover rolls BACK
+    // (a) pre-marker crash: stale tmp, no marker → recover rolls BACK.
+    // Also: the HIDDEN staging dir is invisible to partition discovery —
+    // a reader planned while a fold is staging must see the originals
+    // exactly once, never a double-count of staged + original rows
     val a = tmp(); writeEpochs(a, 3)
+    spark.read.parquet(a).filter($"ingest_batch" <= 1)
+      .withColumn("ingest_batch", lit(1L)).repartition(1)
+      .write.partitionBy("ingest_batch").parquet(s"$a/.compact_fold.tmp")
+    assert(rows(a) == full,
+      "reader saw staged fold rows — hidden dir leaked into discovery")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$a/.compact_fold.tmp"))
     new java.io.File(s"$a/.compact_fold.tmp/junk").getParentFile.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$a/.compact_fold.tmp/junk"), "partial")
