@@ -180,6 +180,10 @@ object ScaleProbe {
       time("cluster_assign_raw") {
         // the SAME frozen codebook the oracled sim_cluster_assign pins
         Similarity.assignClusters(emb, SparkEntry.ClusterCentroids).count() },
+      time("density_prune_raw") {
+        // hardest-half prototype pruning — one cluster-hash exchange
+        Similarity.densityPrune(emb, SparkEntry.ClusterCentroids,
+          keepFrac = 0.5).count() },
       time("token_budget_raw") {
         graft.operators.Sampling
           .tokenBudgetSelect(docs, budget = nDocs * 20).count() },

@@ -288,6 +288,41 @@ object SparkEntry {
        FROM d"""
   }
 
+  /** Oracle for `sim_density_prune`: restates [[Similarity.densityPrune]]'s
+    * full rank key — `‖v‖²` as the same left-associated per-element
+    * double chain the compiled dot kernel accumulates, `dc` as the
+    * assigned cluster's `‖c‖² − 2·v·c` branch (identical tie CASE to
+    * [[clusterAssignSql]]), hardest-first row_number with the id
+    * tie-break, and the per-cluster `ceil(keepFrac·n)` quota.
+    */
+  private def densityPruneSql: String = {
+    val vv = (1 to 64).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val ds = ClusterCentroids.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      val dot = c.zipWithIndex.map { case (w, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * CAST($w AS DOUBLE)"
+      }.mkString(" + ")
+      s"CAST($cn2 AS DOUBLE) - 2.0 * ($dot) AS d$j"
+    }.mkString(",\n             ")
+    s"""WITH d AS (SELECT vec_id, $vv AS vv, $ds FROM embeddings),
+       a AS (SELECT vec_id, vv,
+           CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster,
+           CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN d0
+                WHEN d1 <= d2 AND d1 <= d3 THEN d1
+                WHEN d2 <= d3 THEN d2 ELSE d3 END AS dc
+         FROM d),
+       r AS (SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY cluster
+             ORDER BY vv + dc DESC, vec_id) AS rn,
+           count(*) OVER (PARTITION BY cluster) AS n FROM a)
+       SELECT vec_id, cluster FROM r
+       WHERE rn <= CAST(ceil(0.5 * n) AS BIGINT)"""
+  }
+
   private def p2TwoEventSession(s: SparkSession): EngineSession = {
     val session = new EngineSession(s,
       StreamConfig(fromBlock = 0L, toBlock = Long.MaxValue))
@@ -2465,6 +2500,15 @@ object SparkEntry {
       Similarity.assignClusters(table(s, dir, "embeddings"),
         ClusterCentroids)),
 
+    // Cluster-based density pruning (Sorscher et al. 2022): keep the
+    // hardest half of every prototype cluster — the class-balanced
+    // data-pruning schedule. Rank key and tie rules are restated
+    // bit-for-bit by the relational oracle (densityPruneSql); the only
+    // exchange is the per-cluster window's hash partition.
+    "sim_density_prune" -> ((s, dir) =>
+      Similarity.densityPrune(table(s, dir, "embeddings"),
+        ClusterCentroids, keepFrac = 0.5)),
+
     // As-of join (extension): for each purchase, the same user's most
     // recent view at-or-before it in the log's total order — the
     // "state as of this event" lookup. The oracle is DuckDB's native
@@ -4217,6 +4261,7 @@ object SparkEntry {
       """SELECT count(*) AS n_vecs, true AS quant_ok FROM embeddings""",
 
     "sim_cluster_assign" -> clusterAssignSql,
+    "sim_density_prune" -> densityPruneSql,
 
     "sample_token_budget" ->
       """WITH t AS (SELECT doc_id,

@@ -319,6 +319,56 @@ object Similarity {
       element_at(vec.nearestCentroids(col(vecCol), centroids, 1), 1)
         .as("cluster"))
 
+  /** Cluster-based density pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): assign every vector to its nearest frozen prototype,
+    * rank WITHIN each cluster by squared distance to that prototype
+    * (hardest-first — far-from-prototype examples carry the most training
+    * signal), and keep the hardest `ceil(keepFrac · clusterSize)` per
+    * cluster. The per-cluster quota (vs a global threshold) is the
+    * paper's class-balanced formulation: no cluster is pruned to zero.
+    *
+    * Determinism contract (what makes this oracle-able, same recipe as
+    * [[assignClusters]]): the rank key is
+    * `‖v‖² + ‖c‖² − 2·v·c` with BOTH dots accumulated in element order
+    * through the compiled [[graft.functions.VectorDot]] kernel
+    * (`float→double` per element, left-associated `+`), `‖c‖²` folded at
+    * plan time from exactly-representable centroid components, and ties
+    * broken by ascending id — every term restatable bit-for-bit in SQL.
+    *
+    * Scale shape: the assignment and distance are row-local compiled
+    * nodes; the ONLY exchange is the hash partition on `cluster` that
+    * the rank + quota windows share. At 100 TB with mega-clusters the
+    * exact per-cluster sort can be swapped for an approx-quantile
+    * distance threshold (one agg pass + broadcast, no sort) at the cost
+    * of a ±ε quota — this exact-rank form is the oracled path.
+    */
+  def densityPrune(df: DataFrame, centroids: Array[Array[Double]],
+      keepFrac: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"densityPrune: keepFrac must be in (0, 1], got $keepFrac")
+    val v = col(vecCol)
+    // d² to the ASSIGNED centroid: pick the assigned cluster with the
+    // shared kernel (identical tie semantics to assignClusters), then
+    // select that cluster's plan-time-exact ‖c‖² − 2·v·c branch.
+    val cluster = element_at(vec.nearestCentroids(v, centroids, 1), 1)
+    val dAssigned = centroids.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (c, j)) =>
+        val cn2 = c.map(x => x * x).sum
+        when(col("cluster") === j,
+          lit(cn2) - lit(2.0) * vec.dot(v, typedLit(c))).otherwise(acc)
+    }
+    val byCluster = Window.partitionBy(col("cluster"))
+    val hardestFirst = byCluster.orderBy(col("d2").desc, col(idCol))
+    df.select(col(idCol), v, cluster.as("cluster"))
+      .withColumn("d2", vec.dot(v, v) + dAssigned)
+      .withColumn("rn", row_number().over(hardestFirst))
+      .withColumn("quota",
+        ceil(lit(keepFrac) * count(lit(1)).over(byCluster)).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col("cluster"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 0, nprobe: Int = 4, trainSample: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -230,6 +230,9 @@ class HardeningSpec extends AnyFunSuite {
       // frozen-codebook assignment: one compiled kernel projection over
       // the scan — shuffle-free at any corpus size
       "sim_cluster_assign" -> 0,
+      // row-local assignment + distance; ONE cluster-hash exchange
+      // shared by the rank and quota windows
+      "sim_density_prune" -> 1,
       // line-keyed distinct-doc count (two-phase: 2) + doc-keyed rebuild
       // (1); the hot-line anti join and the final doc join broadcast
       "text_line_dedup" -> 3,

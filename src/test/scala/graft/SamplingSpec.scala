@@ -245,6 +245,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("densityPrune: hardest-first per-cluster quota, ceil + id tie-break") {
+    import graft.operators.Similarity
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      // cluster 0, distances to (1,0): id1 far, id2 mid, id3 near
+      (1L, Array(2.0f, 0.5f)), (2L, Array(0.5f, 0.25f)),
+      (3L, Array(0.9f, 0.0f)),
+      // cluster 1, 2 members: quota ceil(0.5*2)=1, keep the far one
+      (4L, Array(0.0f, 0.2f)), (5L, Array(0.0f, 0.9f)),
+      // equidistant pair in cluster 0 (mirror images around (1,0)):
+      // same d², so the SMALLER id wins the last quota slot
+      (6L, Array(0.7f, 0.3f)), (7L, Array(0.7f, -0.3f)))
+    val got = Similarity.densityPrune(
+        vecs.toDF("vec_id", "embedding"), cents, keepFrac = 0.5)
+      .as[(Long, Int)].collect().toMap
+    // cluster 0 has 5 members → quota 3: id1 (farthest), id2, then the
+    // 6-vs-7 tie → 6. cluster 1 keeps id4 (0.8 away beats 0.1).
+    assert(got == Map(1L -> 0, 2L -> 0, 6L -> 0, 4L -> 1))
+    // keepFrac=1.0 keeps everything (quota never rounds below n)
+    val all = Similarity.densityPrune(
+      vecs.toDF("vec_id", "embedding"), cents, keepFrac = 1.0)
+    assert(all.count() == 7L)
+  }
+
   test("quantileBins handles scores at the clamp edges") {
     val df = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 2.5), (5L, 0.5))
       .toDF("doc_id", "score")
