@@ -445,6 +445,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // ORC ingestion — the columnar non-parquet member of the ingestion
+    // trio (JSONL, CSV, ORC): full-schema round trip through Spark's
+    // native ORC source with the lang predicate PUSHED into the ORC
+    // reader (searchArgument row-group skipping — the same scan-pruning
+    // contract the parquet paths get from PushedFilters). Gate: the
+    // per-source aggregate over the round-tripped files hash-matches
+    // the oracle on the source-of-truth parquet.
+    "src_orc_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "orc",
+        "docs") { tmp =>
+        docs.coalesce(4).write.mode("overwrite").orc(s"$tmp/docs")
+      }
+      s.read.orc(s"$scratch/docs")
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // S4 over the WIRE — the live-transport seam under the correctness
     // gate: the DSv2 rpc-logs source fetches eth_getLogs ranges
     // executor-side from the deterministic SimEthNode (the sandbox has
@@ -4303,6 +4323,11 @@ object SparkEntry {
     "src_csv_ingest" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
          UNION ALL SELECT '__corrupt__' AS lang, 3 AS n_docs""",
+
+    "src_orc_ingest" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en' GROUP BY source""",
 
     "text_substring_dedup" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),

@@ -248,6 +248,9 @@ class HardeningSpec extends AnyFunSuite {
       "sample_token_budget" -> 3,
       // schema-on-read scan + one lang aggregation (the jsonl twin)
       "src_csv_ingest" -> 1,
+      // vectorized ORC scan with the lang filter pushed
+      // (PushedFilters: EqualTo(lang,en)) + one source aggregation
+      "src_orc_ingest" -> 1,
       // signed band-range pushdown: pure scan + filter + decode project
       "p2_indexed_signed" -> 0,
       // bm25 is now shuffle-free; the fusion windows ride the ≤ 2k-row
