@@ -1316,6 +1316,38 @@ object SparkEntry {
       graft.operators.Layout.zOrderStats(events(s, dir),
         "user_id", "block_number", bits = 16, nRanges = 16)),
 
+    // Bucketed-table co-located join under the CORRECTNESS gate:
+    // lineitem and orders written ONCE as 8-bucket tables hash+sorted
+    // on the order key (the layout pays the shuffle at write time,
+    // with the write tasks aligned to the bucket hash → one file per
+    // bucket), then the fact⋈fact join consumes the layout with zero
+    // shuffle exchanges — and, under the sorted-bucket-scan flag, zero
+    // join-time sorts (HardeningSpec pins both plan shapes; at fixture
+    // scale Catalyst may still prefer broadcast for the dim side —
+    // equally shuffle-free). Gate:
+    // revenue-by-priority over the bucketed layout hash-matches the
+    // oracle on the raw parquet.
+    "meta_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Layout
+      val key = tableKey(s, s"$dir/lineitem.parquet")
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val liTbl = s"graft_bkt_li_$key"
+      val ordTbl = s"graft_bkt_ord_$key"
+      Layout.ensureBucketedTable(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        liTbl, "l_orderkey", 8, s"/tmp/graft_bkt/$liTbl")
+      Layout.ensureBucketedTable(
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ordTbl, "o_orderkey", 8, s"/tmp/graft_bkt/$ordTbl")
+      s.table(liTbl)
+        .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+    }),
+
     // One-pass column profiling over the raw table (row/non-null/
     // distinct counts, typed min/max per column, single aggregation +
     // stack unpivot); every statistic is exact and hash-matched.
@@ -3720,6 +3752,12 @@ object SparkEntry {
               AND (e.value < q.q1 - (q.q3 - q.q1) * 1.5
                 OR e.value > q.q3 + (q.q3 - q.q1) * 1.5)) AS n_outliers
          FROM q""",
+
+    "meta_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(sum($Revenue) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
 
     "meta_zorder" -> {
       val zTerms = (0 until 16).map(i =>

@@ -54,6 +54,35 @@ object Layout {
     * Dimension values must stay below `2^(63-bits)` (the scale factor
     * must not overflow a long).
     */
+  /** Write `df` ONCE as a bucketed table: hash-clustered AND sorted on
+    * `bucketCol` into `nBuckets` bucket files. The up-front
+    * `repartition(nBuckets, bucketCol)` aligns the write tasks with the
+    * bucket hash (both are Murmur3 `pmod` `nBuckets`), so each task
+    * holds exactly one bucket → ONE file per bucket — the shape Spark
+    * requires to also elide the join-time sort, not just the shuffle.
+    *
+    * This is the third co-location strategy next to `broadcast()` (small
+    * dims) and `repartition()` (one-shot): pay the shuffle once at
+    * layout time, and EVERY subsequent equi-join or aggregation on
+    * `bucketCol` between bucketed tables plans with zero exchanges.
+    * At 100 TB this is how the fact⋈fact join avoids re-shuffling
+    * terabytes per query. Idempotent per (catalog, tableName): the
+    * catalog is session-scoped, so the first use in a session performs
+    * the write (mode overwrite — a half-written prior path is replaced,
+    * never unioned).
+    */
+  def ensureBucketedTable(df: DataFrame, tableName: String,
+      bucketCol: String, nBuckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(tableName)) {
+      df.repartition(nBuckets, col(bucketCol))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", path)
+        .saveAsTable(tableName)
+    }
+  }
+
   def zOrderStats(df: DataFrame, aCol: String, bCol: String, bits: Int,
       nRanges: Int): DataFrame = {
     require(nRanges >= 1 && (2 * bits) < 63)

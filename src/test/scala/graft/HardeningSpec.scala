@@ -251,6 +251,9 @@ class HardeningSpec extends AnyFunSuite {
       // vectorized ORC scan with the lang filter pushed
       // (PushedFilters: EqualTo(lang,en)) + one source aggregation
       "src_orc_ingest" -> 1,
+      // bucket-aligned fact⋈fact join consumes the layout shuffle-free;
+      // the one exchange is the final priority aggregation
+      "meta_bucketed_join" -> 1,
       // signed band-range pushdown: pure scan + filter + decode project
       "p2_indexed_signed" -> 0,
       // bm25 is now shuffle-free; the fusion windows ride the ≤ 2k-row
@@ -349,6 +352,59 @@ class HardeningSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
       spark.sql("DROP TABLE IF EXISTS graft_bk_events")
       spark.sql("DROP TABLE IF EXISTS graft_bk_users")
+    }
+  }
+
+  test("aligned bucketed layout: one file per bucket; sort-free under the " +
+      "sorted-scan flag") {
+    // the unaligned write above leaves multiple files per bucket; with
+    // Layout.ensureBucketedTable the write tasks are aligned to the
+    // bucket hash → AT MOST ONE file per bucket. That layout (a) caps
+    // small-file pressure at nBuckets per table regardless of input
+    // parallelism and (b) is the precondition for sorted-bucket scans:
+    // modern Spark only propagates the bucket sort order behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering (multi-file
+    // buckets made the claimed ordering unsound, SPARK-28067 lineage) —
+    // with the flag on and the aligned layout, BOTH join-side Sorts
+    // disappear along with both Exchanges.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    spark.sql("DROP TABLE IF EXISTS graft_bkal_events")
+    spark.sql("DROP TABLE IF EXISTS graft_bkal_users")
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      graft.operators.Layout.ensureBucketedTable(
+        batchEvents.select($"event_id", $"user_id", $"value"),
+        "graft_bkal_events", "user_id", 8, "/tmp/graft_bkal/events")
+      graft.operators.Layout.ensureBucketedTable(
+        batchEvents.groupBy($"user_id").agg(count(lit(1)).as("n")),
+        "graft_bkal_users", "user_id", 8, "/tmp/graft_bkal/users")
+      for (d <- Seq("events", "users")) {
+        val parts = new java.io.File(s"/tmp/graft_bkal/$d").listFiles()
+          .filter(_.getName.startsWith("part-"))
+        assert(parts.length <= 8,
+          s"$d: aligned write must leave at most one file per bucket, " +
+            s"got ${parts.length}")
+      }
+      val j = spark.table("graft_bkal_events")
+        .join(spark.table("graft_bkal_users"), "user_id")
+      val headers = j.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.map(_.trim).filter(_.matches("""\(\d+\) \w+.*""")).toSeq
+      assert(headers.exists(_.contains("SortMergeJoin")),
+        s"expected a sort-merge join, got:\n${headers.mkString("\n")}")
+      assert(!headers.exists(_.matches("""\(\d+\) Exchange""")),
+        s"bucketed join must not shuffle:\n${headers.mkString("\n")}")
+      assert(!headers.exists(_.matches("""\(\d+\) Sort""")),
+        s"one-file-per-bucket + sorted-scan flag must elide the join " +
+          s"sorts:\n${headers.mkString("\n")}")
+      assert(j.count() == batchEvents.count())
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS graft_bkal_events")
+      spark.sql("DROP TABLE IF EXISTS graft_bkal_users")
     }
   }
 
