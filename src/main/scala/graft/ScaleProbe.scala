@@ -184,6 +184,10 @@ object ScaleProbe {
         // hardest-half prototype pruning — one cluster-hash exchange
         Similarity.densityPrune(emb, SparkEntry.ClusterCentroids,
           keepFrac = 0.5).count() },
+      time("density_prune_approx_raw") {
+        // the sort-free threshold path (mega-cluster escape hatch)
+        Similarity.densityPruneApprox(emb, SparkEntry.ClusterCentroids,
+          keepFrac = 0.5).count() },
       time("token_budget_raw") {
         graft.operators.Sampling
           .tokenBudgetSelect(docs, budget = nDocs * 20).count() },

@@ -2561,6 +2561,30 @@ object SparkEntry {
       Similarity.densityPrune(table(s, dir, "embeddings"),
         ClusterCentroids, keepFrac = 0.5)),
 
+    // The mega-cluster scale path gated against the exact one: the
+    // sort-free approx-quantile threshold prune must agree with the
+    // exact rank prune on ≥ 90% of kept rows AND hold every cluster's
+    // kept fraction within keepFrac ± 0.05 — the deviation a 100 TB
+    // deployment trades for never sorting a dominant cluster through
+    // single-task runs. The oracle restates the exact-path row count.
+    "sim_density_prune_approx" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val exact = Similarity.densityPrune(emb, ClusterCentroids,
+        keepFrac = 0.5)
+      val approx = graft.CacheScope.persist(
+        Similarity.densityPruneApprox(emb, ClusterCentroids,
+          keepFrac = 0.5))
+      val sizes = Similarity.assignClusters(emb, ClusterCentroids)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+      val fracOk = approx.groupBy("cluster").agg(count(lit(1)).as("k"))
+        .join(sizes, Seq("cluster"))
+        .agg(coalesce(
+          min(abs(col("k") / col("n") - lit(0.5)) <= lit(0.05)),
+          lit(true)).as("frac_ok"))
+      recallGate(exact, approx, Seq("vec_id", "cluster"), floor = 0.9)
+        .crossJoin(fracOk)
+    }),
+
     // As-of join (extension): for each purchase, the same user's most
     // recent view at-or-before it in the log's total order — the
     // "state as of this event" lookup. The oracle is DuckDB's native
@@ -4320,6 +4344,12 @@ object SparkEntry {
 
     "sim_cluster_assign" -> clusterAssignSql,
     "sim_density_prune" -> densityPruneSql,
+    // exact-path row count; the agreement/fraction verdicts are
+    // Spark-side gates (the approx sketch has no relational restatement)
+    "sim_density_prune_approx" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok,
+           true AS frac_ok
+         FROM (${densityPruneSql})""",
 
     "sample_token_budget" ->
       """WITH t AS (SELECT doc_id,

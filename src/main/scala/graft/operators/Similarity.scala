@@ -347,10 +347,26 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"densityPrune: keepFrac must be in (0, 1], got $keepFrac")
+    val byCluster = Window.partitionBy(col("cluster"))
+    val hardestFirst = byCluster.orderBy(col("d2").desc, col(idCol))
+    assignedDistance(df, centroids, idCol, vecCol)
+      .withColumn("rn", row_number().over(hardestFirst))
+      .withColumn("quota",
+        ceil(lit(keepFrac) * count(lit(1)).over(byCluster)).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col("cluster"))
+  }
+
+  /** `(id, cluster, d²-to-assigned-centroid)` — the shared row-local
+    * front half of both pruning paths. d² to the ASSIGNED centroid:
+    * pick the cluster with the shared kernel (identical tie semantics
+    * to [[assignClusters]]), then select that cluster's
+    * plan-time-exact `‖c‖² − 2·v·c` branch and add `‖v‖²`.
+    */
+  private def assignedDistance(df: DataFrame,
+      centroids: Array[Array[Double]], idCol: String,
+      vecCol: String): DataFrame = {
     val v = col(vecCol)
-    // d² to the ASSIGNED centroid: pick the assigned cluster with the
-    // shared kernel (identical tie semantics to assignClusters), then
-    // select that cluster's plan-time-exact ‖c‖² − 2·v·c branch.
     val cluster = element_at(vec.nearestCentroids(v, centroids, 1), 1)
     val dAssigned = centroids.zipWithIndex.foldLeft(lit(null).cast("double")) {
       case (acc, (c, j)) =>
@@ -358,14 +374,35 @@ object Similarity {
         when(col("cluster") === j,
           lit(cn2) - lit(2.0) * vec.dot(v, typedLit(c))).otherwise(acc)
     }
-    val byCluster = Window.partitionBy(col("cluster"))
-    val hardestFirst = byCluster.orderBy(col("d2").desc, col(idCol))
     df.select(col(idCol), v, cluster.as("cluster"))
       .withColumn("d2", vec.dot(v, v) + dAssigned)
-      .withColumn("rn", row_number().over(hardestFirst))
-      .withColumn("quota",
-        ceil(lit(keepFrac) * count(lit(1)).over(byCluster)).cast("long"))
-      .filter(col("rn") <= col("quota"))
+      .drop(vecCol)
+  }
+
+  /** The mega-cluster scale path for [[densityPrune]] (the scaladoc's
+    * escape hatch, implemented): instead of ranking every cluster's
+    * rows (a per-cluster sorted window — single-task-sized runs when
+    * one cluster dominates a 100 TB corpus), compute an approximate
+    * `(1 − keepFrac)`-quantile distance threshold per cluster in ONE
+    * aggregation pass (`approx_percentile`, mergeable sketch — partial
+    * map-side like any agg) and keep rows at or above it. No sort
+    * anywhere; the threshold table is nlist rows and broadcasts back.
+    * Cost of the approximation: the kept fraction is `keepFrac ± ε`
+    * (sketch accuracy + boundary ties) instead of an exact quota —
+    * `sim_density_prune_approx` gates the deviation and the agreement
+    * with the exact path at fixture scale.
+    */
+  def densityPruneApprox(df: DataFrame, centroids: Array[Array[Double]],
+      keepFrac: Double, accuracy: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"densityPruneApprox: keepFrac must be in (0, 1], got $keepFrac")
+    val base = assignedDistance(df, centroids, idCol, vecCol)
+    val thr = base.groupBy(col("cluster")).agg(
+      percentile_approx(col("d2"), lit(1.0 - keepFrac), lit(accuracy))
+        .as("thr"))
+    base.join(broadcast(thr), Seq("cluster"))
+      .filter(col("d2") >= col("thr"))
       .select(col(idCol), col("cluster"))
   }
 

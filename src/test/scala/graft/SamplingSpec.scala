@@ -269,6 +269,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() == 7L)
   }
 
+  test("densityPruneApprox: sort-free plan, quota within tolerance") {
+    import graft.operators.Similarity
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // 200 vectors per cluster with distinct distances (no boundary ties)
+    val vecs = (0 until 400).map { i =>
+      val t = 0.001f * i
+      if (i % 2 == 0) (i.toLong, Array(1.0f + t, t))
+      else (i.toLong, Array(t, 1.0f + t))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val approx = Similarity.densityPruneApprox(df, cents, keepFrac = 0.5)
+    // no Sort node anywhere — the point of the escape hatch
+    val headers = approx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.map(_.trim).toSeq
+    assert(!headers.exists(_.matches("""\(\d+\) Sort""")),
+      "threshold prune must not sort")
+    val kept = approx.as[(Long, Int)].collect()
+    val perCluster = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // exact data through an exact-capacity sketch: both clusters keep
+    // 100 ± sketch-boundary slack
+    assert(perCluster.values.forall(k => k >= 95 && k <= 105),
+      s"kept-per-cluster out of tolerance: $perCluster")
+    // agreement with the exact rank path on this tie-free fixture
+    val exact = Similarity.densityPrune(df, cents, keepFrac = 0.5)
+      .as[(Long, Int)].collect().toSet
+    val agree = kept.count(exact.contains).toDouble / exact.size
+    assert(agree >= 0.95, s"agreement with exact path only $agree")
+  }
+
   test("quantileBins handles scores at the clamp edges") {
     val df = Seq((1L, -0.5), (2L, 0.0), (3L, 1.0), (4L, 2.5), (5L, 0.5))
       .toDF("doc_id", "score")
