@@ -1329,10 +1329,23 @@ object SparkEntry {
     // oracle on the raw parquet.
     "meta_bucketed_join" -> ((s, dir) => {
       import graft.operators.Layout
-      val key = tableKey(s, s"$dir/lineitem.parquet")
-        .replaceAll("[^A-Za-z0-9]", "_")
-      val liTbl = s"graft_bkt_li_$key"
-      val ordTbl = s"graft_bkt_ord_$key"
+      // each table's layout is keyed by ITS OWN fixture content — a
+      // regenerated orders.parquet must never reuse a bucketed copy
+      // minted under an unchanged lineitem key
+      def bktName(short: String, src: String): String =
+        s"graft_bkt_${short}_" +
+          tableKey(s, s"$dir/$src.parquet").replaceAll("[^A-Za-z0-9]", "_")
+      val liTbl = bktName("li", "lineitem")
+      val ordTbl = bktName("ord", "orders")
+      // age-gated prune of superseded layouts (fixtureScratch's
+      // discipline): regenerated fixtures mint new keyed dirs, the old
+      // ones must not accumulate under /tmp forever
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val stale = new java.io.File("/tmp/graft_bkt").listFiles()
+      if (stale != null) stale
+        .filter(f => f.getName != liTbl && f.getName != ordTbl &&
+          f.lastModified() < cutoff)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       Layout.ensureBucketedTable(
         table(s, dir, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount"),

@@ -54,35 +54,6 @@ object Layout {
     * Dimension values must stay below `2^(63-bits)` (the scale factor
     * must not overflow a long).
     */
-  /** Write `df` ONCE as a bucketed table: hash-clustered AND sorted on
-    * `bucketCol` into `nBuckets` bucket files. The up-front
-    * `repartition(nBuckets, bucketCol)` aligns the write tasks with the
-    * bucket hash (both are Murmur3 `pmod` `nBuckets`), so each task
-    * holds exactly one bucket → ONE file per bucket — the shape Spark
-    * requires to also elide the join-time sort, not just the shuffle.
-    *
-    * This is the third co-location strategy next to `broadcast()` (small
-    * dims) and `repartition()` (one-shot): pay the shuffle once at
-    * layout time, and EVERY subsequent equi-join or aggregation on
-    * `bucketCol` between bucketed tables plans with zero exchanges.
-    * At 100 TB this is how the fact⋈fact join avoids re-shuffling
-    * terabytes per query. Idempotent per (catalog, tableName): the
-    * catalog is session-scoped, so the first use in a session performs
-    * the write (mode overwrite — a half-written prior path is replaced,
-    * never unioned).
-    */
-  def ensureBucketedTable(df: DataFrame, tableName: String,
-      bucketCol: String, nBuckets: Int, path: String): Unit = {
-    val spark = df.sparkSession
-    if (!spark.catalog.tableExists(tableName)) {
-      df.repartition(nBuckets, col(bucketCol))
-        .write.mode("overwrite")
-        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-        .option("path", path)
-        .saveAsTable(tableName)
-    }
-  }
-
   def zOrderStats(df: DataFrame, aCol: String, bCol: String, bits: Int,
       nRanges: Int): DataFrame = {
     require(nRanges >= 1 && (2 * bits) < 63)
@@ -100,5 +71,50 @@ object Layout {
         min(col(aCol)).as("min_a"), max(col(aCol)).as("max_a"),
         min(col(bCol)).as("min_b"), max(col(bCol)).as("max_b"),
         min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+  }
+
+  /** Write `df` ONCE as a bucketed table: hash-clustered AND sorted on
+    * `bucketCol` into `nBuckets` bucket files. The up-front
+    * `repartition(nBuckets, bucketCol)` aligns the write tasks with the
+    * bucket hash (both are Murmur3 `pmod` `nBuckets`), so each task
+    * holds exactly one bucket → AT MOST ONE file per bucket — small-file
+    * pressure capped at `nBuckets` regardless of input parallelism, and
+    * the precondition for sorted-bucket scans
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering`) met.
+    *
+    * This is the third co-location strategy next to `broadcast()` (small
+    * dims) and `repartition()` (one-shot): pay the shuffle once at
+    * layout time, and EVERY subsequent equi-join or aggregation on
+    * `bucketCol` between bucketed tables plans with zero exchanges.
+    * At 100 TB this is how the fact⋈fact join avoids re-shuffling
+    * terabytes per query. Idempotent per (catalog, tableName, files):
+    * the write runs only when the registration is missing OR the
+    * committer's `_SUCCESS` is gone from `path` — with Spark's default
+    * in-memory catalog that means once per session, while a persistent
+    * metastore (or a tmp sweeper deleting files under a live
+    * registration) is caught by the marker probe rather than trusted.
+    * Callers own `path` lifecycle: key it by fixture content and prune
+    * superseded layouts (see `meta_bucketed_join`), or point it at a
+    * managed warehouse location.
+    */
+  def ensureBucketedTable(df: DataFrame, tableName: String,
+      bucketCol: String, nBuckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    // a registration whose files were cleaned from under it (tmp
+    // sweeper, crashed write) must be rebuilt, not trusted — probe the
+    // committer's _SUCCESS through the path's OWN filesystem (the table
+    // may live on HDFS/S3, where a local File check would force a full
+    // rewrite per call)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val intact = spark.catalog.tableExists(tableName) && fs.exists(p)
+    if (!intact) {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      df.repartition(nBuckets, col(bucketCol))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", path)
+        .saveAsTable(tableName)
+    }
   }
 }

@@ -349,10 +349,16 @@ object Similarity {
       s"densityPrune: keepFrac must be in (0, 1], got $keepFrac")
     val byCluster = Window.partitionBy(col("cluster"))
     val hardestFirst = byCluster.orderBy(col("d2").desc, col(idCol))
+    // quota in DECIMAL, not double: the shortest-decimal rendering of
+    // keepFrac times an exact integer count — ceil(0.07 · 100) must be
+    // 7, not the 8 that 0.07's binary excess (0.07·100 =
+    // 7.000000000000001 in IEEE doubles) would produce. SQL numeric
+    // literals are decimal too, so the oracle restates this exactly.
+    val fracDec = new java.math.BigDecimal(java.lang.Double.toString(keepFrac))
     assignedDistance(df, centroids, idCol, vecCol)
       .withColumn("rn", row_number().over(hardestFirst))
       .withColumn("quota",
-        ceil(lit(keepFrac) * count(lit(1)).over(byCluster)).cast("long"))
+        ceil(lit(fracDec) * count(lit(1)).over(byCluster)).cast("long"))
       .filter(col("rn") <= col("quota"))
       .select(col(idCol), col("cluster"))
   }
@@ -397,7 +403,12 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"densityPruneApprox: keepFrac must be in (0, 1], got $keepFrac")
-    val base = assignedDistance(df, centroids, idCol, vecCol)
+    // base feeds BOTH the threshold aggregation and the filter join;
+    // persist it so the corpus scan + assignment kernel run once, not
+    // twice (operator persist contract — released by CacheScope /
+    // the per-query clearCache in Verify/Bench)
+    val base = graft.CacheScope.persist(
+      assignedDistance(df, centroids, idCol, vecCol))
     val thr = base.groupBy(col("cluster")).agg(
       percentile_approx(col("d2"), lit(1.0 - keepFrac), lit(accuracy))
         .as("thr"))

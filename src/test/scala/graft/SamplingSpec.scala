@@ -267,6 +267,12 @@ class SamplingSpec extends AnyFunSuite {
     val all = Similarity.densityPrune(
       vecs.toDF("vec_id", "embedding"), cents, keepFrac = 1.0)
     assert(all.count() == 7L)
+    // decimal quota arithmetic: 0.07 · 100 must quota 7, not the 8 the
+    // IEEE double product (7.000000000000001) would ceil to
+    val c100 = (0 until 100).map(i => (i.toLong, Array(1.0f + 0.001f * i, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.densityPrune(c100, Array(Array(1.0, 0.0)),
+      keepFrac = 0.07).count() == 7L)
   }
 
   test("densityPruneApprox: sort-free plan, quota within tolerance") {
