@@ -259,6 +259,23 @@ object ScaleProbe {
           recallRun("recall_ivf_fracprobe") {
             Similarity.ivfTopK(emb, qs, 10,
               nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) }
+        },
+        time("density_prune_agree") {
+          // exact-rank vs approx-threshold agreement where clusters are
+          // 1000× the gate fixture's (the oracled gate pins ≥ 0.9 at
+          // fixture scale only); distributive join count — no big collect
+          val exact = Similarity.densityPrune(emb,
+            SparkEntry.ClusterCentroids, keepFrac = 0.5).cache()
+          val approx = Similarity.densityPruneApprox(emb,
+            SparkEntry.ClusterCentroids, keepFrac = 0.5)
+          val nEx = exact.count()
+          require(nEx > 0, "density_prune_agree: empty exact prune — " +
+            "degenerate fixture, agreement undefined")
+          val hit = exact
+            .join(approx, Seq("vec_id", "cluster")).count()
+          exact.unpersist()
+          recalls("density_prune_agree") = hit.toDouble / nEx
+          hit
         })
     }
 

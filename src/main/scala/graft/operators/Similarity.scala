@@ -326,6 +326,9 @@ object Similarity {
     * signal), and keep the hardest `ceil(keepFrac · clusterSize)` per
     * cluster. The per-cluster quota (vs a global threshold) is the
     * paper's class-balanced formulation: no cluster is pruned to zero.
+    * `keepHardest = false` flips the rank — the paper's data-SCARCE
+    * regime, where easy (prototypical) examples win and outliers are
+    * what gets pruned; ties still break toward the smaller id.
     *
     * Determinism contract (what makes this oracle-able, same recipe as
     * [[assignClusters]]): the rank key is
@@ -343,12 +346,13 @@ object Similarity {
     * of a ±ε quota — this exact-rank form is the oracled path.
     */
   def densityPrune(df: DataFrame, centroids: Array[Array[Double]],
-      keepFrac: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      keepFrac: Double, keepHardest: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"densityPrune: keepFrac must be in (0, 1], got $keepFrac")
     val byCluster = Window.partitionBy(col("cluster"))
-    val hardestFirst = byCluster.orderBy(col("d2").desc, col(idCol))
+    val rankKey = if (keepHardest) col("d2").desc else col("d2").asc
+    val hardestFirst = byCluster.orderBy(rankKey, col(idCol))
     // quota in DECIMAL, not double: the shortest-decimal rendering of
     // keepFrac times an exact integer count — ceil(0.07 · 100) must be
     // 7, not the 8 that 0.07's binary excess (0.07·100 =
@@ -399,8 +403,8 @@ object Similarity {
     * with the exact path at fixture scale.
     */
   def densityPruneApprox(df: DataFrame, centroids: Array[Array[Double]],
-      keepFrac: Double, accuracy: Int = 10000, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      keepFrac: Double, keepHardest: Boolean = true, accuracy: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"densityPruneApprox: keepFrac must be in (0, 1], got $keepFrac")
     // base feeds BOTH the threshold aggregation and the filter join;
@@ -409,11 +413,12 @@ object Similarity {
     // the per-query clearCache in Verify/Bench)
     val base = graft.CacheScope.persist(
       assignedDistance(df, centroids, idCol, vecCol))
+    val q = if (keepHardest) 1.0 - keepFrac else keepFrac
     val thr = base.groupBy(col("cluster")).agg(
-      percentile_approx(col("d2"), lit(1.0 - keepFrac), lit(accuracy))
-        .as("thr"))
+      percentile_approx(col("d2"), lit(q), lit(accuracy)).as("thr"))
     base.join(broadcast(thr), Seq("cluster"))
-      .filter(col("d2") >= col("thr"))
+      .filter(if (keepHardest) col("d2") >= col("thr")
+              else col("d2") <= col("thr"))
       .select(col(idCol), col("cluster"))
   }
 

@@ -555,4 +555,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("densityPrune equals the brute per-cluster reference on random vectors") {
+    import graft.operators.Similarity
+    // centroid components exact multiples of 0.25 (the oracle contract)
+    val cents = Array(Array(0.5, -0.25, 1.0), Array(-0.75, 0.25, 0.0),
+      Array(0.0, 1.0, -0.5))
+    val genVecs: Gen[List[Array[Float]]] = Gen.listOfN(60,
+      Gen.listOfN(3, Gen.choose(-1000, 1000).map(_ / 256.0f)).map(_.toArray))
+    // the operator's arithmetic, replicated scalar-for-scalar: per-element
+    // float→double products, left-associated sums, plan-time-exact ‖c‖²,
+    // assignment ties to the smaller cluster index
+    def ref(v: Array[Float], c: Array[Double]): (Double, Double) = {
+      var vv = 0.0; var dot = 0.0; var i = 0
+      while (i < v.length) {
+        vv += v(i).toDouble * v(i).toDouble
+        dot += v(i).toDouble * c(i); i += 1
+      }
+      val key = c.map(x => x * x).sum - 2.0 * dot
+      (key, vv + key)
+    }
+    for (keepHardest <- Seq(true, false)) forAll(genVecs, n = 6) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val assigned = rows.map { case (id, v) =>
+        val keys = cents.map(c => ref(v, c))
+        val cl = keys.map(_._1).zipWithIndex.minBy { case (k, j) => (k, j) }._2
+        (id, cl, keys(cl)._2)
+      }
+      val expect = assigned.groupBy(_._2).flatMap { case (cl, rs) =>
+        // decimal quota semantics: BigDecimal("0.3") · n, ceil
+        val quota = new java.math.BigDecimal("0.3")
+          .multiply(new java.math.BigDecimal(rs.size))
+          .setScale(0, java.math.RoundingMode.CEILING).intValueExact()
+        val ordered =
+          if (keepHardest) rs.sortBy { case (id, _, d) => (-d, id) }
+          else rs.sortBy { case (id, _, d) => (d, id) }
+        ordered.take(quota).map { case (id, c, _) => (id, c) }
+      }.toSet
+      val got = Similarity.densityPrune(rows.toDF("vec_id", "embedding"),
+          cents, keepFrac = 0.3, keepHardest = keepHardest)
+        .as[(Long, Int)].collect().toSet
+      assert(got == expect,
+        s"keepHardest=$keepHardest: ${got.diff(expect)} vs ${expect.diff(got)}")
+    }
+  }
 }

@@ -267,6 +267,13 @@ class SamplingSpec extends AnyFunSuite {
     val all = Similarity.densityPrune(
       vecs.toDF("vec_id", "embedding"), cents, keepFrac = 1.0)
     assert(all.count() == 7L)
+    // data-scarce regime: keepHardest=false flips the rank — cluster 1's
+    // single slot now goes to the PROTOTYPICAL id5 (0.1 away), not id4
+    val easy = Similarity.densityPrune(
+        vecs.toDF("vec_id", "embedding"), cents, keepFrac = 0.5,
+        keepHardest = false)
+      .as[(Long, Int)].collect().toMap
+    assert(easy.get(5L).contains(1) && !easy.contains(4L))
     // decimal quota arithmetic: 0.07 · 100 must quota 7, not the 8 the
     // IEEE double product (7.000000000000001) would ceil to
     val c100 = (0 until 100).map(i => (i.toLong, Array(1.0f + 0.001f * i, 0f)))
