@@ -279,7 +279,61 @@ object ScaleProbe {
         })
     }
 
-    val ran = (runs ++ recallRuns).flatten
+    // ---- bucketed-layout amortization (needs the gen_tpch_scale_fixture
+    // lineitem/orders in the fixture dir; silently absent elsewhere):
+    // what one layout write buys EVERY subsequent fact⋈fact join.
+    // Broadcast disabled so all three rows measure the fact⋈fact shape.
+    val bktRuns: Seq[Option[(String, Double, Long)]] =
+      if (!new java.io.File(s"$sfDir/lineitem.parquet").exists()) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        import graft.operators.Layout
+        val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val run = java.util.UUID.randomUUID.toString.replace("-", "")
+        def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice")
+        def ord = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority")
+        def joined(l: org.apache.spark.sql.DataFrame,
+            o: org.apache.spark.sql.DataFrame): Long =
+          l.join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1))).collect().map(_.getLong(1)).sum
+        // a tag filter selecting served without layout must still have
+        // the tables — build them untimed
+        if (only.nonEmpty && only("bkt_join_served") &&
+            !only("bkt_join_layout")) {
+          Layout.ensureBucketedTable(li, s"graft_probe_li_$run",
+            "l_orderkey", 32, s"/tmp/graft_probe_bkt/li_$run")
+          Layout.ensureBucketedTable(ord, s"graft_probe_ord_$run",
+            "o_orderkey", 32, s"/tmp/graft_probe_bkt/ord_$run")
+        }
+        try Seq(
+          time("bkt_join_raw") {
+            // the per-query price WITHOUT layout: both sides shuffle
+            joined(li, ord) },
+          time("bkt_join_layout") {
+            // the one-time layout write (both tables, 32 buckets)
+            Layout.ensureBucketedTable(li, s"graft_probe_li_$run",
+              "l_orderkey", 32, s"/tmp/graft_probe_bkt/li_$run")
+            Layout.ensureBucketedTable(ord, s"graft_probe_ord_$run",
+              "o_orderkey", 32, s"/tmp/graft_probe_bkt/ord_$run")
+            2L },
+          time("bkt_join_served") {
+            // every join after the layout: zero exchanges on the facts
+            joined(spark.table(s"graft_probe_li_$run"),
+              spark.table(s"graft_probe_ord_$run")) })
+        finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+          spark.sql(s"DROP TABLE IF EXISTS graft_probe_li_$run")
+          spark.sql(s"DROP TABLE IF EXISTS graft_probe_ord_$run")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File("/tmp/graft_probe_bkt"))
+        }
+      }
+
+    val ran = (runs ++ recallRuns ++ bktRuns).flatten
     // a tag filter matching nothing is a typo, not an empty result —
     // and must not emit the trailing-comma malformed JSON it used to
     require(only.isEmpty || ran.nonEmpty,
