@@ -55,7 +55,20 @@ object GraftFunctions {
     "abi_dyn_tail_array" -> (es => DynTailArray(es.head,
       litInt(es(1), "abi_dyn_tail_array"),
       asString = litBool(es(2), "abi_dyn_tail_array"),
-      fixedK = if (es.length > 3) litInt(es(3), "abi_dyn_tail_array") else -1)))
+      fixedK = if (es.length > 3) litInt(es(3), "abi_dyn_tail_array") else -1)),
+    "dhash_bands" -> (es => DHashBands(es.head,
+      litInt(es(1), "dhash_bands"), litInt(es(2), "dhash_bands"))),
+    "quant_residual" -> (es => QuantResidual(es(0), es(1),
+      litInt(es(2), "quant_residual"))),
+    "dot_codes" -> (es => VectorDotCodes(es(0), es(1))),
+    "codes_dot" -> (es => CodesDot(es(0), es(1))),
+    "nearest_centroids" -> (es => NearestCentroids(es.head,
+      litDoubleMatrix(es(1), "nearest_centroids"),
+      litInt(es(2), "nearest_centroids"))))
+    // BpeEncode is deliberately NOT on the SQL surface: its merge table
+    // is a TRAINED artifact (bpeTrainMerges output, thousands of pairs),
+    // not something a user types as a literal — the DataFrame API
+    // (TextOps.bpeApplyStats) threads it from the training pass.
 
   private def litInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn: the count argument must be a literal")
@@ -99,6 +112,22 @@ object GraftFunctions {
       case s: String => s
       case other => throw new IllegalArgumentException(
         s"$fn: expected string literal, got $other")
+    }
+  }
+
+  private def litDoubleMatrix(e: Expression, fn: String): Array[Array[Double]] = {
+    require(e.foldable,
+      s"$fn: the centroid argument must be a literal array<array<double>>")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        Array.tabulate(a.numElements()) { i =>
+          val inner = a.getArray(i)
+          if (inner == null) throw new IllegalArgumentException(
+            s"$fn: centroid rows must not be NULL")
+          inner.toDoubleArray()
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected array<array<double>> literal, got $other")
     }
   }
 

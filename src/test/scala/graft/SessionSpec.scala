@@ -204,6 +204,26 @@ class SessionSpec extends AnyFunSuite {
            term_tf('The cat and THE dog', array('the', 'dog')) AS tf""").head()
     assert(r2.getString(0) == "é") // e + combining acute → é
     assert(r2.getSeq[Long](1) == Seq(5L, 2L, 1L)) // dl, tf(the), tf(dog)
+
+    // the vector/quant/dhash kernels are on the SQL surface too
+    val r3 = spark.sql(
+      """SELECT
+           size(dhash_bands('some image bytes stand-in', 4, 16)) AS db,
+           element_at(nearest_centroids(array(0.9D, 0.1D),
+             array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 1), 1) AS nc,
+           q.r.scale > 0D AS qs,
+           dot_codes(array(1.0D, 2.0D), q.r.codes) * q.r.scale AS dc,
+           codes_dot(q.r.codes, q.r.codes) AS cc
+         FROM (SELECT
+           quant_residual(array(1.0D, 2.0D), array(0.0D, 0.0D), 127) AS r) q
+      """).head()
+    assert(r3.getInt(0) == 4) // 4 band keys
+    assert(r3.getInt(1) == 0) // (0.9, 0.1) → centroid 0
+    assert(r3.getBoolean(2)) // nonzero residual ⇒ positive scale
+    // dot_codes is the RAW code dot (Σ q_i·code_i); times the stored
+    // scale it reconstructs ≈ ‖v‖² = 5 (codes = round(v/scale))
+    assert(math.abs(r3.getDouble(3) - 5.0) < 0.05)
+    assert(r3.getLong(4) > 0L) // int8 × int8 self-dot is positive
   }
 
   test("sequencePattern: k-event runs counted per block") {
