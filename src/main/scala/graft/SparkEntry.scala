@@ -465,6 +465,34 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Schema evolution across writer generations — the lakehouse
+    // contract a 100 TB corpus accumulates by default: generation 0
+    // lands without the later `quality` column, generation 1 adds it;
+    // `mergeSchema` unions the parquet footers at PLAN time and
+    // back-fills nulls, so old files stay readable forever without a
+    // rewrite. Gate: per-generation counts + null accounting of the
+    // late column hash-match the oracle on the source of truth.
+    "src_schema_evolution" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "sev",
+        "docs") { tmp =>
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "lang", "n_chars")
+          .withColumn("gen", lit(0L))
+          .coalesce(2).write.mode("overwrite").parquet(s"$tmp/docs")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select("doc_id", "lang", "n_chars")
+          .withColumn("gen", lit(1L))
+          .withColumn("quality", col("n_chars").cast("double") / 100)
+          .coalesce(2).write.mode("append").parquet(s"$tmp/docs")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$scratch/docs")
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_quality"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // S4 over the WIRE — the live-transport seam under the correctness
     // gate: the DSv2 rpc-logs source fetches eth_getLogs ranges
     // executor-side from the deterministic SimEthNode (the sandbox has
@@ -4409,6 +4437,13 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'en' GROUP BY source""",
+
+    // gen 0 = even ids (no quality column → 0 non-null), gen 1 = odd
+    "src_schema_evolution" ->
+      """SELECT doc_id % 2 AS gen, count(*) AS n_docs,
+           CASE WHEN doc_id % 2 = 1 THEN count(*) ELSE 0 END AS n_quality,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1""",
 
     "text_substring_dedup" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),

@@ -254,6 +254,8 @@ class HardeningSpec extends AnyFunSuite {
       // bucket-aligned fact⋈fact join consumes the layout shuffle-free;
       // the one exchange is the final priority aggregation
       "meta_bucketed_join" -> 1,
+      // merged-footer scan + one generation aggregation
+      "src_schema_evolution" -> 1,
       // signed band-range pushdown: pure scan + filter + decode project
       "p2_indexed_signed" -> 0,
       // bm25 is now shuffle-free; the fusion windows ride the ≤ 2k-row
