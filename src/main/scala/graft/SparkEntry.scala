@@ -1906,6 +1906,19 @@ object SparkEntry {
           .select(col("doc_id"), col("pred_lang")),
         "pred_lang", targetDocs = 10000L)),
 
+    // Topic-balanced mixing over EMBEDDING-derived strata: the same
+    // √n-temperature schedule the language path runs, driven by the
+    // frozen-codebook cluster assignment instead of metadata — the
+    // standard recipe for balancing a corpus by semantic topic. The
+    // whole chain (compiled nearest-centroid kernel → √n weights →
+    // per-cluster epoch counts) is restated relationally; the global
+    // window runs over the nlist-row cluster table, never corpus rows.
+    "pipeline_topic_mix" -> ((s, dir) =>
+      TextOps.mixtureWeights(
+        Similarity.assignClusters(table(s, dir, "embeddings"),
+          ClusterCentroids),
+        "cluster", targetDocs = 10000L)),
+
     // Deterministic held-out split: the assignment hash is
     // engine-internal (xxhash64), so the gate emits the oracle-able
     // total plus an eval-fraction tolerance verdict; determinism and
@@ -4534,6 +4547,19 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_total
            FROM c)
          SELECT pred_lang, n_docs, w_raw / w_total AS weight,
+           CAST(ceil(10000.0 * (w_raw / w_total) / n_docs) AS BIGINT) AS n_epochs
+         FROM wsum""",
+
+    "pipeline_topic_mix" ->
+      s"""WITH a AS ($clusterAssignSql),
+         c AS (SELECT cluster, count(*) AS n_docs FROM a GROUP BY 1),
+         wsum AS (
+           SELECT cluster, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (
+               ORDER BY cluster
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_total
+           FROM c)
+         SELECT cluster, n_docs, w_raw / w_total AS weight,
            CAST(ceil(10000.0 * (w_raw / w_total) / n_docs) AS BIGINT) AS n_epochs
          FROM wsum""",
 

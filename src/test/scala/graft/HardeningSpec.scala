@@ -256,6 +256,10 @@ class HardeningSpec extends AnyFunSuite {
       "meta_bucketed_join" -> 1,
       // merged-footer scan + one generation aggregation
       "src_schema_evolution" -> 1,
+      // row-local assignment → one cluster count agg + the √n window's
+      // single-partition exchange over the nlist-row cluster table
+      // (bounded rows by construction, never corpus rows)
+      "pipeline_topic_mix" -> 2,
       // signed band-range pushdown: pure scan + filter + decode project
       "p2_indexed_signed" -> 0,
       // bm25 is now shuffle-free; the fusion windows ride the ≤ 2k-row
