@@ -19,6 +19,8 @@ def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10"
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    import os
+    os.makedirs(out, exist_ok=True)
     orders = pq.read_table(f"{src}/orders.parquet")
     li = pq.read_table(f"{src}/lineitem.parquet")
     shift = int(pc.max(orders.column("o_orderkey")).as_py()) + 1

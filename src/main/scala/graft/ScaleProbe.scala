@@ -263,33 +263,41 @@ object ScaleProbe {
         time("density_prune_agree") {
           // exact-rank vs approx-threshold agreement where clusters are
           // 1000× the gate fixture's (the oracled gate pins ≥ 0.9 at
-          // fixture scale only); distributive join count — no big collect
+          // fixture scale only); distributive join count — no big
+          // collect. SYMMETRIC metric |∩| / max(|exact|, |approx|): a
+          // degenerate threshold that over-keeps must read < 1, not
+          // hide inside a one-sided containment. rows = approx size.
           val exact = Similarity.densityPrune(emb,
             SparkEntry.ClusterCentroids, keepFrac = 0.5).cache()
           val approx = Similarity.densityPruneApprox(emb,
-            SparkEntry.ClusterCentroids, keepFrac = 0.5)
+            SparkEntry.ClusterCentroids, keepFrac = 0.5).cache()
           val nEx = exact.count()
+          val nAp = approx.count()
           require(nEx > 0, "density_prune_agree: empty exact prune — " +
             "degenerate fixture, agreement undefined")
           val hit = exact
             .join(approx, Seq("vec_id", "cluster")).count()
-          exact.unpersist()
-          recalls("density_prune_agree") = hit.toDouble / nEx
-          hit
+          exact.unpersist(); approx.unpersist()
+          recalls("density_prune_agree") = hit.toDouble / math.max(nEx, nAp)
+          nAp
         })
     }
 
-    // ---- bucketed-layout amortization (needs the gen_tpch_scale_fixture
-    // lineitem/orders in the fixture dir; silently absent elsewhere):
-    // what one layout write buys EVERY subsequent fact⋈fact join.
-    // Broadcast disabled so all three rows measure the fact⋈fact shape.
+    // ---- bucketed-layout amortization: what one layout write buys
+    // EVERY subsequent fact⋈fact join. Opt-in by EXPLICIT tag only
+    // (lineitem.parquet exists in the ordinary bench fixtures too — an
+    // existence guard would silently add timed rows + a /tmp write to
+    // every full probe run and skew cross-round comparisons). Broadcast
+    // disabled so all three rows measure the fact⋈fact shape.
     val bktRuns: Seq[Option[(String, Double, Long)]] =
-      if (!new java.io.File(s"$sfDir/lineitem.parquet").exists()) Seq.empty
+      if (!only.exists(_.startsWith("bkt_join"))) Seq.empty
       else {
         import org.apache.spark.sql.functions.{col, count, lit}
         import graft.operators.Layout
+        require(new java.io.File(s"$sfDir/lineitem.parquet").exists(),
+          s"bkt_join_* tags need lineitem/orders parquet in $sfDir " +
+            "(gen_tpch_scale_fixture.py)")
         val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val run = java.util.UUID.randomUUID.toString.replace("-", "")
         def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_orderkey", "l_extendedprice")
@@ -300,36 +308,41 @@ object ScaleProbe {
           l.join(o, col("l_orderkey") === col("o_orderkey"))
             .groupBy(col("o_orderpriority"))
             .agg(count(lit(1))).collect().map(_.getLong(1)).sum
-        // a tag filter selecting served without layout must still have
-        // the tables — build them untimed
-        if (only.nonEmpty && only("bkt_join_served") &&
-            !only("bkt_join_layout")) {
+        def buildTables(): Long = {
           Layout.ensureBucketedTable(li, s"graft_probe_li_$run",
             "l_orderkey", 32, s"/tmp/graft_probe_bkt/li_$run")
           Layout.ensureBucketedTable(ord, s"graft_probe_ord_$run",
             "o_orderkey", 32, s"/tmp/graft_probe_bkt/ord_$run")
+          2L
         }
-        try Seq(
-          time("bkt_join_raw") {
-            // the per-query price WITHOUT layout: both sides shuffle
-            joined(li, ord) },
-          time("bkt_join_layout") {
-            // the one-time layout write (both tables, 32 buckets)
-            Layout.ensureBucketedTable(li, s"graft_probe_li_$run",
-              "l_orderkey", 32, s"/tmp/graft_probe_bkt/li_$run")
-            Layout.ensureBucketedTable(ord, s"graft_probe_ord_$run",
-              "o_orderkey", 32, s"/tmp/graft_probe_bkt/ord_$run")
-            2L },
-          time("bkt_join_served") {
-            // every join after the layout: zero exchanges on the facts
-            joined(spark.table(s"graft_probe_li_$run"),
-              spark.table(s"graft_probe_ord_$run")) })
-        finally {
+        // conf flip + pre-build INSIDE the try: a failure there must
+        // still restore the threshold and clean the run's tables
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // a tag filter selecting served without layout must still
+          // have the tables — build them untimed
+          if (only("bkt_join_served") && !only("bkt_join_layout"))
+            buildTables()
+          Seq(
+            time("bkt_join_raw") {
+              // the per-query price WITHOUT layout: both sides shuffle
+              joined(li, ord) },
+            time("bkt_join_layout") {
+              // the one-time layout write (both tables, 32 buckets)
+              buildTables() },
+            time("bkt_join_served") {
+              // every join after the layout: zero fact exchanges
+              joined(spark.table(s"graft_probe_li_$run"),
+                spark.table(s"graft_probe_ord_$run")) })
+        } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
           spark.sql(s"DROP TABLE IF EXISTS graft_probe_li_$run")
           spark.sql(s"DROP TABLE IF EXISTS graft_probe_ord_$run")
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File("/tmp/graft_probe_bkt"))
+          // delete ONLY this run's subdirs — a concurrent probe owns
+          // its own under the same root
+          for (d <- Seq(s"li_$run", s"ord_$run"))
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"/tmp/graft_probe_bkt/$d"))
         }
       }
 

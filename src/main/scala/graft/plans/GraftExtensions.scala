@@ -116,19 +116,40 @@ object GraftFunctions {
   }
 
   private def litDoubleMatrix(e: Expression, fn: String): Array[Array[Double]] = {
+    import org.apache.spark.sql.types._
     require(e.foldable,
-      s"$fn: the centroid argument must be a literal array<array<double>>")
-    e.eval() match {
-      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        Array.tabulate(a.numElements()) { i =>
-          val inner = a.getArray(i)
-          if (inner == null) throw new IllegalArgumentException(
-            s"$fn: centroid rows must not be NULL")
-          inner.toDoubleArray()
-        }
+      s"$fn: the centroid argument must be a literal array<array<numeric>>")
+    // accept every numeric element spelling (1.0 is DECIMAL in SQL, 1 is
+    // INT) — a raw ClassCastException for the natural literal forms is
+    // not an argument error a user can act on
+    val elemType = e.dataType match {
+      case ArrayType(ArrayType(t: NumericType, _), _) => t
       case other => throw new IllegalArgumentException(
-        s"$fn: expected array<array<double>> literal, got $other")
+        s"$fn: expected array<array<numeric>> literal, got $other")
     }
+    def asDouble(x: Any): Double = x match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: centroid components must not be NULL")
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case dec: Decimal => dec.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: non-numeric centroid component $other")
+    }
+    val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = Array.tabulate(a.numElements()) { i =>
+      val inner = a.getArray(i)
+      if (inner == null) throw new IllegalArgumentException(
+        s"$fn: centroid rows must not be NULL")
+      inner.toObjectArray(elemType).map(asDouble)
+    }
+    // the kernel sizes its dim from row 0 — a ragged matrix would
+    // silently truncate (or index past) every other centroid
+    require(rows.nonEmpty && rows.forall(_.length == rows(0).length),
+      s"$fn: centroid rows must be uniform length, got " +
+        rows.map(_.length).mkString("[", ",", "]"))
+    rows
   }
 
   private def litBool(e: Expression, fn: String): Boolean = {

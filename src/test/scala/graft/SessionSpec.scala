@@ -219,6 +219,17 @@ class SessionSpec extends AnyFunSuite {
       """).head()
     assert(r3.getInt(0) == 4) // 4 band keys
     assert(r3.getInt(1) == 0) // (0.9, 0.1) → centroid 0
+    // natural literal spellings work too: unsuffixed 1.0 is DECIMAL and
+    // bare 1 is INT in SQL — both must coerce, not ClassCastException
+    assert(spark.sql("""SELECT element_at(nearest_centroids(
+        array(0.1D, 0.9D), array(array(1.0, 0), array(0, 1)), 1), 1)""")
+      .head().getInt(0) == 1)
+    // ragged codebooks fail loudly, never silently truncate
+    val ragged = intercept[Exception](spark.sql("""SELECT
+        nearest_centroids(array(1.0D), array(array(1.0D), array(1.0D, 2.0D)), 1)
+      """).head())
+    assert(ragged.getMessage != null &&
+      ragged.toString.contains("uniform length"), ragged.toString)
     assert(r3.getBoolean(2)) // nonzero residual ⇒ positive scale
     // dot_codes is the RAW code dot (Σ q_i·code_i); times the stored
     // scale it reconstructs ≈ ‖v‖² = 5 (codes = round(v/scale))
