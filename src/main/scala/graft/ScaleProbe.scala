@@ -132,7 +132,10 @@ object ScaleProbe {
             .write.parquet(s"$dir/index")
           val baseDf = spark.read.parquet(s"$dir/index")
             .select("doc_id", "sig", "band_idx", "band_key")
-          val epochs = 48
+          // SPARK_GRAFT_IT_EPOCHS overrides for gap-growth evidence at
+          // longer stream lifetimes (PERF.md has 48- and 96-epoch rows)
+          val epochs = sys.env.get("SPARK_GRAFT_IT_EPOCHS")
+            .map(_.toInt).getOrElse(48)
           var last8 = 0L
           (0 until epochs).foreach { e =>
             val batch = docs.filter(col("doc_id") % 2 === 0 &&
