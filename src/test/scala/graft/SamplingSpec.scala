@@ -310,6 +310,16 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toSet
     val agree = kept.count(exact.contains).toDouble / exact.size
     assert(agree >= 0.95, s"agreement with exact path only $agree")
+    // the data-scarce mode selects the OTHER half: same quota
+    // tolerance, near-disjoint from the hard half (median boundary only)
+    val easy = Similarity.densityPruneApprox(df, cents, keepFrac = 0.5,
+      keepHardest = false).as[(Long, Int)].collect()
+    val easyCounts = easy.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(easyCounts.values.forall(k => k >= 95 && k <= 105),
+      s"easy-mode kept-per-cluster out of tolerance: $easyCounts")
+    val hardIds = kept.map(_._1).toSet
+    assert(easy.count(r => hardIds(r._1)) <= 10,
+      "easy and hard halves must only overlap at the threshold boundary")
   }
 
   test("quantileBins handles scores at the clamp edges") {
