@@ -414,6 +414,35 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureBucketedTable: files vanishing under a live registration " +
+      "trigger a rebuild, an intact layout is reused") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkreb")
+    val path = "/tmp/graft_bkreb"
+    try {
+      val df = batchEvents.select($"event_id", $"user_id").limit(500)
+      graft.operators.Layout.ensureBucketedTable(
+        df, "graft_bkreb", "user_id", 4, path)
+      assert(spark.table("graft_bkreb").count() == 500)
+      // intact: a second ensure must NOT rewrite (same files on disk)
+      val before = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+      graft.operators.Layout.ensureBucketedTable(
+        df, "graft_bkreb", "user_id", 4, path)
+      val after = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+      assert(after == before, "intact layout was rewritten")
+      // tmp sweeper takes the files: the registration must not be
+      // trusted — next ensure rebuilds instead of serving read errors
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      graft.operators.Layout.ensureBucketedTable(
+        df, "graft_bkreb", "user_id", 4, path)
+      assert(spark.table("graft_bkreb").count() == 500)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkreb")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
   test("AQE splits the skewed join partition (skew=true in the final plan)") {
     // the runtime half of the skew story (the compile-time half is the
     // salted aggregation): one hot key dominates the left side; with
