@@ -1367,12 +1367,23 @@ object SparkEntry {
       val ordTbl = bktName("ord", "orders")
       // age-gated prune of superseded layouts (fixtureScratch's
       // discipline): regenerated fixtures mint new keyed dirs, the old
-      // ones must not accumulate under /tmp forever
+      // ones must not accumulate under /tmp forever. Scope: ONLY dirs
+      // carrying this gate's ownership marker are ever deleted — a
+      // foreign dir (another session's differently-keyed layout, a
+      // user's scratch) under the shared root is never touched — and
+      // staleness is judged by the MARKER's mtime, which every gate run
+      // refreshes below, so any session that ran this gate inside the
+      // window keeps its layouts alive
+      val ownMarker = "_graft_gate_owned"
       val cutoff = System.currentTimeMillis() - 3600L * 1000
       val stale = new java.io.File("/tmp/graft_bkt").listFiles()
       if (stale != null) stale
-        .filter(f => f.getName != liTbl && f.getName != ordTbl &&
-          f.lastModified() < cutoff)
+        .filter(f => f.getName != liTbl && f.getName != ordTbl)
+        .filter { f =>
+          val m = new java.io.File(f, ownMarker)
+          // lastModified == 0 ⇔ no marker ⇔ not this gate's dir
+          m.lastModified() > 0 && m.lastModified() < cutoff
+        }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       Layout.ensureBucketedTable(
         table(s, dir, "lineitem")
@@ -1381,6 +1392,12 @@ object SparkEntry {
       Layout.ensureBucketedTable(
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         ordTbl, "o_orderkey", 8, s"/tmp/graft_bkt/$ordTbl")
+      // claim + keep-alive: (re)stamp the ownership marker on this run's
+      // dirs so concurrent/future sweeps see them as live
+      Seq(liTbl, ordTbl).foreach { t =>
+        val m = new java.io.File(s"/tmp/graft_bkt/$t/$ownMarker")
+        if (!m.createNewFile()) m.setLastModified(System.currentTimeMillis())
+      }
       s.table(liTbl)
         .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -581,6 +581,18 @@ object Dedup {
   def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
       minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None): DataFrame = {
+    // domain guard doubling as the legacy-call tripwire: the retired
+    // pre-round-11 signature took `numHashes: Int` in third position, so
+    // an un-migrated positional call like `bandedNearDupPairs(i, b, 64)`
+    // widens 64 → minJaccard = 64.0 — without this require it would
+    // compile AND run, silently returning zero pairs (the original bug
+    // the round-11/12 deprecated bridges existed to intercept; the
+    // bridges are retired, the loudness stays)
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"bandedNearDupPairs: minJaccard=$minJaccard is outside [0,1] — " +
+        "a Jaccard threshold; if this call passed a positional numHashes " +
+        "(pre-round-11 signature), drop it: the signature length is " +
+        "derived from the index itself")
     val all0 = index.select("doc_id", "sig", "band_idx", "band_key")
       .unionByName(newBanded.select("doc_id", "sig", "band_idx", "band_key"))
     // occupancy counts run over the FULL (old ∪ new) index so the cap is
@@ -608,47 +620,6 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
       .select("d1", "d2", "est_jaccard")
   }
-
-  /** Source-compatibility bridge for the pre-round-11 signature, which
-    * took `numHashes` in third position: without it, a legacy positional
-    * call like `bandedNearDupPairs(idx, banded, 64)` still compiles
-    * against the current signature via Int→Double widening and silently
-    * sets `minJaccard = 64.0` (zero pairs, no error). The Int overload
-    * wins exact-match resolution over the widening, so such calls land
-    * here instead — `numHashes` is validated against the index's own
-    * signature length (the only divisor ever used now) and then dropped.
-    */
-  @deprecated("numHashes is derived from the index's own signature length; " +
-    "call bandedNearDupPairs(index, newBanded, minJaccard, maxBucketSize)",
-    "round 12")
-  def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
-      numHashes: Int): DataFrame =
-    bandedNearDupPairs(requireSigLen(index, numHashes),
-      requireSigLen(newBanded, numHashes))
-
-  /** Four-positional-arg variant of the bridge above. */
-  @deprecated("numHashes is derived from the index's own signature length; " +
-    "call bandedNearDupPairs(index, newBanded, minJaccard, maxBucketSize)",
-    "round 12")
-  def bandedNearDupPairs(index: DataFrame, newBanded: DataFrame,
-      numHashes: Int, minJaccard: Double): DataFrame =
-    bandedNearDupPairs(requireSigLen(index, numHashes),
-      requireSigLen(newBanded, numHashes), minJaccard)
-
-  /** Loud guard for the deprecated bridges: the caller-remembered
-    * `numHashes` must agree with the actual signature rows ON BOTH SIDES
-    * (a stale persisted index with a different width is exactly the
-    * mismatched-divisor hazard) — a mismatch means the legacy call was
-    * ALREADY mis-scaling every est_jaccard, and must fail rather than
-    * silently change meaning. Plan-only (`assert_true` rides the
-    * existing row pipeline — no extra job).
-    */
-  private def requireSigLen(banded: DataFrame, numHashes: Int): DataFrame =
-    banded.withColumn("sig",
-      when(coalesce(assert_true(size(col("sig")) === numHashes,
-          concat(lit(s"bandedNearDupPairs: numHashes=$numHashes does not " +
-            "match the index signature length "), size(col("sig"))))
-          .cast("int"), lit(0)) === 0, col("sig")))
 
   // -------------------------------------------------------------------
   // Winnowing fingerprints (MOSS-style substring dedup)

@@ -87,9 +87,11 @@ object Layout {
     * layout time, and EVERY subsequent equi-join or aggregation on
     * `bucketCol` between bucketed tables plans with zero exchanges.
     * At 100 TB this is how the fact⋈fact join avoids re-shuffling
-    * terabytes per query. Idempotent per (catalog, tableName, files):
-    * the write runs only when the registration is missing OR the
-    * committer's `_SUCCESS` is gone from `path` — with Spark's default
+    * terabytes per query. Idempotent per (catalog, tableName, files,
+    * SPEC): the write runs only when the registration is missing, the
+    * committer's `_SUCCESS` is gone from `path`, or the registered
+    * bucket spec / location no longer matches this call's
+    * `(nBuckets, bucketCol, path)` — with Spark's default
     * in-memory catalog that means once per session, while a persistent
     * metastore (or a tmp sweeper deleting files under a live
     * registration) is caught by the marker probe rather than trusted.
@@ -107,7 +109,22 @@ object Layout {
     // rewrite per call)
     val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val intact = spark.catalog.tableExists(tableName) && fs.exists(p)
+    // ... and a registration whose BUCKET SPEC or LOCATION differs from
+    // this call's arguments is a different layout wearing the same name
+    // (a re-run with changed nBuckets/bucketCol/path): serving it would
+    // silently hand the join a wrong-bucket-count clustering — compare
+    // the catalog's recorded spec and rebuild on any mismatch
+    def specMatches: Boolean = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      meta.bucketSpec.exists(b => b.numBuckets == nBuckets &&
+        b.bucketColumnNames.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+          Seq(bucketCol.toLowerCase(java.util.Locale.ROOT))) &&
+        new org.apache.hadoop.fs.Path(meta.location) ==
+          fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    }
+    val intact = spark.catalog.tableExists(tableName) && fs.exists(p) &&
+      specMatches
     if (!intact) {
       spark.sql(s"DROP TABLE IF EXISTS $tableName")
       df.repartition(nBuckets, col(bucketCol))

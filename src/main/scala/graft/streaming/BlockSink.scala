@@ -95,6 +95,18 @@ object BlockSink {
     * of old and new files. Only run on buckets past the confirmation
     * horizon, where no epoch can still append.
     *
+    * == Filesystem requirement: atomic rename ==
+    *
+    * The two-rename swap assumes `FileSystem.rename` is atomic — true
+    * on HDFS-class filesystems, false on S3A/GCS (copy+delete). This
+    * entry point refuses loudly on untrusted schemes via
+    * [[FsCommit.requireAtomicRename]] (allowlist `file`/`hdfs`/
+    * `viewfs`; operator opt-in through the Hadoop conf
+    * `graft.fs.rename.atomic.schemes`) — see [[FsCommit]] for the
+    * object-storage guidance. The per-epoch ingest write itself
+    * ([[writeBatch]]) has no such dependency: it is a plain dynamic
+    * partition overwrite, idempotent under replay on any committer.
+    *
     * == Single-maintenance-writer contract ==
     *
     * At most ONE compactor may run against a sink path at a time (the
@@ -116,6 +128,12 @@ object BlockSink {
     require(targetFiles > 0, "targetFiles must be positive")
     val fs = hadoopPath(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the two-rename swap below is the crash-safety proof's atomicity
+    // dependency — refuse loudly, before any state mutation, on
+    // filesystems (S3A/GCS) whose rename is copy+delete (see FsCommit
+    // for the object-storage guidance / operator opt-in)
+    FsCommit.requireAtomicRename(fs,
+      spark.sparkContext.hadoopConfiguration, "BlockSink.compactBucket")
     val bucketDir = hadoopPath(s"$path/block_bucket=$bucket")
     require(fs.exists(bucketDir), s"no such bucket: $bucketDir")
     val tmp = hadoopPath(s"$path/.compact_$bucket.tmp")
@@ -175,6 +193,11 @@ object BlockSink {
     val marker = hadoopPath(s"$path/_compacting_$bucket")
     if (fs.exists(old)) {
       if (!fs.exists(bucketDir)) {
+        // the restore is itself a rename — same atomicity requirement
+        // as compactBucket (a torn restore would be a second corruption)
+        FsCommit.requireAtomicRename(fs,
+          spark.sparkContext.hadoopConfiguration,
+          "BlockSink.recoverBucket (restore)")
         if (!fs.rename(old, bucketDir))
           throw new java.io.IOException(s"recover: cannot restore $old")
       } else fs.delete(old, true)

@@ -43,30 +43,57 @@ import org.apache.spark.sql.functions._
   * (`.compact_fold.tmp` — dot-prefixed, skipped by partition discovery,
   * so concurrent readers never double-count), then brackets the
   * destructive window with a `_folding` marker whose CONTENT lists the
-  * epochs being folded (written via temp-file + atomic rename, so a
-  * torn marker can never be observed). Ordering:
+  * epochs being folded. The marker is written create-no-overwrite in
+  * one stream and SELF-VALIDATING: its last line is a `#end:<count>`
+  * terminator, so [[recover]] can distinguish a complete marker from a
+  * torn one without assuming anything about write or rename atomicity
+  * (a torn marker can only mean the crash hit DURING marker publish —
+  * after staging, before any delete — so rolling BACK is always safe;
+  * rolling FORWARD off a partial epoch list would delete some
+  * originals while the staged fold still contains them all,
+  * duplicating the survivors). Ordering:
   *
   *  1. write fold rows → `.compact_fold.tmp/ingest_batch=<k>` (parquet
   *     commit drops `_SUCCESS` inside the tmp);
-  *  2. atomically publish the marker listing the folded epochs;
+  *  2. publish the marker listing the folded epochs (+ terminator);
   *  3. delete each folded `ingest_batch=<e>` partition;
   *  4. rename the staged partition into place;
   *  5. delete tmp + marker.
   *
-  * A crash before (2) leaves the originals intact and an inert tmp —
-  * [[recover]] rolls BACK by deleting it. A crash at-or-after (2) is
-  * always rolled FORWARD: the marker proves staging completed, so
-  * [[recover]] finishes the deletes (idempotent), performs the rename
-  * if still pending, and cleans up. A new [[compact]] run REFUSES to
-  * start while a marker exists (run [[recover]] first) — the same
-  * detectable-not-silent contract as BlockSink.
+  * A crash before (2), or during it (torn marker), leaves the originals
+  * intact — [[recover]] rolls BACK by deleting tmp (and the torn
+  * marker). A crash after (2) is always rolled FORWARD: the complete
+  * marker proves staging finished, so [[recover]] finishes the deletes
+  * (idempotent), performs the rename if still pending, and cleans up.
+  * A new [[compact]] run REFUSES to start while a marker exists (run
+  * [[recover]] first) — the same detectable-not-silent contract as
+  * BlockSink.
   *
-  * == Single-maintenance-writer contract ==
+  * == Filesystem requirement: atomic rename for step (4) ==
+  *
+  * The marker itself no longer needs a rename, but the staged-partition
+  * swap (4) does, and the proof above assumes that rename is ATOMIC —
+  * true on HDFS-class filesystems, FALSE on S3A/GCS where a directory
+  * rename is copy+delete and a crash mid-swap leaves a torn partition.
+  * [[compact]] therefore refuses — loudly, before any destructive step
+  * — on filesystems not trusted by [[FsCommit.requireAtomicRename]]
+  * (allowlist `file`/`hdfs`/`viewfs`, operator opt-in via the Hadoop
+  * conf `graft.fs.rename.atomic.schemes`). See [[FsCommit]] for the
+  * object-storage guidance.
+  *
+  * == Single-maintenance-writer contract (and read-only serving) ==
   *
   * At most one compactor per directory, never concurrent with an epoch
   * that READS the fold range (the near-dup epoch's index-side union) or
-  * WRITES any folded partition. The streaming integration satisfies
-  * this for free: `compactEvery` runs the fold inside `foreachBatch`,
+  * WRITES any folded partition. This extends to READ-ONLY serving
+  * queries: between step (3) and step (4) the entire fold range is
+  * transiently ABSENT from the directory, so an external query that
+  * plans `base ∪ append` during that window silently misses committed
+  * rows (no error — the partitions are simply gone). Serving paths must
+  * therefore either snapshot the append listing before a fold can start
+  * and read the snapshot, or be scheduled off the compaction cadence;
+  * inside the engine the streaming integration satisfies BOTH contracts
+  * for free: `compactEvery` runs the fold inside `foreachBatch`,
   * serialized with every epoch's reads and writes by the micro-batch
   * loop itself, with `upToEpoch = id − 1` (epoch `id − 1` is committed
   * before epoch `id` starts — Structured Streaming's batch ordering).
@@ -110,6 +137,11 @@ object IngestCompaction {
       targetFiles: Int = 1, orderCols: Seq[String] = Nil): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
     val f = fs(spark, dir)
+    // fail BEFORE any destructive step on filesystems whose rename is
+    // not atomic (S3A/GCS) — step (4)'s swap is the protocol's one
+    // rename-atomicity dependency (class doc)
+    FsCommit.requireAtomicRename(f,
+      spark.sparkContext.hadoopConfiguration, "IngestCompaction.compact")
     val marker = hp(s"$dir/$Marker")
     if (f.exists(marker))
       throw new java.io.IOException(
@@ -131,7 +163,7 @@ object IngestCompaction {
         .sortWithinPartitions(orderCols.map(col): _*)
     folded.write.mode(SaveMode.Overwrite)
       .partitionBy("ingest_batch").parquet(tmp.toString)
-    writeMarkerAtomically(f, dir, epochs)
+    writeMarker(f, dir, epochs)
     epochs.foreach(e => f.delete(hp(s"$dir/ingest_batch=$e"), true))
     if (!f.rename(hp(s"$tmp/ingest_batch=$k"), hp(s"$dir/ingest_batch=$k")))
       throw new java.io.IOException(
@@ -144,9 +176,16 @@ object IngestCompaction {
   /** Roll a directory a crashed [[compact]] left mid-protocol back to a
     * consistent state (idempotent — run before retrying):
     *
-    *  - marker present → staging had completed: roll FORWARD — finish
-    *    deleting the folded partitions listed in the marker, rename the
-    *    staged partition in if still pending, drop tmp + marker;
+    *  - COMPLETE marker (valid `#end` terminator) → staging had
+    *    completed and the destructive phase may have started: roll
+    *    FORWARD — finish deleting the folded partitions listed in the
+    *    marker, rename the staged partition in if still pending, drop
+    *    tmp + marker;
+    *  - TORN marker (no valid terminator) → the crash hit DURING marker
+    *    publish: staging was complete but no delete had run (deletes
+    *    only start after the marker stream closes successfully) — roll
+    *    BACK by dropping the torn marker + tmp; the originals are
+    *    intact;
     *  - no marker, stale tmp → pre-marker crash: roll BACK by deleting
     *    the inert tmp (originals were never touched).
     */
@@ -155,52 +194,76 @@ object IngestCompaction {
     val marker = hp(s"$dir/$Marker")
     val tmp = hp(s"$dir/$Tmp")
     if (f.exists(marker)) {
-      val epochs = readMarker(f, dir)
-      require(epochs.nonEmpty, s"recover: empty fold marker in $dir")
-      val k = epochs.max
-      val staged = hp(s"$dir/$Tmp/ingest_batch=$k")
-      val target = hp(s"$dir/ingest_batch=$k")
-      if (f.exists(staged)) {
-        epochs.foreach(e => f.delete(hp(s"$dir/ingest_batch=$e"), true))
-        if (!f.rename(staged, target))
-          throw new java.io.IOException(s"recover: cannot swap $staged in")
-      } else if (!f.exists(target))
-        // the staged partition is gone AND the target is missing: the
-        // fold rows exist nowhere — refuse to guess (the appends' source
-        // stream can rebuild, but silently dropping epochs cannot be
-        // the default)
-        throw new java.io.IOException(
-          s"recover: $dir has a fold marker but neither staged nor " +
-            "swapped-in partition — manual inspection required")
-      // else: rename already happened; deletes below are idempotent
-      epochs.filter(_ != k)
-        .foreach(e => f.delete(hp(s"$dir/ingest_batch=$e"), true))
-      f.delete(tmp, true)
-      f.delete(marker, false)
+      readMarker(f, dir) match {
+        case None => // torn marker: pre-delete crash — roll back
+          f.delete(marker, false)
+          f.delete(tmp, true)
+        case Some(epochs) =>
+          // roll-forward re-runs the staged swap — same rename-atomicity
+          // requirement as compact (class doc)
+          FsCommit.requireAtomicRename(f,
+            spark.sparkContext.hadoopConfiguration,
+            "IngestCompaction.recover (roll-forward)")
+          val k = epochs.max
+          val staged = hp(s"$dir/$Tmp/ingest_batch=$k")
+          val target = hp(s"$dir/ingest_batch=$k")
+          if (f.exists(staged)) {
+            epochs.foreach(e => f.delete(hp(s"$dir/ingest_batch=$e"), true))
+            if (!f.rename(staged, target))
+              throw new java.io.IOException(s"recover: cannot swap $staged in")
+          } else if (!f.exists(target))
+            // the staged partition is gone AND the target is missing: the
+            // fold rows exist nowhere — refuse to guess (the appends' source
+            // stream can rebuild, but silently dropping epochs cannot be
+            // the default)
+            throw new java.io.IOException(
+              s"recover: $dir has a fold marker but neither staged nor " +
+                "swapped-in partition — manual inspection required")
+          // else: rename already happened; deletes below are idempotent
+          epochs.filter(_ != k)
+            .foreach(e => f.delete(hp(s"$dir/ingest_batch=$e"), true))
+          f.delete(tmp, true)
+          f.delete(marker, false)
+      }
     } else f.delete(tmp, true)
   }
 
-  /** Marker = the folded epoch list, one id per line, published via
-    * temp-file + rename so a reader (i.e. [[recover]]) can never observe
-    * a torn list — rolling forward with a PARTIAL epoch list would
+  /** Marker = the folded epoch list, one id per line, closed by a
+    * `#end:<count>` terminator line, written create-no-overwrite in a
+    * single stream. No atomicity is assumed anywhere: a crash
+    * mid-publish leaves a marker whose terminator is missing or
+    * inconsistent, which [[readMarker]] reports as torn ([[recover]]
+    * then rolls BACK — rolling forward off a partial epoch list would
     * delete some originals while the staged fold still contains them
-    * all, duplicating the survivors.
+    * all, duplicating the survivors). Works unchanged on object stores,
+    * where create+close is an all-or-nothing PUT.
     */
-  private def writeMarkerAtomically(f: org.apache.hadoop.fs.FileSystem,
+  private def writeMarker(f: org.apache.hadoop.fs.FileSystem,
       dir: String, epochs: Seq[Long]): Unit = {
-    val tmp = hp(s"$dir/.$Marker.tmp")
-    val out = f.create(tmp, true)
-    try out.write(epochs.mkString("\n").getBytes("UTF-8"))
+    // no-overwrite: compact already refused to start while one exists,
+    // so a create collision means a concurrent compactor — fail, don't
+    // clobber its protocol state
+    val out = f.create(hp(s"$dir/$Marker"), false)
+    try out.write(
+      (epochs.mkString("\n") + s"\n#end:${epochs.size}").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, hp(s"$dir/$Marker")))
-      throw new java.io.IOException(s"compact: cannot publish fold marker in $dir")
   }
 
+  /** `Some(epochs)` for a complete marker, `None` for a torn one (short
+    * write, missing/mismatched terminator, unparsable line).
+    */
   private def readMarker(f: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Long] = {
+      dir: String): Option[Seq[Long]] = {
     val in = f.open(hp(s"$dir/$Marker"))
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).map(_.toLong).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    lines.reverse match {
+      case term :: idLines if term == s"#end:${idLines.size}" =>
+        try Some(idLines.reverse.map(_.toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
   }
 }

@@ -921,33 +921,25 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(inc2 == full.filter(_._1 <= half), "reversed split diverged")
   }
 
-  test("bandedNearDupPairs legacy positional numHashes call resolves to the " +
-    "deprecated bridge (not Int→Double widening into minJaccard)") {
+  test("bandedNearDupPairs rejects an out-of-domain minJaccard loudly " +
+    "(the retired positional-numHashes shape widens into it)") {
     val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
     val idx = Dedup.minHashBandIndex(docs.filter($"doc_id" <= half),
       n = 3, numHashes = 64, bands = 16)
     val newBanded = Dedup.minHashBandIndex(docs.filter($"doc_id" > half),
       n = 3, numHashes = 64, bands = 16)
-    // the pre-round-11 3-positional shape: before the bridge existed this
-    // widened 64 → minJaccard=64.0 and silently returned ZERO pairs
-    val legacy: org.apache.spark.sql.DataFrame =
-      (Dedup.bandedNearDupPairs(idx, newBanded, 64): @annotation.nowarn)
-    val modern = Dedup.bandedNearDupPairs(idx, newBanded)
-    assert(legacy.as[(Long, Long, Double)].collect().toSet ==
-      modern.as[(Long, Long, Double)].collect().toSet)
-    assert(legacy.count() > 0, "bridge returned the old bug's empty result")
-    // 4-positional legacy shape forwards minJaccard correctly
-    val legacy4: org.apache.spark.sql.DataFrame =
-      (Dedup.bandedNearDupPairs(idx, newBanded, 64, 0.5): @annotation.nowarn)
-    assert(legacy4.as[(Long, Long, Double)].collect().toSet ==
-      Dedup.bandedNearDupPairs(idx, newBanded, minJaccard = 0.5)
-        .as[(Long, Long, Double)].collect().toSet)
-    // a WRONG remembered numHashes fails loudly instead of mis-scaling
-    val err = intercept[Exception] {
-      (Dedup.bandedNearDupPairs(idx, newBanded, 32): @annotation.nowarn)
-        .count()
+    // the pre-round-11 3-positional shape `(idx, banded, 64)` widens
+    // 64 → minJaccard = 64.0; with the round-12 bridges retired, the
+    // domain require must fail AT CALL TIME (not silently return zero
+    // pairs, the original bug)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.bandedNearDupPairs(idx, newBanded, 64)
     }
-    assert(err.getMessage != null)
+    assert(err.getMessage.contains("minJaccard"), err.getMessage)
+    assert(err.getMessage.contains("numHashes"), err.getMessage)
+    // in-domain calls are untouched
+    assert(Dedup.bandedNearDupPairs(idx, newBanded, minJaccard = 0.5)
+      .count() > 0)
   }
 
   test("cleanText: strips tags, folds combining accents, collapses whitespace") {

@@ -437,6 +437,33 @@ class HardeningSpec extends AnyFunSuite {
       graft.operators.Layout.ensureBucketedTable(
         df, "graft_bkreb", "user_id", 4, path)
       assert(spark.table("graft_bkreb").count() == 500)
+      def meta() = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_bkreb"))
+      assert(meta().bucketSpec.exists(_.numBuckets == 4))
+      // CHANGED BUCKET SPEC under the same name: reusing the stale
+      // 4-bucket layout would silently serve the wrong clustering — the
+      // ensure must compare the catalog's spec and rebuild
+      graft.operators.Layout.ensureBucketedTable(
+        df, "graft_bkreb", "user_id", 8, path)
+      assert(meta().bucketSpec.exists(_.numBuckets == 8),
+        "changed nBuckets must rebuild, not reuse the stale spec")
+      assert(spark.table("graft_bkreb").count() == 500)
+      // changed bucket COLUMN rebuilds too
+      graft.operators.Layout.ensureBucketedTable(
+        df, "graft_bkreb", "event_id", 8, path)
+      assert(meta().bucketSpec.exists(
+        _.bucketColumnNames == Seq("event_id")),
+        "changed bucketCol must rebuild, not reuse the stale spec")
+      // changed PATH under the same name rebuilds at the new location
+      val path2 = "/tmp/graft_bkreb_moved"
+      try {
+        graft.operators.Layout.ensureBucketedTable(
+          df, "graft_bkreb", "event_id", 8, path2)
+        assert(meta().location.getPath.endsWith("graft_bkreb_moved"),
+          "changed path must rebuild at the new location")
+        assert(spark.table("graft_bkreb").count() == 500)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path2))
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_bkreb")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

@@ -598,7 +598,7 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ingest_batch", lit(2L)).repartition(1)
       .write.partitionBy("ingest_batch").parquet(s"$b/.compact_fold.tmp")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$b/_folding"), "0\n1\n2")
+      java.nio.file.Paths.get(s"$b/_folding"), "0\n1\n2\n#end:3")
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(s"$b/ingest_batch=0"))
     // a fresh compact REFUSES while the marker stands
@@ -618,7 +618,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(c) == full)
     new java.io.File(s"$c/.compact_fold.tmp").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$c/_folding"), "0\n1\n2")
+      java.nio.file.Paths.get(s"$c/_folding"), "0\n1\n2\n#end:3")
     IngestCompaction.recover(spark, c)
     assert(IngestCompaction.listEpochs(spark, c) == Seq(2L))
     assert(rows(c) == full)
@@ -632,6 +632,90 @@ class StreamingSpec extends AnyFunSuite {
     val d = tmp(); writeEpochs(d, 3)
     IngestCompaction.compact(spark, d, upToEpoch = 0)
     assert(IngestCompaction.listEpochs(spark, d) == Seq(0L, 1L, 2L))
+
+    // (e) TORN marker (crash mid-publish: staging complete, terminator
+    // missing — the object-storage-honest marker's detectable state):
+    // no delete had run, so recover must roll BACK, never forward off a
+    // partial epoch list (forward would delete originals the partial
+    // list names while keeping the rest → duplicated survivors)
+    val e = tmp(); writeEpochs(e, 3)
+    spark.read.parquet(e).filter($"ingest_batch" <= 2)
+      .withColumn("ingest_batch", lit(2L)).repartition(1)
+      .write.partitionBy("ingest_batch").parquet(s"$e/.compact_fold.tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$e/_folding"), "0\n1") // torn: no #end
+    // a fresh compact still refuses while the torn marker stands
+    intercept[java.io.IOException] {
+      IngestCompaction.compact(spark, e, upToEpoch = 2)
+    }
+    IngestCompaction.recover(spark, e)
+    assert(IngestCompaction.listEpochs(spark, e) == Seq(0L, 1L, 2L),
+      "torn marker must roll back to the untouched originals")
+    assert(rows(e) == full)
+    assert(!new java.io.File(s"$e/_folding").exists() &&
+      !new java.io.File(s"$e/.compact_fold.tmp").exists())
+    // ... and a wrong-count terminator is equally torn
+    val e2 = tmp(); writeEpochs(e2, 3)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$e2/_folding"), "0\n1\n#end:3")
+    IngestCompaction.recover(spark, e2)
+    assert(IngestCompaction.listEpochs(spark, e2) == Seq(0L, 1L, 2L))
+    assert(!new java.io.File(s"$e2/_folding").exists())
+  }
+
+  test("non-atomic-rename filesystem: compaction DETECTS and refuses " +
+    "before any destructive step; opt-in conf restores the protocol") {
+    import graft.streaming.{BlockSink, FsCommit, IngestCompaction}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.nonatomic.impl", classOf[NonAtomicRenameFileSystem].getName)
+    hconf.setBoolean("fs.nonatomic.impl.disable.cache", true)
+    def writeEpochs(dir: String, n: Int): Unit =
+      (0 until n).foreach { e =>
+        spark.range(e * 10, e * 10 + 10)
+          .select($"id", ($"id" * 2).as("v"), lit(e.toLong).as("ingest_batch"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(dir)
+      }
+    val base = tmp()
+    writeEpochs(base, 3)
+    val dir = s"nonatomic://$base" // same files, untrusted scheme
+    // (a) compact refuses with guidance, leaving the dir byte-untouched
+    val err = intercept[java.io.IOException] {
+      IngestCompaction.compact(spark, dir, upToEpoch = 2)
+    }
+    assert(err.getMessage.contains("atomic"), err.getMessage)
+    assert(err.getMessage.contains(FsCommit.AtomicSchemesKey), err.getMessage)
+    assert(IngestCompaction.listEpochs(spark, dir) == Seq(0L, 1L, 2L))
+    assert(!new java.io.File(s"$base/_folding").exists() &&
+      !new java.io.File(s"$base/.compact_fold.tmp").exists(),
+      "guard must fire before any protocol artifact is created")
+    // (b) BlockSink.compactBucket refuses the same way, pre-mutation
+    val sink = tmp()
+    spark.range(0, 20)
+      .select($"id".as("block_number"), ($"id" % 4).as("log_index"))
+      .withColumn("block_bucket", lit(0L))
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite")
+      .partitionBy("block_bucket", "ingest_batch").parquet(sink)
+    val err2 = intercept[java.io.IOException] {
+      BlockSink.compactBucket(spark, s"nonatomic://$sink", 0L, 1,
+        orderCols = Seq("block_number"))
+    }
+    assert(err2.getMessage.contains("atomic"), err2.getMessage)
+    assert(!new java.io.File(s"$sink/_compacting_0").exists(),
+      "guard must fire before the compaction marker is created")
+    // (c) operator opt-in: the scheme asserted atomic → the full
+    // protocol runs and the fold is content-identical to the local run
+    hconf.set(FsCommit.AtomicSchemesKey, "nonatomic")
+    try {
+      IngestCompaction.recover(spark, dir)
+      IngestCompaction.compact(spark, dir, upToEpoch = 2)
+      assert(IngestCompaction.listEpochs(spark, dir) == Seq(2L))
+      assert(spark.read.parquet(base).select($"id", $"v")
+        .as[(Long, Long)].collect().toSet ==
+        (0L until 30L).map(i => (i, i * 2)).toSet)
+    } finally hconf.unset(FsCommit.AtomicSchemesKey)
   }
 
   test("streaming flush emits the dense batch block-align cells once (J2)") {
