@@ -90,6 +90,14 @@ object ScaleProbe {
         graft.operators.Multimodal.dHashNearDupPairs(
           graft.operators.Multimodal.attachMedia(docs), maxHamming = 6,
           maxBucketSize = Some(256)).count() },
+      time("mm_dhash_decoded_raw") {
+        // the REAL-decoder variant: in-plan PPM synthesis + pure-JVM
+        // decode/resize/hash kernel — all row-local, so the row must
+        // track mm_dhash_raw's ~linear shape (the only shuffle is the
+        // shared banded join)
+        graft.operators.Multimodal.dHashImageNearDupPairs(
+          graft.operators.Multimodal.attachPpmImages(docs), maxHamming = 6,
+          maxBucketSize = Some(256)).count() },
       {
         // serving pairs FROM THE PERSISTED BAND INDEX: index built once
         // per fixture (untimed — maintenance cost is the incremental

@@ -2392,6 +2392,51 @@ object SparkEntry {
         maxHamming = 6, maxBucketSize = Some(256))
     }),
 
+    // The REAL-decoder member of the multimodal dedup family (round-13
+    // seam closure): fixture payloads are ACTUAL binary PPM images
+    // (attachPpmImages — header + sha-derived pixels, so payload
+    // equality ⇔ text equality), the hash is decoded pixel luma through
+    // the compiled dhash_image_bands kernel (PPM parse → 9×8 box resize
+    // → 64 gradient bits), and the join/cap/verify machinery is shared
+    // with mm_dhash_neardup verbatim. The decoder isn't replayable in
+    // SQL, so the gate is the ANN-family recall shape: the oracle pins
+    // the relationally-computable half (image count, identity-pair
+    // count from text equality) and the in-plan verdicts — every image
+    // decodes, and EVERY byte-identical pair is recovered at hamming 0
+    // (identical payload ⇒ identical hash ⇒ collides on all bands).
+    "mm_dhash_decoded" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val media = graft.CacheScope.persist(Multimodal.attachPpmImages(base))
+      val pairs = Multimodal.dHashImageNearDupPairs(media,
+        maxHamming = 6, maxBucketSize = Some(1024))
+      val imgs = graft.CacheScope.persist(
+        base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), sha2(col("text"), 256).as("tkey")))
+      val ident = imgs.as("a")
+        .join(imgs.as("b"), col("a.tkey") === col("b.tkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      ident.join(pairs, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          // a missed pair (null hamming) or a non-zero hamming on an
+          // identical payload both read false; no identity pairs at all
+          // reads vacuously true
+          coalesce(min(when(col("hamming") === 0, lit(1)).otherwise(lit(0)))
+            === 1, lit(true)).as("all_identity_found"))
+        .crossJoin(broadcast(imgs.agg(count(lit(1)).as("n_images"))))
+        .crossJoin(broadcast(media.select(
+          count(when(graft.functions.vec
+            .dHashImageBands(col("payload"), 4, 16).isNull, lit(1)))
+            .as("n_undecoded"))))
+        .select(col("n_images"), col("n_identity_pairs"),
+          col("n_undecoded"), col("all_identity_found"))
+    }),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -4664,6 +4709,27 @@ object SparkEntry {
                AS BIGINT) AS hamming
            FROM cand)
          SELECT d1, d2, hamming FROM scored WHERE hamming <= 6""",
+
+    // the decoded-pixel gate: the PPM decode isn't SQL-replayable, so
+    // the oracle pins the relational half (image count, identity pairs
+    // from text equality — payload equality by the attachPpmImages
+    // construction) and states the in-plan verdicts (all images decode;
+    // every identity pair recovered at hamming 0)
+    "mm_dhash_decoded" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         img AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 0),
+         ident AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM img a JOIN img b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT (SELECT count(*) FROM img) AS n_images,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           CAST(0 AS BIGINT) AS n_undecoded,
+           true AS all_identity_found""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

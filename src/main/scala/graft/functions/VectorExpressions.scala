@@ -207,6 +207,106 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** REAL image dHash: decode a binary PPM payload (P6, maxval ≤ 255 —
+    * the simplest raster format with an actual header/pixel contract,
+    * decodable in pure JVM code with no codec library), grayscale it
+    * (integer ITU-R 601 luma `(299·R + 587·G + 114·B) / 1000`),
+    * box-resize to the classic dHash 9×8 grid (each target cell is the
+    * integer mean luma of its source box — boxes partition the image,
+    * degenerate boxes widened to one pixel), and emit the 64 horizontal
+    * gradient bits `cell[r][c] > cell[r][c+1]` (r < 8, c < 8) packed
+    * little-endian into `bands` longs of `bandBits` bits — the SAME
+    * band layout as [[dHashBands]], so the banded near-dup join is
+    * kernel-agnostic. All arithmetic is integer and deterministic.
+    *
+    * Null (row drops out, the established null-hash contract) for
+    * anything that is not a well-formed P6 payload: wrong magic, bad
+    * header, maxval > 255, or truncated pixel data. `#` comments and
+    * arbitrary header whitespace are honored per the PPM spec.
+    */
+  def dHashImageBands(payload: Array[Byte], bands: Int,
+      bandBits: Int): ArrayData = {
+    if (payload == null || payload.length < 12) return null
+    if (payload(0) != 'P' || payload(1) != '6') return null
+    var pos = 2
+    def isWsB(c: Int): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\r' || c == 0x0b || c == 0x0c
+    // next header integer: skip whitespace + '#'-to-EOL comments
+    def nextInt(): Long = {
+      var going = true
+      while (going && pos < payload.length) {
+        if (isWsB(payload(pos) & 0xff)) pos += 1
+        else if (payload(pos) == '#') {
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        } else going = false
+      }
+      var v = -1L
+      while (pos < payload.length && payload(pos) >= '0' &&
+          payload(pos) <= '9' && v <= Int.MaxValue) {
+        v = (if (v < 0) 0L else v) * 10 + (payload(pos) - '0')
+        pos += 1
+      }
+      v
+    }
+    val wL = nextInt(); val hL = nextInt(); val maxv = nextInt()
+    // dimension tokens past Int.MaxValue stop parsing mid-number — any
+    // such payload is truncated-pixel-data anyway; reject on the LONG
+    // before narrowing
+    if (wL < 1 || hL < 1 || wL > Int.MaxValue || hL > Int.MaxValue ||
+      maxv < 1 || maxv > 255) return null
+    val w = wL.toInt; val h = hL.toInt
+    // exactly ONE whitespace byte separates maxval from pixel data
+    if (pos >= payload.length || !isWsB(payload(pos) & 0xff)) return null
+    pos += 1
+    if (pos.toLong + w.toLong * h * 3L > payload.length) return null
+    val gw = 9; val gh = 8
+    val cells = new Array[Long](gh * gw)
+    var ty = 0
+    while (ty < gh) {
+      val y0 = ((ty.toLong * h) / gh).toInt
+      var y1 = (((ty + 1).toLong * h) / gh).toInt
+      if (y1 <= y0) y1 = y0 + 1 // degenerate box (h < 8): one pixel row
+      var tx = 0
+      while (tx < gw) {
+        val x0 = ((tx.toLong * w) / gw).toInt
+        var x1 = (((tx + 1).toLong * w) / gw).toInt
+        if (x1 <= x0) x1 = x0 + 1
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          val row = pos + y * w * 3
+          var x = x0
+          while (x < x1) {
+            val p = row + x * 3
+            s += 299L * (payload(p) & 0xff) + 587L * (payload(p + 1) & 0xff) +
+              114L * (payload(p + 2) & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(ty * gw + tx) = s / (cnt * 1000L)
+        tx += 1
+      }
+      ty += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var v = 0L
+      var j = 0
+      while (j < bandBits) {
+        val i = b * bandBits + j // global bit: r*8 + c over the 8×8 grid
+        val r = i / 8; val c = i % 8
+        if (cells(r * gw + c) > cells(r * gw + c + 1)) v |= (1L << j)
+        j += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
   private def isAlnum(c: Char): Boolean =
@@ -773,6 +873,38 @@ case class DHashBands(child: Expression, bands: Int, bandBits: Int)
     copy(child = newChild)
 }
 
+/** `dhash_image_bands(binary, bands, bandBits) → array<long>` — the REAL
+  * image difference hash: pure-JVM PPM (P6) decode → integer luma →
+  * 9×8 box resize → 64 gradient bits, banded exactly like
+  * [[DHashBands]] (see [[VectorRuntime.dHashImageBands]]). `bands ×
+  * bandBits` must cover the 64-bit hash exactly — a partial banding
+  * would silently drop gradient bits from the index key scheme.
+  * Nullable: null for any non-PPM payload (the row drops out of the
+  * band index, like gramless docs in MinHash).
+  */
+case class DHashImageBands(child: Expression, bands: Int, bandBits: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && bandBits >= 1 && bands * bandBits == 64,
+    s"dhash_image_bands: bands × bandBits must equal the 64 dHash bits, " +
+      s"got $bands × $bandBits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dhash_image_bands"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.dHashImageBands(
+      input.asInstanceOf[Array[Byte]], bands, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.dHashImageBands($c, $bands, $bandBits);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DHashImageBands =
+    copy(child = newChild)
+}
+
 /** `char_ngram_hashes(string, n) -> array<long>` -- ordered per-position
   * character n-gram hashes (multiplicity kept, index-aligned across n).
   */
@@ -1132,6 +1264,8 @@ object vec {
   def wsTokenHashes(text: Column): Column = wrap(WsTokenHashes(ex(text)))
   def dHashBands(s: Column, bands: Int, bandBits: Int): Column =
     wrap(DHashBands(ex(s), bands, bandBits))
+  def dHashImageBands(payload: Column, bands: Int, bandBits: Int): Column =
+    wrap(DHashImageBands(ex(payload), bands, bandBits))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =

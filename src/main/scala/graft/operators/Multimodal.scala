@@ -72,6 +72,30 @@ object Multimodal {
       (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sample_rate"),
       (lit(1000) + col("doc_id") % 9000).cast("int").as("duration_ms"))
 
+  /** Deterministic REAL image fixture: for each image-kind doc
+    * (`doc_id % 3 == 0`, the [[attachMedia]] convention) build an
+    * actual binary PPM (P6) payload — a real header plus `w`×`h` RGB
+    * pixels whose bytes are sha-256 chunks of the text. Fully in-plan
+    * row-local SQL, engine-recomputable, and payload equality ⇔ text
+    * equality — the property the decoded-dedup oracle pins. Stands in
+    * for reading real image bytes off storage; everything downstream
+    * treats the payload as opaque binary and must DECODE it to get at
+    * pixels (unlike [[attachMedia]]'s tagged-sha stub payloads).
+    */
+  def attachPpmImages(docs: DataFrame, w: Int = 12, h: Int = 10): DataFrame = {
+    require(w >= 1 && h >= 1 && w * h * 3 <= 32 * 64,
+      s"fixture images are tiny by design, got ${w}x$h")
+    val header = s"P6\n$w $h\n255\n"
+    val headerLen = header.getBytes("US-ASCII").length
+    val bodyLen = w * h * 3
+    val chunks = (0 until (bodyLen + 31) / 32).map(i =>
+      unhex(sha2(concat(col("text"), lit(s"#px$i")).cast("binary"), 256)))
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("image").as("kind"),
+        substring(concat((lit(header.getBytes("US-ASCII")) +: chunks): _*),
+          1, headerLen + bodyLen).as("payload"))
+  }
+
   /** Feature extraction through the typed mapPartitions seam. Partitioning
     * is preserved from the input (repartition upstream by id for balance);
     * one decoder instance per partition, iterator-at-a-time — exactly the
@@ -138,18 +162,62 @@ object Multimodal {
     * the guard is too.
     *
     * On the deterministic fixture payloads (sha-256 content) only
-    * byte-identical images land within a small Hamming radius — a real
-    * pHash's "visually near" structure appears exactly when a real
-    * decoder replaces the stub seam; the plumbing this operator pins
-    * (banding, cap, join, verify) is decoder-independent.
+    * byte-identical images land within a small Hamming radius — the
+    * "visually near" structure appears under the real decoder path
+    * ([[dHashImageNearDupPairs]]); this variant remains the
+    * byte-sequence member for opaque (non-raster) payloads, and both
+    * share [[bandPairJoin]] verbatim.
     */
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 6,
       bands: Int = 4, bandBits: Int = 16, headerLen: Int = 3,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+    bandPairJoin(dHashBandRows(media, bands, bandBits, headerLen),
+      maxHamming, bands, maxBucketSize, storage)
+
+  /** [[dHashBandRows]] with the REAL decoder: the payload is parsed as
+    * a binary PPM (P6) image, decoded → integer luma → 9×8 box resize
+    * → classic 64-bit dHash, entirely inside the compiled
+    * [[graft.functions.DHashImageBands]] kernel — row-local, one
+    * projection, no codec library (pure-JVM parse). Non-PPM payloads
+    * hash to null and drop out, so mixed-media tables route themselves.
+    * This CLOSES the round-12 stub seam for images: the gradient
+    * source is actual pixel luma, while banding/cap/join/verify stay
+    * the shared, decoder-independent machinery.
+    */
+  def dHashImageBandRows(media: DataFrame, bands: Int = 4,
+      bandBits: Int = 16): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"),
+        graft.functions.vec.dHashImageBands(col("payload"), bands, bandBits)
+          .as("bands"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
+  /** [[dHashNearDupPairs]] over REAL decoded pixels
+    * ([[dHashImageBandRows]]): visually-near images (small dHash
+    * Hamming distance on the resized luma grid) pair up, not merely
+    * byte-identical ones. Identical plan shape and occupancy guard as
+    * the byte-sequence variant — the kernel is the only difference.
+    */
+  def dHashImageNearDupPairs(media: DataFrame, maxHamming: Int = 6,
+      bands: Int = 4, bandBits: Int = 16,
+      maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+    bandPairJoin(dHashImageBandRows(media, bands, bandBits),
+      maxHamming, bands, maxBucketSize, storage)
+
+  /** Shared candidate-then-verify core: banded self-join over
+    * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify
+    * over the full hash. Kernel-agnostic — both the byte-gradient and
+    * the decoded-pixel hash feed it unchanged.
+    */
+  private def bandPairJoin(rows0: DataFrame, maxHamming: Int, bands: Int,
+      maxBucketSize: Option[Int],
+      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
-    val rows0 = dHashBandRows(media, bands, bandBits, headerLen)
     val rows1 = maxBucketSize.fold(rows0)(Dedup.capBandBuckets(rows0, _))
     // materialize once — a DataFrame self-join re-evaluates its lineage
     // per side, doubling the hash projection AND the occupancy window

@@ -196,6 +196,11 @@ class HardeningSpec extends AnyFunSuite {
       // window exchange runs once at materialization. Hamming verify is
       // a codegen'd projection
       "mm_dhash_neardup" -> 2,
+      // decoded-pixel gate: the cached band subtree's cap window (1) +
+      // pair-join side + pair dedup (2) carry the operator; the
+      // identity-pair oracle join (1) and the two 1-row verdict aggs
+      // (2) are gate furniture over tiny sets
+      "mm_dhash_decoded" -> 6,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
       // single-pass multi-event decode: one routed projection, no shuffle

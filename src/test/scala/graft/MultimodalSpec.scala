@@ -123,6 +123,124 @@ class MultimodalSpec extends AnyFunSuite {
       s"cap should drop the 5-doc bucket, keep the small one: $capped")
   }
 
+  // ---- REAL decoder (pure-JVM PPM P6 → luma → 9×8 box resize → dHash) --
+
+  /** Build a binary PPM: header (overridable for parse drills) + px(x,y)
+    * RGB bytes row-major.
+    */
+  private def ppm(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
+      header: String = null): Array[Byte] = {
+    val hdr = Option(header).getOrElse(s"P6\n$w $h\n255\n")
+      .getBytes("US-ASCII")
+    val body = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val i = (y * w + x) * 3
+      body(i) = r.toByte; body(i + 1) = g.toByte; body(i + 2) = b.toByte
+    }
+    hdr ++ body
+  }
+
+  private def imgBands(p: Array[Byte]): Option[Seq[Long]] = {
+    val r = Seq(Tuple1(p)).toDF("payload")
+      .select(graft.functions.vec.dHashImageBands($"payload", 4, 16).as("b"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+  }
+
+  test("dHashImageBands: golden gradients — strictly decreasing columns " +
+    "= all ones, increasing = all zeros; grayscale via integer luma") {
+    // 9×8 image, one source pixel per grid cell: column c has gray
+    // 255−28c (R=G=B → luma = gray exactly) — strictly decreasing, so
+    // every cell[r][c] > cell[r][c+1] bit is set → each 16-bit band 0xFFFF
+    val down = ppm(9, 8, (x, _) => { val g = 255 - 28 * x; (g, g, g) })
+    assert(imgBands(down).contains(Seq(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL)))
+    val up = ppm(9, 8, (x, _) => { val g = 28 * x; (g, g, g) })
+    assert(imgBands(up).contains(Seq(0L, 0L, 0L, 0L)))
+    // luma weighting is the ITU 299/587/114 integer recipe, not a pixel
+    // mean: pure red (76) vs pure blue (29) must order red > blue
+    val rb = ppm(9, 8, (x, _) => if (x % 2 == 0) (255, 0, 0) else (0, 0, 255))
+    val alternating = imgBands(rb).get
+    assert(alternating.map(java.lang.Long.bitCount).sum == 32,
+      "red/blue alternating columns must alternate gradient bits")
+  }
+
+  test("dHashImageBands: header flexibility, resize determinism, and " +
+    "null on malformed payloads") {
+    def px(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 37 + y * 91) % 256; (g, (g * 3) % 256, (g * 7) % 256)
+    }
+    val canonical = ppm(36, 32, px)
+    val commented = ppm(36, 32, px,
+      header = "P6 # magic\n# a comment line\n  36\t32 # dims\n255\n")
+    assert(imgBands(canonical).isDefined)
+    assert(imgBands(canonical) == imgBands(commented),
+      "PPM comments/whitespace must not change the decoded hash")
+    // resize: a 4× upscale of the same cell structure hashes identically
+    // (box means are exact for block-constant images)
+    val small = ppm(9, 8, (x, y) => { val g = (x * 13 + y * 29) % 256; (g, g, g) })
+    val big = ppm(36, 32, (x, y) => {
+      val g = ((x / 4) * 13 + (y / 4) * 29) % 256; (g, g, g) })
+    assert(imgBands(small) == imgBands(big),
+      "block-constant upscale must be resize-invariant")
+    // degenerate dimensions (smaller than the 9×8 grid) still decode
+    assert(imgBands(ppm(2, 1, (x, _) => (x * 200, 0, 0))).isDefined)
+    // malformed: wrong magic, oversized maxval, truncated pixels → null
+    assert(imgBands("P5\n2 2\n255\n0123".getBytes("US-ASCII")).isEmpty)
+    assert(imgBands(ppm(4, 4, px, header = "P6\n4 4\n65535\n")).isEmpty)
+    assert(imgBands(ppm(4, 4, px).dropRight(1)).isEmpty)
+    assert(imgBands("IMGnotanimageatall".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("dHashImageNearDupPairs: byte-identical at hamming 0, VISUALLY " +
+    "near (small pixel perturbation) at small positive hamming") {
+    def base(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 53 + y * 17) % 256; (g, g, g)
+    }
+    // visually near: same image with one grid cell blown out to white —
+    // flips only the 1-2 gradient bits adjacent to that cell
+    def near(x: Int, y: Int): (Int, Int, Int) =
+      if (x >= 8 && x < 12 && y < 4) (255, 255, 255) else base(x, y)
+    // unrelated content
+    def far(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (251 * x * x + 89 * y + 7) % 256; (g, (g + 50) % 256, g)
+    }
+    val m = Seq(
+      (1L, ppm(36, 32, base)), (2L, ppm(36, 32, base)),
+      (3L, ppm(36, 32, near)), (4L, ppm(36, 32, far)))
+      .toDF("doc_id", "payload").withColumn("kind", lit("image"))
+    val pairs = Multimodal.dHashImageNearDupPairs(m, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0L)
+    // the perturbed image is VISUALLY near: decoded hamming in (0, 6]
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 3L)),
+      s"one-cell perturbation must stay within the near radius: $pairs")
+    assert(pairs.filter(p => p._2 == 3L && p._1 <= 2L)
+      .forall(p => p._3 > 0 && p._3 <= 6))
+    assert(!pairs.map(p => (p._1, p._2)).exists(p => p._2 == 4L),
+      s"unrelated image must not pair: $pairs")
+  }
+
+  test("attachPpmImages: payloads are real decodable PPMs; equality " +
+    "tracks text equality") {
+    val d = Seq((0L, "alpha"), (3L, "beta"), (6L, "alpha"), (7L, "skip"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.attachPpmImages(d)
+    val rows = m.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(rows.keySet == Set(0L, 3L, 6L), "image-kind ids only")
+    assert(rows.values.forall(p =>
+      new String(p.take(2), "US-ASCII") == "P6"))
+    assert(rows.values.forall(p => p.length == 13 + 12 * 10 * 3))
+    assert(rows(0L).sameElements(rows(6L)), "same text ⇒ same payload")
+    assert(!rows(0L).sameElements(rows(3L)), "diff text ⇒ diff payload")
+    // and every payload decodes through the real kernel
+    val decoded = Multimodal.dHashImageBandRows(m)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(decoded == Set(0L, 3L, 6L))
+  }
+
   test("sampleFrames: bounded count, monotone in-payload offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs))
       .as[(Long, Long, Long)].collect().groupBy(_._1)
