@@ -1084,6 +1084,34 @@ object SparkEntry {
       matches.asScala.toSeq.toDF("block_number", "n_matches")
     }),
 
+    // A1/A2 DISTRIBUTED twin (round-13): the same per-block ordered
+    // fold as a1_suffix_reducer — view→click adjacency per block — but
+    // with NO driver collect: blocks are flatMapGroupsWithState groups,
+    // each slice buffers in the state store until the watermark closes
+    // its block, then folds sorted (log_index, event_id) on the
+    // executor and frees its state. Same oracle as the driver path;
+    // StreamingSpec pins driver↔distributed parity on one replay.
+    "a1_distributed_reducer" -> ((s, dir) => {
+      import s.implicits._
+      val stream = graft.streaming.StreamOps.readBlockStream(
+        s, s"$dir/events.parquet",
+        blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
+        confirmations = 0L)
+      runStreamingGate(s, "a1_dist_gate",
+        graft.streaming.StreamOps.distributedOrderedReducer[(Long, Long)](
+          stream,
+          (block, events) => {
+            var n = 0L
+            var i = 0
+            while (i + 1 < events.size) {
+              if (events(i).event_type == "view" &&
+                events(i + 1).event_type == "click") n += 1
+              i += 1
+            }
+            if (n > 0) Some((block, n)) else None
+          }).toDF("block_number", "n_matches"))
+    }),
+
     // A1 as a typed distributed Aggregator (SURVEY §2.5): the netflow
     // fold through the registered UDAF — reduce map-side, merge across
     // the shuffle, decimal buffer — against the same a3 oracle. The
@@ -3745,6 +3773,15 @@ object SparkEntry {
          FROM spine LEFT JOIN g ON spine.block_number = g.block_number AND spine.source = g.source""",
 
     "a1_suffix_reducer" ->
+      s"""WITH seq AS (
+           SELECT block_number, event_type,
+             lead(event_type) OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS next_type
+           FROM ($EvKeys))
+         SELECT block_number, count(*) AS n_matches
+         FROM seq WHERE event_type = 'view' AND next_type = 'click'
+         GROUP BY block_number""",
+
+    "a1_distributed_reducer" ->
       s"""WITH seq AS (
            SELECT block_number, event_type,
              lead(event_type) OVER (PARTITION BY block_number ORDER BY log_index, event_id) AS next_type

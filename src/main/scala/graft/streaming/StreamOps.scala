@@ -662,6 +662,78 @@ object StreamOps {
       .partitionBy("ingest_batch")
       .parquet(appendDir)
 
+  /** Row shape for [[distributedOrderedReducer]] — the reference's
+    * event identity (block, intra-block order key, id, type), i.e. what
+    * `reduce_synced_events` hands its reducer per slice
+    * (eth_event_stream/src/sink.rs:134-151).
+    */
+  final case class OrderedEvent(block_number: Long, log_index: Long,
+      event_id: Long, event_type: String)
+
+  /** A1/A2 at cluster scale — the DISTRIBUTED twin of
+    * [[runOrderedReducer]]: the same per-block ordered-slice fold
+    * semantics WITHOUT the driver collect. Each block is one
+    * `flatMapGroupsWithState` group (hash-distributed across
+    * executors); rows buffer in the state store until the block CLOSES
+    * — `block + 1 ≤ watermark`, the point where a late row would be
+    * dropped, so the buffered slice is provably complete — then the
+    * slice is sorted `(log_index, event_id)` (J4 order, the oracle's
+    * tie-break) and handed to `fold` exactly once, after which the
+    * group's state is removed. Suffix fan-out (`runSuffixReducer`'s
+    * loop) is a plain loop inside the caller's `fold` — the slice is
+    * already complete and ordered.
+    *
+    * What changes vs the driver contract: the reference's reducer is a
+    * SINGLE consumer that may carry mutable state ACROSS blocks in
+    * block order; `fold` here runs per block on executors, so
+    * cross-block driver state is out — per-block results flow back as
+    * ROWS (the returned `IterableOnce`), and cross-block aggregation
+    * composes downstream as ordinary (stateful) operators. That is the
+    * 100 TB shape: state O(open blocks' rows) per executor,
+    * watermark-bounded; the driver never sees an event row, and there
+    * is no `maxBatchRows` driver-memory cap to configure. StreamingSpec
+    * pins result-parity against the driver-collect path on the same
+    * chunked replay.
+    */
+  def distributedOrderedReducer[O](
+      stream: DataFrame,
+      fold: (Long, Seq[OrderedEvent]) => IterableOnce[O],
+      lateBlocks: Long = 0L)(
+      implicit outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val src = stream
+      // +1 axis like flushCells: block b is closed once b+1 ≤ watermark
+      .withColumn("block_ts", timestamp_seconds(col("block_number") + 1))
+      .withWatermark("block_ts", s"$lateBlocks seconds")
+      // the watermark column must survive to the stateful operator
+      .select(col("block_number"), col("log_index").cast("long"),
+        col("event_id"), col("event_type"), col("block_ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[OrderedEvent], O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (block: Long,
+            rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[Seq[OrderedEvent]]) =>
+          val buf = state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => OrderedEvent(r._1, r._2, r._3, r._4))
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          if (block + 1 <= wmSec) {
+            // closed: the slice is complete — fold once, free the state
+            state.remove()
+            fold(block, buf.sortBy(e => (e.log_index, e.event_id))).iterator
+          } else {
+            state.update(buf)
+            // wake on the next watermark advance (the flushCells +1 ms
+            // rule: timeouts fire when the watermark moves STRICTLY
+            // past the armed timestamp)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   /** A2 exact driver parity — `reduce_synced_events` hands every per-block
     * SUFFIX slice `events[i..]` to the reducer so it can pattern-match
     * multi-event sequences from each position (sink.rs:134-151, suffix

@@ -859,6 +859,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(matches == batchMatches)
   }
 
+  test("distributed ordered reducer: per-block slices complete and " +
+    "ordered, result equals the driver-collect path, state evicted") {
+    // the distributed twin folds each block on executors once its
+    // watermark closes — parity vs runOrderedReducer on the SAME
+    // chunked replay is the contract (same slices, same order, no
+    // driver collect)
+    def mkStream() = StreamOps.readBlockStream(spark, path,
+      blockStep = 30L, confirmations = 0L)
+    // driver path (the reference's single-consumer contract)
+    val driverCounts = scala.collection.mutable.Map.empty[Long, Long]
+    val q1 = StreamOps.runOrderedReducer(mkStream(), tmp(), (block, rows) => {
+      val n = rows.map(_.getAs[String]("event_type")).sliding(2).count {
+        case Seq("view", "click") => true
+        case _                    => false
+      }
+      if (n > 0) driverCounts(block) = n.toLong
+    })
+    try q1.processAllAvailable() finally q1.stop()
+    // distributed path: same fold as executor-side code over the
+    // complete ordered slice
+    val dist = StreamOps.distributedOrderedReducer[(Long, Long)](
+      mkStream(),
+      (block, events) => {
+        // slice-completeness invariants checked IN the fold: ordered by
+        // (log_index, event_id), all rows carry this block
+        require(events.forall(_.block_number == block))
+        val keys = events.map(e => (e.log_index, e.event_id))
+        require(keys == keys.sorted, s"unsorted slice for block $block")
+        val n = events.map(_.event_type).sliding(2).count {
+          case Seq("view", "click") => true
+          case _                    => false
+        }
+        if (n > 0) Some((block, n.toLong)) else None
+      })
+    val q2 = dist.toDF("block_number", "n_matches")
+      .writeStream.format("memory").queryName("a1_dist_parity")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val distCounts = spark.table("a1_dist_parity")
+      .as[(Long, Long)].collect().toMap
+    assert(distCounts == driverCounts.toMap,
+      "distributed fold diverged from the driver-collect contract")
+    assert(distCounts.nonEmpty, "vacuous fixture: no pattern matches")
+    // each block folds EXACTLY once (append-mode emission is per close):
+    // duplicate rows per block would mean a re-fold after state removal
+    val dupBlocks = spark.table("a1_dist_parity")
+      .groupBy($"block_number").count().filter($"count" > 1).count()
+    assert(dupBlocks == 0, "a block folded more than once")
+  }
+
   test("synced flush never emits past the slower source's frontier (J1 stream)") {
     // two INDEPENDENT replay streams at different rates: the purchase leg
     // crawls (~8 batches), the click leg drains in one — emission must
