@@ -910,6 +910,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupBlocks == 0, "a block folded more than once")
   }
 
+  test("RocksDB state backend: reducer parity with the heap provider, " +
+    "rocksdb artifacts in the checkpoint") {
+    // the 100 TB state story: same stateful fold, state off-heap in
+    // RocksDB instead of the executor-heap default — results must be
+    // provider-independent, and the checkpoint must PROVE which
+    // provider ran (zip/changelog for RocksDB vs the HDFS provider's
+    // .delta files), so this can't silently pass on the default
+    def run(ckpt: String, name: String): Map[Long, Long] = {
+      val dist = StreamOps.distributedOrderedReducer[(Long, Long)](
+        StreamOps.readBlockStream(spark, path,
+          blockStep = 30L, confirmations = 0L),
+        (block, events) => {
+          val n = events.map(_.event_type).sliding(2).count {
+            case Seq("view", "click") => true
+            case _                    => false
+          }
+          if (n > 0) Some((block, n.toLong)) else None
+        })
+      val q = dist.toDF("block_number", "n_matches")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).as[(Long, Long)].collect().toMap
+    }
+    def stateFiles(ckpt: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$ckpt/state")).map(_.getName)
+    }
+    val defCkpt = tmp()
+    val viaDefault = run(defCkpt, "sb_default")
+    val rockCkpt = tmp()
+    graft.streaming.StateBackend.useRocksDb(spark)
+    val viaRocks =
+      try run(rockCkpt, "sb_rocksdb")
+      finally graft.streaming.StateBackend.useDefault(spark)
+    assert(viaRocks.nonEmpty, "vacuous fixture: no pattern matches")
+    assert(viaRocks == viaDefault,
+      "state backend changed the fold's results")
+    val rockFiles = stateFiles(rockCkpt)
+    assert(rockFiles.exists(n =>
+        n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB artifacts in $rockCkpt/state — provider did not engage")
+    assert(!rockFiles.exists(_.endsWith(".delta")),
+      "HDFS-provider delta files in the RocksDB checkpoint")
+    assert(stateFiles(defCkpt).exists(_.endsWith(".delta")),
+      "control run did not use the heap provider")
+  }
+
   test("synced flush never emits past the slower source's frontier (J1 stream)") {
     // two INDEPENDENT replay streams at different rates: the purchase leg
     // crawls (~8 batches), the click leg drains in one — emission must
