@@ -1090,14 +1090,19 @@ object SparkEntry {
     // each slice buffers in the state store until the watermark closes
     // its block, then folds sorted (log_index, event_id) on the
     // executor and frees its state. Same oracle as the driver path;
-    // StreamingSpec pins driver↔distributed parity on one replay.
+    // StreamingSpec pins driver↔distributed parity on one replay. The
+    // gate runs under the ROCKSDB state backend (the 100 TB state
+    // story — StateBackend scaladoc): the oracle compare is therefore
+    // end-to-end evidence the off-heap provider preserves the fold,
+    // not just the StreamingSpec parity drill.
     "a1_distributed_reducer" -> ((s, dir) => {
       import s.implicits._
       val stream = graft.streaming.StreamOps.readBlockStream(
         s, s"$dir/events.parquet",
         blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
         confirmations = 0L)
-      runStreamingGate(s, "a1_dist_gate",
+      graft.streaming.StateBackend.useRocksDb(s)
+      try runStreamingGate(s, "a1_dist_gate",
         graft.streaming.StreamOps.distributedOrderedReducer[(Long, Long)](
           stream,
           (block, events) => {
@@ -1110,6 +1115,7 @@ object SparkEntry {
             }
             if (n > 0) Some((block, n)) else None
           }).toDF("block_number", "n_matches"))
+      finally graft.streaming.StateBackend.useDefault(s)
     }),
 
     // A1 as a typed distributed Aggregator (SURVEY §2.5): the netflow
