@@ -33,9 +33,15 @@ object ScaleProbe {
     val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the core count (the bench config),
+    // overridable: past the 100× tier a 5M-doc sort at 32 partitions
+    // spills (156k docs × 64-long sigs per sort buffer); a cluster
+    // would run AQE-coalesced hundreds — SPARK_GRAFT_SHUFFLE lets the
+    // probe separate spill cost from operator cost
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -90,6 +96,15 @@ object ScaleProbe {
         graft.operators.Multimodal.dHashNearDupPairs(
           graft.operators.Multimodal.attachMedia(docs), maxHamming = 6,
           maxBucketSize = Some(256)).count() },
+      time("mm_dhash_probed_raw") {
+        // the SCALED layout (autoBandLayout past 1M images): 2x32-bit
+        // bands + radius-1 probing — same recall guarantee, band-key
+        // space 2^32 instead of 2^16, so the coincidental-candidate
+        // quadratic that bends mm_dhash_raw at this tier is gone
+        graft.operators.Multimodal.dHashNearDupPairs(
+          graft.operators.Multimodal.attachMedia(docs), maxHamming = 6,
+          bands = 2, bandBits = 32, probeRadius = 1,
+          maxBucketSize = Some(256)).count() },
       time("mm_dhash_decoded_raw") {
         // the REAL-decoder variant: in-plan PPM synthesis + pure-JVM
         // decode/resize/hash kernel — all row-local, so the row must
@@ -97,6 +112,13 @@ object ScaleProbe {
         // shared banded join)
         graft.operators.Multimodal.dHashImageNearDupPairs(
           graft.operators.Multimodal.attachPpmImages(docs), maxHamming = 6,
+          maxBucketSize = Some(256)).count() },
+      time("mm_dhash_decoded_probed_raw") {
+        // real decoder + scaled layout: the decoded twin of
+        // mm_dhash_probed_raw
+        graft.operators.Multimodal.dHashImageNearDupPairs(
+          graft.operators.Multimodal.attachPpmImages(docs), maxHamming = 6,
+          bands = 2, bandBits = 32, probeRadius = 1,
           maxBucketSize = Some(256)).count() },
       {
         // serving pairs FROM THE PERSISTED BAND INDEX: index built once

@@ -2426,6 +2426,25 @@ object SparkEntry {
         maxHamming = 6, maxBucketSize = Some(256))
     }),
 
+    // The SCALED band layout (round-13): 2 bands x 32 bits with
+    // radius-1 multi-index probing — same <=3-Hamming recall guarantee
+    // as the (4,16) pigeonhole layout, but the band-key space grows to
+    // 2^32 so coincidental candidates stay ~linear where the fixed
+    // 16-bit layout went quadratic (measured at the 1000x tier). The
+    // oracle replays hash, cap, probe ball, join, and verify exactly.
+    "mm_dhash_probed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      Multimodal.dHashNearDupPairs(
+        Multimodal.attachMedia(
+          docs.select(col("doc_id"), col("text")).unionByName(dups)),
+        maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
+        maxBucketSize = Some(256))
+    }),
+
     // The REAL-decoder member of the multimodal dedup family (round-13
     // seam closure): fixture payloads are ACTUAL binary PPM images
     // (attachPpmImages — header + sha-derived pixels, so payload
@@ -4749,6 +4768,52 @@ object SparkEntry {
            SELECT d1, d2,
              CAST(bit_count(xor(bl1[1], bl2[1])) + bit_count(xor(bl1[2], bl2[2]))
                + bit_count(xor(bl1[3], bl2[3])) + bit_count(xor(bl1[4], bl2[4]))
+               AS BIGINT) AS hamming
+           FROM cand)
+         SELECT d1, d2, hamming FROM scored WHERE hamming <= 6""",
+
+    // the scaled layout: 2 bands x 32 bits, occupancy cap on EXACT
+    // keys, then radius-1 probe ball (the key plus its 32 one-bit
+    // flips) on the smaller-id side only — bit-for-bit the Spark plan
+    "mm_dhash_probed" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         img AS (
+           SELECT doc_id, lower(sha256(text)) AS h FROM base
+           WHERE doc_id % 3 = 0),
+         hash AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*32+j+1, 1) > substr(h, ((b*32+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(32)])
+                AS BIGINT) for b in range(2)] AS bl
+           FROM img),
+         banded AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash, unnest(range(2)) AS t(b)),
+         capped AS (
+           SELECT doc_id, bl, band_idx, band_key FROM (
+             SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bn
+             FROM banded)
+           WHERE bn <= 256),
+         probed AS (
+           SELECT doc_id, bl, band_idx,
+             CASE WHEN j = 32 THEN band_key
+                  ELSE xor(band_key, (1::BIGINT << j)) END AS band_key
+           FROM capped, unnest(range(33)) AS t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.bl AS bl1, b.bl AS bl2
+           FROM probed a JOIN capped b
+             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT d1, d2,
+             CAST(bit_count(xor(bl1[1], bl2[1])) + bit_count(xor(bl1[2], bl2[2]))
                AS BIGINT) AS hamming
            FROM cand)
          SELECT d1, d2, hamming FROM scored WHERE hamming <= 6""",

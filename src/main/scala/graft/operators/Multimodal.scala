@@ -172,9 +172,10 @@ object Multimodal {
       bands: Int = 4, bandBits: Int = 16, headerLen: Int = 3,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      probeRadius: Int = 0): DataFrame =
     bandPairJoin(dHashBandRows(media, bands, bandBits, headerLen),
-      maxHamming, bands, maxBucketSize, storage)
+      maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
 
   /** [[dHashBandRows]] with the REAL decoder: the payload is parsed as
     * a binary PPM (P6) image, decoded → integer luma → 9×8 box resize
@@ -205,29 +206,78 @@ object Multimodal {
       bands: Int = 4, bandBits: Int = 16,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      probeRadius: Int = 0): DataFrame =
     bandPairJoin(dHashImageBandRows(media, bands, bandBits),
-      maxHamming, bands, maxBucketSize, storage)
+      maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
+
+  /** Corpus-size-scaled band layout `(bands, bandBits, probeRadius)`
+    * for the 64-bit dHash join. The default `(4, 16, 0)` layout's
+    * band-key space is FIXED at 2^16, so coincidental collisions
+    * between unrelated hashes grow as `bands · n² / 2^17` no matter
+    * how healthy the corpus is — the occupancy cap never bites
+    * (average bucket ≈ n/2^16 stays under any sane cap) while the
+    * candidate set goes quadratic. Measured: the 1000×-tier probe
+    * (1.67M images) bent `mm_dhash_raw` to 19× the 100× time for 10×
+    * the rows, exactly the `n²/2^17` model.
+    *
+    * Past `ScaledLayoutMinImages` images this returns `(2, 32, 1)`:
+    * 32-bit band keys (space 2^32 ≥ any realistic shard) with
+    * radius-1 key probing on one join side. Recall guarantee is
+    * UNCHANGED — for Hamming distance ≤ 3 some band has per-band
+    * distance ≤ ⌊3/2⌋ = 1 (the substring-probe argument of
+    * multi-index hashing, Greene/Norouzi), exactly matching the
+    * `(4, 16)` pigeonhole guarantee (≤ 3 ⇒ some band equal); beyond 3
+    * both layouts are heuristic, as the `maxHamming = 6` default
+    * already documents. Expected coincidental candidates fall from
+    * `n² · 3.1e-5` to `n² · 7.7e-9` (≈4000×) for 33 probe keys per
+    * band row — the explode is row-local and the join still carries
+    * everything, so the plan shape (ONE shuffle + pair dedup) is
+    * unchanged.
+    */
+  val ScaledLayoutMinImages: Long = 1000000L
+
+  def autoBandLayout(nImages: Long): (Int, Int, Int) =
+    if (nImages >= ScaledLayoutMinImages) (2, 32, 1) else (4, 16, 0)
 
   /** Shared candidate-then-verify core: banded self-join over
     * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify
     * over the full hash. Kernel-agnostic — both the byte-gradient and
     * the decoded-pixel hash feed it unchanged.
+    *
+    * `probeRadius > 0` turns the exact-collision join into a
+    * multi-index-hash probe (see [[autoBandLayout]]): ONE side
+    * explodes each band row into every key within Hamming distance
+    * ≤ `probeRadius` of its band key (`x` probes into `y`'s bucket iff
+    * their band keys are within the radius — symmetric, so one-sided
+    * probing covers the pair either way), the other side stays exact.
+    * A pair within TOTAL distance `bands·(probeRadius+1) − 1` is
+    * guaranteed to surface (pigeonhole on per-band distances). The
+    * occupancy cap runs on the EXACT rows before probing, so a
+    * degenerate stratum is still bounded on both join sides.
     */
   private def bandPairJoin(rows0: DataFrame, maxHamming: Int, bands: Int,
-      maxBucketSize: Option[Int],
+      bandBits: Int, probeRadius: Int, maxBucketSize: Option[Int],
       storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(probeRadius >= 0 && probeRadius <= 2,
+      s"probeRadius must be 0..2 (ball size C($bandBits,<=r) explodes " +
+        s"combinatorially past that), got $probeRadius")
     val rows1 = maxBucketSize.fold(rows0)(Dedup.capBandBuckets(rows0, _))
     // materialize once — a DataFrame self-join re-evaluates its lineage
     // per side, doubling the hash projection AND the occupancy window
     // (the minHashLshPairs persist rationale, same operator shape)
     val rows = storage.fold(rows1)(graft.CacheScope.persist(rows1, _))
+    val probed =
+      if (probeRadius == 0) rows
+      else rows.select(col("doc_id"), col("bands"), col("band_idx"),
+        explode(array(ballMasks(bandBits, probeRadius).map(m =>
+          col("band_key").bitwiseXOR(lit(m))): _*)).as("band_key"))
     val hamming = (0 until bands)
       .map(i => bit_count(element_at(col("b1"), i + 1)
         .bitwiseXOR(element_at(col("b2"), i + 1))))
       .reduce(_ + _).cast("bigint")
-    rows.as("a")
+    probed.as("a")
       .join(rows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -238,6 +288,20 @@ object Multimodal {
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
+  }
+
+  /** Every XOR mask with popcount ≤ `radius` over `bandBits` bits —
+    * the probe ball of [[bandPairJoin]], enumerated at PLAN time (the
+    * masks are literals; the per-row work is `|ball|` XORs inside one
+    * codegen'd projection). `|ball| = 1 + C(b,1) [+ C(b,2)]` — 33 for
+    * the (32, 1) scaled layout.
+    */
+  private def ballMasks(bandBits: Int, radius: Int): Seq[Long] = {
+    val r1 = (0 until bandBits).map(i => 1L << i)
+    val r2 = if (radius < 2) Nil
+      else for { i <- 0 until bandBits; j <- (i + 1) until bandBits }
+        yield (1L << i) | (1L << j)
+    0L +: (r1 ++ r2)
   }
 
   /** Frame sampling for video payloads: up to 8 evenly spaced frame

@@ -196,6 +196,11 @@ class HardeningSpec extends AnyFunSuite {
       // window exchange runs once at materialization. Hamming verify is
       // a codegen'd projection
       "mm_dhash_neardup" -> 2,
+      // scaled 2x32 layout: the probed side re-keys after the cached
+      // cap window (its exchange can't be reused by the exact side) —
+      // two join-side exchanges + pair dedup, independent of probe
+      // ball size (masks are plan-time literals in one projection)
+      "mm_dhash_probed" -> 3,
       // decoded-pixel gate: the cached band subtree's cap window (1) +
       // pair-join side + pair dedup (2) carry the operator; the
       // identity-pair oracle join (1) and the two 1-row verdict aggs

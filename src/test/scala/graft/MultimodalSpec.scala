@@ -123,6 +123,45 @@ class MultimodalSpec extends AnyFunSuite {
       s"cap should drop the 5-doc bucket, keep the small one: $capped")
   }
 
+  test("scaled band layout: radius-1 probing recovers a pair the exact " +
+    "2x32 join misses, guarantee parity with 4x16, autoBandLayout cutover") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    // alternating 'ab' chars → gradient = odd bits set; changing ONLY
+    // char 0 to 'c' flips exactly bit 0 (band 0 of 2x32) and bit 63
+    // (band 1): per-band distance 1+1, total hamming 2 — the pair NO
+    // exact 2x32 band collision can surface, but radius-1 probing must
+    val base = "ab" * 32
+    val twist = "cb" + "ab" * 31
+    val m = media(Seq(1L -> base, 2L -> twist))
+    def pairs(bands: Int, bits: Int, probe: Int) =
+      Multimodal.dHashNearDupPairs(m, maxHamming = 6, bands = bands,
+        bandBits = bits, probeRadius = probe)
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs(2, 32, 0).isEmpty,
+      "both 32-bit bands differ — exact collision must miss this pair")
+    assert(pairs(2, 32, 1) == Seq((1L, 2L, 2L)),
+      "radius-1 probing must surface the per-band-distance-1 pair")
+    // the default layout's pigeonhole guarantee covers the same pair
+    // (bands 1 and 2 of 4x16 are untouched) — the two layouts carry
+    // the identical <=3-Hamming contract
+    assert(pairs(4, 16, 0) == Seq((1L, 2L, 2L)))
+    // parity on a mixed fixture: identical + 1-hex-char-near + far
+    val b2 = "0123456789abcdef" * 4
+    val near = b2.substring(0, 40) + "f" + b2.substring(41)
+    val far = "fedcba9876543210" * 4
+    val mix = media(Seq(1L -> b2, 2L -> b2, 3L -> near, 4L -> far))
+    def pairSet(bands: Int, bits: Int, probe: Int) =
+      Multimodal.dHashNearDupPairs(mix, maxHamming = 6, bands = bands,
+        bandBits = bits, probeRadius = probe)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairSet(2, 32, 1) == pairSet(4, 16, 0))
+    // cutover: exact layout below 1M images, scaled at/above
+    assert(Multimodal.autoBandLayout(999999L) == ((4, 16, 0)))
+    assert(Multimodal.autoBandLayout(1000000L) == ((2, 32, 1)))
+  }
+
   // ---- REAL decoder (pure-JVM PPM P6 → luma → 9×8 box resize → dHash) --
 
   /** Build a binary PPM: header (overridable for parse drills) + px(x,y)
