@@ -1764,6 +1764,34 @@ object SparkEntry {
         keys = Seq("d1", "d2"), floor = 0.6)
     }),
 
+    // The SCALED simhash layout (round-13, shared BandedHamming core):
+    // 2 bands x 32 bits + radius-1 key probing — the fix for the fixed
+    // 2^16 chunk space measured going coincidentally quadratic past
+    // ~1M docs on the dHash twin. Both layouts are COMPLETE for
+    // distance <= 3 and the verify is exact, so the gate pins the
+    // strongest available fact: the scaled layout's pair set EQUALS
+    // the 4x16 exact-chunk set (layouts_equal), on top of the same
+    // recall floor vs the Jaccard>=0.95 oracle as dedup_simhash.
+    "dedup_simhash_probed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val exactChunks = graft.CacheScope.persist(
+        Dedup.simHashPairs(docs, maxDist = 3))
+      val scaled = graft.CacheScope.persist(
+        Dedup.simHashPairs(docs, maxDist = 3,
+          bands = 2, bandBits = 32, probeRadius = 1))
+      recallGate(
+        exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.95),
+        approx = scaled, keys = Seq("d1", "d2"), floor = 0.6)
+        .crossJoin(broadcast(
+          scaled.unionByName(exactChunks)
+            .groupBy("d1", "d2", "hamming")
+            .agg(count(lit(1)).as("n"))
+            // every pair present in BOTH layouts (n=2); vacuous-empty
+            // reads true
+            .agg(coalesce(min(col("n") === 2), lit(true))
+              .as("layouts_equal"))))
+    }),
+
     // The full training-data prep pipeline in one query: quality gate →
     // near-dup removal (exact pairs + cluster resolution) → per-doc stats.
     "pipeline_prep" -> ((s, dir) => {
@@ -3395,14 +3423,15 @@ object SparkEntry {
     * approximate side's recall contract is evaluated in Spark; the oracle
     * states the pass verdict it must reach).
     */
-  private def ngramGateSql(minJaccard: Double): String =
+  private def ngramGateSql(minJaccard: Double,
+      extraCols: String = ""): String =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
        g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
              FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
        c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2)
-       SELECT count(*) AS n_exact, true AS recall_ok
+       SELECT count(*) AS n_exact, true AS recall_ok$extraCols
        FROM p JOIN c c1 ON c1.doc_id = d1 JOIN c c2 ON c2.doc_id = d2
        WHERE CAST(shared AS DOUBLE)/CAST(c1.n + c2.n - shared AS DOUBLE) >= $minJaccard"""
 
@@ -3524,6 +3553,12 @@ object SparkEntry {
          FROM documents, h WHERE doc_id > h.half""",
     "dedup_winnow" -> ngramGateSql(0.8),
     "dedup_simhash" -> ngramGateSql(0.95),
+
+    // the scaled-layout gate adds the in-plan layout-equality verdict:
+    // both layouts are complete for distance <= 3 with an exact final
+    // verify, so equality is a theorem the plan re-proves per run
+    "dedup_simhash_probed" ->
+      ngramGateSql(0.95, ", true AS layouts_equal"),
     "sim_topk_lsh" -> TopKGateSql,
     "sim_topk_ivf" -> TopKGateSql,
     "sim_topk_ivfpq" -> TopKGateSql,

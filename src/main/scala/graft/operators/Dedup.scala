@@ -780,34 +780,39 @@ object Dedup {
         .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
-    * 16-bit chunk banding: any pair within distance 3 shares at least one
-    * of the 4 exact chunks (pigeonhole), so the bucket join is complete for
-    * maxDist ≤ 3 and the final `bit_count(xor)` filter is exact.
+    * the shared banded-Hamming core ([[BandedHamming.pairJoin]], the
+    * machinery that also carries the image dHash join): band the
+    * 64-bit fingerprint into `bands` keys of `bandBits` bits, bucket
+    * self-join, exact `bit_count(xor)` verify.
+    *
+    * COMPLETENESS: both supported layouts find EVERY pair at distance
+    * ≤ 3 — `(4, 16, probeRadius = 0)` by pigeonhole (some chunk
+    * exactly shared), `(2, 32, probeRadius = 1)` by the multi-index
+    * probe argument (some band within distance ⌊3/2⌋ = 1) — so the
+    * verified result set is layout-INDEPENDENT for `maxDist ≤ 3`.
+    * Layout choice is pure cost: the fixed 16-bit key space goes
+    * coincidentally quadratic past ~1M docs (the measured
+    * `mm_dhash_raw` bend — [[BandedHamming]] scaladoc); use
+    * [[BandedHamming.autoLayout]] of the corpus size, and
+    * `maxBucketSize` ([[capBandBuckets]]) for degenerate strata —
+    * the cap trades completeness on mega-buckets for boundedness,
+    * exactly as in [[minHashLshPairs]].
     */
   def simHashPairs(df: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
-    require(maxDist <= 3, "chunk banding is complete only for maxDist <= 3")
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      bands: Int = 4, bandBits: Int = 16, probeRadius: Int = 0,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxDist <= bands * (probeRadius + 1) - 1,
+      s"($bands x $bandBits, probe $probeRadius) banding is complete " +
+        s"only for maxDist <= ${bands * (probeRadius + 1) - 1}, " +
+        s"got $maxDist")
     val hashed = simHash64(df, textCol, idCol)
-    val banded0 = hashed.select(
-      col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), k -> shiftright(simhash, k * 16) & 65535L)"))
-        .as(Seq("chunk_idx", "chunk")))
-    val banded = storage.fold(banded0)(graft.CacheScope.persist(banded0, _))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
-      .dropDuplicates("d1", "d2")
-      .withColumn("hamming",
-        expr("bit_count(h1 ^ h2)").cast("int"))
-      .filter(col("hamming") <= maxDist)
-      .select("d1", "d2", "hamming")
+    BandedHamming.pairJoin(
+      BandedHamming.bandRows(hashed, "simhash", bands, bandBits),
+      maxDist, bands, bandBits, probeRadius, maxBucketSize, storage)
+      .withColumn("hamming", col("hamming").cast("int"))
   }
 
   // -------------------------------------------------------------------

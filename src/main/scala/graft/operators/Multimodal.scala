@@ -235,74 +235,23 @@ object Multimodal {
     * everything, so the plan shape (ONE shuffle + pair dedup) is
     * unchanged.
     */
-  val ScaledLayoutMinImages: Long = 1000000L
+  val ScaledLayoutMinImages: Long = BandedHamming.ScaledLayoutMinDocs
 
   def autoBandLayout(nImages: Long): (Int, Int, Int) =
-    if (nImages >= ScaledLayoutMinImages) (2, 32, 1) else (4, 16, 0)
+    BandedHamming.autoLayout(nImages)
 
-  /** Shared candidate-then-verify core: banded self-join over
+  /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
+    * also carrying [[Dedup.simHashPairs]]): banded self-join over
     * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify
-    * over the full hash. Kernel-agnostic — both the byte-gradient and
-    * the decoded-pixel hash feed it unchanged.
-    *
-    * `probeRadius > 0` turns the exact-collision join into a
-    * multi-index-hash probe (see [[autoBandLayout]]): ONE side
-    * explodes each band row into every key within Hamming distance
-    * ≤ `probeRadius` of its band key (`x` probes into `y`'s bucket iff
-    * their band keys are within the radius — symmetric, so one-sided
-    * probing covers the pair either way), the other side stays exact.
-    * A pair within TOTAL distance `bands·(probeRadius+1) − 1` is
-    * guaranteed to surface (pigeonhole on per-band distances). The
-    * occupancy cap runs on the EXACT rows before probing, so a
-    * degenerate stratum is still bounded on both join sides.
+    * over the full hash, with optional multi-index key probing
+    * (`probeRadius`) for corpus-size-scaled layouts (see
+    * [[autoBandLayout]]).
     */
   private def bandPairJoin(rows0: DataFrame, maxHamming: Int, bands: Int,
       bandBits: Int, probeRadius: Int, maxBucketSize: Option[Int],
-      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
-    require(maxHamming >= 0, "maxHamming must be >= 0")
-    require(probeRadius >= 0 && probeRadius <= 2,
-      s"probeRadius must be 0..2 (ball size C($bandBits,<=r) explodes " +
-        s"combinatorially past that), got $probeRadius")
-    val rows1 = maxBucketSize.fold(rows0)(Dedup.capBandBuckets(rows0, _))
-    // materialize once — a DataFrame self-join re-evaluates its lineage
-    // per side, doubling the hash projection AND the occupancy window
-    // (the minHashLshPairs persist rationale, same operator shape)
-    val rows = storage.fold(rows1)(graft.CacheScope.persist(rows1, _))
-    val probed =
-      if (probeRadius == 0) rows
-      else rows.select(col("doc_id"), col("bands"), col("band_idx"),
-        explode(array(ballMasks(bandBits, probeRadius).map(m =>
-          col("band_key").bitwiseXOR(lit(m))): _*)).as("band_key"))
-    val hamming = (0 until bands)
-      .map(i => bit_count(element_at(col("b1"), i + 1)
-        .bitwiseXOR(element_at(col("b2"), i + 1))))
-      .reduce(_ + _).cast("bigint")
-    probed.as("a")
-      .join(rows.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.bands").as("b1"), col("b.bands").as("b2"))
-      .dropDuplicates("d1", "d2")
-      .withColumn("hamming", hamming)
-      .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2", "hamming")
-  }
-
-  /** Every XOR mask with popcount ≤ `radius` over `bandBits` bits —
-    * the probe ball of [[bandPairJoin]], enumerated at PLAN time (the
-    * masks are literals; the per-row work is `|ball|` XORs inside one
-    * codegen'd projection). `|ball| = 1 + C(b,1) [+ C(b,2)]` — 33 for
-    * the (32, 1) scaled layout.
-    */
-  private def ballMasks(bandBits: Int, radius: Int): Seq[Long] = {
-    val r1 = (0 until bandBits).map(i => 1L << i)
-    val r2 = if (radius < 2) Nil
-      else for { i <- 0 until bandBits; j <- (i + 1) until bandBits }
-        yield (1L << i) | (1L << j)
-    0L +: (r1 ++ r2)
-  }
+      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame =
+    BandedHamming.pairJoin(rows0, maxHamming, bands, bandBits, probeRadius,
+      maxBucketSize, storage)
 
   /** Frame sampling for video payloads: up to 8 evenly spaced frame
     * offsets into the payload body (STUB: offsets, not decoded frames).

@@ -68,6 +68,30 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall on ${exact.size} pairs")
   }
 
+  test("simhash layout independence: the scaled 2x32+probe layout returns " +
+    "the identical maxDist<=3 pair set as the 4x16 exact-chunk layout") {
+    // both layouts are COMPLETE for distance <= 3 (pigeonhole vs the
+    // radius-1 multi-index probe) and the verify is exact, so the
+    // result sets must be equal on any corpus — layout is pure cost
+    def pairs(bands: Int, bits: Int, probe: Int) =
+      Dedup.simHashPairs(docs, maxDist = 3, bands = bands,
+        bandBits = bits, probeRadius = probe)
+        .select("d1", "d2", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+    val exactChunks = pairs(4, 16, 0)
+    val scaled = pairs(2, 32, 1)
+    assert(exactChunks.nonEmpty, "fixture should contain near-dup pairs")
+    assert(scaled == exactChunks,
+      s"layouts disagree: ${scaled.diff(exactChunks)} / " +
+        s"${exactChunks.diff(scaled)}")
+    // an incomplete configuration must refuse loudly, not under-return
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, maxDist = 3, bands = 2, bandBits = 32,
+        probeRadius = 0)
+    }
+    assert(err.getMessage.contains("complete"))
+  }
+
   test("maxGramDf caps hot-shingle fanout; denominator stays the full gram set") {
     // docs 1..30 share exactly ONE hot trigram ("the of and") and nothing
     // else; docs 31/32 are true duplicates that also contain it
