@@ -167,6 +167,11 @@ object Multimodal {
     * ([[dHashImageNearDupPairs]]); this variant remains the
     * byte-sequence member for opaque (non-raster) payloads, and both
     * share [[bandPairJoin]] verbatim.
+    *
+    * SCALE: size `(bands, bandBits, probeRadius)` with
+    * [[autoBandLayout]] of the image count — the default 4×16 layout's
+    * fixed 2^16 key space goes coincidentally quadratic past ~1M
+    * images (measured; [[BandedHamming]] scaladoc).
     */
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 6,
       bands: Int = 4, bandBits: Int = 16, headerLen: Int = 3,
