@@ -113,6 +113,22 @@ object ScaleProbe {
         graft.operators.Multimodal.dHashImageNearDupPairs(
           graft.operators.Multimodal.attachPpmImages(docs), maxHamming = 6,
           maxBucketSize = Some(256)).count() },
+      time("mm_dhash_incremental_raw") {
+        // the incremental deployment shape: a 1%-of-corpus shard joined
+        // against the (in-plan) band index of the full corpus under the
+        // scaled layout — what an ingest pays per arriving shard, vs
+        // the full-recompute rows above
+        import org.apache.spark.sql.functions.{col, max => smax}
+        val m = (docs.agg(smax(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+        val shard = docs.filter(col("doc_id") % 300 === 0)
+          .select((col("doc_id") + m).as("doc_id"), col("text"))
+        graft.operators.Multimodal.dHashIncrementalPairs(
+          graft.operators.Multimodal.attachMedia(shard),
+          graft.operators.Multimodal.dHashBandRows(
+            graft.operators.Multimodal.attachMedia(docs),
+            bands = 2, bandBits = 32),
+          maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
+          maxBucketSize = Some(256)).count() },
       time("mm_dhash_decoded_probed_raw") {
         // real decoder + scaled layout: the decoded twin of
         // mm_dhash_probed_raw
@@ -272,27 +288,37 @@ object ScaleProbe {
         recallRun("recall_ivf_auto") {
           Similarity.ivfTopK(emb, qs, 10, nprobe = 6) },
         recallRun("recall_ivfpq_auto") {
-          Similarity.ivfPQTopK(emb, qs, 10, nprobe = 6, rerank = 4) },
+          Similarity.ivfPQTopK(emb, qs, 10, nprobe = 6, rerank = 4) }) ++ {
         // constant probe FRACTION (the gate queries' 6/16 = 0.375 of
         // lists) instead of constant nprobe: under √n auto-nlist a fixed
         // nprobe probes a shrinking corpus fraction, so recall decays
-        // with scale — this row measures what holding the fraction
-        // (nprobe ∝ √n, scan cost ∝ √n per query) buys back
-        {
-          // the SAME sizing ivfTopK will use (√n with the [16,4096]
-          // clamp) — a re-derived sqrt would drift off the actual list
-          // count below 256 vectors and past the 4096 clamp. Computed
-          // OUTSIDE the timed block: autoNlist runs a full corpus count,
-          // which must not be billed to this row's "sec" (it is not part
-          // of the query being compared against recall_ivf_auto)
-          val nlistAuto =
-            if (only.isEmpty || only("recall_ivf_fracprobe"))
-              Similarity.autoNlist(emb, 0)
-            else 0
+        // with scale — these rows measure what holding the fraction
+        // (nprobe ∝ √n, scan cost ∝ √n per query) buys back.
+        // The SAME sizing ivfTopK will use (√n with the [16,4096]
+        // clamp) — a re-derived sqrt would drift off the actual list
+        // count below 256 vectors and past the 4096 clamp. Computed
+        // OUTSIDE the timed blocks: autoNlist runs a full corpus count,
+        // which must not be billed to either row's "sec"
+        val nlistAuto =
+          if (only.isEmpty || only("recall_ivf_fracprobe") ||
+              only("recall_ivfpq_fracprobe"))
+            Similarity.autoNlist(emb, 0)
+          else 0
+        Seq(
           recallRun("recall_ivf_fracprobe") {
             Similarity.ivfTopK(emb, qs, 10,
-              nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) }
-        },
+              nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt)) },
+          // the recall-floor COST question: at the fraction that holds
+          // recall, the probed lists are scanned exactly — PQ scans
+          // them in 8-byte codes with a small exact rerank instead,
+          // so this row measures what compression buys at the same
+          // probe budget (the 1000× tier's fracprobe scan is 37.5% of
+          // corpus — the dominant serving cost)
+          recallRun("recall_ivfpq_fracprobe") {
+            Similarity.ivfPQTopK(emb, qs, 10,
+              nprobe = math.max(6, math.ceil(0.375 * nlistAuto).toInt),
+              rerank = 4) })
+      } :+
         time("density_prune_agree") {
           // exact-rank vs approx-threshold agreement where clusters are
           // 1000× the gate fixture's (the oracled gate pins ≥ 0.9 at
@@ -313,7 +339,7 @@ object ScaleProbe {
           exact.unpersist(); approx.unpersist()
           recalls("density_prune_agree") = hit.toDouble / math.max(nEx, nAp)
           nAp
-        })
+        }
     }
 
     // ---- bucketed-layout amortization: what one layout write buys

@@ -2454,6 +2454,25 @@ object SparkEntry {
         maxHamming = 6, maxBucketSize = Some(256))
     }),
 
+    // Incremental image near-dup (round-13): the arriving shard (the
+    // re-id'd every-5th-image dups) is joined against the PERSISTED
+    // dHash band index of the existing corpus — old payloads never
+    // re-hashed; one bounded join covers new-old and new-new with the
+    // occupancy cap counted over the union. The oracle replays index,
+    // shard, cap, join, and verify relationally.
+    "mm_dhash_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val index = Multimodal.dHashBandRows(
+        Multimodal.attachMedia(docs.select(col("doc_id"), col("text"))))
+      Multimodal.dHashIncrementalPairs(
+        Multimodal.attachMedia(dups), index,
+        maxHamming = 6, maxBucketSize = Some(256))
+    }),
+
     // The SCALED band layout (round-13): 2 bands x 32 bits with
     // radius-1 multi-index probing — same <=3-Hamming recall guarantee
     // as the (4,16) pigeonhole layout, but the band-key space grows to
@@ -4806,6 +4825,57 @@ object SparkEntry {
                AS BIGINT) AS hamming
            FROM cand)
          SELECT d1, d2, hamming FROM scored WHERE hamming <= 6""",
+
+    // incremental shard vs persisted index: cap counted over old∪new,
+    // left side capped, right side the (uncapped) new shard; pair
+    // orientation normalized least/greatest — bit-for-bit the Spark plan
+    "mm_dhash_incremental" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         img_old AS (
+           SELECT doc_id, lower(sha256(text)) AS h FROM documents
+           WHERE doc_id % 3 = 0),
+         img_new AS (
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id,
+             lower(sha256(text)) AS h FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         hash_old AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM img_old),
+         hash_new AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM img_new),
+         banded_new AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash_new, unnest(range(4)) AS t(b)),
+         banded_all AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash_old, unnest(range(4)) AS t(b)
+           UNION ALL
+           SELECT doc_id, bl, band_idx, band_key FROM banded_new),
+         capped AS (
+           SELECT doc_id, bl, band_idx, band_key FROM (
+             SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bn
+             FROM banded_all)
+           WHERE bn <= 256),
+         cand AS (
+           SELECT DISTINCT
+             least(a.doc_id, b.doc_id) AS d1,
+             greatest(a.doc_id, b.doc_id) AS d2,
+             CAST(bit_count(xor(a.bl[1], b.bl[1])) + bit_count(xor(a.bl[2], b.bl[2]))
+               + bit_count(xor(a.bl[3], b.bl[3])) + bit_count(xor(a.bl[4], b.bl[4]))
+               AS BIGINT) AS hamming
+           FROM capped a JOIN banded_new b
+             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id != b.doc_id)
+         SELECT d1, d2, hamming FROM cand WHERE hamming <= 6""",
 
     // the scaled layout: 2 bands x 32 bits, occupancy cap on EXACT
     // keys, then radius-1 probe ball (the key plus its 32 one-bit

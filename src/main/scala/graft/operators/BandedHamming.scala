@@ -106,6 +106,60 @@ private[graft] object BandedHamming {
       .select("d1", "d2", "hamming")
   }
 
+  /** Incremental twin of [[pairJoin]] — [[Dedup.bandedNearDupPairs]]'
+    * shape for Hamming fingerprints: `index` holds the EXISTING
+    * corpus's band rows (persisted parquet in deployment — the old
+    * side is never re-hashed or re-read beyond these narrow rows),
+    * `newRows` the arriving shard's. One join covers new↔old AND
+    * new↔new: the left side is old ∪ new, the right side only the new
+    * shard, so every pair with ≥1 new endpoint shares a bucket here
+    * and old↔old pairs never form. Pair orientation is normalized
+    * (`least`/`greatest`) and the result EQUALS the full
+    * [[pairJoin]] recompute over (old ∪ new) restricted to pairs
+    * touching the shard — same verify, same cap semantics (occupancy
+    * counted over the UNION, so the cap is stable as shards
+    * accumulate; capping the left side alone suffices — a dropped
+    * bucket's new-side rows find no left match). `probeRadius`
+    * explodes the ball on the NEW side only (the smaller one).
+    * Sides must be id-disjoint ([[Dedup.incrementalNearDupPairs]]'
+    * contract).
+    */
+  def incrementalPairJoin(index: DataFrame, newRows: DataFrame,
+      maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
+      maxBucketSize: Option[Int],
+      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(probeRadius >= 0 && probeRadius <= 2,
+      s"probeRadius must be 0..2, got $probeRadius")
+    val cols = Seq("doc_id", "bands", "band_idx", "band_key").map(col)
+    val newSide = storage.fold(newRows)(graft.CacheScope.persist(newRows, _))
+    val all0 = index.select(cols: _*)
+      .unionByName(newSide.select(cols: _*))
+    val all1 = maxBucketSize.fold(all0)(Dedup.capBandBuckets(all0, _))
+    val all = storage.fold(all1)(graft.CacheScope.persist(all1, _))
+    val probed =
+      if (probeRadius == 0) newSide
+      else newSide.select(col("doc_id"), col("bands"), col("band_idx"),
+        explode(array(ballMasks(bandBits, probeRadius).map(m =>
+          col("band_key").bitwiseXOR(lit(m))): _*)).as("band_key"))
+    val hamming = (0 until bands)
+      .map(i => bit_count(element_at(col("b1"), i + 1)
+        .bitwiseXOR(element_at(col("b2"), i + 1))))
+      .reduce(_ + _).cast("bigint")
+    all.as("a")
+      .join(probed.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        col("a.bands").as("b1"), col("b.bands").as("b2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+
   /** Every XOR mask with popcount ≤ `radius` over `bandBits` bits —
     * the probe ball, enumerated at PLAN time. `|ball| = 1 + C(b,1)
     * [+ C(b,2)]` — 33 for the (32, 1) scaled layout.

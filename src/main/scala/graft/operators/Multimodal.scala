@@ -245,6 +245,29 @@ object Multimodal {
   def autoBandLayout(nImages: Long): (Int, Int, Int) =
     BandedHamming.autoLayout(nImages)
 
+  /** Incremental image near-dup — the production shape that completes
+    * the multimodal dedup family exactly as
+    * [[Dedup.incrementalNearDupPairs]] completes MinHash: a NEW shard
+    * of media arrives and its near-dup pairs against the existing
+    * corpus (and within itself) are found against a PERSISTED dHash
+    * band index of the old side ([[dHashBandRows]] /
+    * [[dHashImageBandRows]] output written to parquet,
+    * partition-prunable by `band_idx`) — old payloads are never
+    * re-decoded, re-hashed, or re-read beyond the narrow index rows.
+    * Result EQUALS the full [[dHashNearDupPairs]] recompute over
+    * (old ∪ new) restricted to pairs touching the shard; sides must
+    * be id-disjoint. Layout/probing knobs as in [[autoBandLayout]].
+    */
+  def dHashIncrementalPairs(newMedia: DataFrame, index: DataFrame,
+      maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
+      headerLen: Int = 3, probeRadius: Int = 0,
+      maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+    BandedHamming.incrementalPairJoin(index,
+      dHashBandRows(newMedia, bands, bandBits, headerLen),
+      maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
+
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
     * also carrying [[Dedup.simHashPairs]]): banded self-join over
     * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify

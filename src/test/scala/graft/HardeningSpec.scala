@@ -201,6 +201,10 @@ class HardeningSpec extends AnyFunSuite {
       // two join-side exchanges + pair dedup, independent of probe
       // ball size (masks are plan-time literals in one projection)
       "mm_dhash_probed" -> 3,
+      // union cap window (shared by the join's left side) + pair
+      // dedup; the shard side broadcasts at fixture scale and becomes
+      // the third exchange once it outgrows the broadcast threshold
+      "mm_dhash_incremental" -> 3,
       // decoded-pixel gate: the cached band subtree's cap window (1) +
       // pair-join side + pair dedup (2) carry the operator; the
       // identity-pair oracle join (1) and the two 1-row verdict aggs

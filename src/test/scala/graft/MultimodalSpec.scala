@@ -162,6 +162,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.autoBandLayout(1000000L) == ((2, 32, 1)))
   }
 
+  test("dHashIncrementalPairs: equals the full recompute restricted to " +
+    "pairs touching the new shard; old-old pairs never form; probing " +
+    "carries over") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val base = "0123456789abcdef" * 4
+    val near = base.substring(0, 40) + "f" + base.substring(41)
+    val far = "fedcba9876543210" * 4
+    // old corpus has an internal dup pair (1,2) that must NOT appear in
+    // the incremental result; the shard dups doc 1 and adds a near-doc
+    val old = media(Seq(1L -> base, 2L -> base, 4L -> far))
+    val shard = media(Seq(10L -> base, 11L -> near))
+    val index = Multimodal.dHashBandRows(old)
+    val inc = Multimodal.dHashIncrementalPairs(shard, index, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Multimodal.dHashNearDupPairs(old.unionByName(media(Nil))
+        .unionByName(shard), maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val newIds = Set(10L, 11L)
+    assert(inc == full.filter(p => newIds(p._1) || newIds(p._2)),
+      s"incremental $inc != restricted full ${full.filter(p =>
+        newIds(p._1) || newIds(p._2))}")
+    assert(!inc.exists(p => !newIds(p._1) && !newIds(p._2)),
+      "old-old pair leaked into the incremental result")
+    assert(inc.exists(p => (p._1, p._2) == ((1L, 10L)) && p._3 == 0L),
+      "byte-identical old-new pair must surface at hamming 0")
+    // the scaled layout probes from the shard side: the single-bit-per-
+    // band twist pair (see the scaled-layout test) is recoverable
+    // incrementally too
+    val oldT = media(Seq(1L -> ("ab" * 32)))
+    val shardT = media(Seq(2L -> ("cb" + "ab" * 31)))
+    val incT = Multimodal.dHashIncrementalPairs(shardT,
+      Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32),
+      maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(incT == Seq((1L, 2L, 2L)))
+  }
+
   // ---- REAL decoder (pure-JVM PPM P6 → luma → 9×8 box resize → dHash) --
 
   /** Build a binary PPM: header (overridable for parse drills) + px(x,y)
