@@ -201,6 +201,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(incT == Seq((1L, 2L, 2L)))
   }
 
+  test("dHashIncrementalPairs: a degenerate all-identical shard is bounded " +
+    "by the union-counted occupancy cap; distinct pairs survive") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val base = "0123456789abcdef" * 4
+    val far = "fedcba9876543210" * 4
+    val farNear = far.substring(0, 40) + "0" + far.substring(41)
+    // corpus has 2 copies of `base`; the shard is a 6-copy boilerplate
+    // stratum of the same image plus one genuinely new near-dup of far.
+    // cap 4 counted over the union (2 + 6 = 8 > 4) drops the whole
+    // base bucket — boilerplate generates ZERO pairs instead of 28 —
+    // while the far/farNear pair rides through untouched
+    val old = media(Seq(1L -> base, 2L -> base, 3L -> far))
+    val shard = media((10L to 15L).map(i => i -> base) :+ (20L -> farNear))
+    val inc = Multimodal.dHashIncrementalPairs(shard,
+      Multimodal.dHashBandRows(old), maxHamming = 6,
+      maxBucketSize = Some(4))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc.map(p => (p._1, p._2)) == Set((3L, 20L)),
+      s"cap should drop the boilerplate stratum, keep the distinct pair: $inc")
+  }
+
   // ---- REAL decoder (pure-JVM PPM P6 → luma → 9×8 box resize → dHash) --
 
   /** Build a binary PPM: header (overridable for parse drills) + px(x,y)
