@@ -2166,6 +2166,66 @@ object SparkEntry {
               .as("equal_ok"))))
     }),
 
+    // STREAMING image near-dup ingest (round-13): dHashIngestStream
+    // drains the new half of the corpus in 4 slices against the
+    // persisted dHash band index of the old half — the multimodal twin
+    // of stream_neardup through the SAME epoch/idempotence/compaction
+    // skeleton (compactEvery=2 folds committed partitions mid-run, so
+    // this gate also pins that the fold leaves the drained result
+    // unchanged). Verdict: drained pairs EQUAL the one-shot full
+    // recompute restricted to stream-touching pairs (d2 > half —
+    // stream ids are the upper half), hamming exact.
+    "stream_mm_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val run = java.nio.file.Files.createTempDirectory("graft_mms").toString
+      onJvmExitDelete(run)
+      Multimodal.dHashBandRows(Multimodal.attachMedia(
+          docs.filter(col("doc_id") <= half)
+            .select(col("doc_id"), col("text"))))
+        .write.mode("overwrite").parquet(s"$run/index")
+      docs.filter(col("doc_id") > half).select(col("doc_id"), col("text"))
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$run/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$run/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$run/in")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamOps.dHashIngestStream(
+          Multimodal.attachMedia(stream), s"$run/index",
+          s"$run/append", s"$run/pairs", s"$run/ckpt",
+          maxHamming = 6, compactEvery = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      val streamed = try
+          s.read.parquet(s"$run/pairs").select("d1", "d2", "hamming")
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          s.createDataFrame(s.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("d1",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("d2",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("hamming",
+                org.apache.spark.sql.types.LongType))))
+        }
+      val full = Multimodal.dHashNearDupPairs(
+          Multimodal.attachMedia(docs.select(col("doc_id"), col("text"))),
+          maxHamming = 6)
+        .filter(col("d2") > half)
+      docs.filter(col("doc_id") > half)
+        .agg(count(lit(1)).as("n_new_docs"))
+        .crossJoin(broadcast(
+          full.withColumnRenamed("hamming", "hf")
+            .join(streamed.withColumnRenamed("hamming", "hs"),
+              Seq("d1", "d2"), "full")
+            .agg(((count(when(col("hf").isNull || col("hs").isNull, 1)) === 0)
+              && coalesce(max(abs(col("hf") - col("hs"))) === 0, lit(true)))
+              .as("equal_ok"))))
+    }),
+
     // Asymmetric containment near-dup (|A∩B|/|A| over gram sets): the
     // subset-inclusion screen Jaccard misses — a doc quoted wholesale
     // inside a longer one scores ~1 here. Ordered pairs, exact oracle.
@@ -3567,6 +3627,13 @@ object SparkEntry {
     // streaming twin: same gate shape — the equality side is asserted in
     // Spark (full-outer seam check), the oracle anchors the exact count
     "stream_neardup" ->
+      """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
+         SELECT count(*) AS n_new_docs, true AS equal_ok
+         FROM documents, h WHERE doc_id > h.half""",
+
+    // the multimodal ingest twin: same relational half (new-doc count)
+    // + the in-plan streamed==full-recompute verdict
+    "stream_mm_ingest" ->
       """WITH h AS (SELECT max(doc_id) // 2 AS half FROM documents)
          SELECT count(*) AS n_new_docs, true AS equal_ok
          FROM documents, h WHERE doc_id > h.half""",

@@ -486,9 +486,6 @@ object StreamOps {
       minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.forall(_ >= 1),
-      s"compactEvery=$compactEvery must be >= 1 (pass None to disable " +
-        "compaction) — a zero cadence would divide by zero mid-stream")
     // resolve the base index ONCE at stream start (like annIngestStream's
     // frozen centroids): the base artifact is immutable by contract, so
     // its file listing (InMemoryFileIndex) must not be redone every
@@ -496,16 +493,65 @@ object StreamOps {
     // epoch for a directory that never changes
     val baseIndex = docStream.sparkSession.read.parquet(baseIndexDir)
       .select("doc_id", "sig", "band_idx", "band_key")
-    docStream.writeStream
+    bandIngestStream(docStream, baseIndex, MinHashIndexCols, appendDir,
+      pairsDir, checkpoint, compactEvery,
+      graft.operators.Dedup.minHashBandIndex(_, n, numHashes, bands),
+      graft.operators.Dedup.bandedNearDupPairs(_, _, minJaccard,
+        maxBucketSize))
+  }
+
+  /** Continuous IMAGE near-dup ingest — [[nearDupIngestStream]]'s
+    * multimodal twin over the dHash band index
+    * ([[graft.operators.Multimodal.dHashIncrementalPairs]]' streaming
+    * deployment shape): identical epoch/idempotence/compaction contract
+    * through the shared skeleton, with the band rows coming from the
+    * perceptual-hash kernel and the pair join from
+    * [[graft.operators.BandedHamming.incrementalPairJoin]] (optionally
+    * under the scaled probed layout — `autoBandLayout` of the expected
+    * corpus size). `mediaStream` rows are `(doc_id, kind, payload)`;
+    * persists are disabled inside epochs (both join sides are the
+    * epoch's own parquet), so a year-long ingest caches nothing.
+    */
+  def dHashIngestStream(mediaStream: DataFrame, baseIndexDir: String,
+      appendDir: String, pairsDir: String, checkpoint: String,
+      maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
+      headerLen: Int = 3, probeRadius: Int = 0,
+      maxBucketSize: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    val baseIndex = mediaStream.sparkSession.read.parquet(baseIndexDir)
+      .select("doc_id", "bands", "band_idx", "band_key")
+    bandIngestStream(mediaStream, baseIndex, DHashIndexCols, appendDir,
+      pairsDir, checkpoint, compactEvery,
+      graft.operators.Multimodal.dHashBandRows(_, bands, bandBits,
+        headerLen),
+      graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
+        bands, bandBits, probeRadius, maxBucketSize, storage = None))
+  }
+
+  private val MinHashIndexCols = Seq("doc_id", "sig", "band_idx", "band_key")
+  private val DHashIndexCols = Seq("doc_id", "bands", "band_idx", "band_key")
+
+  /** Shared ingest skeleton for band-index streams (MinHash text and
+    * dHash image): per epoch, write the batch's band rows as the
+    * epoch's own `ingest_batch=id` partition, pair them against
+    * (base ∪ earlier epochs), write the pairs likewise, and on the
+    * `compactEvery` cadence fold committed partitions FIRST
+    * ([[IngestCompaction]] — recover+compact run inside `foreachBatch`
+    * before the epoch's own work with `upTo = id − 1`, so only
+    * committed epochs fold and a replay re-heals idempotently).
+    */
+  private def bandIngestStream(inStream: DataFrame, baseIndex: DataFrame,
+      indexCols: Seq[String], appendDir: String, pairsDir: String,
+      checkpoint: String, compactEvery: Option[Int],
+      bandRowsOf: DataFrame => DataFrame,
+      pairsOf: (DataFrame, DataFrame) => DataFrame): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery=$compactEvery must be >= 1 (pass None to disable " +
+        "compaction) — a zero cadence would divide by zero mid-stream")
+    inStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // fold BEFORE the epoch's own work: the epoch then reads the
-        // compacted layout (fewer files to list and union). upTo=id−1
-        // covers only committed epochs — Structured Streaming commits
-        // batch id−1 before starting id — and a replay of THIS epoch
-        // re-runs recover+compact idempotently (a second fold over an
-        // already-folded range is a no-op).
         compactEvery.filter(m => id > 0 && id % m == 0).foreach { _ =>
           Seq(appendDir, pairsDir).foreach { d =>
             IngestCompaction.recover(batch.sparkSession, d)
@@ -515,8 +561,8 @@ object StreamOps {
           }
         }
         if (!batch.isEmpty)
-          nearDupIngestEpoch(batch, baseIndex, appendDir, pairsDir, id,
-            n, numHashes, bands, minJaccard, maxBucketSize)
+          bandIngestEpoch(batch, baseIndex, indexCols, appendDir,
+            pairsDir, id, bandRowsOf, pairsOf)
       }
       .start()
   }
@@ -549,7 +595,44 @@ object StreamOps {
       appendDir: String, pairsDir: String, id: Long,
       n: Int, numHashes: Int, bands: Int,
       minJaccard: Double,
-      maxBucketSize: Option[Int]): Unit = {
+      maxBucketSize: Option[Int]): Unit =
+    bandIngestEpoch(batch, baseIndex, MinHashIndexCols, appendDir,
+      pairsDir, id,
+      graft.operators.Dedup.minHashBandIndex(_, n, numHashes, bands),
+      graft.operators.Dedup.bandedNearDupPairs(_, _, minJaccard,
+        maxBucketSize))
+
+  /** One epoch of the IMAGE ingest, exposed for the same replay drill
+    * as [[nearDupIngestEpoch]]: calling it twice with the same
+    * `(batch, id)` rewrites the epoch's own partitions into the same
+    * state and touches no others.
+    */
+  def dHashIngestEpoch(batch: DataFrame, baseIndexDir: String,
+      appendDir: String, pairsDir: String, id: Long,
+      maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
+      headerLen: Int = 3, probeRadius: Int = 0,
+      maxBucketSize: Option[Int] = None): Unit =
+    bandIngestEpoch(batch,
+      batch.sparkSession.read.parquet(baseIndexDir)
+        .select("doc_id", "bands", "band_idx", "band_key"),
+      DHashIndexCols, appendDir, pairsDir, id,
+      graft.operators.Multimodal.dHashBandRows(_, bands, bandBits,
+        headerLen),
+      graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
+        bands, bandBits, probeRadius, maxBucketSize, storage = None))
+
+  /** One epoch of either band-index ingest: both writes are per-epoch
+    * dynamic-partition OVERWRITES (the [[BlockSink.writeBatch]]
+    * idempotence story applied to the index) — a replayed epoch,
+    * crash between the two writes included, deterministically rewrites
+    * its own partitions and no others. The `ingest_batch < id` screen
+    * keeps a replayed epoch's own leftover bands out of its index
+    * side, which would otherwise self-pair every doc.
+    */
+  private def bandIngestEpoch(batch: DataFrame, baseIndex: DataFrame,
+      indexCols: Seq[String], appendDir: String, pairsDir: String,
+      id: Long, bandRowsOf: DataFrame => DataFrame,
+      pairsOf: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
     def epochWrite(df: DataFrame, dir: String): Unit =
       df.withColumn("ingest_batch", lit(id))
@@ -557,17 +640,15 @@ object StreamOps {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
         .parquet(dir)
-    epochWrite(graft.operators.Dedup.minHashBandIndex(
-      batch, n, numHashes, bands), appendDir)
+    epochWrite(bandRowsOf(batch), appendDir)
     val appended = spark.read.parquet(appendDir)
     val thisBanded = appended.filter(col("ingest_batch") === id)
       .drop("ingest_batch")
     val older = baseIndex
-      .select("doc_id", "sig", "band_idx", "band_key")
+      .select(indexCols.map(col): _*)
       .unionByName(appended.filter(col("ingest_batch") < id)
         .drop("ingest_batch"))
-    epochWrite(graft.operators.Dedup.bandedNearDupPairs(
-      older, thisBanded, minJaccard, maxBucketSize), pairsDir)
+    epochWrite(pairsOf(older, thisBanded), pairsDir)
   }
 
   /** Streaming ANN index ingest — the PQ mirror of [[nearDupIngestStream]],

@@ -388,6 +388,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet() == drained, "replayed epoch changed the drained result")
   }
 
+  test("image dHash ingest: epochs seam-free vs batch; replayed epoch " +
+    "rewrites itself") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val half = docs.agg(max($"doc_id")).head.getLong(0) / 2
+    val media = graft.operators.Multimodal.attachMedia(docs)
+    val base = tmp(); val inDir = tmp(); val run = tmp()
+    graft.operators.Multimodal.dHashBandRows(
+        media.filter($"doc_id" <= half))
+      .write.parquet(s"$base/index")
+    val newMedia = media.filter($"doc_id" > half)
+    newMedia.repartitionByRange(3, $"doc_id").write.parquet(s"$inDir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$inDir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+    // maxHamming 64: every bucket-sharing candidate emits, so the drill
+    // exercises the seam/replay mechanics on a non-trivial pair set
+    val q = StreamOps.dHashIngestStream(stream, s"$base/index",
+      s"$run/append", s"$run/pairs", s"$run/ckpt", maxHamming = 64)
+    try q.processAllAvailable() finally q.stop()
+    def pairSet() = spark.read.parquet(s"$run/pairs")
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val drained = pairSet()
+    val oneShot = graft.operators.Multimodal.dHashIncrementalPairs(
+        newMedia, spark.read.parquet(s"$base/index"), maxHamming = 64,
+        storage = None)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture yields no candidate pairs — vacuous")
+    assert(drained == oneShot,
+      s"stream/batch seam: ${(drained -- oneShot).take(3)} extra, " +
+        s"${(oneShot -- drained).take(3)} missing")
+    val append = spark.read.parquet(s"$run/append")
+    val lastId = append.agg(max($"ingest_batch").cast("long"))
+      .head.getLong(0)
+    val lastBatch = media.join(
+      append.filter($"ingest_batch" === lastId).select($"doc_id").distinct(),
+      "doc_id")
+    StreamOps.dHashIngestEpoch(lastBatch, s"$base/index",
+      s"$run/append", s"$run/pairs", lastId, maxHamming = 64)
+    assert(pairSet() == drained, "replayed epoch changed the drained result")
+  }
+
   test("ANN ingest: streamed code rows equal the batch rebuild; replayed epoch rewrites itself") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val half = emb.agg(max($"vec_id")).head.getLong(0) / 2
