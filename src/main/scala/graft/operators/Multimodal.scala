@@ -256,16 +256,22 @@ object Multimodal {
     * re-decoded, re-hashed, or re-read beyond the narrow index rows.
     * Result EQUALS the full [[dHashNearDupPairs]] recompute over
     * (old ∪ new) restricted to pairs touching the shard; sides must
-    * be id-disjoint. Layout/probing knobs as in [[autoBandLayout]].
+    * be id-disjoint. Layout/probing knobs as in [[autoBandLayout]];
+    * `decodePixels = true` hashes the shard through the REAL PPM
+    * decoder kernel ([[dHashImageBandRows]]) instead of the
+    * byte-gradient one — the index must have been built with the same
+    * kernel (band keys are kernel-specific).
     */
   def dHashIncrementalPairs(newMedia: DataFrame, index: DataFrame,
       maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
       headerLen: Int = 3, probeRadius: Int = 0,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
-        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      decodePixels: Boolean = false): DataFrame =
     BandedHamming.incrementalPairJoin(index,
-      dHashBandRows(newMedia, bands, bandBits, headerLen),
+      if (decodePixels) dHashImageBandRows(newMedia, bands, bandBits)
+      else dHashBandRows(newMedia, bands, bandBits, headerLen),
       maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
 
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],

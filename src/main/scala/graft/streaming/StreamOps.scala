@@ -511,22 +511,32 @@ object StreamOps {
     * corpus size). `mediaStream` rows are `(doc_id, kind, payload)`;
     * persists are disabled inside epochs (both join sides are the
     * epoch's own parquet), so a year-long ingest caches nothing.
+    * `decodePixels = true` routes each batch through the REAL PPM
+    * decoder kernel — the base index must use the same kernel.
     */
   def dHashIngestStream(mediaStream: DataFrame, baseIndexDir: String,
       appendDir: String, pairsDir: String, checkpoint: String,
       maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
       headerLen: Int = 3, probeRadius: Int = 0,
       maxBucketSize: Option[Int] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      decodePixels: Boolean = false): StreamingQuery = {
     val baseIndex = mediaStream.sparkSession.read.parquet(baseIndexDir)
       .select("doc_id", "bands", "band_idx", "band_key")
     bandIngestStream(mediaStream, baseIndex, DHashIndexCols, appendDir,
       pairsDir, checkpoint, compactEvery,
-      graft.operators.Multimodal.dHashBandRows(_, bands, bandBits,
-        headerLen),
+      dHashRowsOf(bands, bandBits, headerLen, decodePixels),
       graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
         bands, bandBits, probeRadius, maxBucketSize, storage = None))
   }
+
+  private def dHashRowsOf(bands: Int, bandBits: Int, headerLen: Int,
+      decodePixels: Boolean): DataFrame => DataFrame =
+    if (decodePixels)
+      graft.operators.Multimodal.dHashImageBandRows(_, bands, bandBits)
+    else
+      graft.operators.Multimodal.dHashBandRows(_, bands, bandBits,
+        headerLen)
 
   private val MinHashIndexCols = Seq("doc_id", "sig", "band_idx", "band_key")
   private val DHashIndexCols = Seq("doc_id", "bands", "band_idx", "band_key")
@@ -611,13 +621,13 @@ object StreamOps {
       appendDir: String, pairsDir: String, id: Long,
       maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
       headerLen: Int = 3, probeRadius: Int = 0,
-      maxBucketSize: Option[Int] = None): Unit =
+      maxBucketSize: Option[Int] = None,
+      decodePixels: Boolean = false): Unit =
     bandIngestEpoch(batch,
       batch.sparkSession.read.parquet(baseIndexDir)
         .select("doc_id", "bands", "band_idx", "band_key"),
       DHashIndexCols, appendDir, pairsDir, id,
-      graft.operators.Multimodal.dHashBandRows(_, bands, bandBits,
-        headerLen),
+      dHashRowsOf(bands, bandBits, headerLen, decodePixels),
       graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
         bands, bandBits, probeRadius, maxBucketSize, storage = None))
 

@@ -323,6 +323,36 @@ class MultimodalSpec extends AnyFunSuite {
       s"unrelated image must not pair: $pairs")
   }
 
+  test("dHashIncrementalPairs decodePixels: the REAL-decoder kernel " +
+    "carries the incremental path — visually-near shard image pairs " +
+    "with its old original") {
+    def base(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 53 + y * 17) % 256; (g, g, g)
+    }
+    def near(x: Int, y: Int): (Int, Int, Int) =
+      if (x >= 8 && x < 12 && y < 4) (255, 255, 255) else base(x, y)
+    def far(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (251 * x * x + 89 * y + 7) % 256; (g, (g + 50) % 256, g)
+    }
+    val old = Seq((1L, ppm(36, 32, base)), (4L, ppm(36, 32, far)))
+      .toDF("doc_id", "payload").withColumn("kind", lit("image"))
+    val shard = Seq((10L, ppm(36, 32, base)), (11L, ppm(36, 32, near)))
+      .toDF("doc_id", "payload").withColumn("kind", lit("image"))
+    // index built with the image kernel — the contract decodePixels pins
+    val inc = Multimodal.dHashIncrementalPairs(shard,
+      Multimodal.dHashImageBandRows(old), maxHamming = 6,
+      decodePixels = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Multimodal.dHashImageNearDupPairs(old.unionByName(shard),
+      maxHamming = 6).as[(Long, Long, Long)].collect().toSet
+    val newIds = Set(10L, 11L)
+    assert(inc == full.filter(p => newIds(p._1) || newIds(p._2)),
+      s"decoded incremental $inc != restricted full $full")
+    assert(inc.exists(p => (p._1, p._2) == ((1L, 10L)) && p._3 == 0L))
+    assert(inc.exists(p => (p._1, p._2) == ((1L, 11L)) && p._3 > 0),
+      s"visually-near shard image must pair with the old original: $inc")
+  }
+
   test("attachPpmImages: payloads are real decodable PPMs; equality " +
     "tracks text equality") {
     val d = Seq((0L, "alpha"), (3L, "beta"), (6L, "alpha"), (7L, "skip"))
