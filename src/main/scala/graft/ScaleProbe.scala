@@ -92,7 +92,20 @@ object ScaleProbe {
       time("mm_dhash_raw") {
         // the multimodal member of the dedup family: banded gradient
         // hash + capped bucket join + Hamming verify (row-local hash,
-        // one shuffle — the MinHash plan shape at image scale)
+        // one shuffle — the MinHash plan shape at image scale).
+        // EXPLICIT 4×16 since round 14: this row is the deliberately
+        // fixed-key-space control (the measured quadratic) now that
+        // the operator default self-sizes
+        graft.operators.Multimodal.dHashNearDupPairs(
+          graft.operators.Multimodal.attachMedia(docs), maxHamming = 6,
+          bands = 4, bandBits = 16,
+          maxBucketSize = Some(256)).count() },
+      time("mm_dhash_auto_raw") {
+        // PURE DEFAULTS, no layout hint: past 1M images the bands=0
+        // default must resolve the scaled 2×32+probe layout from the
+        // corpus count on its own — this row proves the 1000× tier
+        // takes the scaled path with no caller involvement (its time
+        // should track mm_dhash_probed_raw, not mm_dhash_raw)
         graft.operators.Multimodal.dHashNearDupPairs(
           graft.operators.Multimodal.attachMedia(docs), maxHamming = 6,
           maxBucketSize = Some(256)).count() },

@@ -1101,21 +1101,21 @@ object SparkEntry {
         s, s"$dir/events.parquet",
         blockStep = fifthOfHead(s, s"$dir/events.parquet") * 2,
         confirmations = 0L)
-      graft.streaming.StateBackend.useRocksDb(s)
-      try runStreamingGate(s, "a1_dist_gate",
-        graft.streaming.StreamOps.distributedOrderedReducer[(Long, Long)](
-          stream,
-          (block, events) => {
-            var n = 0L
-            var i = 0
-            while (i + 1 < events.size) {
-              if (events(i).event_type == "view" &&
-                events(i + 1).event_type == "click") n += 1
-              i += 1
-            }
-            if (n > 0) Some((block, n)) else None
-          }).toDF("block_number", "n_matches"))
-      finally graft.streaming.StateBackend.useDefault(s)
+      graft.streaming.StateBackend.withRocksDb(s) {
+        runStreamingGate(s, "a1_dist_gate",
+          graft.streaming.StreamOps.distributedOrderedReducer[(Long, Long)](
+            stream,
+            (block, events) => {
+              var n = 0L
+              var i = 0
+              while (i + 1 < events.size) {
+                if (events(i).event_type == "view" &&
+                  events(i + 1).event_type == "click") n += 1
+                i += 1
+              }
+              if (n > 0) Some((block, n)) else None
+            }).toDF("block_number", "n_matches"))
+      }
     }),
 
     // A1 as a typed distributed Aggregator (SURVEY §2.5): the netflow
@@ -2550,6 +2550,44 @@ object SparkEntry {
           docs.select(col("doc_id"), col("text")).unionByName(dups)),
         maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
         maxBucketSize = Some(256))
+    }),
+
+    // SELF-SIZING layout gate (round-14): `bands = 0` — now the
+    // operator DEFAULT — resolves the band layout from the corpus size
+    // (autoNlist's `nlist = 0` convention), so a caller pointing the
+    // defaults at 5M images takes the scaled 2×32+probe key space
+    // instead of silently re-entering the measured fixed-2^16
+    // quadratic. Pinned on BOTH sides of the 1M crossover: below it
+    // auto must equal the explicit (4,16,0) pair set (resolved from
+    // the actual fixture count); above it (forced via nHint, the
+    // skip-the-count path) auto must equal explicit (2,32,1). The
+    // pair rows themselves replay relationally as the 4×16 set.
+    "mm_dhash_auto" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val media = Multimodal.attachMedia(
+        docs.select(col("doc_id"), col("text")).unionByName(dups))
+      def run(bands: Int, bandBits: Int, probeRadius: Int, nHint: Long) =
+        graft.CacheScope.persist(Multimodal.dHashNearDupPairs(media,
+          maxHamming = 6, bands = bands, bandBits = bandBits,
+          probeRadius = probeRadius, maxBucketSize = Some(256),
+          nHint = nHint))
+      val auto = run(0, 16, 0, -1L)          // fixture count < 1M → (4,16,0)
+      val expl = run(4, 16, 0, -1L)
+      val autoScaled = run(0, 16, 0, 2000000L) // hinted past 1M → (2,32,1)
+      val explScaled = run(2, 32, 1, -1L)
+      def setsEqual(a: DataFrame, b: DataFrame) =
+        a.unionByName(b).groupBy("d1", "d2", "hamming")
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(min(col("n") === 2), lit(true)))
+      auto.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(setsEqual(auto, expl)
+          .toDF("small_auto_equals_explicit")))
+        .crossJoin(broadcast(setsEqual(autoScaled, explScaled)
+          .toDF("scaled_auto_equals_explicit")))
     }),
 
     // The REAL-decoder member of the multimodal dedup family (round-13
@@ -4989,6 +5027,52 @@ object SparkEntry {
                AS BIGINT) AS hamming
            FROM cand)
          SELECT d1, d2, hamming FROM scored WHERE hamming <= 6""",
+
+    // the self-sizing gate: the pair count replays the 4×16 layout
+    // relationally (bands=0 at fixture scale resolves to it); the two
+    // equality verdicts — auto == explicit below AND above the 1M
+    // crossover — are in-plan pair-set comparisons
+    "mm_dhash_auto" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         img AS (
+           SELECT doc_id, lower(sha256(text)) AS h FROM base
+           WHERE doc_id % 3 = 0),
+         hash AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM img),
+         banded AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash, unnest(range(4)) AS t(b)),
+         capped AS (
+           SELECT doc_id, bl, band_idx, band_key FROM (
+             SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bn
+             FROM banded)
+           WHERE bn <= 256),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.bl AS bl1, b.bl AS bl2
+           FROM capped a JOIN capped b
+             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT d1, d2,
+             CAST(bit_count(xor(bl1[1], bl2[1])) + bit_count(xor(bl1[2], bl2[2]))
+               + bit_count(xor(bl1[3], bl2[3])) + bit_count(xor(bl1[4], bl2[4]))
+               AS BIGINT) AS hamming
+           FROM cand)
+         SELECT count(*) AS n_pairs,
+           true AS small_auto_equals_explicit,
+           true AS scaled_auto_equals_explicit
+         FROM scored WHERE hamming <= 6""",
 
     // the decoded-pixel gate: the PPM decode isn't SQL-replayable, so
     // the oracle pins the relational half (image count, identity pairs

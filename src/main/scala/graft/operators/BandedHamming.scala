@@ -40,6 +40,43 @@ private[graft] object BandedHamming {
   def autoLayout(n: Long): (Int, Int, Int) =
     if (n >= ScaledLayoutMinDocs) (2, 32, 1) else (4, 16, 0)
 
+  /** Resolve a caller layout: `bands == 0` — the operator DEFAULT since
+    * round 14 — means "size from the corpus": [[autoLayout]] of `n`
+    * (evaluated lazily, so explicit layouts never pay the count). This
+    * is [[Similarity.autoNlist]]'s `nlist = 0` convention: the scale
+    * fix must not depend on the caller remembering it — a user pointing
+    * the defaults at 5M images gets the scaled key space, not the
+    * measured fixed-2^16 quadratic. Explicit `bands > 0` passes
+    * through untouched (gate queries pin explicit layouts).
+    */
+  def resolveLayout(bands: Int, bandBits: Int, probeRadius: Int,
+      n: => Long): (Int, Int, Int) =
+    if (bands == 0) autoLayout(n)
+    else {
+      require(bands * bandBits == 64,
+        s"bands x bandBits must cover the 64-bit hash, got $bands x $bandBits")
+      (bands, bandBits, probeRadius)
+    }
+
+  /** Derive the layout a PERSISTED band index was built with — the
+    * incremental path's auto-sizing: band keys are layout-specific, so
+    * an arriving shard must hash under the INDEX's layout, not the
+    * corpus-count one. `bands` is the stored full-hash array's length
+    * (one-row peek, bounded); `probeRadius` follows the [[autoLayout]]
+    * convention for that width (32-bit keys probe at radius 1). Loud
+    * on an empty index — there is nothing to derive from.
+    */
+  def layoutOfIndex(index: DataFrame): (Int, Int, Int) = {
+    val head = index.select(size(col("bands")).as("n")).head(1)
+    require(head.nonEmpty,
+      "cannot derive a band layout from an EMPTY index — pass bands explicitly")
+    val bands = head(0).getInt(0)
+    require(bands > 0 && 64 % bands == 0,
+      s"index stores a $bands-band hash; 64 bits must split evenly")
+    val bandBits = 64 / bands
+    (bands, bandBits, if (bandBits >= 32) 1 else 0)
+  }
+
   /** Band rows for a single-`LONG` 64-bit hash column: one row per
     * `(doc_id, full-hash array, band_idx, band_key)` — band `b` is
     * bits `[b·bandBits, (b+1)·bandBits)`, little-endian, matching the
@@ -118,11 +155,13 @@ private[graft] object BandedHamming {
     * [[pairJoin]] recompute over (old ∪ new) restricted to pairs
     * touching the shard — same verify, same cap semantics (occupancy
     * counted over the UNION, so the cap is stable as shards
-    * accumulate; capping the left side alone suffices — a dropped
-    * bucket's new-side rows find no left match). `probeRadius`
-    * explodes the ball on the NEW side only (the smaller one).
-    * Sides must be id-disjoint ([[Dedup.incrementalNearDupPairs]]'
-    * contract).
+    * accumulate; the PROBE side derives from the capped union
+    * restricted to new ids, exactly as [[pairJoin]] probes from capped
+    * rows — a new row in a capped-out bucket must not probe NEIGHBOR
+    * buckets the full recompute would never reach from it).
+    * `probeRadius` explodes the ball on the NEW side only (the
+    * smaller one). Sides must be id-disjoint
+    * ([[Dedup.incrementalNearDupPairs]]' contract).
     */
   def incrementalPairJoin(index: DataFrame, newRows: DataFrame,
       maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
@@ -133,13 +172,25 @@ private[graft] object BandedHamming {
       s"probeRadius must be 0..2, got $probeRadius")
     val cols = Seq("doc_id", "bands", "band_idx", "band_key").map(col)
     val newSide = storage.fold(newRows)(graft.CacheScope.persist(newRows, _))
-    val all0 = index.select(cols: _*)
-      .unionByName(newSide.select(cols: _*))
+    // the new-side tag rides THROUGH the cap (ids are disjoint by
+    // contract, so the flag is equivalent to an id-set membership test
+    // without the extra join) — the capped union then serves both the
+    // left join side and the probe base
+    val all0 = index.select(cols: _*).withColumn("__is_new", lit(false))
+      .unionByName(
+        newSide.select(cols: _*).withColumn("__is_new", lit(true)))
     val all1 = maxBucketSize.fold(all0)(Dedup.capBandBuckets(all0, _))
-    val all = storage.fold(all1)(graft.CacheScope.persist(all1, _))
+    val allTagged = storage.fold(all1)(graft.CacheScope.persist(all1, _))
+    val all = allTagged.drop("__is_new")
+    // radius 0 probes exact keys only: a capped-out bucket has no left
+    // rows either, so the uncapped newSide is equivalent AND skips the
+    // tag filter; radius > 0 must probe from CAPPED new rows
+    val probeBase =
+      if (maxBucketSize.isEmpty || probeRadius == 0) newSide
+      else allTagged.filter(col("__is_new")).drop("__is_new")
     val probed =
-      if (probeRadius == 0) newSide
-      else newSide.select(col("doc_id"), col("bands"), col("band_idx"),
+      if (probeRadius == 0) probeBase
+      else probeBase.select(col("doc_id"), col("bands"), col("band_idx"),
         explode(array(ballMasks(bandBits, probeRadius).map(m =>
           col("band_key").bitwiseXOR(lit(m))): _*)).as("band_key"))
     val hamming = (0 until bands)

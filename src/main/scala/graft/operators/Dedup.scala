@@ -792,26 +792,30 @@ object Dedup {
     * verified result set is layout-INDEPENDENT for `maxDist ≤ 3`.
     * Layout choice is pure cost: the fixed 16-bit key space goes
     * coincidentally quadratic past ~1M docs (the measured
-    * `mm_dhash_raw` bend — [[BandedHamming]] scaladoc); use
-    * [[BandedHamming.autoLayout]] of the corpus size, and
-    * `maxBucketSize` ([[capBandBuckets]]) for degenerate strata —
-    * the cap trades completeness on mega-buckets for boundedness,
-    * exactly as in [[minHashLshPairs]].
+    * `mm_dhash_raw` bend — [[BandedHamming]] scaladoc), so the DEFAULT
+    * `bands = 0` is SELF-SIZING — [[BandedHamming.autoLayout]] of a
+    * cheap corpus count (or `nHint`, when the caller already knows
+    * the size) picks the scaled 2×32+probe layout past 1M docs with
+    * no caller hint; explicit `bands > 0` pins a layout (the gate
+    * queries' convention). Use `maxBucketSize` ([[capBandBuckets]])
+    * for degenerate strata — the cap trades completeness on
+    * mega-buckets for boundedness, exactly as in [[minHashLshPairs]].
     */
   def simHashPairs(df: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      bands: Int = 4, bandBits: Int = 16, probeRadius: Int = 0,
-      maxBucketSize: Option[Int] = None): DataFrame = {
-    require(maxDist <= bands * (probeRadius + 1) - 1,
-      s"($bands x $bandBits, probe $probeRadius) banding is complete " +
-        s"only for maxDist <= ${bands * (probeRadius + 1) - 1}, " +
-        s"got $maxDist")
+      bands: Int = 0, bandBits: Int = 16, probeRadius: Int = 0,
+      maxBucketSize: Option[Int] = None, nHint: Long = -1L): DataFrame = {
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius, if (nHint >= 0) nHint else df.count())
+    require(maxDist <= b * (pr + 1) - 1,
+      s"($b x $bb, probe $pr) banding is complete " +
+        s"only for maxDist <= ${b * (pr + 1) - 1}, got $maxDist")
     val hashed = simHash64(df, textCol, idCol)
     BandedHamming.pairJoin(
-      BandedHamming.bandRows(hashed, "simhash", bands, bandBits),
-      maxDist, bands, bandBits, probeRadius, maxBucketSize, storage)
+      BandedHamming.bandRows(hashed, "simhash", b, bb),
+      maxDist, b, bb, pr, maxBucketSize, storage)
       .withColumn("hamming", col("hamming").cast("int"))
   }
 

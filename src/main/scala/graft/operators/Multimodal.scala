@@ -168,19 +168,27 @@ object Multimodal {
     * byte-sequence member for opaque (non-raster) payloads, and both
     * share [[bandPairJoin]] verbatim.
     *
-    * SCALE: size `(bands, bandBits, probeRadius)` with
-    * [[autoBandLayout]] of the image count — the default 4×16 layout's
-    * fixed 2^16 key space goes coincidentally quadratic past ~1M
-    * images (measured; [[BandedHamming]] scaladoc).
+    * SCALE: the DEFAULT `bands = 0` is SELF-SIZING — the layout
+    * resolves from a cheap image count (or `nHint`, to skip the count
+    * job when the caller already knows the size) via
+    * [[autoBandLayout]], so pointing the defaults at 5M images takes
+    * the scaled 2×32+probe key space instead of silently re-entering
+    * the fixed-2^16 quadratic measured at the 1000× tier
+    * ([[BandedHamming]] scaladoc). Explicit `bands > 0` pins a layout
+    * (the gate queries' convention).
     */
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 6,
-      bands: Int = 4, bandBits: Int = 16, headerLen: Int = 3,
+      bands: Int = 0, bandBits: Int = 16, headerLen: Int = 3,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      probeRadius: Int = 0): DataFrame =
-    bandPairJoin(dHashBandRows(media, bands, bandBits, headerLen),
-      maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
+      probeRadius: Int = 0, nHint: Long = -1L): DataFrame = {
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint else media.filter(col("kind") === "image").count())
+    bandPairJoin(dHashBandRows(media, b, bb, headerLen),
+      maxHamming, b, bb, pr, maxBucketSize, storage)
+  }
 
   /** [[dHashBandRows]] with the REAL decoder: the payload is parsed as
     * a binary PPM (P6) image, decoded → integer luma → 9×8 box resize
@@ -206,15 +214,21 @@ object Multimodal {
     * Hamming distance on the resized luma grid) pair up, not merely
     * byte-identical ones. Identical plan shape and occupancy guard as
     * the byte-sequence variant — the kernel is the only difference.
+    * `bands = 0` (default) self-sizes the layout as in
+    * [[dHashNearDupPairs]].
     */
   def dHashImageNearDupPairs(media: DataFrame, maxHamming: Int = 6,
-      bands: Int = 4, bandBits: Int = 16,
+      bands: Int = 0, bandBits: Int = 16,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      probeRadius: Int = 0): DataFrame =
-    bandPairJoin(dHashImageBandRows(media, bands, bandBits),
-      maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
+      probeRadius: Int = 0, nHint: Long = -1L): DataFrame = {
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint else media.filter(col("kind") === "image").count())
+    bandPairJoin(dHashImageBandRows(media, b, bb),
+      maxHamming, b, bb, pr, maxBucketSize, storage)
+  }
 
   /** Corpus-size-scaled band layout `(bands, bandBits, probeRadius)`
     * for the 64-bit dHash join. The default `(4, 16, 0)` layout's
@@ -256,23 +270,30 @@ object Multimodal {
     * re-decoded, re-hashed, or re-read beyond the narrow index rows.
     * Result EQUALS the full [[dHashNearDupPairs]] recompute over
     * (old ∪ new) restricted to pairs touching the shard; sides must
-    * be id-disjoint. Layout/probing knobs as in [[autoBandLayout]];
-    * `decodePixels = true` hashes the shard through the REAL PPM
-    * decoder kernel ([[dHashImageBandRows]]) instead of the
-    * byte-gradient one — the index must have been built with the same
-    * kernel (band keys are kernel-specific).
+    * be id-disjoint. `bands = 0` (default) derives the layout FROM THE
+    * INDEX ([[BandedHamming.layoutOfIndex]] — band keys are
+    * layout-specific, so the shard must hash under whatever layout the
+    * index was built with, not the corpus-count one); `decodePixels =
+    * true` hashes the shard through the REAL PPM decoder kernel
+    * ([[dHashImageBandRows]]) instead of the byte-gradient one — the
+    * index must have been built with the same kernel (band keys are
+    * kernel-specific).
     */
   def dHashIncrementalPairs(newMedia: DataFrame, index: DataFrame,
-      maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
       headerLen: Int = 3, probeRadius: Int = 0,
       maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      decodePixels: Boolean = false): DataFrame =
+      decodePixels: Boolean = false): DataFrame = {
+    val (b, bb, pr) =
+      if (bands == 0) BandedHamming.layoutOfIndex(index)
+      else BandedHamming.resolveLayout(bands, bandBits, probeRadius, 0L)
     BandedHamming.incrementalPairJoin(index,
-      if (decodePixels) dHashImageBandRows(newMedia, bands, bandBits)
-      else dHashBandRows(newMedia, bands, bandBits, headerLen),
-      maxHamming, bands, bandBits, probeRadius, maxBucketSize, storage)
+      if (decodePixels) dHashImageBandRows(newMedia, b, bb)
+      else dHashBandRows(newMedia, b, bb, headerLen),
+      maxHamming, b, bb, pr, maxBucketSize, storage)
+  }
 
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
     * also carrying [[Dedup.simHashPairs]]): banded self-join over

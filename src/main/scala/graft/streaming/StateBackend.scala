@@ -59,9 +59,35 @@ object StateBackend {
     spark.conf.set(ChangelogKey, changelogCheckpointing.toString)
   }
 
-  /** Restore the heap-backed default (fixture/test scale). */
+  /** Restore the heap-backed default (fixture/test scale). NOTE: this
+    * restores Spark's FACTORY default, not whatever the session had
+    * before [[useRocksDb]] — a session that deliberately configured a
+    * custom provider should scope the switch with [[withRocksDb]],
+    * which captures and restores the prior conf values.
+    */
   def useDefault(spark: SparkSession): Unit = {
     spark.conf.set(ProviderKey, DefaultProvider)
     spark.conf.unset(ChangelogKey)
+  }
+
+  /** Run `body` with every stateful query STARTED inside it using the
+    * RocksDB backend, then restore the session's PRIOR provider conf —
+    * set back if it was set (including a custom third-party provider),
+    * unset if it was unset. The scoped form every gate/test should use:
+    * a bare [[useRocksDb]]/[[useDefault]] pair stomps a deliberately
+    * customized session.
+    */
+  def withRocksDb[T](spark: SparkSession,
+      changelogCheckpointing: Boolean = true)(body: => T): T = {
+    val priorProvider = spark.conf.getOption(ProviderKey)
+    val priorChangelog = spark.conf.getOption(ChangelogKey)
+    useRocksDb(spark, changelogCheckpointing)
+    try body
+    finally {
+      priorProvider.fold(spark.conf.unset(ProviderKey))(
+        spark.conf.set(ProviderKey, _))
+      priorChangelog.fold(spark.conf.unset(ChangelogKey))(
+        spark.conf.set(ChangelogKey, _))
+    }
   }
 }

@@ -516,18 +516,26 @@ object StreamOps {
     */
   def dHashIngestStream(mediaStream: DataFrame, baseIndexDir: String,
       appendDir: String, pairsDir: String, checkpoint: String,
-      maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
       headerLen: Int = 3, probeRadius: Int = 0,
       maxBucketSize: Option[Int] = None,
       compactEvery: Option[Int] = None,
       decodePixels: Boolean = false): StreamingQuery = {
     val baseIndex = mediaStream.sparkSession.read.parquet(baseIndexDir)
       .select("doc_id", "bands", "band_idx", "band_key")
+    // bands = 0 (default): the layout is the BASE INDEX's — band keys
+    // are layout-specific, so arriving batches must hash under the
+    // layout the index was built with (the incremental path's
+    // self-sizing, resolved ONCE at stream start)
+    val (b, bb, pr) =
+      if (bands == 0) graft.operators.BandedHamming.layoutOfIndex(baseIndex)
+      else graft.operators.BandedHamming.resolveLayout(bands, bandBits,
+        probeRadius, 0L)
     bandIngestStream(mediaStream, baseIndex, DHashIndexCols, appendDir,
       pairsDir, checkpoint, compactEvery,
-      dHashRowsOf(bands, bandBits, headerLen, decodePixels),
+      dHashRowsOf(b, bb, headerLen, decodePixels),
       graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
-        bands, bandBits, probeRadius, maxBucketSize, storage = None))
+        b, bb, pr, maxBucketSize, storage = None))
   }
 
   private def dHashRowsOf(bands: Int, bandBits: Int, headerLen: Int,
@@ -619,17 +627,22 @@ object StreamOps {
     */
   def dHashIngestEpoch(batch: DataFrame, baseIndexDir: String,
       appendDir: String, pairsDir: String, id: Long,
-      maxHamming: Int = 6, bands: Int = 4, bandBits: Int = 16,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
       headerLen: Int = 3, probeRadius: Int = 0,
       maxBucketSize: Option[Int] = None,
-      decodePixels: Boolean = false): Unit =
-    bandIngestEpoch(batch,
-      batch.sparkSession.read.parquet(baseIndexDir)
-        .select("doc_id", "bands", "band_idx", "band_key"),
+      decodePixels: Boolean = false): Unit = {
+    val baseIndex = batch.sparkSession.read.parquet(baseIndexDir)
+      .select("doc_id", "bands", "band_idx", "band_key")
+    val (b, bb, pr) =
+      if (bands == 0) graft.operators.BandedHamming.layoutOfIndex(baseIndex)
+      else graft.operators.BandedHamming.resolveLayout(bands, bandBits,
+        probeRadius, 0L)
+    bandIngestEpoch(batch, baseIndex,
       DHashIndexCols, appendDir, pairsDir, id,
-      dHashRowsOf(bands, bandBits, headerLen, decodePixels),
+      dHashRowsOf(b, bb, headerLen, decodePixels),
       graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
-        bands, bandBits, probeRadius, maxBucketSize, storage = None))
+        b, bb, pr, maxBucketSize, storage = None))
+  }
 
   /** One epoch of either band-index ingest: both writes are per-epoch
     * dynamic-partition OVERWRITES (the [[BlockSink.writeBatch]]

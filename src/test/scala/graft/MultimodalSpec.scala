@@ -353,6 +353,92 @@ class MultimodalSpec extends AnyFunSuite {
       s"visually-near shard image must pair with the old original: $inc")
   }
 
+  test("dHashIncrementalPairs: cap + probe together — a new row in a " +
+    "capped-out bucket must not probe neighbor buckets (equality with " +
+    "the full recompute holds)") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    // boilerplate stratum: 5 old copies of `base` + 1 new copy → a
+    // 6-row bucket in both 32-bit bands, over cap 4, so the WHOLE
+    // bucket drops. Under the pre-fix probe (from the uncapped shard)
+    // the new copy still probed 32 neighbor keys per band and could
+    // reach `neighbor` (per-band distance 1 from base); the capped
+    // recompute never forms that pair from the dropped bucket — but
+    // DOES find it via neighbor's own (capped, small) bucket probing
+    // back. Equality of the two is the contract under drill.
+    val base = "ab" * 32
+    val neighbor = "cb" + "ab" * 31 // per-band dist 1 from base (2x32)
+    val old = media((1L to 5L).map(i => i -> base) :+ (8L -> neighbor))
+    val shard = media(Seq(10L -> base))
+    val inc = Multimodal.dHashIncrementalPairs(shard,
+      Multimodal.dHashBandRows(old, bands = 2, bandBits = 32),
+      maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
+      maxBucketSize = Some(4))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Multimodal.dHashNearDupPairs(old.unionByName(shard),
+      maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
+      maxBucketSize = Some(4))
+      .as[(Long, Long, Long)].collect().toSet
+    val newIds = Set(10L)
+    assert(inc == full.filter(p => newIds(p._1) || newIds(p._2)),
+      s"cap+probe incremental $inc != restricted full recompute " +
+        s"${full.filter(p => newIds(p._1) || newIds(p._2))}")
+    // the drill is only meaningful if the capped-out bucket actually
+    // suppressed the base-base pairs
+    assert(!inc.exists(p => (p._1, p._2) == ((1L, 10L))),
+      "capped-out bucket leaked an identity pair — cap did not engage")
+  }
+
+  test("self-sizing layout: bands=0 default equals explicit on both " +
+    "sides of the 1M crossover; layoutOfIndex derives the index layout") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val b = "0123456789abcdef" * 4
+    val near = b.substring(0, 40) + "f" + b.substring(41)
+    val far = "fedcba9876543210" * 4
+    val m = media(Seq(1L -> b, 2L -> b, 3L -> near, 4L -> far))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    // below the crossover: the default (bands=0, real count) must
+    // EQUAL explicit (4,16,0)
+    assert(collect(Multimodal.dHashNearDupPairs(m, maxHamming = 6)) ==
+      collect(Multimodal.dHashNearDupPairs(m, maxHamming = 6,
+        bands = 4, bandBits = 16)))
+    // above it (forced via nHint — the skip-the-count path): must
+    // EQUAL explicit (2,32,1)
+    assert(collect(Multimodal.dHashNearDupPairs(m, maxHamming = 6,
+        nHint = graft.operators.BandedHamming.ScaledLayoutMinDocs)) ==
+      collect(Multimodal.dHashNearDupPairs(m, maxHamming = 6,
+        bands = 2, bandBits = 32, probeRadius = 1)))
+    // simHashPairs carries the same convention
+    val docs2 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon")).toDF("doc_id", "text")
+    assert(collect(graft.operators.Dedup.simHashPairs(docs2, maxDist = 3)
+        .select($"d1", $"d2", $"hamming".cast("bigint"))) ==
+      collect(graft.operators.Dedup.simHashPairs(docs2, maxDist = 3,
+        nHint = graft.operators.BandedHamming.ScaledLayoutMinDocs)
+        .select($"d1", $"d2", $"hamming".cast("bigint"))))
+    // incremental bands=0 derives the layout FROM THE INDEX — a 2-band
+    // index must make the shard hash under (2,32) with radius-1 probing
+    // (the twist pair is only reachable by probing)
+    val oldT = media(Seq(1L -> ("ab" * 32)))
+    val shardT = media(Seq(2L -> ("cb" + "ab" * 31)))
+    val viaIndex = Multimodal.dHashIncrementalPairs(shardT,
+      Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32),
+      maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaIndex == Seq((1L, 2L, 2L)),
+      s"bands=0 must derive (2,32,1) from the 2-band index: $viaIndex")
+    // loud on an empty index — nothing to derive from
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.dHashIncrementalPairs(shardT,
+        Multimodal.dHashBandRows(media(Nil)), maxHamming = 6)
+    }
+    assert(err.getMessage.contains("EMPTY index"))
+  }
+
   test("attachPpmImages: payloads are real decodable PPMs; equality " +
     "tracks text equality") {
     val d = Seq((0L, "alpha"), (3L, "beta"), (6L, "alpha"), (7L, "skip"))

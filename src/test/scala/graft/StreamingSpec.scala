@@ -988,10 +988,20 @@ class StreamingSpec extends AnyFunSuite {
     val defCkpt = tmp()
     val viaDefault = run(defCkpt, "sb_default")
     val rockCkpt = tmp()
-    graft.streaming.StateBackend.useRocksDb(spark)
+    // scoped switch: withRocksDb must restore the PRIOR conf, not the
+    // factory default — pinned by the custom-provider drill below
+    val customProvider = "graft.test.NonexistentStateStoreProvider"
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", customProvider)
     val viaRocks =
-      try run(rockCkpt, "sb_rocksdb")
-      finally graft.streaming.StateBackend.useDefault(spark)
+      try graft.streaming.StateBackend.withRocksDb(spark) {
+        run(rockCkpt, "sb_rocksdb")
+      } finally {
+        assert(spark.conf.get(
+          "spark.sql.streaming.stateStore.providerClass") == customProvider,
+          "withRocksDb stomped a deliberately-configured provider")
+        graft.streaming.StateBackend.useDefault(spark)
+      }
     assert(viaRocks.nonEmpty, "vacuous fixture: no pattern matches")
     assert(viaRocks == viaDefault,
       "state backend changed the fold's results")
