@@ -1015,6 +1015,78 @@ class StreamingSpec extends AnyFunSuite {
       "control run did not use the heap provider")
   }
 
+  test("RocksDB parity sweep: every stateful family is provider-" +
+    "independent (dedup, sessionize, evicting window, interval join, " +
+    "netflow, frontier sync), each with RocksDB artifacts") {
+    // VERDICT r13 #3: the reducer test above pins one operator; this
+    // sweep runs EVERY stateful family once per provider and asserts
+    // (a) identical drained results and (b) the RocksDB checkpoint
+    // actually carries RocksDB artifacts — so a provider-dependent
+    // behavior delta in any family fails loudly here
+    def stream(step: Long) = StreamOps.readBlockStream(spark, path,
+      blockStep = step, confirmations = 0L)
+    def intervalSide(t: String) = stream(20L)
+      .filter($"event_type" === t)
+      .select($"event_id", $"user_id", $"block_number")
+    val families: Seq[(String, () => org.apache.spark.sql.DataFrame,
+        OutputMode)] = Seq(
+      ("evict_window", () =>
+        StreamOps.tumblingWindowStreamEvicting(stream(25L), 0L, 10L)
+          .withColumn("sum_value", $"sum_value".cast("string")),
+        OutputMode.Append()),
+      ("sessionize", () =>
+        StreamOps.sessionizeStreamEvicting(stream(25L), gapBlocks = 5L),
+        OutputMode.Append()),
+      ("dedup", () =>
+        StreamOps.dedupStream(stream(20L), Seq("event_type"),
+          withinBlocks = 5L).select($"event_type", $"block_number"),
+        OutputMode.Append()),
+      ("interval_join", () =>
+        StreamOps.intervalJoinStream(intervalSide("purchase"),
+          intervalSide("click"), lowerBlocks = 5L, upperBlocks = 5L)
+          .select($"event_id", $"r_event_id"),
+        OutputMode.Append()),
+      ("netflow", () =>
+        StreamOps.statefulNetflow(stream(25L), "purchase", "click")
+          .toDF("user_id", "netflow")
+          .select($"user_id", $"netflow".cast("string")),
+        OutputMode.Update()),
+      ("frontier_sync", () =>
+        StreamOps.flushIncludingSyncedStream(
+          Seq("purchase" -> stream(30L), "click" -> stream(45L))),
+        OutputMode.Append()))
+    def drained(name: String, df: org.apache.spark.sql.DataFrame,
+        mode: OutputMode, ckpt: String): Seq[String] = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(_.toString).sorted.toSeq
+    }
+    def stateFilesOf(ckpt: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$ckpt/state")).map(_.getName)
+    }
+    families.foreach { case (fam, mk, mode) =>
+      val viaDefault = drained(s"sw_${fam}_d", mk(), mode, tmp())
+      val rockCkpt = tmp()
+      val viaRocks = graft.streaming.StateBackend.withRocksDb(spark) {
+        drained(s"sw_${fam}_r", mk(), mode, rockCkpt)
+      }
+      assert(viaDefault.nonEmpty, s"$fam: vacuous fixture — nothing drained")
+      assert(viaRocks == viaDefault,
+        s"$fam: results changed under the RocksDB provider — " +
+          s"default=${viaDefault.size} rows, rocksdb=${viaRocks.size} rows")
+      val rf = stateFilesOf(rockCkpt)
+      assert(rf.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+        s"$fam: no RocksDB artifacts in $rockCkpt/state — provider " +
+          "did not engage")
+      assert(!rf.exists(_.endsWith(".delta")),
+        s"$fam: heap-provider delta files in the RocksDB checkpoint")
+    }
+  }
+
   test("synced flush never emits past the slower source's frontier (J1 stream)") {
     // two INDEPENDENT replay streams at different rates: the purchase leg
     // crawls (~8 batches), the click leg drains in one — emission must
