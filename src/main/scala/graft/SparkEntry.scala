@@ -2635,6 +2635,109 @@ object SparkEntry {
           col("n_undecoded"), col("all_identity_found"))
     }),
 
+    // REAL resize transcode (round-14, closes the mm_resize
+    // metadata-only seam): decode the fixture PPMs (12×10), integer
+    // box-resize to 6×5 per RGB channel, re-encode canonical P6 — all
+    // integer arithmetic, so the oracle replays the resize BYTE FOR
+    // BYTE from the sha pixel recipe and compares the hex payloads.
+    "mm_resize_transcode" -> ((s, dir) =>
+      Multimodal.resizePpm(
+          Multimodal.attachPpmImages(table(s, dir, "documents")), 6, 5)
+        .select(col("doc_id"),
+          lower(hex(col("payload"))).as("resized_hex"))),
+
+    // REAL audio near-dup (round-14): fixture payloads are ACTUAL
+    // binary PCM WAVs (attachWavAudio — RIFF header + sha-derived
+    // 8-bit samples, payload equality ⇔ text equality), fingerprinted
+    // by the pure-JVM WAV parse → windowed energy/ZCR kernel, paired
+    // through the SAME shared BandedHamming core as image dHash. The
+    // parse isn't SQL-replayable, so the gate is mm_dhash_decoded's
+    // shape: relational half (audio count, identity pairs from text
+    // equality) + in-plan verdicts (every payload parses; every
+    // byte-identical pair recovered at hamming 0).
+    "mm_audio_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val media = graft.CacheScope.persist(Multimodal.attachWavAudio(base))
+      val pairs = Multimodal.audioNearDupPairs(media,
+        maxHamming = 6, maxBucketSize = Some(1024))
+      val auds = graft.CacheScope.persist(
+        base.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), sha2(col("text"), 256).as("tkey")))
+      val ident = auds.as("a")
+        .join(auds.as("b"), col("a.tkey") === col("b.tkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      ident.join(pairs, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          coalesce(min(when(col("hamming") === 0, lit(1)).otherwise(lit(0)))
+            === 1, lit(true)).as("all_identity_found"))
+        .crossJoin(broadcast(auds.agg(count(lit(1)).as("n_audio"))))
+        .crossJoin(broadcast(media.select(
+          count(when(graft.functions.vec
+            .wavFingerprint64(col("payload")).isNull, lit(1)))
+            .as("n_undecoded"))))
+        .select(col("n_audio"), col("n_identity_pairs"),
+          col("n_undecoded"), col("all_identity_found"))
+    }),
+
+    // DECODED frame sampling (round-14, closes the offsets-only
+    // mm_frames seam): the fixture videos are 4 concatenated PPM
+    // frames; the kernel must parse every frame boundary and hash each
+    // sampled frame — the oracle pins that every video yields exactly
+    // its 4 frame indices (a torn parse yields none, the null-drop).
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.sampleFrameHashes(
+          Multimodal.attachPpmVideo(table(s, dir, "documents")))
+        .select(col("doc_id"), col("frame_idx"))),
+
+    // REAL video near-dup (round-14): videos pair by SHARED DECODED
+    // FRAME HASHES (exact-key self-join on the 64-bit frame dHash,
+    // occupancy-capped) — identical texts ⇒ identical payloads ⇒ full
+    // frame overlap. Gate: relational half (video count, identity
+    // pairs) + in-plan verdicts (every payload decodes; every identity
+    // pair shares ALL of its distinct frame hashes).
+    "mm_video_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val media = graft.CacheScope.persist(Multimodal.attachPpmVideo(base))
+      val pairs = Multimodal.videoNearDupPairs(media,
+        minSharedFrames = 1, maxBucketSize = Some(1024))
+      val vids = graft.CacheScope.persist(
+        base.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), sha2(col("text"), 256).as("tkey")))
+      val ident = vids.as("a")
+        .join(vids.as("b"), col("a.tkey") === col("b.tkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val frameCounts = Multimodal.sampleFrameHashes(media)
+        .groupBy(col("doc_id").as("d1"))
+        .agg(countDistinct(col("frame_hash")).as("nf"))
+      ident.join(pairs, Seq("d1", "d2"), "left")
+        .join(frameCounts, Seq("d1"))
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          // an identity pair must share EVERY distinct frame hash of
+          // its video; vacuous-empty reads true
+          coalesce(min(when(col("shared_frames") === col("nf"), lit(1))
+            .otherwise(lit(0))) === 1, lit(true))
+            .as("all_identity_full_overlap"))
+        .crossJoin(broadcast(vids.agg(count(lit(1)).as("n_videos"))))
+        .crossJoin(broadcast(media.select(
+          count(when(graft.functions.vec
+            .ppmFrameDHashes(col("payload"), 8).isNull, lit(1)))
+            .as("n_undecoded"))))
+        .select(col("n_videos"), col("n_identity_pairs"),
+          col("n_undecoded"), col("all_identity_full_overlap"))
+    }),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -5094,6 +5197,89 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found""",
+
+    // BYTE-EXACT resize replay: the fixture pixels are sha chunks of
+    // the text (attachPpmImages), so the oracle recomputes every input
+    // byte from hex, folds each 2×2 source box to its integer mean
+    // (every input byte maps to exactly one output byte: 12→6, 10→5),
+    // and re-assembles the canonical P6 hex — compared byte for byte
+    // against the kernel's output
+    "mm_resize_transcode" ->
+      """WITH img AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         b AS (
+           SELECT doc_id,
+             substr(sha256(text||'#px0')||sha256(text||'#px1')
+               ||sha256(text||'#px2')||sha256(text||'#px3')
+               ||sha256(text||'#px4')||sha256(text||'#px5')
+               ||sha256(text||'#px6')||sha256(text||'#px7')
+               ||sha256(text||'#px8')||sha256(text||'#px9')
+               ||sha256(text||'#px10')||sha256(text||'#px11'), 1, 720)
+               AS bh
+           FROM img),
+         vals AS (
+           SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(bh, 2*i+1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(bh, 2*i+2, 1))-1) AS v
+           FROM b, unnest(range(360)) AS t(i)),
+         outb AS (
+           SELECT doc_id,
+             (((i//3)//12//2)*6 + (((i//3)%12)//2))*3 + (i%3) AS k,
+             sum(v) // 4 AS val
+           FROM vals GROUP BY doc_id, k),
+         hexes AS (
+           SELECT doc_id,
+             string_agg(lpad(lower(to_hex(val)), 2, '0'), '' ORDER BY k)
+               AS body
+           FROM outb GROUP BY doc_id)
+         SELECT doc_id, '50360a3620350a3235350a' || body AS resized_hex
+         FROM hexes""",
+
+    // the audio gate (mm_dhash_decoded's shape): the WAV parse isn't
+    // SQL-replayable, so the oracle pins the relational half (audio
+    // count, identity pairs from text equality — payload equality by
+    // the attachWavAudio construction) and the in-plan verdicts
+    "mm_audio_neardup" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 1 AND (doc_id // 3) % 5 = 0),
+         aud AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 1),
+         ident AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM aud a JOIN aud b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT (SELECT count(*) FROM aud) AS n_audio,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           CAST(0 AS BIGINT) AS n_undecoded,
+           true AS all_identity_found""",
+
+    // every fixture video decodes to exactly its 4 frame indices — a
+    // torn frame parse would null-drop the whole video
+    "mm_video_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
+         FROM documents, unnest(range(4)) AS t(i)
+         WHERE doc_id % 3 = 2""",
+
+    // the video gate: frame hashes aren't SQL-replayable; the oracle
+    // pins video count, identity pairs (text equality ⇒ full frame
+    // overlap by construction) and the in-plan verdicts
+    "mm_video_neardup" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0),
+         vid AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 2),
+         ident AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM vid a JOIN vid b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT (SELECT count(*) FROM vid) AS n_videos,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           CAST(0 AS BIGINT) AS n_undecoded,
+           true AS all_identity_full_overlap""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -226,11 +226,34 @@ object VectorRuntime {
     */
   def dHashImageBands(payload: Array[Byte], bands: Int,
       bandBits: Int): ArrayData = {
-    if (payload == null || payload.length < 12) return null
-    if (payload(0) != 'P' || payload(1) != '6') return null
-    var pos = 2
-    def isWsB(c: Int): Boolean = c == ' ' || c == '\t' || c == '\n' ||
-      c == '\r' || c == 0x0b || c == 0x0c
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd == null) return null
+    val hash = dHash64At(payload, hd(2), hd(0), hd(1))
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = (hash >>> (b * bandBits)) & mask
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  @inline private def isWsB(c: Int): Boolean = c == ' ' || c == '\t' ||
+    c == '\n' || c == '\r' || c == 0x0b || c == 0x0c
+
+  /** Parse one binary PPM (P6, maxval ≤ 255) frame header starting at
+    * `start`: `{w, h, dataPos}` with the pixel data verified in-bounds
+    * (frame end = `dataPos + w·h·3`), or null for anything malformed —
+    * wrong magic, bad header, maxval > 255, truncated pixels. `#`
+    * comments and arbitrary header whitespace honored per the netpbm
+    * spec; exactly ONE whitespace byte separates maxval from data.
+    */
+  private def ppmHeader(payload: Array[Byte], start: Int): Array[Int] = {
+    if (payload.length - start < 12) return null
+    if (payload(start) != 'P' || payload(start + 1) != '6') return null
+    var pos = start + 2
     // next header integer: skip whitespace + '#'-to-EOL comments
     def nextInt(): Long = {
       var going = true
@@ -255,10 +278,18 @@ object VectorRuntime {
     if (wL < 1 || hL < 1 || wL > Int.MaxValue || hL > Int.MaxValue ||
       maxv < 1 || maxv > 255) return null
     val w = wL.toInt; val h = hL.toInt
-    // exactly ONE whitespace byte separates maxval from pixel data
     if (pos >= payload.length || !isWsB(payload(pos) & 0xff)) return null
     pos += 1
     if (pos.toLong + w.toLong * h * 3L > payload.length) return null
+    Array(w, h, pos)
+  }
+
+  /** Classic 64-bit dHash of one parsed PPM frame: integer ITU-R 601
+    * luma, 9×8 box resize (boxes partition the frame, degenerate boxes
+    * widened to one pixel), bit `r·8 + c` = `cell[r][c] > cell[r][c+1]`.
+    */
+  private def dHash64At(payload: Array[Byte], dataPos: Int, w: Int,
+      h: Int): Long = {
     val gw = 9; val gh = 8
     val cells = new Array[Long](gh * gw)
     var ty = 0
@@ -274,7 +305,7 @@ object VectorRuntime {
         var s = 0L; var cnt = 0L
         var y = y0
         while (y < y1) {
-          val row = pos + y * w * 3
+          val row = dataPos + y * w * 3
           var x = x0
           while (x < x1) {
             val p = row + x * 3
@@ -290,21 +321,198 @@ object VectorRuntime {
       }
       ty += 1
     }
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var v = 0L
-      var j = 0
-      while (j < bandBits) {
-        val i = b * bandBits + j // global bit: r*8 + c over the 8×8 grid
-        val r = i / 8; val c = i % 8
-        if (cells(r * gw + c) > cells(r * gw + c + 1)) v |= (1L << j)
-        j += 1
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (cells(r * gw + c) > cells(r * gw + c + 1)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** REAL image resize transcode: decode the P6 payload, integer
+    * box-resize every RGB channel to `outW`×`outH` (each target pixel
+    * is the integer mean of its source box — boxes partition the
+    * image, degenerate boxes widened to one pixel, so upscales
+    * replicate), and re-encode as a canonical P6 (`P6\nW H\n255\n` +
+    * pixels). All-integer and deterministic — the oracle can replay
+    * the arithmetic byte for byte. Null for malformed payloads or
+    * non-positive target dims (the null-drop contract).
+    */
+  def ppmResize(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (payload == null || outW < 1 || outH < 1) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val pos = hd(2)
+    val header = ("P6\n" + outW + " " + outH + "\n255\n").getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + outW * outH * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var o = header.length
+    var ty = 0
+    while (ty < outH) {
+      val y0 = ((ty.toLong * h) / outH).toInt
+      var y1 = (((ty + 1).toLong * h) / outH).toInt
+      if (y1 <= y0) y1 = y0 + 1
+      var tx = 0
+      while (tx < outW) {
+        val x0 = ((tx.toLong * w) / outW).toInt
+        var x1 = (((tx + 1).toLong * w) / outW).toInt
+        if (x1 <= x0) x1 = x0 + 1
+        var sr = 0L; var sg = 0L; var sb = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          val row = pos + y * w * 3
+          var x = x0
+          while (x < x1) {
+            val p = row + x * 3
+            sr += payload(p) & 0xff
+            sg += payload(p + 1) & 0xff
+            sb += payload(p + 2) & 0xff
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(o) = (sr / cnt).toByte
+        out(o + 1) = (sg / cnt).toByte
+        out(o + 2) = (sb / cnt).toByte
+        o += 3
+        tx += 1
       }
-      out(b) = v
-      b += 1
+      ty += 1
+    }
+    out
+  }
+
+  /** Per-frame 64-bit dHashes of a CONCATENATED-PPM video payload
+    * (frames are back-to-back P6 images, the fixture "video codec"):
+    * parse every frame boundary sequentially, then hash up to
+    * `maxFrames` evenly sampled frames (frame `⌊i·n/take⌋`) through
+    * the SAME [[dHash64At]] kernel as still images — so a video frame
+    * and the identical still image share a hash, and frame-level
+    * near-dup rides the banded machinery unchanged. Null if the
+    * payload is empty, any frame is malformed, or bytes trail the
+    * last frame (a torn payload must drop, not half-decode).
+    */
+  def ppmFrameDHashes(payload: Array[Byte], maxFrames: Int): ArrayData = {
+    if (payload == null || payload.length == 0) return null
+    val frames = new java.util.ArrayList[Array[Int]]()
+    var pos = 0
+    while (pos < payload.length) {
+      val hd = ppmHeader(payload, pos)
+      if (hd == null) return null
+      frames.add(hd)
+      pos = hd(2) + hd(0) * hd(1) * 3
+    }
+    val nf = frames.size
+    val take = if (nf < maxFrames) nf else maxFrames
+    val out = new Array[Long](take)
+    var i = 0
+    while (i < take) {
+      val hd = frames.get(((i.toLong * nf) / take).toInt)
+      out(i) = dHash64At(payload, hd(2), hd(0), hd(1))
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  @inline private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  @inline private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  /** REAL audio fingerprint: pure-JVM WAV (RIFF) parse — chunk walk,
+    * `fmt ` must be PCM (format 1) at 8 or 16 bits and precede `data`,
+    * chunks are word-aligned per the RIFF spec — then a 64-bit
+    * windowed energy/zero-crossing fingerprint over the channel-mixed
+    * mono samples: 33 equal windows (degenerate windows widened to one
+    * frame), `energy[t]` = integer mean |sample| and `zcr[t]` = sign
+    * changes within window `t`; bit `j` = `energy[j] > energy[j+1]`,
+    * bit `32+j` = `zcr[j] > zcr[j+1]` (j < 32). Same gradient-bits
+    * idea as the image dHash, so the shared banded-Hamming join
+    * carries audio near-dup unchanged. All-integer and deterministic.
+    *
+    * Null (row drops, the null-hash contract) for anything that is not
+    * well-formed PCM WAV: wrong magic, missing/short `fmt `, non-PCM
+    * format, bits ∉ {8, 16}, truncated `data`, or fewer than 2 sample
+    * frames (no gradient).
+    */
+  def wavFingerprint64(payload: Array[Byte]): java.lang.Long = {
+    if (payload == null || payload.length < 44) return null
+    if (payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+      payload(3) != 'F') return null
+    if (payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' ||
+      payload(11) != 'E') return null
+    var pos = 12
+    var channels = 0; var bits = 0
+    var dataPos = -1; var dataLen = 0
+    while (pos + 8 <= payload.length && dataPos < 0) {
+      val size = le32(payload, pos + 4)
+      if (size > Int.MaxValue || pos + 8 + size > payload.length) return null
+      if (payload(pos) == 'f' && payload(pos + 1) == 'm' &&
+          payload(pos + 2) == 't' && payload(pos + 3) == ' ') {
+        if (size < 16) return null
+        if (le16(payload, pos + 8) != 1) return null // PCM only
+        channels = le16(payload, pos + 10)
+        bits = le16(payload, pos + 22)
+        if (channels < 1 || (bits != 8 && bits != 16)) return null
+      } else if (payload(pos) == 'd' && payload(pos + 1) == 'a' &&
+          payload(pos + 2) == 't' && payload(pos + 3) == 'a') {
+        if (channels == 0) return null // fmt must precede data
+        dataPos = pos + 8
+        dataLen = size.toInt
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // RIFF word alignment
+    }
+    if (dataPos < 0) return null
+    val bytesPerSample = bits / 8
+    val frameSize = channels * bytesPerSample
+    val nFrames = dataLen / frameSize
+    if (nFrames < 2) return null
+    // channel-mixed mono frame value, centered at zero
+    def frame(i: Int): Int = {
+      val base = dataPos + i * frameSize
+      var s = 0
+      var c = 0
+      while (c < channels) {
+        val p = base + c * bytesPerSample
+        s += (if (bits == 8) (payload(p) & 0xff) - 128
+              else ((payload(p) & 0xff) | (payload(p + 1) << 8)))
+        c += 1
+      }
+      s / channels
+    }
+    val win = 33
+    val energy = new Array[Long](win)
+    val zcr = new Array[Long](win)
+    var t = 0
+    while (t < win) {
+      val f0 = ((t.toLong * nFrames) / win).toInt
+      var f1 = (((t + 1).toLong * nFrames) / win).toInt
+      if (f1 <= f0) f1 = f0 + 1
+      var sum = 0L; var z = 0L
+      var prev = 0; var i = f0
+      while (i < f1) {
+        val v = frame(i)
+        sum += (if (v < 0) -v.toLong else v.toLong)
+        if (i > f0 && ((v >= 0) != (prev >= 0))) z += 1
+        prev = v
+        i += 1
+      }
+      energy(t) = sum / (f1 - f0)
+      zcr(t) = z
+      t += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 32) {
+      if (energy(j) > energy(j + 1)) hash |= (1L << j)
+      if (zcr(j) > zcr(j + 1)) hash |= (1L << (32 + j))
+      j += 1
+    }
+    java.lang.Long.valueOf(hash)
   }
 
   private def isWs(c: Char): Boolean =
@@ -905,6 +1113,86 @@ case class DHashImageBands(child: Expression, bands: Int, bandBits: Int)
     copy(child = newChild)
 }
 
+/** `ppm_resize(binary, outW, outH) → binary` — REAL image transcode:
+  * pure-JVM P6 decode → integer box resize per RGB channel → canonical
+  * P6 re-encode (see [[VectorRuntime.ppmResize]]). Target dims are
+  * plan-time ints (one resize geometry per operator, the codegen'd
+  * convention). Nullable: null for non-PPM payloads.
+  */
+case class PpmResize(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+  require(outW >= 1 && outH >= 1,
+    s"ppm_resize: target dims must be >= 1, got ${outW}x$outH")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_resize"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.ppmResize(input.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.ppmResize($c, $outW, $outH);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PpmResize =
+    copy(child = newChild)
+}
+
+/** `ppm_frame_dhashes(binary, maxFrames) → array<long>` — per-frame
+  * 64-bit dHashes of a concatenated-PPM video payload, up to
+  * `maxFrames` evenly sampled (see [[VectorRuntime.ppmFrameDHashes]]).
+  * Nullable: null for empty/torn/malformed payloads.
+  */
+case class PpmFrameDHashes(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  require(maxFrames >= 1,
+    s"ppm_frame_dhashes: maxFrames must be >= 1, got $maxFrames")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ppm_frame_dhashes"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.ppmFrameDHashes(input.asInstanceOf[Array[Byte]], maxFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.ppmFrameDHashes($c, $maxFrames);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PpmFrameDHashes =
+    copy(child = newChild)
+}
+
+/** `wav_fingerprint64(binary) → long` — pure-JVM WAV (RIFF/PCM) parse →
+  * 64-bit windowed energy/zero-crossing fingerprint (see
+  * [[VectorRuntime.wavFingerprint64]]). Nullable: null for anything
+  * that is not well-formed PCM WAV.
+  */
+case class WavFingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wav_fingerprint64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.wavFingerprint64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val box = ctx.freshName("wavFp")
+      s"""
+      java.lang.Long $box = graft.functions.VectorRuntime.wavFingerprint64($c);
+      ${ev.isNull} = $box == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $box.longValue();
+    """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavFingerprint64 =
+    copy(child = newChild)
+}
+
 /** `char_ngram_hashes(string, n) -> array<long>` -- ordered per-position
   * character n-gram hashes (multiplicity kept, index-aligned across n).
   */
@@ -1266,6 +1554,12 @@ object vec {
     wrap(DHashBands(ex(s), bands, bandBits))
   def dHashImageBands(payload: Column, bands: Int, bandBits: Int): Column =
     wrap(DHashImageBands(ex(payload), bands, bandBits))
+  def ppmResize(payload: Column, outW: Int, outH: Int): Column =
+    wrap(PpmResize(ex(payload), outW, outH))
+  def ppmFrameDHashes(payload: Column, maxFrames: Int): Column =
+    wrap(PpmFrameDHashes(ex(payload), maxFrames))
+  def wavFingerprint64(payload: Column): Column =
+    wrap(WavFingerprint64(ex(payload)))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =

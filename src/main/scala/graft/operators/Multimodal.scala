@@ -108,14 +108,32 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it => it.map(decoder.decode) }
   }
 
-  /** Resize stub: halves dimensions (floor, min 1). Payload untouched —
-    * a real implementation would transcode; metadata math is the real
-    * contract being tested.
+  /** Resize via the METADATA contract: halves dimensions (floor, min 1)
+    * without touching the payload — the path for non-raster kinds and
+    * opaque payloads whose codec lives elsewhere. Raster payloads have
+    * a REAL transcode: [[resizePpm]].
     */
   def resize(media: DataFrame): DataFrame =
     media
       .withColumn("width", greatest(expr("width DIV 2"), lit(1)).cast("int"))
       .withColumn("height", greatest(expr("height DIV 2"), lit(1)).cast("int"))
+
+  /** REAL image resize transcode (closes the round-13 `mm_resize`
+    * metadata-only seam): every image payload is decoded (P6 parse),
+    * box-resized to `outW`×`outH` per RGB channel in pure integer
+    * arithmetic, and re-encoded as a canonical P6 — payload AND
+    * implied dimensions change, byte-deterministically, inside the
+    * compiled [[graft.functions.PpmResize]] kernel. One row-local
+    * projection: no shuffle, scale-free. Non-PPM payloads resize to
+    * null and drop (the null-drop routing convention), so mixed tables
+    * route themselves.
+    */
+  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"),
+        graft.functions.vec.ppmResize(col("payload"), outW, outH)
+          .as("payload"))
+      .filter(col("payload").isNotNull)
 
   /** Perceptual-hash band rows for image payloads — the MULTIMODAL
     * near-dup index, mirroring [[Dedup.minHashBandIndex]]'s layout
@@ -309,8 +327,10 @@ object Multimodal {
       maxBucketSize, storage)
 
   /** Frame sampling for video payloads: up to 8 evenly spaced frame
-    * offsets into the payload body (STUB: offsets, not decoded frames).
-    * Row-local `sequence`/`transform`, exploded to one row per frame.
+    * offsets into the payload body (offsets only — the METADATA
+    * contract for opaque payloads, like [[resize]]). Real decoded
+    * frame hashes: [[sampleFrameHashes]]. Row-local
+    * `sequence`/`transform`, exploded to one row per frame.
     */
   def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame =
     media.filter(col("kind") === "video")
@@ -323,4 +343,160 @@ object Multimodal {
           .as(Seq("frame_idx", "frame_off")))
       .select(col("doc_id"), col("frame_idx").cast("bigint"),
         col("frame_off").cast("bigint"))
+
+  // -------------------------------------------------------------------
+  // REAL audio member (round-14): pure-JVM WAV parse → 64-bit windowed
+  // energy/zero-crossing fingerprint → near-dup through the SAME
+  // shared BandedHamming core that carries image dHash and text SimHash
+  // -------------------------------------------------------------------
+
+  /** 44-byte canonical PCM WAV header for `dataLen` bytes of 8-bit
+    * mono audio at `sampleRate` Hz — the in-plan fixture's constant
+    * prefix ([[attachWavAudio]]), byte-exact per the RIFF spec.
+    */
+  private[graft] def wavHeader(dataLen: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate) // byteRate = rate × 1 × 1
+      .putShort(1).putShort(8) // blockAlign, bitsPerSample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.array()
+  }
+
+  /** Deterministic REAL audio fixture — [[attachPpmImages]]' recipe
+    * for the audio member: for each audio-kind doc (`doc_id % 3 == 1`,
+    * the [[attachMedia]] convention) build an actual binary PCM WAV
+    * payload — the canonical 44-byte RIFF header plus `nChunks`
+    * sha-256 chunks of the text as 8-bit mono samples. Fully in-plan
+    * row-local SQL, engine-recomputable, payload equality ⇔ text
+    * equality; downstream must PARSE the RIFF/fmt/data grammar to get
+    * at samples.
+    */
+  def attachWavAudio(docs: DataFrame, nChunks: Int = 3): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 32,
+      s"fixture audio is tiny by design, got $nChunks sha chunks")
+    val chunks = (0 until nChunks).map(i =>
+      unhex(sha2(concat(col("text"), lit(s"#au$i")).cast("binary"), 256)))
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), lit("audio").as("kind"),
+        concat((lit(wavHeader(nChunks * 32)) +: chunks): _*).as("payload"))
+  }
+
+  /** Band rows for audio payloads: WAV parse + energy/ZCR fingerprint
+    * inside the compiled [[graft.functions.WavFingerprint64]] kernel
+    * (row-local), banded by the shared [[BandedHamming.bandRows]] —
+    * so the downstream join/cap/probe/verify machinery is the image
+    * dHash one verbatim. Unparseable payloads fingerprint to null and
+    * drop.
+    */
+  def audioFingerprintBandRows(media: DataFrame, bands: Int = 4,
+      bandBits: Int = 16): DataFrame =
+    BandedHamming.bandRows(
+      media.filter(col("kind") === "audio")
+        .select(col("doc_id"),
+          graft.functions.vec.wavFingerprint64(col("payload")).as("afp"))
+        .filter(col("afp").isNotNull),
+      "afp", bands, bandBits)
+
+  /** Audio near-dup pairs — the audio member of the multimodal dedup
+    * family, same candidate-then-verify shape and occupancy guard as
+    * [[dHashImageNearDupPairs]]; only the fingerprint kernel differs.
+    * `bands = 0` (default) self-sizes the layout as everywhere else.
+    */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 6,
+      bands: Int = 0, bandBits: Int = 16,
+      maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      probeRadius: Int = 0, nHint: Long = -1L): DataFrame = {
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint else media.filter(col("kind") === "audio").count())
+    bandPairJoin(audioFingerprintBandRows(media, b, bb),
+      maxHamming, b, bb, pr, maxBucketSize, storage)
+  }
+
+  // -------------------------------------------------------------------
+  // REAL video member (round-14): the fixture "video codec" is
+  // concatenated PPM frames; frame sampling DECODES the sampled frames
+  // through the image dHash kernel, and video near-dup pairs videos by
+  // shared frame hashes
+  // -------------------------------------------------------------------
+
+  /** Deterministic REAL video fixture: for each video-kind doc
+    * (`doc_id % 3 == 2`) build `frames` back-to-back binary PPM frames
+    * (each [[attachPpmImages]]' recipe with frame-salted sha chunks).
+    * Payload equality ⇔ text equality; frame `f` of two equal texts is
+    * byte-identical, so identical videos share EVERY frame hash.
+    */
+  def attachPpmVideo(docs: DataFrame, w: Int = 8, h: Int = 6,
+      frames: Int = 4): DataFrame = {
+    require(w >= 1 && h >= 1 && frames >= 1 && w * h * 3 <= 32 * 64 &&
+      frames <= 16, s"fixture videos are tiny by design: ${w}x$h x$frames")
+    val header = s"P6\n$w $h\n255\n"
+    val headerLen = header.getBytes("US-ASCII").length
+    val bodyLen = w * h * 3
+    def frame(f: Int) = {
+      val chunks = (0 until (bodyLen + 31) / 32).map(i =>
+        unhex(sha2(concat(col("text"), lit(s"#f${f}px$i")).cast("binary"),
+          256)))
+      substring(concat((lit(header.getBytes("US-ASCII")) +: chunks): _*),
+        1, headerLen + bodyLen)
+    }
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), lit("video").as("kind"),
+        concat((0 until frames).map(frame): _*).as("payload"))
+  }
+
+  /** DECODED frame sampling — closes the offsets-only [[sampleFrames]]
+    * seam: parse the concatenated-PPM payload's frame boundaries, dHash
+    * up to `maxFrames` evenly sampled frames through the SAME 9×8 luma
+    * kernel as still images (one compiled row-local projection —
+    * [[graft.functions.PpmFrameDHashes]]), one row per sampled frame.
+    * Torn/malformed payloads hash to null and drop whole.
+    */
+  def sampleFrameHashes(media: DataFrame, maxFrames: Int = 8): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        posexplode(
+          graft.functions.vec.ppmFrameDHashes(col("payload"), maxFrames))
+          .as(Seq("frame_idx", "frame_hash")))
+      .select(col("doc_id"), col("frame_idx").cast("bigint"),
+        col("frame_hash"))
+
+  /** Video near-dup pairs: videos sharing ≥ `minSharedFrames` sampled
+    * frame hashes. Per-video DISTINCT frame hashes → exact-key
+    * self-join on the 64-bit hash (one shuffle, the banded-join plan
+    * shape with the full hash as the key — frame identity is exact by
+    * construction, no Hamming radius needed at the frame level) →
+    * per-pair shared count. `maxBucketSize` caps degenerate frame
+    * strata (a black-frame bucket) through the shared
+    * [[Dedup.capBandBuckets]] guard — the frame hash rides as the
+    * band key.
+    */
+  def videoNearDupPairs(media: DataFrame, minSharedFrames: Int = 1,
+      maxFrames: Int = 8, maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val banded = sampleFrameHashes(media, maxFrames)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+      .select(col("doc_id"), lit(0).as("band_idx"),
+        col("frame_hash").as("band_key"))
+    val capped = maxBucketSize.fold(banded)(Dedup.capBandBuckets(banded, _))
+    val rows = storage.fold(capped)(graft.CacheScope.persist(capped, _))
+    rows.as("a")
+      .join(rows.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
 }

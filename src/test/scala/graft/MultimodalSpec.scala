@@ -458,6 +458,229 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded == Set(0L, 3L, 6L))
   }
 
+  // ---- REAL resize transcode (PPM decode → box resize → re-encode) ----
+
+  private def resized(p: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val r = Seq(Tuple1(p)).toDF("payload")
+      .select(graft.functions.vec.ppmResize($"payload", w, h).as("r"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+  }
+
+  test("ppmResize: byte-exact box means on a hand-computed 2x2 -> 1x1; " +
+    "canonical header; upscale replicates; malformed -> null") {
+    // 2×2 → 1×1: each channel is the integer mean of the 4 pixels
+    val p = ppm(2, 2, (x, y) => (x * 10 + y * 100, 7, 255 - x - y))
+    // R: (0, 10, 100, 110) → 55; G: 7; B: (255, 254, 254, 253) → 254
+    val out = resized(p, 1, 1).get
+    val hdr = "P6\n1 1\n255\n".getBytes("US-ASCII")
+    assert(out.take(hdr.length).sameElements(hdr), "canonical header")
+    assert(out.drop(hdr.length).map(_ & 0xff).toSeq == Seq(55, 7, 254),
+      s"box means wrong: ${out.drop(hdr.length).map(_ & 0xff).toSeq}")
+    // upscale 1×1 → 2×2 replicates the pixel (degenerate boxes widen)
+    val up = resized(ppm(1, 1, (_, _) => (9, 8, 7)), 2, 2).get
+    assert(up.drop("P6\n2 2\n255\n".length).map(_ & 0xff).toSeq ==
+      Seq(9, 8, 7, 9, 8, 7, 9, 8, 7, 9, 8, 7))
+    // a resized payload is itself a decodable PPM (round-trip)
+    val rt = resized(ppm(12, 10, (x, y) => ((x * y) % 256, x, y)), 6, 5).get
+    assert(imgBands(rt).isDefined, "resized payload must decode")
+    assert(resized(rt, 3, 2).isDefined, "resize composes")
+    // malformed inputs -> null, and bad target dims reject loudly
+    assert(resized("not a ppm".getBytes("US-ASCII"), 2, 2).isEmpty)
+    assert(resized(ppm(4, 4, (_, _) => (1, 2, 3)).dropRight(1), 2, 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.functions.vec.ppmResize(lit(Array[Byte]()), 0, 1)
+    }
+  }
+
+  // ---- REAL audio member (WAV parse → energy/ZCR fingerprint) ----
+
+  /** Build a PCM WAV: canonical header + samples (8-bit unsigned or
+    * 16-bit signed LE), interleaved if `channels > 1`.
+    */
+  private def wav(samples: Seq[Int], bits: Int = 8,
+      channels: Int = 1): Array[Byte] = {
+    val bps = bits / 8
+    val dataLen = samples.length * bps
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(8000).putInt(8000 * channels * bps)
+      .putShort((channels * bps).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 8) b.put(s.toByte) else b.putShort(s.toShort)
+    }
+    b.array()
+  }
+
+  private def afp(p: Array[Byte]): Option[Long] = {
+    val r = Seq(Tuple1(p)).toDF("payload")
+      .select(graft.functions.vec.wavFingerprint64($"payload").as("f"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("wavFingerprint64: deterministic, perturbation-local, channel " +
+    "mixing and 16-bit path agree with mono-8, malformed -> null") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(128)(rnd.nextInt(256))
+    val f1 = afp(wav(samples)).get
+    assert(afp(wav(samples)).contains(f1), "deterministic")
+    // one flipped sample changes few windows → small positive hamming
+    val tw = samples.updated(64, (samples(64) + 140) % 256)
+    val f2 = afp(wav(tw)).get
+    val ham = java.lang.Long.bitCount(f1 ^ f2)
+    assert(ham > 0 && ham <= 8, s"one-sample change flipped $ham bits")
+    // 16-bit signed path: same waveform scaled must parse (own hash)
+    val s16 = samples.map(s => (s - 128) * 256)
+    assert(afp(wav(s16, bits = 16)).isDefined)
+    // stereo with BOTH channels = the mono waveform mixes to the same
+    // mono sequence → identical fingerprint
+    val stereo = samples.flatMap(s => Seq(s, s))
+    assert(afp(wav(stereo, channels = 2)).contains(f1),
+      "identical-channel stereo must mix to the mono fingerprint")
+    // malformed: wrong magic, non-PCM format, 24-bit, truncated data,
+    // under 2 frames, data before fmt
+    assert(afp("RIFX....WAVE".getBytes("US-ASCII") ++ wav(samples).drop(12))
+      .isEmpty)
+    val nonPcm = wav(samples); nonPcm(20) = 3 // IEEE float tag
+    assert(afp(nonPcm).isEmpty)
+    val b24 = wav(samples); b24(34) = 24
+    assert(afp(b24).isEmpty)
+    assert(afp(wav(samples).dropRight(1)).isEmpty)
+    assert(afp(wav(Seq(5))).isEmpty)
+  }
+
+  test("audioNearDupPairs: byte-identical WAVs at hamming 0 through the " +
+    "shared banded core; unrelated audio does not pair") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(96)(rnd.nextInt(256))
+    val near = a.updated(40, (a(40) + 120) % 256)
+    val far = Seq.tabulate(96)(i => (i * 53) % 256)
+    val m = Seq((1L, wav(a)), (2L, wav(a)), (3L, wav(near)), (4L, wav(far)))
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val pairs = Multimodal.audioNearDupPairs(m, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => (p._1, p._2) == ((1L, 2L)) && p._3 == 0L),
+      s"identical audio must pair at hamming 0: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L),
+      s"unrelated audio must not pair: $pairs")
+    // the one-sample perturbation pairs iff within radius — pin that IF
+    // it pairs, the hamming is positive (never aliases to 0)
+    pairs.filter(p => p._2 == 3L).foreach(p =>
+      assert(p._3 > 0, s"perturbed audio aliased to hamming 0: $p"))
+  }
+
+  test("attachWavAudio: payloads are real parseable WAVs; equality " +
+    "tracks text equality") {
+    val d = Seq((1L, "alpha"), (4L, "beta"), (7L, "alpha"), (6L, "skip"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.attachWavAudio(d)
+    val rows = m.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(rows.keySet == Set(1L, 4L, 7L), "audio-kind ids only")
+    assert(rows.values.forall(p => p.length == 44 + 96))
+    assert(rows(1L).sameElements(rows(7L)), "same text => same payload")
+    assert(!rows(1L).sameElements(rows(4L)))
+    val fps = Multimodal.audioFingerprintBandRows(m)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(fps == Set(1L, 4L, 7L), "every fixture WAV must parse")
+  }
+
+  // ---- REAL video member (concatenated-PPM frames) ----
+
+  test("ppmFrameDHashes: a video frame hashes IDENTICALLY to the same " +
+    "still image; even sampling; torn payload -> null") {
+    def px1(x: Int, y: Int) = { val g = (x * 31 + y * 7) % 256; (g, g, g) }
+    def px2(x: Int, y: Int) = { val g = (x * 91 + y * 13) % 256; (g, g, g) }
+    val f1 = ppm(9, 8, px1); val f2 = ppm(9, 8, px2)
+    def frameHashes(p: Array[Byte], maxFrames: Int = 8): Option[Seq[Long]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.ppmFrameDHashes($"payload", maxFrames)
+          .as("h")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+    }
+    val vid = frameHashes(f1 ++ f2).get
+    assert(vid.length == 2)
+    // frame hash == still-image hash (the shared dHash64 kernel): pack
+    // the still's 4×16 bands back into one long to compare
+    def still64(p: Array[Byte]): Long = imgBands(p).get.zipWithIndex
+      .map { case (b, i) => b << (i * 16) }.reduce(_ | _)
+    assert(vid == Seq(still64(f1), still64(f2)),
+      "frame hashes must match the still-image kernel")
+    // even sampling: 4 frames at maxFrames=2 takes frames 0 and 2
+    val four = f1 ++ f2 ++ f1 ++ f2
+    assert(frameHashes(four, maxFrames = 2).get ==
+      Seq(still64(f1), still64(f1)))
+    // torn payloads drop whole: trailing garbage or truncated frame
+    assert(frameHashes(f1 ++ f2.dropRight(1)).isEmpty)
+    assert(frameHashes(f1 ++ "junk".getBytes("US-ASCII")).isEmpty)
+    assert(frameHashes(Array.empty[Byte]).isEmpty)
+  }
+
+  test("videoNearDupPairs: identical videos share all frames; a " +
+    "perturbed-frame video shares the rest; disjoint videos never pair") {
+    // non-monotone pseudo-random gradients: a monotone luma ramp dHashes
+    // to all-zeros/all-ones and ALIASES across unrelated frames
+    def g1(x: Int, y: Int) = { val g = (x * 91 + y * 13) % 256; (g, g, g) }
+    def g2(x: Int, y: Int) = { val g = (x * x * 47 + y * 29) % 256; (g, g, g) }
+    def g3(x: Int, y: Int) = { val g = (x * 151 + y * y * 31) % 256; (g, g, g) }
+    def gFar1(x: Int, y: Int) = { val g = (251 * x * x + 89 * y + 7) % 256; (g, g, g) }
+    def gFar2(x: Int, y: Int) = { val g = (x * x * 101 + y * y * 37 + 5) % 256; (g, g, g) }
+    val (f1, f2, f3) = (ppm(9, 8, g1), ppm(9, 8, g2), ppm(9, 8, g3))
+    // white-out one grid cell of f2 → a DIFFERENT frame hash
+    def g2p(x: Int, y: Int) = if (x < 2 && y < 2) (255, 255, 255) else g2(x, y)
+    val f2p = ppm(9, 8, g2p)
+    // fixture precondition: all five frames carry DISTINCT hashes —
+    // otherwise the shared-count assertions below test aliasing, not
+    // the operator
+    def still64(p: Array[Byte]): Long = imgBands(p).get.zipWithIndex
+      .map { case (b, i) => b << (i * 16) }.reduce(_ | _)
+    val allHashes = Seq(f1, f2, f3, f2p, ppm(9, 8, gFar1), ppm(9, 8, gFar2))
+      .map(still64)
+    assert(allHashes.distinct.length == allHashes.length,
+      s"fixture frames alias: $allHashes")
+    val m = Seq(
+      (1L, f1 ++ f2 ++ f3), (2L, f1 ++ f2 ++ f3), // identical
+      (3L, f1 ++ f2p ++ f3),                      // one frame perturbed
+      (4L, ppm(9, 8, gFar1) ++ ppm(9, 8, gFar2)))
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val pairs = Multimodal.videoNearDupPairs(m, minSharedFrames = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 3L)), s"identical videos share all 3: $pairs")
+    assert(pairs.contains((1L, 3L, 2L)) && pairs.contains((2L, 3L, 2L)),
+      s"perturbed video shares the 2 untouched frames: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"disjoint video must not pair: $pairs")
+    // threshold: minSharedFrames = 3 keeps only the identical pair
+    val strict = Multimodal.videoNearDupPairs(m, minSharedFrames = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L, 3L)))
+  }
+
+  test("attachPpmVideo: 4 decodable frames per video; equality tracks " +
+    "text equality; frames differ within a video") {
+    val d = Seq((2L, "alpha"), (5L, "beta"), (8L, "alpha"), (6L, "skip"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.attachPpmVideo(d)
+    val rows = m.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(rows.keySet == Set(2L, 5L, 8L), "video-kind ids only")
+    val frameLen = "P6\n8 6\n255\n".length + 8 * 6 * 3
+    assert(rows.values.forall(_.length == 4 * frameLen))
+    assert(rows(2L).sameElements(rows(8L)), "same text => same payload")
+    val hashes = Multimodal.sampleFrameHashes(m)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(hashes.keySet == Set(2L, 5L, 8L))
+    hashes.values.foreach(f => assert(f.length == 4, "4 frames each"))
+    // frame-salted sha chunks: frames within a video are distinct
+    assert(hashes(2L).map(_._3).distinct.length > 1)
+  }
+
   test("sampleFrames: bounded count, monotone in-payload offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs))
       .as[(Long, Long, Long)].collect().groupBy(_._1)
