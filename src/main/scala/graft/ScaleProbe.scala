@@ -149,6 +149,30 @@ object ScaleProbe {
           graft.operators.Multimodal.attachPpmImages(docs), maxHamming = 6,
           bands = 2, bandBits = 32, probeRadius = 1,
           maxBucketSize = Some(256)).count() },
+      time("mm_audio_raw") {
+        // the REAL audio member (round-14): in-plan WAV synthesis +
+        // pure-JVM RIFF parse → energy/ZCR fingerprint kernel —
+        // row-local like the image decode, banded join shared, so the
+        // row must track mm_dhash_decoded_*'s ~linear shape. Defaults
+        // self-size the layout (scaled past 1M audio docs).
+        graft.operators.Multimodal.audioNearDupPairs(
+          graft.operators.Multimodal.attachWavAudio(docs), maxHamming = 6,
+          maxBucketSize = Some(256)).count() },
+      time("mm_video_raw") {
+        // the REAL video member (round-14): concatenated-PPM frame
+        // parse + per-frame dHash (row-local), exact-key frame-hash
+        // self-join (capped) — one shuffle keyed on the 64-bit hash,
+        // key space scales with content so no fixed-space quadratic
+        graft.operators.Multimodal.videoNearDupPairs(
+          graft.operators.Multimodal.attachPpmVideo(docs),
+          minSharedFrames = 1, maxBucketSize = Some(256)).count() },
+      time("mm_resize_raw") {
+        // the REAL transcode (round-14): decode → box resize →
+        // re-encode per image, zero shuffles — pure per-row kernel
+        // throughput, must scale exactly linearly
+        graft.operators.Multimodal.resizePpm(
+          graft.operators.Multimodal.attachPpmImages(docs), 6, 5)
+          .count() },
       {
         // serving pairs FROM THE PERSISTED BAND INDEX: index built once
         // per fixture (untimed — maintenance cost is the incremental
