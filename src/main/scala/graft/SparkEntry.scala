@@ -2685,6 +2685,51 @@ object SparkEntry {
           col("n_undecoded"), col("all_identity_found"))
     }),
 
+    // Incremental audio near-dup (round-14): the arriving WAV shard is
+    // fingerprinted and joined against the PERSISTED audio band index
+    // — old payloads never re-parsed; the gate pins in-plan that the
+    // incremental pair set EQUALS the full recompute restricted to
+    // shard-touching pairs (the dHashIncrementalPairs contract), plus
+    // the relational identity half.
+    "mm_audio_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val oldMedia = graft.CacheScope.persist(
+        Multimodal.attachWavAudio(docs.select(col("doc_id"), col("text"))))
+      val shard = graft.CacheScope.persist(Multimodal.attachWavAudio(dups))
+      val inc = graft.CacheScope.persist(
+        Multimodal.audioIncrementalPairs(shard,
+          Multimodal.audioFingerprintBandRows(oldMedia),
+          maxHamming = 6, maxBucketSize = Some(1024)))
+      val newIds = shard.select(col("doc_id").as("nid"))
+      val restricted = Multimodal.audioNearDupPairs(
+          oldMedia.unionByName(shard), maxHamming = 6,
+          bands = 4, bandBits = 16, maxBucketSize = Some(1024))
+        .join(broadcast(newIds),
+          col("d1") === col("nid") || col("d2") === col("nid"), "leftsemi")
+      def setsEqual(a: DataFrame, b: DataFrame) =
+        a.unionByName(b).groupBy("d1", "d2", "hamming")
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(min(col("n") === 2), lit(true)))
+      val oldKeys = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("d1"), sha2(col("text"), 256).as("tk"))
+      val dupKeys = dups
+        .select(col("doc_id").as("d2"), sha2(col("text"), 256).as("tk"))
+      oldKeys.join(dupKeys, "tk").select("d1", "d2")
+        .join(inc, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          coalesce(min(when(col("hamming") === 0, lit(1)).otherwise(lit(0)))
+            === 1, lit(true)).as("all_identity_found"))
+        .crossJoin(broadcast(shard.agg(count(lit(1)).as("n_new_audio"))))
+        .crossJoin(broadcast(setsEqual(inc, restricted)
+          .toDF("equals_full_restricted")))
+        .select(col("n_new_audio"), col("n_identity_pairs"),
+          col("all_identity_found"), col("equals_full_restricted"))
+    }),
+
     // DECODED frame sampling (round-14, closes the offsets-only
     // mm_frames seam): the fixture videos are 4 concatenated PPM
     // frames; the kernel must parse every frame boundary and hash each
@@ -5254,6 +5299,25 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found""",
+
+    // the audio-incremental gate: fingerprints aren't SQL-replayable;
+    // the oracle pins the relational half (shard size, identity pairs
+    // = old×dup text matches) and the in-plan verdicts (identity at
+    // hamming 0; incremental == restricted full recompute)
+    "mm_audio_incremental" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         dup AS (
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text
+           FROM documents
+           WHERE doc_id % 3 = 1 AND (doc_id // 3) % 5 = 0),
+         old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+         ident AS (
+           SELECT o.doc_id AS d1, d.doc_id AS d2
+           FROM old o JOIN dup d ON o.text = d.text)
+         SELECT (SELECT count(*) FROM dup) AS n_new_audio,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           true AS all_identity_found,
+           true AS equals_full_restricted""",
 
     // every fixture video decodes to exactly its 4 frame indices — a
     // torn frame parse would null-drop the whole video

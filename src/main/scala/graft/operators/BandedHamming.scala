@@ -89,9 +89,15 @@ private[graft] object BandedHamming {
       s"bands x bandBits must cover the 64-bit hash, got $bands x $bandBits")
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     hashed
+      // a null hash yields a NULL array (not an array of nulls), so the
+      // posexplode drops the whole row — the null-hash contract without
+      // a filter (an IsNotNull constraint over a compiled-kernel alias
+      // expands through the alias into source columns the downstream
+      // index union no longer carries, breaking constraint rewriting)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> shiftright($hashCol, b * $bandBits) & ${mask}L)")
+        expr(s"CASE WHEN $hashCol IS NULL THEN NULL ELSE " +
+          s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright($hashCol, b * $bandBits) & ${mask}L) END")
           .as("bands"))
       .select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))

@@ -399,8 +399,7 @@ object Multimodal {
     BandedHamming.bandRows(
       media.filter(col("kind") === "audio")
         .select(col("doc_id"),
-          graft.functions.vec.wavFingerprint64(col("payload")).as("afp"))
-        .filter(col("afp").isNotNull),
+          graft.functions.vec.wavFingerprint64(col("payload")).as("afp")),
       "afp", bands, bandBits)
 
   /** Audio near-dup pairs — the audio member of the multimodal dedup
@@ -418,6 +417,26 @@ object Multimodal {
       probeRadius,
       if (nHint >= 0) nHint else media.filter(col("kind") === "audio").count())
     bandPairJoin(audioFingerprintBandRows(media, b, bb),
+      maxHamming, b, bb, pr, maxBucketSize, storage)
+  }
+
+  /** Incremental audio near-dup — the audio member of the maintenance
+    * triangle, exactly [[dHashIncrementalPairs]]' shape: an arriving
+    * shard of WAVs is fingerprinted and joined against the PERSISTED
+    * audio band index ([[audioFingerprintBandRows]] output written to
+    * parquet) — old payloads never re-parsed. `bands = 0` (default)
+    * derives the layout from the index; sides must be id-disjoint.
+    */
+  def audioIncrementalPairs(newMedia: DataFrame, index: DataFrame,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
+      probeRadius: Int = 0, maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val (b, bb, pr) =
+      if (bands == 0) BandedHamming.layoutOfIndex(index)
+      else BandedHamming.resolveLayout(bands, bandBits, probeRadius, 0L)
+    BandedHamming.incrementalPairJoin(index,
+      audioFingerprintBandRows(newMedia, b, bb),
       maxHamming, b, bb, pr, maxBucketSize, storage)
   }
 

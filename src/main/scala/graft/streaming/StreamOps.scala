@@ -538,6 +538,32 @@ object StreamOps {
         b, bb, pr, maxBucketSize, storage = None))
   }
 
+  /** Continuous AUDIO near-dup ingest — [[dHashIngestStream]]'s audio
+    * twin through the SAME shared skeleton: arriving WAV batches are
+    * fingerprinted by the pure-JVM parse kernel
+    * ([[graft.operators.Multimodal.audioFingerprintBandRows]]) and
+    * joined against the persisted audio band index; identical epoch /
+    * idempotence / compaction contract. `bands = 0` (default) derives
+    * the layout from the base index at stream start.
+    */
+  def audioIngestStream(mediaStream: DataFrame, baseIndexDir: String,
+      appendDir: String, pairsDir: String, checkpoint: String,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
+      probeRadius: Int = 0, maxBucketSize: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    val baseIndex = mediaStream.sparkSession.read.parquet(baseIndexDir)
+      .select("doc_id", "bands", "band_idx", "band_key")
+    val (b, bb, pr) =
+      if (bands == 0) graft.operators.BandedHamming.layoutOfIndex(baseIndex)
+      else graft.operators.BandedHamming.resolveLayout(bands, bandBits,
+        probeRadius, 0L)
+    bandIngestStream(mediaStream, baseIndex, DHashIndexCols, appendDir,
+      pairsDir, checkpoint, compactEvery,
+      graft.operators.Multimodal.audioFingerprintBandRows(_, b, bb),
+      graft.operators.BandedHamming.incrementalPairJoin(_, _, maxHamming,
+        b, bb, pr, maxBucketSize, storage = None))
+  }
+
   private def dHashRowsOf(bands: Int, bandBits: Int, headerLen: Int,
       decodePixels: Boolean): DataFrame => DataFrame =
     if (decodePixels)

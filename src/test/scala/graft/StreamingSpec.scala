@@ -432,6 +432,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet() == drained, "replayed epoch changed the drained result")
   }
 
+  test("audio WAV ingest: epochs seam-free vs batch through the shared " +
+    "skeleton; layout derived from the base index") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // widen to EVERY doc id (not just %3==1) so the halves are non-
+    // trivial: the operator only cares about kind/payload
+    val media = graft.operators.Multimodal
+      .attachWavAudio(docs.select(($"doc_id" * 3 + 1).as("doc_id"), $"text"))
+    val half = media.agg(max($"doc_id")).head.getLong(0) / 2
+    val base = tmp(); val inDir = tmp(); val run = tmp()
+    graft.operators.Multimodal.audioFingerprintBandRows(
+        media.filter($"doc_id" <= half))
+      .write.parquet(s"$base/index")
+    val newMedia = media.filter($"doc_id" > half)
+    newMedia.repartitionByRange(3, $"doc_id").write.parquet(s"$inDir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$inDir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+    // maxHamming 64: every bucket-sharing candidate emits — the drill
+    // is about seam/replay mechanics, not the radius
+    val q = StreamOps.audioIngestStream(stream, s"$base/index",
+      s"$run/append", s"$run/pairs", s"$run/ckpt", maxHamming = 64)
+    try q.processAllAvailable() finally q.stop()
+    val drained = spark.read.parquet(s"$run/pairs")
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val oneShot = graft.operators.Multimodal.audioIncrementalPairs(
+        newMedia, spark.read.parquet(s"$base/index"), maxHamming = 64,
+        storage = None)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture yields no candidate pairs — vacuous")
+    assert(drained == oneShot,
+      s"stream/batch seam: ${(drained -- oneShot).take(3)} extra, " +
+        s"${(oneShot -- drained).take(3)} missing")
+  }
+
   test("ANN ingest: streamed code rows equal the batch rebuild; replayed epoch rewrites itself") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val half = emb.agg(max($"vec_id")).head.getLong(0) / 2
