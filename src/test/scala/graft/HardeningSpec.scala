@@ -210,6 +210,27 @@ class HardeningSpec extends AnyFunSuite {
       // identity-pair oracle join (1) and the two 1-row verdict aggs
       // (2) are gate furniture over tiny sets
       "mm_dhash_decoded" -> 6,
+      // decode → box resize → re-encode is ONE codegen'd projection:
+      // zero shuffles, the pure-kernel throughput path
+      "mm_resize_transcode" -> 0,
+      // frame parse + per-frame dHash + posexplode are all row-local
+      "mm_video_frames" -> 0,
+      // audio gate: identical shape to mm_dhash_decoded — cap window +
+      // join side + pair dedup (operator) + identity join + verdict aggs
+      "mm_audio_neardup" -> 6,
+      // incremental audio gate: the operator (union cap + join + dedup)
+      // + the restricted full recompute it is compared against (cap +
+      // join + dedup) + set-equality groupBy/agg + verdict furniture
+      "mm_audio_incremental" -> 10,
+      // video gate: distinct frame hashes (1) + cap window + frame join
+      // + shared-count agg (operator) + identity/frame-count joins +
+      // verdict aggs over 1-row sets
+      "mm_video_neardup" -> 9,
+      // four pair joins by design (auto/explicit × both layouts) + two
+      // set-equality aggs — the crossover gate is deliberately the
+      // heaviest mm plan; each constituent join holds the 2-3 ceiling
+      // of its standalone twin
+      "mm_dhash_auto" -> 13,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
       // single-pass multi-event decode: one routed projection, no shuffle
