@@ -2783,6 +2783,46 @@ object SparkEntry {
           col("n_undecoded"), col("all_identity_full_overlap"))
     }),
 
+    // FUZZY video near-dup (round-14): frames within Hamming <= 6
+    // count as shared — the third operator on the shared BandedHamming
+    // core. Gate: identity pairs carry all 4 frame-pair matches, and
+    // the exact-key pair set (mm_video_neardup's operator) is a SUBSET
+    // of the fuzzy one (identical frames are Hamming-0 near).
+    "mm_video_neardup_fuzzy" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val media = graft.CacheScope.persist(Multimodal.attachPpmVideo(base))
+      val fuzzy = graft.CacheScope.persist(
+        Multimodal.videoNearDupPairsFuzzy(media, maxHamming = 6,
+          maxBucketSize = Some(1024)))
+      val exact = Multimodal.videoNearDupPairs(media,
+        minSharedFrames = 1, maxBucketSize = Some(1024))
+        .select(col("d1"), col("d2"))
+      val vids = graft.CacheScope.persist(
+        base.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), sha2(col("text"), 256).as("tkey")))
+      val ident = vids.as("a")
+        .join(vids.as("b"), col("a.tkey") === col("b.tkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      ident.join(fuzzy, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          // each of the 4 frames matches its identical twin at
+          // Hamming 0 — at least 4 near frame pairs per identity pair
+          coalesce(min(when(col("shared_frames") >= 4, lit(1))
+            .otherwise(lit(0))) === 1, lit(true)).as("all_identity_full"))
+        .crossJoin(broadcast(vids.agg(count(lit(1)).as("n_videos"))))
+        .crossJoin(broadcast(
+          exact.join(fuzzy.select("d1", "d2"), Seq("d1", "d2"), "left_anti")
+            .agg((count(lit(1)) === 0).as("exact_subset_of_fuzzy"))))
+        .select(col("n_videos"), col("n_identity_pairs"),
+          col("all_identity_full"), col("exact_subset_of_fuzzy"))
+    }),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -5344,6 +5384,25 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_full_overlap""",
+
+    // the fuzzy-video gate: frame hashes aren't SQL-replayable; the
+    // oracle pins the relational half and the in-plan verdicts
+    // (identity pairs at >= 4 frame-pair matches; exact ⊆ fuzzy)
+    "mm_video_neardup_fuzzy" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0),
+         vid AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 2),
+         ident AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM vid a JOIN vid b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT (SELECT count(*) FROM vid) AS n_videos,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           true AS all_identity_full,
+           true AS exact_subset_of_fuzzy""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -498,6 +498,48 @@ object Multimodal {
     * [[Dedup.capBandBuckets]] guard — the frame hash rides as the
     * band key.
     */
+  /** FUZZY video near-dup: frames within Hamming distance ≤
+    * `maxHamming` of each other count as shared — the visually-near
+    * semantics of [[dHashImageNearDupPairs]] lifted to the frame
+    * level, riding the SAME [[BandedHamming.pairJoin]] core (third
+    * operator on it, after image dHash and text SimHash). Sampled
+    * frames get a composite row id (`doc_id · 64 + frame_idx` —
+    * frame pairs from one video must not collapse in the pair dedup),
+    * band-join + exact-verify finds near frame PAIRS, and the rollup
+    * counts distinct near frame pairs per video pair. A re-encoded or
+    * slightly-edited frame (the [[resizePpm]] output, a one-cell
+    * touch-up) still matches where the exact-key join
+    * ([[videoNearDupPairs]]) loses it. `bands = 0` self-sizes from
+    * the sampled-frame count.
+    */
+  def videoNearDupPairsFuzzy(media: DataFrame, maxHamming: Int = 6,
+      minSharedFrames: Int = 1, maxFrames: Int = 8,
+      bands: Int = 0, bandBits: Int = 16, probeRadius: Int = 0,
+      maxBucketSize: Option[Int] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 64,
+      s"maxFrames must be in [1, 64] (composite-id headroom), got $maxFrames")
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val hashed = sampleFrameHashes(media, maxFrames)
+      .select((col("doc_id") * 64 + col("frame_idx")).as("doc_id"),
+        col("frame_hash"))
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius, if (nHint >= 0) nHint else hashed.count())
+    BandedHamming.pairJoin(
+        BandedHamming.bandRows(hashed, "frame_hash", b, bb),
+        maxHamming, b, bb, pr, maxBucketSize, storage)
+      .select(expr("d1 DIV 64").as("va"), expr("d2 DIV 64").as("vb"))
+      .filter(col("va") =!= col("vb")) // within-video near frames are not evidence
+      .select(least(col("va"), col("vb")).as("d1"),
+        greatest(col("va"), col("vb")).as("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   def videoNearDupPairs(media: DataFrame, minSharedFrames: Int = 1,
       maxFrames: Int = 8, maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =

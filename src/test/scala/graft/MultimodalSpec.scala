@@ -662,6 +662,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(strict == Set((1L, 2L, 3L)))
   }
 
+  test("videoNearDupPairsFuzzy: a visually-perturbed frame still counts " +
+    "as shared (exact-key join loses it); beyond-radius frames are not " +
+    "evidence") {
+    def g1(x: Int, y: Int) = { val g = (x * 91 + y * 13) % 256; (g, g, g) }
+    def g2(x: Int, y: Int) = { val g = (x * x * 47 + y * 29) % 256; (g, g, g) }
+    def g3(x: Int, y: Int) = { val g = (x * 151 + y * y * 31) % 256; (g, g, g) }
+    def gFar(x: Int, y: Int) = { val g = (251 * x * x + 89 * y + 7) % 256; (g, g, g) }
+    def g2p(x: Int, y: Int) = if (x < 2 && y < 2) (255, 255, 255) else g2(x, y)
+    val (f1, f2, f3) = (ppm(9, 8, g1), ppm(9, 8, g2), ppm(9, 8, g3))
+    val f2p = ppm(9, 8, g2p)
+    val far = ppm(9, 8, gFar)
+    def still64(p: Array[Byte]): Long = imgBands(p).get.zipWithIndex
+      .map { case (b, i) => b << (i * 16) }.reduce(_ | _)
+    def ham(a: Array[Byte], b: Array[Byte]): Int =
+      java.lang.Long.bitCount(still64(a) ^ still64(b))
+    // preconditions: the perturbation is WITHIN radius 6 and positive;
+    // every other cross-frame distance is beyond it
+    assert(ham(f2, f2p) > 0 && ham(f2, f2p) <= 6,
+      s"perturbation out of radius: ${ham(f2, f2p)}")
+    for (a <- Seq(f1, f2, f3, f2p); b <- Seq(far))
+      assert(ham(a, b) > 6, s"far frame inside radius: ${ham(a, b)}")
+    for ((a, b) <- Seq((f1, f2), (f1, f3), (f2, f3), (f1, f2p), (f3, f2p)))
+      assert(ham(a, b) > 6, s"fixture frames too close: ${ham(a, b)}")
+    val m = Seq(
+      (1L, f1 ++ f2 ++ f3),
+      (3L, f1 ++ f2p ++ f3), // one frame visually perturbed
+      (4L, far ++ far))      // unrelated (within-video near frames!)
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val fuzzy = Multimodal.videoNearDupPairsFuzzy(m, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Multimodal.videoNearDupPairs(m, minSharedFrames = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // exact loses the perturbed frame (2 shared); fuzzy recovers all 3
+    assert(exact.contains((1L, 3L, 2L)), s"exact: $exact")
+    assert(fuzzy.contains((1L, 3L, 3L)),
+      s"fuzzy must count the perturbed frame as shared: $fuzzy")
+    // video 4's two identical frames are within-video evidence ONLY —
+    // never a pair, and no cross pair forms beyond the radius
+    assert(!fuzzy.exists(p => p._1 == 4L || p._2 == 4L), s"fuzzy: $fuzzy")
+  }
+
   test("attachPpmVideo: 4 decodable frames per video; equality tracks " +
     "text equality; frames differ within a video") {
     val d = Seq((2L, "alpha"), (5L, "beta"), (8L, "alpha"), (6L, "skip"))
