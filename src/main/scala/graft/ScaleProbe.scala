@@ -86,6 +86,14 @@ object ScaleProbe {
         graft.operators.Dedup.minHashLshPairs(docs, minJaccard = 0.5,
           maxBucketSize = Some(256)).count() },
       time("dedup_simhash_raw") {
+        // EXPLICIT 4×16 since round 14 (the operator default now
+        // self-sizes): this row stays the fixed-layout control so its
+        // numbers remain comparable across rounds
+        graft.operators.Dedup.simHashPairs(docs,
+          bands = 4, bandBits = 16).count() },
+      time("dedup_simhash_auto_raw") {
+        // pure defaults: past 1M docs the bands=0 default must resolve
+        // the scaled layout from the corpus count on its own
         graft.operators.Dedup.simHashPairs(docs).count() },
       time("dedup_winnow_raw") {
         graft.operators.Dedup.winnowPairs(docs).count() },
@@ -166,6 +174,15 @@ object ScaleProbe {
         graft.operators.Multimodal.videoNearDupPairs(
           graft.operators.Multimodal.attachPpmVideo(docs),
           minSharedFrames = 1, maxBucketSize = Some(256)).count() },
+      time("mm_video_fuzzy_raw") {
+        // frame-level NEAR matching (round-14): banded join over ALL
+        // sampled frame rows (4 per video) — the frame count crosses
+        // the 1M layout threshold an order of magnitude before the
+        // video count does, so the self-sizing default is what keeps
+        // this row off the fixed-key-space quadratic
+        graft.operators.Multimodal.videoNearDupPairsFuzzy(
+          graft.operators.Multimodal.attachPpmVideo(docs),
+          maxHamming = 6, maxBucketSize = Some(256)).count() },
       time("mm_resize_raw") {
         // the REAL transcode (round-14): decode → box resize →
         // re-encode per image, zero shuffles — pure per-row kernel

@@ -287,6 +287,14 @@ object VectorRuntime {
   /** Classic 64-bit dHash of one parsed PPM frame: integer ITU-R 601
     * luma, 9×8 box resize (boxes partition the frame, degenerate boxes
     * widened to one pixel), bit `r·8 + c` = `cell[r][c] > cell[r][c+1]`.
+    *
+    * ENTROPY caveat: frames SMALLER than the 9×8 grid make neighboring
+    * cells read the same source pixel, so the 64 gradient bits are
+    * correlated — such hashes still decode and match deterministically,
+    * but carry well under 64 bits of entropy, and RADIUS (fuzzy)
+    * matching over millions of them goes output-quadratic on
+    * coincidental near-collisions (measured at the 1000× tier).
+    * Hash thumbnails at ≥ 9×8.
     */
   private def dHash64At(payload: Array[Byte], dataPos: Int, w: Int,
       h: Int): Long = {
@@ -1123,6 +1131,11 @@ case class PpmResize(child: Expression, outW: Int, outH: Int)
     extends UnaryExpression {
   require(outW >= 1 && outH >= 1,
     s"ppm_resize: target dims must be >= 1, got ${outW}x$outH")
+  // the output buffer is header (< 32 B) + outW·outH·3 in ONE byte
+  // array — reject dims whose product overflows Int at plan time
+  // instead of a per-row NegativeArraySizeException at execution
+  require(outW.toLong * outH * 3L + 32L <= Int.MaxValue,
+    s"ppm_resize: ${outW}x$outH output exceeds the 2 GiB array bound")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "ppm_resize"
   override def nullable: Boolean = true

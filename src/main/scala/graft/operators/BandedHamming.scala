@@ -51,8 +51,16 @@ private[graft] object BandedHamming {
     */
   def resolveLayout(bands: Int, bandBits: Int, probeRadius: Int,
       n: => Long): (Int, Int, Int) =
-    if (bands == 0) autoLayout(n)
-    else {
+    if (bands == 0) {
+      // a custom probe radius is part of a LAYOUT choice — silently
+      // dropping it under auto-sizing would lose guaranteed recall
+      // (e.g. a caller relying on 4x16+probe-1 completeness to 7)
+      require(probeRadius == 0,
+        s"probeRadius = $probeRadius requires an explicit bands/bandBits " +
+          "layout — bands = 0 (auto) resolves the whole layout, probing " +
+          "included, from the corpus size")
+      autoLayout(n)
+    } else {
       require(bands * bandBits == 64,
         s"bands x bandBits must cover the 64-bit hash, got $bands x $bandBits")
       (bands, bandBits, probeRadius)
@@ -66,6 +74,21 @@ private[graft] object BandedHamming {
     * convention for that width (32-bit keys probe at radius 1). Loud
     * on an empty index — there is nothing to derive from.
     */
+  /** [[resolveLayout]] for the incremental/streaming paths: `bands = 0`
+    * derives the layout from the PERSISTED index ([[layoutOfIndex]])
+    * with the same loud guard on a stranded custom `probeRadius`;
+    * explicit layouts pass through.
+    */
+  def resolveIndexLayout(bands: Int, bandBits: Int, probeRadius: Int,
+      index: DataFrame): (Int, Int, Int) =
+    if (bands == 0) {
+      require(probeRadius == 0,
+        s"probeRadius = $probeRadius requires an explicit bands/bandBits " +
+          "layout — bands = 0 (auto) derives the whole layout, probing " +
+          "included, from the persisted index")
+      layoutOfIndex(index)
+    } else resolveLayout(bands, bandBits, probeRadius, 0L)
+
   def layoutOfIndex(index: DataFrame): (Int, Int, Int) = {
     val head = index.select(size(col("bands")).as("n")).head(1)
     require(head.nonEmpty,

@@ -154,13 +154,19 @@ object Multimodal {
     * banding, occupancy cap, pair join, and Hamming verify — the parts
     * that carry the scale — are real either way.
     */
-  def dHashBandRows(media: DataFrame, bands: Int = 4, bandBits: Int = 16,
-      headerLen: Int = 3): DataFrame = {
+  def dHashBandRows(media: DataFrame, bands: Int = 0, bandBits: Int = 16,
+      headerLen: Int = 3, nHint: Long = -1L): DataFrame = {
+    // bands = 0 self-sizes the INDEX layout from the image count: a
+    // persisted index built with the fixed 4x16 default at 5M images
+    // would bake the measured key-space quadratic into every
+    // incremental/streaming query deriving its layout from it
+    val (b, bb, _) = BandedHamming.resolveLayout(bands, bandBits, 0,
+      if (nHint >= 0) nHint else media.filter(col("kind") === "image").count())
     val body = expr(s"substring(payload, ${headerLen + 1}, " +
       s"length(payload) - $headerLen)")
     media.filter(col("kind") === "image")
       .select(col("doc_id"),
-        graft.functions.vec.dHashBands(lower(hex(body)), bands, bandBits)
+        graft.functions.vec.dHashBands(lower(hex(body)), b, bb)
           .as("bands"))
       // null-hash docs (payload too short for a gradient) drop via the
       // posexplode, like minHashBandIndex's gramless docs
@@ -218,14 +224,17 @@ object Multimodal {
     * source is actual pixel luma, while banding/cap/join/verify stay
     * the shared, decoder-independent machinery.
     */
-  def dHashImageBandRows(media: DataFrame, bands: Int = 4,
-      bandBits: Int = 16): DataFrame =
+  def dHashImageBandRows(media: DataFrame, bands: Int = 0,
+      bandBits: Int = 16, nHint: Long = -1L): DataFrame = {
+    val (b, bb, _) = BandedHamming.resolveLayout(bands, bandBits, 0,
+      if (nHint >= 0) nHint else media.filter(col("kind") === "image").count())
     media.filter(col("kind") === "image")
       .select(col("doc_id"),
-        graft.functions.vec.dHashImageBands(col("payload"), bands, bandBits)
+        graft.functions.vec.dHashImageBands(col("payload"), b, bb)
           .as("bands"))
       .select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+  }
 
   /** [[dHashNearDupPairs]] over REAL decoded pixels
     * ([[dHashImageBandRows]]): visually-near images (small dHash
@@ -304,9 +313,8 @@ object Multimodal {
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       decodePixels: Boolean = false): DataFrame = {
-    val (b, bb, pr) =
-      if (bands == 0) BandedHamming.layoutOfIndex(index)
-      else BandedHamming.resolveLayout(bands, bandBits, probeRadius, 0L)
+    val (b, bb, pr) = BandedHamming.resolveIndexLayout(
+      bands, bandBits, probeRadius, index)
     BandedHamming.incrementalPairJoin(index,
       if (decodePixels) dHashImageBandRows(newMedia, b, bb)
       else dHashBandRows(newMedia, b, bb, headerLen),
@@ -394,13 +402,16 @@ object Multimodal {
     * dHash one verbatim. Unparseable payloads fingerprint to null and
     * drop.
     */
-  def audioFingerprintBandRows(media: DataFrame, bands: Int = 4,
-      bandBits: Int = 16): DataFrame =
+  def audioFingerprintBandRows(media: DataFrame, bands: Int = 0,
+      bandBits: Int = 16, nHint: Long = -1L): DataFrame = {
+    val (b, bb, _) = BandedHamming.resolveLayout(bands, bandBits, 0,
+      if (nHint >= 0) nHint else media.filter(col("kind") === "audio").count())
     BandedHamming.bandRows(
       media.filter(col("kind") === "audio")
         .select(col("doc_id"),
           graft.functions.vec.wavFingerprint64(col("payload")).as("afp")),
-      "afp", bands, bandBits)
+      "afp", b, bb)
+  }
 
   /** Audio near-dup pairs — the audio member of the multimodal dedup
     * family, same candidate-then-verify shape and occupancy guard as
@@ -432,9 +443,8 @@ object Multimodal {
       probeRadius: Int = 0, maxBucketSize: Option[Int] = None,
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
-    val (b, bb, pr) =
-      if (bands == 0) BandedHamming.layoutOfIndex(index)
-      else BandedHamming.resolveLayout(bands, bandBits, probeRadius, 0L)
+    val (b, bb, pr) = BandedHamming.resolveIndexLayout(
+      bands, bandBits, probeRadius, index)
     BandedHamming.incrementalPairJoin(index,
       audioFingerprintBandRows(newMedia, b, bb),
       maxHamming, b, bb, pr, maxBucketSize, storage)
@@ -452,8 +462,17 @@ object Multimodal {
     * (each [[attachPpmImages]]' recipe with frame-salted sha chunks).
     * Payload equality ⇔ text equality; frame `f` of two equal texts is
     * byte-identical, so identical videos share EVERY frame hash.
+    *
+    * Default frame size is 12×10 — AT LEAST the dHash 9×8 grid: an
+    * under-grid frame makes neighboring grid cells read the SAME
+    * source pixel, so its 64 gradient bits are correlated (well under
+    * 64 bits of entropy) and RADIUS matching over millions of such
+    * frames goes output-quadratic on coincidental near-collisions.
+    * Measured at the 1000× tier: 8×6 frames drove
+    * `mm_video_fuzzy_raw` to 10.03M "pairs" from hash degeneracy
+    * alone; full-resolution frames restore content-driven pairing.
     */
-  def attachPpmVideo(docs: DataFrame, w: Int = 8, h: Int = 6,
+  def attachPpmVideo(docs: DataFrame, w: Int = 12, h: Int = 10,
       frames: Int = 4): DataFrame = {
     require(w >= 1 && h >= 1 && frames >= 1 && w * h * 3 <= 32 * 64 &&
       frames <= 16, s"fixture videos are tiny by design: ${w}x$h x$frames")
@@ -506,11 +525,20 @@ object Multimodal {
     * frames get a composite row id (`doc_id · 64 + frame_idx` —
     * frame pairs from one video must not collapse in the pair dedup),
     * band-join + exact-verify finds near frame PAIRS, and the rollup
-    * counts distinct near frame pairs per video pair. A re-encoded or
-    * slightly-edited frame (the [[resizePpm]] output, a one-cell
-    * touch-up) still matches where the exact-key join
-    * ([[videoNearDupPairs]]) loses it. `bands = 0` self-sizes from
-    * the sampled-frame count.
+    * counts, per video pair, the DISTINCT frames of the lower-id video
+    * with at least one near twin in the other — the same units
+    * (bounded by the sampled-frame count) as [[videoNearDupPairs]]'
+    * distinct-shared-hash count, so a `minSharedFrames` threshold
+    * ports between the twins (a raw near-PAIR count would read up to
+    * `maxFrames²` on a static-scene pair that shares one effective
+    * frame). A re-encoded or slightly-edited frame (the [[resizePpm]]
+    * output, a one-cell touch-up) still matches where the exact-key
+    * join loses it. `bands = 0` self-sizes from the EXACT sampled-
+    * frame count: the frame rows persist once and feed both the count
+    * and the banding, so the decode kernel never runs twice (a
+    * `videos × maxFrames` bound was measured flipping a 666k-frame
+    * corpus across the 1M crossover — the layout threshold needs the
+    * real count, not an overestimate).
     */
   def videoNearDupPairsFuzzy(media: DataFrame, maxHamming: Int = 6,
       minSharedFrames: Int = 1, maxFrames: Int = 8,
@@ -523,20 +551,25 @@ object Multimodal {
       s"maxFrames must be in [1, 64] (composite-id headroom), got $maxFrames")
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1, got $minSharedFrames")
-    val hashed = sampleFrameHashes(media, maxFrames)
+    val hashed0 = sampleFrameHashes(media, maxFrames)
       .select((col("doc_id") * 64 + col("frame_idx")).as("doc_id"),
         col("frame_hash"))
+    val hashed =
+      if (bands == 0 && nHint < 0)
+        storage.fold(hashed0)(graft.CacheScope.persist(hashed0, _))
+      else hashed0
     val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
       probeRadius, if (nHint >= 0) nHint else hashed.count())
     BandedHamming.pairJoin(
         BandedHamming.bandRows(hashed, "frame_hash", b, bb),
         maxHamming, b, bb, pr, maxBucketSize, storage)
-      .select(expr("d1 DIV 64").as("va"), expr("d2 DIV 64").as("vb"))
-      .filter(col("va") =!= col("vb")) // within-video near frames are not evidence
-      .select(least(col("va"), col("vb")).as("d1"),
-        greatest(col("va"), col("vb")).as("d2"))
+      // pairJoin orients d1 < d2 on composite ids, and frame offsets
+      // are < 64, so d1 always belongs to the lower-id video
+      .select(expr("d1 DIV 64").as("d1"), expr("d2 DIV 64").as("d2"),
+        col("d1").as("lo_frame"))
+      .filter(col("d1") =!= col("d2")) // within-video near frames are not evidence
       .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("shared_frames"))
+      .agg(countDistinct(col("lo_frame")).as("shared_frames"))
       .filter(col("shared_frames") >= minSharedFrames)
   }
 

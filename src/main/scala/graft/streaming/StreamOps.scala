@@ -527,10 +527,8 @@ object StreamOps {
     // are layout-specific, so arriving batches must hash under the
     // layout the index was built with (the incremental path's
     // self-sizing, resolved ONCE at stream start)
-    val (b, bb, pr) =
-      if (bands == 0) graft.operators.BandedHamming.layoutOfIndex(baseIndex)
-      else graft.operators.BandedHamming.resolveLayout(bands, bandBits,
-        probeRadius, 0L)
+    val (b, bb, pr) = graft.operators.BandedHamming.resolveIndexLayout(
+      bands, bandBits, probeRadius, baseIndex)
     bandIngestStream(mediaStream, baseIndex, DHashIndexCols, appendDir,
       pairsDir, checkpoint, compactEvery,
       dHashRowsOf(b, bb, headerLen, decodePixels),
@@ -553,10 +551,8 @@ object StreamOps {
       compactEvery: Option[Int] = None): StreamingQuery = {
     val baseIndex = mediaStream.sparkSession.read.parquet(baseIndexDir)
       .select("doc_id", "bands", "band_idx", "band_key")
-    val (b, bb, pr) =
-      if (bands == 0) graft.operators.BandedHamming.layoutOfIndex(baseIndex)
-      else graft.operators.BandedHamming.resolveLayout(bands, bandBits,
-        probeRadius, 0L)
+    val (b, bb, pr) = graft.operators.BandedHamming.resolveIndexLayout(
+      bands, bandBits, probeRadius, baseIndex)
     bandIngestStream(mediaStream, baseIndex, DHashIndexCols, appendDir,
       pairsDir, checkpoint, compactEvery,
       graft.operators.Multimodal.audioFingerprintBandRows(_, b, bb),
@@ -659,10 +655,8 @@ object StreamOps {
       decodePixels: Boolean = false): Unit = {
     val baseIndex = batch.sparkSession.read.parquet(baseIndexDir)
       .select("doc_id", "bands", "band_idx", "band_key")
-    val (b, bb, pr) =
-      if (bands == 0) graft.operators.BandedHamming.layoutOfIndex(baseIndex)
-      else graft.operators.BandedHamming.resolveLayout(bands, bandBits,
-        probeRadius, 0L)
+    val (b, bb, pr) = graft.operators.BandedHamming.resolveIndexLayout(
+      bands, bandBits, probeRadius, baseIndex)
     bandIngestEpoch(batch, baseIndex,
       DHashIndexCols, appendDir, pairsDir, id,
       dHashRowsOf(b, bb, headerLen, decodePixels),

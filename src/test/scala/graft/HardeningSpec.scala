@@ -232,9 +232,10 @@ class HardeningSpec extends AnyFunSuite {
       // of its standalone twin
       "mm_dhash_auto" -> 13,
       // fuzzy operator (banded frame join: cap window + join side +
-      // pair dedup + video rollup) + the exact twin it is compared
-      // against + subset/identity/verdict furniture over 1-row sets
-      "mm_video_neardup_fuzzy" -> 12,
+      // pair dedup + distinct-frame video rollup) + the exact twin it
+      // is compared against + subset/identity/verdict furniture over
+      // 1-row sets
+      "mm_video_neardup_fuzzy" -> 13,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
       // single-pass multi-event decode: one routed projection, no shuffle

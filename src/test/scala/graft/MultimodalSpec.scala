@@ -434,9 +434,27 @@ class MultimodalSpec extends AnyFunSuite {
     // loud on an empty index — nothing to derive from
     val err = intercept[IllegalArgumentException] {
       Multimodal.dHashIncrementalPairs(shardT,
-        Multimodal.dHashBandRows(media(Nil)), maxHamming = 6)
+        Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32)
+          .limit(0), maxHamming = 6)
     }
     assert(err.getMessage.contains("EMPTY index"))
+    // a custom probeRadius under auto-sizing would be silently dropped
+    // (losing guaranteed recall) — it must refuse loudly instead
+    val err2 = intercept[IllegalArgumentException] {
+      Multimodal.dHashNearDupPairs(m, maxHamming = 6, probeRadius = 1)
+    }
+    assert(err2.getMessage.contains("explicit bands"))
+    val err3 = intercept[IllegalArgumentException] {
+      Multimodal.dHashIncrementalPairs(shardT,
+        Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32),
+        maxHamming = 6, probeRadius = 1)
+    }
+    assert(err3.getMessage.contains("explicit bands"))
+    // the resize kernel rejects a 2 GiB+ output buffer at plan time
+    val err4 = intercept[IllegalArgumentException] {
+      graft.functions.vec.ppmResize(lit(Array[Byte]()), 40000, 40000)
+    }
+    assert(err4.getMessage.contains("2 GiB"))
   }
 
   test("attachPpmImages: payloads are real decodable PPMs; equality " +
@@ -701,6 +719,19 @@ class MultimodalSpec extends AnyFunSuite {
     // video 4's two identical frames are within-video evidence ONLY —
     // never a pair, and no cross pair forms beyond the radius
     assert(!fuzzy.exists(p => p._1 == 4L || p._2 == 4L), s"fuzzy: $fuzzy")
+    // UNITS parity with the exact twin: a static-scene pair (every
+    // frame of A near every frame of B) reads shared_frames = #frames,
+    // not #near-frame-pairs — a minSharedFrames threshold must port
+    // between the twins
+    def g1p(x: Int, y: Int) = if (x < 2 && y < 2) (255, 255, 255) else g1(x, y)
+    val f1p = ppm(9, 8, g1p)
+    assert(ham(f1, f1p) > 0 && ham(f1, f1p) <= 6)
+    val static = Seq((1L, f1 ++ f1p), (2L, f1 ++ f1p))
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val sPairs = Multimodal.videoNearDupPairsFuzzy(static, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sPairs == Set((1L, 2L, 2L)),
+      s"static-scene pair must cap at the frame count: $sPairs")
   }
 
   test("attachPpmVideo: 4 decodable frames per video; equality tracks " +
@@ -711,7 +742,7 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = m.select($"doc_id", $"payload").as[(Long, Array[Byte])]
       .collect().toMap
     assert(rows.keySet == Set(2L, 5L, 8L), "video-kind ids only")
-    val frameLen = "P6\n8 6\n255\n".length + 8 * 6 * 3
+    val frameLen = "P6\n12 10\n255\n".length + 12 * 10 * 3
     assert(rows.values.forall(_.length == 4 * frameLen))
     assert(rows(2L).sameElements(rows(8L)), "same text => same payload")
     val hashes = Multimodal.sampleFrameHashes(m)
