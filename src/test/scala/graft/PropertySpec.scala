@@ -599,4 +599,106 @@ class PropertySpec extends AnyFunSuite {
         s"keepHardest=$keepHardest: ${got.diff(expect)} vs ${expect.diff(got)}")
     }
   }
+
+  // ---- round-14 multimodal kernels (pure-JVM PPM/WAV parse paths) ----
+
+  private def ppmOf(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    hdr ++ Array.tabulate(w * h * 3)(i => px(i).toByte)
+  }
+
+  private val genImage: Gen[Array[Byte]] = for {
+    w <- Gen.choose(1, 16)
+    h <- Gen.choose(1, 16)
+    seed <- Gen.choose(0, 1 << 20)
+  } yield ppmOf(w, h, i => (i * 2654435761L + seed).toInt & 0xff)
+
+  test("ppmResize: identity dims re-encode the exact body; any resize " +
+    "output is itself a decodable PPM (composition closure)") {
+    def resize(p: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.ppmResize($"payload", w, h).as("r"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    forAll(genImage, n = 8) { p =>
+      // parse dims back out of the canonical fixture header (line 2)
+      val Array(w, h) = new String(p.take(20), "US-ASCII")
+        .split("\n")(1).split(" ").map(_.toInt)
+      val same = resize(p, w, h).get
+      // identity resize: every box is exactly one source pixel → the
+      // body is byte-identical under the canonical header
+      assert(same.drop(s"P6\n$w $h\n255\n".length)
+        .sameElements(p.drop(s"P6\n$w $h\n255\n".length)),
+        s"identity resize changed the body at ${w}x$h")
+      // closure: any target dims produce a payload the decoder accepts
+      for ((ow, oh) <- Seq((1, 1), (3, 5), (2 * w, h), (9, 8))) {
+        val out = resize(p, ow, oh).get
+        val bands = Seq(Tuple1(out)).toDF("p")
+          .select(graft.functions.vec.dHashImageBands($"p", 4, 16).isNull)
+          .collect().head.getBoolean(0)
+        assert(!bands, s"resize to ${ow}x$oh not decodable from ${w}x$h")
+      }
+    }
+  }
+
+  private def wavOf(samples: Seq[Int], channels: Int): Array[Byte] = {
+    val dataLen = samples.length * channels
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(8000).putInt(8000 * channels)
+      .putShort(channels.toShort).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => (0 until channels).foreach(_ => b.put(s.toByte)))
+    b.array()
+  }
+
+  test("wavFingerprint64: invariant under duplicating the waveform " +
+    "across identical channels (mix-down property)") {
+    def fp(p: Array[Byte]): Long = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.wavFingerprint64($"payload").as("f"))
+        .collect().head
+      assert(!r.isNullAt(0), "fixture WAV failed to parse")
+      r.getLong(0)
+    }
+    val genSamples = for {
+      n <- Gen.choose(2, 200)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield Seq.tabulate(n)(i => ((i * 1103515245L + seed) >>> 7).toInt & 0xff)
+    forAll(genSamples, n = 8) { samples =>
+      val mono = fp(wavOf(samples, 1))
+      for (ch <- Seq(2, 3, 4))
+        assert(fp(wavOf(samples, ch)) == mono,
+          s"$ch identical channels must mix to the mono fingerprint")
+    }
+  }
+
+  test("ppmFrameDHashes: hashing a concatenation equals each frame's " +
+    "still-image hash, for any frame multiset within maxFrames") {
+    def frameHashes(p: Array[Byte]): Seq[Long] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.ppmFrameDHashes($"payload", 8).as("h"))
+        .collect().head
+      assert(!r.isNullAt(0), "fixture video failed to parse")
+      r.getSeq[Long](0)
+    }
+    def still64(p: Array[Byte]): Long = {
+      val b = Seq(Tuple1(p)).toDF("p")
+        .select(graft.functions.vec.dHashImageBands($"p", 4, 16).as("b"))
+        .collect().head.getSeq[Long](0)
+      b.zipWithIndex.map { case (v, i) => v << (i * 16) }.reduce(_ | _)
+    }
+    forAll(Gen.listOfN(4, genImage).map(_.take(4)), n = 6) { frames =>
+      whenever(frames.nonEmpty) {
+        val vid = frames.reduce(_ ++ _)
+        assert(frameHashes(vid) == frames.map(still64),
+          "concatenated frame hashes must equal the still-image hashes")
+      }
+    }
+  }
 }
