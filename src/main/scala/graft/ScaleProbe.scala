@@ -174,6 +174,21 @@ object ScaleProbe {
         graft.operators.Multimodal.videoNearDupPairs(
           graft.operators.Multimodal.attachPpmVideo(docs),
           minSharedFrames = 1, maxBucketSize = Some(256)).count() },
+      time("mm_audio_incremental_raw") {
+        // the audio ingest deployment shape: a 1%-of-corpus WAV shard
+        // against the (in-plan) audio band index of the full corpus —
+        // what an arriving shard pays vs the mm_audio_raw recompute
+        import org.apache.spark.sql.functions.{col, max => smax}
+        val m = (docs.agg(smax(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+        // % 300 == 1 keeps the shard on the audio residue (≡ 1 mod 3),
+        // and + m (≡ 0 mod 3) preserves it while staying id-disjoint
+        val shard = docs.filter(col("doc_id") % 300 === 1)
+          .select((col("doc_id") + m).as("doc_id"), col("text"))
+        graft.operators.Multimodal.audioIncrementalPairs(
+          graft.operators.Multimodal.attachWavAudio(shard),
+          graft.operators.Multimodal.audioFingerprintBandRows(
+            graft.operators.Multimodal.attachWavAudio(docs)),
+          maxHamming = 6, maxBucketSize = Some(256)).count() },
       time("mm_video_fuzzy_raw") {
         // frame-level NEAR matching (round-14): banded join over ALL
         // sampled frame rows (4 per video) — the frame count crosses
