@@ -52,13 +52,14 @@ private[graft] object BandedHamming {
   def resolveLayout(bands: Int, bandBits: Int, probeRadius: Int,
       n: => Long): (Int, Int, Int) =
     if (bands == 0) {
-      // a custom probe radius is part of a LAYOUT choice — silently
-      // dropping it under auto-sizing would lose guaranteed recall
-      // (e.g. a caller relying on 4x16+probe-1 completeness to 7)
-      require(probeRadius == 0,
-        s"probeRadius = $probeRadius requires an explicit bands/bandBits " +
-          "layout — bands = 0 (auto) resolves the whole layout, probing " +
-          "included, from the corpus size")
+      // a custom probe radius or band width is part of a LAYOUT choice —
+      // silently dropping either under auto-sizing would lose guaranteed
+      // recall (e.g. a caller relying on 4x16+probe-1 completeness to 7)
+      // or run a different key space than the caller typed
+      require(probeRadius == 0 && bandBits == 16,
+        s"bandBits = $bandBits / probeRadius = $probeRadius require an " +
+          "explicit bands layout — bands = 0 (auto) resolves the whole " +
+          "layout from the corpus size")
       autoLayout(n)
     } else {
       require(bands * bandBits == 64,
@@ -82,18 +83,27 @@ private[graft] object BandedHamming {
   def resolveIndexLayout(bands: Int, bandBits: Int, probeRadius: Int,
       index: DataFrame): (Int, Int, Int) =
     if (bands == 0) {
-      require(probeRadius == 0,
-        s"probeRadius = $probeRadius requires an explicit bands/bandBits " +
-          "layout — bands = 0 (auto) derives the whole layout, probing " +
-          "included, from the persisted index")
+      require(probeRadius == 0 && bandBits == 16,
+        s"bandBits = $bandBits / probeRadius = $probeRadius require an " +
+          "explicit bands layout — bands = 0 (auto) derives the whole " +
+          "layout from the persisted index")
       layoutOfIndex(index)
     } else resolveLayout(bands, bandBits, probeRadius, 0L)
 
   def layoutOfIndex(index: DataFrame): (Int, Int, Int) = {
-    val head = index.select(size(col("bands")).as("n")).head(1)
-    require(head.nonEmpty,
+    // min == max guards a MIXED-layout index (e.g. shards appended
+    // under a different layout after a corpus-size crossover): rows in
+    // the other layout would contribute garbage band keys and silently
+    // missed pairs — reject loudly like the empty-index case
+    val head = index
+      .agg(min(size(col("bands"))).as("lo"), max(size(col("bands"))).as("hi"))
+      .head()
+    require(!head.isNullAt(0),
       "cannot derive a band layout from an EMPTY index — pass bands explicitly")
-    val bands = head(0).getInt(0)
+    val bands = head.getInt(0)
+    require(bands == head.getInt(1),
+      s"index mixes band layouts ($bands..${head.getInt(1)} bands) — " +
+        "rebuild it under one layout before deriving from it")
     require(bands > 0 && 64 % bands == 0,
       s"index stores a $bands-band hash; 64 bits must split evenly")
     val bandBits = 64 / bands

@@ -564,8 +564,13 @@ object Multimodal {
         BandedHamming.bandRows(hashed, "frame_hash", b, bb),
         maxHamming, b, bb, pr, maxBucketSize, storage)
       // pairJoin orients d1 < d2 on composite ids, and frame offsets
-      // are < 64, so d1 always belongs to the lower-id video
-      .select(expr("d1 DIV 64").as("d1"), expr("d2 DIV 64").as("d2"),
+      // are < 64, so d1 always belongs to the lower-id video. The
+      // decomposition is an ARITHMETIC shift, not DIV: integer DIV
+      // truncates toward zero and would mis-attribute a negative
+      // video's frames to its neighbor (doc ids must fit 57 bits
+      // either sign — the composite multiplies by 64)
+      .select(shiftright(col("d1"), 6).as("d1"),
+        shiftright(col("d2"), 6).as("d2"),
         col("d1").as("lo_frame"))
       .filter(col("d1") =!= col("d2")) // within-video near frames are not evidence
       .groupBy("d1", "d2")

@@ -455,6 +455,20 @@ class MultimodalSpec extends AnyFunSuite {
       graft.functions.vec.ppmResize(lit(Array[Byte]()), 40000, 40000)
     }
     assert(err4.getMessage.contains("2 GiB"))
+    // a custom bandBits under auto-sizing is the same silent-drop class
+    // as probeRadius — must refuse loudly
+    val err5 = intercept[IllegalArgumentException] {
+      Multimodal.dHashNearDupPairs(m, maxHamming = 6, bandBits = 32)
+    }
+    assert(err5.getMessage.contains("explicit bands"))
+    // a MIXED-layout index (appended under a different layout) is
+    // rejected, not silently mis-read from one arbitrary row
+    val mixed = Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32)
+      .unionByName(Multimodal.dHashBandRows(oldT, bands = 4, bandBits = 16))
+    val err6 = intercept[IllegalArgumentException] {
+      Multimodal.dHashIncrementalPairs(shardT, mixed, maxHamming = 6)
+    }
+    assert(err6.getMessage.contains("mixes band layouts"))
   }
 
   test("attachPpmImages: payloads are real decodable PPMs; equality " +
@@ -732,6 +746,14 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(sPairs == Set((1L, 2L, 2L)),
       s"static-scene pair must cap at the frame count: $sPairs")
+    // negative ids: the composite decomposition is an ARITHMETIC shift
+    // — integer DIV would attribute video -1's frames to video 0
+    val neg = Seq((-1L, f1 ++ f2), (0L, f1 ++ f3))
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val negPairs = Multimodal.videoNearDupPairsFuzzy(neg, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(negPairs == Set((-1L, 0L, 1L)),
+      s"negative-id videos must pair on the shared frame: $negPairs")
   }
 
   test("attachPpmVideo: 4 decodable frames per video; equality tracks " +

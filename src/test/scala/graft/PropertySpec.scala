@@ -679,10 +679,11 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("ppmFrameDHashes: hashing a concatenation equals each frame's " +
-    "still-image hash, for any frame multiset within maxFrames") {
-    def frameHashes(p: Array[Byte]): Seq[Long] = {
+    "still-image hash, including the even-sampling branch past maxFrames") {
+    def frameHashes(p: Array[Byte], maxFrames: Int): Seq[Long] = {
       val r = Seq(Tuple1(p)).toDF("payload")
-        .select(graft.functions.vec.ppmFrameDHashes($"payload", 8).as("h"))
+        .select(graft.functions.vec.ppmFrameDHashes($"payload", maxFrames)
+          .as("h"))
         .collect().head
       assert(!r.isNullAt(0), "fixture video failed to parse")
       r.getSeq[Long](0)
@@ -693,11 +694,20 @@ class PropertySpec extends AnyFunSuite {
         .collect().head.getSeq[Long](0)
       b.zipWithIndex.map { case (v, i) => v << (i * 16) }.reduce(_ | _)
     }
-    forAll(Gen.listOfN(4, genImage).map(_.take(4)), n = 6) { frames =>
-      whenever(frames.nonEmpty) {
-        val vid = frames.reduce(_ ++ _)
-        assert(frameHashes(vid) == frames.map(still64),
-          "concatenated frame hashes must equal the still-image hashes")
+    val genFrames = Gen.choose(1, 7).flatMap(Gen.listOfN(_, genImage))
+    forAll(genFrames, n = 6) { frames =>
+      val vid = frames.reduce(_ ++ _)
+      val nf = frames.length
+      // below the cap: every frame in order
+      assert(frameHashes(vid, 8) == frames.map(still64),
+        "concatenated frame hashes must equal the still-image hashes")
+      // above the cap: the kernel samples frame ⌊i·nf/take⌋ for
+      // i < take — replicate the sampling and compare
+      for (take <- 1 to math.min(3, nf)) {
+        val expect = (0 until take)
+          .map(i => still64(frames((i * nf) / take)))
+        assert(frameHashes(vid, take) == expect,
+          s"even sampling diverged at take=$take of $nf frames")
       }
     }
   }
