@@ -2823,6 +2823,25 @@ object SparkEntry {
           col("all_identity_full"), col("exact_subset_of_fuzzy"))
     }),
 
+    // Fingerprint-entropy screen (round-14): the diagnostic that
+    // catches the degenerate-hash regime BEFORE a fuzzy join — per-bit
+    // set fractions over decoded frame hashes. The healthy 12×10
+    // fixture reads every bit inside (0.2, 0.8); the deliberately
+    // under-grid 8×6 twin pins bits to 0 (neighboring grid cells read
+    // the same source pixel) and MUST trip the screen — both verdicts
+    // in-plan, the count relational.
+    "mm_fingerprint_bias" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val healthy = Multimodal.frameHashBias(Multimodal.attachPpmVideo(docs))
+      val degenerate = Multimodal.frameHashBias(
+        Multimodal.attachPpmVideo(docs, w = 8, h = 6))
+      healthy.select(col("n").as("n_frames"),
+          (col("min_p1") >= 0.2 && col("max_p1") <= 0.8)
+            .as("healthy_in_bounds"))
+        .crossJoin(broadcast(degenerate
+          .select((col("min_p1") === 0.0).as("degenerate_trips"))))
+    }),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -5403,6 +5422,14 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            true AS all_identity_full,
            true AS exact_subset_of_fuzzy""",
+
+    // the bias-screen gate: hashes aren't SQL-replayable; the oracle
+    // pins the frame count (4 per video) and the in-plan verdicts
+    "mm_fingerprint_bias" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_frames,
+           true AS healthy_in_bounds,
+           true AS degenerate_trips
+         FROM documents WHERE doc_id % 3 = 2""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -250,6 +250,29 @@ private[graft] object BandedHamming {
       .select("d1", "d2", "hamming")
   }
 
+  /** Per-bit bias diagnostic for a 64-bit fingerprint column — the
+    * SCREEN for the degenerate-entropy regime the 1000× probe caught
+    * (under-grid video frames: correlated gradient bits → radius
+    * matching went output-quadratic on coincidental near-collisions,
+    * 751 s / 10M false "pairs"). Returns ONE row
+    * `(n, min_p1, max_p1)` where `p1(bit)` is the fraction of rows
+    * with that bit set: a healthy content fingerprint reads every bit
+    * near 0.5; a bit pinned near 0 or 1 carries no information, and a
+    * fingerprint with many such bits must be exact-matched or
+    * re-extracted at higher input resolution, never radius-matched.
+    * One map-side partial aggregation — 64 avgs riding a single
+    * 1-row exchange; run it BEFORE committing to a fuzzy join over a
+    * new corpus.
+    */
+  def fingerprintBiasStats(hashed: DataFrame, hashCol: String): DataFrame = {
+    val bits = (0 until 64).map(b =>
+      avg(shiftright(col(hashCol), b).bitwiseAND(lit(1L))).as(s"b$b"))
+    hashed.agg(count(col(hashCol)).as("n"), bits: _*)
+      .select(col("n"),
+        least((0 until 64).map(b => col(s"b$b")): _*).as("min_p1"),
+        greatest((0 until 64).map(b => col(s"b$b")): _*).as("max_p1"))
+  }
+
   /** Every XOR mask with popcount ≤ `radius` over `bandBits` bits —
     * the probe ball, enumerated at PLAN time. `|ball| = 1 + C(b,1)
     * [+ C(b,2)]` — 33 for the (32, 1) scaled layout.

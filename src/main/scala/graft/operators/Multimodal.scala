@@ -507,6 +507,26 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("bigint"),
         col("frame_hash"))
 
+  /** Pre-join entropy screen over decoded frame hashes
+    * ([[BandedHamming.fingerprintBiasStats]]): one row
+    * `(n, min_p1, max_p1)` of per-bit set fractions. Run it before a
+    * fuzzy frame join on a new corpus — a bit pinned near 0/1 means
+    * the fingerprints carry less entropy than their width and radius
+    * matching will go output-quadratic (the measured under-grid-frame
+    * regime); exact-match or re-extract at higher resolution instead.
+    */
+  def frameHashBias(media: DataFrame, maxFrames: Int = 8): DataFrame =
+    BandedHamming.fingerprintBiasStats(
+      sampleFrameHashes(media, maxFrames), "frame_hash")
+
+  /** [[frameHashBias]] for the audio fingerprint. */
+  def audioFingerprintBias(media: DataFrame): DataFrame =
+    BandedHamming.fingerprintBiasStats(
+      media.filter(col("kind") === "audio")
+        .select(graft.functions.vec.wavFingerprint64(col("payload"))
+          .as("afp")),
+      "afp")
+
   /** Video near-dup pairs: videos sharing ≥ `minSharedFrames` sampled
     * frame hashes. Per-video DISTINCT frame hashes → exact-key
     * self-join on the 64-bit hash (one shuffle, the banded-join plan

@@ -236,6 +236,9 @@ class HardeningSpec extends AnyFunSuite {
       // is compared against + subset/identity/verdict furniture over
       // 1-row sets
       "mm_video_neardup_fuzzy" -> 13,
+      // two 1-row bias aggregations (partial → final each), healthy +
+      // degenerate twin; verdict crossJoin broadcasts
+      "mm_fingerprint_bias" -> 2,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
       // single-pass multi-event decode: one routed projection, no shuffle

@@ -756,6 +756,31 @@ class MultimodalSpec extends AnyFunSuite {
       s"negative-id videos must pair on the shared frame: $negPairs")
   }
 
+  test("fingerprint bias screen: full-entropy frames read every bit " +
+    "near 0.5; under-grid frames pin bits to 0 and trip it") {
+    val docs = (0L to 60L by 3).map(i => (i + 2, s"text number $i with words"))
+      .toDF("doc_id", "text")
+    val healthy = Multimodal.frameHashBias(Multimodal.attachPpmVideo(docs))
+      .select($"n", $"min_p1", $"max_p1").collect().head
+    assert(healthy.getLong(0) == 21 * 4)
+    assert(healthy.getDouble(1) > 0.0 && healthy.getDouble(2) < 1.0,
+      s"healthy fixture should not pin bits: $healthy")
+    // 8x6 frames: grid cells share source pixels → some gradient bit
+    // is structurally ALWAYS ZERO → min_p1 == 0 exactly
+    val degen = Multimodal.frameHashBias(
+      Multimodal.attachPpmVideo(docs, w = 8, h = 6))
+      .select($"min_p1").collect().head.getDouble(0)
+    assert(degen == 0.0, s"under-grid frames must pin a bit: $degen")
+    // audio twin: unparseable payloads don't poison the stats (avg
+    // skips nulls) and the fixture fingerprints are not pinned
+    val media = Multimodal.attachWavAudio(docs.select($"doc_id" - 1
+      as "doc_id", $"text"))
+      .unionByName(Seq((999L, "audio", "nota wav".getBytes("US-ASCII")))
+        .toDF("doc_id", "kind", "payload"))
+    val aud = Multimodal.audioFingerprintBias(media).collect().head
+    assert(aud.getLong(0) == 21, s"null fingerprints must not count: $aud")
+  }
+
   test("attachPpmVideo: 4 decodable frames per video; equality tracks " +
     "text equality; frames differ within a video") {
     val d = Seq((2L, "alpha"), (5L, "beta"), (8L, "alpha"), (6L, "skip"))
