@@ -2823,6 +2823,29 @@ object SparkEntry {
           col("all_identity_full"), col("exact_subset_of_fuzzy"))
     }),
 
+    // End-to-end MEDIA dedup composition (round-14): decode-hash pairs
+    // (real PPM kernel) → cluster resolution → representatives — the
+    // full corpus-dedup pipeline a media lake runs, reusing the text
+    // family's clusterLabels verbatim. On the sha-noise fixture only
+    // byte-identical images pair (random 64-bit dHashes never land
+    // within radius 6 at this n), so clusters are exactly the
+    // text-equality groups and the oracle replays the SURVIVING IDS
+    // relationally: the min doc_id per text group. Hash-matched, not a
+    // verdict gate.
+    "mm_dedup_media" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val media = graft.CacheScope.persist(Multimodal.attachPpmImages(base))
+      val pairs = Multimodal.dHashImageNearDupPairs(media,
+        maxHamming = 6, maxBucketSize = Some(1024))
+      Dedup.keepRepresentatives(media.select(col("doc_id")), pairs)
+        .select(col("doc_id"))
+    }),
+
     // Fingerprint-entropy screen (round-14): the diagnostic that
     // catches the degenerate-hash regime BEFORE a fuzzy join — per-bit
     // set fractions over decoded frame hashes. The healthy 12×10
@@ -5422,6 +5445,18 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            true AS all_identity_full,
            true AS exact_subset_of_fuzzy""",
+
+    // media-dedup representatives: byte-identical clusters only on
+    // this fixture, so survivors = min doc_id per image text group
+    "mm_dedup_media" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         img AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 0)
+         SELECT min(doc_id) AS doc_id FROM img GROUP BY text""",
 
     // the bias-screen gate: hashes aren't SQL-replayable; the oracle
     // pins the frame count (4 per video) and the in-plan verdicts

@@ -239,6 +239,9 @@ class HardeningSpec extends AnyFunSuite {
       // two 1-row bias aggregations (partial → final each), healthy +
       // degenerate twin; verdict crossJoin broadcasts
       "mm_fingerprint_bias" -> 2,
+      // decode-hash pairs (cap window + pair dedup; the propagation
+      // joins broadcast the label frontier at fixture scale)
+      "mm_dedup_media" -> 2,
       // pure scan + codegen'd decode projection — shuffle-free
       "p2_abi_fixed_roundtrip" -> 0,
       // single-pass multi-event decode: one routed projection, no shuffle
