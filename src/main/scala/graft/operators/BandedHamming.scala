@@ -273,6 +273,24 @@ private[graft] object BandedHamming {
         greatest((0 until 64).map(b => col(s"b$b")): _*).as("max_p1"))
   }
 
+  /** [[fingerprintBiasStats]] computable from PERSISTED band rows —
+    * screen an existing index (or an arriving shard's band rows)
+    * without re-reading any payload: one row per `band_idx` with
+    * `(n, min_p1, max_p1)` over that band's `bandBits` key bits. The
+    * same pinned-bit reading applies per band; `bandBits` must match
+    * the index layout ([[layoutOfIndex]]).
+    */
+  def bandBitBiasStats(bandRows: DataFrame, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 64, s"bandBits out of range: $bandBits")
+    val bits = (0 until bandBits).map(j =>
+      avg(shiftright(col("band_key"), j).bitwiseAND(lit(1L))).as(s"j$j"))
+    bandRows.groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n"), bits: _*)
+      .select(col("band_idx"), col("n"),
+        least((0 until bandBits).map(j => col(s"j$j")): _*).as("min_p1"),
+        greatest((0 until bandBits).map(j => col(s"j$j")): _*).as("max_p1"))
+  }
+
   /** Every XOR mask with popcount ≤ `radius` over `bandBits` bits —
     * the probe ball, enumerated at PLAN time. `|ball| = 1 + C(b,1)
     * [+ C(b,2)]` — 33 for the (32, 1) scaled layout.

@@ -779,6 +779,26 @@ class MultimodalSpec extends AnyFunSuite {
         .toDF("doc_id", "kind", "payload"))
     val aud = Multimodal.audioFingerprintBias(media).collect().head
     assert(aud.getLong(0) == 21, s"null fingerprints must not count: $aud")
+    // the index-rows twin: per-band stats over PERSISTED band rows must
+    // agree with the payload-side screen (same bits, regrouped by band)
+    val imgs = Multimodal.attachPpmImages(docs.select($"doc_id" * 3
+      as "doc_id", $"text"))
+    val full = graft.operators.BandedHamming.fingerprintBiasStats(
+      Multimodal.dHashImageBandRows(imgs, bands = 4, bandBits = 16)
+        .select($"doc_id", $"bands").distinct()
+        .select(expr("bands[0] | shiftleft(bands[1], 16) | " +
+          "shiftleft(bands[2], 32) | shiftleft(bands[3], 48)").as("h")),
+      "h").collect().head
+    val perBand = graft.operators.BandedHamming.bandBitBiasStats(
+      Multimodal.dHashImageBandRows(imgs, bands = 4, bandBits = 16), 16)
+      .collect()
+    assert(perBand.length == 4)
+    assert(perBand.map(_.getLong(1)).distinct.toSeq == Seq(21L))
+    val mn = perBand.map(_.getDouble(2)).min
+    val mx = perBand.map(_.getDouble(3)).max
+    assert(math.abs(mn - full.getDouble(1)) < 1e-12 &&
+      math.abs(mx - full.getDouble(2)) < 1e-12,
+      s"index-rows bias ($mn, $mx) != payload-side bias $full")
   }
 
   test("attachPpmVideo: 4 decodable frames per video; equality tracks " +
