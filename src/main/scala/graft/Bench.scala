@@ -49,9 +49,15 @@ object Bench {
         .groupBy("k").sum("v").selectExpr("sum(k)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val controlS = (1 to 3).map(_ => controlSample()).min
-    val drift =
-      if (ControlRefSec > 0) controlS / ControlRefSec else 1.0
+    // controls are INTERLEAVED across the run (one up front, one after
+    // each third of the query list, one at the end) and the MIN is the
+    // drift denominator: contention INFLATES a fixed workload, never
+    // deflates it, so the min is the run's best estimate of the host
+    // floor. Round 14 exposed the old three-up-front sampling — the
+    // control swung 1.29–1.65 across runs whose raw totals held within
+    // 1.5%, because a contention burst during the control window
+    // mis-normalized the whole run (VERDICT r14 Next #6).
+    var controlSamples = List(controlSample())
 
     // per-query priors (seconds) from the last recorded full run: any
     // query whose FIRST sample lands >5x its prior takes a third sample,
@@ -75,9 +81,15 @@ object Bench {
     // min-of-2 per query, plus a THIRD sample when (a) the best is still
     // >= 1 s — where host noise dominates the recorded tail — or (b) the
     // first sample landed >5x the recorded prior (outlier guard)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    // control checkpoints after each third of the list (and at the end)
+    val controlAfter: Set[Int] =
+      if (queryList.size < 3) Set(queryList.size - 1)
+      else Set(queryList.size / 3 - 1, 2 * queryList.size / 3 - 1,
+        queryList.size - 1)
+    val results = queryList.zipWithIndex
+      .map { case ((name, fn), qIdx) =>
         def sample(): Option[Double] = {
           val t0 = System.nanoTime()
           val ok =
@@ -103,8 +115,12 @@ object Bench {
         // a query that succeeds on any run has a time — only record a
         // failure when EVERY run failed (driver treats the lists as disjoint)
         if (times.isEmpty) failed ::= name
+        if (controlAfter(qIdx)) controlSamples ::= controlSample()
         name -> times.minOption
       }
+    val controlS = controlSamples.min
+    val drift =
+      if (ControlRefSec > 0) controlS / ControlRefSec else 1.0
     val succeeded = results.collect { case (k, Some(v)) => k -> v }
     val qs = succeeded.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -184,11 +184,18 @@ object ScaleProbe {
         // and + m (≡ 0 mod 3) preserves it while staying id-disjoint
         val shard = docs.filter(col("doc_id") % 300 === 1)
           .select((col("doc_id") + m).as("doc_id"), col("text"))
+        // EXPLICIT layout on BOTH sides (the dHash incremental row's
+        // convention, ADVICE r14 #4): bands=0 on an in-plan index would
+        // pay a layout-derivation pass over the corpus fingerprints
+        // before the join, blurring the shard-cost number this row
+        // exists to isolate
         graft.operators.Multimodal.audioIncrementalPairs(
           graft.operators.Multimodal.attachWavAudio(shard),
           graft.operators.Multimodal.audioFingerprintBandRows(
-            graft.operators.Multimodal.attachWavAudio(docs)),
-          maxHamming = 6, maxBucketSize = Some(256)).count() },
+            graft.operators.Multimodal.attachWavAudio(docs),
+            bands = 2, bandBits = 32),
+          maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
+          maxBucketSize = Some(256)).count() },
       time("mm_video_fuzzy_raw") {
         // frame-level NEAR matching (round-14): banded join over ALL
         // sampled frame rows (4 per video) — the frame count crosses

@@ -67,14 +67,6 @@ private[graft] object BandedHamming {
       (bands, bandBits, probeRadius)
     }
 
-  /** Derive the layout a PERSISTED band index was built with — the
-    * incremental path's auto-sizing: band keys are layout-specific, so
-    * an arriving shard must hash under the INDEX's layout, not the
-    * corpus-count one. `bands` is the stored full-hash array's length
-    * (one-row peek, bounded); `probeRadius` follows the [[autoLayout]]
-    * convention for that width (32-bit keys probe at radius 1). Loud
-    * on an empty index — there is nothing to derive from.
-    */
   /** [[resolveLayout]] for the incremental/streaming paths: `bands = 0`
     * derives the layout from the PERSISTED index ([[layoutOfIndex]])
     * with the same loud guard on a stranded custom `probeRadius`;
@@ -90,24 +82,70 @@ private[graft] object BandedHamming {
       layoutOfIndex(index)
     } else resolveLayout(bands, bandBits, probeRadius, 0L)
 
+  /** Derive the layout a PERSISTED band index was built with — the
+    * incremental path's auto-sizing: band keys are layout-specific, so
+    * an arriving shard must hash under the INDEX's layout, not the
+    * corpus-count one. `bands` is the stored full-hash array's length,
+    * read from ONE row (`limit(1)` — bounded no matter the index size,
+    * so per-epoch streaming callers can afford the derivation every
+    * micro-batch); `probeRadius` follows the [[autoLayout]] convention
+    * for that width (32-bit keys probe at radius 1). Loud on an empty
+    * index — there is nothing to derive from. A MIXED-layout index
+    * (shards appended under a different layout after a corpus-size
+    * crossover) is a corrupted artifact this one-row peek cannot see —
+    * run [[verifyUniformLayout]] (a full scan, deliberately opt-in)
+    * after any out-of-band index surgery.
+    */
   def layoutOfIndex(index: DataFrame): (Int, Int, Int) = {
-    // min == max guards a MIXED-layout index (e.g. shards appended
-    // under a different layout after a corpus-size crossover): rows in
-    // the other layout would contribute garbage band keys and silently
-    // missed pairs — reject loudly like the empty-index case
-    val head = index
-      .agg(min(size(col("bands"))).as("lo"), max(size(col("bands"))).as("hi"))
-      .head()
-    require(!head.isNullAt(0),
+    val rows = index.select(size(col("bands")).as("b")).limit(1).collect()
+    require(rows.nonEmpty,
       "cannot derive a band layout from an EMPTY index — pass bands explicitly")
-    val bands = head.getInt(0)
-    require(bands == head.getInt(1),
-      s"index mixes band layouts ($bands..${head.getInt(1)} bands) — " +
-        "rebuild it under one layout before deriving from it")
+    val bands = rows(0).getInt(0)
     require(bands > 0 && 64 % bands == 0,
       s"index stores a $bands-band hash; 64 bits must split evenly")
     val bandBits = 64 / bands
     (bands, bandBits, if (bandBits >= 32) 1 else 0)
+  }
+
+  /** Full-scan uniformity check for a persisted band index: rejects a
+    * MIXED-layout index (rows hashed under different band widths would
+    * contribute garbage band keys and silently missed pairs). O(index)
+    * by necessity — every row's stored array length is inspected — so
+    * it is an explicit maintenance step, NOT part of the per-epoch
+    * [[layoutOfIndex]] peek (which round 14 ran as a full min/max
+    * aggregation on every micro-batch; ADVICE r14 #1).
+    */
+  def verifyUniformLayout(index: DataFrame): Unit = {
+    val head = index
+      .agg(min(size(col("bands"))).as("lo"), max(size(col("bands"))).as("hi"))
+      .head()
+    require(!head.isNullAt(0), "cannot verify the layout of an EMPTY index")
+    require(head.getInt(0) == head.getInt(1),
+      s"index mixes band layouts (${head.getInt(0)}..${head.getInt(1)} " +
+        "bands) — rebuild it under one layout before deriving from it")
+  }
+
+  /** Warn for the HEURISTIC Hamming tail under auto-sizing: the banded
+    * scheme only GUARANTEES pairs up to total distance
+    * `bands·(probeRadius+1) − 1` (3 for BOTH auto layouts); beyond
+    * that, recall is coincidental band-collision luck and therefore
+    * LAYOUT-DEPENDENT — under the self-sizing `bands = 0` default the
+    * 4–6 Hamming tail silently changes when a corpus crosses
+    * [[ScaledLayoutMinDocs]] (or an `nHint` flips the layout).
+    * [[Dedup.simHashPairs]] hard-rejects such a `maxDist`; the
+    * multimodal operators keep the tail (a re-encoded image lands at
+    * 4–6 routinely) but surface the discontinuity here (ADVICE r14 #2).
+    */
+  private[graft] def warnHeuristicTail(op: String, maxHamming: Int,
+      bands: Int, probeRadius: Int): Unit = {
+    val guaranteed = bands * (probeRadius + 1) - 1
+    if (maxHamming > guaranteed)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.BandedHamming").warn(
+        s"$op: maxHamming = $maxHamming exceeds the auto-resolved layout's " +
+          s"completeness bound $guaranteed ($bands bands, probe radius " +
+          s"$probeRadius) — pairs at distance ${guaranteed + 1}..$maxHamming " +
+          "are heuristic and change across the corpus-size layout " +
+          "crossover; pass an explicit bands layout to pin them")
   }
 
   /** Band rows for a single-`LONG` 64-bit hash column: one row per
@@ -210,7 +248,16 @@ private[graft] object BandedHamming {
     require(probeRadius >= 0 && probeRadius <= 2,
       s"probeRadius must be 0..2, got $probeRadius")
     val cols = Seq("doc_id", "bands", "band_idx", "band_key").map(col)
-    val newSide = storage.fold(newRows)(graft.CacheScope.persist(newRows, _))
+    // newSide doubles as the probe base ONLY on the radius-0/uncapped
+    // branch — on the capped probed path (the auto layout past the
+    // crossover) the probe base comes from the capped union instead,
+    // so persisting the shard rows there would cache them twice for
+    // nothing (ADVICE r14 #3)
+    val newSideServesProbe = maxBucketSize.isEmpty || probeRadius == 0
+    val newSide =
+      if (newSideServesProbe)
+        storage.fold(newRows)(graft.CacheScope.persist(newRows, _))
+      else newRows
     // the new-side tag rides THROUGH the cap (ids are disjoint by
     // contract, so the flag is equivalent to an id-set membership test
     // without the extra join) — the capped union then serves both the
@@ -225,7 +272,7 @@ private[graft] object BandedHamming {
     // rows either, so the uncapped newSide is equivalent AND skips the
     // tag filter; radius > 0 must probe from CAPPED new rows
     val probeBase =
-      if (maxBucketSize.isEmpty || probeRadius == 0) newSide
+      if (newSideServesProbe) newSide
       else allTagged.filter(col("__is_new")).drop("__is_new")
     val probed =
       if (probeRadius == 0) probeBase

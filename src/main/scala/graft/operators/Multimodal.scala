@@ -200,6 +200,17 @@ object Multimodal {
     * the fixed-2^16 quadratic measured at the 1000× tier
     * ([[BandedHamming]] scaladoc). Explicit `bands > 0` pins a layout
     * (the gate queries' convention).
+    *
+    * RECALL DISCONTINUITY under auto: both auto layouts GUARANTEE
+    * pairs only to Hamming 3 (`bands·(probeRadius+1) − 1`); the
+    * default `maxHamming = 6` keeps the 4–6 tail because re-encoded /
+    * lightly-edited images land there routinely, but that tail is
+    * heuristic — it surfaces only when a pair also collides on a band
+    * — and therefore CHANGES when the corpus crosses the 1M layout
+    * crossover (or an `nHint` flips the layout). A run whose
+    * `maxHamming` exceeds the resolved completeness bound logs a
+    * warning ([[BandedHamming.warnHeuristicTail]]); pin an explicit
+    * `bands` layout to freeze the tail.
     */
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 6,
       bands: Int = 0, bandBits: Int = 16, headerLen: Int = 3,
@@ -210,6 +221,8 @@ object Multimodal {
     val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
       probeRadius,
       if (nHint >= 0) nHint else media.filter(col("kind") === "image").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("dHashNearDupPairs", maxHamming, b, pr)
     bandPairJoin(dHashBandRows(media, b, bb, headerLen),
       maxHamming, b, bb, pr, maxBucketSize, storage)
   }
@@ -253,6 +266,9 @@ object Multimodal {
     val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
       probeRadius,
       if (nHint >= 0) nHint else media.filter(col("kind") === "image").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("dHashImageNearDupPairs", maxHamming,
+        b, pr)
     bandPairJoin(dHashImageBandRows(media, b, bb),
       maxHamming, b, bb, pr, maxBucketSize, storage)
   }
@@ -315,6 +331,9 @@ object Multimodal {
       decodePixels: Boolean = false): DataFrame = {
     val (b, bb, pr) = BandedHamming.resolveIndexLayout(
       bands, bandBits, probeRadius, index)
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("dHashIncrementalPairs", maxHamming,
+        b, pr)
     BandedHamming.incrementalPairJoin(index,
       if (decodePixels) dHashImageBandRows(newMedia, b, bb)
       else dHashBandRows(newMedia, b, bb, headerLen),
@@ -427,6 +446,8 @@ object Multimodal {
     val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
       probeRadius,
       if (nHint >= 0) nHint else media.filter(col("kind") === "audio").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("audioNearDupPairs", maxHamming, b, pr)
     bandPairJoin(audioFingerprintBandRows(media, b, bb),
       maxHamming, b, bb, pr, maxBucketSize, storage)
   }
@@ -445,6 +466,9 @@ object Multimodal {
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val (b, bb, pr) = BandedHamming.resolveIndexLayout(
       bands, bandBits, probeRadius, index)
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("audioIncrementalPairs", maxHamming,
+        b, pr)
     BandedHamming.incrementalPairJoin(index,
       audioFingerprintBandRows(newMedia, b, bb),
       maxHamming, b, bb, pr, maxBucketSize, storage)
@@ -580,6 +604,9 @@ object Multimodal {
       else hashed0
     val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
       probeRadius, if (nHint >= 0) nHint else hashed.count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("videoNearDupPairsFuzzy", maxHamming,
+        b, pr)
     BandedHamming.pairJoin(
         BandedHamming.bandRows(hashed, "frame_hash", b, bb),
         maxHamming, b, bb, pr, maxBucketSize, storage)

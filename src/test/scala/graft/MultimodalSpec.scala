@@ -462,13 +462,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(err5.getMessage.contains("explicit bands"))
     // a MIXED-layout index (appended under a different layout) is
-    // rejected, not silently mis-read from one arbitrary row
+    // caught by the opt-in full-scan maintenance check — the per-epoch
+    // layout peek is deliberately a bounded one-row read (ADVICE r14
+    // #1: the old always-on min/max scan cost O(index) per micro-batch)
     val mixed = Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32)
       .unionByName(Multimodal.dHashBandRows(oldT, bands = 4, bandBits = 16))
     val err6 = intercept[IllegalArgumentException] {
-      Multimodal.dHashIncrementalPairs(shardT, mixed, maxHamming = 6)
+      graft.operators.BandedHamming.verifyUniformLayout(mixed)
     }
     assert(err6.getMessage.contains("mixes band layouts"))
+    // ...and the check passes on a uniform index
+    graft.operators.BandedHamming.verifyUniformLayout(
+      Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32))
   }
 
   test("attachPpmImages: payloads are real decodable PPMs; equality " +
