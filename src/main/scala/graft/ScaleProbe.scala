@@ -157,6 +157,17 @@ object ScaleProbe {
           graft.operators.Multimodal.attachPpmImages(docs), maxHamming = 6,
           bands = 2, bandBits = 32, probeRadius = 1,
           maxBucketSize = Some(256)).count() },
+      time("mm_dhash_png_raw") {
+        // the REAL-FORMAT leg (round-15): in-plan PNG transcode (JDK
+        // encoder) + magic-sniff ImageIO decode → shared dHash kernel.
+        // Everything is row-local (encode AND decode ride one
+        // projection), so the row measures raw codec throughput on top
+        // of mm_dhash_decoded_probed_raw's join shape — still ~linear,
+        // just a higher per-row constant than the PPM parse
+        graft.operators.Multimodal.dHashImageNearDupPairs(
+          graft.operators.Multimodal.attachPngImages(docs), maxHamming = 6,
+          bands = 2, bandBits = 32, probeRadius = 1,
+          maxBucketSize = Some(256)).count() },
       time("mm_audio_raw") {
         // the REAL audio member (round-14): in-plan WAV synthesis +
         // pure-JVM RIFF parse → energy/ZCR fingerprint kernel —

@@ -2635,6 +2635,57 @@ object SparkEntry {
           col("n_undecoded"), col("all_identity_found"))
     }),
 
+    // REAL-FORMAT image decode gate (round-15): the corpus leg is
+    // ACTUAL PNG payloads (attachPngImages — the fixture pixels
+    // transcoded through the JDK encoder in-plan), decoded back
+    // through the magic-byte sniff → headless ImageIO → the SAME
+    // luma/9×8/dHash arithmetic as the PPM path. PNG is lossless, so
+    // the PNG leg's pair set must EQUAL the PPM leg's exactly (the
+    // strongest in-plan verdict this gate carries), every payload
+    // must decode (n_undecoded = 0), and every byte-identical pair is
+    // recovered at hamming 0. The oracle pins the relational half
+    // (image count, identity pairs from text equality) — codec bytes
+    // are not SQL-replayable, the established mm_dhash_decoded shape.
+    "mm_dhash_png" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val ppmMedia = graft.CacheScope.persist(Multimodal.attachPpmImages(base))
+      val pngMedia = graft.CacheScope.persist(Multimodal.attachPngImages(base))
+      val pngPairs = Multimodal.dHashImageNearDupPairs(pngMedia,
+        maxHamming = 6, maxBucketSize = Some(1024))
+      val ppmPairs = Multimodal.dHashImageNearDupPairs(ppmMedia,
+        maxHamming = 6, maxBucketSize = Some(1024))
+      def setsEqual(a: DataFrame, b: DataFrame) =
+        a.unionByName(b).groupBy("d1", "d2", "hamming")
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(min(col("n") === 2), lit(true)))
+      val imgs = graft.CacheScope.persist(
+        base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), sha2(col("text"), 256).as("tkey")))
+      val ident = imgs.as("a")
+        .join(imgs.as("b"), col("a.tkey") === col("b.tkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      ident.join(pngPairs, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          coalesce(min(when(col("hamming") === 0, lit(1)).otherwise(lit(0)))
+            === 1, lit(true)).as("all_identity_found"))
+        .crossJoin(broadcast(imgs.agg(count(lit(1)).as("n_images"))))
+        .crossJoin(broadcast(pngMedia.select(
+          count(when(graft.functions.vec
+            .dHashImageBands(col("payload"), 4, 16).isNull, lit(1)))
+            .as("n_undecoded"))))
+        .crossJoin(broadcast(setsEqual(pngPairs, ppmPairs)
+          .toDF("png_equals_ppm")))
+        .select(col("n_images"), col("n_identity_pairs"),
+          col("n_undecoded"), col("all_identity_found"),
+          col("png_equals_ppm"))
+    }),
+
     // REAL resize transcode (round-14, closes the mm_resize
     // metadata-only seam): decode the fixture PPMs (12×10), integer
     // box-resize to 6×5 per RGB channel, re-encode canonical P6 — all
@@ -5324,6 +5375,23 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found""",
+
+    "mm_dhash_png" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         img AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 0),
+         ident AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM img a JOIN img b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT (SELECT count(*) FROM img) AS n_images,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           CAST(0 AS BIGINT) AS n_undecoded,
+           true AS all_identity_found,
+           true AS png_equals_ppm""",
 
     // BYTE-EXACT resize replay: the fixture pixels are sha chunks of
     // the text (attachPpmImages), so the oracle recomputes every input

@@ -207,37 +207,174 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** REAL image dHash: decode a binary PPM payload (P6, maxval ≤ 255 —
-    * the simplest raster format with an actual header/pixel contract,
-    * decodable in pure JVM code with no codec library), grayscale it
-    * (integer ITU-R 601 luma `(299·R + 587·G + 114·B) / 1000`),
-    * box-resize to the classic dHash 9×8 grid (each target cell is the
-    * integer mean luma of its source box — boxes partition the image,
-    * degenerate boxes widened to one pixel), and emit the 64 horizontal
-    * gradient bits `cell[r][c] > cell[r][c+1]` (r < 8, c < 8) packed
-    * little-endian into `bands` longs of `bandBits` bits — the SAME
-    * band layout as [[dHashBands]], so the banded near-dup join is
-    * kernel-agnostic. All arithmetic is integer and deterministic.
+  /** REAL image dHash: decode the payload — PPM (P6) through the
+    * pure-JVM parse, or any JDK-decodable container (PNG/JPEG/GIF/BMP,
+    * sniffed by magic bytes and decoded headless via
+    * `javax.imageio.ImageIO`, which ships in every JDK — no external
+    * codec dependency) — grayscale it (integer ITU-R 601 luma
+    * `(299·R + 587·G + 114·B) / 1000`), box-resize to the classic
+    * dHash 9×8 grid (each target cell is the integer mean luma of its
+    * source box — boxes partition the image, degenerate boxes widened
+    * to one pixel), and emit the 64 horizontal gradient bits
+    * `cell[r][c] > cell[r][c+1]` (r < 8, c < 8) packed little-endian
+    * into `bands` longs of `bandBits` bits — the SAME band layout as
+    * [[dHashBands]], so the banded near-dup join is kernel-agnostic.
+    * The luma/resize/gradient arithmetic is identical across decode
+    * paths, so a PPM and a PNG of the SAME pixels hash identically
+    * (lossless containers; a JPEG re-encode lands within a small
+    * Hamming distance — the near-dup semantics). All arithmetic is
+    * integer and deterministic.
     *
     * Null (row drops out, the established null-hash contract) for
-    * anything that is not a well-formed P6 payload: wrong magic, bad
-    * header, maxval > 255, or truncated pixel data. `#` comments and
-    * arbitrary header whitespace are honored per the PPM spec.
+    * anything that is not a well-formed payload of a supported format:
+    * wrong magic, bad header, maxval > 255, truncated pixel data, or
+    * an ImageIO decode failure. `#` comments and arbitrary header
+    * whitespace are honored per the PPM spec.
     */
   def dHashImageBands(payload: Array[Byte], bands: Int,
       bandBits: Int): ArrayData = {
-    if (payload == null) return null
-    val hd = ppmHeader(payload, 0)
-    if (hd == null) return null
-    val hash = dHash64At(payload, hd(2), hd(0), hd(1))
+    val hash = imageDHash64(payload)
+    if (hash == null) return null
+    val h = hash.longValue()
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      out(b) = (hash >>> (b * bandBits)) & mask
+      out(b) = (h >>> (b * bandBits)) & mask
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Route one image payload to its decoder and return the 64-bit
+    * dHash, or null if no supported container matches ([[dHashImageBands]]
+    * semantics). PPM stays on the allocation-free byte path; the JDK
+    * containers decode through ImageIO into one packed-ARGB buffer.
+    */
+  def imageDHash64(payload: Array[Byte]): java.lang.Long = {
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd != null)
+      return java.lang.Long.valueOf(dHash64At(payload, hd(2), hd(0), hd(1)))
+    val img = readJdkImage(payload)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 1 || h < 1) return null
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    java.lang.Long.valueOf(dHash64Argb(argb, w, h))
+  }
+
+  /** ImageIO's disk cache writes decode scratch to temp FILES — per-row
+    * I/O an executor must never pay. Disabled once per JVM, touched
+    * lazily from every ImageIO call site.
+    */
+  private lazy val imageIoMemOnly: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false); true
+  }
+
+  /** Magic-byte sniff for the JDK-decodable raster containers: PNG
+    * (`89 'PNG'`), JPEG (`FF D8 FF`), GIF (`'GIF8'`), BMP (`'BM'`).
+    * The sniff gates the (allocating) ImageIO attempt so arbitrary
+    * binary payloads in a mixed-media table fail in a few byte
+    * compares, not in a codec probe.
+    */
+  private def isJdkRaster(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Decode a sniffed JDK-container payload headless, or null on any
+    * failure (unsniffed magic, truncated stream, codec error — the
+    * null-drop contract; a corrupt payload must drop its row, never
+    * kill the task).
+    */
+  private def readJdkImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    if (!isJdkRaster(payload)) return null
+    val noCache = imageIoMemOnly
+    if (!noCache) return null // unreachable; forces the lazy init
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+  }
+
+  /** [[dHash64At]] over a packed-ARGB buffer — the ImageIO decode path.
+    * BYTE-IDENTICAL arithmetic to the PPM path (same integer luma, same
+    * box partition, same gradient bits), so identical pixels hash
+    * identically regardless of which container carried them.
+    */
+  private def dHash64Argb(argb: Array[Int], w: Int, h: Int): Long = {
+    val gw = 9; val gh = 8
+    val cells = new Array[Long](gh * gw)
+    var ty = 0
+    while (ty < gh) {
+      val y0 = ((ty.toLong * h) / gh).toInt
+      var y1 = (((ty + 1).toLong * h) / gh).toInt
+      if (y1 <= y0) y1 = y0 + 1
+      var tx = 0
+      while (tx < gw) {
+        val x0 = ((tx.toLong * w) / gw).toInt
+        var x1 = (((tx + 1).toLong * w) / gw).toInt
+        if (x1 <= x0) x1 = x0 + 1
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          val row = y * w
+          var x = x0
+          while (x < x1) {
+            val p = argb(row + x)
+            s += 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+              114L * (p & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(ty * gw + tx) = s / (cnt * 1000L)
+        tx += 1
+      }
+      ty += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (cells(r * gw + c) > cells(r * gw + c + 1)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Transcode a P6 payload to PNG via the JDK encoder — the in-plan
+    * fixture leg for the real-format decode gates (PNG is lossless, so
+    * the PNG's decoded pixels EQUAL the PPM's and the two payloads
+    * dHash identically). Deterministic within a JVM; the relational
+    * oracles never replay PNG bytes, only pixel-derived facts. Null
+    * for non-PPM payloads (the null-drop contract).
+    */
+  def ppmToPng(payload: Array[Byte]): Array[Byte] = {
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val pos = hd(2)
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val p = pos + i * 3
+      argb(i) = 0xff000000 | ((payload(p) & 0xff) << 16) |
+        ((payload(p + 1) & 0xff) << 8) | (payload(p + 2) & 0xff)
+      i += 1
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val noCache = imageIoMemOnly
+    if (!noCache) return null // unreachable; forces the lazy init
+    val bos = new java.io.ByteArrayOutputStream(64 + w * h * 3)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "png", bos)) null
+      else bos.toByteArray
+    } catch { case _: Exception => null }
   }
 
   @inline private def isWsB(c: Int): Boolean = c == ' ' || c == '\t' ||
@@ -1153,6 +1290,28 @@ case class PpmResize(child: Expression, outW: Int, outH: Int)
     copy(child = newChild)
 }
 
+/** `ppm_to_png(binary) → binary` — P6 → PNG transcode through the JDK
+  * encoder (see [[VectorRuntime.ppmToPng]]): the in-plan fixture leg
+  * for real-format decode gates. Nullable: null for non-PPM payloads.
+  */
+case class PpmToPng(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_to_png"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.ppmToPng(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.ppmToPng($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PpmToPng =
+    copy(child = newChild)
+}
+
 /** `ppm_frame_dhashes(binary, maxFrames) → array<long>` — per-frame
   * 64-bit dHashes of a concatenated-PPM video payload, up to
   * `maxFrames` evenly sampled (see [[VectorRuntime.ppmFrameDHashes]]).
@@ -1569,6 +1728,7 @@ object vec {
     wrap(DHashImageBands(ex(payload), bands, bandBits))
   def ppmResize(payload: Column, outW: Int, outH: Int): Column =
     wrap(PpmResize(ex(payload), outW, outH))
+  def ppmToPng(payload: Column): Column = wrap(PpmToPng(ex(payload)))
   def ppmFrameDHashes(payload: Column, maxFrames: Int): Column =
     wrap(PpmFrameDHashes(ex(payload), maxFrames))
   def wavFingerprint64(payload: Column): Column =

@@ -96,6 +96,20 @@ object Multimodal {
           1, headerLen + bodyLen).as("payload"))
   }
 
+  /** Deterministic REAL-FORMAT image fixture (round-15): the
+    * [[attachPpmImages]] pixels transcoded to PNG through the JDK
+    * encoder ([[graft.functions.PpmToPng]]) — what a real corpus of
+    * PNG payloads looks like to the engine. PNG is lossless, so
+    * payload-pixel equality ⇔ text equality still holds and the PNG
+    * leg's dHash EQUALS the PPM leg's (the `mm_dhash_png` gate's pin).
+    * Transcoding rides the same projection as the synthesis — one
+    * row-local pass, no shuffle.
+    */
+  def attachPngImages(docs: DataFrame, w: Int = 12, h: Int = 10): DataFrame =
+    attachPpmImages(docs, w, h)
+      .select(col("doc_id"), col("kind"),
+        graft.functions.vec.ppmToPng(col("payload")).as("payload"))
+
   /** Feature extraction through the typed mapPartitions seam. Partitioning
     * is preserved from the input (repartition upstream by id for balance);
     * one decoder instance per partition, iterator-at-a-time — exactly the
@@ -227,12 +241,17 @@ object Multimodal {
       maxHamming, b, bb, pr, maxBucketSize, storage)
   }
 
-  /** [[dHashBandRows]] with the REAL decoder: the payload is parsed as
-    * a binary PPM (P6) image, decoded → integer luma → 9×8 box resize
-    * → classic 64-bit dHash, entirely inside the compiled
-    * [[graft.functions.DHashImageBands]] kernel — row-local, one
-    * projection, no codec library (pure-JVM parse). Non-PPM payloads
-    * hash to null and drop out, so mixed-media tables route themselves.
+  /** [[dHashBandRows]] with the REAL decoder: the payload is decoded —
+    * binary PPM (P6) through the pure-JVM parse, or PNG/JPEG/GIF/BMP
+    * through the JDK's headless `javax.imageio.ImageIO` (magic-byte
+    * sniffed; round-15, so real-world image corpora no longer
+    * null-drop) — then integer luma → 9×8 box resize → classic 64-bit
+    * dHash, entirely inside the compiled
+    * [[graft.functions.DHashImageBands]] kernel: row-local, one
+    * projection, no external codec dependency. The hash arithmetic is
+    * identical across decode paths, so a PPM and a PNG of the same
+    * pixels land in the same buckets. Unsupported payloads hash to
+    * null and drop out, so mixed-media tables route themselves.
     * This CLOSES the round-12 stub seam for images: the gradient
     * source is actual pixel luma, while banding/cap/join/verify stay
     * the shared, decoder-independent machinery.

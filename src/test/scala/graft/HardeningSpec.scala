@@ -213,6 +213,11 @@ class HardeningSpec extends AnyFunSuite {
       // decode → box resize → re-encode is ONE codegen'd projection:
       // zero shuffles, the pure-kernel throughput path
       "mm_resize_transcode" -> 0,
+      // real-format gate: TWO pair joins by design (the PNG leg and
+      // the PPM leg it must equal — cap window + join side + pair
+      // dedup each) + the set-equality union agg + identity join and
+      // verdict furniture over 1-row sets
+      "mm_dhash_png" -> 10,
       // frame parse + per-frame dHash + posexplode are all row-local
       "mm_video_frames" -> 0,
       // audio gate: identical shape to mm_dhash_decoded — cap window +

@@ -293,6 +293,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imgBands("IMGnotanimageatall".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("real-format decode (round-15): PNG/BMP/GIF hash identically to " +
+    "the PPM of the same pixels; JPEG within a small Hamming; corrupt " +
+    "real-format payloads null-drop") {
+    val w = 36; val h = 32
+    def encode(fmt: String, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos),
+        s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    // lossless containers: a noisy RGB pattern must hash EXACTLY like
+    // the PPM of the same pixels (identical luma/resize/gradient
+    // arithmetic across decode paths)
+    def noisy(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 37 + y * 91) % 256; (g, (g * 3) % 256, (g * 7) % 256)
+    }
+    val ppmHash = imgBands(ppm(w, h, noisy)).get
+    assert(imgBands(encode("png", noisy)).contains(ppmHash),
+      "PNG (lossless) must hash identically to the PPM of the same pixels")
+    assert(imgBands(encode("bmp", noisy)).contains(ppmHash),
+      "BMP (lossless) must hash identically")
+    // GIF palettizes to <= 256 colors: grayscale stays exact
+    def gray(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 37 + y * 91) % 256; (g, g, g)
+    }
+    val grayHash = imgBands(ppm(w, h, gray)).get
+    assert(imgBands(encode("gif", gray)).contains(grayHash),
+      "grayscale GIF must hash identically")
+    // JPEG is lossy: a smooth ramp (adjacent 9x8 cells far apart in
+    // luma) must decode and land within a small Hamming distance —
+    // the near-dup semantics a lossy re-encode is supposed to have
+    def ramp(x: Int, y: Int): (Int, Int, Int) = {
+      val g = math.min(255, x * 6 + (if ((x + y) % 2 == 0) 40 else 0))
+      (g, g, g)
+    }
+    val rampHash = imgBands(ppm(w, h, ramp)).get
+    val jpegHash = imgBands(encode("jpg", ramp))
+    assert(jpegHash.isDefined, "JPEG must decode through ImageIO")
+    val hd = jpegHash.get.zip(rampHash)
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hd <= 4, s"smooth-pattern JPEG re-encode drifted to hamming $hd")
+    // the in-plan PNG transcode kernel (attachPngImages' leg): real PNG
+    // magic out, pixel-equal in the hash domain, null for non-PPM input
+    val viaKernel = Seq(Tuple1(ppm(w, h, noisy)), Tuple1("JNK".getBytes))
+      .toDF("payload")
+      .select(graft.functions.vec.ppmToPng($"payload").as("p"))
+      .collect()
+    val pngBytes = viaKernel.find(!_.isNullAt(0)).get.getAs[Array[Byte]](0)
+    assert(pngBytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    assert(imgBands(pngBytes).contains(ppmHash))
+    assert(viaKernel.count(_.isNullAt(0)) == 1,
+      "ppmToPng of a non-PPM payload must be null")
+    // corrupt/truncated real-format payloads null-drop, never throw
+    assert(imgBands(encode("png", noisy).take(20)).isEmpty)
+    assert(imgBands(encode("jpg", ramp).take(8)).isEmpty)
+  }
+
   test("dHashImageNearDupPairs: byte-identical at hamming 0, VISUALLY " +
     "near (small pixel perturbation) at small positive hamming") {
     def base(x: Int, y: Int): (Int, Int, Int) = {
