@@ -2646,6 +2646,31 @@ object SparkEntry {
     // recovered at hamming 0. The oracle pins the relational half
     // (image count, identity pairs from text equality) — codec bytes
     // are not SQL-replayable, the established mm_dhash_decoded shape.
+    // Float-PCM WAV gate (round-15): every fixture WAV is transcoded
+    // in-plan to IEEE-float32 (wav_to_float32 — exact sample mapping,
+    // channels preserved) and BOTH encodings fingerprint through the
+    // same kernel. Verdicts: the float leg fully decodes (format 3 no
+    // longer nulls out), and the float fingerprint sits within a small
+    // Hamming of the integer one for EVERY payload (gradient order is
+    // scale-invariant; only integer-rounding ties flip — the bound is
+    // measured over the fixtures and deterministic, pure integer/float
+    // arithmetic). The oracle replays the relational half (audio count)
+    // and pins the verdicts true.
+    "mm_audio_float" -> ((s, dir) => {
+      val audio = Multimodal.attachWavAudio(table(s, dir, "documents"))
+      audio.select(col("doc_id"),
+          graft.functions.vec.wavFingerprint64(col("payload")).as("fp_int"),
+          graft.functions.vec.wavFingerprint64(
+            graft.functions.vec.wavToFloat32(col("payload"))).as("fp_float"))
+        .agg(count(lit(1)).as("n_audio"),
+          count(when(col("fp_float").isNull, lit(1))).as("n_undecoded"),
+          // measured max drift: 2 at sf0.01, 3 at sf0.1 — bound 6 is
+          // 2x margin; a regression in the float sample mapping (wrong
+          // scale, sign, endianness) lands FAR outside it
+          coalesce(max(bit_count(col("fp_int").bitwiseXOR(col("fp_float"))))
+            <= 6, lit(true)).as("drift_within_bound"))
+    }),
+
     "mm_dhash_png" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
@@ -5375,6 +5400,11 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found""",
+
+    "mm_audio_float" ->
+      """SELECT count(*) AS n_audio, CAST(0 AS BIGINT) AS n_undecoded,
+           true AS drift_within_bound
+         FROM documents WHERE doc_id % 3 = 1""",
 
     "mm_dhash_png" ->
       """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),

@@ -568,30 +568,20 @@ object VectorRuntime {
     (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
 
-  /** REAL audio fingerprint: pure-JVM WAV (RIFF) parse — chunk walk,
-    * `fmt ` must be PCM (format 1) at 8 or 16 bits and precede `data`,
-    * chunks are word-aligned per the RIFF spec — then a 64-bit
-    * windowed energy/zero-crossing fingerprint over the channel-mixed
-    * mono samples: 33 equal windows (degenerate windows widened to one
-    * frame), `energy[t]` = integer mean |sample| and `zcr[t]` = sign
-    * changes within window `t`; bit `j` = `energy[j] > energy[j+1]`,
-    * bit `32+j` = `zcr[j] > zcr[j+1]` (j < 32). Same gradient-bits
-    * idea as the image dHash, so the shared banded-Hamming join
-    * carries audio near-dup unchanged. All-integer and deterministic.
-    *
-    * Null (row drops, the null-hash contract) for anything that is not
-    * well-formed PCM WAV: wrong magic, missing/short `fmt `, non-PCM
-    * format, bits ∉ {8, 16}, truncated `data`, or fewer than 2 sample
-    * frames (no gradient).
+  /** Parsed WAV geometry: `{fmtTag, channels, bits, sampleRate,
+    * dataPos, dataLen}` from the RIFF chunk walk — `fmt ` must precede
+    * `data`, chunks are word-aligned per the RIFF spec. Accepted
+    * encodings: PCM (format 1) at 8/16 bits and IEEE float (format 3,
+    * round-15) at 32 bits. Null for anything else or any truncation.
     */
-  def wavFingerprint64(payload: Array[Byte]): java.lang.Long = {
+  private def parseWav(payload: Array[Byte]): Array[Int] = {
     if (payload == null || payload.length < 44) return null
     if (payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
       payload(3) != 'F') return null
     if (payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' ||
       payload(11) != 'E') return null
     var pos = 12
-    var channels = 0; var bits = 0
+    var fmtTag = 0; var channels = 0; var bits = 0; var rate = 0
     var dataPos = -1; var dataLen = 0
     while (pos + 8 <= payload.length && dataPos < 0) {
       val size = le32(payload, pos + 4)
@@ -599,10 +589,17 @@ object VectorRuntime {
       if (payload(pos) == 'f' && payload(pos + 1) == 'm' &&
           payload(pos + 2) == 't' && payload(pos + 3) == ' ') {
         if (size < 16) return null
-        if (le16(payload, pos + 8) != 1) return null // PCM only
+        fmtTag = le16(payload, pos + 8)
         channels = le16(payload, pos + 10)
+        val rateL = le32(payload, pos + 12)
         bits = le16(payload, pos + 22)
-        if (channels < 1 || (bits != 8 && bits != 16)) return null
+        if (channels < 1 || rateL < 1 || rateL > Int.MaxValue) return null
+        rate = rateL.toInt
+        // PCM integer at 8/16 bits, or IEEE float at 32 — anything
+        // else (ADPCM, a-law, extensible, float64) nulls out
+        if (fmtTag == 1) { if (bits != 8 && bits != 16) return null }
+        else if (fmtTag == 3) { if (bits != 32) return null }
+        else return null
       } else if (payload(pos) == 'd' && payload(pos + 1) == 'a' &&
           payload(pos + 2) == 't' && payload(pos + 3) == 'a') {
         if (channels == 0) return null // fmt must precede data
@@ -612,6 +609,51 @@ object VectorRuntime {
       pos += 8 + size.toInt + (size.toInt & 1) // RIFF word alignment
     }
     if (dataPos < 0) return null
+    Array(fmtTag, channels, bits, rate, dataPos, dataLen)
+  }
+
+  /** One sample as a CENTERED integer in the 16-bit range's scale:
+    * 8-bit PCM reads `v − 128` (its native ±128 range), 16-bit PCM the
+    * signed LE value, IEEE float32 maps `[-1, 1]` to ±32767 (clamped,
+    * NaN → 0) — so a float re-encode of 16-bit audio yields near-equal
+    * integers and the SAME fingerprint up to integer-rounding ties.
+    */
+  @inline private def wavSample(payload: Array[Byte], p: Int, fmtTag: Int,
+      bits: Int): Int =
+    if (fmtTag == 3) {
+      val f = java.lang.Float.intBitsToFloat(le32(payload, p).toInt)
+      if (java.lang.Float.isNaN(f)) 0
+      else if (f >= 1.0f) 32767
+      else if (f <= -1.0f) -32767
+      else math.round(f * 32767f)
+    } else if (bits == 8) (payload(p) & 0xff) - 128
+    else (payload(p) & 0xff) | (payload(p + 1) << 8)
+
+  /** REAL audio fingerprint: pure-JVM WAV (RIFF) parse ([[parseWav]] —
+    * PCM 8/16-bit or IEEE float32), then a 64-bit windowed
+    * energy/zero-crossing fingerprint over the channel-mixed
+    * mono samples: 33 equal windows (degenerate windows widened to one
+    * frame), `energy[t]` = integer mean |sample| and `zcr[t]` = sign
+    * changes within window `t`; bit `j` = `energy[j] > energy[j+1]`,
+    * bit `32+j` = `zcr[j] > zcr[j+1]` (j < 32). Same gradient-bits
+    * idea as the image dHash, so the shared banded-Hamming join
+    * carries audio near-dup unchanged. All-integer and deterministic;
+    * float samples are mapped to the centered 16-bit integer range
+    * BEFORE the window fold ([[wavSample]]), so a float32 re-encode of
+    * the same audio lands within a small Hamming distance (gradient
+    * ORDER is scale-invariant; only integer-rounding ties can flip).
+    *
+    * Null (row drops, the null-hash contract) for anything that is not
+    * well-formed WAV in an accepted encoding: wrong magic,
+    * missing/short `fmt `, other format tags, bits ∉ {8, 16} (PCM) /
+    * {32} (float), truncated `data`, or fewer than 2 sample frames
+    * (no gradient).
+    */
+  def wavFingerprint64(payload: Array[Byte]): java.lang.Long = {
+    val wav = parseWav(payload)
+    if (wav == null) return null
+    val fmtTag = wav(0); val channels = wav(1); val bits = wav(2)
+    val dataPos = wav(4); val dataLen = wav(5)
     val bytesPerSample = bits / 8
     val frameSize = channels * bytesPerSample
     val nFrames = dataLen / frameSize
@@ -622,9 +664,7 @@ object VectorRuntime {
       var s = 0
       var c = 0
       while (c < channels) {
-        val p = base + c * bytesPerSample
-        s += (if (bits == 8) (payload(p) & 0xff) - 128
-              else ((payload(p) & 0xff) | (payload(p + 1) << 8)))
+        s += wavSample(payload, base + c * bytesPerSample, fmtTag, bits)
         c += 1
       }
       s / channels
@@ -658,6 +698,46 @@ object VectorRuntime {
       j += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** Transcode an integer-PCM WAV to IEEE-float32 WAV (format 3) — the
+    * in-plan fixture leg for the float-decode gates, and a real
+    * transcode any pipeline normalizing mixed-encoding audio needs:
+    * each sample maps exactly (8-bit: `(v−128)/128`, 16-bit:
+    * `v/32768` — both exact in float32, no rounding), channels are
+    * PRESERVED (a transcode is not a downmix), and the output is a
+    * canonical 44-byte header + one float32 LE word per sample.
+    * Deterministic bit-for-bit. Null for non-PCM input (an
+    * already-float payload has nothing to transcode; the null-drop
+    * routing convention).
+    */
+  def wavToFloat32(payload: Array[Byte]): Array[Byte] = {
+    val wav = parseWav(payload)
+    if (wav == null || wav(0) != 1) return null
+    val channels = wav(1); val bits = wav(2); val rate = wav(3)
+    val dataPos = wav(4); val dataLen = wav(5)
+    val bytesPerSample = bits / 8
+    val nSamples = dataLen / bytesPerSample
+    if (nSamples.toLong * 4L + 44L > Int.MaxValue) return null
+    val out = java.nio.ByteBuffer.allocate(44 + nSamples * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(channels.toShort) // IEEE float
+      .putInt(rate).putInt(rate * channels * 4)
+      .putShort((channels * 4).toShort).putShort(32)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples * 4)
+    var i = 0
+    while (i < nSamples) {
+      val p = dataPos + i * bytesPerSample
+      val f =
+        if (bits == 8) ((payload(p) & 0xff) - 128) / 128.0f
+        else ((payload(p) & 0xff) | (payload(p + 1) << 8)) / 32768.0f
+      out.putFloat(f)
+      i += 1
+    }
+    out.array()
   }
 
   private def isWs(c: Char): Boolean =
@@ -1365,6 +1445,29 @@ case class WavFingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `wav_to_float32(binary) → binary` — integer-PCM WAV → IEEE-float32
+  * WAV transcode (see [[VectorRuntime.wavToFloat32]]): exact sample
+  * mapping, channels preserved, canonical header. Nullable: null for
+  * non-PCM input.
+  */
+case class WavToFloat32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_to_float32"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.wavToFloat32(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.wavToFloat32($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavToFloat32 =
+    copy(child = newChild)
+}
+
 /** `char_ngram_hashes(string, n) -> array<long>` -- ordered per-position
   * character n-gram hashes (multiplicity kept, index-aligned across n).
   */
@@ -1733,6 +1836,8 @@ object vec {
     wrap(PpmFrameDHashes(ex(payload), maxFrames))
   def wavFingerprint64(payload: Column): Column =
     wrap(WavFingerprint64(ex(payload)))
+  def wavToFloat32(payload: Column): Column =
+    wrap(WavToFloat32(ex(payload)))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =

@@ -213,6 +213,9 @@ class HardeningSpec extends AnyFunSuite {
       // decode → box resize → re-encode is ONE codegen'd projection:
       // zero shuffles, the pure-kernel throughput path
       "mm_resize_transcode" -> 0,
+      // float transcode + both fingerprints ride ONE projection; the
+      // single exchange is the 1-row verdict agg
+      "mm_audio_float" -> 1,
       // real-format gate: TWO pair joins by design (the PNG leg and
       // the PPM leg it must equal — cap window + join side + pair
       // dedup each) + the set-equality union agg + identity join and

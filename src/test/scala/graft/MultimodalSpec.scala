@@ -655,6 +655,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(afp(wav(Seq(5))).isEmpty)
   }
 
+  test("float-PCM WAV (round-15): format-3 decodes; a float32 transcode " +
+    "of the same audio lands within a small Hamming; unsupported float " +
+    "widths and truncations null-drop") {
+    def toFloat(p: Array[Byte]): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.wavToFloat32($"payload").as("f"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    val rnd = new scala.util.Random(23)
+    val samples = Seq.fill(256)(rnd.nextInt(256))
+    val p8 = wav(samples)
+    val pF = toFloat(p8).get
+    // canonical float header: tag 3, 32 bits, mono, 4-byte samples
+    assert(pF(20) == 3 && pF(34) == 32 && pF.length == 44 + 256 * 4)
+    // the float re-encode fingerprints within a small Hamming of the
+    // integer original (gradient order is scale-invariant; only
+    // integer-rounding ties can flip)
+    val ham8 = java.lang.Long.bitCount(afp(p8).get ^ afp(pF).get)
+    assert(ham8 <= 6, s"8-bit vs float32 drifted to hamming $ham8")
+    // 16-bit: v/32768 → round(·32767) is off by at most 1 per sample
+    val p16 = wav(samples.map(s => (s - 128) * 256), bits = 16)
+    val ham16 = java.lang.Long.bitCount(
+      afp(p16).get ^ afp(toFloat(p16).get).get)
+    assert(ham16 <= 6, s"16-bit vs float32 drifted to hamming $ham16")
+    // stereo transcode preserves channels (byte 22) and still parses
+    val pSt = toFloat(wav(samples.flatMap(s => Seq(s, s)), channels = 2)).get
+    assert(pSt(22) == 2 && afp(pSt).isDefined)
+    // byte-identical float payloads pair at hamming 0 through the
+    // shared banded core (float corpora ride the same machinery)
+    val far = Seq.tabulate(256)(i => (i * 53) % 256)
+    val m = Seq((1L, pF), (2L, pF.clone()), (3L, toFloat(wav(far)).get))
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val pairs = Multimodal.audioNearDupPairs(m, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => (p._1, p._2) == ((1L, 2L)) && p._3 == 0L),
+      s"identical float WAVs must pair at hamming 0: $pairs")
+    // NaN and out-of-range samples clamp (never corrupt the window fold)
+    val patched = pF.clone()
+    val bb = java.nio.ByteBuffer.wrap(patched)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(44, Float.NaN); bb.putFloat(48, 7.5f); bb.putFloat(52, -9f)
+    assert(afp(patched).isDefined, "clamped float payload must decode")
+    // unsupported: float64 width, truncated data, transcode of
+    // already-float input
+    val f64 = pF.clone(); f64(34) = 64
+    assert(afp(f64).isEmpty)
+    assert(afp(pF.dropRight(1)).isEmpty)
+    assert(toFloat(pF).isEmpty, "float input has nothing to transcode")
+  }
+
   test("audioNearDupPairs: byte-identical WAVs at hamming 0 through the " +
     "shared banded core; unrelated audio does not pair") {
     val rnd = new scala.util.Random(11)
