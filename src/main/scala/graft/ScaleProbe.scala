@@ -216,6 +216,14 @@ object ScaleProbe {
         graft.operators.Multimodal.videoNearDupPairsFuzzy(
           graft.operators.Multimodal.attachPpmVideo(docs),
           maxHamming = 6, maxBucketSize = Some(256)).count() },
+      time("mm_video_y4m_raw") {
+        // real-container decode throughput (round-15): Y4M stream
+        // header + FRAME markers + 4:2:0 plane walk, Y plane hashed
+        // directly — row-local like the PPM frame path, so the row
+        // must track mm_video_fuzzy_raw's exact-key twin ~linearly
+        graft.operators.Multimodal.videoNearDupPairs(
+          graft.operators.Multimodal.attachY4mVideo(docs),
+          maxBucketSize = Some(256)).count() },
       time("mm_resize_raw") {
         // the REAL transcode (round-14): decode → box resize →
         // re-encode per image, zero shuffles — pure per-row kernel

@@ -2853,7 +2853,50 @@ object SparkEntry {
         .crossJoin(broadcast(vids.agg(count(lit(1)).as("n_videos"))))
         .crossJoin(broadcast(media.select(
           count(when(graft.functions.vec
-            .ppmFrameDHashes(col("payload"), 8).isNull, lit(1)))
+            .videoFrameDHashes(col("payload"), 8).isNull, lit(1)))
+            .as("n_undecoded"))))
+        .select(col("n_videos"), col("n_identity_pairs"),
+          col("n_undecoded"), col("all_identity_full_overlap"))
+    }),
+
+    // REAL-FORMAT video gate (round-15): the corpus leg is ACTUAL
+    // YUV4MPEG2 payloads (attachY4mVideo — real stream header, FRAME
+    // markers, 4:2:0 planes), frame-hashed through the container-routed
+    // kernel (Y plane direct — it IS the luma; chroma skipped by
+    // size). Same verdict shape as mm_video_neardup: every payload
+    // decodes, identity videos (text equality) share EVERY distinct
+    // frame hash; the Y4M-vs-gray-PPM cross-container hash equality is
+    // pinned byte-level in MultimodalSpec.
+    "mm_video_y4m" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text")).unionByName(dups)
+      val media = graft.CacheScope.persist(Multimodal.attachY4mVideo(base))
+      val pairs = Multimodal.videoNearDupPairs(media,
+        minSharedFrames = 1, maxBucketSize = Some(1024))
+      val vids = graft.CacheScope.persist(
+        base.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), sha2(col("text"), 256).as("tkey")))
+      val ident = vids.as("a")
+        .join(vids.as("b"), col("a.tkey") === col("b.tkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val frameCounts = Multimodal.sampleFrameHashes(media)
+        .groupBy(col("doc_id").as("d1"))
+        .agg(countDistinct(col("frame_hash")).as("nf"))
+      ident.join(pairs, Seq("d1", "d2"), "left")
+        .join(frameCounts, Seq("d1"))
+        .agg(count(lit(1)).as("n_identity_pairs"),
+          coalesce(min(when(col("shared_frames") === col("nf"), lit(1))
+            .otherwise(lit(0))) === 1, lit(true))
+            .as("all_identity_full_overlap"))
+        .crossJoin(broadcast(vids.agg(count(lit(1)).as("n_videos"))))
+        .crossJoin(broadcast(media.select(
+          count(when(graft.functions.vec
+            .videoFrameDHashes(col("payload"), 8).isNull, lit(1)))
             .as("n_undecoded"))))
         .select(col("n_videos"), col("n_identity_pairs"),
           col("n_undecoded"), col("all_identity_full_overlap"))
@@ -5510,6 +5553,22 @@ object SparkEntry {
     // pins video count, identity pairs (text equality ⇒ full frame
     // overlap by construction) and the in-plan verdicts
     "mm_video_neardup" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0),
+         vid AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 2),
+         ident AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM vid a JOIN vid b ON a.text = b.text AND a.doc_id < b.doc_id)
+         SELECT (SELECT count(*) FROM vid) AS n_videos,
+           (SELECT count(*) FROM ident) AS n_identity_pairs,
+           CAST(0 AS BIGINT) AS n_undecoded,
+           true AS all_identity_full_overlap""",
+
+    "mm_video_y4m" ->
       """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
          base AS (
            SELECT doc_id, text FROM documents

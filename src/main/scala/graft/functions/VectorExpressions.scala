@@ -530,18 +530,22 @@ object VectorRuntime {
     out
   }
 
-  /** Per-frame 64-bit dHashes of a CONCATENATED-PPM video payload
-    * (frames are back-to-back P6 images, the fixture "video codec"):
-    * parse every frame boundary sequentially, then hash up to
-    * `maxFrames` evenly sampled frames (frame `⌊i·n/take⌋`) through
-    * the SAME [[dHash64At]] kernel as still images — so a video frame
-    * and the identical still image share a hash, and frame-level
-    * near-dup rides the banded machinery unchanged. Null if the
-    * payload is empty, any frame is malformed, or bytes trail the
+  /** Per-frame 64-bit dHashes of a video payload, routed by container
+    * magic: `YUV4MPEG2` → real Y4M parse ([[y4mFrameDHashes]] — the
+    * public uncompressed interchange format, round-15), `P6` →
+    * concatenated-PPM frames (the byte-exact fixture codec). Parse
+    * every frame boundary sequentially, then hash up to `maxFrames`
+    * evenly sampled frames (frame `⌊i·n/take⌋`) through the SAME
+    * 9×8-cell gradient kernel as still images — so a video frame and
+    * the identical still image share a hash, and frame-level near-dup
+    * rides the banded machinery unchanged. Null if the payload is
+    * empty, unrecognized, any frame is malformed, or bytes trail the
     * last frame (a torn payload must drop, not half-decode).
     */
-  def ppmFrameDHashes(payload: Array[Byte], maxFrames: Int): ArrayData = {
+  def videoFrameDHashes(payload: Array[Byte], maxFrames: Int): ArrayData = {
     if (payload == null || payload.length == 0) return null
+    if (payload.length >= 9 && payload(0) == 'Y' && payload(1) == 'U' &&
+      payload(2) == 'V') return y4mFrameDHashes(payload, maxFrames)
     val frames = new java.util.ArrayList[Array[Int]]()
     var pos = 0
     while (pos < payload.length) {
@@ -560,6 +564,151 @@ object VectorRuntime {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[videoFrameDHashes]] for the YUV4MPEG2 container: stream header
+    * `YUV4MPEG2 [ W<w> | H<h> | C<cs> | F/I/A/X<ignored> ]...\n`, then
+    * per frame `FRAME[ params]\n` + planes. The Y plane IS the luma
+    * the dHash wants, so it hashes DIRECTLY through [[dHash64LumaAt]]
+    * (cheaper than RGB — no channel weighting) and a gray RGB
+    * rendering of the same Y plane (R=G=B=Y, integer luma
+    * `1000·Y/1000 = Y`) hashes identically — the cross-format spec
+    * pin. Chroma planes are sized per colorspace and skipped:
+    * `C420`* (all 420 subsamplings share plane sizes), `C422`, `C444`,
+    * `Cmono`. Null for anything malformed: unknown colorspace, odd
+    * dims under subsampling, missing/garbled FRAME marker, or
+    * truncated planes.
+    */
+  private def y4mFrameDHashes(payload: Array[Byte], maxFrames: Int): ArrayData = {
+    val magic = "YUV4MPEG2"
+    if (payload.length < magic.length + 1) return null
+    var i = 0
+    while (i < magic.length) {
+      if (payload(i) != magic.charAt(i)) return null
+      i += 1
+    }
+    var pos = magic.length
+    var w = -1L; var h = -1L
+    var cs = "420"
+    while (pos < payload.length && payload(pos) != '\n') {
+      if (payload(pos) != ' ') return null
+      pos += 1
+      if (pos >= payload.length) return null
+      val tag = payload(pos).toChar
+      pos += 1
+      val start = pos
+      while (pos < payload.length && payload(pos) != ' ' &&
+        payload(pos) != '\n') pos += 1
+      val v = new String(payload, start, pos - start, "US-ASCII")
+      tag match {
+        case 'W' => w = asciiUInt(v); if (w < 1) return null
+        case 'H' => h = asciiUInt(v); if (h < 1) return null
+        case 'C' => cs = v
+        case 'F' | 'I' | 'A' | 'X' => () // rate/interlace/aspect/comment
+        case _ => return null
+      }
+    }
+    if (pos >= payload.length || w < 1 || h < 1 ||
+      w > Int.MaxValue || h > Int.MaxValue) return null
+    pos += 1 // consume the header '\n'
+    val chromaLen: Long =
+      if (cs.startsWith("420")) {
+        if ((w & 1L) != 0 || (h & 1L) != 0) return null
+        2L * ((w / 2) * (h / 2))
+      } else if (cs == "422") {
+        if ((w & 1L) != 0) return null
+        2L * ((w / 2) * h)
+      } else if (cs == "444") 2L * w * h
+      else if (cs == "mono") 0L
+      else return null // 444alpha, 411, ... — unsupported plane sets
+    val frameLen = w * h + chromaLen
+    if (frameLen > Int.MaxValue) return null
+    val yPos = new java.util.ArrayList[Integer]()
+    while (pos < payload.length) {
+      // FRAME marker + optional parameters up to the newline
+      if (pos + 6 > payload.length || payload(pos) != 'F' ||
+        payload(pos + 1) != 'R' || payload(pos + 2) != 'A' ||
+        payload(pos + 3) != 'M' || payload(pos + 4) != 'E') return null
+      pos += 5
+      while (pos < payload.length && payload(pos) != '\n') pos += 1
+      if (pos >= payload.length) return null
+      pos += 1
+      if (pos.toLong + frameLen > payload.length) return null // torn
+      yPos.add(Integer.valueOf(pos))
+      pos += frameLen.toInt
+    }
+    val nf = yPos.size
+    if (nf == 0) return null
+    val take = if (nf < maxFrames) nf else maxFrames
+    val out = new Array[Long](take)
+    i = 0
+    while (i < take) {
+      out(i) = dHash64LumaAt(payload,
+        yPos.get(((i.toLong * nf) / take).toInt).intValue(),
+        w.toInt, h.toInt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Non-negative ASCII integer, or -1 on any non-digit/empty/overflow. */
+  private def asciiUInt(s: String): Long = {
+    if (s.isEmpty || s.length > 10) return -1L
+    var v = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return -1L
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    v
+  }
+
+  /** [[dHash64At]] over a single-channel luma plane (the Y4M Y plane):
+    * cell = integer mean of the box's luma bytes — EQUAL to the RGB
+    * path's `Σ(1000·Y)/(cnt·1000)` when R=G=B=Y, so gray renderings
+    * hash identically across containers.
+    */
+  private def dHash64LumaAt(payload: Array[Byte], dataPos: Int, w: Int,
+      h: Int): Long = {
+    val gw = 9; val gh = 8
+    val cells = new Array[Long](gh * gw)
+    var ty = 0
+    while (ty < gh) {
+      val y0 = ((ty.toLong * h) / gh).toInt
+      var y1 = (((ty + 1).toLong * h) / gh).toInt
+      if (y1 <= y0) y1 = y0 + 1
+      var tx = 0
+      while (tx < gw) {
+        val x0 = ((tx.toLong * w) / gw).toInt
+        var x1 = (((tx + 1).toLong * w) / gw).toInt
+        if (x1 <= x0) x1 = x0 + 1
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          val row = dataPos + y * w
+          var x = x0
+          while (x < x1) {
+            s += (payload(row + x) & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(ty * gw + tx) = s / cnt
+        tx += 1
+      }
+      ty += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (cells(r * gw + c) > cells(r * gw + c + 1)) hash |= (1L << i)
+      i += 1
+    }
+    hash
   }
 
   @inline private def le16(p: Array[Byte], i: Int): Int =
@@ -1392,29 +1541,30 @@ case class PpmToPng(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `ppm_frame_dhashes(binary, maxFrames) → array<long>` — per-frame
-  * 64-bit dHashes of a concatenated-PPM video payload, up to
-  * `maxFrames` evenly sampled (see [[VectorRuntime.ppmFrameDHashes]]).
-  * Nullable: null for empty/torn/malformed payloads.
+/** `video_frame_dhashes(binary, maxFrames) → array<long>` — per-frame
+  * 64-bit dHashes of a video payload, container-routed by magic bytes
+  * (Y4M or concatenated PPM), up to `maxFrames` evenly sampled (see
+  * [[VectorRuntime.videoFrameDHashes]]). Nullable: null for
+  * empty/torn/malformed/unrecognized payloads.
   */
-case class PpmFrameDHashes(child: Expression, maxFrames: Int)
+case class VideoFrameDHashes(child: Expression, maxFrames: Int)
     extends UnaryExpression {
   require(maxFrames >= 1,
-    s"ppm_frame_dhashes: maxFrames must be >= 1, got $maxFrames")
+    s"video_frame_dhashes: maxFrames must be >= 1, got $maxFrames")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "ppm_frame_dhashes"
+  override def prettyName: String = "video_frame_dhashes"
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorRuntime.ppmFrameDHashes(input.asInstanceOf[Array[Byte]], maxFrames)
+    VectorRuntime.videoFrameDHashes(input.asInstanceOf[Array[Byte]], maxFrames)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.VectorRuntime.ppmFrameDHashes($c, $maxFrames);
+      ${ev.value} = graft.functions.VectorRuntime.videoFrameDHashes($c, $maxFrames);
       ${ev.isNull} = ${ev.value} == null;
     """)
 
-  override protected def withNewChildInternal(newChild: Expression): PpmFrameDHashes =
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameDHashes =
     copy(child = newChild)
 }
 
@@ -1832,8 +1982,8 @@ object vec {
   def ppmResize(payload: Column, outW: Int, outH: Int): Column =
     wrap(PpmResize(ex(payload), outW, outH))
   def ppmToPng(payload: Column): Column = wrap(PpmToPng(ex(payload)))
-  def ppmFrameDHashes(payload: Column, maxFrames: Int): Column =
-    wrap(PpmFrameDHashes(ex(payload), maxFrames))
+  def videoFrameDHashes(payload: Column, maxFrames: Int): Column =
+    wrap(VideoFrameDHashes(ex(payload), maxFrames))
   def wavFingerprint64(payload: Column): Column =
     wrap(WavFingerprint64(ex(payload)))
   def wavToFloat32(payload: Column): Column =

@@ -534,18 +534,55 @@ object Multimodal {
         concat((0 until frames).map(frame): _*).as("payload"))
   }
 
+  /** Deterministic REAL-FORMAT video fixture (round-15): actual
+    * YUV4MPEG2 payloads — the public uncompressed interchange
+    * container — with a real stream header (`YUV4MPEG2 W.. H.. F25:1
+    * Ip A1:1 C420\n`), per-frame `FRAME\n` markers, and 4:2:0 planes
+    * whose bytes are frame-salted sha chunks of the text (Y plane
+    * hashed by the kernel, chroma skipped by size). Fully in-plan
+    * row-local SQL; payload equality ⇔ text equality, the same
+    * property every other fixture pins. `w`/`h` must be even (4:2:0
+    * subsampling).
+    */
+  def attachY4mVideo(docs: DataFrame, w: Int = 12, h: Int = 10,
+      frames: Int = 4): DataFrame = {
+    require(w >= 2 && h >= 2 && (w % 2 == 0) && (h % 2 == 0) &&
+      frames >= 1 && frames <= 16 && w * h * 3 / 2 <= 32 * 64,
+      s"fixture videos are tiny by design: ${w}x$h x$frames, even dims")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val frameLen = w * h + 2 * ((w / 2) * (h / 2))
+    def planes(f: Int) = {
+      val chunks = (0 until (frameLen + 31) / 32).map(i =>
+        unhex(sha2(concat(col("text"), lit(s"#y4m${f}p$i")).cast("binary"),
+          256)))
+      substring(concat(chunks: _*), 1, frameLen)
+    }
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), lit("video").as("kind"),
+        concat(lit(header) +:
+          (0 until frames).flatMap(f => Seq(lit(marker), planes(f))): _*)
+          .as("payload"))
+  }
+
   /** DECODED frame sampling — closes the offsets-only [[sampleFrames]]
-    * seam: parse the concatenated-PPM payload's frame boundaries, dHash
-    * up to `maxFrames` evenly sampled frames through the SAME 9×8 luma
-    * kernel as still images (one compiled row-local projection —
-    * [[graft.functions.PpmFrameDHashes]]), one row per sampled frame.
-    * Torn/malformed payloads hash to null and drop whole.
+    * seam: parse the payload's frame boundaries (container-routed by
+    * magic bytes — YUV4MPEG2 via its Y plane, or concatenated-PPM, the
+    * byte-exact fixture codec), dHash up to `maxFrames` evenly sampled
+    * frames through the SAME 9×8 luma kernel as still images (one
+    * compiled row-local projection —
+    * [[graft.functions.VideoFrameDHashes]]), one row per sampled frame.
+    * A gray PPM rendering of a Y4M frame's Y plane hashes IDENTICALLY
+    * (R=G=B=Y ⇒ integer luma = Y), so mixed-container corpora pair
+    * across formats. Torn/malformed payloads hash to null and drop
+    * whole.
     */
   def sampleFrameHashes(media: DataFrame, maxFrames: Int = 8): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("doc_id"),
         posexplode(
-          graft.functions.vec.ppmFrameDHashes(col("payload"), maxFrames))
+          graft.functions.vec.videoFrameDHashes(col("payload"), maxFrames))
           .as(Seq("frame_idx", "frame_hash")))
       .select(col("doc_id"), col("frame_idx").cast("bigint"),
         col("frame_hash"))

@@ -234,6 +234,9 @@ class HardeningSpec extends AnyFunSuite {
       // + shared-count agg (operator) + identity/frame-count joins +
       // verdict aggs over 1-row sets
       "mm_video_neardup" -> 9,
+      // the Y4M twin is plan-identical — only the fixture container and
+      // the kernel's decode route differ
+      "mm_video_y4m" -> 9,
       // four pair joins by design (auto/explicit × both layouts) + two
       // set-equality aggs — the crossover gate is deliberately the
       // heaviest mm plan; each constituent join holds the 2-3 ceiling

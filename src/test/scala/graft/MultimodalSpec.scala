@@ -744,6 +744,86 @@ class MultimodalSpec extends AnyFunSuite {
 
   // ---- REAL video member (concatenated-PPM frames) ----
 
+  test("Y4M container (round-15): real YUV4MPEG2 parse; a Y4M frame " +
+    "hashes identically to the gray PPM rendering of its Y plane; " +
+    "cross-container pairing; malformed payloads null-drop") {
+    val w = 12; val h = 10
+    def yPlane(seed: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => ((i * 31 + seed * 97) % 256).toByte)
+    def y4m(ys: Seq[Array[Byte]], cs: String = "C420",
+        extra: String = ""): Array[Byte] = {
+      val chroma = cs match {
+        case "C420" => 2 * ((w / 2) * (h / 2))
+        case "C444" => 2 * w * h
+        case "Cmono" => 0
+      }
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $cs$extra\n"
+        .getBytes("US-ASCII")
+      ys.foldLeft(header) { (acc, y) =>
+        acc ++ "FRAME\n".getBytes("US-ASCII") ++ y ++
+          Array.fill(chroma)(128.toByte)
+      }
+    }
+    def frameHashes(p: Array[Byte]): Option[Seq[Long]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.videoFrameDHashes($"payload", 8).as("f"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+    }
+    val y1 = yPlane(1); val y2 = yPlane(2)
+    val hs = frameHashes(y4m(Seq(y1, y2))).get
+    assert(hs.length == 2 && hs(0) != hs(1))
+    // the Y plane IS the luma: a gray PPM rendering (R=G=B=Y) of the
+    // same plane must hash IDENTICALLY through the still-image kernel
+    def grayPpm(y: Array[Byte]) =
+      ppm(w, h, (x, r) => { val g = y(r * w + x) & 0xff; (g, g, g) })
+    val still = imgBands(grayPpm(y1)).get
+    val full = still.zipWithIndex.map { case (b, i) => b << (16 * i) }
+      .reduce(_ | _)
+    assert(full == hs.head,
+      s"Y4M frame hash ${hs.head} != gray-PPM still hash $full")
+    // colorspaces change only the skipped chroma size — same Y, same hash
+    assert(frameHashes(y4m(Seq(y1), cs = "C444")).get.head == hs.head)
+    assert(frameHashes(y4m(Seq(y1), cs = "Cmono")).get.head == hs.head)
+    // unknown stream params are ignored per the spec (X comments)
+    assert(frameHashes(y4m(Seq(y1), extra = " Xsome:meta")).get.head
+      == hs.head)
+    // cross-container pairing: a Y4M video and the concatenated-gray-PPM
+    // video of the same Y planes share EVERY frame hash
+    val ppmVideo = grayPpm(y1) ++ grayPpm(y2)
+    val m = Seq((2L, y4m(Seq(y1, y2))), (5L, ppmVideo))
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val shared = Multimodal.videoNearDupPairs(m, minSharedFrames = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(shared == Seq((2L, 5L, 2L)),
+      s"cross-container videos must share both frame hashes: $shared")
+    // malformed: torn plane, unknown colorspace, garbled marker, odd
+    // dims under 4:2:0 — all null, never throw
+    assert(frameHashes(y4m(Seq(y1, y2)).dropRight(1)).isEmpty)
+    val c411 = ("YUV4MPEG2 W12 H10 C411\n".getBytes("US-ASCII")) ++
+      "FRAME\n".getBytes("US-ASCII") ++ y1
+    assert(frameHashes(c411).isEmpty)
+    val garbled = y4m(Seq(y1))
+    garbled(garbled.indexOfSlice("FRAME".getBytes("US-ASCII"))) = 'G'
+    assert(frameHashes(garbled).isEmpty)
+    val odd = ("YUV4MPEG2 W11 H10 C420\n".getBytes("US-ASCII")) ++
+      "FRAME\n".getBytes("US-ASCII") ++ y1
+    assert(frameHashes(odd).isEmpty)
+    // attachY4mVideo: real parseable fixtures, equality tracks text
+    val d = Seq((2L, "alpha"), (5L, "beta"), (8L, "alpha"), (4L, "skip"))
+      .toDF("doc_id", "text")
+    val fx = Multimodal.attachY4mVideo(d)
+    val fxHashes = Multimodal.sampleFrameHashes(fx)
+      .as[(Long, Long, Long)].collect()
+    assert(fxHashes.map(_._1).toSet == Set(2L, 5L, 8L),
+      "every video-kind fixture must parse")
+    assert(fxHashes.length == 12, "4 frames per fixture video")
+    val byDoc = fxHashes.groupBy(_._1)
+      .map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(byDoc(2L) == byDoc(8L), "same text => same frame hashes")
+    assert(byDoc(2L) != byDoc(5L))
+  }
+
   test("ppmFrameDHashes: a video frame hashes IDENTICALLY to the same " +
     "still image; even sampling; torn payload -> null") {
     def px1(x: Int, y: Int) = { val g = (x * 31 + y * 7) % 256; (g, g, g) }
@@ -751,7 +831,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f1 = ppm(9, 8, px1); val f2 = ppm(9, 8, px2)
     def frameHashes(p: Array[Byte], maxFrames: Int = 8): Option[Seq[Long]] = {
       val r = Seq(Tuple1(p)).toDF("payload")
-        .select(graft.functions.vec.ppmFrameDHashes($"payload", maxFrames)
+        .select(graft.functions.vec.videoFrameDHashes($"payload", maxFrames)
           .as("h")).collect().head
       if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
     }

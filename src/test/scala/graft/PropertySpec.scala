@@ -682,7 +682,7 @@ class PropertySpec extends AnyFunSuite {
     "still-image hash, including the even-sampling branch past maxFrames") {
     def frameHashes(p: Array[Byte], maxFrames: Int): Seq[Long] = {
       val r = Seq(Tuple1(p)).toDF("payload")
-        .select(graft.functions.vec.ppmFrameDHashes($"payload", maxFrames)
+        .select(graft.functions.vec.videoFrameDHashes($"payload", maxFrames)
           .as("h"))
         .collect().head
       assert(!r.isNullAt(0), "fixture video failed to parse")
