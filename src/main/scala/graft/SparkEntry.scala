@@ -2487,8 +2487,19 @@ object SparkEntry {
 
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-          Multimodal.attachMedia(table(s, dir, "documents")).repartition(8))
-        .toDF().select("doc_id", "kind", "byte_len", "sig8")),
+          Multimodal.attachMedia(table(s, dir, "documents")))
+        .select("doc_id", "kind", "byte_len", "sig8")),
+
+    // DECODED feature stats (round-15, the extractFeatures seam
+    // closure): width/height/mean-luma from the REAL pixel parse, and
+    // the oracle replays the milli-luma mean BYTE FOR BYTE from the
+    // sha pixel recipe (the mm_resize_transcode oracle class — the
+    // strongest in the engine)
+    "mm_features_decoded" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.attachPpmImages(table(s, dir, "documents")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("luma_milli_mean"))),
 
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -5226,6 +5237,37 @@ object SparkEntry {
            CAST(3 + octet_length(unhex(sha256(text))) AS BIGINT) AS byte_len,
            substr(sha256(text), 1, 8) AS sig8
          FROM documents""",
+
+    // byte-exact milli-luma replay: every fixture pixel byte is a sha
+    // chunk of the text; luma_milli_mean = sum(299R+587G+114B) // 120
+    // with DuckDB's integer // matching the kernel's one final division
+    "mm_features_decoded" ->
+      """WITH img AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         b AS (
+           SELECT doc_id,
+             substr(sha256(text||'#px0')||sha256(text||'#px1')
+               ||sha256(text||'#px2')||sha256(text||'#px3')
+               ||sha256(text||'#px4')||sha256(text||'#px5')
+               ||sha256(text||'#px6')||sha256(text||'#px7')
+               ||sha256(text||'#px8')||sha256(text||'#px9')
+               ||sha256(text||'#px10')||sha256(text||'#px11'), 1, 720)
+               AS bh
+           FROM img),
+         vals AS (
+           SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(bh, 2*i+1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(bh, 2*i+2, 1))-1) AS v
+           FROM b, unnest(range(360)) AS t(i)),
+         lum AS (
+           SELECT doc_id,
+             sum(CASE CAST(i % 3 AS INT) WHEN 0 THEN 299*v
+               WHEN 1 THEN 587*v ELSE 114*v END) AS s
+           FROM vals GROUP BY doc_id)
+         SELECT doc_id, CAST(12 AS BIGINT) AS width,
+           CAST(10 AS BIGINT) AS height,
+           CAST(s // 120 AS BIGINT) AS luma_milli_mean
+         FROM lum""",
 
     "mm_frames" ->
       """WITH m AS (

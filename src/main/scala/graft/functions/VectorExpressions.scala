@@ -345,6 +345,49 @@ object VectorRuntime {
     hash
   }
 
+  /** REAL raster stats (round-15 — the kernel that retired the
+    * StubDecoder mapPartitions seam): decode the payload (PPM byte
+    * path or ImageIO, exactly [[imageDHash64]]'s routing) and return
+    * `{width, height, luma_milli_mean}` where `luma_milli_mean =
+    * Σ(299·R + 587·G + 114·B) / (w·h)` — the integer milli-scaled
+    * ITU-R 601 mean with ONE final division, so a relational oracle
+    * replays it byte-exactly from a fixture recipe. Null for
+    * non-raster payloads (audio/video/opaque rows carry null stats).
+    */
+  def imageStats(payload: Array[Byte]): ArrayData = {
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd != null) {
+      val w = hd(0); val h = hd(1); val pos = hd(2)
+      val n = w.toLong * h
+      var s = 0L
+      var i = 0L
+      while (i < n) {
+        val p = pos + (i * 3).toInt
+        s += 299L * (payload(p) & 0xff) + 587L * (payload(p + 1) & 0xff) +
+          114L * (payload(p + 2) & 0xff)
+        i += 1
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(w.toLong, h.toLong, s / n))
+    }
+    val img = readJdkImage(payload)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 1 || h < 1) return null
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    var s = 0L
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      s += 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+        114L * (p & 0xff)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(w.toLong, h.toLong, s / argb.length))
+  }
+
   /** Transcode a P6 payload to PNG via the JDK encoder — the in-plan
     * fixture leg for the real-format decode gates (PNG is lossless, so
     * the PNG's decoded pixels EQUAL the PPM's and the two payloads
@@ -1519,6 +1562,29 @@ case class PpmResize(child: Expression, outW: Int, outH: Int)
     copy(child = newChild)
 }
 
+/** `image_stats(binary) → array<long>(width, height, luma_milli_mean)`
+  * — decoded raster stats via the shared PPM/ImageIO parse (see
+  * [[VectorRuntime.imageStats]]). Nullable: null for non-raster
+  * payloads.
+  */
+case class ImageStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "image_stats"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.imageStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.imageStats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageStats =
+    copy(child = newChild)
+}
+
 /** `ppm_to_png(binary) → binary` — P6 → PNG transcode through the JDK
   * encoder (see [[VectorRuntime.ppmToPng]]): the in-plan fixture leg
   * for real-format decode gates. Nullable: null for non-PPM payloads.
@@ -1982,6 +2048,7 @@ object vec {
   def ppmResize(payload: Column, outW: Int, outH: Int): Column =
     wrap(PpmResize(ex(payload), outW, outH))
   def ppmToPng(payload: Column): Column = wrap(PpmToPng(ex(payload)))
+  def imageStats(payload: Column): Column = wrap(ImageStats(ex(payload)))
   def videoFrameDHashes(payload: Column, maxFrames: Int): Column =
     wrap(VideoFrameDHashes(ex(payload), maxFrames))
   def wavFingerprint64(payload: Column): Column =

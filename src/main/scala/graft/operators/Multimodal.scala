@@ -1,56 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video ride
   * through the engine as opaque `BINARY` payloads plus typed metadata
-  * columns; decode/feature-extraction runs as typed `mapPartitions` over
-  * case-class rows (the Scala analogue of `mapInPandas` batch UDFs — one
-  * iterator per partition, schema enforced by Encoders).
-  *
-  * The actual codec step is a STUB: no image/audio libraries exist in this
-  * environment, so [[Multimodal.StubDecoder]] produces deterministic fake
-  * features from the bytes. Everything around it — schema, partitioning,
-  * encoder plumbing, batch iteration, metadata propagation — is real and
-  * tested; swapping in a JNI/javacv decoder changes one function.
+  * columns; every decode/feature/hash step is a compiled row-local
+  * Catalyst kernel — PPM through the pure-JVM parse, PNG/JPEG/GIF/BMP
+  * through the JDK's headless `javax.imageio`, WAV (integer PCM and
+  * IEEE float32) through the RIFF chunk walk, Y4M and concatenated-PPM
+  * video through the frame walk. No external codec dependency, and (as
+  * of round 15) no `mapPartitions` seam: the round-12 StubDecoder stub
+  * was retired once every media path had a real kernel. Unsupported
+  * payloads hash/feature to null and drop, so mixed-media tables route
+  * themselves.
   */
 object Multimodal {
-
-  /** One media row: opaque payload + typed metadata. */
-  final case class MediaRow(
-      doc_id: Long, kind: String, payload: Array[Byte],
-      width: Int, height: Int, sample_rate: Int, duration_ms: Int)
-
-  /** Extracted features (stub): length, an 8-hex-char content signature,
-    * and a payload mean — the shape a real embedding/feature step fills.
-    */
-  final case class MediaFeatures(
-      doc_id: Long, kind: String, byte_len: Long, sig8: String,
-      mean_byte: Double)
-
-  /** The decode seam. Real implementations decode pixels/samples; the stub
-    * derives deterministic values from the payload bytes.
-    */
-  trait MediaDecoder extends Serializable {
-    def decode(row: MediaRow): MediaFeatures
-  }
-
-  /** STUB decoder — deterministic fake standing in for image/audio codecs
-    * (unavailable in this container). Features derive only from payload
-    * bytes, so results are reproducible and oracle-checkable.
-    */
-  object StubDecoder extends MediaDecoder {
-    private val HeaderLen = 3
-    override def decode(r: MediaRow): MediaFeatures = {
-      val body = r.payload.drop(HeaderLen)
-      val sig8 = body.take(4).map(b => f"${b & 0xff}%02x").mkString
-      val mean =
-        if (r.payload.isEmpty) 0.0
-        else r.payload.map(b => (b & 0xff).toDouble).sum / r.payload.length
-      MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sig8, mean)
-    }
-  }
 
   /** Deterministically attach a media payload + metadata to each document:
     * kind cycles image/audio/video by id, the payload is a 3-byte tag plus
@@ -110,17 +75,28 @@ object Multimodal {
       .select(col("doc_id"), col("kind"),
         graft.functions.vec.ppmToPng(col("payload")).as("payload"))
 
-  /** Feature extraction through the typed mapPartitions seam. Partitioning
-    * is preserved from the input (repartition upstream by id for balance);
-    * one decoder instance per partition, iterator-at-a-time — exactly the
-    * batch shape a vectorized UDF would see.
+  /** REAL feature extraction (round-15 — retires the round-12
+    * StubDecoder seam, the last typed-`mapPartitions` media path): ONE
+    * compiled row-local projection per media row — byte length and an
+    * 8-hex content signature (bytes 4–7, past the 3-byte fixture tag /
+    * inside any real header) for every kind, plus DECODED raster stats
+    * for image payloads via the shared PPM/ImageIO parse
+    * ([[graft.functions.ImageStats]]): width, height, and the integer
+    * milli-scaled ITU-R 601 mean luma (`Σ(299R+587G+114B) / (w·h)`,
+    * one final division — relationally replayable from the fixture
+    * recipe, the byte-exact oracle class). Non-raster payloads carry
+    * null raster stats (the null-routing convention). Row-local: no
+    * shuffle, input partitioning passes through untouched.
     */
-  def extractFeatures(media: DataFrame,
-      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { it => it.map(decoder.decode) }
-  }
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("kind"),
+        length(col("payload")).cast("bigint").as("byte_len"),
+        lower(hex(substring(col("payload"), 4, 4))).as("sig8"),
+        graft.functions.vec.imageStats(col("payload")).as("istats"))
+      .select(col("doc_id"), col("kind"), col("byte_len"), col("sig8"),
+        element_at(col("istats"), 1).as("width"),
+        element_at(col("istats"), 2).as("height"),
+        element_at(col("istats"), 3).as("luma_milli_mean"))
 
   /** Resize via the METADATA contract: halves dimensions (floor, min 1)
     * without touching the payload — the path for non-raster kinds and
@@ -159,14 +135,15 @@ object Multimodal {
     * banded self-join downstream is the only shuffle, the same plan
     * shape that carries MinHash at 100 TB.
     *
-    * The GRADIENT SOURCE is the stub seam (same contract as
-    * [[StubDecoder]]): no image codec exists in this container, so the
+    * The GRADIENT SOURCE here is the payload's raw byte content — the
     * "pixel brightness sequence" is the hex expansion of the payload
-    * body — deterministic, engine-recomputable (the oracle replays it
-    * as `lower(sha256(text))`), and swapped for a real
-    * decode-grayscale-resize step by changing ONE projection. The
-    * banding, occupancy cap, pair join, and Hamming verify — the parts
-    * that carry the scale — are real either way.
+    * body: deterministic, engine-recomputable (the oracle replays it
+    * as `lower(sha256(text))`), and the right member for OPAQUE
+    * (non-raster) payloads whose codec lives elsewhere. Raster
+    * payloads take the REAL decoder member ([[dHashImageBandRows]] —
+    * PPM/PNG/JPEG/GIF/BMP). The banding, occupancy cap, pair join,
+    * and Hamming verify — the parts that carry the scale — are shared
+    * either way.
     */
   def dHashBandRows(media: DataFrame, bands: Int = 0, bandBits: Int = 16,
       headerLen: Int = 3, nHint: Long = -1L): DataFrame = {

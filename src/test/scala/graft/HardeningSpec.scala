@@ -216,6 +216,10 @@ class HardeningSpec extends AnyFunSuite {
       // float transcode + both fingerprints ride ONE projection; the
       // single exchange is the 1-row verdict agg
       "mm_audio_float" -> 1,
+      // feature extraction is ONE codegen'd projection — zero shuffles
+      // (the StubDecoder mapPartitions seam is gone)
+      "mm_features" -> 0,
+      "mm_features_decoded" -> 0,
       // real-format gate: TWO pair joins by design (the PNG leg and
       // the PPM leg it must equal — cap window + join side + pair
       // dedup each) + the set-equality union agg + identity join and

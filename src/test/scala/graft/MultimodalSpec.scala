@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: payload/metadata synthesis, typed mapPartitions
-  * feature extraction (stub decoder), resize and frame-sampling stubs.
+/** Multimodal plumbing: payload/metadata synthesis, compiled-kernel
+  * feature extraction and decode (PPM/PNG/JPEG/GIF/BMP, WAV, Y4M),
+  * resize transcode, frame sampling, and the banded near-dup family.
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -36,20 +37,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getInt(2) == 17 && r.getInt(3) == 12000)
   }
 
-  test("extractFeatures: stub decode through typed mapPartitions") {
+  test("extractFeatures: compiled projection — sig8/byte_len for every " +
+    "kind, DECODED raster stats for images, null stats for non-raster") {
     val f = Multimodal.extractFeatures(Multimodal.attachMedia(docs))
-      .collect().map(x => x.doc_id -> x).toMap
-    assert(f(1L).sig8 == sha256hex("gamma").take(8))
-    assert(f(1L).byte_len == 35L)
-    val expectedMean = {
-      val p = "AUD".getBytes("UTF-8") ++
-        MessageDigest.getInstance("SHA-256").digest("gamma".getBytes("UTF-8"))
-      p.map(b => (b & 0xff).toDouble).sum / p.length
-    }
-    assert(math.abs(f(1L).mean_byte - expectedMean) < 1e-12)
+      .select($"doc_id", $"kind", $"byte_len", $"sig8", $"width",
+        $"height", $"luma_milli_mean")
+      .as[(Long, String, Long, String, Option[Long], Option[Long],
+        Option[Long])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(f(1L)._4 == sha256hex("gamma").take(8))
+    assert(f(1L)._3 == 35L)
+    // attachMedia payloads are tagged-sha stubs, not raster — ALL rows
+    // carry null decoded stats (the null-routing convention)
+    assert(f.values.forall(x => x._5.isEmpty && x._6.isEmpty && x._7.isEmpty))
+    // a REAL image payload decodes: hand-computed 2x1 PPM — the milli
+    // lumas sum BEFORE the single division: (299*10+587*20+114*30) +
+    // (299*90+587*80+114*70) = 18150 + 81850 = 100000; /2 = 50000
+    val m = Seq((7L, Multimodal.wavHeader(4)), // audio: parses, no raster
+        (8L, ppm(2, 1, (x, _) => if (x == 0) (10, 20, 30) else (90, 80, 70))))
+      .toDF("doc_id", "payload")
+      .withColumn("kind", when($"doc_id" === 7L, "audio").otherwise("image"))
+    val g = Multimodal.extractFeatures(m)
+      .select($"doc_id", $"width", $"height", $"luma_milli_mean")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(g(7L)._2.isEmpty, "audio rows carry null raster stats")
+    assert(g(8L) == ((8L, Some(2L), Some(1L), Some(50000L))),
+      s"decoded stats wrong: ${g(8L)}")
+    // PNG of the same pixels: identical decoded stats (lossless)
+    val png = Seq(Tuple1(ppm(2, 1,
+        (x, _) => if (x == 0) (10, 20, 30) else (90, 80, 70))))
+      .toDF("p").select(graft.functions.vec.ppmToPng($"p").as("payload"))
+      .withColumn("doc_id", lit(9L)).withColumn("kind", lit("image"))
+    val pr = Multimodal.extractFeatures(png)
+      .select($"width", $"height", $"luma_milli_mean")
+      .as[(Long, Long, Long)].collect().head
+    assert(pr == ((2L, 1L, 50000L)), s"PNG stats must equal PPM's: $pr")
   }
 
-  test("extractFeatures preserves partitioning (batch shape)") {
+  test("extractFeatures preserves partitioning (row-local projection)") {
     val media = Multimodal.attachMedia(docs).repartition(4)
     val out = Multimodal.extractFeatures(media)
     assert(out.rdd.getNumPartitions == 4)
