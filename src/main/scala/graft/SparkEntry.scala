@@ -1846,6 +1846,76 @@ object SparkEntry {
         .crossJoin(broadcast(eq))
     }),
 
+    // MULTIMODAL corpus build (round-15 capstone): the idempotent-epoch
+    // composition extended to a mixed text+image+audio+video corpus.
+    // Every 5th doc of EVERY kind is re-id'd as an arriving duplicate,
+    // then: exact text dedup (min-id winners) ∩ media near-dup
+    // representatives — REAL decoders throughout (PPM images, PCM
+    // WAVs, Y4M videos through their compiled kernels), the per-kind
+    // pair sets unioned into ONE cluster resolution — ∩ the
+    // lang/quality gate, written as one partitioned artifact with a
+    // DELIBERATE epoch replay (crash recovery rewrites only its own
+    // partition), and the manifest read back FROM THE WRITTEN parquet
+    // with a full-outer equality verdict against the in-plan
+    // selection. The oracle replays the whole composition
+    // relationally: min-id per text, min-id per kind×text cluster
+    // (payload equality ⇔ text equality per kind, every fixture's
+    // pinned property), and the lang/quality/token recompute.
+    "pipeline_corpus_build_mm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val base = graft.CacheScope.persist(
+        docs.select(col("doc_id"), col("text")).unionByName(dups))
+      val textWinners = Dedup.exact(base).select(col("keep_id").as("doc_id"))
+      val media = graft.CacheScope.persist(
+        Multimodal.attachPpmImages(base)
+          .unionByName(Multimodal.attachWavAudio(base))
+          .unionByName(Multimodal.attachY4mVideo(base)))
+      val pairs = Multimodal.dHashImageNearDupPairs(media,
+          maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2")
+        .unionByName(Multimodal.audioNearDupPairs(media,
+          maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2"))
+        .unionByName(Multimodal.videoNearDupPairs(media,
+          minSharedFrames = 1, maxBucketSize = Some(1024))
+          .select("d1", "d2"))
+      val mediaReps = Dedup.keepRepresentatives(
+        media.select(col("doc_id")), pairs)
+      val quality = TextOps.langQuality(base).filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("pred_lang"))
+      val tokens = TextOps.tokenStats(base)
+        .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
+      val selected = graft.CacheScope.persist(
+        media.select(col("doc_id"), col("kind"))
+          .join(textWinners, Seq("doc_id"), "left_semi")
+          .join(mediaReps.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(quality, Seq("doc_id"))
+          .join(tokens, Seq("doc_id")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val run = java.nio.file.Files.createTempDirectory("graft_cbmm").toString
+      onJvmExitDelete(run)
+      def epochWrite(e: Long): Unit =
+        selected.filter(pmod(col("doc_id"), lit(4)) === e)
+          .withColumn("build_epoch", lit(e))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("build_epoch")
+          .parquet(s"$run/corpus")
+      (0L to 3L).foreach(epochWrite)
+      epochWrite(1L) // crash replay: rewrites only its own partition
+      val written = s.read.parquet(s"$run/corpus")
+      val eq = written.as("w")
+        .join(selected.as("p"), Seq("doc_id"), "full")
+        .agg((count(when(col("w.kind").isNull || col("p.kind").isNull
+          || col("w.pred_lang") =!= col("p.pred_lang")
+          || col("w.n_tokens") =!= col("p.n_tokens"), 1)) === 0)
+          .as("equal_ok"))
+      written.groupBy(col("kind"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(eq))
+    }),
+
     // Benchmark decontamination: docs sharing any 3-gram with the stand-in
     // eval set (every 97th doc) are dropped from the corpus (the rest).
     "decon_filter" -> ((s, dir) => {
@@ -4724,6 +4794,40 @@ object SparkEntry {
          SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens, true AS equal_ok
          FROM sel GROUP BY 1""",
+
+    "pipeline_corpus_build_mm" ->
+      s"""WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id, text FROM documents
+           WHERE doc_id % 5 = 0),
+         win AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+         mrep AS (SELECT min(doc_id) AS doc_id FROM base
+                  GROUP BY doc_id % 3, text),
+         v AS ($LangVotesCte),
+         lang AS (SELECT doc_id, $LangCaseSql AS pred_lang FROM v),
+         q AS (SELECT doc_id, $QualitySql AS quality FROM documents),
+         tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+         battr AS (
+           SELECT b.doc_id, b.doc_id % 3 AS residue, lang.pred_lang,
+             q.quality, tok.n_tokens
+           FROM base b
+           JOIN lang ON lang.doc_id =
+             CASE WHEN b.doc_id >= (SELECT m FROM mx)
+               THEN b.doc_id - (SELECT m FROM mx) ELSE b.doc_id END
+           JOIN q ON q.doc_id = lang.doc_id
+           JOIN tok ON tok.doc_id = lang.doc_id),
+         sel AS (
+           SELECT doc_id, residue, pred_lang, n_tokens FROM battr
+           WHERE quality >= 0.5
+             AND doc_id IN (SELECT doc_id FROM win)
+             AND doc_id IN (SELECT doc_id FROM mrep))
+         SELECT (['image','audio','video'])[CAST(residue + 1 AS INT)] AS kind,
+           pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens, true AS equal_ok
+         FROM sel GROUP BY 1, 2""",
 
     "decon_filter" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),

@@ -187,6 +187,12 @@ class HardeningSpec extends AnyFunSuite {
       "decon_fraction" -> 2,
       // prefix-sum rank (3, as pps/bins) + the countDistinct perm gate
       "pipeline_shuffle_gate" -> 5,
+      // mm corpus-build capstone (the final manifest read): exact-dedup
+      // agg + three per-kind pair joins (cap window + join + dedup ride
+      // the persisted media subtree) + cluster resolution + quality/
+      // token joins + the manifest groupBy — the composition is
+      // deliberately the whole multimodal family in one plan
+      "pipeline_corpus_build_mm" -> 11,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
