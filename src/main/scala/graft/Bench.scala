@@ -41,6 +41,13 @@ object Bench {
     // and has exceeded 1.7x across sessions — raw tails are unreadable
     // without a same-run normalizer) ----
     def controlSample(): Double = {
+      // the control must read HOST state, not JVM state: mid-run
+      // samples land right after heavy queries, when the heap is full
+      // and a GC pause lands inside the measured window (observed: a
+      // mid-run control min of 1.23 s while a fresh JVM on the same
+      // idle host reads 0.67 s). One explicit collection before the
+      // clock starts removes the query-history dependence.
+      System.gc()
       val t0 = System.nanoTime()
       // CPU leg: codegen'd arithmetic fold over a range
       spark.range(30000000L).selectExpr("sum(id * 3 + (id % 7))").collect()

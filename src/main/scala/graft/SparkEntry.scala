@@ -2792,6 +2792,19 @@ object SparkEntry {
           col("png_equals_ppm"))
     }),
 
+    // Format NORMALIZATION gate (round-15): real PNG payloads
+    // (attachPngImages) are transcoded back to canonical P6 by the
+    // image_to_ppm kernel — PNG is lossless, so the normalized bytes
+    // must EQUAL the original PPM fixture byte for byte, and the
+    // DuckDB oracle replays them from the sha pixel recipe (the
+    // byte-exact oracle class). This is the transcode a mixed-format
+    // corpus runs before any downstream raster kernel.
+    "mm_image_normalize" -> ((s, dir) =>
+      Multimodal.normalizeImages(
+          Multimodal.attachPngImages(table(s, dir, "documents")))
+        .select(col("doc_id"),
+          lower(hex(col("payload"))).as("ppm_hex"))),
+
     // REAL resize transcode (round-14, closes the mm_resize
     // metadata-only seam): decode the fixture PPMs (12×10), integer
     // box-resize to 6×5 per RGB channel, re-encode canonical P6 — all
@@ -5611,6 +5624,21 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found,
            true AS png_equals_ppm""",
+
+    // byte-exact normalization replay: PNG → canonical P6 must equal
+    // the original fixture bytes — header hex "P6\n12 10\n255\n" +
+    // the 720 pixel hex chars straight from the sha recipe
+    "mm_image_normalize" ->
+      """SELECT doc_id,
+           '50360a31322031300a3235350a' ||
+           substr(sha256(text||'#px0')||sha256(text||'#px1')
+             ||sha256(text||'#px2')||sha256(text||'#px3')
+             ||sha256(text||'#px4')||sha256(text||'#px5')
+             ||sha256(text||'#px6')||sha256(text||'#px7')
+             ||sha256(text||'#px8')||sha256(text||'#px9')
+             ||sha256(text||'#px10')||sha256(text||'#px11'), 1, 720)
+             AS ppm_hex
+         FROM documents WHERE doc_id % 3 = 0""",
 
     // BYTE-EXACT resize replay: the fixture pixels are sha chunks of
     // the text (attachPpmImages), so the oracle recomputes every input

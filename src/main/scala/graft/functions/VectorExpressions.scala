@@ -388,6 +388,50 @@ object VectorRuntime {
       Array(w.toLong, h.toLong, s / argb.length))
   }
 
+  /** Normalize ANY supported image container to canonical P6 — the
+    * transcode a mixed-format corpus runs before downstream raster
+    * kernels (resize, per-pixel oracles) so they see ONE format:
+    * PPM payloads re-encode canonically (comments/whitespace variants
+    * collapse; pixel bytes copied verbatim), PNG/JPEG/GIF/BMP decode
+    * through ImageIO to the same `P6\nW H\n255\n` + RGB bytes.
+    * Lossless containers round-trip byte-exactly (the `mm_image_
+    * normalize` gate replays the output from the fixture recipe).
+    * Null for non-image payloads or a decoded size past the 2 GiB
+    * array bound (the null-drop routing convention).
+    */
+  def imageToPpm(payload: Array[Byte]): Array[Byte] = {
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd != null) {
+      val w = hd(0); val h = hd(1); val pos = hd(2)
+      if (w.toLong * h * 3L + 32L > Int.MaxValue) return null
+      val header = ("P6\n" + w + " " + h + "\n255\n").getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(payload, pos, out, header.length, w * h * 3)
+      return out
+    }
+    val img = readJdkImage(payload)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 1 || h < 1 || w.toLong * h * 3L + 32L > Int.MaxValue) return null
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val header = ("P6\n" + w + " " + h + "\n255\n").getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    var o = header.length
+    while (i < argb.length) {
+      val p = argb(i)
+      out(o) = ((p >>> 16) & 0xff).toByte
+      out(o + 1) = ((p >>> 8) & 0xff).toByte
+      out(o + 2) = (p & 0xff).toByte
+      i += 1
+      o += 3
+    }
+    out
+  }
+
   /** Transcode a P6 payload to PNG via the JDK encoder — the in-plan
     * fixture leg for the real-format decode gates (PNG is lossless, so
     * the PNG's decoded pixels EQUAL the PPM's and the two payloads
@@ -1562,6 +1606,28 @@ case class PpmResize(child: Expression, outW: Int, outH: Int)
     copy(child = newChild)
 }
 
+/** `image_to_ppm(binary) → binary` — normalize any supported image
+  * container to canonical P6 (see [[VectorRuntime.imageToPpm]]).
+  * Nullable: null for non-image payloads.
+  */
+case class ImageToPpm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_to_ppm"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.imageToPpm(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.imageToPpm($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageToPpm =
+    copy(child = newChild)
+}
+
 /** `image_stats(binary) → array<long>(width, height, luma_milli_mean)`
   * — decoded raster stats via the shared PPM/ImageIO parse (see
   * [[VectorRuntime.imageStats]]). Nullable: null for non-raster
@@ -2049,6 +2115,7 @@ object vec {
     wrap(PpmResize(ex(payload), outW, outH))
   def ppmToPng(payload: Column): Column = wrap(PpmToPng(ex(payload)))
   def imageStats(payload: Column): Column = wrap(ImageStats(ex(payload)))
+  def imageToPpm(payload: Column): Column = wrap(ImageToPpm(ex(payload)))
   def videoFrameDHashes(payload: Column, maxFrames: Int): Column =
     wrap(VideoFrameDHashes(ex(payload), maxFrames))
   def wavFingerprint64(payload: Column): Column =

@@ -98,6 +98,21 @@ object Multimodal {
         element_at(col("istats"), 2).as("height"),
         element_at(col("istats"), 3).as("luma_milli_mean"))
 
+  /** Format normalization (round-15): transcode every image payload —
+    * whatever container carried it (PPM incl. comment/whitespace
+    * variants, PNG/JPEG/GIF/BMP via ImageIO) — to canonical P6, so
+    * downstream raster kernels ([[resizePpm]], byte-level oracles) see
+    * ONE format. Lossless containers round-trip byte-exactly (the
+    * `mm_image_normalize` gate replays the normalized bytes from the
+    * fixture recipe). One compiled row-local projection; undecodable
+    * payloads null-drop.
+    */
+  def normalizeImages(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"), col("kind"),
+        graft.functions.vec.imageToPpm(col("payload")).as("payload"))
+      .filter(col("payload").isNotNull)
+
   /** Resize via the METADATA contract: halves dimensions (floor, min 1)
     * without touching the payload — the path for non-raster kinds and
     * opaque payloads whose codec lives elsewhere. Raster payloads have

@@ -226,6 +226,8 @@ class HardeningSpec extends AnyFunSuite {
       // (the StubDecoder mapPartitions seam is gone)
       "mm_features" -> 0,
       "mm_features_decoded" -> 0,
+      // PNG encode → ImageIO decode → canonical P6 rides one projection
+      "mm_image_normalize" -> 0,
       // real-format gate: TWO pair joins by design (the PNG leg and
       // the PPM leg it must equal — cap window + join side + pair
       // dedup each) + the set-equality union agg + identity join and

@@ -382,6 +382,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imgBands(encode("jpg", ramp).take(8)).isEmpty)
   }
 
+  test("imageToPpm normalization (round-15): PNG/BMP round-trip " +
+    "byte-exactly; PPM variants canonicalize; resize composes over " +
+    "normalized payloads; non-images null-drop") {
+    def norm(p: Array[Byte]): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.imageToPpm($"payload").as("n"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    def toPng(p: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.ppmToPng($"payload").as("p"))
+        .collect().head.getAs[Array[Byte]](0)
+    def px(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 37 + y * 91) % 256; (g, (g * 3) % 256, (g * 7) % 256)
+    }
+    val canonical = ppm(12, 10, px)
+    // lossless container → canonical P6 must equal the original bytes
+    assert(norm(toPng(canonical)).exists(_.sameElements(canonical)),
+      "PNG must normalize back to the exact original P6 bytes")
+    // a comment/whitespace PPM variant canonicalizes to the same bytes
+    val commented = ppm(12, 10, px,
+      header = "P6 # magic\n# comment\n  12\t10 # dims\n255\n")
+    assert(norm(commented).exists(_.sameElements(canonical)),
+      "PPM header variants must canonicalize")
+    // resize composes over normalized payloads: PNG → P6 → resize
+    // equals resizing the original directly
+    val direct = resized(canonical, 6, 5).get
+    val viaPng = resized(norm(toPng(canonical)).get, 6, 5).get
+    assert(viaPng.sameElements(direct))
+    // non-image payloads null-drop through the operator
+    val media = Seq((0L, canonical), (1L, "JNK not an image".getBytes))
+      .toDF("doc_id", "payload").withColumn("kind", lit("image"))
+    val out = Multimodal.normalizeImages(media)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(0L), "undecodable payloads must drop, not throw")
+  }
+
   test("dHashImageNearDupPairs: byte-identical at hamming 0, VISUALLY " +
     "near (small pixel perturbation) at small positive hamming") {
     def base(x: Int, y: Int): (Int, Int, Int) = {
