@@ -339,7 +339,13 @@ object ScaleProbe {
         // the composite deployment chain (exact dedup → gram decon →
         // quality/lang gate) — the same definition the oracled
         // pipeline_corpus_build materializes and writes
-        SparkEntry.corpusBuildSelected(docs).count() })
+        SparkEntry.corpusBuildSelected(docs).count() },
+      time("corpus_build_mm_raw") {
+        // the MULTIMODAL capstone chain (round-15): exact text dedup ∩
+        // three real-decoder near-dup joins in one cluster resolution
+        // ∩ quality gate — the same definition pipeline_corpus_build_mm
+        // materializes and writes
+        SparkEntry.corpusBuildMmSelected(docs).count() })
 
     // ---- recall at scale (VERDICT r10 #3): the oracled gates pin recall
     // floors at fixture scale only; this measures the √n-nlist +

@@ -223,6 +223,50 @@ object SparkEntry {
         Seq("doc_id"))
   }
 
+  /** The MULTIMODAL corpus-build selection (`pipeline_corpus_build_mm`'s
+    * composition and ScaleProbe's `corpus_build_mm_raw` scale row — one
+    * definition): re-id every 5th doc of every kind as an arriving
+    * duplicate, then exact text dedup (min-id winners) ∩ media
+    * near-dup representatives — a MIXED-CONTAINER corpus (PPM images,
+    * RIFF WAVs, REAL YUV4MPEG2 videos; the Y4M leg is both
+    * format-honest and ~2× cheaper than the concatenated-PPM frame
+    * walk, PERF round 15), per-kind pair sets unioned into ONE cluster
+    * resolution — ∩ the lang/quality gate
+    * → `(doc_id, kind, pred_lang, n_tokens)`.
+    */
+  private[graft] def corpusBuildMmSelected(docs: DataFrame): DataFrame = {
+    val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + m).as("doc_id"), col("text"))
+    val base = graft.CacheScope.persist(
+      docs.select(col("doc_id"), col("text")).unionByName(dups))
+    val textWinners = graft.operators.Dedup.exact(base)
+      .select(col("keep_id").as("doc_id"))
+    val media = graft.CacheScope.persist(
+      graft.operators.Multimodal.attachPpmImages(base)
+        .unionByName(graft.operators.Multimodal.attachWavAudio(base))
+        .unionByName(graft.operators.Multimodal.attachY4mVideo(base)))
+    val pairs = graft.operators.Multimodal.dHashImageNearDupPairs(media,
+        maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2")
+      .unionByName(graft.operators.Multimodal.audioNearDupPairs(media,
+        maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2"))
+      .unionByName(graft.operators.Multimodal.videoNearDupPairs(media,
+        minSharedFrames = 1, maxBucketSize = Some(1024))
+        .select("d1", "d2"))
+    val mediaReps = graft.operators.Dedup.keepRepresentatives(
+      media.select(col("doc_id")), pairs)
+    val quality = graft.operators.TextOps.langQuality(base)
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("pred_lang"))
+    val tokens = graft.operators.TextOps.tokenStats(base)
+      .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
+    media.select(col("doc_id"), col("kind"))
+      .join(textWinners, Seq("doc_id"), "left_semi")
+      .join(mediaReps.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"))
+      .join(tokens, Seq("doc_id"))
+  }
+
   /** The fixture-keyed half-corpus MinHash band index shared by every
     * gate that reads it (`dedup_incremental_neardup`, `stream_neardup`,
     * `dedup_index_update`, `dedup_pairs_from_index`) — ONE definition of
@@ -1862,36 +1906,8 @@ object SparkEntry {
     // (payload equality ⇔ text equality per kind, every fixture's
     // pinned property), and the lang/quality/token recompute.
     "pipeline_corpus_build_mm" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
-      val dups = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + m).as("doc_id"), col("text"))
-      val base = graft.CacheScope.persist(
-        docs.select(col("doc_id"), col("text")).unionByName(dups))
-      val textWinners = Dedup.exact(base).select(col("keep_id").as("doc_id"))
-      val media = graft.CacheScope.persist(
-        Multimodal.attachPpmImages(base)
-          .unionByName(Multimodal.attachWavAudio(base))
-          .unionByName(Multimodal.attachY4mVideo(base)))
-      val pairs = Multimodal.dHashImageNearDupPairs(media,
-          maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2")
-        .unionByName(Multimodal.audioNearDupPairs(media,
-          maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2"))
-        .unionByName(Multimodal.videoNearDupPairs(media,
-          minSharedFrames = 1, maxBucketSize = Some(1024))
-          .select("d1", "d2"))
-      val mediaReps = Dedup.keepRepresentatives(
-        media.select(col("doc_id")), pairs)
-      val quality = TextOps.langQuality(base).filter(col("quality") >= 0.5)
-        .select(col("doc_id"), col("pred_lang"))
-      val tokens = TextOps.tokenStats(base)
-        .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
       val selected = graft.CacheScope.persist(
-        media.select(col("doc_id"), col("kind"))
-          .join(textWinners, Seq("doc_id"), "left_semi")
-          .join(mediaReps.select("doc_id"), Seq("doc_id"), "left_semi")
-          .join(quality, Seq("doc_id"))
-          .join(tokens, Seq("doc_id")),
+        corpusBuildMmSelected(table(s, dir, "documents")),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val run = java.nio.file.Files.createTempDirectory("graft_cbmm").toString
       onJvmExitDelete(run)

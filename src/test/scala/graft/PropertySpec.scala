@@ -711,4 +711,86 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("y4m: frame hashes equal the gray concatenated-PPM twin across " +
+    "random even geometry, colorspaces, and frame counts") {
+    def frameHashes(p: Array[Byte]): Seq[Long] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.videoFrameDHashes($"payload", 8).as("h"))
+        .collect().head
+      assert(!r.isNullAt(0), "fixture video failed to parse")
+      r.getSeq[Long](0)
+    }
+    val genCase = for {
+      w <- Gen.choose(1, 8).map(_ * 2)
+      h <- Gen.choose(1, 8).map(_ * 2)
+      nf <- Gen.choose(1, 5)
+      cs <- Gen.oneOf("C420", "C444", "Cmono")
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (w, h, nf, cs, seed)
+    forAll(genCase, n = 8) { case (w, h, nf, cs, seed) =>
+      def yPlane(f: Int): Array[Byte] = Array.tabulate(w * h)(i =>
+        ((i * 2654435761L + seed + f * 977L).toInt & 0xff).toByte)
+      val chroma = cs match {
+        case "C420"  => 2 * ((w / 2) * (h / 2))
+        case "C444"  => 2 * w * h
+        case "Cmono" => 0
+      }
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $cs\n"
+        .getBytes("US-ASCII")
+      val y4m = (0 until nf).foldLeft(header) { (acc, f) =>
+        acc ++ "FRAME\n".getBytes("US-ASCII") ++ yPlane(f) ++
+          Array.fill(chroma)(((seed + f) & 0xff).toByte)
+      }
+      // the gray RGB rendering of each Y plane (R=G=B=Y ⇒ integer
+      // luma = Y exactly) concatenated as the PPM twin
+      val twin = (0 until nf).map { f =>
+        val y = yPlane(f)
+        ppmOf(w, h, i => y(i / 3) & 0xff)
+      }.reduce(_ ++ _)
+      assert(frameHashes(y4m) == frameHashes(twin),
+        s"Y4M vs gray-PPM diverged at ${w}x$h $cs x$nf")
+    }
+  }
+
+  test("imageToPpm ∘ ppmToPng: byte-exact round-trip and hash " +
+    "preservation for random images (lossless closure)") {
+    forAll(genImage, n = 8) { p =>
+      val row = Seq(Tuple1(p)).toDF("payload")
+        .select(
+          graft.functions.vec.imageToPpm(
+            graft.functions.vec.ppmToPng($"payload")).as("back"),
+          graft.functions.vec.dHashImageBands(
+            graft.functions.vec.ppmToPng($"payload"), 4, 16).as("hpng"),
+          graft.functions.vec.dHashImageBands($"payload", 4, 16).as("hppm"))
+        .collect().head
+      assert(!row.isNullAt(0), "PNG round-trip failed to decode")
+      assert(row.getAs[Array[Byte]](0).sameElements(p),
+        "PNG → canonical P6 must reproduce the exact original bytes")
+      assert(row.getSeq[Long](1) == row.getSeq[Long](2),
+        "PNG and PPM of the same pixels must hash identically")
+    }
+  }
+
+  test("wavToFloat32: the float re-encode parses for any PCM input and " +
+    "fingerprints within the rounding-tie bound") {
+    val genWav = for {
+      n <- Gen.choose(2, 200)
+      ch <- Gen.choose(1, 3)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield wavOf(
+      Seq.tabulate(n)(i => ((i * 1103515245L + seed) >>> 7).toInt & 0xff), ch)
+    forAll(genWav, n = 8) { p =>
+      val row = Seq(Tuple1(p)).toDF("payload")
+        .select(
+          graft.functions.vec.wavFingerprint64($"payload").as("fi"),
+          graft.functions.vec.wavFingerprint64(
+            graft.functions.vec.wavToFloat32($"payload")).as("ff"))
+        .collect().head
+      assert(!row.isNullAt(0) && !row.isNullAt(1),
+        "float32 re-encode must parse")
+      val ham = java.lang.Long.bitCount(row.getLong(0) ^ row.getLong(1))
+      assert(ham <= 6, s"float re-encode drifted to hamming $ham")
+    }
+  }
 }

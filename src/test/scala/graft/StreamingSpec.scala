@@ -432,6 +432,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet() == drained, "replayed epoch changed the drained result")
   }
 
+  test("PNG image ingest (round-15): real-container payloads through " +
+    "the decodePixels stream path — seam-free vs batch, replay " +
+    "idempotent") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // widen to every doc id (×3 keeps the image residue) so the halves
+    // are non-trivial; payloads are REAL PNGs — the stream path must
+    // route them through the magic-byte sniff → ImageIO → dHash kernel
+    val media = graft.operators.Multimodal.attachPngImages(
+      docs.select(($"doc_id" * 3).as("doc_id"), $"text"))
+    val half = media.agg(max($"doc_id")).head.getLong(0) / 2
+    val base = tmp(); val inDir = tmp(); val run = tmp()
+    graft.operators.Multimodal.dHashImageBandRows(
+        media.filter($"doc_id" <= half))
+      .write.parquet(s"$base/index")
+    val newMedia = media.filter($"doc_id" > half)
+    newMedia.repartitionByRange(3, $"doc_id").write.parquet(s"$inDir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$inDir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/in")
+    val q = StreamOps.dHashIngestStream(stream, s"$base/index",
+      s"$run/append", s"$run/pairs", s"$run/ckpt", maxHamming = 64,
+      decodePixels = true)
+    try q.processAllAvailable() finally q.stop()
+    val drained = spark.read.parquet(s"$run/pairs")
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val oneShot = graft.operators.Multimodal.dHashIncrementalPairs(
+        newMedia, spark.read.parquet(s"$base/index"), maxHamming = 64,
+        decodePixels = true, storage = None)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture yields no candidate pairs — vacuous")
+    assert(drained == oneShot,
+      s"stream/batch seam: ${(drained -- oneShot).take(3)} extra, " +
+        s"${(oneShot -- drained).take(3)} missing")
+  }
+
   test("audio WAV ingest: epochs seam-free vs batch through the shared " +
     "skeleton; layout derived from the base index") {
     val docs = spark.read
