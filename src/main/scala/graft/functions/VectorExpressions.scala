@@ -285,17 +285,47 @@ object VectorRuntime {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
       (p(0) == 'B' && p(1) == 'M'))
 
+  /** Decoded-raster ceiling for the ImageIO path: 64M pixels (a 256 MB
+    * ARGB buffer). PPM/Y4M are uncompressed — their decoded size is
+    * bounded by the payload bytes — but PNG/GIF/JPEG are COMPRESSED: a
+    * kilobyte payload can declare a multi-gigapixel canvas
+    * (decompression bomb), and an unguarded `ImageIO.read` would try
+    * to allocate it inside an executor task. Untrusted corpora are the
+    * norm at 100 TB, so dimensions are read from the HEADER first and
+    * oversized images null-drop before any pixel allocation.
+    */
+  private val MaxDecodedPixels: Long = 64L * 1024 * 1024
+
   /** Decode a sniffed JDK-container payload headless, or null on any
-    * failure (unsniffed magic, truncated stream, codec error — the
-    * null-drop contract; a corrupt payload must drop its row, never
-    * kill the task).
+    * failure (unsniffed magic, truncated stream, codec error, or
+    * header dimensions past [[MaxDecodedPixels]] — the null-drop
+    * contract; a corrupt or hostile payload must drop its row, never
+    * kill the task). Dimensions are checked via the reader's
+    * header-only accessors BEFORE `read` allocates the raster.
     */
   private def readJdkImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     if (!isJdkRaster(payload)) return null
     val noCache = imageIoMemOnly
     if (!noCache) return null // unreachable; forces the lazy init
-    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: Exception => null }
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      reader = readers.next()
+      reader.setInput(iis, true, true)
+      val w = reader.getWidth(0).toLong
+      val h = reader.getHeight(0).toLong
+      if (w < 1 || h < 1 || w * h > MaxDecodedPixels) return null
+      reader.read(0)
+    } catch {
+      case _: Exception => null
+    } finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
   }
 
   /** [[dHash64At]] over a packed-ARGB buffer — the ImageIO decode path.
@@ -955,13 +985,18 @@ object VectorRuntime {
     val bytesPerSample = bits / 8
     val nSamples = dataLen / bytesPerSample
     if (nSamples.toLong * 4L + 44L > Int.MaxValue) return null
+    // the u32 byteRate field must stay representable — a pathological
+    // rate x channels product must reject, not wrap into a corrupt
+    // header other readers would trust
+    val byteRate = rate.toLong * channels * 4L
+    if (byteRate > Int.MaxValue) return null
     val out = java.nio.ByteBuffer.allocate(44 + nSamples * 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 4)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(3).putShort(channels.toShort) // IEEE float
-      .putInt(rate).putInt(rate * channels * 4)
+      .putInt(rate).putInt(byteRate.toInt)
       .putShort((channels * 4).toShort).putShort(32)
       .put("data".getBytes("US-ASCII")).putInt(nSamples * 4)
     var i = 0

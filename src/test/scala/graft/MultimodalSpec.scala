@@ -380,6 +380,18 @@ class MultimodalSpec extends AnyFunSuite {
     // corrupt/truncated real-format payloads null-drop, never throw
     assert(imgBands(encode("png", noisy).take(20)).isEmpty)
     assert(imgBands(encode("jpg", ramp).take(8)).isEmpty)
+    // DECOMPRESSION-BOMB guard: a hand-crafted BMP header declaring a
+    // 100000x100000 canvas (30 GB decoded) must null-drop from the
+    // header dimensions alone — an unguarded ImageIO.read would try
+    // to allocate the raster inside an executor task
+    val bomb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bomb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      .putInt(40).putInt(100000).putInt(100000)
+      .putShort(1).putShort(24).putInt(0).putInt(0)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    assert(imgBands(bomb.array()).isEmpty,
+      "oversized-canvas payload must drop before raster allocation")
   }
 
   test("imageToPpm normalization (round-15): PNG/BMP round-trip " +
