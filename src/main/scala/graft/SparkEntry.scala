@@ -2821,6 +2821,16 @@ object SparkEntry {
         .select(col("doc_id"),
           lower(hex(col("payload"))).as("ppm_hex"))),
 
+    // Grayscale PGM (P5) normalization (round-15): real P5 payloads
+    // embed losslessly into canonical P6 (R=G=B=y — luma, stats, and
+    // dHash all agree with the original), and the oracle replays every
+    // tripled byte from the sha recipe.
+    "mm_pgm_normalize" -> ((s, dir) =>
+      Multimodal.normalizeImages(
+          Multimodal.attachPgmImages(table(s, dir, "documents")))
+        .select(col("doc_id"),
+          lower(hex(col("payload"))).as("ppm_hex"))),
+
     // REAL resize transcode (round-14, closes the mm_resize
     // metadata-only seam): decode the fixture PPMs (12×10), integer
     // box-resize to 6×5 per RGB channel, re-encode canonical P6 — all
@@ -5640,6 +5650,28 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found,
            true AS png_equals_ppm""",
+
+    // byte-exact P5 → P6 gray-embedding replay: each source luma byte
+    // triples into R=G=B (the lossless gray embedding), so the oracle
+    // re-derives every output byte from the sha recipe and repeats its
+    // hex pair three times in order
+    "mm_pgm_normalize" ->
+      """WITH img AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         b AS (
+           SELECT doc_id,
+             substr(sha256(text||'#gy0')||sha256(text||'#gy1')
+               ||sha256(text||'#gy2')||sha256(text||'#gy3'), 1, 240)
+               AS bh
+           FROM img),
+         px AS (
+           SELECT doc_id, i, repeat(substr(bh, 2*i+1, 2), 3) AS hex3
+           FROM b, unnest(range(120)) AS t(i)),
+         body AS (
+           SELECT doc_id, string_agg(hex3, '' ORDER BY i) AS hex
+           FROM px GROUP BY doc_id)
+         SELECT doc_id, '50360a31322031300a3235350a' || hex AS ppm_hex
+         FROM body""",
 
     // byte-exact normalization replay: PNG → canonical P6 must equal
     // the original fixture bytes — header hex "P6\n12 10\n255\n" +

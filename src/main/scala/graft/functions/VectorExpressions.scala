@@ -255,7 +255,11 @@ object VectorRuntime {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
     if (hd != null)
-      return java.lang.Long.valueOf(dHash64At(payload, hd(2), hd(0), hd(1)))
+      // P5 bytes ARE the luma plane (the Y4M Y-plane path), so a PGM
+      // and the gray PPM/PNG of the same values hash identically
+      return java.lang.Long.valueOf(
+        if (hd(3) == 3) dHash64At(payload, hd(2), hd(0), hd(1))
+        else dHash64LumaAt(payload, hd(2), hd(0), hd(1)))
     val img = readJdkImage(payload)
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
@@ -273,7 +277,9 @@ object VectorRuntime {
   }
 
   /** Magic-byte sniff for the JDK-decodable raster containers: PNG
-    * (`89 'PNG'`), JPEG (`FF D8 FF`), GIF (`'GIF8'`), BMP (`'BM'`).
+    * (`89 'PNG'`), JPEG (`FF D8 FF`), GIF (`'GIF8'`), BMP (`'BM'`),
+    * TIFF (`'II*\0'` little-endian / `'MM\0*'` big-endian — the JDK
+    * ships a TIFF plugin since Java 9; document/scan corpora carry it).
     * The sniff gates the (allocating) ImageIO attempt so arbitrary
     * binary payloads in a mixed-media table fail in a few byte
     * compares, not in a codec probe.
@@ -283,7 +289,9 @@ object VectorRuntime {
       (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
       (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
-      (p(0) == 'B' && p(1) == 'M'))
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'I' && p(1) == 'I' && p(2) == '*' && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == '*'))
 
   /** Decoded-raster ceiling for the ImageIO path: 64M pixels (a 256 MB
     * ARGB buffer). PPM/Y4M are uncompressed — their decoded size is
@@ -388,14 +396,18 @@ object VectorRuntime {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
     if (hd != null) {
-      val w = hd(0); val h = hd(1); val pos = hd(2)
+      val w = hd(0); val h = hd(1); val pos = hd(2); val ch = hd(3)
       val n = w.toLong * h
       var s = 0L
       var i = 0L
       while (i < n) {
-        val p = pos + (i * 3).toInt
-        s += 299L * (payload(p) & 0xff) + 587L * (payload(p + 1) & 0xff) +
-          114L * (payload(p + 2) & 0xff)
+        val p = pos + (i * ch).toInt
+        // gray P5: 1000·y — numerically EQUAL to the RGB recipe on a
+        // gray pixel (299y + 587y + 114y), so P5/P6/PNG stats agree
+        s += (if (ch == 3)
+          299L * (payload(p) & 0xff) + 587L * (payload(p + 1) & 0xff) +
+            114L * (payload(p + 2) & 0xff)
+        else 1000L * (payload(p) & 0xff))
         i += 1
       }
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -438,7 +450,21 @@ object VectorRuntime {
       val header = ("P6\n" + w + " " + h + "\n255\n").getBytes("US-ASCII")
       val out = new Array[Byte](header.length + w * h * 3)
       System.arraycopy(header, 0, out, 0, header.length)
-      System.arraycopy(payload, pos, out, header.length, w * h * 3)
+      if (hd(3) == 3)
+        System.arraycopy(payload, pos, out, header.length, w * h * 3)
+      else {
+        // grayscale P5 → R=G=B=y (the lossless gray embedding: luma,
+        // stats, and dHash all agree with the P5 original)
+        var i = 0
+        var o = header.length
+        val n = w * h
+        while (i < n) {
+          val y = payload(pos + i)
+          out(o) = y; out(o + 1) = y; out(o + 2) = y
+          i += 1
+          o += 3
+        }
+      }
       return out
     }
     val img = readJdkImage(payload)
@@ -473,13 +499,16 @@ object VectorRuntime {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
     if (hd == null) return null
-    val w = hd(0); val h = hd(1); val pos = hd(2)
+    val w = hd(0); val h = hd(1); val pos = hd(2); val ch = hd(3)
     val argb = new Array[Int](w * h)
     var i = 0
     while (i < argb.length) {
-      val p = pos + i * 3
-      argb(i) = 0xff000000 | ((payload(p) & 0xff) << 16) |
-        ((payload(p + 1) & 0xff) << 8) | (payload(p + 2) & 0xff)
+      val p = pos + i * ch
+      argb(i) =
+        if (ch == 3)
+          0xff000000 | ((payload(p) & 0xff) << 16) |
+            ((payload(p + 1) & 0xff) << 8) | (payload(p + 2) & 0xff)
+        else 0xff000000 | ((payload(p) & 0xff) * 0x010101)
       i += 1
     }
     val img = new java.awt.image.BufferedImage(w, h,
@@ -497,16 +526,21 @@ object VectorRuntime {
   @inline private def isWsB(c: Int): Boolean = c == ' ' || c == '\t' ||
     c == '\n' || c == '\r' || c == 0x0b || c == 0x0c
 
-  /** Parse one binary PPM (P6, maxval ≤ 255) frame header starting at
-    * `start`: `{w, h, dataPos}` with the pixel data verified in-bounds
-    * (frame end = `dataPos + w·h·3`), or null for anything malformed —
-    * wrong magic, bad header, maxval > 255, truncated pixels. `#`
-    * comments and arbitrary header whitespace honored per the netpbm
-    * spec; exactly ONE whitespace byte separates maxval from data.
+  /** Parse one binary netpbm (P6 color PPM or P5 grayscale PGM —
+    * round-15, the grayscale sibling common in ML corpora; maxval ≤
+    * 255) frame header starting at `start`: `{w, h, dataPos, channels}`
+    * (channels 3 for P6, 1 for P5) with the pixel data verified
+    * in-bounds (frame end = `dataPos + w·h·channels`), or null for
+    * anything malformed — wrong magic, bad header, maxval > 255,
+    * truncated pixels. `#` comments and arbitrary header whitespace
+    * honored per the netpbm spec; exactly ONE whitespace byte
+    * separates maxval from data.
     */
   private def ppmHeader(payload: Array[Byte], start: Int): Array[Int] = {
-    if (payload.length - start < 12) return null
-    if (payload(start) != 'P' || payload(start + 1) != '6') return null
+    if (payload.length - start < 11) return null
+    if (payload(start) != 'P' ||
+      (payload(start + 1) != '6' && payload(start + 1) != '5')) return null
+    val channels = if (payload(start + 1) == '6') 3 else 1
     var pos = start + 2
     // next header integer: skip whitespace + '#'-to-EOL comments
     def nextInt(): Long = {
@@ -534,8 +568,8 @@ object VectorRuntime {
     val w = wL.toInt; val h = hL.toInt
     if (pos >= payload.length || !isWsB(payload(pos) & 0xff)) return null
     pos += 1
-    if (pos.toLong + w.toLong * h * 3L > payload.length) return null
-    Array(w, h, pos)
+    if (pos.toLong + w.toLong * h * channels > payload.length) return null
+    Array(w, h, pos, channels)
   }
 
   /** Classic 64-bit dHash of one parsed PPM frame: integer ITU-R 601
@@ -606,6 +640,10 @@ object VectorRuntime {
     if (payload == null || outW < 1 || outH < 1) return null
     val hd = ppmHeader(payload, 0)
     if (hd == null) return null
+    // grayscale P5 normalizes to P6 first (R=G=B=y, the lossless gray
+    // embedding) so the box arithmetic below stays one code path and
+    // the output contract is ALWAYS canonical P6
+    if (hd(3) == 1) return ppmResize(imageToPpm(payload), outW, outH)
     val w = hd(0); val h = hd(1); val pos = hd(2)
     val header = ("P6\n" + outW + " " + outH + "\n255\n").getBytes("US-ASCII")
     val out = new Array[Byte](header.length + outW * outH * 3)
@@ -669,7 +707,7 @@ object VectorRuntime {
       val hd = ppmHeader(payload, pos)
       if (hd == null) return null
       frames.add(hd)
-      pos = hd(2) + hd(0) * hd(1) * 3
+      pos = hd(2) + hd(0) * hd(1) * hd(3)
     }
     val nf = frames.size
     val take = if (nf < maxFrames) nf else maxFrames
@@ -677,7 +715,9 @@ object VectorRuntime {
     var i = 0
     while (i < take) {
       val hd = frames.get(((i.toLong * nf) / take).toInt)
-      out(i) = dHash64At(payload, hd(2), hd(0), hd(1))
+      out(i) =
+        if (hd(3) == 3) dHash64At(payload, hd(2), hd(0), hd(1))
+        else dHash64LumaAt(payload, hd(2), hd(0), hd(1))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

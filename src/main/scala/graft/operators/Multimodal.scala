@@ -75,6 +75,27 @@ object Multimodal {
       .select(col("doc_id"), col("kind"),
         graft.functions.vec.ppmToPng(col("payload")).as("payload"))
 
+  /** Deterministic GRAYSCALE fixture (round-15): binary PGM (P5)
+    * payloads — netpbm's grayscale sibling, common in grayscale ML
+    * corpora — one sha-derived luma byte per pixel. Same in-plan
+    * recipe and payload-equality ⇔ text-equality property as
+    * [[attachPpmImages]]; the `mm_pgm_normalize` gate replays the
+    * P5 → canonical-P6 gray embedding byte for byte.
+    */
+  def attachPgmImages(docs: DataFrame, w: Int = 12, h: Int = 10): DataFrame = {
+    require(w >= 1 && h >= 1 && w * h <= 32 * 64,
+      s"fixture images are tiny by design, got ${w}x$h")
+    val header = s"P5\n$w $h\n255\n"
+    val headerLen = header.getBytes("US-ASCII").length
+    val bodyLen = w * h
+    val chunks = (0 until (bodyLen + 31) / 32).map(i =>
+      unhex(sha2(concat(col("text"), lit(s"#gy$i")).cast("binary"), 256)))
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("image").as("kind"),
+        substring(concat((lit(header.getBytes("US-ASCII")) +: chunks): _*),
+          1, headerLen + bodyLen).as("payload"))
+  }
+
   /** REAL feature extraction (round-15 — retires the round-12
     * StubDecoder seam, the last typed-`mapPartitions` media path): ONE
     * compiled row-local projection per media row — byte length and an

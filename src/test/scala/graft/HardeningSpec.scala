@@ -228,6 +228,8 @@ class HardeningSpec extends AnyFunSuite {
       "mm_features_decoded" -> 0,
       // PNG encode → ImageIO decode → canonical P6 rides one projection
       "mm_image_normalize" -> 0,
+      // P5 → gray-P6 embedding is the same single projection
+      "mm_pgm_normalize" -> 0,
       // real-format gate: TWO pair joins by design (the PNG leg and
       // the PPM leg it must equal — cap window + join side + pair
       // dedup each) + the set-equality union agg + identity join and

@@ -312,8 +312,10 @@ class MultimodalSpec extends AnyFunSuite {
       "block-constant upscale must be resize-invariant")
     // degenerate dimensions (smaller than the 9×8 grid) still decode
     assert(imgBands(ppm(2, 1, (x, _) => (x * 200, 0, 0))).isDefined)
-    // malformed: wrong magic, oversized maxval, truncated pixels → null
-    assert(imgBands("P5\n2 2\n255\n0123".getBytes("US-ASCII")).isEmpty)
+    // malformed: wrong magic (P4 bitmaps unsupported), oversized
+    // maxval, truncated pixels → null; P5 grayscale DECODES (round-15)
+    assert(imgBands("P4\n2 2\n255\n0123".getBytes("US-ASCII")).isEmpty)
+    assert(imgBands("P5\n2 2\n255\n0123".getBytes("US-ASCII")).isDefined)
     assert(imgBands(ppm(4, 4, px, header = "P6\n4 4\n65535\n")).isEmpty)
     assert(imgBands(ppm(4, 4, px).dropRight(1)).isEmpty)
     assert(imgBands("IMGnotanimageatall".getBytes("US-ASCII")).isEmpty)
@@ -380,6 +382,43 @@ class MultimodalSpec extends AnyFunSuite {
     // corrupt/truncated real-format payloads null-drop, never throw
     assert(imgBands(encode("png", noisy).take(20)).isEmpty)
     assert(imgBands(encode("jpg", ramp).take(8)).isEmpty)
+    // TIFF (JDK plugin since Java 9, lossless): identical hash to the
+    // PPM of the same pixels, both byte orders sniffed
+    val tiff = encode("tiff", noisy)
+    assert(tiff.take(4).map(_ & 0xff).toSeq == Seq(0x49, 0x49, 0x2a, 0) ||
+      tiff.take(4).map(_ & 0xff).toSeq == Seq(0x4d, 0x4d, 0, 0x2a),
+      "JDK TIFF writer must emit a real TIFF magic")
+    assert(imgBands(tiff).contains(ppmHash),
+      "TIFF (lossless) must hash identically to the PPM of the same pixels")
+    // PGM (P5, grayscale netpbm): the bytes ARE the luma plane — hash,
+    // stats, and normalization all agree with the gray P6 twin
+    val yBytes = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val pgm = s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ yBytes
+    val grayP6 = ppm(w, h, (x, r) => {
+      val g = yBytes(r * w + x) & 0xff; (g, g, g)
+    })
+    assert(imgBands(pgm).isDefined &&
+      imgBands(pgm) == imgBands(grayP6),
+      "P5 must hash identically to its gray P6 twin")
+    val normPgm = Seq(Tuple1(pgm)).toDF("payload")
+      .select(graft.functions.vec.imageToPpm($"payload").as("n"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(normPgm.sameElements(grayP6),
+      "P5 normalization must produce the exact gray P6 bytes")
+    val statsPair = Seq(Tuple1(pgm), Tuple1(grayP6)).toDF("payload")
+      .select(graft.functions.vec.imageStats($"payload").as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(statsPair(0) == statsPair(1),
+      "P5 and gray-P6 decoded stats must agree")
+    // a P5 resize routes through the gray embedding and stays decodable
+    val resizedPgm = Seq(Tuple1(pgm)).toDF("payload")
+      .select(graft.functions.vec.ppmResize($"payload", 6, 5).as("r"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(resizedPgm.sameElements(
+      Seq(Tuple1(grayP6)).toDF("payload")
+        .select(graft.functions.vec.ppmResize($"payload", 6, 5).as("r"))
+        .collect().head.getAs[Array[Byte]](0)),
+      "P5 resize must equal the gray-P6 resize")
     // DECOMPRESSION-BOMB guard: a hand-crafted BMP header declaring a
     // 100000x100000 canvas (30 GB decoded) must null-drop from the
     // header dimensions alone — an unguarded ImageIO.read would try
