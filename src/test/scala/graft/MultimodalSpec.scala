@@ -433,6 +433,35 @@ class MultimodalSpec extends AnyFunSuite {
       "oversized-canvas payload must drop before raster allocation")
   }
 
+  test("cross-container dedup (round-15): the SAME image stored as " +
+    "PPM, PNG, and PGM-gray pairs at hamming 0 through one band join") {
+    def gray(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 53 + y * 19) % 256; (g, g, g)
+    }
+    val p6 = ppm(16, 12, gray)
+    val png = Seq(Tuple1(p6)).toDF("p")
+      .select(graft.functions.vec.ppmToPng($"p").as("p"))
+      .collect().head.getAs[Array[Byte]](0)
+    val p5 = "P5\n16 12\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(16 * 12)(i => ((i % 16 * 53 + i / 16 * 19) % 256).toByte)
+    val far = ppm(16, 12, (x, y) => ((x * 7) % 256, (y * 31) % 256, 128))
+    val media = Seq((1L, p6), (2L, png), (3L, p5), (4L, far))
+      .toDF("doc_id", "payload").withColumn("kind", lit("image"))
+    val pairs = Multimodal.dHashImageNearDupPairs(media, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    // all three containers of the same pixels collapse into one
+    // cluster at EXACT hash equality; the unrelated image stays out
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"cross-container cluster wrong: $pairs")
+    // ...and representatives keep one doc per photo, whatever format
+    // each copy arrived in
+    val reps = graft.operators.Dedup.keepRepresentatives(
+        media.select($"doc_id"),
+        Multimodal.dHashImageNearDupPairs(media, maxHamming = 0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(reps == Set(1L, 4L), s"representatives wrong: $reps")
+  }
+
   test("imageToPpm normalization (round-15): PNG/BMP round-trip " +
     "byte-exactly; PPM variants canonicalize; resize composes over " +
     "normalized payloads; non-images null-drop") {
