@@ -2756,8 +2756,8 @@ object SparkEntry {
     "mm_audio_float" -> ((s, dir) => {
       val audio = Multimodal.attachWavAudio(table(s, dir, "documents"))
       audio.select(col("doc_id"),
-          graft.functions.vec.wavFingerprint64(col("payload")).as("fp_int"),
-          graft.functions.vec.wavFingerprint64(
+          graft.functions.vec.audioFingerprint64(col("payload")).as("fp_int"),
+          graft.functions.vec.audioFingerprint64(
             graft.functions.vec.wavToFloat32(col("payload"))).as("fp_float"))
         .agg(count(lit(1)).as("n_audio"),
           count(when(col("fp_float").isNull, lit(1))).as("n_undecoded"),
@@ -2766,6 +2766,28 @@ object SparkEntry {
           // scale, sign, endianness) lands FAR outside it
           coalesce(max(bit_count(col("fp_int").bitwiseXOR(col("fp_float"))))
             <= 6, lit(true)).as("drift_within_bound"))
+    }),
+
+    // AIFF container gate (round-15): every fixture WAV is transcoded
+    // in-plan to AIFF (wav_to_aiff — the JDK converts unsigned-8 to
+    // AIFF's signed-8 and LE-16 to BE-16 with EXACT value
+    // preservation) and fingerprinted through the container-routed
+    // kernel's javax.sound path. Because the sample domain is
+    // identical across routes, the verdict is BIT EQUALITY of the two
+    // fingerprints, not a drift bound — the strongest cross-container
+    // pin the audio family carries. Relational half (audio count)
+    // oracled as usual.
+    "mm_audio_aiff" -> ((s, dir) => {
+      val audio = Multimodal.attachWavAudio(table(s, dir, "documents"))
+      audio.select(col("doc_id"),
+          graft.functions.vec.audioFingerprint64(col("payload"))
+            .as("fp_wav"),
+          graft.functions.vec.audioFingerprint64(
+            graft.functions.vec.wavToAiff(col("payload"))).as("fp_aiff"))
+        .agg(count(lit(1)).as("n_audio"),
+          count(when(col("fp_aiff").isNull, lit(1))).as("n_undecoded"),
+          coalesce(min(col("fp_wav") === col("fp_aiff")), lit(true))
+            .as("containers_bit_equal"))
     }),
 
     "mm_dhash_png" -> ((s, dir) => {
@@ -2875,7 +2897,7 @@ object SparkEntry {
         .crossJoin(broadcast(auds.agg(count(lit(1)).as("n_audio"))))
         .crossJoin(broadcast(media.select(
           count(when(graft.functions.vec
-            .wavFingerprint64(col("payload")).isNull, lit(1)))
+            .audioFingerprint64(col("payload")).isNull, lit(1)))
             .as("n_undecoded"))))
         .select(col("n_audio"), col("n_identity_pairs"),
           col("n_undecoded"), col("all_identity_found"))
@@ -5632,6 +5654,11 @@ object SparkEntry {
     "mm_audio_float" ->
       """SELECT count(*) AS n_audio, CAST(0 AS BIGINT) AS n_undecoded,
            true AS drift_within_bound
+         FROM documents WHERE doc_id % 3 = 1""",
+
+    "mm_audio_aiff" ->
+      """SELECT count(*) AS n_audio, CAST(0 AS BIGINT) AS n_undecoded,
+           true AS containers_bit_equal
          FROM documents WHERE doc_id % 3 = 1""",
 
     "mm_dhash_png" ->

@@ -1006,6 +1006,159 @@ object VectorRuntime {
     java.lang.Long.valueOf(hash)
   }
 
+  /** Container-routed audio fingerprint (round-15): RIFF → the
+    * pure-JVM WAV parse ([[wavFingerprint64]]); `FORM…AIFF` → the
+    * JDK's `javax.sound` decoder ([[aiffFingerprint64]]). The sample
+    * domain is identical across routes (centered 16-bit-range
+    * integers; AIFF's signed-8 IS WAV's `v − 128`, its big-endian
+    * signed-16 IS WAV's little-endian value), so the SAME audio
+    * carried by either container fingerprints bit-identically — the
+    * `mm_audio_aiff` gate pins exact equality, not a drift bound.
+    * Null for unrecognized containers (the null-drop contract).
+    */
+  def audioFingerprint64(payload: Array[Byte]): java.lang.Long = {
+    if (payload == null || payload.length < 12) return null
+    if (payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' &&
+        payload(3) == 'M' && payload(8) == 'A' && payload(9) == 'I' &&
+        payload(10) == 'F' && payload(11) == 'F')
+      return aiffFingerprint64(payload)
+    wavFingerprint64(payload)
+  }
+
+  /** AIFF (FORM/AIFF) fingerprint via the JDK's headless
+    * `javax.sound.sampled` decoder: PCM signed/unsigned at 8/16 bits,
+    * any channel count (mixed to mono exactly like the WAV path).
+    * AIFF-C (compressed, `FORM…AIFC`) is not sniffed — codec support
+    * is platform-dependent, so it null-drops rather than decode
+    * differently on different JVMs. The decoded byte count is bounded
+    * against the container size (PCM in AIFF is uncompressed — a
+    * stream claiming more is malformed, the audio analogue of the
+    * image decompression-bomb guard). Null on any parse/format
+    * failure.
+    */
+  private def aiffFingerprint64(payload: Array[Byte]): java.lang.Long = {
+    var ais: javax.sound.sampled.AudioInputStream = null
+    try {
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      val enc = f.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = f.getSampleSizeInBits
+      val channels = f.getChannels
+      if ((!signed && !unsigned) || (bits != 8 && bits != 16) ||
+        channels < 1) return null
+      val nFramesL = ais.getFrameLength
+      val frameSize = f.getFrameSize
+      if (nFramesL < 2 || frameSize < 1 ||
+        nFramesL * frameSize > payload.length.toLong * 4) return null
+      val nFrames = nFramesL.toInt
+      val data = new Array[Byte](nFrames * frameSize)
+      var off = 0
+      while (off < data.length) {
+        val r = ais.read(data, off, data.length - off)
+        if (r <= 0) return null // truncated stream
+        off += r
+      }
+      val bigEndian = f.isBigEndian
+      val bps = bits / 8
+      // mono-mixed centered samples, the WAV path's exact domain
+      val mono = new Array[Int](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        val base = i * frameSize
+        var s = 0
+        var c = 0
+        while (c < channels) {
+          val p = base + c * bps
+          s += (if (bits == 8) {
+            if (unsigned) (data(p) & 0xff) - 128 else data(p).toInt
+          } else {
+            val v =
+              if (bigEndian) (data(p) << 8) | (data(p + 1) & 0xff)
+              else (data(p) & 0xff) | (data(p + 1) << 8)
+            if (unsigned) v - 32768 else v
+          })
+          c += 1
+        }
+        mono(i) = s / channels
+        i += 1
+      }
+      java.lang.Long.valueOf(energyZcrOfMono(mono))
+    } catch {
+      case _: Exception => null
+    } finally {
+      if (ais != null) try ais.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** The 33-window energy/ZCR fold over pre-mixed mono samples —
+    * ARITHMETIC-IDENTICAL to [[wavFingerprint64]]'s in-place fold (the
+    * `mm_audio_aiff` gate pins the two routes bit-equal on the same
+    * audio), just over a materialized array (the javax.sound path
+    * already decodes into a buffer).
+    */
+  private def energyZcrOfMono(mono: Array[Int]): Long = {
+    val nFrames = mono.length
+    val win = 33
+    val energy = new Array[Long](win)
+    val zcr = new Array[Long](win)
+    var t = 0
+    while (t < win) {
+      val f0 = ((t.toLong * nFrames) / win).toInt
+      var f1 = (((t + 1).toLong * nFrames) / win).toInt
+      if (f1 <= f0) f1 = f0 + 1
+      var sum = 0L; var z = 0L
+      var prev = 0; var i = f0
+      while (i < f1) {
+        val v = mono(i)
+        sum += (if (v < 0) -v.toLong else v.toLong)
+        if (i > f0 && ((v >= 0) != (prev >= 0))) z += 1
+        prev = v
+        i += 1
+      }
+      energy(t) = sum / (f1 - f0)
+      zcr(t) = z
+      t += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 32) {
+      if (energy(j) > energy(j + 1)) hash |= (1L << j)
+      if (zcr(j) > zcr(j + 1)) hash |= (1L << (32 + j))
+      j += 1
+    }
+    hash
+  }
+
+  /** Transcode an integer-PCM WAV to AIFF through the JDK encoder —
+    * the in-plan fixture leg for the AIFF gate: `javax.sound` converts
+    * WAV's unsigned-8 to AIFF's signed-8 (and 16-bit LE to BE) with
+    * EXACT value preservation, so the transcode is lossless and the
+    * two containers fingerprint bit-identically. Null for anything
+    * `AudioSystem` cannot read as integer PCM (float WAVs route
+    * through [[wavToFloat32]]'s domain, not this one).
+    */
+  def wavToAiff(payload: Array[Byte]): Array[Byte] = {
+    val wav = parseWav(payload)
+    if (wav == null || wav(0) != 1) return null
+    var ais: javax.sound.sampled.AudioInputStream = null
+    try {
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val bos = new java.io.ByteArrayOutputStream(payload.length + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    } catch {
+      case _: Exception => null
+    } finally {
+      if (ais != null) try ais.close() catch { case _: Exception => () }
+    }
+  }
+
   /** Transcode an integer-PCM WAV to IEEE-float32 WAV (format 3) — the
     * in-plan fixture leg for the float-decode gates, and a real
     * transcode any pipeline normalizing mixed-encoding audio needs:
@@ -1775,30 +1928,55 @@ case class VideoFrameDHashes(child: Expression, maxFrames: Int)
     copy(child = newChild)
 }
 
-/** `wav_fingerprint64(binary) → long` — pure-JVM WAV (RIFF/PCM) parse →
-  * 64-bit windowed energy/zero-crossing fingerprint (see
-  * [[VectorRuntime.wavFingerprint64]]). Nullable: null for anything
-  * that is not well-formed PCM WAV.
+/** `audio_fingerprint64(binary) → long` — container-routed audio
+  * fingerprint: WAV (RIFF, pure-JVM parse — integer PCM and IEEE
+  * float32) or AIFF (javax.sound), identical sample domain across
+  * routes → 64-bit windowed energy/zero-crossing fingerprint (see
+  * [[VectorRuntime.audioFingerprint64]]). Nullable: null for anything
+  * that is not well-formed audio in an accepted container.
   */
-case class WavFingerprint64(child: Expression) extends UnaryExpression {
+case class AudioFingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "wav_fingerprint64"
+  override def prettyName: String = "audio_fingerprint64"
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorRuntime.wavFingerprint64(input.asInstanceOf[Array[Byte]])
+    VectorRuntime.audioFingerprint64(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val box = ctx.freshName("wavFp")
+      val box = ctx.freshName("audioFp")
       s"""
-      java.lang.Long $box = graft.functions.VectorRuntime.wavFingerprint64($c);
+      java.lang.Long $box = graft.functions.VectorRuntime.audioFingerprint64($c);
       ${ev.isNull} = $box == null;
       ${ev.value} = ${ev.isNull} ? -1L : $box.longValue();
     """
     })
 
-  override protected def withNewChildInternal(newChild: Expression): WavFingerprint64 =
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprint64 =
+    copy(child = newChild)
+}
+
+/** `wav_to_aiff(binary) → binary` — integer-PCM WAV → AIFF transcode
+  * through the JDK encoder (see [[VectorRuntime.wavToAiff]]): exact
+  * sample preservation, so the output fingerprints bit-identically.
+  * Nullable: null for non-integer-PCM input.
+  */
+case class WavToAiff(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_to_aiff"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.wavToAiff(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.wavToAiff($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WavToAiff =
     copy(child = newChild)
 }
 
@@ -2193,10 +2371,12 @@ object vec {
   def imageToPpm(payload: Column): Column = wrap(ImageToPpm(ex(payload)))
   def videoFrameDHashes(payload: Column, maxFrames: Int): Column =
     wrap(VideoFrameDHashes(ex(payload), maxFrames))
-  def wavFingerprint64(payload: Column): Column =
-    wrap(WavFingerprint64(ex(payload)))
+  def audioFingerprint64(payload: Column): Column =
+    wrap(AudioFingerprint64(ex(payload)))
   def wavToFloat32(payload: Column): Column =
     wrap(WavToFloat32(ex(payload)))
+  def wavToAiff(payload: Column): Column =
+    wrap(WavToAiff(ex(payload)))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =

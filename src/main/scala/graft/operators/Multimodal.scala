@@ -460,7 +460,7 @@ object Multimodal {
     BandedHamming.bandRows(
       media.filter(col("kind") === "audio")
         .select(col("doc_id"),
-          graft.functions.vec.wavFingerprint64(col("payload")).as("afp")),
+          graft.functions.vec.audioFingerprint64(col("payload")).as("afp")),
       "afp", b, bb)
   }
 
@@ -616,7 +616,7 @@ object Multimodal {
   def audioFingerprintBias(media: DataFrame): DataFrame =
     BandedHamming.fingerprintBiasStats(
       media.filter(col("kind") === "audio")
-        .select(graft.functions.vec.wavFingerprint64(col("payload"))
+        .select(graft.functions.vec.audioFingerprint64(col("payload"))
           .as("afp")),
       "afp")
 

@@ -222,6 +222,8 @@ class HardeningSpec extends AnyFunSuite {
       // float transcode + both fingerprints ride ONE projection; the
       // single exchange is the 1-row verdict agg
       "mm_audio_float" -> 1,
+      // the AIFF twin has the same single-projection shape
+      "mm_audio_aiff" -> 1,
       // feature extraction is ONE codegen'd projection — zero shuffles
       // (the StubDecoder mapPartitions seam is gone)
       "mm_features" -> 0,

@@ -763,7 +763,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def afp(p: Array[Byte]): Option[Long] = {
     val r = Seq(Tuple1(p)).toDF("payload")
-      .select(graft.functions.vec.wavFingerprint64($"payload").as("f"))
+      .select(graft.functions.vec.audioFingerprint64($"payload").as("f"))
       .collect().head
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
@@ -848,6 +848,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(afp(f64).isEmpty)
     assert(afp(pF.dropRight(1)).isEmpty)
     assert(toFloat(pF).isEmpty, "float input has nothing to transcode")
+  }
+
+  test("AIFF container (round-15): a WAV->AIFF transcode fingerprints " +
+    "BIT-IDENTICALLY through the javax.sound route; AIFF-C and torn " +
+    "payloads null-drop; cross-container audio pairs at hamming 0") {
+    def toAiff(p: Array[Byte]): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.wavToAiff($"payload").as("a"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    val rnd = new scala.util.Random(31)
+    val samples = Seq.fill(200)(rnd.nextInt(256))
+    val p8 = wav(samples)
+    val aiff = toAiff(p8).get
+    assert(new String(aiff.take(4), "US-ASCII") == "FORM" &&
+      new String(aiff.slice(8, 12), "US-ASCII") == "AIFF",
+      "transcode must emit a real AIFF container")
+    // EXACT fingerprint equality — same sample domain, same fold
+    assert(afp(aiff).contains(afp(p8).get),
+      "AIFF route must fingerprint bit-identically to the WAV route")
+    // 16-bit and stereo: still exact
+    val p16 = wav(samples.map(s => (s - 128) * 256), bits = 16)
+    assert(afp(toAiff(p16).get).contains(afp(p16).get))
+    val pSt = wav(samples.flatMap(s => Seq(s, s)), channels = 2)
+    assert(afp(toAiff(pSt).get).contains(afp(pSt).get))
+    // cross-container near-dup: the same recording stored as WAV and
+    // as AIFF pairs at hamming 0 through one band join
+    val m = Seq((1L, p8), (2L, aiff),
+        (3L, wav(Seq.tabulate(200)(i => (i * 53) % 256))))
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val pairs = Multimodal.audioNearDupPairs(m, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)),
+      s"WAV/AIFF twin must pair at hamming 0: $pairs")
+    // malformed: AIFF-C (platform-dependent codecs) not sniffed; torn
+    // AIFF drops; float WAV has no AIFF transcode here
+    val aifc = aiff.clone(); aifc(11) = 'C'
+    assert(afp(aifc).isEmpty, "AIFF-C must null-drop, not half-decode")
+    assert(afp(aiff.dropRight(7)).isEmpty, "torn AIFF must null-drop")
+    val pF = Seq(Tuple1(p8)).toDF("payload")
+      .select(graft.functions.vec.wavToFloat32($"payload").as("f"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(toAiff(pF).isEmpty, "float WAV is not this transcode's domain")
   }
 
   test("audioNearDupPairs: byte-identical WAVs at hamming 0 through the " +

@@ -661,7 +661,7 @@ class PropertySpec extends AnyFunSuite {
     "across identical channels (mix-down property)") {
     def fp(p: Array[Byte]): Long = {
       val r = Seq(Tuple1(p)).toDF("payload")
-        .select(graft.functions.vec.wavFingerprint64($"payload").as("f"))
+        .select(graft.functions.vec.audioFingerprint64($"payload").as("f"))
         .collect().head
       assert(!r.isNullAt(0), "fixture WAV failed to parse")
       r.getLong(0)
@@ -783,8 +783,8 @@ class PropertySpec extends AnyFunSuite {
     forAll(genWav, n = 8) { p =>
       val row = Seq(Tuple1(p)).toDF("payload")
         .select(
-          graft.functions.vec.wavFingerprint64($"payload").as("fi"),
-          graft.functions.vec.wavFingerprint64(
+          graft.functions.vec.audioFingerprint64($"payload").as("fi"),
+          graft.functions.vec.audioFingerprint64(
             graft.functions.vec.wavToFloat32($"payload")).as("ff"))
         .collect().head
       assert(!row.isNullAt(0) && !row.isNullAt(1),
