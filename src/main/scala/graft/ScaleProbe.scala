@@ -216,6 +216,24 @@ object ScaleProbe {
         graft.operators.Multimodal.videoNearDupPairsFuzzy(
           graft.operators.Multimodal.attachPpmVideo(docs),
           maxHamming = 6, maxBucketSize = Some(256)).count() },
+      time("mm_audio_aiff_raw") {
+        // AIFF container throughput (round-15): in-plan WAV→AIFF
+        // transcode (javax.sound encode) + the container-routed
+        // fingerprint's javax.sound decode per row, then the shared
+        // banded join — the codec-cost row for the audio family, the
+        // analogue of mm_dhash_png_raw for images. DEFAULT layout so
+        // the pair count is comparable to mm_audio_raw's (an explicit
+        // different layout changes the heuristic 4–6 Hamming tail —
+        // the documented discontinuity, observed as 124 vs 136 pairs
+        // at this tier before this row pinned the same convention)
+        graft.operators.Multimodal.audioNearDupPairs(
+          graft.operators.Multimodal.attachWavAudio(docs)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("kind"),
+              graft.functions.vec.wavToAiff(
+                org.apache.spark.sql.functions.col("payload"))
+                .as("payload")),
+          maxHamming = 6, maxBucketSize = Some(256)).count() },
       time("mm_video_y4m_raw") {
         // real-container decode throughput (round-15): Y4M stream
         // header + FRAME markers + 4:2:0 plane walk, Y plane hashed
