@@ -254,17 +254,22 @@ object VectorRuntime {
   def imageDHash64(payload: Array[Byte]): java.lang.Long = {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
-    if (hd != null)
+    if (hd != null) {
+      // non-canonical maxval rescales through the normalizer first —
+      // netpbm samples scale by maxval, so hashing the raw bytes of a
+      // maxval-127 payload would hash a half-brightness image
+      if (hd(4) != 255) return imageDHash64(imageToPpm(payload))
       // P5 bytes ARE the luma plane (the Y4M Y-plane path), so a PGM
       // and the gray PPM/PNG of the same values hash identically
       return java.lang.Long.valueOf(
         if (hd(3) == 3) dHash64At(payload, hd(2), hd(0), hd(1))
         else dHash64LumaAt(payload, hd(2), hd(0), hd(1)))
+    }
     val img = readJdkImage(payload)
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w < 1 || h < 1) return null
-    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val argb = argbOf(img)
     java.lang.Long.valueOf(dHash64Argb(argb, w, h))
   }
 
@@ -311,6 +316,43 @@ object VectorRuntime {
     * kill the task). Dimensions are checked via the reader's
     * header-only accessors BEFORE `read` allocates the raster.
     */
+  /** Packed-ARGB pixels of a decoded BufferedImage, with RAW-SAMPLE
+    * fidelity for gray rasters (round-16, ADVICE r15 #1): a grayscale
+    * (or 16-bit gray) PNG decodes to a `TYPE_BYTE_GRAY` /
+    * `TYPE_USHORT_GRAY` image whose `getRGB` pushes linear gray
+    * through the default sRGB color transform — gray 128 reads back
+    * ~186 — so raw sample values are NOT preserved and a gray PNG
+    * would hash differently from the PGM of the same values. Gray
+    * types therefore read their raster samples directly
+    * (`R = G = B = sample`, the lossless gray embedding); 16-bit
+    * samples round to 8 bits by `s·255/65535` (round-half-up, the
+    * maxval rescale arithmetic). Every other type keeps `getRGB`, the
+    * established color path.
+    */
+  private def argbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val t = img.getType
+    val gray8 = t == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val gray16 = t == java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    if (!gray8 && !gray16) return img.getRGB(0, 0, w, h, null, 0, w)
+    val raster = img.getRaster
+    val out = new Array[Int](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = raster.getSample(x, y, 0)
+        val v = if (gray8) s else (s * 255 * 2 + 65535) / (2 * 65535)
+        out(i) = 0xff000000 | (v << 16) | (v << 8) | v
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def readJdkImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     if (!isJdkRaster(payload)) return null
     val noCache = imageIoMemOnly
@@ -396,6 +438,9 @@ object VectorRuntime {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
     if (hd != null) {
+      // netpbm maxval semantics: non-canonical payloads rescale
+      // through the normalizer before stats read raw bytes
+      if (hd(4) != 255) return imageStats(imageToPpm(payload))
       val w = hd(0); val h = hd(1); val pos = hd(2); val ch = hd(3)
       val n = w.toLong * h
       var s = 0L
@@ -417,7 +462,7 @@ object VectorRuntime {
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w < 1 || h < 1) return null
-    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val argb = argbOf(img)
     var s = 0L
     var i = 0
     while (i < argb.length) {
@@ -445,21 +490,37 @@ object VectorRuntime {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
     if (hd != null) {
-      val w = hd(0); val h = hd(1); val pos = hd(2)
+      val w = hd(0); val h = hd(1); val pos = hd(2); val maxv = hd(4)
       if (w.toLong * h * 3L + 32L > Int.MaxValue) return null
       val header = ("P6\n" + w + " " + h + "\n255\n").getBytes("US-ASCII")
       val out = new Array[Byte](header.length + w * h * 3)
       System.arraycopy(header, 0, out, 0, header.length)
-      if (hd(3) == 3)
-        System.arraycopy(payload, pos, out, header.length, w * h * 3)
-      else {
+      // netpbm samples scale by maxval: the canonical-P6 re-emit
+      // rescales a maxval < 255 payload by 255/maxval (round-half-up;
+      // exact identity at maxval = 255) — copying bytes verbatim under
+      // a 255 header would BRIGHTEN the image (ADVICE r15 #3)
+      @inline def scaled(b: Byte): Byte =
+        if (maxv == 255) b
+        else (((b & 0xff) * 255 * 2 + maxv) / (2 * maxv)).toByte
+      if (hd(3) == 3) {
+        if (maxv == 255)
+          System.arraycopy(payload, pos, out, header.length, w * h * 3)
+        else {
+          var i = 0
+          val n = w * h * 3
+          while (i < n) {
+            out(header.length + i) = scaled(payload(pos + i))
+            i += 1
+          }
+        }
+      } else {
         // grayscale P5 → R=G=B=y (the lossless gray embedding: luma,
         // stats, and dHash all agree with the P5 original)
         var i = 0
         var o = header.length
         val n = w * h
         while (i < n) {
-          val y = payload(pos + i)
+          val y = scaled(payload(pos + i))
           out(o) = y; out(o + 1) = y; out(o + 2) = y
           i += 1
           o += 3
@@ -471,7 +532,7 @@ object VectorRuntime {
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w < 1 || h < 1 || w.toLong * h * 3L + 32L > Int.MaxValue) return null
-    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val argb = argbOf(img)
     val header = ("P6\n" + w + " " + h + "\n255\n").getBytes("US-ASCII")
     val out = new Array[Byte](header.length + w * h * 3)
     System.arraycopy(header, 0, out, 0, header.length)
@@ -499,6 +560,9 @@ object VectorRuntime {
     if (payload == null) return null
     val hd = ppmHeader(payload, 0)
     if (hd == null) return null
+    // non-canonical maxval rescales through the normalizer first
+    // (netpbm maxval semantics — see imageToPpm)
+    if (hd(4) != 255) return ppmToPng(imageToPpm(payload))
     val w = hd(0); val h = hd(1); val pos = hd(2); val ch = hd(3)
     val argb = new Array[Int](w * h)
     var i = 0
@@ -528,13 +592,22 @@ object VectorRuntime {
 
   /** Parse one binary netpbm (P6 color PPM or P5 grayscale PGM —
     * round-15, the grayscale sibling common in ML corpora; maxval ≤
-    * 255) frame header starting at `start`: `{w, h, dataPos, channels}`
-    * (channels 3 for P6, 1 for P5) with the pixel data verified
-    * in-bounds (frame end = `dataPos + w·h·channels`), or null for
-    * anything malformed — wrong magic, bad header, maxval > 255,
-    * truncated pixels. `#` comments and arbitrary header whitespace
-    * honored per the netpbm spec; exactly ONE whitespace byte
-    * separates maxval from data.
+    * 255) frame header starting at `start`:
+    * `{w, h, dataPos, channels, maxval}` (channels 3 for P6, 1 for P5)
+    * with the pixel data verified in-bounds (frame end =
+    * `dataPos + w·h·channels`), or null for anything malformed — wrong
+    * magic, bad header, maxval > 255, truncated pixels. `#` comments
+    * and arbitrary header whitespace honored per the netpbm spec;
+    * exactly ONE whitespace byte separates maxval from data.
+    *
+    * MAXVAL semantics (round-16, ADVICE r15 #3): netpbm sample values
+    * scale by maxval — a maxval-127 payload's byte 127 means FULL
+    * brightness, not half. The raw-sample kernels (hash/stats/resize)
+    * only interpret CANONICAL maxval-255 payloads directly; a
+    * maxval < 255 payload routes through [[imageToPpm]], which
+    * rescales every sample by `255/maxval` (round-half-up) so the
+    * canonical-P6 contract stays value-preserving instead of silently
+    * brightening copied-verbatim bytes.
     */
   private def ppmHeader(payload: Array[Byte], start: Int): Array[Int] = {
     if (payload.length - start < 11) return null
@@ -569,7 +642,7 @@ object VectorRuntime {
     if (pos >= payload.length || !isWsB(payload(pos) & 0xff)) return null
     pos += 1
     if (pos.toLong + w.toLong * h * channels > payload.length) return null
-    Array(w, h, pos, channels)
+    Array(w, h, pos, channels, maxv.toInt)
   }
 
   /** Classic 64-bit dHash of one parsed PPM frame: integer ITU-R 601
@@ -640,10 +713,12 @@ object VectorRuntime {
     if (payload == null || outW < 1 || outH < 1) return null
     val hd = ppmHeader(payload, 0)
     if (hd == null) return null
-    // grayscale P5 normalizes to P6 first (R=G=B=y, the lossless gray
-    // embedding) so the box arithmetic below stays one code path and
-    // the output contract is ALWAYS canonical P6
-    if (hd(3) == 1) return ppmResize(imageToPpm(payload), outW, outH)
+    // grayscale P5 (and any non-canonical maxval) normalizes to
+    // canonical P6 first (R=G=B=y gray embedding / 255-maxval rescale)
+    // so the box arithmetic below stays one code path and the output
+    // contract is ALWAYS canonical P6
+    if (hd(3) == 1 || hd(4) != 255)
+      return ppmResize(imageToPpm(payload), outW, outH)
     val w = hd(0); val h = hd(1); val pos = hd(2)
     val header = ("P6\n" + outW + " " + outH + "\n255\n").getBytes("US-ASCII")
     val out = new Array[Byte](header.length + outW * outH * 3)
@@ -694,8 +769,11 @@ object VectorRuntime {
     * 9×8-cell gradient kernel as still images — so a video frame and
     * the identical still image share a hash, and frame-level near-dup
     * rides the banded machinery unchanged. Null if the payload is
-    * empty, unrecognized, any frame is malformed, or bytes trail the
-    * last frame (a torn payload must drop, not half-decode).
+    * empty, unrecognized, any frame is malformed (a non-canonical
+    * maxval included — a concatenated-PPM stream whose frames need
+    * per-frame rescaling is not a fixture this codec emits; normalize
+    * stills via `image_to_ppm` instead), or bytes trail the last
+    * frame (a torn payload must drop, not half-decode).
     */
   def videoFrameDHashes(payload: Array[Byte], maxFrames: Int): ArrayData = {
     if (payload == null || payload.length == 0) return null
@@ -705,7 +783,7 @@ object VectorRuntime {
     var pos = 0
     while (pos < payload.length) {
       val hd = ppmHeader(payload, pos)
-      if (hd == null) return null
+      if (hd == null || hd(4) != 255) return null
       frames.add(hd)
       pos = hd(2) + hd(0) * hd(1) * hd(3)
     }

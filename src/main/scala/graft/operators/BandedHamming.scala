@@ -68,9 +68,15 @@ private[graft] object BandedHamming {
     }
 
   /** [[resolveLayout]] for the incremental/streaming paths: `bands = 0`
-    * derives the layout from the PERSISTED index ([[layoutOfIndex]])
-    * with the same loud guard on a stranded custom `probeRadius`;
-    * explicit layouts pass through.
+    * derives the layout from the PERSISTED index ([[layoutOfIndex]] —
+    * one full min/max scan that ALSO rejects a mixed-layout index
+    * loudly) with the same loud guard on a stranded custom
+    * `probeRadius`; explicit layouts pass through. Every call site is
+    * a one-shot batch operator or a stream INITIALIZATION (the
+    * streaming ingest loops resolve once at `start()` and close over
+    * the result), so the scan amortizes — it never runs per
+    * micro-batch (the round-14 regression ADVICE r15 #2 guards
+    * against).
     */
   def resolveIndexLayout(bands: Int, bandBits: Int, probeRadius: Int,
       index: DataFrame): (Int, Int, Int) =
@@ -86,21 +92,29 @@ private[graft] object BandedHamming {
     * incremental path's auto-sizing: band keys are layout-specific, so
     * an arriving shard must hash under the INDEX's layout, not the
     * corpus-count one. `bands` is the stored full-hash array's length,
-    * read from ONE row (`limit(1)` — bounded no matter the index size,
-    * so per-epoch streaming callers can afford the derivation every
-    * micro-batch); `probeRadius` follows the [[autoLayout]] convention
-    * for that width (32-bit keys probe at radius 1). Loud on an empty
-    * index — there is nothing to derive from. A MIXED-layout index
-    * (shards appended under a different layout after a corpus-size
-    * crossover) is a corrupted artifact this one-row peek cannot see —
-    * run [[verifyUniformLayout]] (a full scan, deliberately opt-in)
-    * after any out-of-band index surgery.
+    * verified UNIFORM across the whole index in the same one-pass
+    * min/max aggregation that reads it (round-16, ADVICE r15 #2: a
+    * `limit(1)` peek was nondeterministic — on a mixed-layout index,
+    * the exact corruption shards appended under a different layout
+    * create, the derived layout could flap across calls and silently
+    * miss pairs; deriving from min = max makes the corruption fail
+    * loudly instead). One full scan of the narrow index — amortized,
+    * because every auto-deriving call site is a one-shot operator or a
+    * stream initialization, never a micro-batch loop. `probeRadius`
+    * follows the [[autoLayout]] convention for the stored width
+    * (32-bit keys probe at radius 1). Loud on an empty index — there
+    * is nothing to derive from.
     */
   def layoutOfIndex(index: DataFrame): (Int, Int, Int) = {
-    val rows = index.select(size(col("bands")).as("b")).limit(1).collect()
-    require(rows.nonEmpty,
+    val head = index
+      .agg(min(size(col("bands"))).as("lo"), max(size(col("bands"))).as("hi"))
+      .head()
+    require(!head.isNullAt(0),
       "cannot derive a band layout from an EMPTY index — pass bands explicitly")
-    val bands = rows(0).getInt(0)
+    require(head.getInt(0) == head.getInt(1),
+      s"index mixes band layouts (${head.getInt(0)}..${head.getInt(1)} " +
+        "bands) — rebuild it under one layout before deriving from it")
+    val bands = head.getInt(0)
     require(bands > 0 && 64 % bands == 0,
       s"index stores a $bands-band hash; 64 bits must split evenly")
     val bandBits = 64 / bands
@@ -109,11 +123,12 @@ private[graft] object BandedHamming {
 
   /** Full-scan uniformity check for a persisted band index: rejects a
     * MIXED-layout index (rows hashed under different band widths would
-    * contribute garbage band keys and silently missed pairs). O(index)
-    * by necessity — every row's stored array length is inspected — so
-    * it is an explicit maintenance step, NOT part of the per-epoch
-    * [[layoutOfIndex]] peek (which round 14 ran as a full min/max
-    * aggregation on every micro-batch; ADVICE r14 #1).
+    * contribute garbage band keys and silently missed pairs). Since
+    * round 16 [[layoutOfIndex]] runs the same check inline whenever a
+    * layout is DERIVED; this standalone entry point remains for
+    * maintenance audits of indexes whose layout the caller pins
+    * explicitly (where nothing is derived, so nothing else would
+    * scan).
     */
   def verifyUniformLayout(index: DataFrame): Unit = {
     val head = index

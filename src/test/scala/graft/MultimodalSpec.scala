@@ -462,6 +462,107 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reps == Set(1L, 4L), s"representatives wrong: $reps")
   }
 
+  test("gray-typed rasters (round-16, ADVICE r15 #1): a GRAY PNG reads " +
+    "raw raster samples — hash, stats, and normalization equal the PGM " +
+    "of the same values; 16-bit gray rounds to 8") {
+    val w = 36; val h = 32
+    val yBytes = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    // encode the SAME luma plane as a true grayscale PNG: the JDK
+    // writes a color-type-0 PNG from TYPE_BYTE_GRAY, which decodes
+    // back to TYPE_BYTE_GRAY — the path where getRGB applies the
+    // linear-gray→sRGB transform (gray 128 would read back ~186)
+    val grayImg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      grayImg.getRaster.setSample(x, y, 0, yBytes(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(grayImg, "png", bos))
+    val grayPng = bos.toByteArray
+    // pin the container actually exercises the gray decode path
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grayPng))
+    assert(decoded.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      s"fixture must decode as TYPE_BYTE_GRAY, got ${decoded.getType}")
+    val pgm = s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ yBytes
+    assert(imgBands(grayPng).isDefined &&
+      imgBands(grayPng) == imgBands(pgm),
+      "gray PNG must hash identically to the PGM of the same samples")
+    def statsOf(p: Array[Byte]): Seq[Long] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.imageStats($"payload").as("s"))
+        .collect().head.getSeq[Long](0)
+    assert(statsOf(grayPng) == statsOf(pgm),
+      "gray PNG decoded stats must equal the PGM's")
+    def norm(p: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.imageToPpm($"payload").as("n"))
+        .collect().head.getAs[Array[Byte]](0)
+    assert(norm(grayPng).sameElements(norm(pgm)),
+      "gray PNG must normalize to the exact gray-embedded P6 bytes")
+    // 16-bit gray (TYPE_USHORT_GRAY): samples s<<8|s round back to s
+    // under the s*255/65535 round-half-up mapping, so the full-depth
+    // replication of an 8-bit plane hashes like its 8-bit original
+    val g16 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = yBytes(y * w + x) & 0xff
+      g16.getRaster.setSample(x, y, 0, (s << 8) | s)
+    }
+    val bos16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g16, "png", bos16))
+    assert(imgBands(bos16.toByteArray) == imgBands(pgm),
+      "16-bit gray PNG of the replicated plane must hash like the 8-bit PGM")
+  }
+
+  test("netpbm maxval semantics (round-16, ADVICE r15 #3): maxval < 255 " +
+    "rescales by 255/maxval — normalization is value-preserving, " +
+    "hash/stats/resize agree with the rescaled canonical") {
+    val w = 12; val h = 10
+    // a maxval-127 P6: sample 127 means FULL brightness
+    val body = Array.tabulate(w * h * 3)(i => ((i * 29 + 3) % 128).toByte)
+    val lowMax = s"P6\n$w $h\n127\n".getBytes("US-ASCII") ++ body
+    // the value-preserving canonical twin: every sample rescaled
+    // round-half-up by 255/127
+    val rescaled = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      body.map(b => (((b & 0xff) * 255 * 2 + 127) / (2 * 127)).toByte)
+    def norm(p: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.imageToPpm($"payload").as("n"))
+        .collect().head.getAs[Array[Byte]](0)
+    assert(norm(lowMax).sameElements(rescaled),
+      "maxval-127 normalization must rescale, not copy bytes verbatim")
+    assert(imgBands(lowMax).isDefined &&
+      imgBands(lowMax) == imgBands(rescaled),
+      "maxval-127 hash must equal the rescaled canonical's")
+    def statsOf(p: Array[Byte]): Seq[Long] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.imageStats($"payload").as("s"))
+        .collect().head.getSeq[Long](0)
+    assert(statsOf(lowMax) == statsOf(rescaled),
+      "maxval-127 stats must equal the rescaled canonical's")
+    def resize(p: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.ppmResize($"payload", 6, 5).as("r"))
+        .collect().head.getAs[Array[Byte]](0)
+    assert(resize(lowMax).sameElements(resize(rescaled)),
+      "maxval-127 resize must route through the rescale")
+    // maxval-127 PGM rides the same rescale through the gray embedding
+    val gBody = Array.tabulate(w * h)(i => ((i * 13 + 5) % 128).toByte)
+    val lowPgm = s"P5\n$w $h\n127\n".getBytes("US-ASCII") ++ gBody
+    val grayCanon = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      gBody.flatMap { b =>
+        val v = (((b & 0xff) * 255 * 2 + 127) / (2 * 127)).toByte
+        Array(v, v, v)
+      }
+    assert(norm(lowPgm).sameElements(grayCanon),
+      "maxval-127 PGM must rescale through the gray embedding")
+    // maxval = 255 stays the exact identity (regression pin)
+    val canonical = ppm(w, h, (x, y) => ((x * 5) % 256, y, (x + y) % 256))
+    assert(norm(canonical).sameElements(canonical))
+    // maxval 0 / > 255 stay rejected
+    assert(imgBands((s"P6\n$w $h\n0\n".getBytes("US-ASCII") ++ body)).isEmpty)
+  }
+
   test("imageToPpm normalization (round-15): PNG/BMP round-trip " +
     "byte-exactly; PPM variants canonicalize; resize composes over " +
     "normalized payloads; non-images null-drop") {
@@ -668,16 +769,27 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.dHashNearDupPairs(m, maxHamming = 6, bandBits = 32)
     }
     assert(err5.getMessage.contains("explicit bands"))
-    // a MIXED-layout index (appended under a different layout) is
-    // caught by the opt-in full-scan maintenance check — the per-epoch
-    // layout peek is deliberately a bounded one-row read (ADVICE r14
-    // #1: the old always-on min/max scan cost O(index) per micro-batch)
+    // a MIXED-layout index (appended under a different layout) fails
+    // LOUDLY at derivation time (round-16, ADVICE r15 #2: a limit(1)
+    // peek could flap between layouts across calls and silently miss
+    // pairs) — every auto-deriving call site is a one-shot operator or
+    // a stream initialization, so the one-pass min/max amortizes
     val mixed = Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32)
       .unionByName(Multimodal.dHashBandRows(oldT, bands = 4, bandBits = 16))
     val err6 = intercept[IllegalArgumentException] {
       graft.operators.BandedHamming.verifyUniformLayout(mixed)
     }
     assert(err6.getMessage.contains("mixes band layouts"))
+    val err6b = intercept[IllegalArgumentException] {
+      graft.operators.BandedHamming.layoutOfIndex(mixed)
+    }
+    assert(err6b.getMessage.contains("mixes band layouts"),
+      "layout DERIVATION must reject a mixed index, not flap on a peek")
+    val err6c = intercept[IllegalArgumentException] {
+      Multimodal.dHashIncrementalPairs(shardT, mixed, maxHamming = 6)
+    }
+    assert(err6c.getMessage.contains("mixes band layouts"),
+      "the incremental operator must surface the mixed-index corruption")
     // ...and the check passes on a uniform index
     graft.operators.BandedHamming.verifyUniformLayout(
       Multimodal.dHashBandRows(oldT, bands = 2, bandBits = 32))
