@@ -2790,6 +2790,57 @@ object SparkEntry {
             .as("containers_bit_equal"))
     }),
 
+    // Audio NORMALIZATION gate (round-16 — image_to_ppm's audio twin,
+    // VERDICT r15 Next #1): the fixture WAVs normalize through the
+    // container-routed audio_to_wav kernel to canonical PCM-16, and
+    // the DuckDB oracle replays the normalized bytes FROM THE SHA
+    // RECIPE — the canonical header is a constant and each 8-bit
+    // fixture sample v maps to the little-endian int16 (v − 128), so
+    // this is the audio family's first BYTE-EXACT oracle (the
+    // strongest oracle class, previously images-only).
+    "mm_audio_normalize" -> ((s, dir) =>
+      Multimodal.normalizeAudio(
+          Multimodal.attachWavAudio(table(s, dir, "documents")))
+        .select(col("doc_id"), lower(hex(col("payload"))).as("wav_hex"))),
+
+    // The normalize-once FINGERPRINT contract (round-16): every
+    // accepted container/encoding — the original PCM-8 WAV, its AIFF
+    // transcode (javax.sound leg), its IEEE-float32 transcode —
+    // normalizes to a payload whose fingerprint equals the ORIGINAL
+    // leg's BIT-EXACTLY (normalization never moves a near-dup
+    // cluster), and the WAV and AIFF carriers of the same audio
+    // normalize to BYTE-IDENTICAL outputs. These are the verdicts
+    // that make "normalize once at ingest, fingerprint at pure-parse
+    // cost forever" safe. Oracle pins the relational half (audio
+    // count) and the verdicts true.
+    "mm_audio_normalize_fp" -> ((s, dir) => {
+      val v = graft.functions.vec
+      val audio = Multimodal.attachWavAudio(table(s, dir, "documents"))
+      audio.select(col("doc_id"), col("payload").as("p_wav"),
+          v.wavToAiff(col("payload")).as("p_aiff"),
+          v.wavToFloat32(col("payload")).as("p_float"))
+        .select(col("doc_id"),
+          v.audioToWav(col("p_wav")).as("n_wav"),
+          v.audioToWav(col("p_aiff")).as("n_aiff"),
+          v.audioToWav(col("p_float")).as("n_float"),
+          v.audioFingerprint64(col("p_wav")).as("fp_wav"),
+          v.audioFingerprint64(col("p_aiff")).as("fp_aiff"),
+          v.audioFingerprint64(col("p_float")).as("fp_float"))
+        .agg(count(lit(1)).as("n_audio"),
+          (count(when(col("n_wav").isNull, lit(1))) +
+            count(when(col("n_aiff").isNull, lit(1))) +
+            count(when(col("n_float").isNull, lit(1))))
+            .as("n_unnormalized"),
+          coalesce(min(v.audioFingerprint64(col("n_wav")) === col("fp_wav")),
+            lit(true)).as("wav_fp_preserved"),
+          coalesce(min(v.audioFingerprint64(col("n_aiff")) === col("fp_aiff")),
+            lit(true)).as("aiff_fp_preserved"),
+          coalesce(min(v.audioFingerprint64(col("n_float")) === col("fp_float")),
+            lit(true)).as("float_fp_preserved"),
+          coalesce(min(col("n_aiff") === col("n_wav")), lit(true))
+            .as("carriers_norm_byte_equal"))
+    }),
+
     "mm_dhash_png" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
@@ -5659,6 +5710,44 @@ object SparkEntry {
     "mm_audio_aiff" ->
       """SELECT count(*) AS n_audio, CAST(0 AS BIGINT) AS n_undecoded,
            true AS containers_bit_equal
+         FROM documents WHERE doc_id % 3 = 1""",
+
+    // BYTE-EXACT normalization replay (round-16 — the audio family's
+    // first byte-exact oracle): the canonical PCM-16 header for 96
+    // mono samples at 8000 Hz is a constant, and each 8-bit fixture
+    // sample v (a sha-recipe byte) maps to the little-endian int16
+    // (v − 128): low byte (v+128) % 256, high byte 0x00 for v ≥ 128
+    // (non-negative) / 0xff for v < 128 (two's complement sign fill)
+    "mm_audio_normalize" ->
+      """WITH aud AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+         b AS (
+           SELECT doc_id,
+             sha256(text||'#au0')||sha256(text||'#au1')
+               ||sha256(text||'#au2') AS bh
+           FROM aud),
+         vals AS (
+           SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(bh, 2*i+1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(bh, 2*i+2, 1))-1) AS v
+           FROM b, unnest(range(96)) AS t(i)),
+         sm AS (
+           SELECT doc_id, i,
+             lpad(lower(to_hex((v + 128) % 256)), 2, '0') ||
+               (CASE WHEN v < 128 THEN 'ff' ELSE '00' END) AS hx
+           FROM vals),
+         body AS (
+           SELECT doc_id, string_agg(hx, '' ORDER BY i) AS hex
+           FROM sm GROUP BY doc_id)
+         SELECT doc_id,
+           '52494646e400000057415645666d7420100000000100010040' ||
+           '1f0000803e00000200100064617461c0000000' || hex AS wav_hex
+         FROM body""",
+
+    "mm_audio_normalize_fp" ->
+      """SELECT count(*) AS n_audio, CAST(0 AS BIGINT) AS n_unnormalized,
+           true AS wav_fp_preserved, true AS aiff_fp_preserved,
+           true AS float_fp_preserved, true AS carriers_norm_byte_equal
          FROM documents WHERE doc_id % 3 = 1""",
 
     "mm_dhash_png" ->

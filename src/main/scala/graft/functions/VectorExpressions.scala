@@ -1115,6 +1115,43 @@ object VectorRuntime {
     * failure.
     */
   private def aiffFingerprint64(payload: Array[Byte]): java.lang.Long = {
+    val dec = decodeAiffPcm(payload)
+    if (dec == null) return null
+    val samples = dec._1
+    val channels = dec._2
+    val nFrames = samples.length / channels
+    if (nFrames < 2) return null // no gradient — the WAV path's contract
+    // mono-mixed centered samples, the WAV path's exact domain
+    val mono = new Array[Int](nFrames)
+    var i = 0
+    while (i < nFrames) {
+      val base = i * channels
+      var s = 0
+      var c = 0
+      while (c < channels) {
+        s += samples(base + c)
+        c += 1
+      }
+      mono(i) = s / channels
+      i += 1
+    }
+    java.lang.Long.valueOf(energyZcrOfMono(mono))
+  }
+
+  /** Decoded AIFF PCM as `(interleaved CENTERED samples, channels,
+    * sampleRate)` — the javax.sound route shared by
+    * [[aiffFingerprint64]] (mixes to mono and folds) and
+    * [[audioToWav]] (preserves channels, round-16). The sample domain
+    * is the WAV path's exactly: signed-8 IS WAV's `v − 128`,
+    * big-endian signed-16 IS WAV's little-endian value, unsigned
+    * variants re-center. The decoded byte count is bounded against
+    * the container size (PCM in AIFF is uncompressed — a stream
+    * claiming more is malformed, the audio decompression-bomb guard)
+    * and against the 2 GiB array bound. Null on any parse/format
+    * failure; AIFF-C is not sniffed by the callers (platform-dependent
+    * codecs must not decode differently per JVM).
+    */
+  private def decodeAiffPcm(payload: Array[Byte]): (Array[Int], Int, Int) = {
     var ais: javax.sound.sampled.AudioInputStream = null
     try {
       ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -1126,12 +1163,14 @@ object VectorRuntime {
         enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
       val bits = f.getSampleSizeInBits
       val channels = f.getChannels
+      val rate = math.round(f.getSampleRate)
       if ((!signed && !unsigned) || (bits != 8 && bits != 16) ||
-        channels < 1) return null
+        channels < 1 || rate < 1) return null
       val nFramesL = ais.getFrameLength
       val frameSize = f.getFrameSize
-      if (nFramesL < 2 || frameSize < 1 ||
-        nFramesL * frameSize > payload.length.toLong * 4) return null
+      if (nFramesL < 1 || frameSize < 1 ||
+        nFramesL * frameSize > payload.length.toLong * 4 ||
+        nFramesL * frameSize > Int.MaxValue - 64) return null
       val nFrames = nFramesL.toInt
       val data = new Array[Byte](nFrames * frameSize)
       var off = 0
@@ -1142,16 +1181,14 @@ object VectorRuntime {
       }
       val bigEndian = f.isBigEndian
       val bps = bits / 8
-      // mono-mixed centered samples, the WAV path's exact domain
-      val mono = new Array[Int](nFrames)
+      val samples = new Array[Int](nFrames * channels)
       var i = 0
       while (i < nFrames) {
         val base = i * frameSize
-        var s = 0
         var c = 0
         while (c < channels) {
           val p = base + c * bps
-          s += (if (bits == 8) {
+          samples(i * channels + c) = (if (bits == 8) {
             if (unsigned) (data(p) & 0xff) - 128 else data(p).toInt
           } else {
             val v =
@@ -1161,10 +1198,9 @@ object VectorRuntime {
           })
           c += 1
         }
-        mono(i) = s / channels
         i += 1
       }
-      java.lang.Long.valueOf(energyZcrOfMono(mono))
+      (samples, channels, rate)
     } catch {
       case _: Exception => null
     } finally {
@@ -1280,6 +1316,109 @@ object VectorRuntime {
       i += 1
     }
     out.array()
+  }
+
+  /** Canonical-WAV audio normalization (round-16 — `image_to_ppm`'s
+    * audio twin, VERDICT r15 Next #1): transcode ANY accepted audio
+    * container/encoding — integer-PCM WAV (8/16-bit), IEEE-float32
+    * WAV, or AIFF via javax.sound — to ONE canonical PCM-16 LE WAV
+    * (44-byte header, channels and sample rate preserved) whose
+    * samples are the engine's CENTERED sample domain (exactly
+    * [[wavSample]] / [[decodeAiffPcm]]'s mapping, the domain every
+    * round-15 cross-container gate pins). Value preservation in that
+    * domain is the contract:
+    *
+    *  - `audio_fingerprint64(audio_to_wav(x)) == audio_fingerprint64(x)`
+    *    BIT-EXACTLY for every accepted input — normalization never
+    *    moves a near-dup cluster (the `mm_audio_normalize` gates);
+    *  - the WAV and AIFF carriers of the same audio normalize to
+    *    BYTE-IDENTICAL outputs (their sample domains are identical,
+    *    the round-15 `mm_audio_aiff` bit-equality finding made
+    *    executable);
+    *  - already-canonical PCM-16 WAV re-emits its samples verbatim
+    *    (header chunks canonicalize, sample bytes copy).
+    *
+    * Deliberately NOT a loudness stage: 8-bit audio keeps its native
+    * ±128 amplitude — a 256× gain would break the bit-equality
+    * guarantee on integer-division ties in the fingerprint's window
+    * means, and gain belongs to playback, not dedup canonicalization.
+    *
+    * WHY THIS OPERATOR EXISTS AT SCALE: the round-15 100× probe
+    * measured the per-query javax.sound AIFF decode at ~2.6 ms/clip
+    * (433 s/pass) vs 0.09 ms for the pure RIFF parse (10.2 s/pass).
+    * Normalizing ONCE at ingest moves the codec cost out of every
+    * downstream fingerprint/near-dup/ingest pass — the same
+    * normalize-once recipe `image_to_ppm` gives mixed image corpora.
+    * Row-local, no shuffle; null for unrecognized containers,
+    * truncated streams, or outputs past the 2 GiB array bound (the
+    * null-drop routing convention).
+    */
+  def audioToWav(payload: Array[Byte]): Array[Byte] = {
+    if (payload == null || payload.length < 12) return null
+    if (payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' &&
+        payload(3) == 'M' && payload(8) == 'A' && payload(9) == 'I' &&
+        payload(10) == 'F' && payload(11) == 'F') {
+      val dec = decodeAiffPcm(payload)
+      if (dec == null) return null
+      val samples = dec._1
+      val bb = pcm16WavBuffer(samples.length, dec._2, dec._3)
+      if (bb == null) return null
+      var i = 0
+      while (i < samples.length) {
+        bb.putShort(samples(i).toShort)
+        i += 1
+      }
+      return bb.array()
+    }
+    val wav = parseWav(payload)
+    if (wav == null) return null
+    val fmtTag = wav(0); val channels = wav(1); val bits = wav(2)
+    val rate = wav(3); val dataPos = wav(4); val dataLen = wav(5)
+    val bytesPerSample = bits / 8
+    val frameSize = channels * bytesPerSample
+    // frame-aligned: a ragged trailing sample drops, exactly the
+    // fingerprint's own frame domain
+    val nFrames = dataLen / frameSize
+    val nSamples = nFrames * channels
+    val bb = pcm16WavBuffer(nSamples, channels, rate)
+    if (bb == null) return null
+    if (fmtTag == 1 && bits == 16)
+      // already the canonical sample encoding — verbatim copy
+      bb.put(payload, dataPos, nSamples * 2)
+    else {
+      var i = 0
+      while (i < nSamples) {
+        bb.putShort(wavSample(payload, dataPos + i * bytesPerSample,
+          fmtTag, bits).toShort)
+        i += 1
+      }
+    }
+    bb.array()
+  }
+
+  /** Canonical 44-byte PCM-16 LE WAV header + body buffer for
+    * `nSamples` interleaved samples over `channels` at `rate` Hz —
+    * [[audioToWav]]'s output contract (and byte-compatible with
+    * [[graft.operators.Multimodal.wavHeader]]'s layout at 16 bits).
+    * Null when the output would exceed the 2 GiB array bound or the
+    * u32 byteRate field would wrap.
+    */
+  private def pcm16WavBuffer(nSamples: Int, channels: Int,
+      rate: Int): java.nio.ByteBuffer = {
+    if (nSamples < 0 || nSamples.toLong * 2L + 44L > Int.MaxValue)
+      return null
+    val byteRate = rate.toLong * channels * 2L
+    if (byteRate > Int.MaxValue) return null
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(byteRate.toInt)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    bb
   }
 
   private def isWs(c: Char): Boolean =
@@ -2058,6 +2197,32 @@ case class WavToAiff(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `audio_to_wav(binary) → binary` — container-routed audio
+  * normalization to canonical PCM-16 WAV (see
+  * [[VectorRuntime.audioToWav]]): integer-PCM/float32 WAV and AIFF all
+  * land in ONE format whose fingerprint equals the original's
+  * bit-exactly, so a mixed-container corpus pays codec cost once at
+  * ingest. Nullable: null for unrecognized containers (the null-drop
+  * routing convention).
+  */
+case class AudioToWav(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "audio_to_wav"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.audioToWav(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.audioToWav($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioToWav =
+    copy(child = newChild)
+}
+
 /** `wav_to_float32(binary) → binary` — integer-PCM WAV → IEEE-float32
   * WAV transcode (see [[VectorRuntime.wavToFloat32]]): exact sample
   * mapping, channels preserved, canonical header. Nullable: null for
@@ -2455,6 +2620,8 @@ object vec {
     wrap(WavToFloat32(ex(payload)))
   def wavToAiff(payload: Column): Column =
     wrap(WavToAiff(ex(payload)))
+  def audioToWav(payload: Column): Column =
+    wrap(AudioToWav(ex(payload)))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     wrap(LshBandKeys(ex(sig), bands, rowsPerBand))
   def termTf(text: Column, terms: Seq[String]): Column =

@@ -224,6 +224,12 @@ class HardeningSpec extends AnyFunSuite {
       "mm_audio_float" -> 1,
       // the AIFF twin has the same single-projection shape
       "mm_audio_aiff" -> 1,
+      // audio normalization is ONE codegen'd projection — zero
+      // shuffles, image_to_ppm's plan shape exactly
+      "mm_audio_normalize" -> 0,
+      // three transcode legs + six fingerprints still ride ONE
+      // projection; the single exchange is the 1-row verdict agg
+      "mm_audio_normalize_fp" -> 1,
       // feature extraction is ONE codegen'd projection — zero shuffles
       // (the StubDecoder mapPartitions seam is gone)
       "mm_features" -> 0,

@@ -1006,6 +1006,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(toAiff(pF).isEmpty, "float WAV is not this transcode's domain")
   }
 
+  test("audioToWav normalization (round-16): every accepted container/" +
+    "encoding lands in ONE canonical PCM-16 WAV whose fingerprint " +
+    "equals the original's BIT-EXACTLY; WAV and AIFF carriers of the " +
+    "same audio normalize byte-identically; unrecognized inputs drop") {
+    def norm(p: Array[Byte]): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.audioToWav($"payload").as("n"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    def transcode(p: Array[Byte], f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Array[Byte] =
+      Seq(Tuple1(p)).toDF("payload").select(f($"payload").as("t"))
+        .collect().head.getAs[Array[Byte]](0)
+    val rnd = new scala.util.Random(47)
+    val samples = Seq.fill(200)(rnd.nextInt(256))
+    val p8 = wav(samples)
+    val p16 = wav(samples.map(s => (s - 128) * 256), bits = 16)
+    val pSt = wav(samples.flatMap(s => Seq(s, (s + 64) % 256)), channels = 2)
+    val pF = transcode(p8, graft.functions.vec.wavToFloat32)
+    val aiff = transcode(p8, graft.functions.vec.wavToAiff)
+    val aiff16 = transcode(p16, graft.functions.vec.wavToAiff)
+    // every leg: canonical header (PCM tag 1, 16 bits) and a
+    // BIT-EQUAL fingerprint — normalization never moves a cluster
+    for ((tag, p) <- Seq("pcm8" -> p8, "pcm16" -> p16, "stereo" -> pSt,
+        "float32" -> pF, "aiff8" -> aiff, "aiff16" -> aiff16)) {
+      val n = norm(p).getOrElse(fail(s"$tag must normalize"))
+      assert(n(20) == 1 && n(34) == 16, s"$tag: canonical PCM-16 header")
+      assert(afp(n) == afp(p),
+        s"$tag: normalized fingerprint must equal the original's bit-exactly")
+    }
+    // channels and rate preserved (byte 22 = channels; bytes 24-27 = rate)
+    assert(norm(pSt).get(22) == 2, "stereo stays stereo")
+    assert(java.nio.ByteBuffer.wrap(norm(p8).get)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(24) == 8000)
+    // the WAV and AIFF carriers of the SAME audio normalize to
+    // byte-identical outputs (identical sample domains — the round-15
+    // mm_audio_aiff bit-equality finding made executable)
+    assert(norm(aiff).get.sameElements(norm(p8).get),
+      "AIFF and WAV carriers must normalize byte-identically")
+    assert(norm(aiff16).get.sameElements(norm(p16).get))
+    // idempotence: normalizing a normalized payload is the identity
+    assert(norm(norm(p8).get).get.sameElements(norm(p8).get),
+      "normalization must be idempotent")
+    // already-canonical PCM-16 re-emits samples verbatim
+    assert(norm(p16).get.drop(44).sameElements(p16.drop(44)),
+      "canonical PCM-16 samples copy verbatim")
+    // normalize-once recipe: near-dup over normalized payloads equals
+    // the mixed-container run (the capstone's wiring)
+    val far = wav(Seq.tabulate(200)(i => (i * 53) % 256))
+    val mixed = Seq((1L, p8), (2L, aiff), (3L, far))
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val normed = Multimodal.normalizeAudio(mixed)
+    val pairsN = Multimodal.audioNearDupPairs(normed, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairsN == Set((1L, 2L, 0L)),
+      s"normalized corpus must pair exactly like the mixed one: $pairsN")
+    // unrecognized containers / torn payloads null-drop
+    assert(norm("JNKnotaudio0".getBytes("US-ASCII")).isEmpty)
+    assert(norm(aiff.dropRight(7)).isEmpty)
+    assert(norm(p8.dropRight(1)).isEmpty)
+    val aifc = aiff.clone(); aifc(11) = 'C'
+    assert(norm(aifc).isEmpty, "AIFF-C must null-drop (codec policy)")
+  }
+
   test("audioNearDupPairs: byte-identical WAVs at hamming 0 through the " +
     "shared banded core; unrelated audio does not pair") {
     val rnd = new scala.util.Random(11)
