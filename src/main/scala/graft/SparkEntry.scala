@@ -227,11 +227,21 @@ object SparkEntry {
     * composition and ScaleProbe's `corpus_build_mm_raw` scale row — one
     * definition): re-id every 5th doc of every kind as an arriving
     * duplicate, then exact text dedup (min-id winners) ∩ media
-    * near-dup representatives — a MIXED-CONTAINER corpus (PPM images,
-    * RIFF WAVs, REAL YUV4MPEG2 videos; the Y4M leg is both
-    * format-honest and ~2× cheaper than the concatenated-PPM frame
-    * walk, PERF round 15), per-kind pair sets unioned into ONE cluster
-    * resolution — ∩ the lang/quality gate
+    * near-dup representatives — a DELIBERATELY MIXED-CONTAINER corpus
+    * (round-16: every other image arrives as a PNG transcode of the
+    * same pixels, every other WAV as its AIFF transcode; videos stay
+    * REAL YUV4MPEG2) run through the NORMALIZE-ONCE recipe
+    * ([[graft.operators.Multimodal.normalizeImages]] /
+    * `normalizeAudio`) so the near-dup joins downstream see ONE
+    * canonical format per kind and pay pure-parse decode cost — the
+    * deployment shape the round-15 AIFF cost finding (433 s/pass
+    * javax.sound vs 10.2 s pure parse at 100×) prescribes, now
+    * exercised end to end. Normalization is bit-preserving in the
+    * fingerprint domain (the round-16 `mm_audio_normalize*` and
+    * round-15 `mm_image_normalize` gates), so pairs, clusters, and the
+    * manifest are IDENTICAL to the canonical-fixture run and the
+    * oracle is unchanged. Per-kind pair sets union into ONE cluster
+    * resolution ∩ the lang/quality gate
     * → `(doc_id, kind, pred_lang, n_tokens)`.
     */
   private[graft] def corpusBuildMmSelected(docs: DataFrame): DataFrame = {
@@ -242,9 +252,22 @@ object SparkEntry {
       docs.select(col("doc_id"), col("text")).unionByName(dups))
     val textWinners = graft.operators.Dedup.exact(base)
       .select(col("keep_id").as("doc_id"))
+    // mixed containers ride the SAME synthesis projection (the split is
+    // a row-local when(), not a second pass), then normalize-once
+    // restores the canonical format before anything downstream decodes
+    val mixedImages = graft.operators.Multimodal.attachPpmImages(base)
+      .select(col("doc_id"), col("kind"),
+        when((col("doc_id") / 3) % 2 === 0, col("payload"))
+          .otherwise(graft.functions.vec.ppmToPng(col("payload")))
+          .as("payload"))
+    val mixedAudio = graft.operators.Multimodal.attachWavAudio(base)
+      .select(col("doc_id"), col("kind"),
+        when((col("doc_id") / 3) % 2 === 0, col("payload"))
+          .otherwise(graft.functions.vec.wavToAiff(col("payload")))
+          .as("payload"))
     val media = graft.CacheScope.persist(
-      graft.operators.Multimodal.attachPpmImages(base)
-        .unionByName(graft.operators.Multimodal.attachWavAudio(base))
+      graft.operators.Multimodal.normalizeImages(mixedImages)
+        .unionByName(graft.operators.Multimodal.normalizeAudio(mixedAudio))
         .unionByName(graft.operators.Multimodal.attachY4mVideo(base)))
     val pairs = graft.operators.Multimodal.dHashImageNearDupPairs(media,
         maxHamming = 6, maxBucketSize = Some(1024)).select("d1", "d2")
@@ -1890,21 +1913,24 @@ object SparkEntry {
         .crossJoin(broadcast(eq))
     }),
 
-    // MULTIMODAL corpus build (round-15 capstone): the idempotent-epoch
+    // MULTIMODAL corpus build (round-15 capstone; round-16 wires the
+    // normalize-once recipe end to end): the idempotent-epoch
     // composition extended to a mixed text+image+audio+video corpus.
-    // Every 5th doc of EVERY kind is re-id'd as an arriving duplicate,
-    // then: exact text dedup (min-id winners) ∩ media near-dup
-    // representatives — REAL decoders throughout (PPM images, PCM
-    // WAVs, Y4M videos through their compiled kernels), the per-kind
-    // pair sets unioned into ONE cluster resolution — ∩ the
-    // lang/quality gate, written as one partitioned artifact with a
-    // DELIBERATE epoch replay (crash recovery rewrites only its own
-    // partition), and the manifest read back FROM THE WRITTEN parquet
-    // with a full-outer equality verdict against the in-plan
-    // selection. The oracle replays the whole composition
-    // relationally: min-id per text, min-id per kind×text cluster
-    // (payload equality ⇔ text equality per kind, every fixture's
-    // pinned property), and the lang/quality/token recompute.
+    // Every 5th doc of EVERY kind is re-id'd as an arriving duplicate;
+    // the corpus is DELIBERATELY mixed-container (PPM+PNG images,
+    // WAV+AIFF audio, Y4M video) and normalizeImages/normalizeAudio
+    // canonicalize it ONCE before any downstream decode. Then: exact
+    // text dedup (min-id winners) ∩ media near-dup representatives —
+    // REAL decoders throughout, the per-kind pair sets unioned into
+    // ONE cluster resolution — ∩ the lang/quality gate, written as one
+    // partitioned artifact with a DELIBERATE epoch replay (crash
+    // recovery rewrites only its own partition), and the manifest read
+    // back FROM THE WRITTEN parquet with a full-outer equality verdict
+    // against the in-plan selection. The oracle replays the whole
+    // composition relationally and is UNCHANGED from the canonical-
+    // fixture round: normalization is bit-preserving (the round-15/16
+    // normalize gates), so min-id per text, min-id per kind×text
+    // cluster, and the lang/quality/token recompute all hold verbatim.
     "pipeline_corpus_build_mm" -> ((s, dir) => {
       val selected = graft.CacheScope.persist(
         corpusBuildMmSelected(table(s, dir, "documents")),
