@@ -2907,6 +2907,46 @@ object SparkEntry {
           col("png_equals_ppm"))
     }),
 
+    // LOSSY re-encode near-dup gate (round-16, VERDICT r15 Next #6):
+    // the real-world image-dedup case is a JPEG re-encode of the same
+    // photo, which the lossless PNG legs cannot exercise. The corpus
+    // is content SMOOTH at the dHash cell scale — 9×8 sha noise
+    // block-upscaled ×8 to 72×64, so the constant 8×8 blocks align
+    // with BOTH the dHash cell grid and JPEG's DCT grid — and every
+    // image gains a JPEG twin through the JDK encoder. Measured drift:
+    // max Hamming 2 at sf0.01, 3 at sf0.1 — INSIDE the 4×16 layout's
+    // ≤3 pigeonhole guarantee, so the fuzzy join finding every
+    // (source, jpeg) pair is provable recall 1.0, not band-collision
+    // luck. Verdicts: every JPEG decodes, and every expected pair
+    // surfaces within the default maxHamming = 6. Oracle pins the
+    // relational half (image count) and the verdicts true.
+    "mm_dhash_jpeg" -> ((s, dir) => {
+      val v = graft.functions.vec
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val smooth = graft.CacheScope.persist(
+        Multimodal.attachPpmImages(docs, 9, 8)
+          .select(col("doc_id"), col("kind"),
+            v.ppmResize(col("payload"), 72, 64).as("payload")))
+      val jpegs = graft.CacheScope.persist(
+        smooth.select((col("doc_id") + m).as("doc_id"), col("kind"),
+          v.ppmToJpeg(col("payload")).as("payload")))
+      val pairs = Multimodal.dHashImageNearDupPairs(
+        smooth.unionByName(jpegs), maxHamming = 6,
+        bands = 4, bandBits = 16, maxBucketSize = Some(1024))
+      smooth.select(col("doc_id").as("d1"),
+          (col("doc_id") + m).as("d2"))
+        .join(pairs, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_images"),
+          coalesce(min(col("hamming").isNotNull && col("hamming") <= 6),
+            lit(true)).as("all_jpeg_found"))
+        .crossJoin(broadcast(jpegs.select(
+          count(when(v.dHashImageBands(col("payload"), 4, 16).isNull,
+            lit(1))).as("n_jpeg_undecoded"))))
+        .select(col("n_images"), col("n_jpeg_undecoded"),
+          col("all_jpeg_found"))
+    }),
+
     // Format NORMALIZATION gate (round-15): real PNG payloads
     // (attachPngImages) are transcoded back to canonical P6 by the
     // image_to_ppm kernel — PNG is lossless, so the normalized bytes
@@ -5775,6 +5815,11 @@ object SparkEntry {
            true AS wav_fp_preserved, true AS aiff_fp_preserved,
            true AS float_fp_preserved, true AS carriers_norm_byte_equal
          FROM documents WHERE doc_id % 3 = 1""",
+
+    "mm_dhash_jpeg" ->
+      """SELECT count(*) AS n_images, CAST(0 AS BIGINT) AS n_jpeg_undecoded,
+           true AS all_jpeg_found
+         FROM documents WHERE doc_id % 3 = 0""",
 
     "mm_dhash_png" ->
       """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),

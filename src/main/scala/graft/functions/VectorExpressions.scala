@@ -587,6 +587,47 @@ object VectorRuntime {
     } catch { case _: Exception => null }
   }
 
+  /** Transcode a netpbm payload to JPEG via the JDK encoder (default
+    * quality) — the LOSSY fixture leg (round-16): real-world image
+    * dedup's core case is a re-encoded copy, and JPEG is the re-encode
+    * that actually loses information, so the fuzzy-join gates need a
+    * leg the lossless PNG transcode cannot provide. On content that is
+    * smooth at the dHash 9×8 cell scale (e.g. a block-aligned
+    * upscale), the JPEG lands within the default near-dup radius of
+    * its source — the recall property `mm_dhash_jpeg` pins.
+    * Deterministic within a JVM; no relational oracle ever replays
+    * JPEG bytes, only pair-level facts. Null for non-netpbm payloads
+    * (the null-drop contract).
+    */
+  def ppmToJpeg(payload: Array[Byte]): Array[Byte] = {
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd == null) return null
+    if (hd(4) != 255) return ppmToJpeg(imageToPpm(payload))
+    val w = hd(0); val h = hd(1); val pos = hd(2); val ch = hd(3)
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val p = pos + i * ch
+      argb(i) =
+        if (ch == 3)
+          0xff000000 | ((payload(p) & 0xff) << 16) |
+            ((payload(p + 1) & 0xff) << 8) | (payload(p + 2) & 0xff)
+        else 0xff000000 | ((payload(p) & 0xff) * 0x010101)
+      i += 1
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, argb, 0, w)
+    val noCache = imageIoMemOnly
+    if (!noCache) return null // unreachable; forces the lazy init
+    val bos = new java.io.ByteArrayOutputStream(64 + w * h)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "jpg", bos)) null
+      else bos.toByteArray
+    } catch { case _: Exception => null }
+  }
+
   @inline private def isWsB(c: Int): Boolean = c == ' ' || c == '\t' ||
     c == '\n' || c == '\r' || c == 0x0b || c == 0x0c
 
@@ -2118,6 +2159,29 @@ case class PpmToPng(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `ppm_to_jpeg(binary) → binary` — LOSSY JPEG transcode of a netpbm
+  * payload via the JDK encoder (see [[VectorRuntime.ppmToJpeg]]): the
+  * fixture leg for the real-world re-encoded-copy dedup case.
+  * Nullable: null for non-netpbm payloads.
+  */
+case class PpmToJpeg(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_to_jpeg"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.ppmToJpeg(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.ppmToJpeg($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PpmToJpeg =
+    copy(child = newChild)
+}
+
 /** `video_frame_dhashes(binary, maxFrames) → array<long>` — per-frame
   * 64-bit dHashes of a video payload, container-routed by magic bytes
   * (Y4M or concatenated PPM), up to `maxFrames` evenly sampled (see
@@ -2610,6 +2674,7 @@ object vec {
   def ppmResize(payload: Column, outW: Int, outH: Int): Column =
     wrap(PpmResize(ex(payload), outW, outH))
   def ppmToPng(payload: Column): Column = wrap(PpmToPng(ex(payload)))
+  def ppmToJpeg(payload: Column): Column = wrap(PpmToJpeg(ex(payload)))
   def imageStats(payload: Column): Column = wrap(ImageStats(ex(payload)))
   def imageToPpm(payload: Column): Column = wrap(ImageToPpm(ex(payload)))
   def videoFrameDHashes(payload: Column, maxFrames: Int): Column =

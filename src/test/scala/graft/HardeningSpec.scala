@@ -227,6 +227,10 @@ class HardeningSpec extends AnyFunSuite {
       // audio normalization is ONE codegen'd projection — zero
       // shuffles, image_to_ppm's plan shape exactly
       "mm_audio_normalize" -> 0,
+      // lossy-re-encode gate: one banded pair join (the shared
+      // near-dup machinery) + the expected-pair recall join + the
+      // 1-row undecoded scalar
+      "mm_dhash_jpeg" -> 8,
       // three transcode legs + six fingerprints still ride ONE
       // projection; the single exchange is the 1-row verdict agg
       "mm_audio_normalize_fp" -> 1,

@@ -433,6 +433,46 @@ class MultimodalSpec extends AnyFunSuite {
       "oversized-canvas payload must drop before raster allocation")
   }
 
+  test("JPEG lossy near-dup (round-16): on content smooth at the dHash " +
+    "cell scale, a JPEG re-encode lands within the default radius and " +
+    "the fuzzy join FINDS every (source, jpeg) pair — recall 1.0") {
+    val v = graft.functions.vec
+    // 20 random 9x8 noise images block-upscaled x8: constant 8x8
+    // blocks aligned with BOTH the dHash cell grid and JPEG's DCT
+    // grid, so JPEG loss is per-block DC quantization only
+    val rnd = new scala.util.Random(59)
+    val bases = (1L to 20L).map(i => i -> ppm(9, 8, (_, _) =>
+      (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))))
+    val smooth = bases.toDF("doc_id", "payload")
+      .withColumn("kind", lit("image"))
+      .select($"doc_id", $"kind",
+        v.ppmResize($"payload", 72, 64).as("payload"))
+    val jpegs = smooth.select(($"doc_id" + 100L).as("doc_id"), $"kind",
+      v.ppmToJpeg($"payload").as("payload"))
+    // every JPEG decodes and sits within hamming 6 of its source —
+    // measured max 3 across the sf0.1 fixture corpus (1667 images)
+    val drift = smooth.select($"doc_id",
+        v.dHashImageBands($"payload", 4, 16).as("hs"),
+        v.dHashImageBands(v.ppmToJpeg($"payload"), 4, 16).as("hj"))
+      .select((0 until 4).map(i => bit_count(element_at($"hs", i + 1)
+        .bitwiseXOR(element_at($"hj", i + 1)))).reduce(_ + _).as("ham"))
+      .as[Long].collect()
+    assert(drift.length == 20 && drift.max <= 6,
+      s"JPEG drift out of radius: max ${drift.max}")
+    // the fuzzy join recovers EVERY (source, jpeg) pair — the default
+    // radius exists exactly for lossy re-encodes
+    val pairs = Multimodal.dHashImageNearDupPairs(
+        smooth.unionByName(jpegs), maxHamming = 6,
+        bands = 4, bandBits = 16)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val missed = (1L to 20L).filterNot(i => pairs.contains(i -> (i + 100L)))
+    assert(missed.isEmpty, s"fuzzy join missed JPEG twins of: $missed")
+    // a JPEG of DIFFERENT content does not pair with an unrelated source
+    assert(!pairs.contains(1L -> 102L) && !pairs.contains(2L -> 101L),
+      "unrelated (source, jpeg) pairs must not appear")
+  }
+
   test("cross-container dedup (round-15): the SAME image stored as " +
     "PPM, PNG, and PGM-gray pairs at hamming 0 through one band join") {
     def gray(x: Int, y: Int): (Int, Int, Int) = {
