@@ -3,19 +3,25 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Reference timing for [[controlSample]] on an IDLE round-10 host
-    * (min-of-3 samples 0.490/0.510/0.578 s recorded 2026-08-14 with
-    * nothing else running; an earlier same-day calibration of 0.972 s
-    * turned out to be contention-inflated — the anchor must be the
-    * idle-host floor so drift = 1.0 means "clean host" and drift > 1
-    * measures contention; see PERF.md "same-day control"). The control
+  /** Reference timing for [[controlSample]] on an IDLE host — the floor
+    * estimate so drift = 1.0 means "clean host" and drift > 1 measures
+    * contention. Re-measured 2026-08-16 (round 16) via
+    * `runMain graft.Bench --control-floor` (min-of-5 per fresh JVM,
+    * first sample discarded as control-JIT): four runs on the idle
+    * round-16 container read mins 0.775 / 1.141 / 1.211 / 0.801 s, so
+    * the anchor is the cross-run MIN 0.775 — contention and VM throttle
+    * only ever inflate a fixed workload, so the min is the host's true
+    * floor. History (machines change per round; see PERF.md "control
+    * anchor"): round-10 host 0.490 (the previous anchor, recorded
+    * 2026-08-14), round-15 container fresh-JVM floor 0.645. The control
     * workload below is FROZEN — raw Spark primitives, no graft code, no
     * fixture dependence — so its time moves with host state only, and
     * `drift = control_s / ControlRefSec` normalizes cross-round totals:
     * a reader divides the bench total by `drift` before comparing
-    * against a recorded prior.
+    * against a recorded prior (cross-round comparisons against pre-r16
+    * artifacts must first rescale by 0.775/0.490 = 1.58).
     */
-  private val ControlRefSec = 0.490
+  private val ControlRefSec = 0.775
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +70,20 @@ object Bench {
     // control swung 1.29–1.65 across runs whose raw totals held within
     // 1.5%, because a contention burst during the control window
     // mis-normalized the whole run (VERDICT r14 Next #6).
+    // Calibration mode (`runMain graft.Bench --control-floor`): sample
+    // the frozen control N times on an otherwise-idle host and print the
+    // min — the reproducible recipe behind ControlRefSec, so the anchor
+    // can be re-measured (and its doc comment re-dated) whenever the
+    // host floor visibly moves instead of silently conflating machine
+    // aging with contention (round-15 verdict Next #4).
+    if (args.contains("--control-floor")) {
+      controlSample() // discard: first sample JIT-compiles the control's own codegen (~6 s)
+      val samples = (1 to 5).map(_ => controlSample())
+      println(s"""{"metric":"control_floor","samples":[${samples.mkString(",")}],"min":${samples.min},"anchor":$ControlRefSec}""")
+      spark.stop()
+      return
+    }
+
     var controlSamples = List(controlSample())
 
     // per-query priors (seconds) from the last recorded full run: any
