@@ -148,6 +148,26 @@ object Bench {
     val controlS = controlSamples.min
     val drift =
       if (ControlRefSec > 0) controlS / ControlRefSec else 1.0
+    // Contention diagnostics for the recorded artifact (round-15 verdict
+    // Next #5: the driver's r15 capture ran at drift 2.67 and the cause
+    // was unknowable after the fact). Count OTHER JVMs resident on the
+    // host at close — a leftover test/probe JVM is the one contention
+    // source a round-close sequence can actually eliminate, so the
+    // artifact now records whether the run was clean by construction.
+    val competingJvms =
+      try {
+        // exclude self AND the ancestor chain (sbt launches runMain as a
+        // forked child JVM — the parent sbt JVM is part of THIS run, not
+        // contention)
+        var mine = Set.empty[Long]
+        var h: java.util.Optional[ProcessHandle] =
+          java.util.Optional.of(ProcessHandle.current())
+        while (h.isPresent) { mine += h.get.pid(); h = h.get.parent() }
+        ProcessHandle.allProcesses().filter { p =>
+          !mine.contains(p.pid()) &&
+            p.info().command().map[Boolean](_.contains("java")).orElse(false)
+        }.count()
+      } catch { case _: Throwable => -1L }
     val succeeded = results.collect { case (k, Some(v)) => k -> v }
     val qs = succeeded.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -158,7 +178,7 @@ object Bench {
     // the driver's artifact capture keeps the tail of the line, so the
     // headline total / control / drift must sit after the dict or they
     // get truncated out of BENCH_r{N}.json (round-10 verdict Next #1).
-    println(s"""{"queries":$qs,"failed":$fs,"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${succeeded.size},"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"failed":$fs,"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${succeeded.size},"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"competing_jvms":$competingJvms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
