@@ -57,6 +57,15 @@ object Probe {
       Similarity.bruteForceTopK(emb, q, 10),
       Similarity.ivfPQTopK(emb, q, 10, nlist = 16, nprobe = 6, rerank = 4),
       Seq("query_id", "vec_id")))
+    // in-engine hashed text embeddings through the same IVF path — the
+    // sim_ann_text_embed gate's raw recall (floor 0.6)
+    val embT = graft.operators.TextOps.hashEmbedUnit(docs)
+      .withColumnRenamed("doc_id", "vec_id").cache()
+    val qT = embT.filter(col("vec_id") < 5)
+    println("topk_text_embed: " + recall(
+      Similarity.bruteForceTopK(embT, qT, 10),
+      Similarity.ivfTopK(embT, qT, 10, nlist = 16, nprobe = 6),
+      Seq("query_id", "vec_id")))
     println("neardup_lsh: " + recall(
       Similarity.bruteForceNearDupPairs(emb, 0.45),
       Similarity.cosineNearDupPairs(emb, 0.45, planes = 5, tables = 12),

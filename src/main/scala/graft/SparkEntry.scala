@@ -2417,6 +2417,65 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"))),
 
+    // In-engine hashed text embedding (feature-hashing trick over char
+    // 3-grams, signed 64-slot vectors): the exploded nonzero slots of a
+    // deterministic doc subsample, every value a BIGINT the oracle
+    // recomputes from scratch — injective gram code, mix, slot and sign
+    // are all plain int64 arithmetic on both engines. The subsample
+    // (1-in-50 docs) bounds the DUMP, not the operator: the kernel is a
+    // row-local projection either way.
+    "text_hash_embed" -> ((s, dir) =>
+      TextOps.hashEmbed(
+        table(s, dir, "documents").filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id"),
+          posexplode(col("embedding")).as(Seq("dim", "wt")))
+        .filter(col("wt") =!= 0)
+        .select(col("doc_id"), col("dim").cast("int").as("dim"), col("wt"))),
+
+    // Text-to-text retrieval over the hashed embeddings, EXACT integer
+    // comparator: top-10 neighbors of doc 0 by raw signed-count dot
+    // product (documented semantics — unnormalized dot, the gram-overlap
+    // score; the cosine form is sim_ann_text_embed's job). The dense
+    // kernel output makes the scoring pass one broadcast + one
+    // codegen'd dot per doc — no per-gram explode, no shuffle until the
+    // top-10 sort. Deterministic doc subsample (1-in-5) bounds the
+    // oracle's per-gram SQL replay, not the operator.
+    "sim_topk_text_embed" -> ((s, dir) => {
+      val emb = CacheScope.persist(
+        TextOps.hashEmbed(
+          table(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+          .select(col("doc_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding")))
+      val q = emb.filter(col("doc_id") === 0).select(col("embedding").as("qvec"))
+      val top = emb.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          graft.functions.vec.dot(col("embedding"), col("qvec"))
+            .cast("long").as("dot"))
+        .orderBy(col("dot").desc, col("doc_id")).limit(10)
+      top.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("dot").desc, col("doc_id"))).cast("long").as("rank"),
+        col("doc_id"), col("dot"))
+    }),
+
+    // The full text → vector → ANN loop with no external model: unit
+    // float form of the hashed embeddings through the SAME IVF path the
+    // pretrained-embedding queries use, recall-gated against the brute
+    // baseline. This is the 100 TB retrieval story for corpora that
+    // arrive as raw text.
+    "sim_ann_text_embed" -> ((s, dir) => {
+      val emb = CacheScope.persist(
+        TextOps.hashEmbedUnit(table(s, dir, "documents"))
+          .withColumnRenamed("doc_id", "vec_id"))
+      val q = emb.filter(col("vec_id") < 5)
+      recallGate(
+        exact = Similarity.bruteForceTopK(emb, q, k = 10),
+        approx = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 6),
+        keys = Seq("query_id", "vec_id"), floor = 0.6)
+    }),
+
     // PII scrub: deterministic synthesis (every 3rd doc gets an email, a
     // phone and an IPv4 — the raw corpus has none, so detection would be
     // vacuous), then per-class match counts + the redacted text. The
@@ -4231,6 +4290,35 @@ object SparkEntry {
   /** Gate oracle for the ANN top-k self-checks: brute-force top-10 row
     * count (queries × k, short rows excluded by rank) + expected verdict.
     */
+  /** CTE chain restating [[TextOps.hashEmbed]] in plain BIGINT SQL: per
+    * char (DuckDB `ascii` of a one-char string = its codepoint — the
+    * text_fingerprint convention), 3-gram injective code
+    * `c1·65536² + c2·65536 + c3`, mix `(·31+7) mod 1000003`, slot
+    * `mix mod 64`, sign from `(mix ÷ 64)` parity — every step exact
+    * int64 on both engines. Terminal CTE `e` = (doc_id, dim, wt).
+    */
+  private def hashEmbedCtes(docFilter: String): String =
+    s"""t AS (
+         SELECT doc_id,
+           list_transform(string_split(lower(text), ''),
+             c -> CAST(ascii(c) AS BIGINT)) AS cps
+         FROM documents WHERE $docFilter),
+       g AS (
+         SELECT doc_id, unnest(generate_series(1, len(cps) - 2)) AS i, cps
+         FROM t WHERE len(cps) >= 3),
+       hh AS (
+         SELECT doc_id,
+           ((cps[i] * 4294967296 + cps[i + 1] * 65536 + cps[i + 2]) * 31 + 7)
+             % 1000003 AS mix
+         FROM g),
+       sl AS (
+         SELECT doc_id, mix % 64 AS dim,
+           CASE WHEN (mix // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+         FROM hh),
+       e AS (
+         SELECT doc_id, dim, sum(s) AS wt
+         FROM sl GROUP BY doc_id, dim HAVING sum(s) <> 0)"""
+
   private val TopKGateSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
        p AS (SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sim
@@ -5495,6 +5583,44 @@ object SparkEntry {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
          FROM documents""",
+
+    // full from-scratch replay of the hashing-trick embedding: gram
+    // code, mix, slot, sign and the signed sum are all recomputed in
+    // BIGINT SQL — the strongest oracle class (byte-exact, no verdict
+    // columns)
+    "text_hash_embed" ->
+      s"""WITH ${hashEmbedCtes("doc_id % 50 = 0")}
+         SELECT doc_id, CAST(dim AS INT) AS dim, CAST(wt AS BIGINT) AS wt
+         FROM e""",
+
+    // exact integer retrieval over the replayed embeddings: signed-count
+    // dot products against doc 0, top-10 with the doc_id tie-break; a
+    // doc sharing NO nonzero slot with the query cannot enter the SQL
+    // ranking, but with 64 slots and hundreds of grams per doc the
+    // top-10 dots are always large positive overlaps on these fixtures
+    "sim_topk_text_embed" ->
+      s"""WITH ${hashEmbedCtes("doc_id % 5 = 0")},
+         q AS (SELECT dim, wt FROM e WHERE doc_id = 0),
+         dots AS (
+           SELECT e.doc_id, sum(e.wt * q.wt) AS dot
+           FROM e JOIN q USING (dim) WHERE e.doc_id <> 0
+           GROUP BY e.doc_id),
+         o AS (
+           SELECT row_number() OVER (ORDER BY dot DESC, doc_id) AS rank,
+             doc_id, dot
+           FROM dots)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(dot AS BIGINT) AS dot
+         FROM o WHERE rank <= 10""",
+
+    // relational half of the text→vector→ANN gate: exact top-k row
+    // count (queries × min(candidates, 10); docs shorter than the gram
+    // width embed to the zero vector and are dropped) + the expected
+    // verdict — the recall itself is computed in-plan by recallGate
+    "sim_ann_text_embed" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE length(text) >= 3)
+         SELECT CAST((SELECT count(*) FROM d WHERE doc_id < 5)
+             * least((SELECT count(*) FROM d) - 1, 10) AS BIGINT) AS n_exact,
+           true AS recall_ok""",
 
     "mm_attach" ->
       """SELECT doc_id,

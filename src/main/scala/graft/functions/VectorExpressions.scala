@@ -1622,6 +1622,53 @@ object VectorRuntime {
     acc
   }
 
+  /** Hashing-trick text embedding (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning"): one dense signed
+    * gram-count vector per document, built in a single row-local pass.
+    * For every char `n`-gram (codepoint iteration — the [[rollingFp]]
+    * BMP convention, so the DuckDB oracle's per-char `ascii()` replay
+    * sees identical values):
+    *
+    *  - injective gram code `hg = Σ cp_j · 65536^(n−1−j)` (n ≤ 3 keeps
+    *    `hg·31+7` inside int64 EXACTLY — the property that lets the
+    *    oracle restate the hash in plain BIGINT SQL, no wrap-around
+    *    semantics to emulate);
+    *  - mix `m = (hg·31 + 7) mod 1000003`;
+    *  - slot `m mod dim`, sign `+1` if `(m ÷ dim)` is even else `−1`
+    *    (the signed hashing trick — collisions cancel in expectation,
+    *    so E[v·w] is the gram-profile dot product).
+    *
+    * Deterministic, engine-neutral, zero allocation beyond the output
+    * vector; the caller owns case folding (pass `lower(text)`).
+    */
+  def hashEmbedVec(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, dim: Int): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](dim)
+    // rolling injective gram code: keep the last n codepoints' positional
+    // sum; subtract the oldest term (cp · 65536^(n-1)) as the window slides
+    val win = new Array[Long](n)
+    val hi = { var p = 1L; var j = 1; while (j < n) { p *= 65536L; j += 1 }; p }
+    var hg = 0L
+    var filled = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (filled == n) { hg -= win(0) * hi; var j = 0
+        while (j < n - 1) { win(j) = win(j + 1); j += 1 }
+        filled -= 1 }
+      win(filled) = cp
+      hg = hg * 65536L + cp
+      filled += 1
+      if (filled == n) {
+        val mix = (hg * 31L + 7L) % 1000003L
+        out((mix % dim).toInt) += (if ((mix / dim) % 2L == 0L) 1L else -1L)
+      }
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS scheme): slide a `w`-gram window over the
     * ORDERED gram-hash sequence, keep each window's minimum hash
@@ -2436,6 +2483,32 @@ case class RollingFp(child: Expression, mod: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `hash_embed_vec(string, n, dim) → array<long>` — dense signed
+  * hashing-trick embedding over char n-grams (one row-local pass; see
+  * [[VectorRuntime.hashEmbedVec]]). `n ≤ 3` is a hard contract: it is
+  * what keeps the gram code inside exact int64 so the DuckDB oracle can
+  * restate the hash in plain BIGINT arithmetic.
+  */
+case class HashEmbedVec(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 3,
+    s"hash_embed_vec: n must be in [1, 3] (int64-exact gram codes), got $n")
+  require(dim >= 2, s"hash_embed_vec: dim must be >= 2, got $dim")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_embed_vec"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.hashEmbedVec(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.hashEmbedVec($c, $n, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedVec =
+    copy(child = newChild)
+}
+
 /** `winnow_hashes(array<long>, w) → array<long>` — distinct winnowing
   * fingerprints over ordered gram hashes (MOSS scheme).
   */
@@ -2692,6 +2765,8 @@ object vec {
   def termTf(text: Column, terms: Seq[String]): Column =
     wrap(TermTf(ex(text), terms))
   def rollingFp(text: Column, mod: Long): Column = wrap(RollingFp(ex(text), mod))
+  def hashEmbedVec(text: Column, n: Int, dim: Int): Column =
+    wrap(HashEmbedVec(ex(text), n, dim))
   def minHashSig(hashes: Column, numHashes: Int): Column =
     wrap(MinHashSig(ex(hashes), numHashes))
   def sigAgreement(a: Column, b: Column): Column =

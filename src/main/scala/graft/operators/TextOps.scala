@@ -577,6 +577,48 @@ object TextOps {
       col(idCol),
       graft.functions.vec.rollingFp(col(textCol), FpMod).as("fingerprint"))
 
+  /** Hashing-trick text embedding (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning"): a dense signed
+    * char-n-gram count vector per document via the compiled
+    * [[graft.functions.HashEmbedVec]] kernel — the in-engine embedding
+    * that closes the text → vector → ANN loop with NO external model:
+    * E[v·w] over the signed slots is the gram-profile dot product, so
+    * gram-similar documents land near each other and the whole
+    * Similarity/ANN stack (brute, LSH, IVF, IVF-PQ, SemDeDup) applies to
+    * raw text corpora directly.
+    *
+    * Scale shape: ONE row-local projection, zero shuffles, dense
+    * `dim`-long output (no per-gram explode — the gram stream collapses
+    * into the vector inside the kernel). Exact integer semantics: the
+    * oracle restates hash, slot and sign in plain BIGINT SQL.
+    */
+  def hashEmbed(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, dim: Int = 64): DataFrame =
+    df.select(col(idCol),
+      graft.functions.vec.hashEmbedVec(lower(col(textCol)), n, dim)
+        .as("embedding"))
+
+  /** Unit-normalized float32 form of [[hashEmbed]] — the adapter into the
+    * Similarity/ANN operators (they expect `ARRAY<FLOAT>` and cosine
+    * geometry). Documents whose vector is all-zero (shorter than `n`
+    * chars, or full sign cancellation) are DROPPED — they have no
+    * direction, and a 0/0 cosine would poison every downstream rank.
+    * Counts are far below 2^53, so the long → double cast is exact.
+    */
+  def hashEmbedUnit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, dim: Int = 64): DataFrame = {
+    val dense = hashEmbed(df, textCol, idCol, n, dim)
+      .select(col(idCol),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    dense
+      .withColumn("nrm",
+        sqrt(graft.functions.vec.dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
+      .select(col(idCol),
+        transform(col("embedding"), x => (x / col("nrm")).cast("float"))
+          .as("embedding"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how target-like its n-gram profile is, where the target is any

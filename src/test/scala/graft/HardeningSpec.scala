@@ -227,6 +227,16 @@ class HardeningSpec extends AnyFunSuite {
       // audio normalization is ONE codegen'd projection — zero
       // shuffles, image_to_ppm's plan shape exactly
       "mm_audio_normalize" -> 0,
+      // hashed text embedding: kernel + posexplode in ONE codegen span,
+      // zero shuffles — the gram stream collapses inside the kernel
+      "text_hash_embed" -> 0,
+      // dense-vector retrieval: persisted embed subtree + 1-row
+      // broadcast + TakeOrderedAndProject — zero shuffle exchanges
+      "sim_topk_text_embed" -> 0,
+      // text→vector→ANN gate: IVF rank window + brute rank window +
+      // recall join/agg — the sim_topk_ivf gate shape over in-engine
+      // embeddings
+      "sim_ann_text_embed" -> 5,
       // lossy-re-encode gate: one banded pair join (the shared
       // near-dup machinery) + the expected-pair recall join + the
       // 1-row undecoded scalar

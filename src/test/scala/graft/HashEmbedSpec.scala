@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Similarity, TextOps}
+
+/** Hashing-trick text embedding ([[graft.functions.HashEmbedVec]] /
+  * [[TextOps.hashEmbed]]): kernel arithmetic pinned against an
+  * independent reference fold, codepoint (BMP) semantics, the unit-float
+  * adapter's geometry, and the end-to-end retrieval sanity the
+  * sim_*_text_embed queries rely on.
+  */
+class HashEmbedSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // the PropertySpec convention: scalatestplus isn't in the offline
+  // cache, so generators are driven directly with seeded draws
+  private def forAll[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  /** Independent reference: the documented math, written as the naive
+    * per-window recompute (the kernel slides a rolling code — same
+    * values, different algorithm, so a rolling-update bug can't hide).
+    */
+  private def reference(s: String, n: Int, dim: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val out = new Array[Long](dim)
+    for (start <- 0 to cps.length - n) {
+      var hg = 0L
+      for (j <- 0 until n) hg = hg * 65536L + cps(start + j)
+      val mix = (hg * 31L + 7L) % 1000003L
+      out((mix % dim).toInt) += (if ((mix / dim) % 2L == 0L) 1L else -1L)
+    }
+    out
+  }
+
+  private def kernel(s: String, n: Int = 3, dim: Int = 64): Array[Long] =
+    Seq(s).toDF("text")
+      .select(graft.functions.vec.hashEmbedVec(col("text"), n, dim).as("v"))
+      .head.getSeq[Long](0).toArray
+
+  test("kernel matches the independent reference fold (ASCII + BMP CJK)") {
+    for (s <- Seq("", "a", "ab", "abc", "abcd", "hello hash world",
+        "数据处理引擎测试", "mixed 中文 and english text",
+        "aaaaaaaaaa", "the quick brown fox jumps over the lazy dog"))
+      for (n <- 1 to 3; dim <- Seq(2, 8, 64))
+        assert(kernel(s, n, dim).toSeq == reference(s, n, dim).toSeq,
+          s"mismatch for s='$s' n=$n dim=$dim")
+  }
+
+  test("property: kernel == reference on random BMP strings; mass = gram count") {
+    // printable ASCII + a band of CJK — BMP only, the documented contract
+    val cpGen = Gen.frequency(
+      8 -> Gen.choose(32, 126), 2 -> Gen.choose(0x4e00, 0x4eff))
+    val strGen = Gen.listOf(cpGen).map(_.map(_.toChar).mkString)
+    forAll(strGen) { s =>
+      val k = kernel(s)
+      assert(k.toSeq == reference(s, 3, 64).toSeq)
+      // every gram lands in exactly one slot with weight ±1, so total
+      // SIGNED mass ≡ gram count (mod 2) and |mass| ≤ gram count
+      val grams = math.max(s.codePoints().count().toInt - 2, 0)
+      assert(k.map(math.abs).sum <= grams)
+      assert(((k.sum - grams) % 2 + 2) % 2 == 0)
+    }
+  }
+
+  test("short strings embed to the zero vector; n<=3 and dim>=2 enforced") {
+    assert(kernel("ab").forall(_ == 0L))
+    assert(kernel("").forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      graft.functions.vec.hashEmbedVec(col("text"), 4, 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.vec.hashEmbedVec(col("text"), 3, 1)
+    }
+  }
+
+  test("hashEmbed is case-folded and deterministic; unit form is unit-norm") {
+    val docs = Seq((0L, "The Quick Brown Fox"), (1L, "the quick brown fox"),
+      (2L, "totally different payload"), (3L, "ab")).toDF("doc_id", "text")
+    val dense = TextOps.hashEmbed(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(dense(0L) == dense(1L), "case folding must erase the difference")
+    assert(dense(0L) != dense(2L))
+    val unit = TextOps.hashEmbedUnit(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // the zero-vector doc is dropped, the rest are unit-norm
+    assert(!unit.contains(3L))
+    for ((_, v) <- unit) {
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-5)
+    }
+  }
+
+  test("gram-similar docs rank closer than unrelated ones (retrieval sanity)") {
+    val base = "distributed query engines shuffle hash partitions across executors"
+    val near = "distributed query engines shuffle hash partitions across workers"
+    val far = "七言绝句平仄格律对仗工整韵脚分明"
+    val docs = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val emb = TextOps.hashEmbedUnit(docs).withColumnRenamed("doc_id", "vec_id")
+    val q = emb.filter($"vec_id" === 0L)
+    val ranked = Similarity.bruteForceTopK(emb, q, k = 2)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(ranked.head == 1L, s"near-dup must outrank the unrelated doc: $ranked")
+  }
+}
