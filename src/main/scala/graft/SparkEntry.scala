@@ -3471,6 +3471,64 @@ object SparkEntry {
         .crossJoin(broadcast(eq))
     }),
 
+    // Streaming text→vector ingest — closes the hashed-embedding
+    // family's triangle (batch oracle + served ANN recall + streaming):
+    // raw DOCUMENT TEXT streams in (file-per-trigger micro-batches),
+    // each batch is embedded IN-FLIGHT by the row-local kernel
+    // (hashEmbedUnit is streaming-safe: projection + filter, no state,
+    // no shuffle) and appended to a frozen-quantizer IVF-PQ index via
+    // the shared ingest skeleton; the drained index must answer every
+    // query identically to a full batch rebuild over the same
+    // embeddings — the stream_ann_ingest gate, fed by text instead of
+    // pretrained vectors.
+    "stream_text_embed_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val emb = CacheScope.persist(
+        TextOps.hashEmbedUnit(docs).withColumnRenamed("doc_id", "vec_id"))
+      val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "teold",
+        "codes") { tmp =>
+        Similarity.saveIvfPqIndex(emb.filter(col("vec_id") <= half), tmp,
+          nlist = 16,
+          corpusKey = Some(tableKey(s, s"$dir/documents.parquet") + ":teold"))
+      }
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "tesin",
+        "in") { tmp =>
+        docs.filter(col("doc_id") > half).select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_tes").toString
+      onJvmExitDelete(run)
+      val textStream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val vecStream = TextOps.hashEmbedUnit(textStream)
+        .withColumnRenamed("doc_id", "vec_id")
+      val q = graft.streaming.StreamOps.annIngestStream(vecStream, scratch,
+        s"$run/append", s"$run/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.IngestCompaction.compact(s, s"$run/append",
+        upToEpoch = Long.MaxValue, orderCols = Seq("list"))
+      val centroids = Similarity.loadIvfPqCentroids(s, scratch)
+      val served = s.read.parquet(s"$scratch/codes")
+        .unionByName(s.read.parquet(s"$run/append").drop("ingest_batch"))
+      val queries = emb.filter(col("vec_id") < 5)
+      val drained = Similarity.ivfPQQuery(served, centroids, emb, queries,
+        k = 10, nprobe = 6, rerank = 4)
+      val rebuilt = Similarity.ivfPQQuery(
+        Similarity.ivfPqCodeRows(emb, centroids), centroids, emb, queries,
+        k = 10, nprobe = 6, rerank = 4)
+      val eq = drained.as("d")
+        .join(rebuilt.as("r"), Seq("query_id", "rank"), "full")
+        .agg((count(when(col("d.vec_id").isNull || col("r.vec_id").isNull
+          || col("d.vec_id") =!= col("r.vec_id")
+          || abs(col("d.sim") - col("r.sim")) > 1e-12, 1)) === 0)
+          .as("equal_ok"))
+      served.agg(count(lit(1)).as("n_index_rows"))
+        .crossJoin(broadcast(eq))
+    }),
+
     "sim_neardup_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       recallGate(
@@ -4396,6 +4454,12 @@ object SparkEntry {
     "stream_ann_ingest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
          FROM embeddings""",
+    // old-half codes + in-flight-embedded streamed half = every doc
+    // with a nonzero embedding (fixture texts are all >= the gram
+    // width); equality to the batch rebuild is the Spark-side verdict
+    "stream_text_embed_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
+         FROM documents WHERE length(text) >= 3""",
     "sim_neardup_lsh" -> NearDupGateSql,
     "sim_neardup_ivf" -> NearDupGateSql,
     "sim_neardup_ivfpq" -> NearDupGateSql,
