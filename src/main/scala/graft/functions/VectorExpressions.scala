@@ -1179,6 +1179,62 @@ object VectorRuntime {
     java.lang.Long.valueOf(energyZcrOfMono(mono))
   }
 
+  /** javax.sound SPI providers, discovered ONCE per JVM and shared by
+    * every executor thread. `AudioSystem.getAudioInputStream` /
+    * `AudioSystem.write` route EVERY call through
+    * `JDK13Services.getProviders` — a JVM-GLOBAL synchronized monitor.
+    * Under local[32] the per-clip lookups convoy on that lock: the
+    * 1000×-tier AIFF pass (1.67M clips) measured ~2 of 32 cores busy
+    * with every worker stack parked on the monitor
+    * (`JSSecurityManager.getProviders`). The SPI interfaces are public
+    * API (`javax.sound.sampled.spi.*`) and the JDK's own readers/
+    * writers are module-declared services, so a one-time ServiceLoader
+    * scan yields the same providers without the per-call lock.
+    * (ImageIO's `IIORegistry` is per-thread — the PNG/JPEG paths never
+    * had this problem, which is why they scaled linearly while audio
+    * did not.)
+    */
+  private val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+      .iterator()
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+  private val audioWriters: Array[javax.sound.sampled.spi.AudioFileWriter] = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileWriter]
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter],
+      classOf[javax.sound.sampled.spi.AudioFileWriter].getClassLoader)
+      .iterator()
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** `AudioSystem.getAudioInputStream(stream)` without the global
+    * monitor: probe the cached readers in order (a fresh
+    * ByteArrayInputStream per probe — no mark/reset coupling between
+    * providers). Null when no reader accepts the payload.
+    */
+  private def openAudioStream(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+      }
+      i += 1
+    }
+    null
+  }
+
   /** Decoded AIFF PCM as `(interleaved CENTERED samples, channels,
     * sampleRate)` — the javax.sound route shared by
     * [[aiffFingerprint64]] (mixes to mono and folds) and
@@ -1195,8 +1251,8 @@ object VectorRuntime {
   private def decodeAiffPcm(payload: Array[Byte]): (Array[Int], Int, Int) = {
     var ais: javax.sound.sampled.AudioInputStream = null
     try {
-      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      ais = openAudioStream(payload)
+      if (ais == null) return null
       val f = ais.getFormat
       val enc = f.getEncoding
       val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
@@ -1289,24 +1345,61 @@ object VectorRuntime {
   }
 
   /** Transcode an integer-PCM WAV to AIFF through the JDK encoder —
-    * the in-plan fixture leg for the AIFF gate: `javax.sound` converts
-    * WAV's unsigned-8 to AIFF's signed-8 (and 16-bit LE to BE) with
-    * EXACT value preservation, so the transcode is lossless and the
-    * two containers fingerprint bit-identically. Null for anything
-    * `AudioSystem` cannot read as integer PCM (float WAVs route
+    * the in-plan fixture leg for the AIFF gate. Sample conversion to
+    * AIFF's domain is the specified trivial map (unsigned-8 → signed-8
+    * is `v − 128`; 16-bit is a byte swap, values identical), done
+    * HERE so the stream handed to the JDK writer is already
+    * PCM_SIGNED big-endian: `AiffFileWriter` only falls back to
+    * `AudioSystem.getAudioInputStream` (the global provider monitor —
+    * see [[audioReaders]]) when it must convert, and a pre-converted
+    * stream keeps that branch cold. The container itself is still
+    * written by the JDK's own AIFF encoder (cached SPI writer), and
+    * the `mm_audio_aiff` gate pins fingerprint BIT-EQUALITY of the
+    * result against the WAV leg, so a conversion error cannot hide.
+    * Null for anything that is not integer PCM (float WAVs route
     * through [[wavToFloat32]]'s domain, not this one).
     */
   def wavToAiff(payload: Array[Byte]): Array[Byte] = {
     val wav = parseWav(payload)
     if (wav == null || wav(0) != 1) return null
+    val channels = wav(1); val bits = wav(2); val rate = wav(3)
+    val dataPos = wav(4); val dataLen = wav(5)
+    val bps = bits / 8
+    val frameSize = channels * bps
+    if (frameSize <= 0 || dataLen < frameSize) return null
+    val nFrames = dataLen / frameSize
+    val pcm = new Array[Byte](nFrames * frameSize)
+    if (bits == 8) {
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = ((payload(dataPos + i) & 0xff) - 128).toByte
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = payload(dataPos + i + 1) // LE → BE byte swap
+        pcm(i + 1) = payload(dataPos + i)
+        i += 2
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, bits, channels, true, true)
     var ais: javax.sound.sampled.AudioInputStream = null
     try {
-      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val bos = new java.io.ByteArrayOutputStream(payload.length + 64)
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
-      bos.toByteArray
+      ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val tpe = javax.sound.sampled.AudioFileFormat.Type.AIFF
+      var w = 0
+      while (w < audioWriters.length) {
+        if (audioWriters(w).isFileTypeSupported(tpe, ais)) {
+          val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+          audioWriters(w).write(ais, tpe, bos)
+          return bos.toByteArray
+        }
+        w += 1
+      }
+      null
     } catch {
       case _: Exception => null
     } finally {
