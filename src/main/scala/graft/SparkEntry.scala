@@ -2417,6 +2417,21 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"))),
 
+    // Semantic decontamination over the hashed embeddings: corpus docs
+    // whose gram-profile cosine against any benchmark doc reaches 4/5 —
+    // the paraphrase-leakage complement of the n-gram decon_* family.
+    // Integer-exact: the cosine threshold is evaluated as
+    // dot²·25 ≥ 16·n1·n2 on signed gram counts, so the oracle replays
+    // the flagged PAIR SET itself in BIGINT SQL (not a verdict column).
+    // Deterministic subsamples (corpus 1-in-7, benchmark 1-in-491)
+    // bound the oracle's per-gram replay, not the operator.
+    "decon_semantic" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.semanticDecontaminate(
+        corpus = docs.filter(col("doc_id") % 7 === 0),
+        benchmark = docs.filter(col("doc_id") % 491 === 0))
+    }),
+
     // In-engine hashed text embedding (feature-hashing trick over char
     // 3-grams, signed 64-slot vectors): the exploded nonzero slots of a
     // deterministic doc subsample, every value a BIGINT the oracle
@@ -5675,6 +5690,25 @@ object SparkEntry {
            FROM dots)
          SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(dot AS BIGINT) AS dot
          FROM o WHERE rank <= 10""",
+
+    // the flagged pair set replayed exactly: embed CTEs over the union
+    // of both subsets, sparse dot via the dim join, integer threshold
+    // dot²·25 ≥ 16·‖c‖²·‖e‖² (cos ≥ 4/5), per-doc match counts
+    "decon_semantic" ->
+      s"""WITH ${hashEmbedCtes("doc_id % 7 = 0 OR doc_id % 491 = 0")},
+         nn AS (SELECT doc_id, sum(wt * wt) AS nrm FROM e GROUP BY doc_id),
+         c AS (SELECT doc_id, dim, wt FROM e WHERE doc_id % 7 = 0),
+         q AS (SELECT doc_id AS eval_id, dim, wt AS qwt FROM e
+               WHERE doc_id % 491 = 0),
+         d AS (SELECT c.doc_id, q.eval_id, sum(c.wt * q.qwt) AS dt
+               FROM c JOIN q USING (dim) WHERE c.doc_id <> q.eval_id
+               GROUP BY c.doc_id, q.eval_id),
+         f AS (SELECT d.doc_id FROM d
+               JOIN nn n1 ON n1.doc_id = d.doc_id
+               JOIN nn n2 ON n2.doc_id = d.eval_id
+               WHERE dt > 0 AND dt * dt * 25 >= 16 * n1.nrm * n2.nrm)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         FROM f GROUP BY doc_id""",
 
     // relational half of the text→vector→ANN gate: exact top-k row
     // count (queries × min(candidates, 10); docs shorter than the gram

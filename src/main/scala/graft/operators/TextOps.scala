@@ -619,6 +619,48 @@ object TextOps {
           .as("embedding"))
   }
 
+  /** Semantic decontamination over [[hashEmbed]] vectors: flag every
+    * corpus document whose hashed-embedding cosine against ANY benchmark
+    * document reaches `minCos` — the embedding-space complement of the
+    * n-gram `decon_*` family (catches paraphrased leakage that shares
+    * gram PROFILE but not exact grams). All arithmetic is INTEGER: the
+    * threshold `cos(c,e) ≥ p/q` is evaluated as
+    * `dot > 0 ∧ dot²·q² ≥ p²·‖c‖²·‖e‖²` on the signed gram counts, so
+    * the flagged PAIR SET is exactly restatable in BIGINT SQL — no
+    * float comparison crosses the engine boundary. Returns
+    * `(idCol, n_matches)` per flagged corpus doc.
+    *
+    * Scale shape: benchmark sides are small by nature → broadcast; the
+    * corpus side is one row-local embed projection + one broadcast
+    * nested-loop with a codegen'd dot per pair — O(corpus × benchmark)
+    * dots, never a corpus shuffle. (For a HUGE benchmark, pre-bucket by
+    * LSH instead; this operator is the exact-verification tier.)
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, dim: Int = 64): DataFrame = {
+    require(cosP > 0 && cosQ >= cosP,
+      s"semanticDecontaminate: need 0 < p/q <= 1, got $cosP/$cosQ")
+    def side(df: DataFrame, id: String, v: String, nrm: String) =
+      hashEmbed(df, textCol, idCol, n, dim)
+        .select(col(idCol).as(id),
+          transform(col("embedding"), x => x.cast("double")).as(v))
+        .withColumn(nrm,
+          graft.functions.vec.dot(col(v), col(v)).cast("long"))
+        .filter(col(nrm) > 0)
+    val c = side(corpus, idCol, "cv", "n1")
+    val e = side(benchmark, "eval_id", "ev", "n2")
+    val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
+    c.crossJoin(broadcast(e))
+      .filter(col(idCol) =!= col("eval_id"))
+      .select(col(idCol), col("eval_id"), col("n1"), col("n2"),
+        graft.functions.vec.dot(col("cv"), col("ev")).cast("long").as("dt"))
+      .filter(col("dt") > 0 &&
+        col("dt") * col("dt") * lit(q2) >= lit(p2) * col("n1") * col("n2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how target-like its n-gram profile is, where the target is any

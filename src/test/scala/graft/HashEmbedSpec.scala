@@ -98,6 +98,27 @@ class HashEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontaminate flags gram-profile leakage, not unrelated docs") {
+    val bench = Seq((1000L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (1L, "The quick brown fox jumps over the lazy dog!"), // near-verbatim
+      (2L, "completely unrelated payload about query engines"),
+      (3L, "七言绝句平仄格律对仗工整")).toDF("doc_id", "text")
+    val flagged = TextOps.semanticDecontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(0L) && flagged(0L) == 1L)
+    assert(flagged.contains(1L), "near-verbatim leak must be flagged")
+    assert(!flagged.contains(2L) && !flagged.contains(3L))
+    // the integer threshold is exact: a corpus doc equal to the
+    // benchmark doc ITSELF (cos = 1) is excluded only by id, so the
+    // same text under a different id flags with dot² · q² == p² · n²
+    // comfortably satisfied — and an empty benchmark flags nothing
+    assert(TextOps.semanticDecontaminate(corpus,
+      bench.filter($"doc_id" < 0)).count() == 0)
+  }
+
   test("gram-similar docs rank closer than unrelated ones (retrieval sanity)") {
     val base = "distributed query engines shuffle hash partitions across executors"
     val near = "distributed query engines shuffle hash partitions across workers"
