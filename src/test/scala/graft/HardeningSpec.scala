@@ -230,6 +230,9 @@ class HardeningSpec extends AnyFunSuite {
       // hashed text embedding: kernel + posexplode in ONE codegen span,
       // zero shuffles — the gram stream collapses inside the kernel
       "text_hash_embed" -> 0,
+      // semantic decon: benchmark broadcast + threshold fused into the
+      // join condition; the single exchange is the match-count agg
+      "decon_semantic" -> 1,
       // dense-vector retrieval: persisted embed subtree + 1-row
       // broadcast + TakeOrderedAndProject — zero shuffle exchanges
       "sim_topk_text_embed" -> 0,

@@ -1046,6 +1046,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(toAiff(pF).isEmpty, "float WAV is not this transcode's domain")
   }
 
+  test("wavToAiff (round-16 SPI cache): byte-identical to the " +
+    "AudioSystem route it replaced") {
+    // the provider-lock fix rewrote the transcode onto cached SPI
+    // writers with our own signed/big-endian pre-conversion (so the JDK
+    // writer's internal convert branch — the global monitor — stays
+    // cold); this pins the OUTPUT CONTAINER BYTES against the original
+    // AudioSystem path, so the fast route cannot drift from the JDK's
+    // own conversion semantics
+    def viaAudioSystem(p: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+        bos.toByteArray
+      } finally ais.close()
+    }
+    def fast(p: Array[Byte]): Array[Byte] =
+      Seq(Tuple1(p)).toDF("payload")
+        .select(graft.functions.vec.wavToAiff($"payload").as("a"))
+        .collect().head.getAs[Array[Byte]](0)
+    val rnd = new scala.util.Random(83)
+    val s = Seq.fill(300)(rnd.nextInt(256))
+    for ((tag, p) <- Seq(
+        "pcm8" -> wav(s),
+        "pcm16" -> wav(s.map(v => (v - 128) * 256), bits = 16),
+        "stereo8" -> wav(s.flatMap(v => Seq(v, (v + 64) % 256)),
+          channels = 2),
+        "stereo16" -> wav(s.flatMap(v =>
+          Seq((v - 128) * 256, (v - 100) * 128)), bits = 16,
+          channels = 2)))
+      assert(java.util.Arrays.equals(fast(p), viaAudioSystem(p)),
+        s"$tag: cached-SPI transcode must equal the AudioSystem bytes")
+  }
+
   test("audioToWav normalization (round-16): every accepted container/" +
     "encoding lands in ONE canonical PCM-16 WAV whose fingerprint " +
     "equals the original's BIT-EXACTLY; WAV and AIFF carriers of the " +
