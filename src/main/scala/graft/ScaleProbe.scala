@@ -547,6 +547,13 @@ object ScaleProbe {
         time("text_embed_raw") {
           // the one-time embed pass: kernel + unit normalization
           embed.count() },
+        time("decon_semantic_raw") {
+          // semantic decon at deployment shape: FULL corpus × a small
+          // broadcast benchmark (~0.02% — eval sets are small by
+          // nature), integer-exact threshold fused into the join —
+          // cost must track corpus × benchmark dots ~linearly
+          graft.operators.TextOps.semanticDecontaminate(
+            docs, docs.filter(col("doc_id") % 4909 === 0)).count() },
         {
           // served top-k from the persisted embeddings under the
           // FRACPROBE sizing (nprobe ∝ √n — the production recipe the
