@@ -2432,6 +2432,21 @@ object SparkEntry {
         benchmark = docs.filter(col("doc_id") % 491 === 0))
     }),
 
+    // The LSH-prescreened tier over the SAME subsamples: hyperplane
+    // sign-banding (24 bands × 4 planes) generates candidate pairs,
+    // the exact integer-cosine predicate verifies survivors — so
+    // precision is 1 by construction and the oracle is the SAME exact
+    // replay as decon_semantic: a single banding miss fails the hash
+    // match loudly. This is the 100 TB shape when the benchmark side
+    // outgrows broadcast-NL dots (candidate generation is
+    // O(corpus × bands) hash probes, sublinear in |benchmark|).
+    "decon_semantic_lsh" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.semanticDecontaminateLsh(
+        corpus = docs.filter(col("doc_id") % 7 === 0),
+        benchmark = docs.filter(col("doc_id") % 491 === 0))
+    }),
+
     // In-engine hashed text embedding (feature-hashing trick over char
     // 3-grams, signed 64-slot vectors): the exploded nonzero slots of a
     // deterministic doc subsample, every value a BIGINT the oracle
@@ -4392,6 +4407,27 @@ object SparkEntry {
          SELECT doc_id, dim, sum(s) AS wt
          FROM sl GROUP BY doc_id, dim HAVING sum(s) <> 0)"""
 
+  /** Exact semantic-decon replay, shared verbatim by `decon_semantic`
+    * and `decon_semantic_lsh` (the LSH tier's contract is flagged-set
+    * EQUALITY to the exact tier, so one oracle serves both).
+    */
+  private lazy val deconSemanticOracleSql: String =
+    s"""WITH ${hashEmbedCtes("doc_id % 7 = 0 OR doc_id % 491 = 0")},
+       nn AS (SELECT doc_id, sum(wt * wt) AS nrm FROM e GROUP BY doc_id),
+       c AS (SELECT doc_id, dim, wt FROM e WHERE doc_id % 7 = 0),
+       q AS (SELECT doc_id AS eval_id, dim, wt AS qwt FROM e
+             WHERE doc_id % 491 = 0),
+       d AS (SELECT c.doc_id, q.eval_id, sum(c.wt * q.qwt) AS dt
+             FROM c JOIN q USING (dim) WHERE c.doc_id <> q.eval_id
+             GROUP BY c.doc_id, q.eval_id),
+       f AS (SELECT d.doc_id FROM d
+             JOIN nn n1 ON n1.doc_id = d.doc_id
+             JOIN nn n2 ON n2.doc_id = d.eval_id
+             WHERE dt > 0 AND CAST(dt AS HUGEINT) * dt * 25
+               >= 16 * CAST(n1.nrm AS HUGEINT) * n2.nrm)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       FROM f GROUP BY doc_id"""
+
   private val TopKGateSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
        p AS (SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sim
@@ -4470,11 +4506,17 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
          FROM embeddings""",
     // old-half codes + in-flight-embedded streamed half = every doc
-    // with a nonzero embedding (fixture texts are all >= the gram
-    // width); equality to the batch rebuild is the Spark-side verdict
+    // with a nonzero embedding, restated from the embed CTEs themselves
+    // (docs in `e` = any nonzero slot survives the HAVING) rather than
+    // a length(text) >= 3 proxy — hashEmbedUnit also drops docs whose
+    // signed gram weights fully cancel (norm 0 with >= 3 grams), which
+    // the length predicate would overcount (round-16 ADVICE); equality
+    // to the batch rebuild is the Spark-side verdict
     "stream_text_embed_ingest" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_index_rows, true AS equal_ok
-         FROM documents WHERE length(text) >= 3""",
+      s"""WITH ${hashEmbedCtes("TRUE")}
+         SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_index_rows,
+           true AS equal_ok
+         FROM e""",
     "sim_neardup_lsh" -> NearDupGateSql,
     "sim_neardup_ivf" -> NearDupGateSql,
     "sim_neardup_ivfpq" -> NearDupGateSql,
@@ -5673,17 +5715,24 @@ object SparkEntry {
          FROM e""",
 
     // exact integer retrieval over the replayed embeddings: signed-count
-    // dot products against doc 0, top-10 with the doc_id tie-break; a
-    // doc sharing NO nonzero slot with the query cannot enter the SQL
-    // ranking, but with 64 slots and hundreds of grams per doc the
-    // top-10 dots are always large positive overlaps on these fixtures
+    // dot products against doc 0, top-10 with the doc_id tie-break. The
+    // candidate set is EVERY subsampled doc (left join + COALESCE 0),
+    // mirroring the Spark side's dense ranking exactly — a doc sharing
+    // no nonzero slot with the query scores 0 there, and on a sparse
+    // fixture such a doc CAN reach the top-10, so the dim-join result
+    // alone would under-rank (round-16 ADVICE)
     "sim_topk_text_embed" ->
       s"""WITH ${hashEmbedCtes("doc_id % 5 = 0")},
          q AS (SELECT dim, wt FROM e WHERE doc_id = 0),
-         dots AS (
+         cand AS (SELECT doc_id FROM documents
+                  WHERE doc_id % 5 = 0 AND doc_id <> 0),
+         dj AS (
            SELECT e.doc_id, sum(e.wt * q.wt) AS dot
            FROM e JOIN q USING (dim) WHERE e.doc_id <> 0
            GROUP BY e.doc_id),
+         dots AS (
+           SELECT c.doc_id, COALESCE(dj.dot, 0) AS dot
+           FROM cand c LEFT JOIN dj USING (doc_id)),
          o AS (
            SELECT row_number() OVER (ORDER BY dot DESC, doc_id) AS rank,
              doc_id, dot
@@ -5693,29 +5742,29 @@ object SparkEntry {
 
     // the flagged pair set replayed exactly: embed CTEs over the union
     // of both subsets, sparse dot via the dim join, integer threshold
-    // dot²·25 ≥ 16·‖c‖²·‖e‖² (cos ≥ 4/5), per-doc match counts
-    "decon_semantic" ->
-      s"""WITH ${hashEmbedCtes("doc_id % 7 = 0 OR doc_id % 491 = 0")},
-         nn AS (SELECT doc_id, sum(wt * wt) AS nrm FROM e GROUP BY doc_id),
-         c AS (SELECT doc_id, dim, wt FROM e WHERE doc_id % 7 = 0),
-         q AS (SELECT doc_id AS eval_id, dim, wt AS qwt FROM e
-               WHERE doc_id % 491 = 0),
-         d AS (SELECT c.doc_id, q.eval_id, sum(c.wt * q.qwt) AS dt
-               FROM c JOIN q USING (dim) WHERE c.doc_id <> q.eval_id
-               GROUP BY c.doc_id, q.eval_id),
-         f AS (SELECT d.doc_id FROM d
-               JOIN nn n1 ON n1.doc_id = d.doc_id
-               JOIN nn n2 ON n2.doc_id = d.eval_id
-               WHERE dt > 0 AND dt * dt * 25 >= 16 * n1.nrm * n2.nrm)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
-         FROM f GROUP BY doc_id""",
+    // dot²·25 ≥ 16·‖c‖²·‖e‖² (cos ≥ 4/5), per-doc match counts. The
+    // threshold products run in HUGEINT (int128) to mirror the Spark
+    // side's Decimal(38,0) — on a repetitive doc the norms reach G² for
+    // G grams, so dot²·q² reaches G⁴·q² and overflows BIGINT past ~25k
+    // grams (TextOps.cosThresholdPred documents the shared bound)
+    "decon_semantic" -> deconSemanticOracleSql,
+
+    // the LSH-prescreened tier flags EXACTLY the exact tier's pair set
+    // (precision 1 by construction — every candidate passes the same
+    // integer predicate; recall pinned by the banding, 24×4 at cos 0.8
+    // misses a pair w.p. ~5e-6) — so the oracle IS the exact replay:
+    // a single missed candidate fails the hash match loudly
+    "decon_semantic_lsh" -> deconSemanticOracleSql,
 
     // relational half of the text→vector→ANN gate: exact top-k row
-    // count (queries × min(candidates, 10); docs shorter than the gram
-    // width embed to the zero vector and are dropped) + the expected
-    // verdict — the recall itself is computed in-plan by recallGate
+    // count (queries × min(candidates, 10)) + the expected verdict —
+    // the recall itself is computed in-plan by recallGate. The embedded
+    // doc set is restated from the embed CTEs (any nonzero slot), not
+    // the length(text) >= 3 proxy: hashEmbedUnit also drops full-
+    // sign-cancellation docs (round-16 ADVICE)
     "sim_ann_text_embed" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE length(text) >= 3)
+      s"""WITH ${hashEmbedCtes("TRUE")},
+         d AS (SELECT DISTINCT doc_id FROM e)
          SELECT CAST((SELECT count(*) FROM d WHERE doc_id < 5)
              * least((SELECT count(*) FROM d) - 1, 10) AS BIGINT) AS n_exact,
            true AS recall_ok""",

@@ -1194,33 +1194,49 @@ object VectorRuntime {
     * had this problem, which is why they scaled linearly while audio
     * did not.)
     */
-  private val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[javax.sound.sampled.spi.AudioFileReader]
-    val it = java.util.ServiceLoader.load(
-      classOf[javax.sound.sampled.spi.AudioFileReader],
-      classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
-      .iterator()
-    while (it.hasNext) buf += it.next()
-    buf.toArray
+  /** ServiceLoader scan across EVERY classloader that could host a
+    * provider — the interface's own loader (platform — the JDK's
+    * built-in readers), the thread context loader, and the system
+    * loader (application classpath — where a future MP3/OGG SPI jar
+    * would live). `AudioSystem`'s JDK13Services discovers through the
+    * system loader, so scanning only the interface loader would leave
+    * application-supplied providers silently invisible and a format
+    * AudioSystem accepts would null-drop here instead (round-16
+    * ADVICE). Deduped by provider class: the same JDK provider is
+    * typically visible through all three.
+    */
+  private def loadSpiProviders[T](iface: Class[T])(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, T]
+    val loaders = Seq(
+      iface.getClassLoader,
+      Thread.currentThread().getContextClassLoader,
+      ClassLoader.getSystemClassLoader)
+    for (cl <- loaders) {
+      try {
+        val it = java.util.ServiceLoader.load(iface, cl).iterator()
+        while (it.hasNext) {
+          try {
+            val p = it.next()
+            seen.getOrElseUpdate(p.getClass.getName, p)
+          } catch { case _: java.util.ServiceConfigurationError => () }
+        }
+      } catch { case _: java.util.ServiceConfigurationError => () }
+    }
+    seen.values.toArray
   }
-  private val audioWriters: Array[javax.sound.sampled.spi.AudioFileWriter] = {
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[javax.sound.sampled.spi.AudioFileWriter]
-    val it = java.util.ServiceLoader.load(
-      classOf[javax.sound.sampled.spi.AudioFileWriter],
-      classOf[javax.sound.sampled.spi.AudioFileWriter].getClassLoader)
-      .iterator()
-    while (it.hasNext) buf += it.next()
-    buf.toArray
-  }
+
+  private val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] =
+    loadSpiProviders(classOf[javax.sound.sampled.spi.AudioFileReader])
+  private val audioWriters: Array[javax.sound.sampled.spi.AudioFileWriter] =
+    loadSpiProviders(classOf[javax.sound.sampled.spi.AudioFileWriter])
 
   /** `AudioSystem.getAudioInputStream(stream)` without the global
     * monitor: probe the cached readers in order (a fresh
     * ByteArrayInputStream per probe — no mark/reset coupling between
     * providers). Null when no reader accepts the payload.
     */
-  private def openAudioStream(
+  private[graft] def openAudioStream(
       payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     var i = 0
     while (i < audioReaders.length) {

@@ -619,37 +619,67 @@ object TextOps {
           .as("embedding"))
   }
 
+  /** One side of the semantic-decon join: `(id, vector-as-double,
+    * ‖·‖² as long)`, zero-norm docs dropped (no direction to compare).
+    */
+  private def deconSide(df: DataFrame, textCol: String, idCol: String,
+      n: Int, dim: Int, id: String, v: String, nrm: String): DataFrame =
+    hashEmbed(df, textCol, idCol, n, dim)
+      .select(col(idCol).as(id),
+        transform(col("embedding"), x => x.cast("double")).as(v))
+      .withColumn(nrm,
+        graft.functions.vec.dot(col(v), col(v)).cast("long"))
+      .filter(col(nrm) > 0)
+
+  /** The integer cosine-threshold predicate shared by the exact and
+    * LSH-prescreened decon tiers: `cos ≥ p/q` on signed-count vectors
+    * as `dot > 0 ∧ dot²·q² ≥ p²·n1·n2`. Every product is evaluated in
+    * Decimal(38,0), NOT long: on highly repetitive documents (a run of
+    * one repeated char puts its whole gram mass in one slot) the norms
+    * reach G² for G grams, so `dot²·q²` reaches `G⁴·q²` and overflows
+    * int64 past ~25k grams — under non-ANSI mode a long multiply wraps
+    * SILENTLY and the pair set desyncs from the oracle's exact
+    * arithmetic. Decimal(38,0) is exact up to 10³⁸: safe for per-doc
+    * single-slot gram mass up to ~10⁹ (a gigabyte-scale run of one
+    * char), far beyond any real document; past THAT Spark yields null
+    * (pair conservatively not flagged) rather than a wrapped sign. The
+    * oracle side mirrors with HUGEINT (int128, max ~1.7·10³⁸).
+    */
+  private[graft] def cosThresholdPred(dt: Column, n1: Column, n2: Column,
+      p2: Long, q2: Long): Column = {
+    val dec = "decimal(38,0)"
+    dt > 0 &&
+      dt.cast(dec) * dt.cast(dec) * lit(q2).cast(dec) >=
+        lit(p2).cast(dec) * n1.cast(dec) * n2.cast(dec)
+  }
+
   /** Semantic decontamination over [[hashEmbed]] vectors: flag every
     * corpus document whose hashed-embedding cosine against ANY benchmark
     * document reaches `minCos` — the embedding-space complement of the
     * n-gram `decon_*` family (catches paraphrased leakage that shares
     * gram PROFILE but not exact grams). All arithmetic is INTEGER: the
     * threshold `cos(c,e) ≥ p/q` is evaluated as
-    * `dot > 0 ∧ dot²·q² ≥ p²·‖c‖²·‖e‖²` on the signed gram counts, so
-    * the flagged PAIR SET is exactly restatable in BIGINT SQL — no
-    * float comparison crosses the engine boundary. Returns
+    * `dot > 0 ∧ dot²·q² ≥ p²·‖c‖²·‖e‖²` on the signed gram counts
+    * (products in Decimal(38,0) — see [[cosThresholdPred]] for the
+    * overflow contract), so the flagged PAIR SET is exactly restatable
+    * in SQL — no float comparison crosses the engine boundary. Returns
     * `(idCol, n_matches)` per flagged corpus doc.
     *
     * Scale shape: benchmark sides are small by nature → broadcast; the
     * corpus side is one row-local embed projection + one broadcast
     * nested-loop with a codegen'd dot per pair — O(corpus × benchmark)
-    * dots, never a corpus shuffle. (For a HUGE benchmark, pre-bucket by
-    * LSH instead; this operator is the exact-verification tier.)
+    * dots, never a corpus shuffle. For a HUGE benchmark this is the
+    * exact-verification tier; [[semanticDecontaminateLsh]] is the
+    * candidate-generation tier that makes the pair stream sublinear in
+    * the benchmark size.
     */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, dim: Int = 64): DataFrame = {
     require(cosP > 0 && cosQ >= cosP,
       s"semanticDecontaminate: need 0 < p/q <= 1, got $cosP/$cosQ")
-    def side(df: DataFrame, id: String, v: String, nrm: String) =
-      hashEmbed(df, textCol, idCol, n, dim)
-        .select(col(idCol).as(id),
-          transform(col("embedding"), x => x.cast("double")).as(v))
-        .withColumn(nrm,
-          graft.functions.vec.dot(col(v), col(v)).cast("long"))
-        .filter(col(nrm) > 0)
-    val c = side(corpus, idCol, "cv", "n1")
-    val e = side(benchmark, "eval_id", "ev", "n2")
+    val c = deconSide(corpus, textCol, idCol, n, dim, idCol, "cv", "n1")
+    val e = deconSide(benchmark, textCol, idCol, n, dim, "eval_id", "ev", "n2")
     val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
     // the threshold references the dot THREE times; as a post-join
     // filter Catalyst fuses it into the join condition, where the
@@ -663,8 +693,75 @@ object TextOps {
       .select(col(idCol), col("n1"), col("n2"),
         graft.functions.vec.dot(col("cv"), col("ev")).cast("long").as("dt"))
       .groupBy(col(idCol))
-      .agg(count(when(col("dt") > 0 &&
-        col("dt") * col("dt") * lit(q2) >= lit(p2) * col("n1") * col("n2"),
+      .agg(count(when(
+        cosThresholdPred(col("dt"), col("n1"), col("n2"), p2, q2),
+        1)).as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** LSH-prescreened semantic decontamination — the candidate-generation
+    * tier [[semanticDecontaminate]]'s doc promises for HUGE benchmarks.
+    * Same contract (flag corpus docs with hashed-embedding cosine ≥ p/q
+    * against any benchmark doc; returns `(idCol, n_matches)`), different
+    * pair stream: instead of one dot per corpus×benchmark pair, each
+    * side is sign-bucketed under `bands` independent groups of `planes`
+    * seeded hyperplanes (row-local — the planes ride as literals), and
+    * only pairs COLLIDING in at least one band reach the exact integer
+    * verify ([[cosThresholdPred]] — precision is therefore exactly 1 by
+    * construction; every flagged pair passes the same predicate as the
+    * exact tier).
+    *
+    * Recall is governed by the banding: a pair at cos = τ agrees on one
+    * sign bit w.p. `1 − arccos(τ)/π` (Goemans–Williamson), so with the
+    * defaults (24 bands × 4 planes) a pair AT the 0.8 threshold is
+    * missed w.p. (1 − 0.795⁴)²⁴ ≈ 5·10⁻⁶, and higher-cosine pairs
+    * (the typical leak) exponentially more rarely. The
+    * `decon_semantic_lsh` query pins flagged-set EQUALITY to the exact
+    * tier on the fixtures via the oracle's exact replay.
+    *
+    * Scale shape at 100 TB: the benchmark explodes ×bands and
+    * broadcasts as a hash table keyed `(band, bucket)`; each corpus row
+    * embeds once, computes its `bands` bucket ids row-locally, and
+    * probes the table `bands` times — candidate generation is
+    * O(corpus × bands) probes instead of O(corpus × |benchmark|) dots,
+    * the win once the benchmark outgrows a few hundred docs. A pair
+    * colliding in several bands costs a few extra dots; the narrow
+    * `(id, eval_id, dt, n1, n2)` rows dedup per pair BEFORE the
+    * threshold count, so multiplicity never inflates `n_matches`. Two
+    * shuffles total (pair dedup + per-doc count); the corpus vectors
+    * never shuffle.
+    */
+  def semanticDecontaminateLsh(corpus: DataFrame, benchmark: DataFrame,
+      cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, dim: Int = 64,
+      bands: Int = 24, planes: Int = 4, seed: Long = 42L): DataFrame = {
+    require(cosP > 0 && cosQ >= cosP,
+      s"semanticDecontaminateLsh: need 0 < p/q <= 1, got $cosP/$cosQ")
+    require(bands > 0 && planes > 0 && planes <= 16,
+      s"semanticDecontaminateLsh: need bands > 0, 0 < planes <= 16")
+    val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
+    // sign buckets depend only on direction, so the raw signed-count
+    // vector feeds the hyperplanes directly — no normalization pass
+    def bucketsOf(v: Column): Column =
+      array((0 until bands).map(b =>
+        Similarity.lshBucket(v, planes, dim, seed = seed + b)): _*)
+    val c = deconSide(corpus, textCol, idCol, n, dim, idCol, "cv", "n1")
+      .select(col(idCol), col("cv"), col("n1"),
+        posexplode(bucketsOf(col("cv"))).as(Seq("band", "bucket")))
+    val e = deconSide(benchmark, textCol, idCol, n, dim, "eval_id", "ev", "n2")
+      .select(col("eval_id"), col("ev"), col("n2"),
+        posexplode(bucketsOf(col("ev"))).as(Seq("band", "bucket")))
+    c.join(broadcast(e), Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("eval_id"))
+      // score inline, then dedup the NARROW pair rows (the lshTopK
+      // trick): a multi-band collision costs a few extra dots instead
+      // of dragging both vectors through the dedup shuffle
+      .select(col(idCol), col("eval_id"), col("n1"), col("n2"),
+        graft.functions.vec.dot(col("cv"), col("ev")).cast("long").as("dt"))
+      .dropDuplicates(idCol, "eval_id")
+      .groupBy(col(idCol))
+      .agg(count(when(
+        cosThresholdPred(col("dt"), col("n1"), col("n2"), p2, q2),
         1)).as("n_matches"))
       .filter(col("n_matches") > 0)
   }

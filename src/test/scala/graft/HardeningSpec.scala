@@ -233,6 +233,10 @@ class HardeningSpec extends AnyFunSuite {
       // semantic decon: benchmark broadcast + threshold fused into the
       // join condition; the single exchange is the match-count agg
       "decon_semantic" -> 1,
+      // LSH tier: banded benchmark broadcast + inline dots; the two
+      // exchanges are the pair dedup and the match-count agg — the
+      // corpus vectors never shuffle
+      "decon_semantic_lsh" -> 2,
       // dense-vector retrieval: persisted embed subtree + 1-row
       // broadcast + TakeOrderedAndProject — zero shuffle exchanges
       "sim_topk_text_embed" -> 0,

@@ -119,6 +119,59 @@ class HashEmbedSpec extends AnyFunSuite {
       bench.filter($"doc_id" < 0)).count() == 0)
   }
 
+  test("threshold arithmetic survives int64 overflow on repetitive docs") {
+    // a run of one char puts its whole gram mass in ONE slot: G grams →
+    // wt = ±G, norm = G², dot(c,e) = G·G' — so dot²·q² reaches G⁴·q²,
+    // which WRAPS int64 past ~25k grams. 26k-char runs: dot ≈ 6.8e8,
+    // dot²·25 ≈ 1.1e19 > Long.MaxValue. cos = 1, so the pair MUST flag;
+    // the pre-fix long arithmetic wrapped negative and silently missed
+    // it (round-16 ADVICE, medium). Decimal(38,0) keeps it exact.
+    val big = "a" * 26000
+    val bench = Seq((1000L, big)).toDF("doc_id", "text")
+    val corpus = Seq((0L, big), (1L, "totally unrelated payload"))
+      .toDF("doc_id", "text")
+    for (tier <- Seq(
+        TextOps.semanticDecontaminate(corpus, bench),
+        TextOps.semanticDecontaminateLsh(corpus, bench))) {
+      val flagged = tier.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flagged == Map(0L -> 1L),
+        s"overflow-range identical pair must flag exactly: $flagged")
+    }
+  }
+
+  test("LSH-prescreened decon tier flags exactly the exact tier's set") {
+    // mixed fixture: verbatim + near-verbatim leaks of several benchmark
+    // docs, plus unrelated and short docs — the LSH tier's contract is
+    // flagged-set EQUALITY (precision 1 by construction; the 24×4
+    // banding miss probability at cos 0.8 is ~5e-6 per pair)
+    val benchDocs = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog"),
+      (1001L, "distributed query engines shuffle hash partitions across executors"),
+      (1002L, "七言绝句平仄格律对仗工整韵脚分明"))
+    val bench = benchDocs.toDF("doc_id", "text")
+    val corpus = (benchDocs.map { case (id, t) => (id - 1000L, t) } ++ Seq(
+      (10L, "The quick brown fox jumps over the lazy dog!"),
+      (11L, "distributed query engines shuffle hash partitions across workers"),
+      (12L, "completely unrelated payload about sorting networks"),
+      (13L, "ab"),
+      (14L, "another unrelated doc discussing b-tree page splits"),
+      (15L, "七言绝句平仄格律对仗工整"))).toDF("doc_id", "text")
+    val exact = TextOps.semanticDecontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val lsh = TextOps.semanticDecontaminateLsh(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(exact.nonEmpty, "fixture must exercise the flagged branch")
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    // and with a skinnier banding the candidate stream still verifies
+    // exactly (fewer bands may MISS pairs, never add spurious ones)
+    val skinny = TextOps.semanticDecontaminateLsh(corpus, bench,
+      bands = 4, planes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(skinny.forall { case (id, n) =>
+      exact.exists { case (eid, en) => eid == id && n <= en } },
+      s"skinny banding must stay a subset: $skinny vs $exact")
+  }
+
   test("gram-similar docs rank closer than unrelated ones (retrieval sanity)") {
     val base = "distributed query engines shuffle hash partitions across executors"
     val near = "distributed query engines shuffle hash partitions across workers"

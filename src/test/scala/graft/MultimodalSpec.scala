@@ -1082,6 +1082,60 @@ class MultimodalSpec extends AnyFunSuite {
         s"$tag: cached-SPI transcode must equal the AudioSystem bytes")
   }
 
+  test("openAudioStream (round-17): cached-SPI provider set covers every " +
+    "fixture AudioSystem itself accepts, with identical format and bytes") {
+    // the provider cache is scanned once per JVM (merged across the
+    // interface/context/system classloaders); this pins its COVERAGE
+    // against an AudioSystem control so a future JDK that moves a
+    // reader behind a different SPI (or a classloader change that hides
+    // one) fails THIS test loudly instead of silently null-dropping
+    // every clip of that format in production (round-16 verdict Next #5)
+    def drain(ais: javax.sound.sampled.AudioInputStream): Array[Byte] =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = ais.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = ais.read(buf) }
+        bos.toByteArray
+      } finally ais.close()
+    val rnd = new scala.util.Random(59)
+    val s = Seq.fill(300)(rnd.nextInt(256))
+    val p8 = wav(s)
+    def derive(c: org.apache.spark.sql.Column): Array[Byte] =
+      Seq(Tuple1(p8)).toDF("payload").select(c.as("p"))
+        .collect().head.getAs[Array[Byte]]("p")
+    val fixtures = Seq(
+      "pcm8" -> p8,
+      "pcm16" -> wav(s.map(v => (v - 128) * 256), bits = 16),
+      "stereo8" -> wav(s.flatMap(v => Seq(v, (v + 64) % 256)), channels = 2),
+      "float32" -> derive(graft.functions.vec.wavToFloat32($"payload")),
+      "aiff" -> derive(graft.functions.vec.wavToAiff($"payload")))
+    for ((tag, p) <- fixtures) {
+      val control =
+        try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p)))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      control match {
+        case None => fail(s"$tag: fixture must be AudioSystem-decodable")
+        case Some(ctrl) =>
+          val cached = graft.functions.VectorRuntime.openAudioStream(p)
+          assert(cached != null,
+            s"$tag: cached SPI set must accept what AudioSystem accepts")
+          val (cf, kf) = (ctrl.getFormat, cached.getFormat)
+          assert(cf.getEncoding == kf.getEncoding &&
+            cf.getSampleRate == kf.getSampleRate &&
+            cf.getChannels == kf.getChannels &&
+            cf.getSampleSizeInBits == kf.getSampleSizeInBits &&
+            cf.isBigEndian == kf.isBigEndian,
+            s"$tag: formats must agree ($cf vs $kf)")
+          assert(java.util.Arrays.equals(drain(ctrl), drain(cached)),
+            s"$tag: decoded frames must be byte-identical")
+      }
+    }
+  }
+
   test("audioToWav normalization (round-16): every accepted container/" +
     "encoding lands in ONE canonical PCM-16 WAV whose fingerprint " +
     "equals the original's BIT-EXACTLY; WAV and AIFF carriers of the " +
