@@ -23,6 +23,34 @@ object Bench {
     */
   private val ControlRefSec = 0.775
 
+  /** The FROZEN canary subset: exactly the 46 queries of the round-1
+    * artifact (`BENCH_r01.json`, total 92.97 s on the round-1 host) —
+    * the registry has since grown 4.5×, so the only raw-total
+    * comparison that measures the ENGINE rather than the registry size
+    * is over this fixed subset. The bench tail reports `canary_total_s`
+    * (sum of the per-query minimums over these names); the contract
+    * (BASELINE.md) is canary_total ≤ 2 × 92.97 s after drift
+    * normalization. Do NOT edit this list — it is the round-1 artifact
+    * verbatim, and its value is that it never changes.
+    */
+  private val CanaryRefSec = 92.966
+  private[graft] val CanaryQueries: Set[String] = Set(
+    "a2_adjacent_pattern", "a2_sequence3", "a3_netflow",
+    "a3_netflow_monitor", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_representatives", "dedup_simhash",
+    "flagship_raw_netflow", "j1_frontier", "j1_frontier_registered",
+    "j1_high_water", "j2_block_align", "j2_flush_events",
+    "j4_ordered_merge", "mm_attach", "mm_features", "mm_frames",
+    "p2_abi_roundtrip", "p2_decode_props", "p3_address_hex",
+    "pipeline_prep", "q14_promo_revenue", "q18_big_orders",
+    "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
+    "q6_forecast_revenue", "q_rollup_revenue", "q_setop_repeat_customers",
+    "q_window_running", "s1_log_scan", "s3_chunked_scan",
+    "s5_hybrid_phases", "sim_neardup_brute", "sim_neardup_lsh",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "text_fingerprint",
+    "text_langid", "text_quality", "text_token_stats",
+    "w1_tumbling_window", "w2_per_block")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -143,7 +171,7 @@ object Bench {
         // failure when EVERY run failed (driver treats the lists as disjoint)
         if (times.isEmpty) failed ::= name
         if (controlAfter(qIdx)) controlSamples ::= controlSample()
-        name -> times.minOption
+        name -> times
       }
     val controlS = controlSamples.min
     val drift =
@@ -168,17 +196,32 @@ object Bench {
             p.info().command().map[Boolean](_.contains("java")).orElse(false)
         }.count()
       } catch { case _: Throwable => -1L }
-    val succeeded = results.collect { case (k, Some(v)) => k -> v }
+    val succeeded = results.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
     val qs = succeeded.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries are listed in `failed`, never summed into the total
     val total = succeeded.map(_._2).sum
+    // two FULL-RUN totals next to the min-based headline (round-16
+    // verdict Next #6): every query already samples twice, so summing
+    // the first samples and the second samples reconstructs two
+    // complete passes over the registry — the artifact shows both raw
+    // passes plus the per-query-min total, making a one-pass contention
+    // burst diagnosable from the artifact alone (a clean run has all
+    // three within a few percent; min ≤ both by construction)
+    val totalFirst = results.flatMap(_._2.headOption).sum
+    val totalSecond = results.flatMap { case (_, ts) =>
+      ts.drop(1).headOption.orElse(ts.headOption) }.sum
+    // frozen-canary total: the 46 round-1 queries only (CanaryQueries),
+    // so the 2x-of-baseline contract is measured on a FIXED subset that
+    // registry growth cannot inflate (round-16 verdict Next #2)
+    val canary = succeeded.filter { case (k, _) => CanaryQueries(k) }
+    val canaryTotal = canary.map(_._2).sum
     // The large per-query dict goes FIRST and every summary field LAST:
     // the driver's artifact capture keeps the tail of the line, so the
     // headline total / control / drift must sit after the dict or they
     // get truncated out of BENCH_r{N}.json (round-10 verdict Next #1).
-    println(s"""{"queries":$qs,"failed":$fs,"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${succeeded.size},"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"competing_jvms":$competingJvms,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"failed":$fs,"metric":"total","value":$total,"unit":"sec","total_s":$total,"total_first_s":$totalFirst,"total_second_s":$totalSecond,"canary_total_s":$canaryTotal,"canary_n":${canary.size},"canary_ref_s":$CanaryRefSec,"n_queries":${succeeded.size},"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"competing_jvms":$competingJvms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -145,6 +145,17 @@ class HardeningSpec extends AnyFunSuite {
       "profileApprox must not plan an Expand")
   }
 
+  test("bench canary: all 46 frozen round-1 query names still exist") {
+    // the 2x performance contract is measured on Bench.CanaryQueries
+    // (the BENCH_r01.json list verbatim — BASELINE.md "normalization
+    // policy"); a rename or removal would silently shrink the canary
+    // total, so pin membership here
+    val missing = Bench.CanaryQueries -- SparkEntry.queries.keySet
+    assert(Bench.CanaryQueries.size == 46,
+      s"canary list must stay the round-1 artifact: ${Bench.CanaryQueries.size}")
+    assert(missing.isEmpty, s"canary queries missing from registry: $missing")
+  }
+
   test("plan guards: shuffle-exchange counts hold their ceilings") {
     // every groupBy/join/distinct is a shuffle at 100 TB — the headline
     // plans are all single-shuffle (two-phase agg, broadcast dims) or
