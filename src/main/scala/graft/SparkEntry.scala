@@ -203,22 +203,33 @@ object SparkEntry {
   /** The corpus-build selection chain (`pipeline_corpus_build`'s
     * operator composition, and ScaleProbe's `corpus_build_raw` scale
     * row — one definition): exact dedup (min-id winners) → benchmark
-    * decontamination (mod-97 eval split, 3-grams) → quality gate ≥ 0.5
-    * + language ID → `(doc_id, pred_lang, n_tokens)`. One lang+quality
-    * pass and one token-stats pass, both over post-decon survivors
-    * only.
+    * decontamination (mod-97 eval split, 3-grams) → SEMANTIC
+    * decontamination over the in-engine hashed embeddings (round-17:
+    * the LSH-prescreened tier, cos ≥ 4/5 against the same eval split —
+    * the full text→vector→flag loop with no external model, catching
+    * paraphrased leakage the exact-gram stage misses) → quality gate
+    * ≥ 0.5 + language ID → `(doc_id, pred_lang, n_tokens)`. The
+    * semantic stage runs over post-gram-decon SURVIVORS only (docs the
+    * gram stage already dropped never embed), as do the lang+quality
+    * and token-stats passes.
     */
   private[graft] def corpusBuildSelected(docs: DataFrame): DataFrame = {
     val winners = graft.operators.Dedup.exact(docs)
       .select(col("keep_id").as("doc_id"))
     val corpus = docs.join(winners, Seq("doc_id"), "left_semi")
       .filter(col("doc_id") % 97 =!= 0)
+    val evalSplit = docs.filter(col("doc_id") % 97 === 0)
     val deconned = graft.operators.Dedup.decontaminate(corpus,
-      docs.filter(col("doc_id") % 97 === 0), n = 3)
-    graft.operators.TextOps.langQuality(deconned)
+      evalSplit, n = 3)
+    val semFlagged = graft.operators.TextOps
+      .semanticDecontaminateLsh(deconned, evalSplit)
+      .select(col("doc_id"))
+    val selected =
+      deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
+    graft.operators.TextOps.langQuality(selected)
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), col("pred_lang"))
-      .join(graft.operators.TextOps.tokenStats(deconned)
+      .join(graft.operators.TextOps.tokenStats(selected)
         .select(col("doc_id"), col("n_ws_tokens").as("n_tokens")),
         Seq("doc_id"))
   }
@@ -239,9 +250,14 @@ object SparkEntry {
     * exercised end to end. Normalization is bit-preserving in the
     * fingerprint domain (the round-16 `mm_audio_normalize*` and
     * round-15 `mm_image_normalize` gates), so pairs, clusters, and the
-    * manifest are IDENTICAL to the canonical-fixture run and the
-    * oracle is unchanged. Per-kind pair sets union into ONE cluster
-    * resolution ∩ the lang/quality gate
+    * manifest are IDENTICAL to the canonical-fixture run. Per-kind
+    * pair sets union into ONE cluster resolution ∩ the lang/quality
+    * gate ∩ (round-17) the SEMANTIC decontamination gate: the mod-97
+    * eval split (by ORIGINAL id — a re-id'd duplicate carries its
+    * source doc's verdict) is excluded and every doc whose hashed-
+    * embedding cosine reaches 4/5 against any eval doc is dropped via
+    * the LSH-prescreened tier — the text→vector→flag loop running
+    * inside the multimodal build
     * → `(doc_id, kind, pred_lang, n_tokens)`.
     */
   private[graft] def corpusBuildMmSelected(docs: DataFrame): DataFrame = {
@@ -283,7 +299,20 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"))
     val tokens = graft.operators.TextOps.tokenStats(base)
       .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
+    // semantic decon by ORIGINAL id (a re-id'd dup shares its source
+    // text, hence its flag): LSH-prescreened embed flags against the
+    // mod-97 eval split, computed once over the original docs
+    val semFlagged = graft.operators.TextOps.semanticDecontaminateLsh(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("orig_id"))
+    val origId =
+      when(col("doc_id") >= m, col("doc_id") - m).otherwise(col("doc_id"))
     media.select(col("doc_id"), col("kind"))
+      .withColumn("orig_id", origId)
+      .filter(col("orig_id") % 97 =!= 0)
+      .join(broadcast(semFlagged), Seq("orig_id"), "left_anti")
+      .drop("orig_id")
       .join(textWinners, Seq("doc_id"), "left_semi")
       .join(mediaReps.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(quality, Seq("doc_id"))
@@ -4385,27 +4414,51 @@ object SparkEntry {
     * `mix mod 64`, sign from `(mix ÷ 64)` parity — every step exact
     * int64 on both engines. Terminal CTE `e` = (doc_id, dim, wt).
     */
-  private def hashEmbedCtes(docFilter: String): String =
-    s"""t AS (
+  private def hashEmbedCtes(docFilter: String, p: String = ""): String =
+    s"""${p}t AS (
          SELECT doc_id,
            list_transform(string_split(lower(text), ''),
              c -> CAST(ascii(c) AS BIGINT)) AS cps
          FROM documents WHERE $docFilter),
-       g AS (
+       ${p}g AS (
          SELECT doc_id, unnest(generate_series(1, len(cps) - 2)) AS i, cps
-         FROM t WHERE len(cps) >= 3),
-       hh AS (
+         FROM ${p}t WHERE len(cps) >= 3),
+       ${p}hh AS (
          SELECT doc_id,
            ((cps[i] * 4294967296 + cps[i + 1] * 65536 + cps[i + 2]) * 31 + 7)
              % 1000003 AS mix
-         FROM g),
-       sl AS (
+         FROM ${p}g),
+       ${p}sl AS (
          SELECT doc_id, mix % 64 AS dim,
            CASE WHEN (mix // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
-         FROM hh),
-       e AS (
+         FROM ${p}hh),
+       ${p}e AS (
          SELECT doc_id, dim, sum(s) AS wt
-         FROM sl GROUP BY doc_id, dim HAVING sum(s) <> 0)"""
+         FROM ${p}sl GROUP BY doc_id, dim HAVING sum(s) <> 0)"""
+
+  /** The semantic-flag CTE chain shared by both corpus-build capstone
+    * oracles: prefixed embed replay over ALL documents + the
+    * integer-cosine threshold (cos ≥ 4/5, HUGEINT products) of every
+    * non-eval doc against the mod-97 eval split. Terminal CTE
+    * `${p}sem` = (doc_id) of semantically-flagged docs. Computed over
+    * the FULL corpus; the capstones intersect with their own kept sets,
+    * which equals the Spark side's flag-after-gram-decon order (the
+    * per-pair predicate doesn't depend on corpus membership).
+    */
+  private def semFlagCtes(p: String): String =
+    s"""${hashEmbedCtes("TRUE", p)},
+       ${p}nn AS (SELECT doc_id, sum(wt * wt) AS nrm FROM ${p}e
+                  GROUP BY doc_id),
+       ${p}sem AS (
+         SELECT DISTINCT c.doc_id
+         FROM ${p}e c JOIN ${p}e q USING (dim)
+         JOIN ${p}nn n1 ON n1.doc_id = c.doc_id
+         JOIN ${p}nn n2 ON n2.doc_id = q.doc_id
+         WHERE c.doc_id % 97 <> 0 AND q.doc_id % 97 = 0
+         GROUP BY c.doc_id, q.doc_id, n1.nrm, n2.nrm
+         HAVING sum(c.wt * q.wt) > 0
+           AND CAST(sum(c.wt * q.wt) AS HUGEINT) * sum(c.wt * q.wt) * 25
+             >= 16 * CAST(n1.nrm AS HUGEINT) * n2.nrm)"""
 
   /** Exact semantic-decon replay, shared verbatim by `decon_semantic`
     * and `decon_semantic_lsh` (the LSH tier's contract is flagged-set
@@ -5158,8 +5211,10 @@ object SparkEntry {
          FROM kept JOIN (SELECT doc_id FROM l5 WHERE doc_id = cl) USING (doc_id)""",
 
     // composite build: replay the full chain — exact-dedup winners,
-    // mod-97 gram decon, quality cut, language ID — then the per-lang
-    // manifest; the written-artifact/replay equality is asserted in Spark
+    // mod-97 gram decon, SEMANTIC decon (hashed-embedding cosine ≥ 4/5
+    // vs the eval split, HUGEINT-exact — the h-prefixed CTE chain),
+    // quality cut, language ID — then the per-lang manifest; the
+    // written-artifact/replay equality is asserted in Spark
     "pipeline_corpus_build" ->
       s"""WITH win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
@@ -5167,8 +5222,10 @@ object SparkEntry {
                FROM w, unnest(generate_series(1, len(ws)-2)) AS t(i)),
          bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
          bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 97 != 0),
+         ${semFlagCtes("h")},
          kept AS (SELECT doc_id FROM win
-                  WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+                  WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+                    AND doc_id NOT IN (SELECT doc_id FROM hsem)),
          v AS ($LangVotesCte),
          lang AS (SELECT doc_id, $LangCaseSql AS pred_lang FROM v),
          q AS (SELECT doc_id, $QualitySql AS quality FROM documents),
@@ -5197,9 +5254,10 @@ object SparkEntry {
          q AS (SELECT doc_id, $QualitySql AS quality FROM documents),
          tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
                  FROM documents),
+         ${semFlagCtes("h")},
          battr AS (
-           SELECT b.doc_id, b.doc_id % 3 AS residue, lang.pred_lang,
-             q.quality, tok.n_tokens
+           SELECT b.doc_id, b.doc_id % 3 AS residue, lang.doc_id AS orig_id,
+             lang.pred_lang, q.quality, tok.n_tokens
            FROM base b
            JOIN lang ON lang.doc_id =
              CASE WHEN b.doc_id >= (SELECT m FROM mx)
@@ -5209,6 +5267,8 @@ object SparkEntry {
          sel AS (
            SELECT doc_id, residue, pred_lang, n_tokens FROM battr
            WHERE quality >= 0.5
+             AND orig_id % 97 <> 0
+             AND orig_id NOT IN (SELECT doc_id FROM hsem)
              AND doc_id IN (SELECT doc_id FROM win)
              AND doc_id IN (SELECT doc_id FROM mrep))
          SELECT (['image','audio','video'])[CAST(residue + 1 AS INT)] AS kind,

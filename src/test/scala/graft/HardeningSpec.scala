@@ -202,8 +202,11 @@ class HardeningSpec extends AnyFunSuite {
       // agg + three per-kind pair joins (cap window + join + dedup ride
       // the persisted media subtree) + cluster resolution + quality/
       // token joins + the manifest groupBy — the composition is
-      // deliberately the whole multimodal family in one plan
-      "pipeline_corpus_build_mm" -> 11,
+      // deliberately the whole multimodal family in one plan. Round 17
+      // adds the semantic-decon stage (+4: LSH pair dedup, match-count
+      // agg, and the flag subplan's two agg-side exchanges; the
+      // anti-join itself is broadcast)
+      "pipeline_corpus_build_mm" -> 15,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
