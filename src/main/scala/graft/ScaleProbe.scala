@@ -301,6 +301,46 @@ object ScaleProbe {
         require(total > 0, "mm_dhash_jpeg_recall: empty image corpus")
         recalls("mm_dhash_jpeg_recall") = found.toDouble / total
         found },
+      time("mm_image_norm_mixed") {
+        // mixed GRAY containers through normalize-once (round-17 —
+        // mm_audio_norm_served's image twin, VERDICT r16 Next #4): the
+        // SAME gray pixels arrive as raw P5, as a true TYPE_BYTE_GRAY
+        // PNG (the round-16 raw-raster decode fix, exercised by a real
+        // gray container at scale), and as a maxval-85 P5 (the
+        // round-16 rescale fix), legs by doc residue. Normalized
+        // payloads must be BYTE-IDENTICAL to the all-canonical run
+        // (recall records the match rate; byte identity ⇒ identical
+        // near-dup pairs, since dHash reads only the payload), then
+        // the row times the near-dup pass over the normalized mixed
+        // corpus. Base pixels are the maxval-85 quantization rescaled
+        // back, so the maxval leg's round trip is exact (85 · 3 = 255).
+        import org.apache.spark.sql.functions.{col, when}
+        val v = graft.functions.vec
+        val m85seed = graft.operators.Multimodal.attachPgmImages(docs)
+          .select(col("doc_id"), col("kind"),
+            v.pgmRescale(col("payload"), 85).as("payload"))
+        val canon = graft.CacheScope.persist(
+          m85seed.select(col("doc_id"), col("kind"),
+            v.pgmRescale(col("payload"), 255).as("payload")))
+        val leg = (col("doc_id") / 3) % 3
+        val mixed = canon.select(col("doc_id"), col("kind"),
+          when(leg === 0, col("payload"))
+            .when(leg === 1, v.pgmToGrayPng(col("payload")))
+            .otherwise(v.pgmRescale(col("payload"), 85)).as("payload"))
+        val normMixed = graft.CacheScope.persist(
+          graft.operators.Multimodal.normalizeImages(mixed))
+        val normCanon = graft.operators.Multimodal.normalizeImages(canon)
+        val total = canon.count()
+        require(total > 0, "mm_image_norm_mixed: empty image corpus")
+        val matched = normMixed.as("a")
+          .join(normCanon.as("b"), Seq("doc_id"))
+          .filter(col("a.payload") === col("b.payload")).count()
+        recalls("mm_image_norm_mixed") = matched.toDouble / total
+        require(matched == total && normMixed.count() == total,
+          s"mm_image_norm_mixed: $matched/$total normalized payloads " +
+            "match the canonical run — normalization diverged")
+        graft.operators.Multimodal.dHashImageNearDupPairs(normMixed,
+          maxHamming = 6, maxBucketSize = Some(256)).count() },
       time("mm_video_y4m_raw") {
         // real-container decode throughput (round-15): Y4M stream
         // header + FRAME markers + 4:2:0 plane walk, Y plane hashed
@@ -586,6 +626,50 @@ object ScaleProbe {
         })
     }
 
+    // ---- LSH-prescreened semantic decon vs the exact tier under a
+    // LARGE benchmark (~10k docs — a full eval-SUITE union, the regime
+    // where the exact tier's corpus × benchmark dot stream is the last
+    // intentional quadratic on the books; VERDICT r16 Next #1). The
+    // decon_semantic_raw row above keeps the SMALL-benchmark deployment
+    // shape for cross-round comparability; these rows measure the
+    // crossover the LSH tier exists for.
+    val deconLshRuns: Seq[Option[(String, Double, Long)]] = {
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val bigMod = math.max(1L, nDocs / 10000L)
+      def bigBench = docs.filter(col("doc_id") % bigMod === 0)
+      Seq(
+        time("decon_semantic_bigbench_raw") {
+          // exact-tier control at the same benchmark size: one dot per
+          // corpus × benchmark pair — the cost the LSH tier must beat
+          graft.operators.TextOps.semanticDecontaminate(
+            docs, bigBench).count() },
+        time("decon_semantic_lsh_raw") {
+          // candidate generation is O(corpus × bands) hash probes;
+          // the exact integer verify runs only on colliding pairs
+          graft.operators.TextOps.semanticDecontaminateLsh(
+            docs, bigBench).count() },
+        time("decon_semantic_lsh_agree") {
+          // flagged-set agreement at scale (in-row ground truth, the
+          // mm_dhash_jpeg_recall form): full-outer join of both tiers'
+          // outputs; recall = docs with IDENTICAL n_matches / union.
+          // Pays both tiers again by construction — the proof row,
+          // not the throughput row.
+          val ex = graft.operators.TextOps.semanticDecontaminate(
+            docs, bigBench)
+          val ap = graft.operators.TextOps.semanticDecontaminateLsh(
+            docs, bigBench)
+          val r = ex.as("e").join(ap.as("a"), Seq("doc_id"), "full")
+            .agg(count(lit(1)).as("n"),
+              count(when(col("e.n_matches") === col("a.n_matches"), 1))
+                .as("ok")).head
+          val nAll = r.getLong(0); val ok = r.getLong(1)
+          require(nAll > 0,
+            "decon_semantic_lsh_agree: zero flagged docs — degenerate " +
+              "fixture, agreement undefined")
+          recalls("decon_semantic_lsh_agree") = ok.toDouble / nAll
+          nAll })
+    }
+
     // ---- bucketed-layout amortization: what one layout write buys
     // EVERY subsequent fact⋈fact join. Opt-in by EXPLICIT tag only
     // (lineitem.parquet exists in the ordinary bench fixtures too — an
@@ -649,7 +733,8 @@ object ScaleProbe {
         }
       }
 
-    val ran = (runs ++ recallRuns ++ textEmbedRuns ++ bktRuns).flatten
+    val ran =
+      (runs ++ recallRuns ++ textEmbedRuns ++ deconLshRuns ++ bktRuns).flatten
     // a tag filter matching nothing is a typo, not an empty result —
     // and must not emit the trailing-comma malformed JSON it used to
     require(only.isEmpty || ran.nonEmpty,

@@ -3088,6 +3088,21 @@ object SparkEntry {
         .select(col("doc_id"),
           lower(hex(col("payload"))).as("ppm_hex"))),
 
+    // TRUE gray-PNG normalization (round-17): the P5 fixture pixels
+    // transcoded into a single-band TYPE_BYTE_GRAY PNG in-plan
+    // (pgm_to_gray_png — a REAL gray raster, so the decode takes the
+    // raw-raster-samples path, not getRGB's linear-gray→sRGB transform)
+    // must normalize to the IDENTICAL canonical P6 the raw P5 does;
+    // the shared byte-exact oracle replays every tripled luma byte
+    "mm_gray_png_normalize" -> ((s, dir) =>
+      Multimodal.normalizeImages(
+          Multimodal.attachPgmImages(table(s, dir, "documents"))
+            .select(col("doc_id"), col("kind"),
+              graft.functions.vec.pgmToGrayPng(col("payload"))
+                .as("payload")))
+        .select(col("doc_id"),
+          lower(hex(col("payload"))).as("ppm_hex"))),
+
     // REAL resize transcode (round-14, closes the mm_resize
     // metadata-only seam): decode the fixture PPMs (12×10), integer
     // box-resize to 6×5 per RGB channel, re-encode canonical P6 — all
@@ -4459,6 +4474,29 @@ object SparkEntry {
          HAVING sum(c.wt * q.wt) > 0
            AND CAST(sum(c.wt * q.wt) AS HUGEINT) * sum(c.wt * q.wt) * 25
              >= 16 * CAST(n1.nrm AS HUGEINT) * n2.nrm)"""
+
+  /** Byte-exact P5 → canonical-P6 gray-embedding replay, shared by
+    * `mm_pgm_normalize` and `mm_gray_png_normalize`: the gray PNG
+    * carries the exact P5 pixels, so both normalize to identical bytes
+    * and one oracle serves both.
+    */
+  private val PgmNormalizeOracleSql: String =
+    """WITH img AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       b AS (
+         SELECT doc_id,
+           substr(sha256(text||'#gy0')||sha256(text||'#gy1')
+             ||sha256(text||'#gy2')||sha256(text||'#gy3'), 1, 240)
+             AS bh
+         FROM img),
+       px AS (
+         SELECT doc_id, i, repeat(substr(bh, 2*i+1, 2), 3) AS hex3
+         FROM b, unnest(range(120)) AS t(i)),
+       body AS (
+         SELECT doc_id, string_agg(hex3, '' ORDER BY i) AS hex
+         FROM px GROUP BY doc_id)
+       SELECT doc_id, '50360a31322031300a3235350a' || hex AS ppm_hex
+       FROM body"""
 
   /** Exact semantic-decon replay, shared verbatim by `decon_semantic`
     * and `decon_semantic_lsh` (the LSH tier's contract is flagged-set
@@ -6175,23 +6213,14 @@ object SparkEntry {
     // triples into R=G=B (the lossless gray embedding), so the oracle
     // re-derives every output byte from the sha recipe and repeats its
     // hex pair three times in order
-    "mm_pgm_normalize" ->
-      """WITH img AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-         b AS (
-           SELECT doc_id,
-             substr(sha256(text||'#gy0')||sha256(text||'#gy1')
-               ||sha256(text||'#gy2')||sha256(text||'#gy3'), 1, 240)
-               AS bh
-           FROM img),
-         px AS (
-           SELECT doc_id, i, repeat(substr(bh, 2*i+1, 2), 3) AS hex3
-           FROM b, unnest(range(120)) AS t(i)),
-         body AS (
-           SELECT doc_id, string_agg(hex3, '' ORDER BY i) AS hex
-           FROM px GROUP BY doc_id)
-         SELECT doc_id, '50360a31322031300a3235350a' || hex AS ppm_hex
-         FROM body""",
+    "mm_pgm_normalize" -> PgmNormalizeOracleSql,
+
+    // the TRUE-GRAY-PNG carrier (round-17): the same P5 pixels inside
+    // a single-band TYPE_BYTE_GRAY PNG must normalize to the IDENTICAL
+    // canonical P6 bytes — the gray-raster decode path (raw raster
+    // samples, not getRGB's gray→sRGB transform; the round-16 fix)
+    // pinned by the byte-exact replay, so the oracle is shared verbatim
+    "mm_gray_png_normalize" -> PgmNormalizeOracleSql,
 
     // byte-exact normalization replay: PNG → canonical P6 must equal
     // the original fixture bytes — header hex "P6\n12 10\n255\n" +

@@ -628,6 +628,78 @@ object VectorRuntime {
     } catch { case _: Exception => null }
   }
 
+  /** Transcode a GRAYSCALE netpbm payload to a true single-band
+    * grayscale PNG (`TYPE_BYTE_GRAY` raster — round-17): the fixture
+    * leg that exercises the gray-raster decode path (raw raster
+    * samples, NOT `getRGB`'s linear-gray→sRGB transform — the
+    * round-16 fix) with a REAL gray container at scale. Accepts P5
+    * directly and P6 whose pixels are all R=G=B (the lossless gray
+    * embedding [[imageToPpm]] emits for P5); a P6 with any non-gray
+    * pixel returns null — refusing is better than a silent lossy
+    * luma conversion this transcode's name doesn't promise.
+    * Non-canonical maxval rescales through the normalizer first
+    * (netpbm maxval semantics). Deterministic within a JVM; no
+    * relational oracle replays PNG bytes, only pixel-derived facts.
+    */
+  def pgmToGrayPng(payload: Array[Byte]): Array[Byte] = {
+    if (payload == null) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd == null) return null
+    if (hd(4) != 255) return pgmToGrayPng(imageToPpm(payload))
+    val w = hd(0); val h = hd(1); val pos = hd(2); val ch = hd(3)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      val p = pos + i * ch
+      val v = payload(p) & 0xff
+      if (ch == 3 &&
+        ((payload(p + 1) & 0xff) != v || (payload(p + 2) & 0xff) != v))
+        return null
+      raster.setSample(i % w, i / w, 0, v)
+      i += 1
+    }
+    val noCache = imageIoMemOnly
+    if (!noCache) return null // unreachable; forces the lazy init
+    val bos = new java.io.ByteArrayOutputStream(64 + w * h)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "png", bos)) null
+      else bos.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  /** Re-emit a P5 grayscale payload under a different maxval
+    * (round-17): sample values rescale by `newMaxval/maxval`
+    * (round-half-up — the same rounding [[imageToPpm]] uses for its
+    * 255/maxval rescale, so `pgmRescale(pgmRescale(p, m), 255)` and
+    * the normalizer agree bit for bit). The fixture leg for
+    * maxval < 255 corpora: rescaling a canonical payload DOWN
+    * quantizes (values collapse to the coarser scale — information
+    * loss is the point of the fixture), and the round trip
+    * 255 → m → 255 is then EXACT because every m-scale value maps
+    * back to a multiple of 255/m when it divides. P5 only (the gray
+    * domain this exists for); null for anything else.
+    */
+  def pgmRescale(payload: Array[Byte], newMaxval: Int): Array[Byte] = {
+    if (payload == null || newMaxval < 1 || newMaxval > 255) return null
+    val hd = ppmHeader(payload, 0)
+    if (hd == null || hd(3) != 1) return null
+    val w = hd(0); val h = hd(1); val pos = hd(2); val oldMax = hd(4)
+    val header = s"P5\n$w $h\n$newMaxval\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) {
+      val v = payload(pos + i) & 0xff
+      // round-half-up rescale in pure integer arithmetic
+      out(header.length + i) =
+        ((v * newMaxval * 2 + oldMax) / (oldMax * 2)).toByte
+      i += 1
+    }
+    out
+  }
+
   @inline private def isWsB(c: Int): Boolean = c == ' ' || c == '\t' ||
     c == '\n' || c == '\r' || c == 0x0b || c == 0x0c
 
@@ -2338,6 +2410,55 @@ case class PpmToJpeg(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `pgm_to_gray_png(binary) → binary` — grayscale netpbm →
+  * single-band `TYPE_BYTE_GRAY` PNG (see
+  * [[VectorRuntime.pgmToGrayPng]]): the in-plan fixture leg for the
+  * gray-raster decode path. Nullable: null for non-gray payloads.
+  */
+case class PgmToGrayPng(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pgm_to_gray_png"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.pgmToGrayPng(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.pgmToGrayPng($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PgmToGrayPng =
+    copy(child = newChild)
+}
+
+/** `pgm_rescale(binary, newMaxval) → binary` — P5 re-emitted under a
+  * different maxval, samples rescaled round-half-up (see
+  * [[VectorRuntime.pgmRescale]]): the in-plan fixture leg for
+  * maxval < 255 corpora. Nullable: null for non-P5 payloads.
+  */
+case class PgmRescale(child: Expression, newMaxval: Int)
+    extends UnaryExpression {
+  require(newMaxval >= 1 && newMaxval <= 255,
+    s"pgm_rescale: need 1 <= newMaxval <= 255, got $newMaxval")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pgm_rescale"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.pgmRescale(input.asInstanceOf[Array[Byte]], newMaxval)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorRuntime.pgmRescale($c, $newMaxval);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PgmRescale =
+    copy(child = newChild)
+}
+
 /** `video_frame_dhashes(binary, maxFrames) → array<long>` — per-frame
   * 64-bit dHashes of a video payload, container-routed by magic bytes
   * (Y4M or concatenated PPM), up to `maxFrames` evenly sampled (see
@@ -2857,6 +2978,10 @@ object vec {
     wrap(PpmResize(ex(payload), outW, outH))
   def ppmToPng(payload: Column): Column = wrap(PpmToPng(ex(payload)))
   def ppmToJpeg(payload: Column): Column = wrap(PpmToJpeg(ex(payload)))
+  def pgmToGrayPng(payload: Column): Column =
+    wrap(PgmToGrayPng(ex(payload)))
+  def pgmRescale(payload: Column, newMaxval: Int): Column =
+    wrap(PgmRescale(ex(payload), newMaxval))
   def imageStats(payload: Column): Column = wrap(ImageStats(ex(payload)))
   def imageToPpm(payload: Column): Column = wrap(ImageToPpm(ex(payload)))
   def videoFrameDHashes(payload: Column, maxFrames: Int): Column =

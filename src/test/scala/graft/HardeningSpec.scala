@@ -273,6 +273,8 @@ class HardeningSpec extends AnyFunSuite {
       "mm_image_normalize" -> 0,
       // P5 → gray-P6 embedding is the same single projection
       "mm_pgm_normalize" -> 0,
+      // P5 → gray PNG → canonical P6 still rides one projection
+      "mm_gray_png_normalize" -> 0,
       // real-format gate: TWO pair joins by design (the PNG leg and
       // the PPM leg it must equal — cap window + join side + pair
       // dedup each) + the set-equality union agg + identity join and

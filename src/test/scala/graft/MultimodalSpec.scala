@@ -554,6 +554,60 @@ class MultimodalSpec extends AnyFunSuite {
       "16-bit gray PNG of the replicated plane must hash like the 8-bit PGM")
   }
 
+  test("pgmToGrayPng / pgmRescale (round-17): in-plan gray-PNG and " +
+    "maxval-rescale fixture legs — true gray raster, exact round trips, " +
+    "non-gray and torn payloads refuse") {
+    val w = 16; val h = 12
+    val yBytes = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val pgm = s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ yBytes
+    def one(c: org.apache.spark.sql.Column, p: Array[Byte]): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(p)).toDF("payload").select(c.as("o")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    val v = graft.functions.vec
+    // the PNG must carry a REAL single-band gray raster (the container
+    // that exercises the round-16 raw-raster decode path)
+    val gp = one(v.pgmToGrayPng($"payload"), pgm).get
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gp))
+    assert(decoded.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      s"must encode TYPE_BYTE_GRAY, got ${decoded.getType}")
+    // ...and normalize to the exact gray-embedded P6 the raw P5 yields
+    assert(one(v.imageToPpm($"payload"), gp).get.sameElements(
+      one(v.imageToPpm($"payload"), pgm).get),
+      "gray PNG must normalize to the P5's canonical bytes")
+    // the gray-embedded P6 (R=G=B) is accepted; a COLOR P6 refuses
+    // (no silent luma conversion)
+    val grayP6 = one(v.imageToPpm($"payload"), pgm).get
+    assert(one(v.pgmToGrayPng($"payload"), grayP6).isDefined)
+    val colorP6 = ppm(4, 4, (x, y) => ((x * 40) % 256, (y * 40) % 256, 7))
+    assert(one(v.pgmToGrayPng($"payload"), colorP6).isEmpty,
+      "non-gray P6 must refuse, not luma-convert")
+    assert(one(v.pgmToGrayPng($"payload"), pgm.dropRight(3)).isEmpty,
+      "torn payload must null-drop")
+    // rescale: 255 → 85 quantizes to v' = rhu(v/3); back to 255 is
+    // EXACTLY 3·v' (85·3 = 255 — no rounding on the way up), and the
+    // normalizer agrees with the round trip bit for bit
+    val m85 = one(v.pgmRescale($"payload", 85), pgm).get
+    val hdrLen = "P5\n16 12\n85\n".length
+    assert(new String(m85.take(hdrLen), "US-ASCII") == "P5\n16 12\n85\n")
+    for (i <- 0 until w * h) {
+      val src = yBytes(i) & 0xff
+      assert((m85(hdrLen + i) & 0xff) == (src * 85 * 2 + 255) / (255 * 2),
+        s"round-half-up rescale wrong at $i")
+    }
+    val back = one(v.pgmRescale($"payload", 255), m85).get
+    for (i <- 0 until w * h)
+      assert((back("P5\n16 12\n255\n".length + i) & 0xff)
+        == 3 * (m85(hdrLen + i) & 0xff), "85 → 255 must be exactly 3x")
+    assert(one(v.imageToPpm($"payload"), m85).get.sameElements(
+      one(v.imageToPpm($"payload"), back).get),
+      "normalizer must agree with the explicit round trip")
+    // P6 is outside pgmRescale's domain; torn P5 refuses
+    assert(one(v.pgmRescale($"payload", 85), colorP6).isEmpty)
+    assert(one(v.pgmRescale($"payload", 85), pgm.dropRight(1)).isEmpty)
+  }
+
   test("netpbm maxval semantics (round-16, ADVICE r15 #3): maxval < 255 " +
     "rescales by 255/maxval — normalization is value-preserving, " +
     "hash/stats/resize agree with the rescaled canonical") {
