@@ -626,13 +626,13 @@ object ScaleProbe {
         })
     }
 
-    // ---- LSH-prescreened semantic decon vs the exact tier under a
+    // ---- IVF-prescreened semantic decon vs the exact tier under a
     // LARGE benchmark (~10k docs — a full eval-SUITE union, the regime
     // where the exact tier's corpus × benchmark dot stream is the last
     // intentional quadratic on the books; VERDICT r16 Next #1). The
     // decon_semantic_raw row above keeps the SMALL-benchmark deployment
     // shape for cross-round comparability; these rows measure the
-    // crossover the LSH tier exists for.
+    // crossover the prescreened tier exists for.
     val deconLshRuns: Seq[Option[(String, Double, Long)]] = {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       val bigMod = math.max(1L, nDocs / 10000L)
@@ -640,15 +640,16 @@ object ScaleProbe {
       Seq(
         time("decon_semantic_bigbench_raw") {
           // exact-tier control at the same benchmark size: one dot per
-          // corpus × benchmark pair — the cost the LSH tier must beat
+          // corpus × benchmark pair — the cost the prescreened tier must beat
           graft.operators.TextOps.semanticDecontaminate(
             docs, bigBench).count() },
-        time("decon_semantic_lsh_raw") {
-          // candidate generation is O(corpus × bands) hash probes;
-          // the exact integer verify runs only on colliding pairs
-          graft.operators.TextOps.semanticDecontaminateLsh(
+        time("decon_semantic_ivf_raw") {
+          // one row-local assignment + one broadcast probe per corpus
+          // row; the exact integer verify runs only on ball-cover
+          // candidates (output-sensitive — see the operator doc)
+          graft.operators.TextOps.semanticDecontaminateIvf(
             docs, bigBench).count() },
-        time("decon_semantic_lsh_agree") {
+        time("decon_semantic_ivf_agree") {
           // flagged-set agreement at scale (in-row ground truth, the
           // mm_dhash_jpeg_recall form): full-outer join of both tiers'
           // outputs; recall = docs with IDENTICAL n_matches / union.
@@ -656,7 +657,7 @@ object ScaleProbe {
           // not the throughput row.
           val ex = graft.operators.TextOps.semanticDecontaminate(
             docs, bigBench)
-          val ap = graft.operators.TextOps.semanticDecontaminateLsh(
+          val ap = graft.operators.TextOps.semanticDecontaminateIvf(
             docs, bigBench)
           val r = ex.as("e").join(ap.as("a"), Seq("doc_id"), "full")
             .agg(count(lit(1)).as("n"),
@@ -664,9 +665,9 @@ object ScaleProbe {
                 .as("ok")).head
           val nAll = r.getLong(0); val ok = r.getLong(1)
           require(nAll > 0,
-            "decon_semantic_lsh_agree: zero flagged docs — degenerate " +
+            "decon_semantic_ivf_agree: zero flagged docs — degenerate " +
               "fixture, agreement undefined")
-          recalls("decon_semantic_lsh_agree") = ok.toDouble / nAll
+          recalls("decon_semantic_ivf_agree") = ok.toDouble / nAll
           nAll })
     }
 

@@ -205,7 +205,7 @@ object SparkEntry {
     * row — one definition): exact dedup (min-id winners) → benchmark
     * decontamination (mod-97 eval split, 3-grams) → SEMANTIC
     * decontamination over the in-engine hashed embeddings (round-17:
-    * the LSH-prescreened tier, cos ≥ 4/5 against the same eval split —
+    * the IVF-prescreened tier, cos ≥ 4/5 against the same eval split —
     * the full text→vector→flag loop with no external model, catching
     * paraphrased leakage the exact-gram stage misses) → quality gate
     * ≥ 0.5 + language ID → `(doc_id, pred_lang, n_tokens)`. The
@@ -222,7 +222,7 @@ object SparkEntry {
     val deconned = graft.operators.Dedup.decontaminate(corpus,
       evalSplit, n = 3)
     val semFlagged = graft.operators.TextOps
-      .semanticDecontaminateLsh(deconned, evalSplit)
+      .semanticDecontaminateIvf(deconned, evalSplit)
       .select(col("doc_id"))
     val selected =
       deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
@@ -256,7 +256,7 @@ object SparkEntry {
     * eval split (by ORIGINAL id — a re-id'd duplicate carries its
     * source doc's verdict) is excluded and every doc whose hashed-
     * embedding cosine reaches 4/5 against any eval doc is dropped via
-    * the LSH-prescreened tier — the text→vector→flag loop running
+    * the IVF-prescreened tier — the text→vector→flag loop running
     * inside the multimodal build
     * → `(doc_id, kind, pred_lang, n_tokens)`.
     */
@@ -300,9 +300,9 @@ object SparkEntry {
     val tokens = graft.operators.TextOps.tokenStats(base)
       .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
     // semantic decon by ORIGINAL id (a re-id'd dup shares its source
-    // text, hence its flag): LSH-prescreened embed flags against the
+    // text, hence its flag): IVF-prescreened embed flags against the
     // mod-97 eval split, computed once over the original docs
-    val semFlagged = graft.operators.TextOps.semanticDecontaminateLsh(
+    val semFlagged = graft.operators.TextOps.semanticDecontaminateIvf(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("orig_id"))
@@ -2461,19 +2461,25 @@ object SparkEntry {
         benchmark = docs.filter(col("doc_id") % 491 === 0))
     }),
 
-    // The LSH-prescreened tier over the SAME subsamples: hyperplane
-    // sign-banding (24 bands × 4 planes) generates candidate pairs,
-    // the exact integer-cosine predicate verifies survivors — so
-    // precision is 1 by construction and the oracle is the SAME exact
-    // replay as decon_semantic: a single banding miss fails the hash
-    // match loudly. This is the 100 TB shape when the benchmark side
-    // outgrows broadcast-NL dots (candidate generation is
-    // O(corpus × bands) hash probes, sublinear in |benchmark|).
-    "decon_semantic_lsh" -> ((s, dir) => {
+    // The IVF-prescreened tier over the SAME subsamples: corpus docs
+    // assign row-locally to a seeded coarse quantizer, benchmark docs
+    // replicate into every list whose angular ball (θ_τ + list radius,
+    // triangle inequality) could hold a match, and the exact
+    // integer-cosine predicate verifies the candidates — recall is a
+    // THEOREM (no true pair can escape the ball cover) and precision
+    // is 1 (same predicate as the exact tier), so the oracle is the
+    // SAME exact replay as decon_semantic and flagged-set equality is
+    // hash-checked. This is the 100 TB shape when the benchmark side
+    // outgrows broadcast-NL dots: candidate generation is one
+    // assignment + one hash probe per corpus row, and the verified
+    // pair stream is output-sensitive (ball occupancy, not
+    // corpus × benchmark).
+    "decon_semantic_ivf" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      TextOps.semanticDecontaminateLsh(
+      TextOps.semanticDecontaminateIvf(
         corpus = docs.filter(col("doc_id") % 7 === 0),
-        benchmark = docs.filter(col("doc_id") % 491 === 0))
+        benchmark = docs.filter(col("doc_id") % 491 === 0),
+        corpusKey = Some(tableKey(s, s"$dir/documents.parquet") + ":semivf"))
     }),
 
     // In-engine hashed text embedding (feature-hashing trick over char
@@ -4499,7 +4505,7 @@ object SparkEntry {
        FROM body"""
 
   /** Exact semantic-decon replay, shared verbatim by `decon_semantic`
-    * and `decon_semantic_lsh` (the LSH tier's contract is flagged-set
+    * and `decon_semantic_ivf` (the prescreened tier's contract is flagged-set
     * EQUALITY to the exact tier, so one oracle serves both).
     */
   private lazy val deconSemanticOracleSql: String =
@@ -5847,12 +5853,12 @@ object SparkEntry {
     // grams (TextOps.cosThresholdPred documents the shared bound)
     "decon_semantic" -> deconSemanticOracleSql,
 
-    // the LSH-prescreened tier flags EXACTLY the exact tier's pair set
-    // (precision 1 by construction — every candidate passes the same
-    // integer predicate; recall pinned by the banding, 24×4 at cos 0.8
-    // misses a pair w.p. ~5e-6) — so the oracle IS the exact replay:
-    // a single missed candidate fails the hash match loudly
-    "decon_semantic_lsh" -> deconSemanticOracleSql,
+    // the IVF-prescreened tier flags EXACTLY the exact tier's pair set
+    // (precision 1 — every candidate passes the same integer predicate;
+    // recall 1 by the triangle-inequality ball cover, not probability)
+    // — so the oracle IS the exact replay: any prescreen bug fails the
+    // hash match loudly
+    "decon_semantic_ivf" -> deconSemanticOracleSql,
 
     // relational half of the text→vector→ANN gate: exact top-k row
     // count (queries × min(candidates, 10)) + the expected verdict —

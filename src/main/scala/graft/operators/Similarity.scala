@@ -229,7 +229,12 @@ object Similarity {
       .select(array_to_vector(
         transform(col(vecCol), x => x.cast("double"))).as("features"))
       .repartition(1).persist()
-    try new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    // k must not exceed the training-point count (Spark 4's block
+    // KMeans aggregator indexes by k and crashes when init yields
+    // fewer centers); never binds under √n auto-sizing — only guards
+    // tiny explicit-nlist corpora
+    val k = math.max(1, math.min(nlist, n.toInt))
+    try new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .fit(train).clusterCenters.map(_.toArray)
     finally train.unpersist(blocking = false)
   }
@@ -252,7 +257,7 @@ object Similarity {
     * job — for the same `corpusKey` (same corpus snapshot) the auto
     * resolution is deterministic, so keying on the request is sound.
     */
-  private def trainCentroidsCached(corpusKey: Option[String], corpus: DataFrame,
+  private[operators] def trainCentroidsCached(corpusKey: Option[String], corpus: DataFrame,
       vecCol: String, nlist: Int, trainSample: Int): Array[Array[Double]] =
     corpusKey match {
       case None =>
@@ -373,7 +378,7 @@ object Similarity {
     * to [[assignClusters]]), then select that cluster's
     * plan-time-exact `‖c‖² − 2·v·c` branch and add `‖v‖²`.
     */
-  private def assignedDistance(df: DataFrame,
+  private[operators] def assignedDistance(df: DataFrame,
       centroids: Array[Array[Double]], idCol: String,
       vecCol: String): DataFrame = {
     val v = col(vecCol)

@@ -669,7 +669,7 @@ object TextOps {
     * corpus side is one row-local embed projection + one broadcast
     * nested-loop with a codegen'd dot per pair — O(corpus × benchmark)
     * dots, never a corpus shuffle. For a HUGE benchmark this is the
-    * exact-verification tier; [[semanticDecontaminateLsh]] is the
+    * exact-verification tier; [[semanticDecontaminateIvf]] is the
     * candidate-generation tier that makes the pair stream sublinear in
     * the benchmark size.
     */
@@ -699,66 +699,108 @@ object TextOps {
       .filter(col("n_matches") > 0)
   }
 
-  /** LSH-prescreened semantic decontamination — the candidate-generation
+  /** IVF-prescreened semantic decontamination — the candidate-generation
     * tier [[semanticDecontaminate]]'s doc promises for HUGE benchmarks.
     * Same contract (flag corpus docs with hashed-embedding cosine ≥ p/q
-    * against any benchmark doc; returns `(idCol, n_matches)`), different
-    * pair stream: instead of one dot per corpus×benchmark pair, each
-    * side is sign-bucketed under `bands` independent groups of `planes`
-    * seeded hyperplanes (row-local — the planes ride as literals), and
-    * only pairs COLLIDING in at least one band reach the exact integer
-    * verify ([[cosThresholdPred]] — precision is therefore exactly 1 by
-    * construction; every flagged pair passes the same predicate as the
-    * exact tier).
+    * against any benchmark doc; returns `(idCol, n_matches)`) and a
+    * THEOREM, not a probability, for recall: the flagged set EQUALS the
+    * exact tier's on every input.
     *
-    * Recall is governed by the banding: a pair at cos = τ agrees on one
-    * sign bit w.p. `1 − arccos(τ)/π` (Goemans–Williamson), so with the
-    * defaults (24 bands × 4 planes) a pair AT the 0.8 threshold is
-    * missed w.p. (1 − 0.795⁴)²⁴ ≈ 5·10⁻⁶, and higher-cosine pairs
-    * (the typical leak) exponentially more rarely. The
-    * `decon_semantic_lsh` query pins flagged-set EQUALITY to the exact
-    * tier on the fixtures via the oracle's exact replay.
+    * Mechanism (metric ball cover over the IVF coarse quantizer):
+    * every corpus doc is assigned row-locally to its nearest of `nlist`
+    * seeded k-means centroids (unit-normalized, so euclidean-nearest =
+    * max-cosine; the compiled [[graft.functions.NearestCentroidsKernel]]
+    * node). One bounded aggregation records each list's angular RADIUS
+    * `r_l` (max angle from an assigned doc to its centroid). A
+    * benchmark doc `e` is then replicated into exactly the lists whose
+    * centroid lies within `θ_τ + r_l` of it (θ_τ = arccos(p/q), plus a
+    * 10⁻⁶ rad float-safety slack — the verdict's "threshold − slack"):
+    * by the triangle inequality, ANY corpus doc within θ_τ of `e` sits
+    * in a list `e` was replicated into, so no true pair can escape the
+    * candidate join. The exact integer verify ([[cosThresholdPred]])
+    * then makes precision 1 — equality to the exact tier holds by
+    * construction at every scale, which is why the `decon_semantic_ivf`
+    * oracle IS the exact tier's replay.
     *
-    * Scale shape at 100 TB: the benchmark explodes ×bands and
-    * broadcasts as a hash table keyed `(band, bucket)`; each corpus row
-    * embeds once, computes its `bands` bucket ids row-locally, and
-    * probes the table `bands` times — candidate generation is
-    * O(corpus × bands) probes instead of O(corpus × |benchmark|) dots,
-    * the win once the benchmark outgrows a few hundred docs. A pair
-    * colliding in several bands costs a few extra dots; the narrow
-    * `(id, eval_id, dt, n1, n2)` rows dedup per pair BEFORE the
-    * threshold count, so multiplicity never inflates `n_matches`. Two
-    * shuffles total (pair dedup + per-doc count); the corpus vectors
+    * Scale shape at 100 TB: the corpus pays one row-local embed +
+    * assignment (nlist·dim mults — under √n auto-sizing that is ~40×
+    * cheaper than a 10k-doc benchmark's dot pass) and ONE broadcast
+    * hash probe per row; each corpus doc lives in exactly one list, so
+    * candidate pairs appear AT MOST ONCE — no pair-dedup shuffle. The
+    * verified pair stream is OUTPUT-SENSITIVE: pairs within
+    * `θ_τ + r_l` of a replicated benchmark doc. On a diverse corpus
+    * (tight clusters, near-orthogonal background) that is a small
+    * fraction; on a corpus whose background cosine already crowds the
+    * threshold no recall-1 method can verify fewer pairs than actually
+    * match — the prescreen degrades gracefully to the exact tier's
+    * cost plus the (cheap) assignment, never worse by more than that.
+    * One shuffle total (the per-doc match count); the corpus vectors
     * never shuffle.
     */
-  def semanticDecontaminateLsh(corpus: DataFrame, benchmark: DataFrame,
+  def semanticDecontaminateIvf(corpus: DataFrame, benchmark: DataFrame,
       cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, dim: Int = 64,
-      bands: Int = 24, planes: Int = 4, seed: Long = 42L): DataFrame = {
+      nlist: Int = 0, trainSample: Int = 20000,
+      corpusKey: Option[String] = None): DataFrame = {
     require(cosP > 0 && cosQ >= cosP,
-      s"semanticDecontaminateLsh: need 0 < p/q <= 1, got $cosP/$cosQ")
-    require(bands > 0 && planes > 0 && planes <= 16,
-      s"semanticDecontaminateLsh: need bands > 0, 0 < planes <= 16")
+      s"semanticDecontaminateIvf: need 0 < p/q <= 1, got $cosP/$cosQ")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
-    // sign buckets depend only on direction, so the raw signed-count
-    // vector feeds the hyperplanes directly — no normalization pass
-    def bucketsOf(v: Column): Column =
-      array((0 until bands).map(b =>
-        Similarity.lshBucket(v, planes, dim, seed = seed + b)): _*)
-    val c = deconSide(corpus, textCol, idCol, n, dim, idCol, "cv", "n1")
-      .select(col(idCol), col("cv"), col("n1"),
-        posexplode(bucketsOf(col("cv"))).as(Seq("band", "bucket")))
-    val e = deconSide(benchmark, textCol, idCol, n, dim, "eval_id", "ev", "n2")
-      .select(col("eval_id"), col("ev"), col("n2"),
-        posexplode(bucketsOf(col("ev"))).as(Seq("band", "bucket")))
-    c.join(broadcast(e), Seq("band", "bucket"))
+    val thetaTau = math.acos(cosP.toDouble / cosQ)
+    def unitOf(v: Column, nrm: Column): Column =
+      transform(v, x => x / sqrt(nrm))
+    val c0 = deconSide(corpus, textCol, idCol, n, dim, idCol, "cv", "n1")
+    // embed once per pass; the radius aggregation and the returned plan
+    // must see the SAME unit expression so their assignments agree
+    // bit for bit (same kernel, same literals, row-local arithmetic)
+    val cUnit = c0.withColumn("u", unitOf(col("cv"), col("n1")))
+    // seeded coarse quantizer over the unit vectors, centroids
+    // re-normalized so the kernel's euclidean argmin is the cosine
+    // argmax (a degenerate zero-norm centroid stays zero and simply
+    // attracts nothing preferentially)
+    val centroids = Similarity.trainCentroidsCached(
+        corpusKey, cUnit, "u", nlist, trainSample)
+      .map { c =>
+        val nn = math.sqrt(c.map(x => x * x).sum)
+        if (nn > 0) c.map(_ / nn) else c
+      }
+    // bounded eager pass: per-list max squared distance to the assigned
+    // unit centroid (nlist rows collected — the trainCentroids class of
+    // driver-side data). For unit u and unit ĉ, cos = 1 − d²/2.
+    val maxD2 = Similarity.assignedDistance(
+        cUnit.select(col(idCol), col("u")), centroids, idCol, "u")
+      .groupBy(col("cluster")).agg(max(col("d2")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // per-list replication bound cos(θ_τ + r_l + ε): any corpus doc
+    // within θ_τ of a benchmark doc e is assigned to SOME list whose
+    // centroid is within θ_τ + r_l of e (triangle inequality), so
+    // replicating e into every such list catches every true pair.
+    // Lists with no assigned docs are dropped — nothing to catch there.
+    val lists = maxD2.toSeq.map { case (l, d2) =>
+      val cosR = math.max(-1.0, math.min(1.0, 1.0 - d2 / 2.0))
+      val bound = thetaTau + math.acos(cosR) + 1e-6
+      (l, centroids(l).toSeq,
+        if (bound >= math.Pi) -1.0 else math.cos(bound))
+    }
+    val listsDf = lists.toDF("list", "centroid", "cos_bound")
+    val e0 = deconSide(benchmark, textCol, idCol, n, dim,
+      "eval_id", "ev", "n2")
+    val benchRep = e0
+      .withColumn("eu", unitOf(col("ev"), col("n2")))
+      .crossJoin(listsDf)
+      .filter(graft.functions.vec.dot(col("eu"), col("centroid"))
+        >= col("cos_bound"))
+      .select(col("list"), col("eval_id"), col("ev"), col("n2"))
+    val cAssigned = cUnit.withColumn("list",
+      element_at(
+        graft.functions.vec.nearestCentroids(col("u"), centroids, 1), 1))
+    // each corpus doc has exactly ONE list → a pair appears at most
+    // once in the join; no dedup shuffle, verify inline, count per doc
+    cAssigned.join(broadcast(benchRep), Seq("list"))
       .filter(col(idCol) =!= col("eval_id"))
-      // score inline, then dedup the NARROW pair rows (the lshTopK
-      // trick): a multi-band collision costs a few extra dots instead
-      // of dragging both vectors through the dedup shuffle
-      .select(col(idCol), col("eval_id"), col("n1"), col("n2"),
+      .select(col(idCol), col("n1"), col("n2"),
         graft.functions.vec.dot(col("cv"), col("ev")).cast("long").as("dt"))
-      .dropDuplicates(idCol, "eval_id")
       .groupBy(col(idCol))
       .agg(count(when(
         cosThresholdPred(col("dt"), col("n1"), col("n2"), p2, q2),

@@ -203,10 +203,11 @@ class HardeningSpec extends AnyFunSuite {
       // the persisted media subtree) + cluster resolution + quality/
       // token joins + the manifest groupBy — the composition is
       // deliberately the whole multimodal family in one plan. Round 17
-      // adds the semantic-decon stage (+4: LSH pair dedup, match-count
-      // agg, and the flag subplan's two agg-side exchanges; the
-      // anti-join itself is broadcast)
-      "pipeline_corpus_build_mm" -> 15,
+      // adds the semantic-decon stage (+2: the IVF flag subplan's
+      // match-count agg plus its embed-side exchange; assignment and
+      // the ball-cover probe are row-local and the anti-join is
+      // broadcast)
+      "pipeline_corpus_build_mm" -> 13,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
@@ -247,10 +248,11 @@ class HardeningSpec extends AnyFunSuite {
       // semantic decon: benchmark broadcast + threshold fused into the
       // join condition; the single exchange is the match-count agg
       "decon_semantic" -> 1,
-      // LSH tier: banded benchmark broadcast + inline dots; the two
-      // exchanges are the pair dedup and the match-count agg — the
-      // corpus vectors never shuffle
-      "decon_semantic_lsh" -> 2,
+      // IVF tier: row-local assignment + broadcast ball-cover probe +
+      // inline dots; the single exchange is the match-count agg — a
+      // corpus doc lives in exactly one list, so there is no pair
+      // dedup and the corpus vectors never shuffle
+      "decon_semantic_ivf" -> 1,
       // dense-vector retrieval: persisted embed subtree + 1-row
       // broadcast + TakeOrderedAndProject — zero shuffle exchanges
       "sim_topk_text_embed" -> 0,

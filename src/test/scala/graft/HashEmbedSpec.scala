@@ -132,18 +132,22 @@ class HashEmbedSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     for (tier <- Seq(
         TextOps.semanticDecontaminate(corpus, bench),
-        TextOps.semanticDecontaminateLsh(corpus, bench))) {
+        TextOps.semanticDecontaminateIvf(corpus, bench))) {
       val flagged = tier.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(flagged == Map(0L -> 1L),
         s"overflow-range identical pair must flag exactly: $flagged")
     }
   }
 
-  test("LSH-prescreened decon tier flags exactly the exact tier's set") {
+  test("IVF-prescreened decon tier flags exactly the exact tier's set " +
+    "at ANY quantizer sizing") {
     // mixed fixture: verbatim + near-verbatim leaks of several benchmark
-    // docs, plus unrelated and short docs — the LSH tier's contract is
-    // flagged-set EQUALITY (precision 1 by construction; the 24×4
-    // banding miss probability at cos 0.8 is ~5e-6 per pair)
+    // docs, plus unrelated and short docs — the prescreened tier's
+    // contract is flagged-set EQUALITY, and it is a THEOREM (triangle-
+    // inequality ball cover ⇒ recall 1; shared integer predicate ⇒
+    // precision 1), so it must hold under ANY nlist, including a
+    // deliberately terrible one — a probabilistic prescreen could not
+    // pass this test
     val benchDocs = Seq(
       (1000L, "the quick brown fox jumps over the lazy dog"),
       (1001L, "distributed query engines shuffle hash partitions across executors"),
@@ -158,18 +162,12 @@ class HashEmbedSpec extends AnyFunSuite {
       (15L, "七言绝句平仄格律对仗工整"))).toDF("doc_id", "text")
     val exact = TextOps.semanticDecontaminate(corpus, bench)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
-    val lsh = TextOps.semanticDecontaminateLsh(corpus, bench)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(exact.nonEmpty, "fixture must exercise the flagged branch")
-    assert(lsh == exact, s"lsh=$lsh exact=$exact")
-    // and with a skinnier banding the candidate stream still verifies
-    // exactly (fewer bands may MISS pairs, never add spurious ones)
-    val skinny = TextOps.semanticDecontaminateLsh(corpus, bench,
-      bands = 4, planes = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
-    assert(skinny.forall { case (id, n) =>
-      exact.exists { case (eid, en) => eid == id && n <= en } },
-      s"skinny banding must stay a subset: $skinny vs $exact")
+    for (nl <- Seq(0, 2, 16)) {
+      val ivf = TextOps.semanticDecontaminateIvf(corpus, bench, nlist = nl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(ivf == exact, s"nlist=$nl: ivf=$ivf exact=$exact")
+    }
   }
 
   test("gram-similar docs rank closer than unrelated ones (retrieval sanity)") {
