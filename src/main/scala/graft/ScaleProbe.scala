@@ -316,7 +316,11 @@ object ScaleProbe {
         // back, so the maxval leg's round trip is exact (85 · 3 = 255).
         import org.apache.spark.sql.functions.{col, when}
         val v = graft.functions.vec
-        val m85seed = graft.operators.Multimodal.attachPgmImages(docs)
+        // single-file fixture → one input split; fan out so the PNG
+        // codec pass uses the machine (new row — no cross-round
+        // comparability to preserve; the decon rows document the same)
+        val m85seed = graft.operators.Multimodal.attachPgmImages(
+            docs.repartition(cpus.toInt * 4))
           .select(col("doc_id"), col("kind"),
             v.pgmRescale(col("payload"), 85).as("payload"))
         val canon = graft.CacheScope.persist(
@@ -636,19 +640,38 @@ object ScaleProbe {
     val deconLshRuns: Seq[Option[(String, Double, Long)]] = {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       val bigMod = math.max(1L, nDocs / 10000L)
+      // the scale fixture is ONE ~60 MB parquet file → one input split
+      // → the row-local embed/dot pipeline of the exact tier would run
+      // on a single core (jstack'd: 1 of 32 workers busy for 24 min).
+      // A deployment corpus is thousands of files; the probe measures
+      // the OPERATOR, not the fixture's split accident — so the corpus
+      // enters through one explicit fan-out repartition (≈2 s for the
+      // 60 MB, excluded from nothing: it is billed to every row
+      // equally and is noise against the dot pass it unblocks)
+      def bigCorpus = docs.repartition(cpus.toInt * 4)
       def bigBench = docs.filter(col("doc_id") % bigMod === 0)
       Seq(
         time("decon_semantic_bigbench_raw") {
           // exact-tier control at the same benchmark size: one dot per
           // corpus × benchmark pair — the cost the prescreened tier must beat
           graft.operators.TextOps.semanticDecontaminate(
-            docs, bigBench).count() },
+            bigCorpus, bigBench).count() },
+        time("decon_semantic_flag_raw") {
+          // the early-exit tier (binary drop/keep — what a corpus
+          // build runs): broadcast LEFT-SEMI, Spark stops at the first
+          // matching benchmark doc per corpus row. On this SATURATED
+          // fixture (~99% of docs match some eval doc at cos ≥ 0.8)
+          // the expected dots per doc collapse from |benchmark| to
+          // ~1/P(pair match) — the measured shrink vs the bigbench
+          // exact row
+          graft.operators.TextOps.semanticDecontaminateFlag(
+            bigCorpus, bigBench).count() },
         time("decon_semantic_ivf_raw") {
           // one row-local assignment + one broadcast probe per corpus
           // row; the exact integer verify runs only on ball-cover
           // candidates (output-sensitive — see the operator doc)
           graft.operators.TextOps.semanticDecontaminateIvf(
-            docs, bigBench).count() },
+            bigCorpus, bigBench).count() },
         time("decon_semantic_ivf_agree") {
           // flagged-set agreement at scale (in-row ground truth, the
           // mm_dhash_jpeg_recall form): full-outer join of both tiers'
@@ -656,9 +679,9 @@ object ScaleProbe {
           // Pays both tiers again by construction — the proof row,
           // not the throughput row.
           val ex = graft.operators.TextOps.semanticDecontaminate(
-            docs, bigBench)
+            bigCorpus, bigBench)
           val ap = graft.operators.TextOps.semanticDecontaminateIvf(
-            docs, bigBench)
+            bigCorpus, bigBench)
           val r = ex.as("e").join(ap.as("a"), Seq("doc_id"), "full")
             .agg(count(lit(1)).as("n"),
               count(when(col("e.n_matches") === col("a.n_matches"), 1))

@@ -205,7 +205,7 @@ object SparkEntry {
     * row — one definition): exact dedup (min-id winners) → benchmark
     * decontamination (mod-97 eval split, 3-grams) → SEMANTIC
     * decontamination over the in-engine hashed embeddings (round-17:
-    * the IVF-prescreened tier, cos ≥ 4/5 against the same eval split —
+    * the early-exit FLAG tier, cos ≥ 4/5 against the same eval split —
     * the full text→vector→flag loop with no external model, catching
     * paraphrased leakage the exact-gram stage misses) → quality gate
     * ≥ 0.5 + language ID → `(doc_id, pred_lang, n_tokens)`. The
@@ -222,8 +222,7 @@ object SparkEntry {
     val deconned = graft.operators.Dedup.decontaminate(corpus,
       evalSplit, n = 3)
     val semFlagged = graft.operators.TextOps
-      .semanticDecontaminateIvf(deconned, evalSplit)
-      .select(col("doc_id"))
+      .semanticDecontaminateFlag(deconned, evalSplit)
     val selected =
       deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
     graft.operators.TextOps.langQuality(selected)
@@ -256,7 +255,7 @@ object SparkEntry {
     * eval split (by ORIGINAL id — a re-id'd duplicate carries its
     * source doc's verdict) is excluded and every doc whose hashed-
     * embedding cosine reaches 4/5 against any eval doc is dropped via
-    * the IVF-prescreened tier — the text→vector→flag loop running
+    * the early-exit flag tier — the text→vector→flag loop running
     * inside the multimodal build
     * → `(doc_id, kind, pred_lang, n_tokens)`.
     */
@@ -300,9 +299,9 @@ object SparkEntry {
     val tokens = graft.operators.TextOps.tokenStats(base)
       .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
     // semantic decon by ORIGINAL id (a re-id'd dup shares its source
-    // text, hence its flag): IVF-prescreened embed flags against the
+    // text, hence its flag): early-exit semi-join flags against the
     // mod-97 eval split, computed once over the original docs
-    val semFlagged = graft.operators.TextOps.semanticDecontaminateIvf(
+    val semFlagged = graft.operators.TextOps.semanticDecontaminateFlag(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("orig_id"))
@@ -2482,6 +2481,21 @@ object SparkEntry {
         corpusKey = Some(tableKey(s, s"$dir/documents.parquet") + ":semivf"))
     }),
 
+    // The FLAG tier over the same subsamples: the binary drop/keep
+    // decision a corpus build actually needs, served by a broadcast
+    // LEFT-SEMI join whose condition is the fused exact predicate —
+    // Spark short-circuits at the first matching benchmark doc, so a
+    // saturated corpus pays ~1/P(match) dots per doc instead of
+    // |benchmark| (measured ~100× at the 100× tier), and the flagged
+    // id set still replays EXACTLY as the exact tier's distinct ids.
+    // Zero shuffles: a semi join emits each corpus row at most once.
+    "decon_semantic_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.semanticDecontaminateFlag(
+        corpus = docs.filter(col("doc_id") % 7 === 0),
+        benchmark = docs.filter(col("doc_id") % 491 === 0))
+    }),
+
     // In-engine hashed text embedding (feature-hashing trick over char
     // 3-grams, signed 64-slot vectors): the exploded nonzero slots of a
     // deterministic doc subsample, every value a BIGINT the oracle
@@ -4508,7 +4522,7 @@ object SparkEntry {
     * and `decon_semantic_ivf` (the prescreened tier's contract is flagged-set
     * EQUALITY to the exact tier, so one oracle serves both).
     */
-  private lazy val deconSemanticOracleSql: String =
+  private lazy val deconSemanticOracleCtes: String =
     s"""WITH ${hashEmbedCtes("doc_id % 7 = 0 OR doc_id % 491 = 0")},
        nn AS (SELECT doc_id, sum(wt * wt) AS nrm FROM e GROUP BY doc_id),
        c AS (SELECT doc_id, dim, wt FROM e WHERE doc_id % 7 = 0),
@@ -4521,9 +4535,19 @@ object SparkEntry {
              JOIN nn n1 ON n1.doc_id = d.doc_id
              JOIN nn n2 ON n2.doc_id = d.eval_id
              WHERE dt > 0 AND CAST(dt AS HUGEINT) * dt * 25
-               >= 16 * CAST(n1.nrm AS HUGEINT) * n2.nrm)
+               >= 16 * CAST(n1.nrm AS HUGEINT) * n2.nrm)"""
+
+  private lazy val deconSemanticOracleSql: String =
+    s"""$deconSemanticOracleCtes
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
        FROM f GROUP BY doc_id"""
+
+  /** The flag tier returns the DISTINCT doc ids of the exact tier —
+    * the semi-join's early exit changes cost, never the set.
+    */
+  private lazy val deconSemanticFlagOracleSql: String =
+    s"""$deconSemanticOracleCtes
+       SELECT DISTINCT doc_id FROM f"""
 
   private val TopKGateSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -5859,6 +5883,10 @@ object SparkEntry {
     // — so the oracle IS the exact replay: any prescreen bug fails the
     // hash match loudly
     "decon_semantic_ivf" -> deconSemanticOracleSql,
+
+    // the flag tier: the semi-join's early exit changes COST only —
+    // the flagged id set replays as the exact tier's DISTINCT doc ids
+    "decon_semantic_flag" -> deconSemanticFlagOracleSql,
 
     // relational half of the text→vector→ANN gate: exact top-k row
     // count (queries × min(candidates, 10)) + the expected verdict —

@@ -36,6 +36,45 @@ object VectorRuntime {
     acc
   }
 
+  /** Fused integer cosine-threshold test `cos(a, b) ≥ √(p2/q2)` over
+    * integer-valued double vectors (the hashEmbed gram-count domain):
+    * ONE loop computes a·b, ‖a‖², ‖b‖², then the comparison
+    * `dot²·q2 ≥ p2·‖a‖²·‖b‖²` runs on a double fast path with an exact
+    * BigInteger arbitration inside a ±10⁻⁹ relative border band — so
+    * the verdict is EXACT (never a wrapped long, never a float
+    * misrank) while the hot path stays allocation-free. `dot ≤ 0`,
+    * zero norms, and any null are false — a zero vector has no
+    * direction to match. Built for JOIN CONDITIONS (the semi-join
+    * decon tier): a condition cannot pre-project the dot, and the
+    * three-term predicate written as column arithmetic would
+    * re-evaluate the dot kernel per reference.
+    */
+  def cosGe(a: ArrayData, b: ArrayData, p2: Long, q2: Long): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"cos_ge: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    if (!(ab > 0) || aa == 0 || bb == 0) return false
+    // integer-valued inputs: the sums are exact for magnitudes < 2^53
+    // (the exact tier's cast("long") shares this bound)
+    val dt = ab.toLong; val n1 = aa.toLong; val n2 = bb.toLong
+    val lhs = dt.toDouble * dt * q2
+    val rhs = p2.toDouble * n1 * n2
+    if (lhs >= rhs * (1.0 + 1e-9)) return true
+    if (lhs <= rhs * (1.0 - 1e-9)) return false
+    java.math.BigInteger.valueOf(dt).pow(2)
+      .multiply(java.math.BigInteger.valueOf(q2))
+      .compareTo(java.math.BigInteger.valueOf(p2)
+        .multiply(java.math.BigInteger.valueOf(n1))
+        .multiply(java.math.BigInteger.valueOf(n2))) >= 0
+  }
+
   /** SimHash of pre-hashed tokens: per bit, sum ±1 votes, sign → bit. */
   def simHash64(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -2087,6 +2126,31 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cos_ge(array<double>, array<double>, p2, q2) → boolean` — fused
+  * exact integer cosine-threshold test (see [[VectorRuntime.cosGe]]):
+  * the join-condition form of the semantic-decon predicate, one kernel
+  * call per pair.
+  */
+case class CosThresholdGeExpr(left: Expression, right: Expression,
+    p2: Long, q2: Long) extends BinaryExpression {
+  require(p2 > 0 && q2 >= p2,
+    s"cos_ge: need 0 < p2 <= q2, got $p2/$q2")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "cos_ge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.cosGe(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], p2, q2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorRuntime.cosGe($a, $b, ${p2}L, ${q2}L)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosThresholdGeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `quant_residual(array<float|double>, array<double>, levels) →
   * struct<codes: binary, scale: double>` — PQ residual encode against a
   * per-row centroid (see [[VectorRuntime.quantResidual]]).
@@ -2958,6 +3022,8 @@ object vec {
   private def ex(c: Column): Expression = GraftColumnShim.expression(c)
 
   def dot(a: Column, b: Column): Column = wrap(VectorDot(ex(a), ex(b)))
+  def cosGe(a: Column, b: Column, p2: Long, q2: Long): Column =
+    wrap(CosThresholdGeExpr(ex(a), ex(b), p2, q2))
   def simHash64(hashes: Column): Column = wrap(SimHash64(ex(hashes)))
   def ngramHashes(tokenHashes: Column, n: Int): Column =
     wrap(NgramHashes(ex(tokenHashes), n))

@@ -378,7 +378,7 @@ object Similarity {
     * to [[assignClusters]]), then select that cluster's
     * plan-time-exact `‖c‖² − 2·v·c` branch and add `‖v‖²`.
     */
-  private[operators] def assignedDistance(df: DataFrame,
+  private def assignedDistance(df: DataFrame,
       centroids: Array[Array[Double]], idCol: String,
       vecCol: String): DataFrame = {
     val v = col(vecCol)

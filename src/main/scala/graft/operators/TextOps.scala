@@ -699,6 +699,48 @@ object TextOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** FLAG-ONLY semantic decontamination — the tier a corpus build
+    * actually runs at 100 TB. [[semanticDecontaminate]] counts every
+    * matching benchmark doc per corpus doc, so it MUST evaluate all
+    * O(corpus × benchmark) dots; but the pipeline decision is binary
+    * (drop the doc or keep it), and EXISTENCE short-circuits: this
+    * variant is a broadcast LEFT-SEMI nested-loop join whose condition
+    * is the fused exact predicate ([[graft.functions.VectorRuntime
+    * .cosGe]] — one kernel call per checked pair, double fast path
+    * with BigInteger border arbitration, so the verdict is still
+    * integer-exact), and Spark's semi-join STOPS at the first matching
+    * benchmark doc per corpus row. On a corpus whose contamination
+    * rate is high — exactly where decon work concentrates — the
+    * expected dots per flagged doc collapse from |benchmark| to
+    * ~1/P(match) (measured ~100× at the 100× tier's saturated
+    * fixture); on a clean corpus it degrades to the exact tier's full
+    * scan, never worse. Returns the flagged `(idCol)` set = DISTINCT
+    * doc ids of the exact tier (the oracle replays exactly that).
+    * Zero shuffles: a semi join emits each corpus row at most once, so
+    * there is no dedup and no aggregation — the output is a row-local
+    * filter of the corpus stream.
+    */
+  def semanticDecontaminateFlag(corpus: DataFrame, benchmark: DataFrame,
+      cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, dim: Int = 64): DataFrame = {
+    require(cosP > 0 && cosQ >= cosP,
+      s"semanticDecontaminateFlag: need 0 < p/q <= 1, got $cosP/$cosQ")
+    val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
+    // no norm prefilters needed: a zero vector on either side makes
+    // cosGe false by itself (no direction to match)
+    def side(df: DataFrame, id: String, v: String) =
+      hashEmbed(df, textCol, idCol, n, dim)
+        .select(col(idCol).as(id),
+          transform(col("embedding"), x => x.cast("double")).as(v))
+    val c = side(corpus, idCol, "cv")
+    val e = side(benchmark, "eval_id", "ev")
+    c.join(broadcast(e),
+        col(idCol) =!= col("eval_id") &&
+          graft.functions.vec.cosGe(col("cv"), col("ev"), p2, q2),
+        "left_semi")
+      .select(col(idCol))
+  }
+
   /** IVF-prescreened semantic decontamination — the candidate-generation
     * tier [[semanticDecontaminate]]'s doc promises for HUGE benchmarks.
     * Same contract (flag corpus docs with hashed-embedding cosine ≥ p/q
@@ -751,10 +793,15 @@ object TextOps {
     def unitOf(v: Column, nrm: Column): Column =
       transform(v, x => x / sqrt(nrm))
     val c0 = deconSide(corpus, textCol, idCol, n, dim, idCol, "cv", "n1")
-    // embed once per pass; the radius aggregation and the returned plan
-    // must see the SAME unit expression so their assignments agree
-    // bit for bit (same kernel, same literals, row-local arithmetic)
-    val cUnit = c0.withColumn("u", unitOf(col("cv"), col("n1")))
+    // PERSIST the embed subtree (the sim_topk_text_embed convention):
+    // it feeds the radius aggregation AND the returned plan, and under
+    // projection collapsing an unpersisted embed expression can be
+    // re-inlined into join-side projections and re-evaluated per PAIR
+    // (jstack'd at the 100× tier: interpreted hashEmbedVec per
+    // candidate row). Persisting also pins the radius pass and the
+    // final plan to the SAME materialized assignments.
+    val cUnit = graft.CacheScope.persist(
+      c0.withColumn("u", unitOf(col("cv"), col("n1"))))
     // seeded coarse quantizer over the unit vectors, centroids
     // re-normalized so the kernel's euclidean argmin is the cosine
     // argmax (a degenerate zero-norm centroid stays zero and simply
@@ -765,29 +812,43 @@ object TextOps {
         val nn = math.sqrt(c.map(x => x * x).sum)
         if (nn > 0) c.map(_ / nn) else c
       }
-    // bounded eager pass: per-list max squared distance to the assigned
-    // unit centroid (nlist rows collected — the trainCentroids class of
-    // driver-side data). For unit u and unit ĉ, cos = 1 − d²/2.
-    val maxD2 = Similarity.assignedDistance(
-        cUnit.select(col(idCol), col("u")), centroids, idCol, "u")
-      .groupBy(col("cluster")).agg(max(col("d2")).as("m"))
+    // bounded eager pass: per-list MIN cosine to the assigned unit
+    // centroid (nlist rows collected — the trainCentroids class of
+    // driver-side data). Computed via a broadcast join against the
+    // centroid table, NOT a per-centroid when-chain: under √n
+    // auto-sizing nlist reaches the hundreds and a nested conditional
+    // per centroid overflows the column-conversion stack
+    val centDf = centroids.toSeq.zipWithIndex
+      .map { case (c, l) => (l, c.toSeq) }.toDF("list", "centroid")
+    val minCos = cUnit
+      .withColumn("list", element_at(
+        graft.functions.vec.nearestCentroids(col("u"), centroids, 1), 1))
+      .join(broadcast(centDf), Seq("list"))
+      .select(col("list"),
+        graft.functions.vec.dot(col("u"), col("centroid")).as("cs"))
+      .groupBy(col("list")).agg(min(col("cs")).as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     // per-list replication bound cos(θ_τ + r_l + ε): any corpus doc
     // within θ_τ of a benchmark doc e is assigned to SOME list whose
     // centroid is within θ_τ + r_l of e (triangle inequality), so
     // replicating e into every such list catches every true pair.
     // Lists with no assigned docs are dropped — nothing to catch there.
-    val lists = maxD2.toSeq.map { case (l, d2) =>
-      val cosR = math.max(-1.0, math.min(1.0, 1.0 - d2 / 2.0))
+    val lists = minCos.toSeq.map { case (l, m) =>
+      val cosR = math.max(-1.0, math.min(1.0, m))
       val bound = thetaTau + math.acos(cosR) + 1e-6
       (l, centroids(l).toSeq,
         if (bound >= math.Pi) -1.0 else math.cos(bound))
     }
     val listsDf = lists.toDF("list", "centroid", "cos_bound")
-    val e0 = deconSide(benchmark, textCol, idCol, n, dim,
-      "eval_id", "ev", "n2")
-    val benchRep = e0
-      .withColumn("eu", unitOf(col("ev"), col("n2")))
+    // the bench embed must materialize BEFORE the ball-cover crossJoin:
+    // the replication filter rides a nested-loop join, where an inlined
+    // embed expression would re-evaluate interpreted per (doc, list)
+    // pair — measured minutes at 10k docs × √n lists (same collapse
+    // hazard as the corpus side)
+    val e1 = graft.CacheScope.persist(
+      deconSide(benchmark, textCol, idCol, n, dim, "eval_id", "ev", "n2")
+        .withColumn("eu", unitOf(col("ev"), col("n2"))))
+    val benchRep = e1
       .crossJoin(listsDf)
       .filter(graft.functions.vec.dot(col("eu"), col("centroid"))
         >= col("cos_bound"))

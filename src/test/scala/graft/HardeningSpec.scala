@@ -253,6 +253,10 @@ class HardeningSpec extends AnyFunSuite {
       // corpus doc lives in exactly one list, so there is no pair
       // dedup and the corpus vectors never shuffle
       "decon_semantic_ivf" -> 1,
+      // flag tier: broadcast left-semi with the fused predicate as the
+      // join condition — each corpus row emits at most once, so the
+      // whole query is a row-local filter of the corpus stream
+      "decon_semantic_flag" -> 0,
       // dense-vector retrieval: persisted embed subtree + 1-row
       // broadcast + TakeOrderedAndProject — zero shuffle exchanges
       "sim_topk_text_embed" -> 0,

@@ -137,6 +137,33 @@ class HashEmbedSpec extends AnyFunSuite {
       assert(flagged == Map(0L -> 1L),
         s"overflow-range identical pair must flag exactly: $flagged")
     }
+    val flagSet = TextOps.semanticDecontaminateFlag(corpus, bench)
+      .as[Long].collect().toSet
+    assert(flagSet == Set(0L),
+      s"flag tier must survive the overflow range too: $flagSet")
+  }
+
+  test("cosGe kernel: exact at the threshold boundary, BigInteger band") {
+    def geRaw(a: Seq[Double], b: Seq[Double], p2: Long, q2: Long): Boolean =
+      Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.vec.cosGe($"a", $"b", p2, q2).as("g"))
+        .head.getBoolean(0)
+    // exact equality AT the threshold: a=(1,2), b=(2,1) → dot=4,
+    // norms 5·5 → dot²·q2 = 16·25 = p2·n1·n2 with p/q = 4/5 → ≥ holds
+    assert(geRaw(Seq(1, 2), Seq(2, 1), 16, 25))
+    // just past it: tightening the threshold to p2 = 17 flips the
+    // verdict (16·25 < 17·25)
+    assert(!geRaw(Seq(1, 2), Seq(2, 1), 17, 25))
+    // the BigInteger border: scale the equality case until dot²
+    // overflows the double fast path's exactness (k = 2^20 → dot² ≈
+    // 1.9e25); the verdict must stay the exact ≥ (true), not a float
+    // coin flip
+    val k = (1L << 20).toDouble
+    assert(geRaw(Seq(k, 2 * k), Seq(2 * k, k), 16, 25))
+    assert(!geRaw(Seq(k, 2 * k), Seq(2 * k, k), 17, 25))
+    // zero vectors and non-positive dots never match
+    assert(!geRaw(Seq(0, 0), Seq(1, 1), 16, 25))
+    assert(!geRaw(Seq(1, -1), Seq(-1, 1), 16, 25))
   }
 
   test("IVF-prescreened decon tier flags exactly the exact tier's set " +
@@ -168,6 +195,11 @@ class HashEmbedSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
       assert(ivf == exact, s"nlist=$nl: ivf=$ivf exact=$exact")
     }
+    // and the early-exit FLAG tier returns exactly the exact tier's
+    // doc-id set (existence semantics — counts drop, membership doesn't)
+    val flag = TextOps.semanticDecontaminateFlag(corpus, bench)
+      .as[Long].collect().toSet
+    assert(flag == exact.map(_._1), s"flag=$flag exact=$exact")
   }
 
   test("gram-similar docs rank closer than unrelated ones (retrieval sanity)") {
