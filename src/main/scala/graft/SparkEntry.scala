@@ -2496,6 +2496,45 @@ object SparkEntry {
         benchmark = docs.filter(col("doc_id") % 491 === 0))
     }),
 
+    // The flag tier as a LIVE INGEST GATE: corpus docs arrive as a
+    // file stream (4 micro-batches) and the SAME stream-static
+    // broadcast left-semi join — row-local embed + the fused cos_ge
+    // condition, Spark's early exit intact per micro-batch — drops
+    // contaminated docs in flight; no state store, no watermark, no
+    // aggregation (the decision is per-row). The drained flagged set
+    // must EQUAL the batch flag tier's (in-plan full-outer verdict);
+    // the oracle anchors the exact tier's distinct flagged count.
+    "stream_decon_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 491 === 0)
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "sdf",
+        "in") { tmp =>
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_sdf").toString
+      onJvmExitDelete(run)
+      val textStream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val q = TextOps.semanticDecontaminateFlag(textStream, bench)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.read.parquet(s"$run/out")
+      val batch = TextOps.semanticDecontaminateFlag(
+        docs.filter(col("doc_id") % 7 === 0), bench)
+      val eq = streamed.withColumn("l", lit(1)).as("a")
+        .join(batch.withColumn("r", lit(1)).as("b"), Seq("doc_id"), "full")
+        .agg((count(when(col("l").isNull || col("r").isNull, 1)) === 0)
+          .as("equal_ok"))
+      streamed.agg(count(lit(1)).as("n_flagged"))
+        .crossJoin(broadcast(eq))
+    }),
+
     // In-engine hashed text embedding (feature-hashing trick over char
     // 3-grams, signed 64-slot vectors): the exploded nonzero slots of a
     // deterministic doc subsample, every value a BIGINT the oracle
@@ -5887,6 +5926,14 @@ object SparkEntry {
     // the flag tier: the semi-join's early exit changes COST only —
     // the flagged id set replays as the exact tier's DISTINCT doc ids
     "decon_semantic_flag" -> deconSemanticFlagOracleSql,
+
+    // streaming twin: the drained flagged count is the exact tier's
+    // distinct count; streamed == batch equality is the Spark verdict
+    "stream_decon_flag" ->
+      s"""$deconSemanticOracleCtes
+         SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged,
+           true AS equal_ok
+         FROM f""",
 
     // relational half of the text→vector→ANN gate: exact top-k row
     // count (queries × min(candidates, 10)) + the expected verdict —
