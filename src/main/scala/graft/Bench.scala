@@ -197,7 +197,12 @@ object Bench {
         }.count()
       } catch { case _: Throwable => -1L }
     val succeeded = results.collect { case (k, ts) if ts.nonEmpty => k -> ts.min }
-    val qs = succeeded.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) per-query times: the driver's artifact capture
+    // keeps only the tail of the printed line, and at 200+ queries the
+    // full-precision dict alone overflows it (every BENCH_r≤17.json has
+    // "parsed": null) — trimming buys back ~2 kB with no information
+    // loss at bench granularity (round-17 verdict Next #4)
+    val qs = succeeded.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries are listed in `failed`, never summed into the total
@@ -217,11 +222,28 @@ object Bench {
     // registry growth cannot inflate (round-16 verdict Next #2)
     val canary = succeeded.filter { case (k, _) => CanaryQueries(k) }
     val canaryTotal = canary.map(_._2).sum
+    // a canary query that failed EVERY sample silently shrinks
+    // canary_total_s (it sums succeeded queries only) and would weaken
+    // the 2× gate — surface the intersection explicitly so the contract
+    // (BASELINE.md: canary_n == 46 AND canary_failed == []) is checkable
+    // from the artifact alone
+    val canaryFailed = failed.filter(CanaryQueries).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // The large per-query dict goes FIRST and every summary field LAST:
     // the driver's artifact capture keeps the tail of the line, so the
     // headline total / control / drift must sit after the dict or they
     // get truncated out of BENCH_r{N}.json (round-10 verdict Next #1).
-    println(s"""{"queries":$qs,"failed":$fs,"metric":"total","value":$total,"unit":"sec","total_s":$total,"total_first_s":$totalFirst,"total_second_s":$totalSecond,"canary_total_s":$canaryTotal,"canary_n":${canary.size},"canary_ref_s":$CanaryRefSec,"n_queries":${succeeded.size},"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"competing_jvms":$competingJvms,"sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"failed":$fs,"metric":"total","value":$total,"unit":"sec","total_s":$total,"total_first_s":$totalFirst,"total_second_s":$totalSecond,"canary_total_s":$canaryTotal,"canary_n":${canary.size},"canary_failed":$canaryFailed,"canary_ref_s":$CanaryRefSec,"n_queries":${succeeded.size},"control_s":$controlS,"control_ref_s":$ControlRefSec,"drift":$drift,"competing_jvms":$competingJvms,"sf":"$sfDir"}"""
+    // repo-side twin of the printed line (round-17 verdict Next #4): the
+    // driver's tail capture truncates the dict, so the full artifact is
+    // ALSO written to a git-tracked file — BENCH_r{N}.json's "parsed":
+    // null stops losing the per-query map. Full runs only: a subset run
+    // (args-filtered) must not overwrite the last complete picture.
+    if (only.isEmpty) {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    }
+    println(line)
     spark.stop()
   }
 }

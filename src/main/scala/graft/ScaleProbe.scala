@@ -694,6 +694,126 @@ object ScaleProbe {
           nAll })
     }
 
+    // ---- CLUSTERED-corpus semantic decon (VERDICT r17 Next #1): the
+    // saturated synthetic documents fixture is a recall-1 prescreen's
+    // WORST case (mean pairwise hashed cosine 0.64, ~5% of all pairs
+    // past the 0.8 threshold — nothing geometric can prune where
+    // everything crowds the threshold; round 17 measured the IVF tier
+    // at 780 s vs exact 542 s there). This section generates the
+    // regime deployment corpora actually live in — kTopics TIGHT topic
+    // clusters: within-topic cos ≈ 198/212 ≈ 0.93 ≫ 0.8 (docs share a
+    // 200-char topic template, differ by a 12-hex-char tail),
+    // cross-topic gram sets DISJOINT by construction (per-topic CJK
+    // codepoint blocks), so cross-topic hashed cosine is only the
+    // 64-dim collision noise (|N(0, 1/64)| ≈ 0.1 ≪ 0.8) — and
+    // measures where the ball-cover prescreen actually prunes. The
+    // benchmark draws from 10 of the 50 topics → 20% of the corpus is
+    // contaminated, 80% clean: the clean docs are where the exact and
+    // flag tiers burn their full |benchmark| dots and the IVF tier
+    // pays one assignment + zero candidates. Opt-in by explicit tag
+    // (the bkt_join convention); 500k docs × 10k benchmark to stay
+    // comparable with the round-17 saturated-tier numbers.
+    val deconClustRuns: Seq[Option[(String, Double, Long)]] =
+      if (!only.exists(_.startsWith("decon_clust"))) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col, concat,
+          count, lit, sha2, substring, when}
+        import spark.implicits._
+        val kTopics = 50
+        val nCorpus = 500000L
+        val nBench = 10000L
+        val dir = s"/tmp/graft_probe_deconclust_${nCorpus}_$kTopics"
+        // deterministic seeded templates (fixture identity = the
+        // parameters in the dir name; content is a pure function of
+        // the seed)
+        val rnd = new scala.util.Random(18)
+        val templates = (0 until kTopics).map { t =>
+          val base = 0x4E00 + t * 256
+          (0 until 200).map(_ => (base + rnd.nextInt(256)).toChar).mkString
+        }
+        val tDf = templates.zipWithIndex.map { case (s, t) => (t, s) }
+          .toDF("topic", "template")
+        def gen(ids: org.apache.spark.sql.DataFrame) = ids
+          .join(broadcast(tDf), Seq("topic"))
+          .select(col("doc_id"), concat(col("template"), lit(" "),
+            substring(sha2(col("doc_id").cast("string"), 256), 1, 12))
+            .as("text"))
+        if (!new java.io.File(s"$dir/corpus/_SUCCESS").exists()) {
+          // the single-file split trap (PERF.md): row-local-heavy
+          // passes need real input splits — write cpus*4 files
+          gen(spark.range(nCorpus).select(col("id").as("doc_id"),
+              (col("id") % kTopics).cast("int").as("topic")))
+            .repartition(cpus.toInt * 4)
+            .write.mode("overwrite").parquet(s"$dir/corpus")
+          // benchmark ids offset past the corpus (a real eval suite is
+          // a separate dataset — no id collisions, the self-exclusion
+          // predicate stays vacuous)
+          gen(spark.range(nBench)
+              .select((col("id") + 1000000000L).as("doc_id"),
+                (col("id") % 10).cast("int").as("topic")))
+            .repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$dir/bench")
+        }
+        def corpus = spark.read.parquet(s"$dir/corpus")
+        def bench = spark.read.parquet(s"$dir/bench")
+        Seq(
+          time("decon_clust_exact_raw") {
+            // control: one dot per corpus × benchmark pair, clustered
+            // or not — the exact tier can't see the structure
+            graft.operators.TextOps.semanticDecontaminate(
+              corpus, bench).count() },
+          time("decon_clust_flag_raw") {
+            // the early-exit tier's weak regime: contaminated docs
+            // (20%) exit after ~|bench|/|same-topic bench| ≈ 10 dots,
+            // but every CLEAN doc (80%) still scans all 10k benchmark
+            // docs before keeping — existence can't prune a negative
+            graft.operators.TextOps.semanticDecontaminateFlag(
+              corpus, bench).count() },
+          time("decon_clust_ivf_raw") {
+            // the geometric tier's home regime: benchmark docs
+            // replicate only into same-topic balls, so clean-topic
+            // corpus docs generate ZERO candidates — cost collapses to
+            // the row-local assignment + the 20% contaminated slice
+            graft.operators.TextOps.semanticDecontaminateIvf(
+              corpus, bench).count() },
+          time("decon_clust_ivf_flag_raw") {
+            // both wins composed: prescreen deletes the clean docs'
+            // candidate streams, the semi join exits each contaminated
+            // doc at its first verified match — the deployment tier
+            // for a clustered corpus with a binary decision
+            graft.operators.TextOps.semanticDecontaminateIvfFlag(
+              corpus, bench).count() },
+          time("decon_clust_pair_ratio") {
+            // the pair-stream claim measured (recall field = exact
+            // pairs ÷ verified pairs): every doc here embeds (200+
+            // chars, zero-norm impossible), so the exact tier's
+            // stream is |corpus| × |bench| and the IVF stream is the
+            // candidatesOnly count
+            val verified = graft.operators.TextOps.semanticDecontaminateIvf(
+              corpus, bench, candidatesOnly = true).count()
+            require(verified > 0, "decon_clust_pair_ratio: empty " +
+              "candidate stream — the ball cover lost every true pair?")
+            recalls("decon_clust_pair_ratio") =
+              (corpus.count().toDouble * bench.count()) / verified
+            verified },
+          time("decon_clust_ivf_agree") {
+            // flagged-set equality at scale (the proof row, pays both
+            // tiers): identical n_matches per doc across the full outer
+            val ex = graft.operators.TextOps.semanticDecontaminate(
+              corpus, bench)
+            val ap = graft.operators.TextOps.semanticDecontaminateIvf(
+              corpus, bench)
+            val r = ex.as("e").join(ap.as("a"), Seq("doc_id"), "full")
+              .agg(count(lit(1)).as("n"),
+                count(when(col("e.n_matches") === col("a.n_matches"), 1))
+                  .as("ok")).head
+            val nAll = r.getLong(0); val ok = r.getLong(1)
+            require(nAll > 0, "decon_clust_ivf_agree: zero flagged " +
+              "docs — degenerate fixture, agreement undefined")
+            recalls("decon_clust_ivf_agree") = ok.toDouble / nAll
+            nAll })
+      }
+
     // ---- bucketed-layout amortization: what one layout write buys
     // EVERY subsequent fact⋈fact join. Opt-in by EXPLICIT tag only
     // (lineitem.parquet exists in the ordinary bench fixtures too — an
@@ -758,7 +878,8 @@ object ScaleProbe {
       }
 
     val ran =
-      (runs ++ recallRuns ++ textEmbedRuns ++ deconLshRuns ++ bktRuns).flatten
+      (runs ++ recallRuns ++ textEmbedRuns ++ deconLshRuns ++
+        deconClustRuns ++ bktRuns).flatten
     // a tag filter matching nothing is a typo, not an empty result —
     // and must not emit the trailing-comma malformed JSON it used to
     require(only.isEmpty || ran.nonEmpty,

@@ -2496,6 +2496,39 @@ object SparkEntry {
         benchmark = docs.filter(col("doc_id") % 491 === 0))
     }),
 
+    // Prescreen × early exit — the clustered-corpus binary tier: the
+    // ball-cover candidate join consumed as a broadcast hash LEFT-SEMI
+    // with the fused cos_ge kernel as its extra condition, so clean
+    // docs pay one hash probe (their topic generates no candidates)
+    // and contaminated docs stop at the first verified match. Flagged
+    // set = the flag tier's (recall-1 prescreen + shared exact
+    // predicate), so the oracle is the same exact-tier replay.
+    "decon_semantic_ivf_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.semanticDecontaminateIvfFlag(
+        corpus = docs.filter(col("doc_id") % 7 === 0),
+        benchmark = docs.filter(col("doc_id") % 491 === 0),
+        corpusKey = Some(tableKey(s, s"$dir/documents.parquet") + ":semivf"))
+    }),
+
+    // INCREMENTAL decon under BENCHMARK APPEND: flags are monotone
+    // when the eval suite grows (the verdict is existential over the
+    // benchmark side), so the update job is the flag tier over ONLY
+    // the previously-unflagged remainder × the NEW benchmark docs
+    // (here mod-97≡11), unioned with the carried-forward flag set —
+    // the corpus is never re-compared against the old suite. The
+    // result equals a full re-run against the unioned benchmark by
+    // monotonicity, and the oracle replays exactly that: the exact
+    // tier's distinct flagged ids over (mod-491 ∪ mod-97≡11).
+    "decon_semantic_incr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 7 === 0)
+      val benchOld = docs.filter(col("doc_id") % 491 === 0)
+      val benchNew = docs.filter(col("doc_id") % 97 === 11)
+      val prev = TextOps.semanticDecontaminateFlag(corpus, benchOld)
+      TextOps.semanticDecontaminateIncr(corpus, prev, benchNew)
+    }),
+
     // The flag tier as a LIVE INGEST GATE: corpus docs arrive as a
     // file stream (4 micro-batches) and the SAME stream-static
     // broadcast left-semi join — row-local embed + the fused cos_ge
@@ -4561,12 +4594,12 @@ object SparkEntry {
     * and `decon_semantic_ivf` (the prescreened tier's contract is flagged-set
     * EQUALITY to the exact tier, so one oracle serves both).
     */
-  private lazy val deconSemanticOracleCtes: String =
-    s"""WITH ${hashEmbedCtes("doc_id % 7 = 0 OR doc_id % 491 = 0")},
+  private def deconSemanticCtesFor(benchPred: String): String =
+    s"""WITH ${hashEmbedCtes(s"doc_id % 7 = 0 OR ($benchPred)")},
        nn AS (SELECT doc_id, sum(wt * wt) AS nrm FROM e GROUP BY doc_id),
        c AS (SELECT doc_id, dim, wt FROM e WHERE doc_id % 7 = 0),
        q AS (SELECT doc_id AS eval_id, dim, wt AS qwt FROM e
-             WHERE doc_id % 491 = 0),
+             WHERE $benchPred),
        d AS (SELECT c.doc_id, q.eval_id, sum(c.wt * q.qwt) AS dt
              FROM c JOIN q USING (dim) WHERE c.doc_id <> q.eval_id
              GROUP BY c.doc_id, q.eval_id),
@@ -4575,6 +4608,9 @@ object SparkEntry {
              JOIN nn n2 ON n2.doc_id = d.eval_id
              WHERE dt > 0 AND CAST(dt AS HUGEINT) * dt * 25
                >= 16 * CAST(n1.nrm AS HUGEINT) * n2.nrm)"""
+
+  private lazy val deconSemanticOracleCtes: String =
+    deconSemanticCtesFor("doc_id % 491 = 0")
 
   private lazy val deconSemanticOracleSql: String =
     s"""$deconSemanticOracleCtes
@@ -4586,6 +4622,16 @@ object SparkEntry {
     */
   private lazy val deconSemanticFlagOracleSql: String =
     s"""$deconSemanticOracleCtes
+       SELECT DISTINCT doc_id FROM f"""
+
+  /** The incremental tier's contract is monotone-update equality: its
+    * result set equals a FULL flag-tier re-run against the unioned
+    * benchmark, so the oracle is the exact tier's distinct flagged ids
+    * over (old mod-491 suite ∪ new mod-97≡11 suite) — never the
+    * incremental decomposition itself.
+    */
+  private lazy val deconSemanticIncrOracleSql: String =
+    s"""${deconSemanticCtesFor("doc_id % 491 = 0 OR doc_id % 97 = 11")}
        SELECT DISTINCT doc_id FROM f"""
 
   private val TopKGateSql =
@@ -5926,6 +5972,9 @@ object SparkEntry {
     // the flag tier: the semi-join's early exit changes COST only —
     // the flagged id set replays as the exact tier's DISTINCT doc ids
     "decon_semantic_flag" -> deconSemanticFlagOracleSql,
+    "decon_semantic_incr" -> deconSemanticIncrOracleSql,
+    // prescreen × early-exit tier: flagged set = the flag tier's
+    "decon_semantic_ivf_flag" -> deconSemanticFlagOracleSql,
 
     // streaming twin: the drained flagged count is the exact tier's
     // distinct count; streamed == batch equality is the Spark verdict

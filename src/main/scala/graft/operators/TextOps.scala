@@ -641,16 +641,33 @@ object TextOps {
     * SILENTLY and the pair set desyncs from the oracle's exact
     * arithmetic. Decimal(38,0) is exact up to 10³⁸: safe for per-doc
     * single-slot gram mass up to ~10⁹ (a gigabyte-scale run of one
-    * char), far beyond any real document; past THAT Spark yields null
-    * (pair conservatively not flagged) rather than a wrapped sign. The
-    * oracle side mirrors with HUGEINT (int128, max ~1.7·10³⁸).
+    * char), far beyond any real document. Past THAT the products are
+    * built with `try_multiply`, which yields null on Decimal overflow
+    * REGARDLESS of `spark.sql.ansi.enabled` (pair conservatively not
+    * flagged, never a wrapped sign) — a plain `*` would have made the
+    * overflow behavior a session-config coin flip: ANSI (the Spark 4
+    * default every graft session runs under) throws mid-query, non-ANSI
+    * nulls. The oracle side mirrors with HUGEINT (int128, max
+    * ~1.7·10³⁸).
+    *
+    * Exactness bound as a function of (dim, q²): the worst case is
+    * dim-INDEPENDENT — all gram mass in one slot gives dot = G·G' and
+    * norms G², G'², so `dot²·q²` reaches `G⁴·q²` and the predicate is
+    * exact (never null) for single-slot mass `G < (10³⁸/q²)^¼`
+    * (~1.4·10⁹ at the default q=5; larger dim only spreads mass and
+    * can't worsen it). Past the bound the verdict is null ⇒ skipped by
+    * `count(when(…))` ⇒ conservatively NOT flagged — pinned against
+    * BigInteger over the full long range, overflow band included, in
+    * HashEmbedSpec ("cosThresholdPred: exact vs BigInteger…").
     */
   private[graft] def cosThresholdPred(dt: Column, n1: Column, n2: Column,
       p2: Long, q2: Long): Column = {
     val dec = "decimal(38,0)"
     dt > 0 &&
-      dt.cast(dec) * dt.cast(dec) * lit(q2).cast(dec) >=
-        lit(p2).cast(dec) * n1.cast(dec) * n2.cast(dec)
+      try_multiply(try_multiply(dt.cast(dec), dt.cast(dec)),
+          lit(q2).cast(dec)) >=
+        try_multiply(try_multiply(lit(p2).cast(dec), n1.cast(dec)),
+          n2.cast(dec))
   }
 
   /** Semantic decontamination over [[hashEmbed]] vectors: flag every
@@ -741,6 +758,41 @@ object TextOps {
       .select(col(idCol))
   }
 
+  /** INCREMENTAL semantic decontamination — the benchmark-append shape.
+    * An eval suite only ever GROWS (new benchmarks are published; old
+    * ones stay contaminating), and the flag verdict is existential over
+    * the benchmark side, so flags are MONOTONE under benchmark append:
+    * a doc flagged against the old suite stays flagged against the
+    * union. The incremental job is therefore the
+    * [[semanticDecontaminateFlag]] tier over ONLY the previously
+    * UNFLAGGED corpus remainder × the NEW benchmark docs, unioned with
+    * the carried-forward flag set — the `dedup_incremental` /
+    * `mm_dhash_incremental` convention applied to the decon family.
+    * Returns the UPDATED flagged `(idCol)` set, equal by construction
+    * to a full re-run of the flag tier against `oldBenchmark ∪
+    * newBenchmark` (and hence to the exact tier's distinct ids over
+    * the union — the oracle replays exactly that).
+    *
+    * Scale shape at 100 TB: `prevFlagged` is a persisted id list (far
+    * smaller than the corpus' text+embed width), so the only new work
+    * is one anti join keyed on the id plus ≤ |newBenchmark| dots per
+    * surviving doc — the corpus text is never re-compared against the
+    * old suite, and a no-op append (empty `newBenchmark`) degenerates
+    * to returning `prevFlagged` after an embed-free semi probe. The
+    * two branches are disjoint by construction (`newly ⊆ corpus ∖
+    * prevFlagged`), so the union needs no distinct and no shuffle.
+    */
+  def semanticDecontaminateIncr(corpus: DataFrame, prevFlagged: DataFrame,
+      newBenchmark: DataFrame, cosP: Int = 4, cosQ: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val prevIds = prevFlagged.select(col(idCol))
+    val remainder = corpus.join(prevIds, Seq(idCol), "left_anti")
+    val newly = semanticDecontaminateFlag(
+      remainder, newBenchmark, cosP, cosQ, textCol, idCol, n, dim)
+    prevIds.unionByName(newly)
+  }
+
   /** IVF-prescreened semantic decontamination — the candidate-generation
     * tier [[semanticDecontaminate]]'s doc promises for HUGE benchmarks.
     * Same contract (flag corpus docs with hashed-embedding cosine ≥ p/q
@@ -778,14 +830,27 @@ object TextOps {
     * cost plus the (cheap) assignment, never worse by more than that.
     * One shuffle total (the per-doc match count); the corpus vectors
     * never shuffle.
+    *
+    * `candidatesOnly = true` returns the raw verified-pair stream
+    * `(idCol, n1, n2, dt)` BEFORE the threshold/aggregation — the
+    * ScaleProbe diagnostic behind the pair-stream-ratio claim (verified
+    * pairs ÷ the exact tier's corpus × benchmark), never a query
+    * surface.
     */
-  def semanticDecontaminateIvf(corpus: DataFrame, benchmark: DataFrame,
-      cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
-      idCol: String = "doc_id", n: Int = 3, dim: Int = 64,
-      nlist: Int = 0, trainSample: Int = 20000,
-      corpusKey: Option[String] = None): DataFrame = {
+  /** The shared ball-cover prescreen behind both IVF decon tiers:
+    * returns (corpus rows with their assigned list, benchmark rows
+    * replicated into every list whose angular ball could hold a
+    * match). Recall-1 by the triangle inequality (see
+    * [[semanticDecontaminateIvf]]'s theorem); the tiers differ only in
+    * how they CONSUME the candidate join — count every verified match
+    * vs stop at the first.
+    */
+  private def ivfBallCover(corpus: DataFrame, benchmark: DataFrame,
+      cosP: Int, cosQ: Int, textCol: String, idCol: String, n: Int,
+      dim: Int, nlist: Int, trainSample: Int,
+      corpusKey: Option[String]): (DataFrame, DataFrame) = {
     require(cosP > 0 && cosQ >= cosP,
-      s"semanticDecontaminateIvf: need 0 < p/q <= 1, got $cosP/$cosQ")
+      s"semantic decon (IVF prescreen): need 0 < p/q <= 1, got $cosP/$cosQ")
     val spark = corpus.sparkSession
     import spark.implicits._
     val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
@@ -856,17 +921,66 @@ object TextOps {
     val cAssigned = cUnit.withColumn("list",
       element_at(
         graft.functions.vec.nearestCentroids(col("u"), centroids, 1), 1))
+    (cAssigned, benchRep)
+  }
+
+  def semanticDecontaminateIvf(corpus: DataFrame, benchmark: DataFrame,
+      cosP: Int = 4, cosQ: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, dim: Int = 64,
+      nlist: Int = 0, trainSample: Int = 20000,
+      corpusKey: Option[String] = None,
+      candidatesOnly: Boolean = false): DataFrame = {
+    val (cAssigned, benchRep) = ivfBallCover(corpus, benchmark, cosP,
+      cosQ, textCol, idCol, n, dim, nlist, trainSample, corpusKey)
+    val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
     // each corpus doc has exactly ONE list → a pair appears at most
     // once in the join; no dedup shuffle, verify inline, count per doc
-    cAssigned.join(broadcast(benchRep), Seq("list"))
+    val candidates = cAssigned.join(broadcast(benchRep), Seq("list"))
       .filter(col(idCol) =!= col("eval_id"))
       .select(col(idCol), col("n1"), col("n2"),
         graft.functions.vec.dot(col("cv"), col("ev")).cast("long").as("dt"))
+    if (candidatesOnly) candidates
+    else candidates
       .groupBy(col(idCol))
       .agg(count(when(
         cosThresholdPred(col("dt"), col("n1"), col("n2"), p2, q2),
         1)).as("n_matches"))
       .filter(col("n_matches") > 0)
+  }
+
+  /** Prescreen × early exit — the tier a CLUSTERED corpus build runs
+    * at 100 TB when the decision is binary. The two decon wins are
+    * orthogonal and this composes them: the ball-cover prescreen
+    * ([[semanticDecontaminateIvf]]'s recall-1 theorem) deletes the
+    * candidate stream of every CLEAN-topic doc — exactly the docs
+    * where [[semanticDecontaminateFlag]]'s semi join must scan the
+    * whole benchmark to prove a negative — while the LEFT-SEMI
+    * consumption stops each contaminated doc at its first verified
+    * match instead of counting them all. Mechanically: the candidate
+    * equi-join on `list` becomes a broadcast hash LEFT-SEMI whose
+    * extra condition is the fused integer-exact
+    * [[graft.functions.VectorRuntime.cosGe]] kernel, so Spark probes
+    * one hash bucket per corpus row and exits at the first passing
+    * pair. Flagged set = the flag tier's = DISTINCT ids of the exact
+    * tier, by recall-1 + the shared exact predicate (the oracle
+    * replays that). Zero shuffles: assignment is row-local, the
+    * replicated benchmark broadcasts, a semi join emits each corpus
+    * row at most once.
+    */
+  def semanticDecontaminateIvfFlag(corpus: DataFrame,
+      benchmark: DataFrame, cosP: Int = 4, cosQ: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      dim: Int = 64, nlist: Int = 0, trainSample: Int = 20000,
+      corpusKey: Option[String] = None): DataFrame = {
+    val (cAssigned, benchRep) = ivfBallCover(corpus, benchmark, cosP,
+      cosQ, textCol, idCol, n, dim, nlist, trainSample, corpusKey)
+    val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
+    cAssigned.join(broadcast(benchRep),
+        cAssigned("list") === benchRep("list") &&
+          col(idCol) =!= col("eval_id") &&
+          graft.functions.vec.cosGe(col("cv"), col("ev"), p2, q2),
+        "left_semi")
+      .select(col(idCol))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -202,12 +202,13 @@ class HardeningSpec extends AnyFunSuite {
       // agg + three per-kind pair joins (cap window + join + dedup ride
       // the persisted media subtree) + cluster resolution + quality/
       // token joins + the manifest groupBy — the composition is
-      // deliberately the whole multimodal family in one plan. Round 17
-      // adds the semantic-decon stage (+2: the IVF flag subplan's
-      // match-count agg plus its embed-side exchange; assignment and
-      // the ball-cover probe are row-local and the anti-join is
-      // broadcast)
-      "pipeline_corpus_build_mm" -> 13,
+      // deliberately the whole multimodal family in one plan. The
+      // round-17 semantic-decon stage adds ZERO exchanges: it is the
+      // broadcast left-semi FLAG tier (decon_semantic_flag, pinned at 0
+      // below), so the ceiling stays the round-16 value — re-measured
+      // at 11 this round after the r17 bump to 13 shipped with a stale
+      // "IVF subplan" attribution (round-17 ADVICE)
+      "pipeline_corpus_build_mm" -> 11,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
@@ -257,6 +258,16 @@ class HardeningSpec extends AnyFunSuite {
       // join condition — each corpus row emits at most once, so the
       // whole query is a row-local filter of the corpus stream
       "decon_semantic_flag" -> 0,
+      // prescreen × early-exit tier: row-local assignment + broadcast
+      // hash semi join on the list key with the fused predicate as the
+      // extra condition — each corpus row probes one bucket and emits
+      // at most once; zero shuffles like the plain flag tier
+      "decon_semantic_ivf_flag" -> 0,
+      // incremental tier (benchmark append): carried-forward flag set +
+      // broadcast anti join + the flag tier over the remainder × new
+      // docs — every join broadcasts and the union is shuffle-free
+      // (the branches are disjoint by construction, no distinct)
+      "decon_semantic_incr" -> 0,
       // dense-vector retrieval: persisted embed subtree + 1-row
       // broadcast + TakeOrderedAndProject — zero shuffle exchanges
       "sim_topk_text_embed" -> 0,

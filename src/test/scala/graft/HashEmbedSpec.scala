@@ -194,12 +194,135 @@ class HashEmbedSpec extends AnyFunSuite {
       val ivf = TextOps.semanticDecontaminateIvf(corpus, bench, nlist = nl)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
       assert(ivf == exact, s"nlist=$nl: ivf=$ivf exact=$exact")
+      // the prescreen × early-exit tier returns the same MEMBERSHIP
+      // under the same any-nlist contract (semi consumption changes
+      // cost, never the set)
+      val ivfFlag = TextOps.semanticDecontaminateIvfFlag(
+        corpus, bench, nlist = nl).as[Long].collect().toSet
+      assert(ivfFlag == exact.map(_._1),
+        s"nlist=$nl: ivfFlag=$ivfFlag exact=$exact")
     }
     // and the early-exit FLAG tier returns exactly the exact tier's
     // doc-id set (existence semantics — counts drop, membership doesn't)
     val flag = TextOps.semanticDecontaminateFlag(corpus, bench)
       .as[Long].collect().toSet
     assert(flag == exact.map(_._1), s"flag=$flag exact=$exact")
+  }
+
+  test("incremental decon under benchmark append equals the full re-run " +
+    "(monotone update) and no-ops on an empty append") {
+    // flags are existential over the benchmark side, so they are
+    // MONOTONE under benchmark append — the incremental tier carries
+    // the old flag set forward and runs the flag tier over ONLY the
+    // unflagged remainder × the new docs. Equality to a full re-run
+    // against the union is the operator's whole contract (and what the
+    // decon_semantic_incr oracle replays).
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "distributed query engines shuffle hash partitions across workers"),
+      (2L, "completely unrelated payload about sorting networks"),
+      (3L, "七言绝句平仄格律对仗工整")).toDF("doc_id", "text")
+    val benchOld = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val benchNew = Seq(
+      (2000L, "distributed query engines shuffle hash partitions across executors"),
+      (2001L, "七言绝句平仄格律对仗工整韵脚分明")).toDF("doc_id", "text")
+    val prev = TextOps.semanticDecontaminateFlag(corpus, benchOld)
+    assert(prev.as[Long].collect().toSet == Set(0L),
+      "fixture: the old suite must flag exactly the verbatim leak")
+    val incr = TextOps.semanticDecontaminateIncr(corpus, prev, benchNew)
+      .as[Long].collect().toSet
+    val full = TextOps.semanticDecontaminateFlag(
+      corpus, benchOld.unionByName(benchNew)).as[Long].collect().toSet
+    assert(incr == full, s"incr=$incr full=$full")
+    assert(Set(1L, 3L).subsetOf(incr),
+      "the appended suite must contribute NEW flags (else the fixture is vacuous)")
+    // no-op append: an empty new suite returns the carried set verbatim
+    val noop = TextOps.semanticDecontaminateIncr(
+      corpus, prev, benchNew.filter($"doc_id" < 0)).as[Long].collect().toSet
+    assert(noop == Set(0L), s"empty append must be a no-op: $noop")
+  }
+
+  test("cosThresholdPred: exact vs BigInteger everywhere it is non-null, " +
+    "null only past Decimal(38,0) — conservative, never a mis-flag") {
+    // the Decimal(38,0) bound is derived for the 64-dim/char-3-gram
+    // default, but hashEmbed exposes (n, dim) as parameters and the
+    // worst case is dim-INDEPENDENT: all gram mass in one slot gives
+    // dot = G·G' and norms G², G'², so dot²·q² reaches G⁴·q² and the
+    // exactness ceiling is G < (10³⁸/q²)^¼ (~1.4·10⁹ for q=5) whatever
+    // the dim. Past it the predicate's `try_multiply` yields NULL
+    // under ANY ansi setting (a plain `*` would THROW under ANSI — the
+    // Spark 4 default every graft session runs under — which this
+    // spec originally caught live), and `count(when(pred, 1))` skips
+    // null — the pair is CONSERVATIVELY not flagged, never flagged by
+    // a wrapped sign.
+    // Drive the predicate over the full long range incl. the overflow
+    // band and pin both halves of that contract against BigInteger.
+    import java.math.BigInteger
+    val limit = BigInteger.TEN.pow(38)
+    val cases = for {
+      dtRaw <- Gen.chooseNum(-4L, 9200000000000000000L)
+      n1 <- Gen.chooseNum(0L, 9200000000000000000L)
+      n2 <- Gen.chooseNum(0L, 9200000000000000000L)
+      pq <- Gen.oneOf((16L, 25L), (1L, 2L), (81L, 100L), (1L, 1L))
+    } yield (dtRaw, n1, n2, pq._1, pq._2)
+    forAll(cases, n = 120) { case (dt, n1, n2, p2, q2) =>
+      val row = Seq((dt, n1, n2)).toDF("dt", "n1", "n2")
+        .select(TextOps.cosThresholdPred(col("dt"), col("n1"), col("n2"),
+          p2, q2).as("v"))
+        .head()
+      val lhs = BigInteger.valueOf(dt).multiply(BigInteger.valueOf(dt))
+        .multiply(BigInteger.valueOf(q2))
+      val rhs = BigInteger.valueOf(p2)
+        .multiply(BigInteger.valueOf(n1)).multiply(BigInteger.valueOf(n2))
+      val exact = dt > 0 && lhs.compareTo(rhs) >= 0
+      if (row.isNullAt(0)) {
+        // null ONLY when a product actually left Decimal(38,0); a doc
+        // needs single-slot gram mass ≥ (10³⁸/q²)^¼ to get here
+        assert(dt > 0 && (lhs.abs.compareTo(limit) >= 0 ||
+            rhs.abs.compareTo(limit) >= 0),
+          s"null without overflow: dt=$dt n1=$n1 n2=$n2 p2=$p2 q2=$q2")
+      } else {
+        assert(row.getBoolean(0) == exact,
+          s"pred desynced from BigInteger: dt=$dt n1=$n1 n2=$n2 " +
+            s"p2=$p2 q2=$q2 got=${row.getBoolean(0)} want=$exact")
+      }
+    }
+  }
+
+  test("flag tier plan: embed projects BELOW the semi join, never inside " +
+    "its condition") {
+    // the documented projection-collapse hazard (PERF.md "Embed-side
+    // hazard"): Catalyst keeps expressions, not columns, and an embed
+    // subtree inlined into a nested-loop join CONDITION re-evaluates
+    // interpreted once per candidate PAIR — jstack'd at minutes on the
+    // 100× tier. Pin the healthy shape: the semi join's condition is
+    // the fused cos_ge over attribute REFERENCES, and hash_embed_vec
+    // appears only in projections strictly below the join.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextOps.semanticDecontaminateFlag(
+      docs.filter($"doc_id" % 7 === 0), docs.filter($"doc_id" % 491 === 0))
+    // string-level over the tree form: AQE wraps the physical plan, so
+    // node collection sees only the AdaptiveSparkPlan shell — but the
+    // tree printer puts each join's CONDITION on the join's own line
+    val plan = df.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(joinLines.nonEmpty,
+      s"flag tier must plan a broadcast nested-loop semi join:\n$plan")
+    for (l <- joinLines) {
+      assert(l.contains("LeftSemi") && l.contains("cos_ge("),
+        s"fused predicate missing from the semi-join condition: $l")
+      assert(!l.contains("hash_embed_vec"),
+        s"embed subtree re-inlined into the join condition (per-pair " +
+          s"re-evaluation): $l")
+    }
+    // and the embed work exists as a projection elsewhere in the plan
+    // (below the join), evaluated once per row
+    assert(plan.contains("hash_embed_vec"),
+      s"embed projection not found below the semi join:\n$plan")
   }
 
   test("gram-similar docs rank closer than unrelated ones (retrieval sanity)") {
