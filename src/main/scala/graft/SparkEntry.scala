@@ -2847,6 +2847,25 @@ object SparkEntry {
         maxHamming = 6, maxBucketSize = Some(256))
     }),
 
+    // Image decontamination (round-18): the multimodal member of the
+    // decon family — flag corpus images within Hamming 6 of ANY
+    // benchmark image (the re-id'd every-15th docs standing in for an
+    // eval suite). Broadcast LEFT-SEMI with the full-hash verify in
+    // the condition, distinct flagged ids, NO occupancy cap (a drop
+    // decision must not trade recall for bounded work). The oracle
+    // replays hash, band join, and verify relationally.
+    "mm_decon_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val bench = docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      Multimodal.dHashDecontaminateFlag(
+        Multimodal.attachMedia(docs.select(col("doc_id"), col("text"))),
+        Multimodal.attachMedia(bench),
+        maxHamming = 6, bands = 4, bandBits = 16)
+    }),
+
     // Incremental image near-dup (round-13): the arriving shard (the
     // re-id'd every-5th-image dups) is joined against the PERSISTED
     // dHash band index of the existing corpus — old payloads never
@@ -6108,6 +6127,44 @@ object SparkEntry {
     // incremental shard vs persisted index: cap counted over old∪new,
     // left side capped, right side the (uncapped) new shard; pair
     // orientation normalized least/greatest — bit-for-bit the Spark plan
+    "mm_decon_flag" ->
+      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+         img_c AS (
+           SELECT doc_id, lower(sha256(text)) AS h FROM documents
+           WHERE doc_id % 3 = 0),
+         img_b AS (
+           SELECT doc_id + (SELECT m FROM mx) AS doc_id,
+             lower(sha256(text)) AS h FROM documents
+           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+         hash_c AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM img_c),
+         hash_b AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM img_b),
+         banded_c AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash_c, unnest(range(4)) AS t(b)),
+         banded_b AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM hash_b, unnest(range(4)) AS t(b))
+         SELECT DISTINCT c.doc_id
+         FROM banded_c c JOIN banded_b b
+           ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+             AND c.doc_id != b.doc_id
+         WHERE CAST(bit_count(xor(c.bl[1], b.bl[1]))
+             + bit_count(xor(c.bl[2], b.bl[2]))
+             + bit_count(xor(c.bl[3], b.bl[3]))
+             + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6""",
+
     "mm_dhash_incremental" ->
       """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
          img_old AS (

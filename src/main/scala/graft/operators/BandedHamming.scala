@@ -312,6 +312,64 @@ private[graft] object BandedHamming {
       .select("d1", "d2", "hamming")
   }
 
+  /** Bipartite decontamination flag join — [[pairJoin]]'s machinery
+    * pointed at TWO id-disjoint sides with a binary verdict: flag
+    * every corpus doc whose full 64-bit fingerprint lies within
+    * `maxHamming` of ANY benchmark doc's. The
+    * [[graft.operators.TextOps.semanticDecontaminateFlag]] consumption
+    * shape applied to Hamming fingerprints: the benchmark side (an
+    * eval suite — small by definition) persists once and BROADCASTS,
+    * the corpus band rows probe it in a hash LEFT-SEMI whose condition
+    * carries the exact `bit_count(xor)` verify inline, so Spark exits
+    * each corpus band row at its first passing benchmark entry and
+    * corpus fingerprints never shuffle. `probeRadius` explodes the
+    * ball on the BENCHMARK side (the small one), preserving the
+    * scaled layout's ≤3-Hamming completeness contract.
+    *
+    * NO occupancy cap, deliberately: [[Dedup.capBandBuckets]] trades
+    * bounded work for recall on degenerate strata, which is the right
+    * trade for near-dup PAIR mining but the wrong one for a
+    * decontamination DROP decision — silently unflagging a benchmark
+    * hit corrupts the eval. The candidate stream is bounded instead
+    * by the broadcast semi join itself: ≤ one probe per corpus band
+    * row, early exit on the first match.
+    *
+    * Returns DISTINCT flagged corpus ids (`doc_id`) — one shuffle,
+    * over the flagged subset only (a doc matching in several bands
+    * exits the semi join once per band row).
+    */
+  def bipartiteFlagJoin(corpusRows: DataFrame, benchRows: DataFrame,
+      maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
+      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(probeRadius >= 0 && probeRadius <= 2,
+      s"probeRadius must be 0..2, got $probeRadius")
+    // persist before the broadcast: the bench rows feed one broadcast
+    // exchange, but an unpersisted lineage would re-hash the payloads
+    // inside the driver-side broadcast collect (the embed-persist
+    // convention of the semantic decon tiers)
+    val bench0 = benchRows.select(col("doc_id").as("eval_id"),
+      col("bands").as("eval_bands"), col("band_idx"), col("band_key"))
+    val bench = storage.fold(bench0)(graft.CacheScope.persist(bench0, _))
+    val probed =
+      if (probeRadius == 0) bench
+      else bench.select(col("eval_id"), col("eval_bands"), col("band_idx"),
+        explode(array(ballMasks(bandBits, probeRadius).map(m =>
+          col("band_key").bitwiseXOR(lit(m))): _*)).as("band_key"))
+    val hamming = (0 until bands)
+      .map(i => bit_count(element_at(col("bands"), i + 1)
+        .bitwiseXOR(element_at(col("eval_bands"), i + 1))))
+      .reduce(_ + _).cast("bigint")
+    corpusRows.as("c")
+      .join(broadcast(probed.as("e")),
+        col("c.band_idx") === col("e.band_idx") &&
+          col("c.band_key") === col("e.band_key") &&
+          col("c.doc_id") =!= col("e.eval_id") &&
+          hamming <= maxHamming,
+        "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Per-bit bias diagnostic for a 64-bit fingerprint column — the
     * SCREEN for the degenerate-entropy regime the 1000× probe caught
     * (under-grid video frames: correlated gradient bits → radius

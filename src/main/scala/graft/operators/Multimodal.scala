@@ -391,6 +391,60 @@ object Multimodal {
       maxHamming, b, bb, pr, maxBucketSize, storage)
   }
 
+  /** Image decontamination — the MULTIMODAL member of the
+    * decontamination family, the operation that removes eval-set
+    * images (and their re-encodes/near-variants) from a training
+    * crawl: flag every corpus image whose dHash lies within
+    * `maxHamming` of ANY benchmark image's. Returns DISTINCT flagged
+    * corpus `doc_id`s — the [[graft.operators.TextOps.semanticDecontaminateFlag]]
+    * contract with the Hamming metric instead of cosine.
+    *
+    * Plan shape ([[BandedHamming.bipartiteFlagJoin]]): corpus band
+    * rows are row-local projections; the benchmark side (an eval
+    * suite — small by definition) persists once and BROADCASTS into a
+    * hash LEFT-SEMI whose condition carries the exact full-hash
+    * verify, so each corpus row exits at its first passing benchmark
+    * entry and corpus payloads/hashes never shuffle — ONE exchange
+    * total (the distinct over the flagged subset). NO occupancy cap,
+    * deliberately: capping trades recall for bounded work, the right
+    * trade for pair MINING and the wrong one for a DROP decision —
+    * a silently-unflagged benchmark hit corrupts the eval (the same
+    * reason [[semanticDecontaminateFlag]]'s tiers carry recall-1
+    * theorems, not banding probabilities).
+    *
+    * Recall: pairs within Hamming `bands·(probeRadius+1) − 1` of each
+    * other are GUARANTEED to collide on some (possibly probed) band
+    * key (pigeonhole / multi-index substring argument — 3 under both
+    * auto layouts); the 4–6 tail of the default `maxHamming = 6` is
+    * heuristic exactly as in [[dHashNearDupPairs]], and a run whose
+    * `maxHamming` exceeds the resolved bound logs
+    * [[BandedHamming.warnHeuristicTail]]. `bands = 0` (default)
+    * self-sizes the layout from the CORPUS count (the big side —
+    * both sides must hash under one layout for the band keys to
+    * meet); `decodePixels = true` routes both sides through the real
+    * raster decoder kernel ([[dHashImageBandRows]]) so visually-near
+    * re-encodes flag, not just byte-near payloads.
+    */
+  def dHashDecontaminateFlag(corpusMedia: DataFrame,
+      benchmarkMedia: DataFrame, maxHamming: Int = 6, bands: Int = 0,
+      bandBits: Int = 16, headerLen: Int = 3, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      decodePixels: Boolean = false, nHint: Long = -1L): DataFrame = {
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint
+      else corpusMedia.filter(col("kind") === "image").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("dHashDecontaminateFlag",
+        maxHamming, b, pr)
+    def rows(m: DataFrame) =
+      if (decodePixels) dHashImageBandRows(m, b, bb)
+      else dHashBandRows(m, b, bb, headerLen)
+    BandedHamming.bipartiteFlagJoin(rows(corpusMedia),
+      rows(benchmarkMedia), maxHamming, b, bb, pr, storage)
+  }
+
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
     * also carrying [[Dedup.simHashPairs]]): banded self-join over
     * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify

@@ -966,6 +966,17 @@ object TextOps {
     * replays that). Zero shuffles: assignment is row-local, the
     * replicated benchmark broadcasts, a semi join emits each corpus
     * row at most once.
+    *
+    * Measured crossover (round-18 clustered probe, 500k docs × 10k
+    * benchmark, 50 topics, 20% contaminated — PERF.md "clustered
+    * corpus"): exact 233.1 s, flag 28.1 s, ivf (full counts) 42.6 s,
+    * THIS tier 30.0 s, pair stream pruned 50× and flagged sets
+    * identical. At a 10k-doc benchmark the quantizer's ~15 s fixed
+    * cost offsets what the prescreen saves the clean docs, so plain
+    * [[semanticDecontaminateFlag]] is equally good; the composed tier
+    * pulls ahead as |benchmark| grows (the clean-doc semi scan is
+    * linear in |benchmark|, the prescreen's fixed cost is not) — at
+    * 100k+ benchmark docs run this one.
     */
   def semanticDecontaminateIvfFlag(corpus: DataFrame,
       benchmark: DataFrame, cosP: Int = 4, cosQ: Int = 5,

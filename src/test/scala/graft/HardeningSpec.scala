@@ -227,6 +227,11 @@ class HardeningSpec extends AnyFunSuite {
       // dedup; the shard side broadcasts at fixture scale and becomes
       // the third exchange once it outgrows the broadcast threshold
       "mm_dhash_incremental" -> 3,
+      // image decon flag: corpus band rows are row-local, the
+      // benchmark side broadcasts into the left-semi (its verify rides
+      // the join condition) — the single exchange is the distinct over
+      // the flagged subset
+      "mm_decon_flag" -> 1,
       // decoded-pixel gate: the cached band subtree's cap window (1) +
       // pair-join side + pair dedup (2) carry the operator; the
       // identity-pair oracle join (1) and the two 1-row verdict aggs

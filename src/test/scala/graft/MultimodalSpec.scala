@@ -2,6 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -186,6 +187,55 @@ class MultimodalSpec extends AnyFunSuite {
     // cutover: exact layout below 1M images, scaled at/above
     assert(Multimodal.autoBandLayout(999999L) == ((4, 16, 0)))
     assert(Multimodal.autoBandLayout(1000000L) == ((2, 32, 1)))
+  }
+
+  test("dHashDecontaminateFlag (round-18): flagged set equals the brute " +
+    "bipartite verify, empty benchmark flags nothing, NO cap (a " +
+    "mega-bucket still flags), radius-1 probing holds on the scaled " +
+    "layout") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val base = "0123456789abcdef" * 4
+    val near = base.substring(0, 40) + "f" + base.substring(41)
+    val far = "fedcba9876543210" * 4
+    val corpus = media(Seq(1L -> base, 2L -> near, 3L -> far))
+    val bench = media(Seq(100L -> base))
+    def flag(c: DataFrame, b: DataFrame, bands: Int = 4, bits: Int = 16,
+        probe: Int = 0) =
+      Multimodal.dHashDecontaminateFlag(c, b, maxHamming = 6,
+          bands = bands, bandBits = bits, probeRadius = probe)
+        .as[Long].collect().toSet
+    // brute bipartite expectation from the near-dup machinery over the
+    // union, restricted to cross pairs (corpus ids < 100 < bench ids)
+    val brute = Multimodal.dHashNearDupPairs(
+        media(Seq(1L -> base, 2L -> near, 3L -> far, 100L -> base)),
+        maxHamming = 6, bands = 4, bandBits = 16)
+      .as[(Long, Long, Long)].collect()
+      .filter(p => (p._1 >= 100L) != (p._2 >= 100L))
+      .map(p => math.min(p._1, p._2)).toSet
+    val flagged = flag(corpus, bench)
+    assert(flagged == brute && flagged == Set(1L, 2L),
+      s"identical (0) + near (<=6) flag, far must not: $flagged vs $brute")
+    // empty benchmark → nothing flags (and no crash on the broadcast)
+    assert(flag(corpus, media(Seq.empty[(Long, String)])).isEmpty)
+    // NO occupancy cap by design: five identical corpus images form a
+    // 5-row bucket in EVERY band — the near-dup cap at 4 would drop
+    // the bucket, but a decon drop decision must keep its recall
+    val hot = media((10L to 14L).map(i => i -> base))
+    assert(flag(hot, bench) == (10L to 14L).toSet)
+    // scaled layout: the hamming-2 pair invisible to the exact 2x32
+    // join (per-band distance 1+1) must still FLAG under radius-1
+    // probing — the ball explodes on the benchmark side
+    val b2 = "ab" * 32
+    val twist = "cb" + "ab" * 31
+    assert(flag(media(Seq(1L -> twist)), media(Seq(100L -> b2)),
+      bands = 2, bits = 32, probe = 0).isEmpty)
+    assert(flag(media(Seq(1L -> twist)), media(Seq(100L -> b2)),
+      bands = 2, bits = 32, probe = 1) == Set(1L))
+    // self-id exclusion: a benchmark doc that IS the corpus doc (same
+    // id) must not flag itself
+    assert(flag(media(Seq(1L -> far)), media(Seq(1L -> far))).isEmpty)
   }
 
   test("dHashIncrementalPairs: equals the full recompute restricted to " +
