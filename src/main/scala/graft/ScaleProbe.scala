@@ -154,6 +154,26 @@ object ScaleProbe {
             bands = 2, bandBits = 32),
           maxHamming = 6, bands = 2, bandBits = 32, probeRadius = 1,
           maxBucketSize = Some(256)).count() },
+      time("mm_decon_raw") {
+        // image decontamination at scale (round-18): benchmark = every
+        // 300th image re-id'd (the incremental row's shard recipe, as
+        // an eval suite) — corpus band rows row-local under the scaled
+        // layout, benchmark broadcasts with its radius-1 ball into the
+        // left-semi, one dedup exchange over the flagged subset. The
+        // row should track the corpus's row-local hash pass, NOT the
+        // near-dup join rows: clean images probe a hash map and move on
+        import org.apache.spark.sql.functions.{col, max => smax}
+        val m = (docs.agg(smax(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+        val bench = docs.filter(col("doc_id") % 300 === 0)
+          .select((col("doc_id") + m).as("doc_id"), col("text"))
+        // single-file fixture split trap (PERF.md): the corpus pass is
+        // row-local — fan out so it doesn't serialize on 1-5 splits
+        graft.operators.Multimodal.dHashDecontaminateFlag(
+          graft.operators.Multimodal.attachMedia(
+            docs.repartition(cpus.toInt * 4)),
+          graft.operators.Multimodal.attachMedia(bench),
+          maxHamming = 6, bands = 2, bandBits = 32,
+          probeRadius = 1).count() },
       time("mm_dhash_decoded_probed_raw") {
         // real decoder + scaled layout: the decoded twin of
         // mm_dhash_probed_raw

@@ -2568,6 +2568,49 @@ object SparkEntry {
         .crossJoin(broadcast(eq))
     }),
 
+    // Streaming image decontamination (round-18): stream_decon_flag's
+    // twin for the multimodal member — contaminated images drop in
+    // flight through the SAME stream-static broadcast semi join +
+    // full-hash verify; the only state is the flagged-id dedup
+    // (bounded by the contamination count, a doc's band rows land in
+    // one micro-batch). Drained set == batch set gated in-plan.
+    "stream_mm_decon_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val bench = Multimodal.attachMedia(docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text")))
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "smdf",
+        "in") { tmp =>
+        docs.select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_smdf").toString
+      onJvmExitDelete(run)
+      val textStream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val q = Multimodal.dHashDecontaminateFlag(
+          Multimodal.attachMedia(textStream), bench,
+          maxHamming = 6, bands = 4, bandBits = 16)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.read.parquet(s"$run/out")
+      val batch = Multimodal.dHashDecontaminateFlag(
+        Multimodal.attachMedia(docs.select(col("doc_id"), col("text"))),
+        bench, maxHamming = 6, bands = 4, bandBits = 16)
+      val eq = streamed.withColumn("l", lit(1)).as("a")
+        .join(batch.withColumn("r", lit(1)).as("b"), Seq("doc_id"), "full")
+        .agg((count(when(col("l").isNull || col("r").isNull, 1)) === 0)
+          .as("equal_ok"))
+      streamed.agg(count(lit(1)).as("n_flagged"))
+        .crossJoin(broadcast(eq))
+    }),
+
     // In-engine hashed text embedding (feature-hashing trick over char
     // 3-grams, signed 64-slot vectors): the exploded nonzero slots of a
     // deterministic doc subsample, every value a BIGINT the oracle
@@ -3307,6 +3350,68 @@ object SparkEntry {
           .toDF("equals_full_restricted")))
         .select(col("n_new_audio"), col("n_identity_pairs"),
           col("all_identity_found"), col("equals_full_restricted"))
+    }),
+
+    // Audio decontamination (round-18): the audio member of the decon
+    // family — flag corpus clips within Hamming 6 of any benchmark
+    // clip's fingerprint. The fingerprint kernel isn't SQL-replayable,
+    // so the gate is mm_audio_neardup's shape: the oracle pins the
+    // relational identity half (every corpus clip sharing a bench
+    // doc's text — hence byte-identical WAV — MUST flag, guaranteed at
+    // hamming 0) plus the in-plan verdict; coincidental fuzzy flags
+    // ride the flagged set but not the gated columns.
+    "mm_decon_audio_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val bench = docs
+        .filter(col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val corpusMedia = graft.CacheScope.persist(
+        Multimodal.attachWavAudio(docs.select(col("doc_id"), col("text"))))
+      val flagged = graft.CacheScope.persist(
+        Multimodal.audioDecontaminateFlag(corpusMedia,
+          Multimodal.attachWavAudio(bench),
+          maxHamming = 6, bands = 4, bandBits = 16))
+      val benchKeys = bench.select(sha2(col("text"), 256).as("tkey")).distinct()
+      val mustFlag = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+        .join(broadcast(benchKeys), "tkey")
+        .select("doc_id").distinct()
+      mustFlag.join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_identity"),
+          coalesce(min(col("f") === 1), lit(true)).as("all_identity_flagged"))
+        .crossJoin(broadcast(corpusMedia
+          .agg(count(lit(1)).as("n_audio"))))
+    }),
+
+    // Video decontamination (round-18): the video member — flag corpus
+    // videos where ANY sampled frame near-dups ANY benchmark frame
+    // (a leaked eval clip shares frames even trimmed/re-containered).
+    // Frame hashes aren't SQL-replayable, so the gate is the audio
+    // member's shape: relational identity half (text equality ⇒ all
+    // frames byte-identical ⇒ hamming 0 ⇒ MUST flag) + in-plan verdict.
+    "mm_decon_video_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val bench = docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text"))
+      val corpusMedia = graft.CacheScope.persist(
+        Multimodal.attachPpmVideo(docs.select(col("doc_id"), col("text"))))
+      val flagged = graft.CacheScope.persist(
+        Multimodal.videoDecontaminateFlag(corpusMedia,
+          Multimodal.attachPpmVideo(bench),
+          maxHamming = 6, bands = 4, bandBits = 16))
+      val benchKeys = bench.select(sha2(col("text"), 256).as("tkey")).distinct()
+      val mustFlag = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+        .join(broadcast(benchKeys), "tkey")
+        .select("doc_id").distinct()
+      mustFlag.join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_identity"),
+          coalesce(min(col("f") === 1), lit(true)).as("all_identity_flagged"))
+        .crossJoin(broadcast(corpusMedia
+          .agg(count(lit(1)).as("n_video"))))
     }),
 
     // DECODED frame sampling (round-14, closes the offsets-only
@@ -4630,6 +4735,49 @@ object SparkEntry {
 
   private lazy val deconSemanticOracleCtes: String =
     deconSemanticCtesFor("doc_id % 491 = 0")
+
+  /** Image-decon replay (shared by `mm_decon_flag` and its streaming
+    * twin): hash both sides exactly as the mm_dhash oracles do, band
+    * join, full-hash verify, distinct flagged corpus ids in `fl`.
+    */
+  private lazy val mmDeconFlagOracleCtes: String =
+    """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+       img_c AS (
+         SELECT doc_id, lower(sha256(text)) AS h FROM documents
+         WHERE doc_id % 3 = 0),
+       img_b AS (
+         SELECT doc_id + (SELECT m FROM mx) AS doc_id,
+           lower(sha256(text)) AS h FROM documents
+         WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+       hash_c AS (
+         SELECT doc_id,
+           [CAST(list_sum([CASE WHEN
+                substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+              AS BIGINT) for b in range(4)] AS bl
+         FROM img_c),
+       hash_b AS (
+         SELECT doc_id,
+           [CAST(list_sum([CASE WHEN
+                substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
+                THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+              AS BIGINT) for b in range(4)] AS bl
+         FROM img_b),
+       banded_c AS (
+         SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+         FROM hash_c, unnest(range(4)) AS t(b)),
+       banded_b AS (
+         SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+         FROM hash_b, unnest(range(4)) AS t(b)),
+       fl AS (
+         SELECT DISTINCT c.doc_id
+         FROM banded_c c JOIN banded_b b
+           ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+             AND c.doc_id != b.doc_id
+         WHERE CAST(bit_count(xor(c.bl[1], b.bl[1]))
+             + bit_count(xor(c.bl[2], b.bl[2]))
+             + bit_count(xor(c.bl[3], b.bl[3]))
+             + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6)"""
 
   private lazy val deconSemanticOracleSql: String =
     s"""$deconSemanticOracleCtes
@@ -6128,42 +6276,13 @@ object SparkEntry {
     // left side capped, right side the (uncapped) new shard; pair
     // orientation normalized least/greatest — bit-for-bit the Spark plan
     "mm_decon_flag" ->
-      """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
-         img_c AS (
-           SELECT doc_id, lower(sha256(text)) AS h FROM documents
-           WHERE doc_id % 3 = 0),
-         img_b AS (
-           SELECT doc_id + (SELECT m FROM mx) AS doc_id,
-             lower(sha256(text)) AS h FROM documents
-           WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
-         hash_c AS (
-           SELECT doc_id,
-             [CAST(list_sum([CASE WHEN
-                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
-                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
-                AS BIGINT) for b in range(4)] AS bl
-           FROM img_c),
-         hash_b AS (
-           SELECT doc_id,
-             [CAST(list_sum([CASE WHEN
-                  substr(h, b*16+j+1, 1) > substr(h, ((b*16+j+1) % 64) + 1, 1)
-                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
-                AS BIGINT) for b in range(4)] AS bl
-           FROM img_b),
-         banded_c AS (
-           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
-           FROM hash_c, unnest(range(4)) AS t(b)),
-         banded_b AS (
-           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
-           FROM hash_b, unnest(range(4)) AS t(b))
-         SELECT DISTINCT c.doc_id
-         FROM banded_c c JOIN banded_b b
-           ON c.band_idx = b.band_idx AND c.band_key = b.band_key
-             AND c.doc_id != b.doc_id
-         WHERE CAST(bit_count(xor(c.bl[1], b.bl[1]))
-             + bit_count(xor(c.bl[2], b.bl[2]))
-             + bit_count(xor(c.bl[3], b.bl[3]))
-             + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6""",
+      s"""$mmDeconFlagOracleCtes
+         SELECT doc_id FROM fl""",
+
+    "stream_mm_decon_flag" ->
+      s"""$mmDeconFlagOracleCtes
+         SELECT CAST(count(*) AS BIGINT) AS n_flagged, true AS equal_ok
+         FROM fl""",
 
     "mm_dhash_incremental" ->
       """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
@@ -6481,6 +6600,23 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_found""",
 
+    // the audio-decon gate: fingerprints aren't SQL-replayable; the
+    // oracle pins the relational identity half (corpus clips sharing a
+    // bench doc's text — byte-identical WAVs — MUST flag) and the
+    // in-plan all-flagged verdict
+    "mm_decon_audio_flag" ->
+      """WITH bk AS (
+           SELECT DISTINCT text FROM documents
+           WHERE doc_id % 3 = 1 AND (doc_id // 3) % 5 = 0),
+         ident AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN bk ON d.text = bk.text
+           WHERE d.doc_id % 3 = 1)
+         SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
+           true AS all_identity_flagged,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 1)
+             AS BIGINT) AS n_audio""",
+
     // the audio-incremental gate: fingerprints aren't SQL-replayable;
     // the oracle pins the relational half (shard size, identity pairs
     // = old×dup text matches) and the in-plan verdicts (identity at
@@ -6541,6 +6677,23 @@ object SparkEntry {
            (SELECT count(*) FROM ident) AS n_identity_pairs,
            CAST(0 AS BIGINT) AS n_undecoded,
            true AS all_identity_full_overlap""",
+
+    // the video-decon gate: frame hashes aren't SQL-replayable; the
+    // oracle pins the relational identity half (corpus videos sharing
+    // a bench doc's text — all frames byte-identical — MUST flag) and
+    // the in-plan all-flagged verdict
+    "mm_decon_video_flag" ->
+      """WITH bk AS (
+           SELECT DISTINCT text FROM documents
+           WHERE doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0),
+         ident AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN bk ON d.text = bk.text
+           WHERE d.doc_id % 3 = 2)
+         SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
+           true AS all_identity_flagged,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
+             AS BIGINT) AS n_video""",
 
     // the fuzzy-video gate: frame hashes aren't SQL-replayable; the
     // oracle pins the relational half and the in-plan verdicts

@@ -336,7 +336,12 @@ private[graft] object BandedHamming {
     *
     * Returns DISTINCT flagged corpus ids (`doc_id`) — one shuffle,
     * over the flagged subset only (a doc matching in several bands
-    * exits the semi join once per band row).
+    * exits the semi join once per band row). The dedup is
+    * `dropDuplicates`, not `distinct`, so the SAME plan runs on a
+    * STREAMING corpus (stream-static broadcast semi join + stateful
+    * dedup in append mode — a doc's band rows land in one micro-batch,
+    * so the cross-batch state only ever carries the flagged-id set,
+    * bounded by the contamination count, not the corpus).
     */
   def bipartiteFlagJoin(corpusRows: DataFrame, benchRows: DataFrame,
       maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
@@ -367,7 +372,7 @@ private[graft] object BandedHamming {
           col("c.doc_id") =!= col("e.eval_id") &&
           hamming <= maxHamming,
         "left_semi")
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")).dropDuplicates("doc_id")
   }
 
   /** Per-bit bias diagnostic for a 64-bit fingerprint column — the

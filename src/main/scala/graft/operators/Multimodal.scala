@@ -431,6 +431,12 @@ object Multimodal {
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       decodePixels: Boolean = false, nHint: Long = -1L): DataFrame = {
+    // a STREAMING corpus runs the same plan (stream-static broadcast
+    // semi + stateful dedup), but auto-sizing counts the corpus —
+    // impossible on an unbounded stream; demand the layout up front
+    require(!corpusMedia.isStreaming || bands > 0 || nHint >= 0,
+      "dHashDecontaminateFlag: a streaming corpus needs an explicit " +
+        "bands layout or an nHint — bands = 0 auto-sizing counts the corpus")
     val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
       probeRadius,
       if (nHint >= 0) nHint
@@ -577,6 +583,42 @@ object Multimodal {
     BandedHamming.incrementalPairJoin(index,
       audioFingerprintBandRows(newMedia, b, bb),
       maxHamming, b, bb, pr, maxBucketSize, storage)
+  }
+
+  /** Audio decontamination — [[dHashDecontaminateFlag]]'s contract for
+    * the audio member: flag corpus audio whose 64-bit energy/ZCR
+    * fingerprint lies within `maxHamming` of ANY benchmark clip's
+    * (remove eval-set audio and near-re-encodes from a training
+    * crawl). Same plan ([[BandedHamming.bipartiteFlagJoin]]): corpus
+    * fingerprints row-local, benchmark broadcast into the left-semi
+    * with the full-hash verify in the condition, distinct flagged ids
+    * = one exchange, NO occupancy cap (drop decisions keep their
+    * recall). Byte-identical copies are GUARANTEED to flag (identical
+    * payload ⇒ identical fingerprint ⇒ hamming 0 ⇒ every band
+    * collides); unparseable payloads fingerprint to null and never
+    * flag. Streams with an explicit layout or `nHint`, like the image
+    * member.
+    */
+  def audioDecontaminateFlag(corpusMedia: DataFrame,
+      benchmarkMedia: DataFrame, maxHamming: Int = 6, bands: Int = 0,
+      bandBits: Int = 16, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    require(!corpusMedia.isStreaming || bands > 0 || nHint >= 0,
+      "audioDecontaminateFlag: a streaming corpus needs an explicit " +
+        "bands layout or an nHint — bands = 0 auto-sizing counts the corpus")
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint
+      else corpusMedia.filter(col("kind") === "audio").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("audioDecontaminateFlag",
+        maxHamming, b, pr)
+    BandedHamming.bipartiteFlagJoin(
+      audioFingerprintBandRows(corpusMedia, b, bb),
+      audioFingerprintBandRows(benchmarkMedia, b, bb),
+      maxHamming, b, bb, pr, storage)
   }
 
   // -------------------------------------------------------------------
@@ -765,6 +807,55 @@ object Multimodal {
       .groupBy("d1", "d2")
       .agg(countDistinct(col("lo_frame")).as("shared_frames"))
       .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  /** Video decontamination — the video member of the decon family:
+    * flag corpus videos where ANY sampled frame's dHash lies within
+    * `maxHamming` of ANY benchmark video's frame (an eval clip leaked
+    * into a training crawl shares frames even when trimmed or
+    * re-containered). [[videoNearDupPairsFuzzy]]'s composite-id frame
+    * rows consumed through [[BandedHamming.bipartiteFlagJoin]]: corpus
+    * frame hashes row-local, benchmark frames broadcast, full-hash
+    * verify in the semi condition, then the composite ids shift back
+    * to video ids (arithmetic shift — DIV truncates toward zero on
+    * negatives) and dedup. Two bounded exchanges (composite dedup +
+    * video dedup), both over the flagged subset; NO occupancy cap
+    * (drop decisions keep their recall). Sides must be id-disjoint —
+    * frame-level self-exclusion only skips identical (video, frame)
+    * composites, so a benchmark video sharing a corpus video's id
+    * would flag it through its own other frames.
+    */
+  def videoDecontaminateFlag(corpusMedia: DataFrame,
+      benchmarkMedia: DataFrame, maxHamming: Int = 6, maxFrames: Int = 8,
+      bands: Int = 0, bandBits: Int = 16, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 64,
+      s"maxFrames must be in [1, 64] (composite-id headroom), got $maxFrames")
+    require(!corpusMedia.isStreaming || bands > 0 || nHint >= 0,
+      "videoDecontaminateFlag: a streaming corpus needs an explicit " +
+        "bands layout or an nHint — bands = 0 auto-sizing counts the frames")
+    def composite(m: DataFrame) = sampleFrameHashes(m, maxFrames)
+      .select((col("doc_id") * 64 + col("frame_idx")).as("doc_id"),
+        col("frame_hash"))
+    val cHashed0 = composite(corpusMedia)
+    val cHashed =
+      if (bands == 0 && nHint < 0)
+        storage.fold(cHashed0)(graft.CacheScope.persist(cHashed0, _))
+      else cHashed0
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius, if (nHint >= 0) nHint else cHashed.count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("videoDecontaminateFlag",
+        maxHamming, b, pr)
+    BandedHamming.bipartiteFlagJoin(
+        BandedHamming.bandRows(cHashed, "frame_hash", b, bb),
+        BandedHamming.bandRows(composite(benchmarkMedia), "frame_hash",
+          b, bb),
+        maxHamming, b, bb, pr, storage)
+      .select(shiftright(col("doc_id"), 6).as("doc_id"))
+      .dropDuplicates("doc_id")
   }
 
   def videoNearDupPairs(media: DataFrame, minSharedFrames: Int = 1,

@@ -304,6 +304,15 @@ class HardeningSpec extends AnyFunSuite {
       "mm_dhash_png" -> 10,
       // frame parse + per-frame dHash + posexplode are all row-local
       "mm_video_frames" -> 0,
+      // audio-decon gate: the OPERATOR is broadcast semi + flagged-id
+      // dedup (1); the other four are gate furniture — benchKeys
+      // distinct, mustFlag distinct, the mustFlag⋈flagged leg, and
+      // the 1-row verdict agg. Measured 5
+      "mm_decon_audio_flag" -> 5,
+      // video-decon gate: operator = frame-row semi + composite dedup
+      // + video dedup (2, both over the flagged subset); furniture =
+      // identity distincts + verdict agg. Measured 5
+      "mm_decon_video_flag" -> 5,
       // audio gate: identical shape to mm_dhash_decoded — cap window +
       // join side + pair dedup (operator) + identity join + verdict aggs
       "mm_audio_neardup" -> 6,

@@ -238,6 +238,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flag(media(Seq(1L -> far)), media(Seq(1L -> far))).isEmpty)
   }
 
+  test("audioDecontaminateFlag (round-18): an eval clip flags its corpus " +
+    "copy ACROSS carriers (AIFF benchmark vs WAV crawl), the unrelated " +
+    "clip stays, empty benchmark is a no-op, self-id excluded") {
+    val samples = Seq.tabulate(200)(i => (i * 31 + 7) % 256)
+    val p8 = wav(samples)
+    val aiff = Seq(Tuple1(p8)).toDF("p")
+      .select(graft.functions.vec.wavToAiff($"p").as("t"))
+      .collect().head.getAs[Array[Byte]](0)
+    val far = wav(Seq.tabulate(200)(i => (i * 53) % 256))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val corpus = mediaOf(Seq(1L -> p8, 2L -> far))
+    // the eval suite holds the AIFF carrier of clip 1's audio: the
+    // fingerprint is carrier-invariant, so the WAV copy must flag
+    val flagged = Multimodal.audioDecontaminateFlag(corpus,
+        mediaOf(Seq(100L -> aiff)), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L), s"cross-carrier copy must flag: $flagged")
+    assert(Multimodal.audioDecontaminateFlag(corpus,
+      mediaOf(Seq.empty[(Long, Array[Byte])]), maxHamming = 0,
+      bands = 4, bandBits = 16).count() == 0)
+    assert(Multimodal.audioDecontaminateFlag(mediaOf(Seq(1L -> far)),
+      mediaOf(Seq(1L -> far)), maxHamming = 0,
+      bands = 4, bandBits = 16).count() == 0)
+  }
+
+  test("videoDecontaminateFlag (round-18): a TRIMMED eval clip — one " +
+    "shared frame — flags the full corpus video; disjoint-frame videos " +
+    "stay; empty benchmark is a no-op") {
+    def frame(seed: Int) = ppm(16, 12, (x, y) =>
+      ((x * seed + y) % 256, (y * seed) % 256, (x + seed) % 256))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val corpus = mediaOf(Seq(
+      1L -> (frame(3) ++ frame(7) ++ frame(11)),
+      2L -> (frame(17) ++ frame(23))))
+    // the eval suite holds ONLY the middle frame of video 1 — a
+    // trimmed re-cut still shares a frame hash, so the video flags
+    val flagged = Multimodal.videoDecontaminateFlag(corpus,
+        mediaOf(Seq(100L -> frame(7))), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L), s"trimmed clip must flag its source: $flagged")
+    assert(Multimodal.videoDecontaminateFlag(corpus,
+      mediaOf(Seq.empty[(Long, Array[Byte])]), maxHamming = 0,
+      bands = 4, bandBits = 16).count() == 0)
+  }
+
+  test("dHashDecontaminateFlag decodePixels (round-18): an eval image " +
+    "RE-ENCODED as PNG in the crawl still flags — the decode kernel " +
+    "sees pixels, not containers") {
+    def gray(x: Int, y: Int): (Int, Int, Int) = {
+      val g = (x * 53 + y * 19) % 256; (g, g, g)
+    }
+    val p6 = ppm(16, 12, gray)
+    val png = Seq(Tuple1(p6)).toDF("p")
+      .select(graft.functions.vec.ppmToPng($"p").as("p"))
+      .collect().head.getAs[Array[Byte]](0)
+    val far = ppm(16, 12, (x, y) => ((x * 7) % 256, (y * 31) % 256, 128))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("image"))
+    // crawl holds the PNG re-encode + an unrelated image; the eval
+    // suite holds the original PPM — the re-encode must flag
+    val flagged = Multimodal.dHashDecontaminateFlag(
+        mediaOf(Seq(1L -> png, 2L -> far)), mediaOf(Seq(100L -> p6)),
+        maxHamming = 0, bands = 4, bandBits = 16, decodePixels = true)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L), s"PNG re-encode must flag: $flagged")
+    // the byte-sequence kernel CANNOT see through the container — the
+    // re-encode escapes it (the reason decodePixels exists)
+    val byteFlagged = Multimodal.dHashDecontaminateFlag(
+        mediaOf(Seq(1L -> png, 2L -> far)), mediaOf(Seq(100L -> p6)),
+        maxHamming = 0, bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(byteFlagged.isEmpty,
+      s"byte kernel should miss the container change: $byteFlagged")
+  }
+
   test("dHashIncrementalPairs: equals the full recompute restricted to " +
     "pairs touching the new shard; old-old pairs never form; probing " +
     "carries over") {
