@@ -2909,6 +2909,30 @@ object SparkEntry {
         maxHamming = 6, bands = 4, bandBits = 16)
     }),
 
+    // Incremental image decon (round-18, benchmark append): flags are
+    // monotone under append, so the update job is the flag tier over
+    // the previously-unflagged remainder x the NEW eval images only,
+    // unioned with the carried set. Oracle = the full flag replay over
+    // the UNIONED benchmark (the decon_semantic_incr convention) —
+    // hash-checked equality to a from-scratch re-run.
+    "mm_decon_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      def bench(sel: org.apache.spark.sql.Column, off: Long) =
+        Multimodal.attachMedia(docs
+          .filter(col("doc_id") % 3 === 0 && sel)
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      val corpus = Multimodal.attachMedia(
+        docs.select(col("doc_id"), col("text")))
+      val prev = graft.CacheScope.persist(
+        Multimodal.dHashDecontaminateFlag(corpus,
+          bench(expr("(doc_id DIV 3) % 5 = 0"), m),
+          maxHamming = 6, bands = 4, bandBits = 16))
+      Multimodal.dHashDecontaminateIncr(corpus, prev,
+        bench(expr("(doc_id DIV 3) % 7 = 3"), 2 * m),
+        maxHamming = 6, bands = 4, bandBits = 16)
+    }),
+
     // Incremental image near-dup (round-13): the arriving shard (the
     // re-id'd every-5th-image dups) is joined against the PERSISTED
     // dHash band index of the existing corpus — old payloads never
@@ -4736,19 +4760,20 @@ object SparkEntry {
   private lazy val deconSemanticOracleCtes: String =
     deconSemanticCtesFor("doc_id % 491 = 0")
 
-  /** Image-decon replay (shared by `mm_decon_flag` and its streaming
-    * twin): hash both sides exactly as the mm_dhash oracles do, band
-    * join, full-hash verify, distinct flagged corpus ids in `fl`.
+  /** Image-decon replay (shared by `mm_decon_flag`, its streaming
+    * twin, and the incremental tier): hash both sides exactly as the
+    * mm_dhash oracles do, band join, full-hash verify, distinct
+    * flagged corpus ids in `fl`. `benchImgSql` selects the benchmark
+    * `(doc_id, h)` rows — the incremental oracle passes the UNIONED
+    * suite (its contract is full-re-run equality, never the
+    * incremental decomposition itself).
     */
-  private lazy val mmDeconFlagOracleCtes: String =
-    """WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
+  private def mmDeconCtesFor(benchImgSql: String): String =
+    s"""WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
        img_c AS (
          SELECT doc_id, lower(sha256(text)) AS h FROM documents
          WHERE doc_id % 3 = 0),
-       img_b AS (
-         SELECT doc_id + (SELECT m FROM mx) AS doc_id,
-           lower(sha256(text)) AS h FROM documents
-         WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0),
+       img_b AS ($benchImgSql),
        hash_c AS (
          SELECT doc_id,
            [CAST(list_sum([CASE WHEN
@@ -4778,6 +4803,24 @@ object SparkEntry {
              + bit_count(xor(c.bl[2], b.bl[2]))
              + bit_count(xor(c.bl[3], b.bl[3]))
              + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6)"""
+
+  private lazy val mmDeconOldBenchSql: String =
+    """SELECT doc_id + (SELECT m FROM mx) AS doc_id,
+         lower(sha256(text)) AS h FROM documents
+       WHERE doc_id % 3 = 0 AND (doc_id // 3) % 5 = 0"""
+
+  private lazy val mmDeconFlagOracleCtes: String =
+    mmDeconCtesFor(mmDeconOldBenchSql)
+
+  /** The incremental tier's oracle: the unioned (old ∪ appended)
+    * benchmark through the SAME replay — monotone-update equality.
+    */
+  private lazy val mmDeconIncrOracleCtes: String = mmDeconCtesFor(
+    s"""$mmDeconOldBenchSql
+       UNION ALL
+       SELECT doc_id + 2 * (SELECT m FROM mx) AS doc_id,
+         lower(sha256(text)) AS h FROM documents
+       WHERE doc_id % 3 = 0 AND (doc_id // 3) % 7 = 3""")
 
   private lazy val deconSemanticOracleSql: String =
     s"""$deconSemanticOracleCtes
@@ -6277,6 +6320,10 @@ object SparkEntry {
     // orientation normalized least/greatest — bit-for-bit the Spark plan
     "mm_decon_flag" ->
       s"""$mmDeconFlagOracleCtes
+         SELECT doc_id FROM fl""",
+
+    "mm_decon_incremental" ->
+      s"""$mmDeconIncrOracleCtes
          SELECT doc_id FROM fl""",
 
     "stream_mm_decon_flag" ->

@@ -451,6 +451,34 @@ object Multimodal {
       rows(benchmarkMedia), maxHamming, b, bb, pr, storage)
   }
 
+  /** Benchmark-append incremental image decon — flags are MONOTONE
+    * under benchmark append (a new eval suite can only ADD flags), so
+    * the update job is [[dHashDecontaminateFlag]] over the
+    * previously-UNFLAGGED remainder × the NEW benchmark only, unioned
+    * with the carried flag set — the
+    * [[graft.operators.TextOps.semanticDecontaminateIncr]] convention
+    * for the Hamming metric. Result EQUALS a full re-flag against the
+    * unioned benchmark, provided `prevFlagged` is the flag set against
+    * the old suite (same `maxHamming`/layout/kernel). The branches are
+    * disjoint by construction (`newly ⊆ corpus ∖ prevFlagged`), so the
+    * union needs no distinct; an empty append degenerates to returning
+    * `prevFlagged` after one anti join — old payloads are never
+    * re-hashed for docs already flagged.
+    */
+  def dHashDecontaminateIncr(corpusMedia: DataFrame,
+      prevFlagged: DataFrame, newBenchmarkMedia: DataFrame,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
+      headerLen: Int = 3, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      decodePixels: Boolean = false, nHint: Long = -1L): DataFrame = {
+    val prevIds = prevFlagged.select(col("doc_id"))
+    val remainder = corpusMedia.join(prevIds, Seq("doc_id"), "left_anti")
+    prevIds.unionByName(dHashDecontaminateFlag(remainder,
+      newBenchmarkMedia, maxHamming, bands, bandBits, headerLen,
+      probeRadius, storage, decodePixels, nHint))
+  }
+
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
     * also carrying [[Dedup.simHashPairs]]): banded self-join over
     * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify

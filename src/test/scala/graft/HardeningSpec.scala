@@ -232,6 +232,11 @@ class HardeningSpec extends AnyFunSuite {
       // the join condition) — the single exchange is the distinct over
       // the flagged subset
       "mm_decon_flag" -> 1,
+      // incremental image decon: the carried flag set broadcasts into
+      // the anti join, the new benchmark broadcasts into the semi —
+      // the exchanges are the two flag-set dedups (prev + newly),
+      // both over flagged subsets. Measured 2
+      "mm_decon_incremental" -> 2,
       // decoded-pixel gate: the cached band subtree's cap window (1) +
       // pair-join side + pair dedup (2) carry the operator; the
       // identity-pair oracle join (1) and the two 1-row verdict aggs

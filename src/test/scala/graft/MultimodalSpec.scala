@@ -238,6 +238,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flag(media(Seq(1L -> far)), media(Seq(1L -> far))).isEmpty)
   }
 
+  test("dHashDecontaminateIncr (round-18): benchmark append equals the " +
+    "full re-flag over the unioned suite; empty append returns the " +
+    "carried set after one anti join") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val a = "0123456789abcdef" * 4
+    val b = "fedcba9876543210" * 4
+    val c = "02468ace" * 8
+    val corpus = media(Seq(1L -> a, 2L -> b, 3L -> c))
+    val oldBench = media(Seq(100L -> a))
+    val newBench = media(Seq(200L -> b))
+    def flag(cm: DataFrame, bm: DataFrame) =
+      Multimodal.dHashDecontaminateFlag(cm, bm, maxHamming = 0,
+        bands = 4, bandBits = 16)
+    val prev = flag(corpus, oldBench)
+    val incr = Multimodal.dHashDecontaminateIncr(corpus, prev, newBench,
+        maxHamming = 0, bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    val full = flag(corpus, media(Seq(100L -> a, 200L -> b)))
+      .as[Long].collect().toSet
+    assert(incr == full && incr == Set(1L, 2L),
+      s"append must equal the full re-flag: $incr vs $full")
+    // empty append: the carried set verbatim
+    val noop = Multimodal.dHashDecontaminateIncr(corpus, prev,
+        media(Seq.empty[(Long, String)]), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(noop == Set(1L), s"empty append must carry prev: $noop")
+  }
+
   test("audioDecontaminateFlag (round-18): an eval clip flags its corpus " +
     "copy ACROSS carriers (AIFF benchmark vs WAV crawl), the unrelated " +
     "clip stays, empty benchmark is a no-op, self-id excluded") {
