@@ -740,7 +740,14 @@ object ScaleProbe {
           count, lit, sha2, substring, when}
         import spark.implicits._
         val kTopics = 50
-        val nCorpus = 500000L
+        // corpus size env-overridable (round-18): the 1000×-tier run
+        // (5M docs) skips the exact control — 50·10⁹ dots is the
+        // ~40 min extrapolation, not new information — and measures
+        // where the flag-vs-ivf_flag crossover lands when the clean
+        // docs' |benchmark|-linear semi scan is 10× the prescreen's
+        // fixed cost
+        val nCorpus = sys.env.getOrElse("SPARK_GRAFT_DECON_CLUST_N",
+          "500000").toLong
         val nBench = 10000L
         val dir = s"/tmp/graft_probe_deconclust_${nCorpus}_$kTopics"
         // deterministic seeded templates (fixture identity = the
@@ -793,9 +800,12 @@ object ScaleProbe {
             // the geometric tier's home regime: benchmark docs
             // replicate only into same-topic balls, so clean-topic
             // corpus docs generate ZERO candidates — cost collapses to
-            // the row-local assignment + the 20% contaminated slice
+            // the row-local assignment + the 20% contaminated slice.
+            // SPARK_GRAFT_DECON_NLIST overrides the sizing for A/B
+            // probes (0 = the operator default)
             graft.operators.TextOps.semanticDecontaminateIvf(
-              corpus, bench).count() },
+              corpus, bench, nlist = sys.env
+                .getOrElse("SPARK_GRAFT_DECON_NLIST", "0").toInt).count() },
           time("decon_clust_ivf_flag_raw") {
             // both wins composed: prescreen deletes the clean docs'
             // candidate streams, the semi join exits each contaminated

@@ -817,8 +817,11 @@ object TextOps {
     * oracle IS the exact tier's replay.
     *
     * Scale shape at 100 TB: the corpus pays one row-local embed +
-    * assignment (nlist·dim mults — under √n auto-sizing that is ~40×
-    * cheaper than a 10k-doc benchmark's dot pass) and ONE broadcast
+    * assignment (nlist·dim mults — `nlist = 0` sizes by the BENCHMARK,
+    * √|benchmark| clamped [16, 4096], so the assignment stays ≪ the
+    * |benchmark|-dot scan it replaces no matter how big the corpus
+    * grows; the ANN corpus-√n rule measured SUPER-linear at the 1000×
+    * clustered tier, see `ivfBallCover`) and ONE broadcast
     * hash probe per row; each corpus doc lives in exactly one list, so
     * candidate pairs appear AT MOST ONCE — no pair-dedup shuffle. The
     * verified pair stream is OUTPUT-SENSITIVE: pairs within
@@ -867,12 +870,30 @@ object TextOps {
     // final plan to the SAME materialized assignments.
     val cUnit = graft.CacheScope.persist(
       c0.withColumn("u", unitOf(col("cv"), col("n1"))))
+    // DECON auto-sizing (round-18, measured at the 1000× clustered
+    // tier): `nlist = 0` sizes the quantizer by the BENCHMARK —
+    // √|benchmark| clamped to [16, 4096] — NOT the ANN corpus-√n rule.
+    // The scan the prescreen replaces is the |benchmark|-long per-doc
+    // dot pass, so the assignment only pays off while nlist ≪
+    // |benchmark|; corpus-√n grows the per-doc assignment as √n and
+    // measured SUPER-linear at 5M docs × 10k bench (ivf 908 s,
+    // ivf_flag 538 s vs the flag tier's linear 284 s — nlist had
+    // climbed to 2236, the assignment alone outweighed the 10k-dot
+    // scan it was saving). Candidates per contaminated doc are bounded
+    // by the benchmark docs in its ball either way (recall-1 theorem
+    // holds for ANY nlist), so a benchmark-sized quantizer keeps the
+    // prescreen's pruning and drops the n^1.5 term. The benchmark
+    // count is a cheap job by contract (an eval suite is small).
+    val nlistResolved =
+      if (nlist > 0) nlist
+      else math.min(4096, math.max(16,
+        math.ceil(math.sqrt(benchmark.count().toDouble)).toInt))
     // seeded coarse quantizer over the unit vectors, centroids
     // re-normalized so the kernel's euclidean argmin is the cosine
     // argmax (a degenerate zero-norm centroid stays zero and simply
     // attracts nothing preferentially)
     val centroids = Similarity.trainCentroidsCached(
-        corpusKey, cUnit, "u", nlist, trainSample)
+        corpusKey, cUnit, "u", nlistResolved, trainSample)
       .map { c =>
         val nn = math.sqrt(c.map(x => x * x).sum)
         if (nn > 0) c.map(_ / nn) else c
@@ -885,9 +906,19 @@ object TextOps {
     // per centroid overflows the column-conversion stack
     val centDf = centroids.toSeq.zipWithIndex
       .map { case (c, l) => (l, c.toSeq) }.toDF("list", "centroid")
-    val minCos = cUnit
-      .withColumn("list", element_at(
-        graft.functions.vec.nearestCentroids(col("u"), centroids, 1), 1))
+    // the assignment is RECOMPUTED by the radius pass and the returned
+    // plan rather than persisted — measured A/B at the 500k tier
+    // (PERF.md round-18): caching the assignment (three 64-wide array
+    // columns per row) costs MORE in cache serialization than the
+    // kernel costs to re-run, 90.9 s → 285.8 s on the count tier at
+    // equal nlist; under benchmark-sized nlist the kernel is
+    // nlist·dim ≈ 6.4k flops/row — trivial at any corpus size, which
+    // is exactly why the sizing change makes the recompute the right
+    // trade (at corpus-√n nlist the double kernel WAS half the 5M
+    // blowup)
+    val cAssigned = cUnit.withColumn("list", element_at(
+      graft.functions.vec.nearestCentroids(col("u"), centroids, 1), 1))
+    val minCos = cAssigned
       .join(broadcast(centDf), Seq("list"))
       .select(col("list"),
         graft.functions.vec.dot(col("u"), col("centroid")).as("cs"))
@@ -918,9 +949,6 @@ object TextOps {
       .filter(graft.functions.vec.dot(col("eu"), col("centroid"))
         >= col("cos_bound"))
       .select(col("list"), col("eval_id"), col("ev"), col("n2"))
-    val cAssigned = cUnit.withColumn("list",
-      element_at(
-        graft.functions.vec.nearestCentroids(col("u"), centroids, 1), 1))
     (cAssigned, benchRep)
   }
 
@@ -967,16 +995,21 @@ object TextOps {
     * replicated benchmark broadcasts, a semi join emits each corpus
     * row at most once.
     *
-    * Measured crossover (round-18 clustered probe, 500k docs × 10k
-    * benchmark, 50 topics, 20% contaminated — PERF.md "clustered
-    * corpus"): exact 233.1 s, flag 28.1 s, ivf (full counts) 42.6 s,
-    * THIS tier 30.0 s, pair stream pruned 50× and flagged sets
-    * identical. At a 10k-doc benchmark the quantizer's ~15 s fixed
-    * cost offsets what the prescreen saves the clean docs, so plain
-    * [[semanticDecontaminateFlag]] is equally good; the composed tier
-    * pulls ahead as |benchmark| grows (the clean-doc semi scan is
-    * linear in |benchmark|, the prescreen's fixed cost is not) — at
-    * 100k+ benchmark docs run this one.
+    * Measured (round-18 clustered probes, 50 disjoint topics, 20%
+    * contaminated, 10k benchmark — PERF.md "clustered corpus"): at
+    * 500k docs the flag tier's 28.1 s and THIS tier's ~30-50 s are
+    * within host noise of each other (the quantizer's fixed cost ≈
+    * what the prescreen saves); at 5M docs THIS tier reads **44.4 s
+    * vs the flag tier's 284.1 s (6.4×)** and the exact tier's
+    * extrapolated ~2330 s (~52×), flagged sets identical at every
+    * probe (agreement 1.0000). The 5M result REQUIRED the
+    * benchmark-sized nlist (see `ivfBallCover`): under the ANN
+    * corpus-√n rule this tier measured 537.6 s at 5M — slower than
+    * plain flag — because the per-doc assignment outgrew the scan it
+    * was saving. Default guidance: corpus builds at scale run THIS
+    * tier on clustered corpora and [[semanticDecontaminateFlag]] when
+    * the corpus may be saturated (this tier degrades to flag's cost
+    * plus the cheap assignment, never worse).
     */
   def semanticDecontaminateIvfFlag(corpus: DataFrame,
       benchmark: DataFrame, cosP: Int = 4, cosQ: Int = 5,
