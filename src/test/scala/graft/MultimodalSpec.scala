@@ -238,6 +238,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flag(media(Seq(1L -> far)), media(Seq(1L -> far))).isEmpty)
   }
 
+  test("dHashDecontaminateFlag plan (round-18): broadcast HASH semi " +
+    "join on the band key — never a nested loop — with the Hamming " +
+    "verify riding the join condition") {
+    // the bipartite core's scale contract: each corpus band row probes
+    // ONE hash bucket of the broadcast benchmark. A condition reorder
+    // that loses the band-key equi pair would silently degrade to a
+    // BroadcastNestedLoopJoin (every corpus row × every benchmark band
+    // row) — the ceiling test counts exchanges and would not notice.
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = 1000000L
+    val bench = docs
+      .filter($"doc_id" % 3 === 0 && ($"doc_id" / 3) % 5 === 0)
+      .select(($"doc_id" + m).as("doc_id"), $"text")
+    val df = Multimodal.dHashDecontaminateFlag(
+      Multimodal.attachMedia(docs.select($"doc_id", $"text")),
+      Multimodal.attachMedia(bench),
+      maxHamming = 6, bands = 4, bandBits = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.nonEmpty && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decon flag must plan a broadcast HASH semi join:\n$plan")
+    for (l <- joinLines)
+      assert(l.contains("LeftSemi") && l.contains("bit_count"),
+        s"Hamming verify missing from the semi-join condition: $l")
+  }
+
   test("dHashDecontaminateIncr (round-18): benchmark append equals the " +
     "full re-flag over the unioned suite; empty append returns the " +
     "carried set after one anti join") {
