@@ -748,8 +748,15 @@ object ScaleProbe {
         // fixed cost
         val nCorpus = sys.env.getOrElse("SPARK_GRAFT_DECON_CLUST_N",
           "500000").toLong
-        val nBench = 10000L
-        val dir = s"/tmp/graft_probe_deconclust_${nCorpus}_$kTopics"
+        // benchmark size env-overridable too (round-18): the sizing
+        // claim's OTHER axis — the flag tier's clean-doc scan is
+        // linear in |benchmark| while the prescreen's assignment is
+        // √|benchmark| — needs a large-benchmark cell to be measured,
+        // not asserted
+        val nBench = sys.env.getOrElse("SPARK_GRAFT_DECON_CLUST_BENCH",
+          "10000").toLong
+        val dir = s"/tmp/graft_probe_deconclust_${nCorpus}_$kTopics" +
+          (if (nBench != 10000L) s"_b$nBench" else "")
         // deterministic seeded templates (fixture identity = the
         // parameters in the dir name; content is a pure function of
         // the seed)
