@@ -330,9 +330,15 @@ private[graft] object BandedHamming {
     * bounded work for recall on degenerate strata, which is the right
     * trade for near-dup PAIR mining but the wrong one for a
     * decontamination DROP decision — silently unflagging a benchmark
-    * hit corrupts the eval. The candidate stream is bounded instead
-    * by the broadcast semi join itself: ≤ one probe per corpus band
-    * row, early exit on the first match.
+    * hit corrupts the eval. The candidate work is bounded instead by
+    * the broadcast semi join itself: one bucket probe per corpus band
+    * row, iterating that bucket's entries until the first PASSING
+    * pair (true hits exit at ~1 entry; a coincidental key collision
+    * with a deep benchmark bucket iterates it once, failing the
+    * verify). Deep-bucket iteration is contained by the layout, not a
+    * cap: expected coincidental collisions per corpus row are
+    * `bands·|bench|/2^bandBits`, and the scaled 2×32 auto-layout past
+    * 1M docs keeps that ≈ 0 even against a mega-stratum benchmark.
     *
     * Returns DISTINCT flagged corpus ids (`doc_id`) — one shuffle,
     * over the flagged subset only (a doc matching in several bands
