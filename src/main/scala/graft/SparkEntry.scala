@@ -3401,9 +3401,15 @@ object SparkEntry {
         .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
         .join(broadcast(benchKeys), "tkey")
         .select("doc_id").distinct()
+      // NULL-SAFE verdict (round-19, ADVICE): an unflagged identity doc
+      // leaves f NULL after the left join, and `min(f === 1)` SKIPS
+      // nulls — an all-null column would coalesce to true and the gate
+      // could never read false. Map missing flags to 0 explicitly so a
+      // recall regression flips the verdict.
       mustFlag.join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
         .agg(count(lit(1)).as("n_identity"),
-          coalesce(min(col("f") === 1), lit(true)).as("all_identity_flagged"))
+          coalesce(min(when(col("f") === 1, lit(1)).otherwise(lit(0))) === 1,
+            lit(true)).as("all_identity_flagged"))
         .crossJoin(broadcast(corpusMedia
           .agg(count(lit(1)).as("n_audio"))))
     }),
@@ -3431,11 +3437,108 @@ object SparkEntry {
         .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
         .join(broadcast(benchKeys), "tkey")
         .select("doc_id").distinct()
+      // null-safe verdict — see mm_decon_audio_flag's gate note
       mustFlag.join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
         .agg(count(lit(1)).as("n_identity"),
-          coalesce(min(col("f") === 1), lit(true)).as("all_identity_flagged"))
+          coalesce(min(when(col("f") === 1, lit(1)).otherwise(lit(0))) === 1,
+            lit(true)).as("all_identity_flagged"))
         .crossJoin(broadcast(corpusMedia
           .agg(count(lit(1)).as("n_video"))))
+    }),
+
+    // Incremental AUDIO decon under benchmark append (round-19, closes
+    // the audio corner of the incremental-decon triangle): flags are
+    // monotone under append, so the update is the flag tier over the
+    // previously-unflagged remainder × the NEW eval clips only,
+    // unioned with the carried set. Fingerprints aren't
+    // SQL-replayable, so the gate pins (a) incr == full re-flag over
+    // the UNIONED benchmark, in-plan full-outer equality — the
+    // monotone-update contract itself — and (b) the relational
+    // identity half over the union (a corpus clip text-equal to ANY
+    // old-or-new bench doc is byte-identical WAV ⇒ hamming 0 ⇒ MUST
+    // flag), null-safe as in mm_decon_audio_flag.
+    "mm_decon_audio_incr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      def bench(selExpr: String, off: Long) =
+        Multimodal.attachWavAudio(docs
+          .filter(col("doc_id") % 3 === 1 && expr(selExpr))
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      val corpus = graft.CacheScope.persist(
+        Multimodal.attachWavAudio(docs.select(col("doc_id"), col("text"))))
+      val benchOld = bench("(doc_id DIV 3) % 5 = 0", m)
+      val benchNew = bench("(doc_id DIV 3) % 7 = 3", 2 * m)
+      val prev = graft.CacheScope.persist(
+        Multimodal.audioDecontaminateFlag(corpus, benchOld,
+          maxHamming = 6, bands = 4, bandBits = 16))
+      val incr = graft.CacheScope.persist(
+        Multimodal.audioDecontaminateIncr(corpus, prev, benchNew,
+          maxHamming = 6, bands = 4, bandBits = 16))
+      val full = Multimodal.audioDecontaminateFlag(corpus,
+        benchOld.unionByName(benchNew),
+        maxHamming = 6, bands = 4, bandBits = 16)
+      val eqFull = incr.withColumn("l", lit(1)).as("a")
+        .join(full.withColumn("r", lit(1)).as("b"), Seq("doc_id"), "full")
+        .agg((count(when(col("l").isNull || col("r").isNull, 1)) === 0)
+          .as("equals_full_rerun"))
+      val benchKeys = docs.filter(col("doc_id") % 3 === 1 &&
+          (expr("(doc_id DIV 3) % 5 = 0") || expr("(doc_id DIV 3) % 7 = 3")))
+        .select(sha2(col("text"), 256).as("tkey")).distinct()
+      val mustFlag = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+        .join(broadcast(benchKeys), "tkey")
+        .select("doc_id").distinct()
+      mustFlag.join(incr.withColumn("f", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_identity"),
+          coalesce(min(when(col("f") === 1, lit(1)).otherwise(lit(0))) === 1,
+            lit(true)).as("all_identity_flagged"))
+        .crossJoin(broadcast(eqFull))
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_audio"))))
+    }),
+
+    // Incremental VIDEO decon under benchmark append (round-19, the
+    // last corner of the triangle): same monotone-append contract and
+    // gate shape as mm_decon_audio_incr — incr == full re-flag over
+    // the unioned benchmark (in-plan full-outer equality) + the
+    // relational identity half (text equality ⇒ all sampled frames
+    // byte-identical ⇒ hamming 0 ⇒ MUST flag), null-safe verdict.
+    "mm_decon_video_incr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      def bench(selExpr: String, off: Long) =
+        Multimodal.attachPpmVideo(docs
+          .filter(col("doc_id") % 3 === 2 && expr(selExpr))
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      val corpus = graft.CacheScope.persist(
+        Multimodal.attachPpmVideo(docs.select(col("doc_id"), col("text"))))
+      val benchOld = bench("(doc_id DIV 3) % 5 = 0", m)
+      val benchNew = bench("(doc_id DIV 3) % 7 = 3", 2 * m)
+      val prev = graft.CacheScope.persist(
+        Multimodal.videoDecontaminateFlag(corpus, benchOld,
+          maxHamming = 6, bands = 4, bandBits = 16))
+      val incr = graft.CacheScope.persist(
+        Multimodal.videoDecontaminateIncr(corpus, prev, benchNew,
+          maxHamming = 6, bands = 4, bandBits = 16))
+      val full = Multimodal.videoDecontaminateFlag(corpus,
+        benchOld.unionByName(benchNew),
+        maxHamming = 6, bands = 4, bandBits = 16)
+      val eqFull = incr.withColumn("l", lit(1)).as("a")
+        .join(full.withColumn("r", lit(1)).as("b"), Seq("doc_id"), "full")
+        .agg((count(when(col("l").isNull || col("r").isNull, 1)) === 0)
+          .as("equals_full_rerun"))
+      val benchKeys = docs.filter(col("doc_id") % 3 === 2 &&
+          (expr("(doc_id DIV 3) % 5 = 0") || expr("(doc_id DIV 3) % 7 = 3")))
+        .select(sha2(col("text"), 256).as("tkey")).distinct()
+      val mustFlag = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+        .join(broadcast(benchKeys), "tkey")
+        .select("doc_id").distinct()
+      mustFlag.join(incr.withColumn("f", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_identity"),
+          coalesce(min(when(col("f") === 1, lit(1)).otherwise(lit(0))) === 1,
+            lit(true)).as("all_identity_flagged"))
+        .crossJoin(broadcast(eqFull))
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_video"))))
     }),
 
     // DECODED frame sampling (round-14, closes the offsets-only
@@ -6739,6 +6842,41 @@ object SparkEntry {
            WHERE d.doc_id % 3 = 2)
          SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
            true AS all_identity_flagged,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
+             AS BIGINT) AS n_video""",
+
+    // the audio-incremental-decon gate: fingerprints aren't
+    // SQL-replayable; the oracle pins the relational identity half
+    // over the UNIONED (old ∪ appended) benchmark and the in-plan
+    // verdicts (identity at hamming 0; incr == full re-flag)
+    "mm_decon_audio_incr" ->
+      """WITH bk AS (
+           SELECT DISTINCT text FROM documents
+           WHERE doc_id % 3 = 1
+             AND ((doc_id // 3) % 5 = 0 OR (doc_id // 3) % 7 = 3)),
+         ident AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN bk ON d.text = bk.text
+           WHERE d.doc_id % 3 = 1)
+         SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
+           true AS all_identity_flagged,
+           true AS equals_full_rerun,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 1)
+             AS BIGINT) AS n_audio""",
+
+    // the video twin of mm_decon_audio_incr's gate
+    "mm_decon_video_incr" ->
+      """WITH bk AS (
+           SELECT DISTINCT text FROM documents
+           WHERE doc_id % 3 = 2
+             AND ((doc_id // 3) % 5 = 0 OR (doc_id // 3) % 7 = 3)),
+         ident AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN bk ON d.text = bk.text
+           WHERE d.doc_id % 3 = 2)
+         SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
+           true AS all_identity_flagged,
+           true AS equals_full_rerun,
            CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
              AS BIGINT) AS n_video""",
 

@@ -313,9 +313,14 @@ private[graft] object BandedHamming {
   }
 
   /** Bipartite decontamination flag join — [[pairJoin]]'s machinery
-    * pointed at TWO id-disjoint sides with a binary verdict: flag
-    * every corpus doc whose full 64-bit fingerprint lies within
-    * `maxHamming` of ANY benchmark doc's. The
+    * pointed at TWO sides with a binary verdict: flag every corpus
+    * doc whose full 64-bit fingerprint lies within `maxHamming` of
+    * ANY benchmark doc's. The sides are DISTINCT TABLES, never a
+    * self-join, so there is NO self-id exclusion (round-19): a corpus
+    * doc that coincidentally shares an id with a benchmark doc is
+    * still flagged when its fingerprint matches — the exact silent
+    * recall loss the no-cap design exists to prevent. Callers need
+    * no id-disjointness contract. The
     * [[graft.operators.TextOps.semanticDecontaminateFlag]] consumption
     * shape applied to Hamming fingerprints: the benchmark side (an
     * eval suite — small by definition) persists once and BROADCASTS,
@@ -375,7 +380,6 @@ private[graft] object BandedHamming {
       .join(broadcast(probed.as("e")),
         col("c.band_idx") === col("e.band_idx") &&
           col("c.band_key") === col("e.band_key") &&
-          col("c.doc_id") =!= col("e.eval_id") &&
           hamming <= maxHamming,
         "left_semi")
       .select(col("doc_id")).dropDuplicates("doc_id")

@@ -423,7 +423,12 @@ object Multimodal {
     * both sides must hash under one layout for the band keys to
     * meet); `decodePixels = true` routes both sides through the real
     * raster decoder kernel ([[dHashImageBandRows]]) so visually-near
-    * re-encodes flag, not just byte-near payloads.
+    * re-encodes flag, not just byte-near payloads. NOTE the sizing
+    * count runs ONCE PER CALL: cheap against parquet (footer
+    * statistics) but a real scan on an expensive view — pass `nHint`
+    * or an explicit `bands` for non-parquet corpora or repeated
+    * batch invocations (the streaming guard below already demands it
+    * for unbounded inputs).
     */
   def dHashDecontaminateFlag(corpusMedia: DataFrame,
       benchmarkMedia: DataFrame, maxHamming: Int = 6, bands: Int = 0,
@@ -464,6 +469,16 @@ object Multimodal {
     * union needs no distinct; an empty append degenerates to returning
     * `prevFlagged` after one anti join — old payloads are never
     * re-hashed for docs already flagged.
+    *
+    * LAYOUT CONSISTENCY (round-19, ADVICE r18): under `bands = 0` the
+    * auto layout resolves from the FULL corpus count, never the
+    * post-anti-join remainder — the full-re-run equality this
+    * operator promises holds only when both runs hash under the SAME
+    * layout, and a remainder-sized count could straddle the 1M
+    * auto-layout crossover the full re-run doesn't. The count is one
+    * extra metadata-cheap job against parquet; pass `nHint` (or an
+    * explicit `bands`) to skip it on expensive views or repeated
+    * incremental calls.
     */
   def dHashDecontaminateIncr(corpusMedia: DataFrame,
       prevFlagged: DataFrame, newBenchmarkMedia: DataFrame,
@@ -472,11 +487,14 @@ object Multimodal {
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       decodePixels: Boolean = false, nHint: Long = -1L): DataFrame = {
+    val hint =
+      if (bands > 0 || nHint >= 0) nHint
+      else corpusMedia.filter(col("kind") === "image").count()
     val prevIds = prevFlagged.select(col("doc_id"))
     val remainder = corpusMedia.join(prevIds, Seq("doc_id"), "left_anti")
     prevIds.unionByName(dHashDecontaminateFlag(remainder,
       newBenchmarkMedia, maxHamming, bands, bandBits, headerLen,
-      probeRadius, storage, decodePixels, nHint))
+      probeRadius, storage, decodePixels, hint))
   }
 
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
@@ -625,7 +643,9 @@ object Multimodal {
     * payload ⇒ identical fingerprint ⇒ hamming 0 ⇒ every band
     * collides); unparseable payloads fingerprint to null and never
     * flag. Streams with an explicit layout or `nHint`, like the image
-    * member.
+    * member — and as there, the `bands = 0` sizing count runs once
+    * per call: pass `nHint`/`bands` for expensive views or repeated
+    * batch invocations.
     */
   def audioDecontaminateFlag(corpusMedia: DataFrame,
       benchmarkMedia: DataFrame, maxHamming: Int = 6, bands: Int = 0,
@@ -647,6 +667,40 @@ object Multimodal {
       audioFingerprintBandRows(corpusMedia, b, bb),
       audioFingerprintBandRows(benchmarkMedia, b, bb),
       maxHamming, b, bb, pr, storage)
+  }
+
+  /** Benchmark-append incremental audio decon (round-19, closes the
+    * audio corner of the incremental-decon triangle): the
+    * [[dHashDecontaminateIncr]] monotone-append argument is
+    * METRIC-AGNOSTIC — flags are existential over the benchmark side,
+    * so a new eval suite can only ADD flags, and the update job is
+    * [[audioDecontaminateFlag]] over the previously-UNFLAGGED
+    * remainder × the NEW benchmark clips only, unioned with the
+    * carried flag set. Result EQUALS a full re-flag against the
+    * unioned benchmark (same `maxHamming`/layout); under `bands = 0`
+    * the auto layout resolves from the FULL corpus count, never the
+    * remainder (the image member's layout-consistency rule). Branches
+    * are disjoint (`newly ⊆ corpus ∖ prevFlagged`) — no distinct, no
+    * shuffle beyond the anti join; an empty append returns
+    * `prevFlagged` after one anti join, old payloads never re-decode
+    * for docs already flagged. Pass `nHint`/`bands` to skip the
+    * sizing count on expensive views or repeated calls.
+    */
+  def audioDecontaminateIncr(corpusMedia: DataFrame,
+      prevFlagged: DataFrame, newBenchmarkMedia: DataFrame,
+      maxHamming: Int = 6, bands: Int = 0, bandBits: Int = 16,
+      probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    val hint =
+      if (bands > 0 || nHint >= 0) nHint
+      else corpusMedia.filter(col("kind") === "audio").count()
+    val prevIds = prevFlagged.select(col("doc_id"))
+    val remainder = corpusMedia.join(prevIds, Seq("doc_id"), "left_anti")
+    prevIds.unionByName(audioDecontaminateFlag(remainder,
+      newBenchmarkMedia, maxHamming, bands, bandBits, probeRadius,
+      storage, hint))
   }
 
   // -------------------------------------------------------------------
@@ -848,10 +902,12 @@ object Multimodal {
     * to video ids (arithmetic shift — DIV truncates toward zero on
     * negatives) and dedup. Two bounded exchanges (composite dedup +
     * video dedup), both over the flagged subset; NO occupancy cap
-    * (drop decisions keep their recall). Sides must be id-disjoint —
-    * frame-level self-exclusion only skips identical (video, frame)
-    * composites, so a benchmark video sharing a corpus video's id
-    * would flag it through its own other frames.
+    * (drop decisions keep their recall). Sides may share ids —
+    * round-19: the bipartite core carries no self-id exclusion, so a
+    * corpus video that coincidentally shares a benchmark video's id
+    * still flags on any fingerprint match. The `bands = 0` sizing
+    * count decodes every corpus video's sampled frames once per call
+    * — pass `nHint` (frame count) or `bands` to skip it.
     */
   def videoDecontaminateFlag(corpusMedia: DataFrame,
       benchmarkMedia: DataFrame, maxHamming: Int = 6, maxFrames: Int = 8,
@@ -884,6 +940,35 @@ object Multimodal {
         maxHamming, b, bb, pr, storage)
       .select(shiftright(col("doc_id"), 6).as("doc_id"))
       .dropDuplicates("doc_id")
+  }
+
+  /** Benchmark-append incremental video decon (round-19, closes the
+    * video corner of the incremental-decon triangle): monotone-append
+    * over [[videoDecontaminateFlag]] — flags are existential over the
+    * benchmark frames, so the update is the flag tier over the
+    * previously-UNFLAGGED remainder × the NEW benchmark only, unioned
+    * with the carried set; equals a full re-flag against the unioned
+    * benchmark under a shared layout. Under `bands = 0` the layout
+    * resolves from the FULL corpus FRAME count (the quantity the full
+    * re-run sizes from), which decodes every corpus video's sampled
+    * frames once — pass `nHint` (frame count, ≈ 8·|videos|) or an
+    * explicit `bands` to skip that pass on repeated incremental calls.
+    */
+  def videoDecontaminateIncr(corpusMedia: DataFrame,
+      prevFlagged: DataFrame, newBenchmarkMedia: DataFrame,
+      maxHamming: Int = 6, maxFrames: Int = 8, bands: Int = 0,
+      bandBits: Int = 16, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    val hint =
+      if (bands > 0 || nHint >= 0) nHint
+      else sampleFrameHashes(corpusMedia, maxFrames).count()
+    val prevIds = prevFlagged.select(col("doc_id"))
+    val remainder = corpusMedia.join(prevIds, Seq("doc_id"), "left_anti")
+    prevIds.unionByName(videoDecontaminateFlag(remainder,
+      newBenchmarkMedia, maxHamming, maxFrames, bands, bandBits,
+      probeRadius, storage, hint))
   }
 
   def videoNearDupPairs(media: DataFrame, minSharedFrames: Int = 1,

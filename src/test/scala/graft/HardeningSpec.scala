@@ -318,6 +318,15 @@ class HardeningSpec extends AnyFunSuite {
       // + video dedup (2, both over the flagged subset); furniture =
       // identity distincts + verdict agg. Measured 5
       "mm_decon_video_flag" -> 5,
+      // incremental audio decon gate: operator = prev flag dedup +
+      // anti join + newly dedup (the carried/new branches); gate
+      // furniture = the full re-flag it must equal (its own dedup),
+      // the full-outer equality legs + agg, identity distincts, and
+      // the 1-row verdict agg. Measured 9
+      "mm_decon_audio_incr" -> 9,
+      // the video twin is plan-identical (frame composites ride the
+      // persisted media subtree). Measured 9
+      "mm_decon_video_incr" -> 9,
       // audio gate: identical shape to mm_dhash_decoded — cap window +
       // join side + pair dedup (operator) + identity join + verdict aggs
       "mm_audio_neardup" -> 6,

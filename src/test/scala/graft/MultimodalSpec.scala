@@ -233,9 +233,15 @@ class MultimodalSpec extends AnyFunSuite {
       bands = 2, bits = 32, probe = 0).isEmpty)
     assert(flag(media(Seq(1L -> twist)), media(Seq(100L -> b2)),
       bands = 2, bits = 32, probe = 1) == Set(1L))
-    // self-id exclusion: a benchmark doc that IS the corpus doc (same
-    // id) must not flag itself
-    assert(flag(media(Seq(1L -> far)), media(Seq(1L -> far))).isEmpty)
+    // NO self-id exclusion (round-19, VERDICT r18 #5): the sides are
+    // distinct tables, so a corpus doc that COINCIDENTALLY shares a
+    // benchmark doc's id still flags on a fingerprint match — the
+    // old exclusion silently unflagged exactly this case, a recall
+    // loss in a drop decision
+    assert(flag(media(Seq(1L -> far)), media(Seq(1L -> far))) == Set(1L),
+      "shared-id corpus doc must still flag on a fingerprint match")
+    // and a shared id with a NON-matching fingerprint must not flag
+    assert(flag(media(Seq(1L -> far)), media(Seq(1L -> base))).isEmpty)
   }
 
   test("dHashDecontaminateFlag plan (round-18): broadcast HASH semi " +
@@ -297,9 +303,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(noop == Set(1L), s"empty append must carry prev: $noop")
   }
 
-  test("audioDecontaminateFlag (round-18): an eval clip flags its corpus " +
-    "copy ACROSS carriers (AIFF benchmark vs WAV crawl), the unrelated " +
-    "clip stays, empty benchmark is a no-op, self-id excluded") {
+  test("audioDecontaminateFlag (round-18/19): an eval clip flags its " +
+    "corpus copy ACROSS carriers (AIFF benchmark vs WAV crawl), the " +
+    "unrelated clip stays, empty benchmark is a no-op, shared ids " +
+    "still flag") {
     val samples = Seq.tabulate(200)(i => (i * 31 + 7) % 256)
     val p8 = wav(samples)
     val aiff = Seq(Tuple1(p8)).toDF("p")
@@ -319,9 +326,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioDecontaminateFlag(corpus,
       mediaOf(Seq.empty[(Long, Array[Byte])]), maxHamming = 0,
       bands = 4, bandBits = 16).count() == 0)
+    // round-19 (VERDICT r18 #5): NO self-id exclusion on the bipartite
+    // core — a corpus clip sharing a benchmark clip's id still flags
+    // on a fingerprint match
     assert(Multimodal.audioDecontaminateFlag(mediaOf(Seq(1L -> far)),
-      mediaOf(Seq(1L -> far)), maxHamming = 0,
-      bands = 4, bandBits = 16).count() == 0)
+        mediaOf(Seq(1L -> far)), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet == Set(1L))
+  }
+
+  test("audioDecontaminateIncr (round-19): benchmark append equals the " +
+    "full re-flag over the unioned suite; empty append returns the " +
+    "carried set after one anti join") {
+    val clipA = wav(Seq.tabulate(200)(i => (i * 31 + 7) % 256))
+    val clipB = wav(Seq.tabulate(200)(i => (i * 53) % 256))
+    val clipC = wav(Seq.tabulate(200)(i => (i * 71 + 3) % 256))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val corpus = mediaOf(Seq(1L -> clipA, 2L -> clipB, 3L -> clipC))
+    val prev = Multimodal.audioDecontaminateFlag(corpus,
+      mediaOf(Seq(100L -> clipA)), maxHamming = 0,
+      bands = 4, bandBits = 16)
+    val incr = Multimodal.audioDecontaminateIncr(corpus, prev,
+        mediaOf(Seq(200L -> clipB)), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    val full = Multimodal.audioDecontaminateFlag(corpus,
+        mediaOf(Seq(100L -> clipA, 200L -> clipB)), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(incr == full && incr == Set(1L, 2L),
+      s"append must equal the full re-flag: $incr vs $full")
+    val noop = Multimodal.audioDecontaminateIncr(corpus, prev,
+        mediaOf(Seq.empty[(Long, Array[Byte])]), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(noop == Set(1L), s"empty append must carry prev: $noop")
   }
 
   test("videoDecontaminateFlag (round-18): a TRIMMED eval clip — one " +
@@ -344,6 +384,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoDecontaminateFlag(corpus,
       mediaOf(Seq.empty[(Long, Array[Byte])]), maxHamming = 0,
       bands = 4, bandBits = 16).count() == 0)
+  }
+
+  test("videoDecontaminateIncr (round-19): benchmark append equals the " +
+    "full re-flag over the unioned suite; empty append returns the " +
+    "carried set after one anti join") {
+    def frame(seed: Int) = ppm(16, 12, (x, y) =>
+      ((x * seed + y) % 256, (y * seed) % 256, (x + seed) % 256))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val corpus = mediaOf(Seq(
+      1L -> (frame(3) ++ frame(7) ++ frame(11)),
+      2L -> (frame(17) ++ frame(23)),
+      3L -> (frame(29) ++ frame(31))))
+    val prev = Multimodal.videoDecontaminateFlag(corpus,
+      mediaOf(Seq(100L -> frame(7))), maxHamming = 0,
+      bands = 4, bandBits = 16)
+    val incr = Multimodal.videoDecontaminateIncr(corpus, prev,
+        mediaOf(Seq(200L -> frame(17))), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    val full = Multimodal.videoDecontaminateFlag(corpus,
+        mediaOf(Seq(100L -> frame(7), 200L -> frame(17))), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(incr == full && incr == Set(1L, 2L),
+      s"append must equal the full re-flag: $incr vs $full")
+    val noop = Multimodal.videoDecontaminateIncr(corpus, prev,
+        mediaOf(Seq.empty[(Long, Array[Byte])]), maxHamming = 0,
+        bands = 4, bandBits = 16)
+      .as[Long].collect().toSet
+    assert(noop == Set(1L), s"empty append must carry prev: $noop")
   }
 
   test("dHashDecontaminateFlag decodePixels (round-18): an eval image " +
