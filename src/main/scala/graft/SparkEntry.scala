@@ -2909,6 +2909,32 @@ object SparkEntry {
         maxHamming = 6, bands = 4, bandBits = 16)
     }),
 
+    // Multimodal decon ATTRIBUTION report (round-19, VERDICT r18 #3):
+    // per benchmark image, how many corpus images it flags and at
+    // what minimum Hamming — decon_report's contract on the bipartite
+    // INNER join (benchmark still broadcasts; one eval-keyed agg over
+    // the matching pairs only). The corpus is the EVEN (doc_id DIV 3)
+    // half so some benchmark items have no corpus source and the
+    // zero-hit reporting path (n_flagged = 0) is exercised end to
+    // end; min_hamming coalesces to -1 on zero-hit rows in BOTH
+    // engines (a null would ride the driver's value hash
+    // representation-dependently). Oracle replays hash/band/verify/
+    // attribution relationally.
+    "mm_decon_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val corpus = Multimodal.attachMedia(docs
+        .filter(expr("(doc_id DIV 3) % 2 = 0"))
+        .select(col("doc_id"), col("text")))
+      val bench = Multimodal.attachMedia(docs
+        .filter(col("doc_id") % 3 === 0 && (col("doc_id") / 3) % 5 === 0)
+        .select((col("doc_id") + m).as("doc_id"), col("text")))
+      Multimodal.dHashDecontaminateReport(corpus, bench,
+          maxHamming = 6, bands = 4, bandBits = 16)
+        .select(col("eval_id"), col("n_flagged"),
+          coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+    }),
+
     // Incremental image decon (round-18, benchmark append): flags are
     // monotone under append, so the update job is the flag tier over
     // the previously-unflagged remainder x the NEW eval images only,
@@ -4872,10 +4898,30 @@ object SparkEntry {
     * incremental decomposition itself).
     */
   private def mmDeconCtesFor(benchImgSql: String): String =
+    mmDeconBandCtes(
+      """SELECT doc_id, lower(sha256(text)) AS h FROM documents
+         WHERE doc_id % 3 = 0""",
+      benchImgSql) + s""",
+       fl AS (
+         SELECT DISTINCT c.doc_id
+         FROM banded_c c JOIN banded_b b
+           ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+             AND c.doc_id != b.doc_id
+         WHERE CAST(bit_count(xor(c.bl[1], b.bl[1]))
+             + bit_count(xor(c.bl[2], b.bl[2]))
+             + bit_count(xor(c.bl[3], b.bl[3]))
+             + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6)"""
+
+  /** The shared hash/band replay (corpus side `banded_c`, benchmark
+    * side `banded_b`) parameterized by BOTH sides' `(doc_id, h)`
+    * selections — the flag/incremental oracles append the distinct
+    * flagged set `fl`, the report oracle the per-benchmark
+    * attribution.
+    */
+  private def mmDeconBandCtes(corpusImgSql: String,
+      benchImgSql: String): String =
     s"""WITH mx AS (SELECT (max(doc_id) // 3 + 1) * 3 AS m FROM documents),
-       img_c AS (
-         SELECT doc_id, lower(sha256(text)) AS h FROM documents
-         WHERE doc_id % 3 = 0),
+       img_c AS ($corpusImgSql),
        img_b AS ($benchImgSql),
        hash_c AS (
          SELECT doc_id,
@@ -4896,16 +4942,7 @@ object SparkEntry {
          FROM hash_c, unnest(range(4)) AS t(b)),
        banded_b AS (
          SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
-         FROM hash_b, unnest(range(4)) AS t(b)),
-       fl AS (
-         SELECT DISTINCT c.doc_id
-         FROM banded_c c JOIN banded_b b
-           ON c.band_idx = b.band_idx AND c.band_key = b.band_key
-             AND c.doc_id != b.doc_id
-         WHERE CAST(bit_count(xor(c.bl[1], b.bl[1]))
-             + bit_count(xor(c.bl[2], b.bl[2]))
-             + bit_count(xor(c.bl[3], b.bl[3]))
-             + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6)"""
+         FROM hash_b, unnest(range(4)) AS t(b))"""
 
   private lazy val mmDeconOldBenchSql: String =
     """SELECT doc_id + (SELECT m FROM mx) AS doc_id,
@@ -4914,6 +4951,37 @@ object SparkEntry {
 
   private lazy val mmDeconFlagOracleCtes: String =
     mmDeconCtesFor(mmDeconOldBenchSql)
+
+  /** The attribution report's oracle: the per-benchmark replay over
+    * the EVEN (doc_id DIV 3) corpus half — count(DISTINCT) absorbs
+    * the per-band duplicates exactly as the Spark agg does, zero-hit
+    * benchmark items surface through the left join with
+    * `(0, -1)` sentinels.
+    */
+  private lazy val mmDeconReportOracleSql: String =
+    mmDeconBandCtes(
+      """SELECT doc_id, lower(sha256(text)) AS h FROM documents
+         WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 0""",
+      mmDeconOldBenchSql) + s""",
+       hits AS (
+         SELECT eval_id, doc_id, hamming FROM (
+           SELECT b.doc_id AS eval_id, c.doc_id AS doc_id,
+             CAST(bit_count(xor(c.bl[1], b.bl[1]))
+               + bit_count(xor(c.bl[2], b.bl[2]))
+               + bit_count(xor(c.bl[3], b.bl[3]))
+               + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) AS hamming
+           FROM banded_c c JOIN banded_b b
+             ON c.band_idx = b.band_idx AND c.band_key = b.band_key) t
+         WHERE hamming <= 6),
+       rep AS (
+         SELECT eval_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_flagged,
+           min(hamming) AS min_hamming
+         FROM hits GROUP BY eval_id)
+       SELECT b.eval_id,
+         coalesce(rep.n_flagged, 0) AS n_flagged,
+         coalesce(rep.min_hamming, -1) AS min_hamming
+       FROM (SELECT DISTINCT doc_id AS eval_id FROM img_b) b
+       LEFT JOIN rep USING (eval_id)"""
 
   /** The incremental tier's oracle: the unioned (old ∪ appended)
     * benchmark through the SAME replay — monotone-update equality.
@@ -6428,6 +6496,8 @@ object SparkEntry {
     "mm_decon_incremental" ->
       s"""$mmDeconIncrOracleCtes
          SELECT doc_id FROM fl""",
+
+    "mm_decon_report" -> mmDeconReportOracleSql,
 
     "stream_mm_decon_flag" ->
       s"""$mmDeconFlagOracleCtes

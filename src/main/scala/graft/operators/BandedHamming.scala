@@ -357,13 +357,33 @@ private[graft] object BandedHamming {
   def bipartiteFlagJoin(corpusRows: DataFrame, benchRows: DataFrame,
       maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
       storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    val (probed, hamming) =
+      probedBenchSide(benchRows, maxHamming, bands, bandBits, probeRadius,
+        storage)
+    corpusRows.as("c")
+      .join(broadcast(probed.as("e")),
+        col("c.band_idx") === col("e.band_idx") &&
+          col("c.band_key") === col("e.band_key") &&
+          hamming <= maxHamming,
+        "left_semi")
+      .select(col("doc_id")).dropDuplicates("doc_id")
+  }
+
+  /** Shared benchmark-side prep for the bipartite decon joins: rename
+    * to `(eval_id, eval_bands, band_idx, band_key)`, persist before
+    * the broadcast (an unpersisted lineage would re-hash the payloads
+    * inside the driver-side broadcast collect — the embed-persist
+    * convention of the semantic decon tiers), and explode the
+    * radius-`probeRadius` key ball. Returns the probed side plus the
+    * full-hash Hamming expression for the join condition.
+    */
+  private def probedBenchSide(benchRows: DataFrame, maxHamming: Int,
+      bands: Int, bandBits: Int, probeRadius: Int,
+      storage: Option[org.apache.spark.storage.StorageLevel])
+      : (DataFrame, org.apache.spark.sql.Column) = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     require(probeRadius >= 0 && probeRadius <= 2,
       s"probeRadius must be 0..2, got $probeRadius")
-    // persist before the broadcast: the bench rows feed one broadcast
-    // exchange, but an unpersisted lineage would re-hash the payloads
-    // inside the driver-side broadcast collect (the embed-persist
-    // convention of the semantic decon tiers)
     val bench0 = benchRows.select(col("doc_id").as("eval_id"),
       col("bands").as("eval_bands"), col("band_idx"), col("band_key"))
     val bench = storage.fold(bench0)(graft.CacheScope.persist(bench0, _))
@@ -376,13 +396,55 @@ private[graft] object BandedHamming {
       .map(i => bit_count(element_at(col("bands"), i + 1)
         .bitwiseXOR(element_at(col("eval_bands"), i + 1))))
       .reduce(_ + _).cast("bigint")
-    corpusRows.as("c")
+    (probed, hamming)
+  }
+
+  /** Bipartite decontamination ATTRIBUTION report — the
+    * contamination-report shape ([[Dedup.contaminationReport]]'s
+    * contract) on [[bipartiteFlagJoin]]'s machinery: per BENCHMARK
+    * item, how many corpus docs it flags and at what minimum Hamming
+    * — the first question an eval owner asks when a suite leaks.
+    * Same plan skeleton with the semi join widened to INNER (the
+    * count needs every matching corpus doc, not just existence):
+    * corpus band rows row-local, benchmark broadcast with the
+    * full-hash verify in the condition, then ONE aggregation keyed on
+    * `eval_id` — `count(DISTINCT doc_id)` absorbs the per-band /
+    * per-probe-key duplicates of a pair, `min(hamming)` is
+    * duplicate-insensitive. Benchmark items with ZERO hits still
+    * report (`n_flagged = 0`, null `min_hamming`) via a left join
+    * from the distinct benchmark ids — both sides of that join are
+    * benchmark-sized, so it broadcasts. Exchanges: the eval-keyed
+    * agg (+ its distinct expand) over the MATCHING pairs only —
+    * bounded by the contamination volume, never the corpus; corpus
+    * fingerprints still never shuffle. NO occupancy cap, as in the
+    * flag tier (an attribution that silently undercounts misleads
+    * the eval owner exactly like a silent unflag).
+    */
+  def bipartiteReportJoin(corpusRows: DataFrame, benchRows: DataFrame,
+      maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
+      storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    val (probed, hamming) =
+      probedBenchSide(benchRows, maxHamming, bands, bandBits, probeRadius,
+        storage)
+    val hits = corpusRows.as("c")
       .join(broadcast(probed.as("e")),
         col("c.band_idx") === col("e.band_idx") &&
           col("c.band_key") === col("e.band_key") &&
-          hamming <= maxHamming,
-        "left_semi")
-      .select(col("doc_id")).dropDuplicates("doc_id")
+          hamming <= maxHamming)
+      .select(col("eval_id"), col("c.doc_id").as("doc_id"),
+        hamming.as("hamming"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_flagged"),
+        min(col("hamming")).as("min_hamming"))
+    // the zero-hit left join: both sides are benchmark-sized (the agg
+    // emits one row per HIT eval item), but post-agg stats are unknown
+    // so Spark would plan a sort-merge join — broadcast the hits side
+    // explicitly (preserved-left outer join builds on the right)
+    probed.select(col("eval_id")).distinct()
+      .join(broadcast(hits), Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        col("min_hamming"))
   }
 
   /** Per-bit bias diagnostic for a 64-bit fingerprint column — the

@@ -497,6 +497,40 @@ object Multimodal {
       probeRadius, storage, decodePixels, hint))
   }
 
+  /** Image decon ATTRIBUTION report (round-19 —
+    * [[graft.operators.Dedup.contaminationReport]]'s contract for the
+    * multimodal member): per benchmark image, how many corpus images
+    * it flags and at what minimum Hamming, zero-hit items included —
+    * the report an eval owner reads before deciding which suite
+    * items leaked. [[BandedHamming.bipartiteReportJoin]] over the
+    * same band rows as [[dHashDecontaminateFlag]] (byte kernel or
+    * `decodePixels` raster kernel); returns
+    * `(eval_id, n_flagged, min_hamming)`. Same sizing/streaming
+    * conventions as the flag member.
+    */
+  def dHashDecontaminateReport(corpusMedia: DataFrame,
+      benchmarkMedia: DataFrame, maxHamming: Int = 6, bands: Int = 0,
+      bandBits: Int = 16, headerLen: Int = 3, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      decodePixels: Boolean = false, nHint: Long = -1L): DataFrame = {
+    require(!corpusMedia.isStreaming || bands > 0 || nHint >= 0,
+      "dHashDecontaminateReport: a streaming corpus needs an explicit " +
+        "bands layout or an nHint — bands = 0 auto-sizing counts the corpus")
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint
+      else corpusMedia.filter(col("kind") === "image").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("dHashDecontaminateReport",
+        maxHamming, b, pr)
+    def rows(m: DataFrame) =
+      if (decodePixels) dHashImageBandRows(m, b, bb)
+      else dHashBandRows(m, b, bb, headerLen)
+    BandedHamming.bipartiteReportJoin(rows(corpusMedia),
+      rows(benchmarkMedia), maxHamming, b, bb, pr, storage)
+  }
+
   /** Shared candidate-then-verify core ([[BandedHamming.pairJoin]],
     * also carrying [[Dedup.simHashPairs]]): banded self-join over
     * `(doc_id, bands, band_idx, band_key)` rows → exact Hamming verify

@@ -237,6 +237,12 @@ class HardeningSpec extends AnyFunSuite {
       // the exchanges are the two flag-set dedups (prev + newly),
       // both over flagged subsets. Measured 2
       "mm_decon_incremental" -> 2,
+      // attribution report: corpus fingerprints never shuffle (the
+      // benchmark broadcasts into the INNER join); the exchanges are
+      // the eval-keyed count-distinct (2, an expand pair over the
+      // matching pairs only) + the benchmark-id distinct — all
+      // benchmark-bounded; the zero-hit left join broadcasts. Measured 3
+      "mm_decon_report" -> 3,
       // decoded-pixel gate: the cached band subtree's cap window (1) +
       // pair-join side + pair dedup (2) carry the operator; the
       // identity-pair oracle join (1) and the two 1-row verdict aggs

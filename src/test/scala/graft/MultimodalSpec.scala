@@ -272,6 +272,40 @@ class MultimodalSpec extends AnyFunSuite {
         s"Hamming verify missing from the semi-join condition: $l")
   }
 
+  test("dHashDecontaminateReport (round-19): per-benchmark attribution " +
+    "counts distinct corpus hits at min hamming; zero-hit benchmark " +
+    "items still report (0, null)") {
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "hexbody")
+      .select($"doc_id", lit("image").as("kind"),
+        concat(lit("IMG").cast("binary"), unhex($"hexbody")).as("payload"))
+    val base = "0123456789abcdef" * 4
+    val near = base.substring(0, 40) + "f" + base.substring(41)
+    val far = "fedcba9876543210" * 4
+    val corpus = media(Seq(1L -> base, 2L -> near, 3L -> far))
+    val bench = media(Seq(100L -> base, 200L -> far))
+    val rep = Multimodal.dHashDecontaminateReport(corpus, bench,
+        maxHamming = 6, bands = 4, bandBits = 16)
+      .orderBy($"eval_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq
+    // eval 100 (= base): docs 1 (hamming 0) and 2 (near) hit; eval 200
+    // (= far): doc 3 hits at hamming 0 — and a doc matching in several
+    // bands must still count ONCE (count DISTINCT absorbs band dups)
+    assert(rep == Seq((100L, 2L, Some(0L)), (200L, 1L, Some(0L))),
+      s"attribution rows: $rep")
+    // zero-hit benchmark item: reported with n_flagged = 0, null min
+    val rep2 = Multimodal.dHashDecontaminateReport(
+        media(Seq(1L -> base)), media(Seq(100L -> far)),
+        maxHamming = 6, bands = 4, bandBits = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq
+    assert(rep2 == Seq((100L, 0L, None)), s"zero-hit row: $rep2")
+  }
+
   test("dHashDecontaminateIncr (round-18): benchmark append equals the " +
     "full re-flag over the unioned suite; empty append returns the " +
     "carried set after one anti join") {
