@@ -204,16 +204,21 @@ object SparkEntry {
     * operator composition, and ScaleProbe's `corpus_build_raw` scale
     * row — one definition): exact dedup (min-id winners) → benchmark
     * decontamination (mod-97 eval split, 3-grams) → SEMANTIC
-    * decontamination over the in-engine hashed embeddings (round-17:
-    * the early-exit FLAG tier, cos ≥ 4/5 against the same eval split —
-    * the full text→vector→flag loop with no external model, catching
-    * paraphrased leakage the exact-gram stage misses) → quality gate
-    * ≥ 0.5 + language ID → `(doc_id, pred_lang, n_tokens)`. The
+    * decontamination over the in-engine hashed embeddings (round-19:
+    * the PRESCREEN × EARLY-EXIT tier `semanticDecontaminateIvfFlag` —
+    * round-18 measured it 6.4× cheaper than the plain flag tier at
+    * the 5M clustered tier and parity at 500k, so the capstone runs
+    * the measured-best tier; flagged set is IDENTICAL by the
+    * recall-1 theorem, so the oracle replay is unchanged) → quality
+    * gate ≥ 0.5 + language ID → `(doc_id, pred_lang, n_tokens)`. The
     * semantic stage runs over post-gram-decon SURVIVORS only (docs the
     * gram stage already dropped never embed), as do the lang+quality
-    * and token-stats passes.
+    * and token-stats passes. `semCorpusKey` keys the quantizer's
+    * centroid cache (the query passes the fixture key; probes may
+    * leave it None to retrain per call).
     */
-  private[graft] def corpusBuildSelected(docs: DataFrame): DataFrame = {
+  private[graft] def corpusBuildSelected(docs: DataFrame,
+      semCorpusKey: Option[String] = None): DataFrame = {
     val winners = graft.operators.Dedup.exact(docs)
       .select(col("keep_id").as("doc_id"))
     val corpus = docs.join(winners, Seq("doc_id"), "left_semi")
@@ -222,7 +227,8 @@ object SparkEntry {
     val deconned = graft.operators.Dedup.decontaminate(corpus,
       evalSplit, n = 3)
     val semFlagged = graft.operators.TextOps
-      .semanticDecontaminateFlag(deconned, evalSplit)
+      .semanticDecontaminateIvfFlag(deconned, evalSplit,
+        corpusKey = semCorpusKey)
     val selected =
       deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
     graft.operators.TextOps.langQuality(selected)
@@ -255,11 +261,20 @@ object SparkEntry {
     * eval split (by ORIGINAL id — a re-id'd duplicate carries its
     * source doc's verdict) is excluded and every doc whose hashed-
     * embedding cosine reaches 4/5 against any eval doc is dropped via
-    * the early-exit flag tier — the text→vector→flag loop running
-    * inside the multimodal build
+    * (round-19) the measured-best PRESCREEN × EARLY-EXIT tier
+    * (`semanticDecontaminateIvfFlag` — flagged set identical to the
+    * flag tier's by the recall-1 theorem, oracle unchanged) — the
+    * text→vector→flag loop running inside the multimodal build —
+    * ∩ (round-19) the IMAGE decontamination gate: corpus images
+    * within Hamming 6 (byte dHash over the canonical-P6 body, the
+    * pinned 4×16 layout) of ANY eval-split image are dropped via
+    * `dHashDecontaminateFlag` — the media leg now decontaminates, not
+    * just deduplicates, and the oracle replays the hash/band/verify
+    * relationally
     * → `(doc_id, kind, pred_lang, n_tokens)`.
     */
-  private[graft] def corpusBuildMmSelected(docs: DataFrame): DataFrame = {
+  private[graft] def corpusBuildMmSelected(docs: DataFrame,
+      semCorpusKey: Option[String] = None): DataFrame = {
     val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
     val dups = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + m).as("doc_id"), col("text"))
@@ -299,12 +314,27 @@ object SparkEntry {
     val tokens = graft.operators.TextOps.tokenStats(base)
       .select(col("doc_id"), col("n_ws_tokens").as("n_tokens"))
     // semantic decon by ORIGINAL id (a re-id'd dup shares its source
-    // text, hence its flag): early-exit semi-join flags against the
+    // text, hence its flag): prescreen × early-exit flags against the
     // mod-97 eval split, computed once over the original docs
-    val semFlagged = graft.operators.TextOps.semanticDecontaminateFlag(
+    // (round-19: the measured-best tier — flagged set equals the
+    // plain flag tier's by the recall-1 theorem, oracle unchanged)
+    val semFlagged = graft.operators.TextOps.semanticDecontaminateIvfFlag(
         docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0))
+        docs.filter(col("doc_id") % 97 === 0),
+        corpusKey = semCorpusKey)
       .select(col("doc_id").as("orig_id"))
+    // IMAGE decontamination (round-19, VERDICT r18 #1): the media leg
+    // previously deduplicated but never decontaminated — flag corpus
+    // images whose byte dHash (canonical-P6 body, 13-byte header)
+    // lands within Hamming 6 of ANY eval-split image and drop them.
+    // The pinned 4×16 layout keeps the oracle replay scale-independent;
+    // flagged ids are image-kind only, so the anti join leaves audio/
+    // video untouched.
+    val evalImages = graft.operators.Multimodal.attachPpmImages(
+      docs.filter(col("doc_id") % 97 === 0))
+    val imgFlagged = graft.operators.Multimodal.dHashDecontaminateFlag(
+      media, evalImages, maxHamming = 6, bands = 4, bandBits = 16,
+      headerLen = 13)
     val origId =
       when(col("doc_id") >= m, col("doc_id") - m).otherwise(col("doc_id"))
     media.select(col("doc_id"), col("kind"))
@@ -312,6 +342,7 @@ object SparkEntry {
       .filter(col("orig_id") % 97 =!= 0)
       .join(broadcast(semFlagged), Seq("orig_id"), "left_anti")
       .drop("orig_id")
+      .join(broadcast(imgFlagged), Seq("doc_id"), "left_anti")
       .join(textWinners, Seq("doc_id"), "left_semi")
       .join(mediaReps.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(quality, Seq("doc_id"))
@@ -1915,7 +1946,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       // materialized once so the four epoch writes (and the replay)
       // never recompute the chain
-      val selected = graft.CacheScope.persist(corpusBuildSelected(docs),
+      val selected = graft.CacheScope.persist(corpusBuildSelected(docs,
+          Some(tableKey(s, s"$dir/documents.parquet") + ":cbsem")),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val run = java.nio.file.Files.createTempDirectory("graft_cb").toString
       onJvmExitDelete(run)
@@ -1961,7 +1993,8 @@ object SparkEntry {
     // cluster, and the lang/quality/token recompute all hold verbatim.
     "pipeline_corpus_build_mm" -> ((s, dir) => {
       val selected = graft.CacheScope.persist(
-        corpusBuildMmSelected(table(s, dir, "documents")),
+        corpusBuildMmSelected(table(s, dir, "documents"),
+          Some(tableKey(s, s"$dir/documents.parquet") + ":cbmmsem")),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val run = java.nio.file.Files.createTempDirectory("graft_cbmm").toString
       onJvmExitDelete(run)
@@ -5789,6 +5822,44 @@ object SparkEntry {
          tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
                  FROM documents),
          ${semFlagCtes("h")},
+         imgc AS (
+           SELECT doc_id,
+             substr(sha256(text || '#px0') || sha256(text || '#px1'),
+               1, 65) AS ih
+           FROM base WHERE doc_id % 3 = 0),
+         imgb AS (
+           SELECT doc_id,
+             substr(sha256(text || '#px0') || sha256(text || '#px1'),
+               1, 65) AS ih
+           FROM documents WHERE doc_id % 97 = 0 AND doc_id % 3 = 0),
+         imghc AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(ih, b*16+j+1, 1) > substr(ih, b*16+j+2, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM imgc),
+         imghb AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN
+                  substr(ih, b*16+j+1, 1) > substr(ih, b*16+j+2, 1)
+                  THEN (1::BIGINT << j) ELSE 0 END for j in range(16)])
+                AS BIGINT) for b in range(4)] AS bl
+           FROM imgb),
+         imgbdc AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM imghc, unnest(range(4)) AS t(b)),
+         imgbdb AS (
+           SELECT doc_id, bl, b AS band_idx, bl[b+1] AS band_key
+           FROM imghb, unnest(range(4)) AS t(b)),
+         imgfl AS (
+           SELECT DISTINCT c.doc_id
+           FROM imgbdc c JOIN imgbdb b
+             ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+           WHERE CAST(bit_count(xor(c.bl[1], b.bl[1]))
+               + bit_count(xor(c.bl[2], b.bl[2]))
+               + bit_count(xor(c.bl[3], b.bl[3]))
+               + bit_count(xor(c.bl[4], b.bl[4])) AS BIGINT) <= 6),
          battr AS (
            SELECT b.doc_id, b.doc_id % 3 AS residue, lang.doc_id AS orig_id,
              lang.pred_lang, q.quality, tok.n_tokens
@@ -5803,6 +5874,7 @@ object SparkEntry {
            WHERE quality >= 0.5
              AND orig_id % 97 <> 0
              AND orig_id NOT IN (SELECT doc_id FROM hsem)
+             AND doc_id NOT IN (SELECT doc_id FROM imgfl)
              AND doc_id IN (SELECT doc_id FROM win)
              AND doc_id IN (SELECT doc_id FROM mrep))
          SELECT (['image','audio','video'])[CAST(residue + 1 AS INT)] AS kind,

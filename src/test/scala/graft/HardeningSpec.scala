@@ -203,12 +203,15 @@ class HardeningSpec extends AnyFunSuite {
       // the persisted media subtree) + cluster resolution + quality/
       // token joins + the manifest groupBy — the composition is
       // deliberately the whole multimodal family in one plan. The
-      // round-17 semantic-decon stage adds ZERO exchanges: it is the
-      // broadcast left-semi FLAG tier (decon_semantic_flag, pinned at 0
-      // below), so the ceiling stays the round-16 value — re-measured
-      // at 11 this round after the r17 bump to 13 shipped with a stale
-      // "IVF subplan" attribution (round-17 ADVICE)
-      "pipeline_corpus_build_mm" -> 11,
+      // the semantic-decon stage adds ZERO exchanges (round-19: now the
+      // prescreen × early-exit tier — still a row-local assignment +
+      // broadcast semi, decon_semantic_ivf_flag pinned at 0 below; the
+      // quantizer's radius pass is an EAGER bounded job at plan
+      // construction, not part of this plan); the round-19 IMAGE decon
+      // stage adds exactly ONE exchange (the flagged-id distinct over
+      // the flagged subset — benchmark broadcasts into the semi).
+      // Measured 12 (was 11)
+      "pipeline_corpus_build_mm" -> 12,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
