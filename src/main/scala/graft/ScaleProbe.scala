@@ -914,9 +914,63 @@ object ScaleProbe {
         }
       }
 
+    // ---- streaming decon twins at scale (round-19, VERDICT r18 Next
+    // #7): every BATCH decon member carries 100×/1000× rows; these pin
+    // the micro-batch overhead curve of the in-flight drop gates. The
+    // corpus drains as a file stream in 8 range-partitioned slices
+    // (maxFilesPerTrigger = 1 → 8 micro-batches); "sec" is the full
+    // drain wall including the parquet sink + checkpoint I/O, rows =
+    // the flagged count. Benchmark recipe matches mm_decon_raw (every
+    // 300th doc), so the delta against the batch rows IS the
+    // micro-batch overhead. The text twin runs the stream-static
+    // broadcast semi with the fused cos_ge condition (no state store —
+    // the decision is per-row); the mm twin's only state is the
+    // flagged-id dedup, bounded by the contamination count.
+    val streamDeconRuns: Seq[Option[(String, Double, Long)]] = {
+      import org.apache.spark.sql.functions.{col, max => smax}
+      val tags = Set("stream_decon_flag_raw", "stream_mm_decon_flag_raw")
+      if (only.nonEmpty && only.intersect(tags).isEmpty) Seq.empty
+      else {
+        val m = (docs.agg(smax(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_probe_sd").toString
+        try {
+          docs.select("doc_id", "text")
+            .repartitionByRange(8, col("doc_id"))
+            .write.mode("overwrite").parquet(s"$root/in")
+          val schema = spark.read.parquet(s"$root/in").schema
+          def stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+          def drain(out: org.apache.spark.sql.DataFrame,
+              dir: String): Long = {
+            val q = out.writeStream.format("parquet")
+              .option("path", s"$dir/out")
+              .option("checkpointLocation", s"$dir/ckpt")
+              .outputMode("append").start()
+            try q.processAllAvailable() finally q.stop()
+            spark.read.parquet(s"$dir/out").count()
+          }
+          Seq(
+            time("stream_decon_flag_raw") {
+              drain(graft.operators.TextOps.semanticDecontaminateFlag(
+                stream, docs.filter(col("doc_id") % 300 === 0)),
+                s"$root/t") },
+            time("stream_mm_decon_flag_raw") {
+              val bench = graft.operators.Multimodal.attachMedia(
+                docs.filter(col("doc_id") % 300 === 0)
+                  .select((col("doc_id") + m).as("doc_id"), col("text")))
+              drain(graft.operators.Multimodal.dHashDecontaminateFlag(
+                graft.operators.Multimodal.attachMedia(stream), bench,
+                maxHamming = 6, bands = 2, bandBits = 32,
+                probeRadius = 1, nHint = nDocs), s"$root/m") })
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(root))
+      }
+    }
+
     val ran =
       (runs ++ recallRuns ++ textEmbedRuns ++ deconLshRuns ++
-        deconClustRuns ++ bktRuns).flatten
+        deconClustRuns ++ bktRuns ++ streamDeconRuns).flatten
     // a tag filter matching nothing is a typo, not an empty result —
     // and must not emit the trailing-comma malformed JSON it used to
     require(only.isEmpty || ran.nonEmpty,
