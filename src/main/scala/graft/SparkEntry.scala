@@ -3600,6 +3600,72 @@ object SparkEntry {
         .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_video"))))
     }),
 
+    // Audio decon ATTRIBUTION report (round-19, mm_decon_report's
+    // audio twin): fingerprints aren't SQL-replayable, so the gate
+    // pins the report's FRAME (one row per benchmark clip — zero-hit
+    // items included) and the relational identity half as in-plan
+    // verdicts: every benchmark clip with a text-identical corpus
+    // clip (byte-identical WAV ⇒ hamming 0) must attribute at
+    // min_hamming 0 with n_flagged covering its identity matches.
+    "mm_decon_audio_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val benchDocs = docs
+        .filter(col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 5 = 0"))
+      val rep = Multimodal.audioDecontaminateReport(
+        Multimodal.attachWavAudio(docs.select(col("doc_id"), col("text"))),
+        Multimodal.attachWavAudio(benchDocs
+          .select((col("doc_id") + m).as("doc_id"), col("text"))),
+        maxHamming = 6, bands = 4, bandBits = 16)
+      val ident = benchDocs
+        .select((col("doc_id") + m).as("eval_id"),
+          sha2(col("text"), 256).as("tkey"))
+        .join(docs.filter(col("doc_id") % 3 === 1)
+            .select(sha2(col("text"), 256).as("tkey"), col("doc_id")),
+          Seq("tkey"))
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("doc_id")).as("n_ident"))
+      rep.join(broadcast(ident), Seq("eval_id"), "left")
+        .agg(count(lit(1)).as("n_bench"),
+          coalesce(min(when(col("n_ident").isNull, lit(1))
+            .when(col("min_hamming") === 0 &&
+              col("n_flagged") >= col("n_ident"), lit(1))
+            .otherwise(lit(0))) === 1, lit(true))
+            .as("all_identity_attributed"))
+    }),
+
+    // Video decon ATTRIBUTION report (round-19): the video twin —
+    // keyed on VIDEOS (the composite frame hits re-key to video ids
+    // before the agg), so a benchmark video with a text-identical
+    // corpus video (all frames byte-identical) must attribute at
+    // min_hamming 0. Same gate shape as the audio report.
+    "mm_decon_video_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val benchDocs = docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+      val rep = Multimodal.videoDecontaminateReport(
+        Multimodal.attachPpmVideo(docs.select(col("doc_id"), col("text"))),
+        Multimodal.attachPpmVideo(benchDocs
+          .select((col("doc_id") + m).as("doc_id"), col("text"))),
+        maxHamming = 6, bands = 4, bandBits = 16)
+      val ident = benchDocs
+        .select((col("doc_id") + m).as("eval_id"),
+          sha2(col("text"), 256).as("tkey"))
+        .join(docs.filter(col("doc_id") % 3 === 2)
+            .select(sha2(col("text"), 256).as("tkey"), col("doc_id")),
+          Seq("tkey"))
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("doc_id")).as("n_ident"))
+      rep.join(broadcast(ident), Seq("eval_id"), "left")
+        .agg(count(lit(1)).as("n_bench"),
+          coalesce(min(when(col("n_ident").isNull, lit(1))
+            .when(col("min_hamming") === 0 &&
+              col("n_flagged") >= col("n_ident"), lit(1))
+            .otherwise(lit(0))) === 1, lit(true))
+            .as("all_identity_attributed"))
+    }),
+
     // DECODED frame sampling (round-14, closes the offsets-only
     // mm_frames seam): the fixture videos are 4 concatenated PPM
     // frames; the kernel must parse every frame boundary and hash each
@@ -7021,6 +7087,22 @@ object SparkEntry {
            true AS equals_full_rerun,
            CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
              AS BIGINT) AS n_video""",
+
+    // the audio attribution-report gate: fingerprints aren't
+    // SQL-replayable; the oracle pins the report frame (one row per
+    // benchmark clip) and the in-plan identity-attribution verdict
+    "mm_decon_audio_report" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+           WHERE doc_id % 3 = 1 AND (doc_id // 3) % 5 = 0) AS BIGINT)
+           AS n_bench,
+         true AS all_identity_attributed""",
+
+    // the video twin (keyed on videos, not frames)
+    "mm_decon_video_report" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+           WHERE doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0) AS BIGINT)
+           AS n_bench,
+         true AS all_identity_attributed""",
 
     // the fuzzy-video gate: frame hashes aren't SQL-replayable; the
     // oracle pins the relational half and the in-plan verdicts

@@ -423,6 +423,25 @@ private[graft] object BandedHamming {
   def bipartiteReportJoin(corpusRows: DataFrame, benchRows: DataFrame,
       maxHamming: Int, bands: Int, bandBits: Int, probeRadius: Int,
       storage: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    val (hits, benchIds) = bipartiteHitPairs(corpusRows, benchRows,
+      maxHamming, bands, bandBits, probeRadius, storage)
+    reportFromHits(hits, benchIds)
+  }
+
+  /** The raw verified hit stream behind [[bipartiteReportJoin]]:
+    * `(eval_id, doc_id, hamming)` for every band-colliding,
+    * verify-passing (corpus, benchmark) combination — duplicates per
+    * band/probe key included (consumers aggregate with
+    * duplicate-insensitive ops), plus the distinct benchmark-id frame
+    * for zero-hit reporting. The video report consumes this at the
+    * FRAME level and re-keys both sides to video ids before
+    * aggregating.
+    */
+  private[operators] def bipartiteHitPairs(corpusRows: DataFrame,
+      benchRows: DataFrame, maxHamming: Int, bands: Int, bandBits: Int,
+      probeRadius: Int,
+      storage: Option[org.apache.spark.storage.StorageLevel])
+      : (DataFrame, DataFrame) = {
     val (probed, hamming) =
       probedBenchSide(benchRows, maxHamming, bands, bandBits, probeRadius,
         storage)
@@ -433,15 +452,25 @@ private[graft] object BandedHamming {
           hamming <= maxHamming)
       .select(col("eval_id"), col("c.doc_id").as("doc_id"),
         hamming.as("hamming"))
-      .groupBy(col("eval_id"))
+    (hits, probed.select(col("eval_id")).distinct())
+  }
+
+  /** Aggregate a hit stream into the attribution report:
+    * `count(DISTINCT doc_id)` absorbs the per-band / per-probe-key
+    * duplicates of a pair, `min(hamming)` is duplicate-insensitive;
+    * zero-hit benchmark ids report `(0, null)` via the left join.
+    * The join broadcasts: both sides are benchmark-sized (the agg
+    * emits one row per HIT eval item), but post-agg stats are unknown
+    * so Spark would otherwise plan a sort-merge join
+    * (preserved-left outer join builds on the right).
+    */
+  private[operators] def reportFromHits(hits: DataFrame,
+      benchIds: DataFrame): DataFrame = {
+    val rep = hits.groupBy(col("eval_id"))
       .agg(countDistinct(col("doc_id")).as("n_flagged"),
         min(col("hamming")).as("min_hamming"))
-    // the zero-hit left join: both sides are benchmark-sized (the agg
-    // emits one row per HIT eval item), but post-agg stats are unknown
-    // so Spark would plan a sort-merge join — broadcast the hits side
-    // explicitly (preserved-left outer join builds on the right)
-    probed.select(col("eval_id")).distinct()
-      .join(broadcast(hits), Seq("eval_id"), "left")
+    benchIds
+      .join(broadcast(rep), Seq("eval_id"), "left")
       .select(col("eval_id"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
         col("min_hamming"))

@@ -737,6 +737,37 @@ object Multimodal {
       storage, hint))
   }
 
+  /** Audio decon ATTRIBUTION report (round-19 —
+    * [[dHashDecontaminateReport]]'s contract for the audio member):
+    * per benchmark clip, how many corpus clips it flags and at what
+    * minimum Hamming, zero-hit items included. Same plan: corpus
+    * fingerprints row-local, benchmark broadcast into the INNER join
+    * with the full-hash verify, one benchmark-keyed count-distinct
+    * agg. A byte-identical (or cross-carrier re-encoded) corpus copy
+    * attributes at Hamming 0 — the fingerprint is carrier-invariant.
+    */
+  def audioDecontaminateReport(corpusMedia: DataFrame,
+      benchmarkMedia: DataFrame, maxHamming: Int = 6, bands: Int = 0,
+      bandBits: Int = 16, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    require(!corpusMedia.isStreaming || bands > 0 || nHint >= 0,
+      "audioDecontaminateReport: a streaming corpus needs an explicit " +
+        "bands layout or an nHint — bands = 0 auto-sizing counts the corpus")
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius,
+      if (nHint >= 0) nHint
+      else corpusMedia.filter(col("kind") === "audio").count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("audioDecontaminateReport",
+        maxHamming, b, pr)
+    BandedHamming.bipartiteReportJoin(
+      audioFingerprintBandRows(corpusMedia, b, bb),
+      audioFingerprintBandRows(benchmarkMedia, b, bb),
+      maxHamming, b, bb, pr, storage)
+  }
+
   // -------------------------------------------------------------------
   // REAL video member (round-14): the fixture "video codec" is
   // concatenated PPM frames; frame sampling DECODES the sampled frames
@@ -1003,6 +1034,50 @@ object Multimodal {
     prevIds.unionByName(videoDecontaminateFlag(remainder,
       newBenchmarkMedia, maxHamming, maxFrames, bands, bandBits,
       probeRadius, storage, hint))
+  }
+
+  /** Video decon ATTRIBUTION report (round-19): per benchmark VIDEO,
+    * how many corpus videos share a near-dup sampled frame and the
+    * minimum frame-pair Hamming — the report is keyed on videos, so
+    * the composite (video, frame) hit stream re-keys BOTH sides to
+    * video ids (arithmetic shift) before the count-distinct agg, and
+    * the zero-hit frame carries the distinct benchmark VIDEO ids. A
+    * trimmed re-cut attributes at Hamming 0 through any shared frame.
+    */
+  def videoDecontaminateReport(corpusMedia: DataFrame,
+      benchmarkMedia: DataFrame, maxHamming: Int = 6, maxFrames: Int = 8,
+      bands: Int = 0, bandBits: Int = 16, probeRadius: Int = 0,
+      storage: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      nHint: Long = -1L): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 64,
+      s"maxFrames must be in [1, 64] (composite-id headroom), got $maxFrames")
+    require(!corpusMedia.isStreaming || bands > 0 || nHint >= 0,
+      "videoDecontaminateReport: a streaming corpus needs an explicit " +
+        "bands layout or an nHint — bands = 0 auto-sizing counts the frames")
+    def composite(m: DataFrame) = sampleFrameHashes(m, maxFrames)
+      .select((col("doc_id") * 64 + col("frame_idx")).as("doc_id"),
+        col("frame_hash"))
+    val cHashed0 = composite(corpusMedia)
+    val cHashed =
+      if (bands == 0 && nHint < 0)
+        storage.fold(cHashed0)(graft.CacheScope.persist(cHashed0, _))
+      else cHashed0
+    val (b, bb, pr) = BandedHamming.resolveLayout(bands, bandBits,
+      probeRadius, if (nHint >= 0) nHint else cHashed.count())
+    if (bands == 0)
+      BandedHamming.warnHeuristicTail("videoDecontaminateReport",
+        maxHamming, b, pr)
+    val (hits, benchFrameIds) = BandedHamming.bipartiteHitPairs(
+      BandedHamming.bandRows(cHashed, "frame_hash", b, bb),
+      BandedHamming.bandRows(composite(benchmarkMedia), "frame_hash",
+        b, bb),
+      maxHamming, b, bb, pr, storage)
+    BandedHamming.reportFromHits(
+      hits.select(shiftright(col("eval_id"), 6).as("eval_id"),
+        shiftright(col("doc_id"), 6).as("doc_id"), col("hamming")),
+      benchFrameIds.select(shiftright(col("eval_id"), 6).as("eval_id"))
+        .distinct())
   }
 
   def videoNearDupPairs(media: DataFrame, minSharedFrames: Int = 1,

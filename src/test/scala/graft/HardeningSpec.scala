@@ -246,6 +246,11 @@ class HardeningSpec extends AnyFunSuite {
       // matching pairs only) + the benchmark-id distinct — all
       // benchmark-bounded; the zero-hit left join broadcasts. Measured 3
       "mm_decon_report" -> 3,
+      // audio/video attribution-report gates: the operator's 3 (as
+      // above) + gate furniture — the identity count-distinct pair
+      // and the 1-row verdict agg. Measured 6 each
+      "mm_decon_audio_report" -> 6,
+      "mm_decon_video_report" -> 6,
       // decoded-pixel gate: the cached band subtree's cap window (1) +
       // pair-join side + pair dedup (2) carry the operator; the
       // identity-pair oracle join (1) and the two 1-row verdict aggs

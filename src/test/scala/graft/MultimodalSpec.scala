@@ -398,6 +398,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(noop == Set(1L), s"empty append must carry prev: $noop")
   }
 
+  test("audioDecontaminateReport (round-19): per-benchmark attribution " +
+    "at hamming 0 for identical clips; zero-hit benchmark clips report " +
+    "(0, null)") {
+    val clipA = wav(Seq.tabulate(200)(i => (i * 31 + 7) % 256))
+    val clipB = wav(Seq.tabulate(200)(i => (i * 53) % 256))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("audio"))
+    val rep = Multimodal.audioDecontaminateReport(
+        mediaOf(Seq(1L -> clipA, 2L -> clipA)),
+        mediaOf(Seq(100L -> clipA, 200L -> clipB)),
+        maxHamming = 0, bands = 4, bandBits = 16)
+      .orderBy($"eval_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq
+    assert(rep == Seq((100L, 2L, Some(0L)), (200L, 0L, None)),
+      s"audio attribution rows: $rep")
+  }
+
+  test("videoDecontaminateReport (round-19): attribution is keyed on " +
+    "VIDEOS — a trimmed benchmark clip attributes its source video " +
+    "once; zero-hit benchmark videos report (0, null)") {
+    def frame(seed: Int) = ppm(16, 12, (x, y) =>
+      ((x * seed + y) % 256, (y * seed) % 256, (x + seed) % 256))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = rows
+      .toDF("doc_id", "payload").withColumn("kind", lit("video"))
+    val corpus = mediaOf(Seq(
+      1L -> (frame(3) ++ frame(7) ++ frame(11)),
+      2L -> (frame(17) ++ frame(23))))
+    // bench 100 is a TWO-frame re-cut of video 1 — it must attribute
+    // video 1 ONCE (not once per shared frame); bench 200 shares
+    // nothing
+    val rep = Multimodal.videoDecontaminateReport(corpus,
+        mediaOf(Seq(
+          100L -> (frame(7) ++ frame(11)),
+          200L -> (frame(29) ++ frame(31)))),
+        maxHamming = 0, bands = 4, bandBits = 16)
+      .orderBy($"eval_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq
+    assert(rep == Seq((100L, 1L, Some(0L)), (200L, 0L, None)),
+      s"video attribution rows: $rep")
+  }
+
   test("videoDecontaminateFlag (round-18): a TRIMMED eval clip — one " +
     "shared frame — flags the full corpus video; disjoint-frame videos " +
     "stay; empty benchmark is a no-op") {
