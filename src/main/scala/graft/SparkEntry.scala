@@ -2544,6 +2544,22 @@ object SparkEntry {
         corpusKey = Some(tableKey(s, s"$dir/documents.parquet") + ":semivf"))
     }),
 
+    // Per-BENCHMARK semantic attribution report (round-19): which eval
+    // docs leak semantically and how often — the text member of the
+    // decon report family (decon_report is the gram-based sibling).
+    // Ball-cover prescreen (recall 1) + exact verify counted per eval
+    // doc, zero-match evals included; the counts are EXACT, so the
+    // oracle is the exact tier's pair replay grouped by eval_id. Same
+    // corpus/benchmark fixture and centroid-cache key as the other
+    // semantic tiers.
+    "decon_semantic_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextOps.semanticDecontaminateReport(
+        corpus = docs.filter(col("doc_id") % 7 === 0),
+        benchmark = docs.filter(col("doc_id") % 491 === 0),
+        corpusKey = Some(tableKey(s, s"$dir/documents.parquet") + ":semivf"))
+    }),
+
     // INCREMENTAL decon under BENCHMARK APPEND: flags are monotone
     // when the eval suite grows (the verdict is existential over the
     // benchmark side), so the update job is the flag tier over ONLY
@@ -4979,7 +4995,7 @@ object SparkEntry {
        d AS (SELECT c.doc_id, q.eval_id, sum(c.wt * q.qwt) AS dt
              FROM c JOIN q USING (dim) WHERE c.doc_id <> q.eval_id
              GROUP BY c.doc_id, q.eval_id),
-       f AS (SELECT d.doc_id FROM d
+       f AS (SELECT d.doc_id, d.eval_id FROM d
              JOIN nn n1 ON n1.doc_id = d.doc_id
              JOIN nn n2 ON n2.doc_id = d.eval_id
              WHERE dt > 0 AND CAST(dt AS HUGEINT) * dt * 25
@@ -5110,6 +5126,19 @@ object SparkEntry {
     * over (old mod-491 suite ∪ new mod-97≡11 suite) — never the
     * incremental decomposition itself.
     */
+  /** The report's oracle: the exact tier's passing-pair stream grouped
+    * by BENCHMARK doc (the counts are exact because the ball-cover
+    * prescreen is recall-1), zero-match evals via the left join.
+    */
+  private lazy val deconSemanticReportOracleSql: String =
+    s"""$deconSemanticOracleCtes,
+       rep AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_matched
+               FROM f GROUP BY eval_id)
+       SELECT b.doc_id AS eval_id,
+         CAST(coalesce(rep.n_matched, 0) AS BIGINT) AS n_matched
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 491 = 0) b
+       LEFT JOIN rep ON rep.eval_id = b.doc_id"""
+
   private lazy val deconSemanticIncrOracleSql: String =
     s"""${deconSemanticCtesFor("doc_id % 491 = 0 OR doc_id % 97 = 11")}
        SELECT DISTINCT doc_id FROM f"""
@@ -6494,6 +6523,7 @@ object SparkEntry {
     "decon_semantic_incr" -> deconSemanticIncrOracleSql,
     // prescreen × early-exit tier: flagged set = the flag tier's
     "decon_semantic_ivf_flag" -> deconSemanticFlagOracleSql,
+    "decon_semantic_report" -> deconSemanticReportOracleSql,
 
     // streaming twin: the drained flagged count is the exact tier's
     // distinct count; streamed == batch equality is the Spark verdict

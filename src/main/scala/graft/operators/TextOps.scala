@@ -1027,6 +1027,50 @@ object TextOps {
       .select(col(idCol))
   }
 
+  /** Per-BENCHMARK semantic-decon ATTRIBUTION report (round-19 — the
+    * text member of the decon report family, next to the gram-based
+    * [[graft.operators.Dedup.contaminationReport]] and the multimodal
+    * `*DecontaminateReport` members): for each benchmark doc, how many
+    * corpus docs sit at hashed-embedding cosine ≥ p/q — which eval
+    * items leak and how often, the report an eval owner reads before
+    * trusting a score. Benchmark docs with ZERO matches still report
+    * (`n_matched = 0`).
+    *
+    * Built on [[semanticDecontaminateIvf]]'s ball-cover prescreen
+    * (recall 1 by the triangle inequality — every true pair reaches
+    * the candidate join, so the per-benchmark counts are EXACT and the
+    * oracle is the exact tier's pair replay grouped by `eval_id`):
+    * row-local corpus assignment, benchmark replicated + broadcast,
+    * one dot per candidate pair, the exact integer verify
+    * ([[cosThresholdPred]]) counted per benchmark doc. A pair appears
+    * at most once (each corpus doc lives in exactly one list), so the
+    * count needs no distinct. Exchanges: the eval-keyed agg over the
+    * candidate stream + the benchmark-id distinct — the corpus
+    * vectors never shuffle; the zero-match left join broadcasts (both
+    * sides benchmark-sized).
+    */
+  def semanticDecontaminateReport(corpus: DataFrame,
+      benchmark: DataFrame, cosP: Int = 4, cosQ: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      dim: Int = 64, nlist: Int = 0, trainSample: Int = 20000,
+      corpusKey: Option[String] = None): DataFrame = {
+    val (cAssigned, benchRep) = ivfBallCover(corpus, benchmark, cosP,
+      cosQ, textCol, idCol, n, dim, nlist, trainSample, corpusKey)
+    val p2 = cosP.toLong * cosP; val q2 = cosQ.toLong * cosQ
+    val counted = cAssigned.join(broadcast(benchRep), Seq("list"))
+      .filter(col(idCol) =!= col("eval_id"))
+      .select(col("eval_id"), col("n1"), col("n2"),
+        graft.functions.vec.dot(col("cv"), col("ev")).cast("long").as("dt"))
+      .groupBy(col("eval_id"))
+      .agg(count(when(
+        cosThresholdPred(col("dt"), col("n1"), col("n2"), p2, q2),
+        1)).as("n_matched"))
+    benchmark.select(col(idCol).as("eval_id")).distinct()
+      .join(broadcast(counted), Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how target-like its n-gram profile is, where the target is any

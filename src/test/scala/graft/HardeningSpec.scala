@@ -292,6 +292,11 @@ class HardeningSpec extends AnyFunSuite {
       // docs — every join broadcasts and the union is shuffle-free
       // (the branches are disjoint by construction, no distinct)
       "decon_semantic_incr" -> 0,
+      // per-benchmark attribution report: the eval-keyed agg over the
+      // ball-cover candidate stream + the benchmark-id distinct —
+      // corpus vectors never shuffle, the zero-match left join
+      // broadcasts. Measured 2
+      "decon_semantic_report" -> 2,
       // dense-vector retrieval: persisted embed subtree + 1-row
       // broadcast + TakeOrderedAndProject — zero shuffle exchanges
       "sim_topk_text_embed" -> 0,

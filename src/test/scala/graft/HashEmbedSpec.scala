@@ -209,6 +209,41 @@ class HashEmbedSpec extends AnyFunSuite {
     assert(flag == exact.map(_._1), s"flag=$flag exact=$exact")
   }
 
+  test("semanticDecontaminateReport: per-benchmark counts equal the " +
+    "SWAPPED exact tier (cosine is symmetric); zero-match evals report " +
+    "0; exactness holds at any quantizer sizing") {
+    val benchDocs = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog"),
+      (1001L, "distributed query engines shuffle hash partitions across executors"),
+      (1002L, "七言绝句平仄格律对仗工整韵脚分明"),
+      (1003L, "zzz qqq vvv kkk unmatched gibberish payload"))
+    val bench = benchDocs.toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "The quick brown fox jumps over the lazy dog!"),
+      (11L, "distributed query engines shuffle hash partitions across workers"),
+      (12L, "completely unrelated payload about sorting networks"),
+      (13L, "ab"),
+      (15L, "七言绝句平仄格律对仗工整")).toDF("doc_id", "text")
+    // brute per-benchmark reference: the exact tier with the sides
+    // SWAPPED — cos(a,b) = cos(b,a), and the fixture's id spaces are
+    // disjoint so the self-pair exclusion is vacuous on both runs
+    val brute = TextOps.semanticDecontaminate(bench, corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(brute.nonEmpty && !brute.contains(1003L),
+      s"fixture must have matches AND a zero-match eval: $brute")
+    for (nl <- Seq(0, 2, 16)) {
+      val rep = TextOps.semanticDecontaminateReport(corpus, bench,
+          nlist = nl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rep.keySet == benchDocs.map(_._1).toSet,
+        s"nlist=$nl: every benchmark doc must report: ${rep.keySet}")
+      for ((id, n) <- rep)
+        assert(n == brute.getOrElse(id, 0L),
+          s"nlist=$nl eval=$id: report $n != brute ${brute.getOrElse(id, 0L)}")
+    }
+  }
+
   test("incremental decon under benchmark append equals the full re-run " +
     "(monotone update) and no-ops on an empty append") {
     // flags are existential over the benchmark side, so they are
