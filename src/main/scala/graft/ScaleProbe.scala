@@ -486,15 +486,33 @@ object ScaleProbe {
           .tokenBudgetSelect(docs, budget = nDocs * 20).count() },
       time("corpus_build_raw") {
         // the composite deployment chain (exact dedup → gram decon →
+        // semantic decon, round-19: the prescreen × early-exit tier →
         // quality/lang gate) — the same definition the oracled
         // pipeline_corpus_build materializes and writes
         SparkEntry.corpusBuildSelected(docs).count() },
       time("corpus_build_mm_raw") {
-        // the MULTIMODAL capstone chain (round-15): exact text dedup ∩
-        // three real-decoder near-dup joins in one cluster resolution
-        // ∩ quality gate — the same definition pipeline_corpus_build_mm
-        // materializes and writes
-        SparkEntry.corpusBuildMmSelected(docs).count() })
+        // the MULTIMODAL capstone chain (round-15; round-19 adds the
+        // semantic ivf_flag tier + the image-decon stage): exact text
+        // dedup ∩ three real-decoder near-dup joins in one cluster
+        // resolution ∩ semantic + image decon ∩ quality gate — the
+        // same definition pipeline_corpus_build_mm materializes
+        SparkEntry.corpusBuildMmSelected(docs).count() },
+      time("mm_decon_report_raw") {
+        // the attribution report at scale (round-19): mm_decon_raw's
+        // fixture through the INNER-join + eval-keyed count-distinct
+        // shape — the delta over mm_decon_raw IS the attribution agg,
+        // bounded by the contamination volume (the hit stream), never
+        // the corpus
+        import org.apache.spark.sql.functions.{col, max => smax}
+        val m = (docs.agg(smax(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+        val bench = docs.filter(col("doc_id") % 300 === 0)
+          .select((col("doc_id") + m).as("doc_id"), col("text"))
+        graft.operators.Multimodal.dHashDecontaminateReport(
+          graft.operators.Multimodal.attachMedia(
+            docs.repartition(cpus.toInt * 4)),
+          graft.operators.Multimodal.attachMedia(bench),
+          maxHamming = 6, bands = 2, bandBits = 32,
+          probeRadius = 1).count() })
 
     // ---- recall at scale (VERDICT r10 #3): the oracled gates pin recall
     // floors at fixture scale only; this measures the √n-nlist +
@@ -691,6 +709,17 @@ object ScaleProbe {
           // row; the exact integer verify runs only on ball-cover
           // candidates (output-sensitive — see the operator doc)
           graft.operators.TextOps.semanticDecontaminateIvf(
+            bigCorpus, bigBench).count() },
+        time("decon_semantic_ivf_flag_raw") {
+          // the prescreen × early-exit tier on the SATURATED fixture —
+          // the capstones' tier (round-19) measured in its WORST
+          // regime: nearly every doc matches, so the flag tier's semi
+          // join exits almost immediately and the prescreen's
+          // quantizer + assignment + radius pass are pure overhead on
+          // top. The delta vs decon_semantic_flag_raw IS that
+          // overhead; the clustered probes (decon_clust_*) are where
+          // the tier wins 6.4×
+          graft.operators.TextOps.semanticDecontaminateIvfFlag(
             bigCorpus, bigBench).count() },
         time("decon_semantic_ivf_agree") {
           // flagged-set agreement at scale (in-row ground truth, the

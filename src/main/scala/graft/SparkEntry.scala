@@ -215,10 +215,15 @@ object SparkEntry {
     * gram stage already dropped never embed), as do the lang+quality
     * and token-stats passes. `semCorpusKey` keys the quantizer's
     * centroid cache (the query passes the fixture key; probes may
-    * leave it None to retrain per call).
+    * leave it None to retrain per call). `semPrescreen = false` swaps
+    * the semantic stage back to the plain flag tier — the right call
+    * when the corpus is SATURATED (round-19 A/B on the saturated 100×
+    * fixture: flag 7.7 s vs ivf_flag 31.0 s, identical sets; on
+    * clustered corpora the default wins 6.4× at 5M).
     */
   private[graft] def corpusBuildSelected(docs: DataFrame,
-      semCorpusKey: Option[String] = None): DataFrame = {
+      semCorpusKey: Option[String] = None,
+      semPrescreen: Boolean = true): DataFrame = {
     val winners = graft.operators.Dedup.exact(docs)
       .select(col("keep_id").as("doc_id"))
     val corpus = docs.join(winners, Seq("doc_id"), "left_semi")
@@ -226,9 +231,12 @@ object SparkEntry {
     val evalSplit = docs.filter(col("doc_id") % 97 === 0)
     val deconned = graft.operators.Dedup.decontaminate(corpus,
       evalSplit, n = 3)
-    val semFlagged = graft.operators.TextOps
-      .semanticDecontaminateIvfFlag(deconned, evalSplit,
-        corpusKey = semCorpusKey)
+    val semFlagged =
+      if (semPrescreen) graft.operators.TextOps
+        .semanticDecontaminateIvfFlag(deconned, evalSplit,
+          corpusKey = semCorpusKey)
+      else graft.operators.TextOps
+        .semanticDecontaminateFlag(deconned, evalSplit)
     val selected =
       deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
     graft.operators.TextOps.langQuality(selected)
@@ -274,7 +282,8 @@ object SparkEntry {
     * → `(doc_id, kind, pred_lang, n_tokens)`.
     */
   private[graft] def corpusBuildMmSelected(docs: DataFrame,
-      semCorpusKey: Option[String] = None): DataFrame = {
+      semCorpusKey: Option[String] = None,
+      semPrescreen: Boolean = true): DataFrame = {
     val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
     val dups = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + m).as("doc_id"), col("text"))
@@ -318,11 +327,13 @@ object SparkEntry {
     // mod-97 eval split, computed once over the original docs
     // (round-19: the measured-best tier — flagged set equals the
     // plain flag tier's by the recall-1 theorem, oracle unchanged)
-    val semFlagged = graft.operators.TextOps.semanticDecontaminateIvfFlag(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        corpusKey = semCorpusKey)
-      .select(col("doc_id").as("orig_id"))
+    val semFlagged = {
+      val c = docs.filter(col("doc_id") % 97 =!= 0)
+      val e = docs.filter(col("doc_id") % 97 === 0)
+      if (semPrescreen) graft.operators.TextOps
+        .semanticDecontaminateIvfFlag(c, e, corpusKey = semCorpusKey)
+      else graft.operators.TextOps.semanticDecontaminateFlag(c, e)
+    }.select(col("doc_id").as("orig_id"))
     // IMAGE decontamination (round-19, VERDICT r18 #1): the media leg
     // previously deduplicated but never decontaminated — flag corpus
     // images whose byte dHash (canonical-P6 body, 13-byte header)

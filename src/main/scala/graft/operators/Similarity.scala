@@ -232,11 +232,24 @@ object Similarity {
     // k must not exceed the training-point count (Spark 4's block
     // KMeans aggregator indexes by k and crashes when init yields
     // fewer centers); never binds under √n auto-sizing — only guards
-    // tiny explicit-nlist corpora
+    // tiny corpora
     val k = math.max(1, math.min(nlist, n.toInt))
-    try new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .fit(train).clusterCenters.map(_.toArray)
-    finally train.unpersist(blocking = false)
+    try {
+      if (k < 2)
+        // Spark ML KMeans REJECTS k < 2 — and a 0/1-doc corpus is its
+        // own quantizer: return the lone point (or nothing — the ball
+        // cover substitutes a single zero centroid, opening the bound
+        // to the whole sphere, so recall is unaffected). Reachable in
+        // production, not just toy inputs: a decon/build chain whose
+        // upstream stages drop nearly the whole corpus (round-19
+        // measured it — on the saturated 100× fixture the gram-decon
+        // stage left ONE survivor and the capstone crashed here).
+        train.limit(1).collect().map(r =>
+          r.getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+      else
+        new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+          .fit(train).clusterCenters.map(_.toArray)
+    } finally train.unpersist(blocking = false)
   }
 
   /** Trained-quantizer cache, keyed by caller-supplied corpus identity +

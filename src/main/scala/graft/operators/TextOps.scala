@@ -892,12 +892,20 @@ object TextOps {
     // re-normalized so the kernel's euclidean argmin is the cosine
     // argmax (a degenerate zero-norm centroid stays zero and simply
     // attracts nothing preferentially)
-    val centroids = Similarity.trainCentroidsCached(
+    val centroids0 = Similarity.trainCentroidsCached(
         corpusKey, cUnit, "u", nlistResolved, trainSample)
       .map { c =>
         val nn = math.sqrt(c.map(x => x * x).sum)
         if (nn > 0) c.map(_ / nn) else c
       }
+    // EMPTY corpus (everything upstream dropped): no training points →
+    // no centroids. Substitute one zero centroid so the kernel and the
+    // radius pass still build — nothing is assigned to it (the corpus
+    // is empty), the replication ball degenerates harmlessly, and the
+    // tiers return their empty/zero-frame results instead of crashing.
+    val centroids =
+      if (centroids0.nonEmpty) centroids0
+      else Array(Array.fill(dim)(0.0))
     // bounded eager pass: per-list MIN cosine to the assigned unit
     // centroid (nlist rows collected — the trainCentroids class of
     // driver-side data). Computed via a broadcast join against the
@@ -1008,8 +1016,15 @@ object TextOps {
     * plain flag — because the per-doc assignment outgrew the scan it
     * was saving. Default guidance: corpus builds at scale run THIS
     * tier on clustered corpora and [[semanticDecontaminateFlag]] when
-    * the corpus may be saturated (this tier degrades to flag's cost
-    * plus the cheap assignment, never worse).
+    * the corpus may be saturated. "Degrades gracefully" is
+    * linear-BOUNDED, not free (round-19, measured on the saturated
+    * 100× fixture at 500k × 10k): this tier reads 31.0 s vs flag's
+    * 7.7 s — identical flagged sets, but the quantizer training,
+    * radius pass, and double assignment are pure overhead when the
+    * semi join exits at its first dot anyway. ~46 µs/doc of bounded
+    * linear overhead buys the 6.4× clustered win; pick per corpus
+    * (the corpus-build capstones expose the choice as a parameter
+    * defaulting to this tier).
     */
   def semanticDecontaminateIvfFlag(corpus: DataFrame,
       benchmark: DataFrame, cosP: Int = 4, cosQ: Int = 5,

@@ -279,6 +279,34 @@ class HashEmbedSpec extends AnyFunSuite {
     assert(noop == Set(0L), s"empty append must be a no-op: $noop")
   }
 
+  test("ivf decon tiers survive 0/1-doc corpora (round-19: a decon " +
+    "chain can legitimately drop nearly everything upstream — the " +
+    "saturated 100x capstone probe left ONE survivor and crashed " +
+    "k-means at k=1)") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different benchmark payload")).toDF("doc_id", "text")
+    val one = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // one-doc corpus: the lone point becomes the quantizer; the
+    // contaminated doc must still flag and the report still frames
+    // every benchmark doc
+    assert(TextOps.semanticDecontaminateIvfFlag(one, bench)
+      .as[Long].collect().toSet == Set(1L))
+    val rep1 = TextOps.semanticDecontaminateReport(one, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep1 == Map(100L -> 1L, 101L -> 0L), s"one-doc report: $rep1")
+    // empty corpus: no centroids to train — the zero-centroid
+    // substitute keeps the plan buildable; flag is empty, the report
+    // frames all benchmark docs at zero
+    val none = one.filter($"doc_id" < 0)
+    assert(TextOps.semanticDecontaminateIvfFlag(none, bench).count() == 0)
+    val rep0 = TextOps.semanticDecontaminateReport(none, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep0 == Map(100L -> 0L, 101L -> 0L), s"empty-corpus report: $rep0")
+  }
+
   test("cosThresholdPred: exact vs BigInteger everywhere it is non-null, " +
     "null only past Decimal(38,0) — conservative, never a mis-flag") {
     // the Decimal(38,0) bound is derived for the 64-dim/char-3-gram
