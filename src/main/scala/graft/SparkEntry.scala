@@ -3627,6 +3627,115 @@ object SparkEntry {
         .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_video"))))
     }),
 
+    // Streaming AUDIO decon (round-19 — stream_mm_decon_flag's audio
+    // twin, closing the decon matrix's streaming column for audio):
+    // corpus clips arrive as a file stream and the SAME stream-static
+    // broadcast semi + full-fingerprint verify drops contaminated
+    // clips in flight; the only state is the flagged-id dedup.
+    // Fingerprints aren't SQL-replayable, so the gate pins drained ==
+    // batch (in-plan full-outer equality) + the relational identity
+    // half against the DRAINED set (null-safe).
+    "stream_mm_decon_audio_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val bench = Multimodal.attachWavAudio(docs
+        .filter(col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text")))
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "smdaf",
+        "in") { tmp =>
+        docs.select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_smdaf")
+        .toString
+      onJvmExitDelete(run)
+      val textStream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val q = Multimodal.audioDecontaminateFlag(
+          Multimodal.attachWavAudio(textStream), bench,
+          maxHamming = 6, bands = 4, bandBits = 16)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = graft.CacheScope.persist(s.read.parquet(s"$run/out"))
+      val batch = Multimodal.audioDecontaminateFlag(
+        Multimodal.attachWavAudio(docs.select(col("doc_id"), col("text"))),
+        bench, maxHamming = 6, bands = 4, bandBits = 16)
+      val eq = streamed.withColumn("l", lit(1)).as("a")
+        .join(batch.withColumn("r", lit(1)).as("b"), Seq("doc_id"), "full")
+        .agg((count(when(col("l").isNull || col("r").isNull, 1)) === 0)
+          .as("equal_ok"))
+      val benchKeys = docs
+        .filter(col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select(sha2(col("text"), 256).as("tkey")).distinct()
+      val mustFlag = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+        .join(broadcast(benchKeys), "tkey")
+        .select("doc_id").distinct()
+      mustFlag.join(streamed.withColumn("f", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_identity"),
+          coalesce(min(when(col("f") === 1, lit(1)).otherwise(lit(0))) === 1,
+            lit(true)).as("all_identity_flagged"))
+        .crossJoin(broadcast(eq))
+    }),
+
+    // Streaming VIDEO decon (round-19 — the video twin, completing
+    // the decon matrix's streaming column): frame hashes stream
+    // row-local into the same broadcast semi; state = the two
+    // flagged-id dedups (composite + video — Spark 4 chains the
+    // stateful dedups in append mode). Same gate shape.
+    "stream_mm_decon_video_flag" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = (docs.agg(max(col("doc_id"))).head.getLong(0) / 3 + 1) * 3
+      val bench = Multimodal.attachPpmVideo(docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select((col("doc_id") + m).as("doc_id"), col("text")))
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "smdvf",
+        "in") { tmp =>
+        docs.select("doc_id", "text")
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
+      val run = java.nio.file.Files.createTempDirectory("graft_smdvf")
+        .toString
+      onJvmExitDelete(run)
+      val textStream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
+      val q = Multimodal.videoDecontaminateFlag(
+          Multimodal.attachPpmVideo(textStream), bench,
+          maxHamming = 6, bands = 4, bandBits = 16)
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = graft.CacheScope.persist(s.read.parquet(s"$run/out"))
+      val batch = Multimodal.videoDecontaminateFlag(
+        Multimodal.attachPpmVideo(docs.select(col("doc_id"), col("text"))),
+        bench, maxHamming = 6, bands = 4, bandBits = 16)
+      val eq = streamed.withColumn("l", lit(1)).as("a")
+        .join(batch.withColumn("r", lit(1)).as("b"), Seq("doc_id"), "full")
+        .agg((count(when(col("l").isNull || col("r").isNull, 1)) === 0)
+          .as("equal_ok"))
+      val benchKeys = docs
+        .filter(col("doc_id") % 3 === 2 && expr("(doc_id DIV 3) % 5 = 0"))
+        .select(sha2(col("text"), 256).as("tkey")).distinct()
+      val mustFlag = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), sha2(col("text"), 256).as("tkey"))
+        .join(broadcast(benchKeys), "tkey")
+        .select("doc_id").distinct()
+      mustFlag.join(streamed.withColumn("f", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_identity"),
+          coalesce(min(when(col("f") === 1, lit(1)).otherwise(lit(0))) === 1,
+            lit(true)).as("all_identity_flagged"))
+        .crossJoin(broadcast(eq))
+    }),
+
     // Audio decon ATTRIBUTION report (round-19, mm_decon_report's
     // audio twin): fingerprints aren't SQL-replayable, so the gate
     // pins the report's FRAME (one row per benchmark clip — zero-hit
@@ -7128,6 +7237,35 @@ object SparkEntry {
            true AS equals_full_rerun,
            CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
              AS BIGINT) AS n_video""",
+
+    // the streaming audio-decon gate: fingerprints aren't
+    // SQL-replayable; the oracle pins the relational identity half
+    // and the in-plan verdicts (all identity flagged in the DRAINED
+    // set; drained == batch)
+    "stream_mm_decon_audio_flag" ->
+      """WITH bk AS (
+           SELECT DISTINCT text FROM documents
+           WHERE doc_id % 3 = 1 AND (doc_id // 3) % 5 = 0),
+         ident AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN bk ON d.text = bk.text
+           WHERE d.doc_id % 3 = 1)
+         SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
+           true AS all_identity_flagged,
+           true AS equal_ok""",
+
+    // the video twin
+    "stream_mm_decon_video_flag" ->
+      """WITH bk AS (
+           SELECT DISTINCT text FROM documents
+           WHERE doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0),
+         ident AS (
+           SELECT DISTINCT d.doc_id FROM documents d
+           JOIN bk ON d.text = bk.text
+           WHERE d.doc_id % 3 = 2)
+         SELECT CAST((SELECT count(*) FROM ident) AS BIGINT) AS n_identity,
+           true AS all_identity_flagged,
+           true AS equal_ok""",
 
     // the audio attribution-report gate: fingerprints aren't
     // SQL-replayable; the oracle pins the report frame (one row per
