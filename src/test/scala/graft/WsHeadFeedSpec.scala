@@ -59,8 +59,12 @@ class WsHeadFeedSpec extends AnyFunSuite {
     val sub = new HeadSubscription(new WsHeadFeed(server.uri),
       triesPerConnect = 5, backoffMs = 5L)
     try {
-      assert(sub.awaitFirst(5000L).nonEmpty)
-      val deadline = System.nanoTime() + 5000L * 1000000L
+      // generous UPPER bounds (round-19): under a fully loaded
+      // parallel test run a 5 s deadline flaked once on the
+      // reject->reconnect sequence — the bound is a hang guard, not a
+      // latency assertion, so 30 s costs nothing when healthy
+      assert(sub.awaitFirst(30000L).nonEmpty)
+      val deadline = System.nanoTime() + 30000L * 1000000L
       while (sub.currentHead() != Some(12L) && System.nanoTime() < deadline)
         Thread.sleep(5L)
       assert(sub.currentHead() == Some(12L))
@@ -91,7 +95,7 @@ class WsHeadFeedSpec extends AnyFunSuite {
     val sub = new HeadSubscription(new WsHeadFeed(server.uri),
       triesPerConnect = 5, backoffMs = 5L)
     try {
-      assert(sub.awaitFirst(5000L) == Some(8L))
+      assert(sub.awaitFirst(30000L) == Some(8L))
       assert(sub.connects >= 2L)
     } finally { sub.close(); server.close() }
   }
