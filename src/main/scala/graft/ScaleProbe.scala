@@ -710,6 +710,13 @@ object ScaleProbe {
           // candidates (output-sensitive — see the operator doc)
           graft.operators.TextOps.semanticDecontaminateIvf(
             bigCorpus, bigBench).count() },
+        time("decon_semantic_report_raw") {
+          // per-benchmark attribution at scale (round-19): the
+          // ball-cover candidate stream aggregated by eval doc — the
+          // row should track decon_semantic_ivf_raw (same candidate
+          // join, the agg keys on the other side; benchmark-bounded)
+          graft.operators.TextOps.semanticDecontaminateReport(
+            bigCorpus, bigBench).count() },
         time("decon_semantic_ivf_flag_raw") {
           // the prescreen × early-exit tier on the SATURATED fixture —
           // the capstones' tier (round-19) measured in its WORST
