@@ -98,11 +98,29 @@ object Dedup {
     * (the metric denominators always use the full gram set).
     */
   private def gramCandidates(df: DataFrame, n: Int, textCol: String,
-      idCol: String, maxGramDf: Option[Int]): (DataFrame, DataFrame) = {
-    val grams = df
-      .select(col(idCol).as("doc_id"),
-        explode(gramHashes(col(textCol), n)).as("gram"))
-    val filtered = maxGramDf match {
+      idCol: String, maxGramDf: Option[Int]): DataFrame = {
+    // the per-doc gram count (the metric denominator) RIDES the exploded
+    // rows as a carried column instead of living in a second aggregate:
+    // the old shape re-scanned the input, re-hashed every doc, shuffled a
+    // full doc-keyed aggregate and joined it back TWICE post-agg — a
+    // whole scan + exchange + two joins for a value that is row-local
+    // (`size` of the distinct-gram array). The carry costs one int per
+    // exploded row in the pair join's shuffle and one extra row-local
+    // kernel eval (Generate and Project evaluate their inputs
+    // separately); the denominators still come from the UNCAPPED gram
+    // set — the df-cap below drops rows but never touches `n_grams`.
+    // two-step select: the gram array MUST materialize as a column below
+    // the Generate — written as one select, the planner leaves `text` in
+    // the Generate child and the size() projection above it re-runs the
+    // whole hash kernel PER EXPLODED ROW (measured 3-4x regression:
+    // O(grams) kernel evals per doc). With the array as a child column
+    // the kernel runs once per doc and size() above the Generate is O(1)
+    // on the carried array.
+    val arr = gramHashes(col(textCol), n)
+    val grams = df.select(col(idCol).as("doc_id"), arr.as("__grams"))
+      .select(col("doc_id"), size(col("__grams")).as("n_grams"),
+        explode(col("__grams")).as("gram"))
+    maxGramDf match {
       case Some(cap) =>
         // df as a WINDOW count over the gram key, not a groupBy+join
         // twin: the window's shuffle partitions by exactly the key the
@@ -113,26 +131,24 @@ object Dedup {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
         grams.withColumn("__gram_df", count(lit(1)).over(w))
           .filter(col("__gram_df") <= cap)
-          .select("doc_id", "gram")
+          .select("doc_id", "n_grams", "gram")
       case None => grams
     }
-    (filtered, grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")))
   }
 
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
       maxGramDf: Option[Int] = None): DataFrame = {
-    val (filtered, counts) = gramCandidates(df, n, textCol, idCol, maxGramDf)
-    val shared = filtered.as("a")
-      .join(filtered.as("b"),
+    val cand = gramCandidates(df, n, textCol, idCol, maxGramDf)
+    // n1/n2 are functionally dependent on d1/d2, so folding them into
+    // the grouping key costs nothing in cardinality and removes both
+    // post-agg denominator joins
+    cand.as("a")
+      .join(cand.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_grams").as("n1"), col("b.n_grams").as("n2"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n_grams", "n1"), "d1")
-      .join(counts.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n_grams", "n2"), "d2")
       .withColumn("jaccard",
         col("shared").cast("double")
           / (col("n1") + col("n2") - col("shared")).cast("double"))
@@ -154,15 +170,16 @@ object Dedup {
   def containmentPairs(df: DataFrame, n: Int = 3,
       minContainment: Double = 0.9, textCol: String = "text",
       idCol: String = "doc_id", maxGramDf: Option[Int] = None): DataFrame = {
-    val (filtered, counts) = gramCandidates(df, n, textCol, idCol, maxGramDf)
-    filtered.as("a")
-      .join(filtered.as("b"),
+    val cand = gramCandidates(df, n, textCol, idCol, maxGramDf)
+    // the d1-side denominator rides the grouping key (ngramJaccardPairs'
+    // carry) — no post-agg join back to a doc-keyed count aggregate
+    cand.as("a")
+      .join(cand.as("b"),
         col("a.gram") === col("b.gram") &&
           col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_grams").as("n1"))
       .agg(count(lit(1)).as("shared"))
-      .join(counts.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n_grams", "n1"), "d1")
       .withColumn("containment",
         col("shared").cast("double") / col("n1").cast("double"))
       .filter(col("containment") >= minContainment)
