@@ -127,6 +127,30 @@ object SparkEntry {
     s.table(sinkName)
   }
 
+  /** Drain a streaming DataFrame into `\$run/out` through the parquet
+    * sink (checkpoint at `\$run/ckpt`) — the file-sink twin of
+    * [[runStreamingGate]], with the SAME state-partition scoping: the
+    * decon twins' only state is the flagged-id dedup (a few hundred
+    * rows), but the state-store partition count freezes from
+    * `shuffle.partitions` at the first micro-batch, and at the bench's
+    * 32 that is 32 state commits per stateful op per trigger for
+    * near-empty stores (the video twin chains TWO stateful dedups ×
+    * 4 triggers). Scoped to 4 for the drain and restored before the
+    * batch-twin plans run.
+    */
+  private def drainToParquet(s: SparkSession,
+      out: DataFrame, run: String): Unit = {
+    val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+  }
+
   /** Scratch the RETURNED DataFrame is still backed by (the caller
     * writes/collects it after this function returns, so it cannot be
     * deleted eagerly): cleaned at JVM exit.
@@ -2611,12 +2635,8 @@ object SparkEntry {
       val textStream = s.readStream.schema(
           s.read.parquet(s"$streamIn/in").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
-      val q = TextOps.semanticDecontaminateFlag(textStream, bench)
-        .writeStream.format("parquet")
-        .option("path", s"$run/out")
-        .option("checkpointLocation", s"$run/ckpt")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      drainToParquet(s, TextOps.semanticDecontaminateFlag(textStream, bench),
+        run)
       val streamed = s.read.parquet(s"$run/out")
       val batch = TextOps.semanticDecontaminateFlag(
         docs.filter(col("doc_id") % 7 === 0), bench)
@@ -2651,14 +2671,9 @@ object SparkEntry {
       val textStream = s.readStream.schema(
           s.read.parquet(s"$streamIn/in").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
-      val q = Multimodal.dHashDecontaminateFlag(
+      drainToParquet(s, Multimodal.dHashDecontaminateFlag(
           Multimodal.attachMedia(textStream), bench,
-          maxHamming = 6, bands = 4, bandBits = 16)
-        .writeStream.format("parquet")
-        .option("path", s"$run/out")
-        .option("checkpointLocation", s"$run/ckpt")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+          maxHamming = 6, bands = 4, bandBits = 16), run)
       val streamed = s.read.parquet(s"$run/out")
       val batch = Multimodal.dHashDecontaminateFlag(
         Multimodal.attachMedia(docs.select(col("doc_id"), col("text"))),
@@ -3653,14 +3668,9 @@ object SparkEntry {
       val textStream = s.readStream.schema(
           s.read.parquet(s"$streamIn/in").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
-      val q = Multimodal.audioDecontaminateFlag(
+      drainToParquet(s, Multimodal.audioDecontaminateFlag(
           Multimodal.attachWavAudio(textStream), bench,
-          maxHamming = 6, bands = 4, bandBits = 16)
-        .writeStream.format("parquet")
-        .option("path", s"$run/out")
-        .option("checkpointLocation", s"$run/ckpt")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+          maxHamming = 6, bands = 4, bandBits = 16), run)
       val streamed = graft.CacheScope.persist(s.read.parquet(s"$run/out"))
       val batch = Multimodal.audioDecontaminateFlag(
         Multimodal.attachWavAudio(docs.select(col("doc_id"), col("text"))),
@@ -3706,14 +3716,9 @@ object SparkEntry {
       val textStream = s.readStream.schema(
           s.read.parquet(s"$streamIn/in").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
-      val q = Multimodal.videoDecontaminateFlag(
+      drainToParquet(s, Multimodal.videoDecontaminateFlag(
           Multimodal.attachPpmVideo(textStream), bench,
-          maxHamming = 6, bands = 4, bandBits = 16)
-        .writeStream.format("parquet")
-        .option("path", s"$run/out")
-        .option("checkpointLocation", s"$run/ckpt")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+          maxHamming = 6, bands = 4, bandBits = 16), run)
       val streamed = graft.CacheScope.persist(s.read.parquet(s"$run/out"))
       val batch = Multimodal.videoDecontaminateFlag(
         Multimodal.attachPpmVideo(docs.select(col("doc_id"), col("text"))),
