@@ -2299,8 +2299,12 @@ case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
 case class DHashBands(child: Expression, bands: Int, bandBits: Int)
     extends UnaryExpression {
   require(bands >= 1, s"dhash_bands: bands must be >= 1, got $bands")
-  require(bandBits >= 1 && bandBits <= 63,
-    s"dhash_bands: bandBits must be in [1, 63], got $bandBits")
+  // bandBits = 64 is the UN-BANDED case (bands = 1): one long carrying
+  // the full 64-bit hash — the per-bit packing loop shifts by j < 64,
+  // so the sign bit is just bit 63 (Multimodal.dHash64's hash-once
+  // re-banding entry point)
+  require(bandBits >= 1 && bandBits <= 64,
+    s"dhash_bands: bandBits must be in [1, 64], got $bandBits")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "dhash_bands"
   override def nullable: Boolean = true

@@ -200,6 +200,28 @@ object Multimodal {
     * and Hamming verify — the parts that carry the scale — are shared
     * either way.
     */
+  /** The [[dHashBandRows]] kernel UN-BANDED: one row-local 64-bit
+    * byte-sequence dHash per image, `(doc_id, dhash)`. The band layout
+    * is a pure bit-slicing of this hash (little-endian, band `b` =
+    * bits `[b·bandBits, (b+1)·bandBits)` — the packing
+    * [[BandedHamming.bandRows]] replays with `shiftright` + mask), so
+    * a caller comparing SEVERAL layouts over the same media computes
+    * the hash (payload synthesis + hex expansion + gradient kernel —
+    * the expensive, row-local part) ONCE, persists this narrow frame,
+    * and re-bands per layout via [[BandedHamming.bandRows]] instead of
+    * paying one full kernel pass per layout. Null hash for sub-2-byte
+    * bodies, exactly as [[dHashBandRows]] (the null row drops at the
+    * band explode either way).
+    */
+  def dHash64(media: DataFrame, headerLen: Int = 3): DataFrame = {
+    val body = expr(s"substring(payload, ${headerLen + 1}, " +
+      s"length(payload) - $headerLen)")
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"),
+        element_at(graft.functions.vec.dHashBands(lower(hex(body)), 1, 64),
+          1).as("dhash"))
+  }
+
   def dHashBandRows(media: DataFrame, bands: Int = 0, bandBits: Int = 16,
       headerLen: Int = 3, nHint: Long = -1L): DataFrame = {
     // bands = 0 self-sizes the INDEX layout from the image count: a

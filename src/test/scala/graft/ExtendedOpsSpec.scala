@@ -92,6 +92,28 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("complete"))
   }
 
+  test("simhash hash-once re-banding: BandedHamming.bandRows over a " +
+    "precomputed simHash64 frame replays simHashPairs for both layouts") {
+    // the multi-layout probe gate computes the simhash kernel ONCE and
+    // re-bands the cached fingerprint per layout — valid only if the
+    // generic bandRows slicing + pairJoin reproduce simHashPairs exactly
+    val hashed = Dedup.simHash64(docs)
+    for ((b, bb, pr) <- Seq((4, 16, 0), (2, 32, 1))) {
+      val direct = Dedup.simHashPairs(docs, maxDist = 3, bands = b,
+        bandBits = bb, probeRadius = pr, storage = None)
+        .select("d1", "d2", "hamming")
+      val rebanded = graft.operators.BandedHamming.pairJoin(
+        graft.operators.BandedHamming.bandRows(hashed, "simhash", b, bb),
+        maxHamming = 3, bands = b, bandBits = bb, probeRadius = pr,
+        maxBucketSize = None, storage = None)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .select("d1", "d2", "hamming")
+      assert(direct.exceptAll(rebanded).isEmpty &&
+        rebanded.exceptAll(direct).isEmpty,
+        s"layout ${b}x$bb probe $pr: re-banded pairs differ")
+    }
+  }
+
   test("maxGramDf caps hot-shingle fanout; denominator stays the full gram set") {
     // docs 1..30 share exactly ONE hot trigram ("the of and") and nothing
     // else; docs 31/32 are true duplicates that also contain it

@@ -1919,4 +1919,35 @@ class MultimodalSpec extends AnyFunSuite {
       assert(offs == offs.sorted)
     }
   }
+
+  test("dHash64 + BandedHamming.bandRows replays dHashBandRows exactly " +
+    "for both supported layouts (the hash-once re-banding contract)") {
+    // the multi-layout gate queries compute the 64-bit hash ONCE and
+    // re-band it per layout — valid only if bandRows' shiftright+mask
+    // slicing reproduces the kernel's own banding bit for bit
+    val wide = Seq.tabulate(40)(i => (i.toLong, s"text body $i word"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(wide)
+    val hashed = Multimodal.dHash64(media)
+    for ((b, bb) <- Seq((4, 16), (2, 32), (1, 64))) {
+      val direct = Multimodal.dHashBandRows(media, b, bb)
+        .select("doc_id", "band_idx", "band_key")
+      val rebanded = graft.operators.BandedHamming
+        .bandRows(hashed, "dhash", b, bb)
+        .select("doc_id", "band_idx", "band_key")
+      assert(direct.exceptAll(rebanded).isEmpty &&
+        rebanded.exceptAll(direct).isEmpty,
+        s"layout ${b}x$bb: re-banded rows differ from the kernel's own")
+    }
+    // and through the pair join: identical verified pair sets (the
+    // mm_dhash_auto restructure's result-equality claim)
+    val viaKernel = Multimodal.dHashNearDupPairs(media, maxHamming = 6,
+      bands = 4, bandBits = 16, storage = None)
+    val viaRebanding = graft.operators.BandedHamming.pairJoin(
+      graft.operators.BandedHamming.bandRows(hashed, "dhash", 4, 16),
+      maxHamming = 6, bands = 4, bandBits = 16, probeRadius = 0,
+      maxBucketSize = None, storage = None)
+    assert(viaKernel.exceptAll(viaRebanding).isEmpty &&
+      viaRebanding.exceptAll(viaKernel).isEmpty)
+  }
 }
