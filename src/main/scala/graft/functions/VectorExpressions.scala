@@ -1714,6 +1714,65 @@ object VectorRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nWs, nBpe))
   }
 
+  /** Fused language-vote + quality-count pass over an ALREADY-LOWERED
+    * string (the caller applies Spark's `lower` builtin, so lowercase
+    * semantics stay the engine's): one scan producing
+    * `[v_0..v_{k-1}, n_ws, n_bpe, n_punct]` where `v_j` counts
+    * whitespace tokens equal to any word of `words(j)` — replicating
+    * `size(filter(filter(split(s,"\\s+"), _ != ""), _.isin(words(j))))`
+    * — and the three counts replicate [[tokenCounts]]' `\S+` /
+    * `[a-z0-9]+|[^a-z0-9\s]` semantics plus
+    * `size(filter(bpe, _.rlike("^[^a-z0-9]$")))` (every single-
+    * codepoint non-alnum BPE token, i.e. `n_bpe` minus the alnum runs).
+    * The HOF formulation this replaces evaluated 8 interpreted
+    * `ArrayFilter` lambdas per row after building the token arrays;
+    * this is one codegen'd call, the [[termTf]] shape.
+    */
+  def langStats(text: org.apache.spark.unsafe.types.UTF8String,
+      words: Array[Array[String]]): ArrayData = {
+    val s = text.toString
+    val k = words.length
+    val out = new Array[Long](k + 3)
+    val n = s.length
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      // whitespace gap (the `\s` class is BMP-only — a plain char test)
+      while (i < n && isWs(s.charAt(i))) { i += 1; inRun = false }
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) {
+          val cp = s.codePointAt(i)
+          if (cp <= Char.MaxValue && isAlnum(cp.toChar)) {
+            if (!inRun) { out(k + 1) += 1; inRun = true } // n_bpe: alnum run
+          } else {
+            out(k + 1) += 1 // n_bpe: one single-codepoint token
+            out(k + 2) += 1 // n_punct: non-alnum, non-ws codepoint
+            inRun = false
+          }
+          i += Character.charCount(cp)
+        }
+        inRun = false
+        out(k) += 1 // n_ws
+        var j = 0
+        while (j < k) {
+          val ws0 = words(j)
+          var w = 0
+          var hit = false
+          while (!hit && w < ws0.length) {
+            val t = ws0(w)
+            if (t.length == i - start && s.regionMatches(start, t, 0, t.length))
+              hit = true
+            w += 1
+          }
+          if (hit) out(j) += 1
+          j += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Fused whitespace tokenize + per-token xxhash64 — replicates
     * `transform(filter(split(text, "\\s+"), _ =!= ""), w => xxhash64(w))`
     * exactly, without materializing a single token string: the Java
@@ -2742,6 +2801,36 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
   * explode, no per-term re-tokenization;
   * [[graft.operators.TextOps.bm25TopK]]'s hot loop).
   */
+/** `lang_stats(lowered_string) → array<long>` — fused language votes +
+  * quality counts (`[v_0..v_{k-1}, n_ws, n_bpe, n_punct]`, see
+  * [[VectorRuntime.langStats]]): one pass replacing 8 interpreted HOF
+  * filter lambdas per row in the langId/qualityScore/langQuality hot
+  * path. The child must already be lowercased (the operators pass
+  * `lower(text)` so lowercase semantics stay Spark's own).
+  */
+case class LangStats(child: Expression, words: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_stats"
+
+  @transient private lazy val wordArr: Array[Array[String]] =
+    words.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorRuntime.langStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], wordArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langStatsWords", wordArr,
+      "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorRuntime.langStats($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangStats =
+    copy(child = newChild)
+}
+
 case class TermTf(child: Expression, terms: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -3039,6 +3128,8 @@ object vec {
   def charNgramHashes(text: Column, n: Int): Column =
     wrap(CharNgramHashes(ex(text), n))
   def tokenCounts(text: Column): Column = wrap(TokenCounts(ex(text)))
+  def langStats(loweredText: Column, words: Seq[Seq[String]]): Column =
+    wrap(LangStats(ex(loweredText), words))
   def wsTokenHashes(text: Column): Column = wrap(WsTokenHashes(ex(text)))
   def dHashBands(s: Column, bands: Int, bandBits: Int): Column =
     wrap(DHashBands(ex(s), bands, bandBits))

@@ -59,13 +59,29 @@ object TextOps {
     * deterministic tiebreak (list order). Returns (id, pred_lang, per-lang
     * votes) so the decision is auditable.
     */
+  /** The fused per-row language/quality statistics vector
+    * `[v_en..v_zh, n_ws, n_bpe, n_punct]` ([[graft.functions.LangStats]]
+    * over `lower(text)` — one compiled pass; the HOF formulation it
+    * replaces evaluated the tokenizer plus 8 interpreted `ArrayFilter`
+    * lambdas per row, measured 2.8 s vs tokenStats' fused-kernel 0.11 s
+    * over the same cached corpus). Regex equivalence is property-pinned
+    * (PropertySpec "lang_stats"); the two-step select materializes the
+    * vector once below the consuming projection.
+    */
+  private def langStatsCol(textCol: String): Column =
+    graft.functions.vec.langStats(lower(col(textCol)), StopWords.map(_._2))
+
+  private def voteAt(st: Column, j: Int): Column = element_at(st, j + 1)
+
   def langId(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = wsTokens(lower(col(textCol)))
-    val voteCols = StopWords.map { case (l, ws) =>
-      votes(toks, ws).cast("bigint").as(s"v_$l")
+    val st = col("__st")
+    val voteCols = StopWords.zipWithIndex.map { case ((l, _), j) =>
+      voteAt(st, j).as(s"v_$l")
     }
-    val withVotes = df.select((col(idCol) +: voteCols): _*)
+    val withVotes = df
+      .select(col(idCol), langStatsCol(textCol).as("__st"))
+      .select((col(idCol) +: voteCols): _*)
     withVotes.withColumn("pred_lang", predLang)
   }
 
@@ -100,15 +116,19 @@ object TextOps {
     */
   def qualityScore(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val ws = wsTokens(lower(col(textCol)))
-    val bpe = bpeTokens(col(textCol))
-    val enStops = StopWords.head._2
-    df.select(
+    // the counts come from the fused langStats kernel (see
+    // [[langStatsCol]]) — n_stop is the en-vote slot (enStops IS the
+    // en stopword list); the stats vector materializes once below the
+    // count projection
+    val st = col("__st")
+    val k = StopWords.size
+    df.select(col(idCol), col(textCol), langStatsCol(textCol).as("__st"))
+      .select(
         col(idCol),
-        size(ws).cast("double").as("n_ws"),
-        size(bpe).cast("double").as("n_bpe"),
-        size(filter(bpe, t => t.rlike("^[^a-z0-9]$"))).cast("double").as("n_punct"),
-        votes(ws, enStops).cast("double").as("n_stop"),
+        element_at(st, k + 1).cast("double").as("n_ws"),
+        element_at(st, k + 2).cast("double").as("n_bpe"),
+        element_at(st, k + 3).cast("double").as("n_punct"),
+        voteAt(st, 0).cast("double").as("n_stop"),
         length(col(textCol)).cast("double").as("n_chars"))
       .select(
         col(idCol),
@@ -129,16 +149,21 @@ object TextOps {
     */
   def langQuality(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = wsTokens(lower(col(textCol)))
-    val bpe = bpeTokens(col(textCol))
-    val voteCols = StopWords.map { case (l, ws) =>
-      votes(toks, ws).cast("bigint").as(s"v_$l")
+    // one fused kernel pass for all 9 vote/count columns (see
+    // [[langStatsCol]] — the HOF formulation ran the tokenizer ~7× and
+    // 8 interpreted filter lambdas per row, measured 2.8 s vs
+    // tokenStats' 0.11 s over the same cached corpus)
+    val st = col("__st")
+    val k = StopWords.size
+    val voteCols = StopWords.zipWithIndex.map { case ((l, _), j) =>
+      voteAt(st, j).as(s"v_$l")
     }
-    df.select((col(idCol) +: voteCols) ++ Seq(
-        size(toks).cast("double").as("n_ws"),
-        size(bpe).cast("double").as("n_bpe"),
-        size(filter(bpe, t => t.rlike("^[^a-z0-9]$"))).cast("double").as("n_punct"),
-        votes(toks, StopWords.head._2).cast("double").as("n_stop")): _*)
+    df.select(col(idCol), langStatsCol(textCol).as("__st"))
+      .select((col(idCol) +: voteCols) ++ Seq(
+        element_at(st, k + 1).cast("double").as("n_ws"),
+        element_at(st, k + 2).cast("double").as("n_bpe"),
+        element_at(st, k + 3).cast("double").as("n_punct"),
+        voteAt(st, 0).cast("double").as("n_stop")): _*)
       .select(col(idCol), predLang.as("pred_lang"), qualityExpr.as("quality"))
   }
 

@@ -502,6 +502,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("langStats kernel is value-exact with the split/regexp/filter " +
+    "formulation it replaces") {
+    // the fused kernel carries the langId/qualityScore/langQuality hot
+    // path: votes = size(filter(wsTokens(lower), isin(words_j))), then
+    // n_ws / n_bpe (regexp_extract_all "[a-z0-9]+|[^a-z0-9\s]") /
+    // n_punct (bpe tokens matching ^[^a-z0-9]$). Cases: every \s
+    // separator, stopwords of all five lists (incl. multibyte zh),
+    // unicode ws lookalikes (NBSP is a token char), punctuation runs,
+    // supplementary codepoints, uppercase (lower() applies above the
+    // kernel), empty/ws-only strings.
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val stops = graft.operators.TextOps.StopWords
+    val genText: Gen[String] = Gen.listOfN(14, Gen.frequency(
+      3 -> Gen.oneOf(stops.flatMap(_._2)),
+      3 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf(wsChars).map(_.toString),
+      1 -> Gen.oneOf("é", "中", " ", "ß", "€", "𝕏", "的"),
+      1 -> Gen.oneOf(".", ",,", "--", "@", "a.b", "Ab,C"))).map(_.mkString(" "))
+    val texts = (0 until 40).flatMap(i =>
+      genText.apply(Gen.Parameters.default, Seed(1000 + i.toLong))) ++
+      Seq("", " ", "the", "THE", "der die das", "的 是 了", "a.b,c",
+        "...", "a𝕏b c", "\t\n", " the\tla 的 ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        graft.functions.vec.langStats(lower($"text"), stops.map(_._2))
+          .as("st"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val toks = filter(split(lower($"text"), "\\s+"), t => t =!= "")
+    val bpe = regexp_extract_all(lower($"text"),
+      lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+    val voteCols = stops.map { case (_, ws) =>
+      size(filter(toks, t => t.isin(ws.map(lit(_)): _*))).cast("bigint")
+    }
+    val want = df.select($"id", array(voteCols ++ Seq(
+        size(toks).cast("bigint"),
+        size(bpe).cast("bigint"),
+        size(filter(bpe, t => t.rlike("^[^a-z0-9]$"))).cast("bigint")): _*)
+        .as("st"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) == want(i.toLong),
+        s"mismatch on '${texts(i)}' (${texts(i).map(_.toInt.toHexString)}): " +
+          s"${got(i.toLong)} vs ${want(i.toLong)}")
+    }
+  }
+
   test("lshBandKeys kernel is byte-exact with the transform+slice+xxhash64 formulation") {
     // band keys live in persisted index caches — the compiled fold must
     // reproduce Spark's XxHash64 over (band_idx, slice) exactly
