@@ -730,8 +730,16 @@ object Dedup {
   def clusterLabels(docs: DataFrame, pairs: DataFrame, maxIter: Int = 5,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.GraftCheckpointShim.releaseCheckpoint
-    val edges = pairs.select(col("d1"), col("d2"))
-      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    // symmetrize with a row-local explode, NOT a self-union: `pairs` is
+    // usually an unpersisted candidate-join subtree (three banded pair
+    // joins in the mm capstone), and a union evaluates that subtree once
+    // PER SIDE before this checkpoint materializes — the explode emits
+    // both directions from one evaluation
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("d1"), col("d2").as("d2")),
+        struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+      .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
       .localCheckpoint(true)
     // propagate ONLY over the pair-graph vertices — near-dup pairs are a
     // tiny fraction of the corpus, so the iterative joins run on the edge
