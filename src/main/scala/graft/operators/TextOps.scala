@@ -1200,12 +1200,17 @@ object TextOps {
       storage: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     require(n >= 2, "charLmScore: n must be >= 2 (a context must exist)")
-    val grams = graft.functions.vec.charNgramHashes(col(textCol), n)
-    val ctxs = graft.functions.vec.charNgramHashes(col(textCol), n - 1)
+    // two-step select (the gramCandidates rationale): the gram arrays
+    // materialize as named columns below the Generate — inlined, the
+    // n-gram kernel ran twice per row (`grams` + `size(grams)` are
+    // separate occurrences in the generator input)
     val pos0 = df.select(col(idCol),
+        graft.functions.vec.charNgramHashes(col(textCol), n).as("__g"),
+        graft.functions.vec.charNgramHashes(col(textCol), n - 1).as("__c"))
+      .select(col(idCol),
         explode(arrays_zip(
-          slice(ctxs, lit(1), size(grams)).as("ctx"),
-          grams.as("gram"))).as("p"))
+          slice(col("__c"), lit(1), size(col("__g"))).as("ctx"),
+          col("__g").as("gram"))).as("p"))
       .select(col(idCol), col("p.ctx").as("ctx"), col("p.gram").as("gram"))
     val pos = storage.fold(pos0)(graft.CacheScope.persist(pos0, _))
     val gramC = pos.groupBy("gram").agg(count(lit(1)).as("c_gram"))
