@@ -261,8 +261,13 @@ object SparkEntry {
           corpusKey = semCorpusKey)
       else graft.operators.TextOps
         .semanticDecontaminateFlag(deconned, evalSplit)
-    val selected =
-      deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti")
+    // the survivor frame persists: it feeds BOTH the lang/quality pass
+    // and the token-stats pass below, and unpersisted each side re-ran
+    // the whole exact-dedup → gram-decon → semantic-anti-join chain
+    // (the corpusBuildMmSelected `base`-persist convention)
+    val selected = graft.CacheScope.persist(
+      deconned.join(broadcast(semFlagged), Seq("doc_id"), "left_anti"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.TextOps.langQuality(selected)
       .filter(col("quality") >= 0.5)
       .select(col("doc_id"), col("pred_lang"))
@@ -1970,8 +1975,13 @@ object SparkEntry {
     // near-dup removal (exact pairs + cluster resolution) → per-doc stats.
     "pipeline_prep" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val quality = TextOps.qualityScore(docs).filter(col("quality") >= 0.5)
-        .select("doc_id")
+      // the quality-gate id frame persists (narrow: ids only): `kept`
+      // is consumed TWICE downstream (keepRepresentatives' outer side +
+      // clusterLabels' final join), and unpersisted each evaluation
+      // re-ran the quality kernel over the full corpus
+      val quality = graft.CacheScope.persist(
+        TextOps.qualityScore(docs).filter(col("quality") >= 0.5)
+          .select("doc_id"))
       val kept = docs.join(quality, "doc_id")
       val deduped = Dedup.keepRepresentatives(kept,
         Dedup.ngramJaccardPairs(kept, n = 3, minJaccard = 0.8,
