@@ -210,8 +210,17 @@ class HardeningSpec extends AnyFunSuite {
       // construction, not part of this plan); the round-19 IMAGE decon
       // stage adds exactly ONE exchange (the flagged-id distinct over
       // the flagged subset — benchmark broadcasts into the semi).
-      // Measured 12 (was 11)
-      "pipeline_corpus_build_mm" -> 12,
+      // Measured 12 (was 11); 13 after the round-19-opt lang_stats
+      // kernel: the fused quality pass shrank the selected subtree's
+      // size estimate, AQE now BROADCASTS the left-semi side of the
+      // quality join (BuildLeft, ~320 rows at sf0.01) instead of
+      // streaming it build-right, so the cached `selected` relation no
+      // longer carries doc_id partitioning out of that join and the
+      // manifest's full-outer equality join re-partitions the cached
+      // side — one ~400-row exchange traded for an SMJ-side broadcast
+      // inside the cache (AQE picking the smaller build side; verified
+      // old-vs-new plan diff, OPTIMIZATION_r19.md entry 4 footnote)
+      "pipeline_corpus_build_mm" -> 13,
       // updated⋈rebuilt full-outer (2) + equality agg + row-count agg;
       // band indexes themselves are row-local
       "dedup_index_update" -> 4,
