@@ -532,20 +532,25 @@ object Dedup {
       minJaccard: Double = 0.7,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val b = maxBucketSize.fold(banded)(capBandBuckets(banded, _))
-    val pairs = b.as("a")
+    // verify INLINE on the join output, dedup only the narrow survivors
+    // (the cosineNearDupPairs convention): a pair agreeing in k bands
+    // re-runs the 64-slot agreement loop k times map-side, but the
+    // dropDuplicates exchange then moves (d1, d2, est) — 24 bytes —
+    // instead of two full signature arrays (~1 KB/row, the wide-shuffle
+    // killer at corpus scale), and sub-threshold candidates never reach
+    // the shuffle at all. est_jaccard is a pure function of (d1, d2)
+    // (one sig per doc), so filter and dedup commute with the old
+    // dedup-first shape and the output is bit-identical.
+    b.as("a")
       .join(b.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .dropDuplicates("d1", "d2")
-    pairs
-      .withColumn("est_jaccard",
-        graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
-          .cast("double") / size(col("sig1")))
+        (graft.functions.vec.sigAgreement(col("a.sig"), col("b.sig"))
+          .cast("double") / size(col("a.sig"))).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
-      .select("d1", "d2", "est_jaccard")
+      .dropDuplicates("d1", "d2")
   }
 
   /** Incremental near-dup dedup — the production shape that completes
@@ -617,6 +622,8 @@ object Dedup {
     // a dropped bucket's new-side rows simply find no left match
     val all = maxBucketSize.fold(all0)(capBandBuckets(all0, _))
     val aNew = col("a.doc_id") < col("b.doc_id")
+    // verify inline, dedup only (d1, d2, est) survivors — the
+    // minHashLshPairsFromIndex / cosineNearDupPairs narrow-shuffle shape
     all.as("a")
       .join(newBanded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -625,17 +632,16 @@ object Dedup {
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
-        when(aNew, col("a.sig")).otherwise(col("b.sig")).as("sig1"),
-        when(aNew, col("b.sig")).otherwise(col("a.sig")).as("sig2"))
-      .dropDuplicates("d1", "d2")
-      // divisor = the index's own signature length, never a parameter —
-      // a persisted index must not depend on the serving session
-      // remembering its numHashes (see minHashLshPairsFromIndex)
-      .withColumn("est_jaccard",
-        graft.functions.vec.sigAgreement(col("sig1"), col("sig2"))
-          .cast("double") / size(col("sig1")))
+        // divisor = the index's own signature length, never a parameter —
+        // a persisted index must not depend on the serving session
+        // remembering its numHashes (see minHashLshPairsFromIndex);
+        // agreement is symmetric, the divisor keeps the d1 side's length
+        (graft.functions.vec.sigAgreement(col("a.sig"), col("b.sig"))
+          .cast("double")
+          / size(when(aNew, col("a.sig")).otherwise(col("b.sig"))))
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
-      .select("d1", "d2", "est_jaccard")
+      .dropDuplicates("d1", "d2")
   }
 
   // -------------------------------------------------------------------
