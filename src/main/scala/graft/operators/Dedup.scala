@@ -171,17 +171,28 @@ object Dedup {
       minContainment: Double = 0.9, textCol: String = "text",
       idCol: String = "doc_id", maxGramDf: Option[Int] = None): DataFrame = {
     val cand = gramCandidates(df, n, textCol, idCol, maxGramDf)
-    // the d1-side denominator rides the grouping key (ngramJaccardPairs'
-    // carry) — no post-agg join back to a doc-keyed count aggregate
+    // both denominators ride the grouping key (ngramJaccardPairs' carry)
+    // — no post-agg join back to a doc-keyed count aggregate. The
+    // candidate join counts each UNORDERED pair once (`<`, not `=!=`):
+    // |A∩B| is symmetric, so generating both orientations in the join
+    // would double the join output and the aggregate input for no new
+    // information — the two directed rows are emitted ROW-LOCALLY above
+    // the aggregate by a 2-element explode (the clusterLabels
+    // symmetrize shape), each with its own denominator.
     cand.as("a")
       .join(cand.as("b"),
         col("a.gram") === col("b.gram") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n_grams").as("n1"))
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
       .agg(count(lit(1)).as("shared"))
-      .withColumn("containment",
-        col("shared").cast("double") / col("n1").cast("double"))
+      .select(col("shared"), explode(array(
+          struct(col("da").as("d1"), col("db").as("d2"), col("na").as("n1")),
+          struct(col("db").as("d1"), col("da").as("d2"), col("nb").as("n1"))))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        (col("shared").cast("double") / col("p.n1").cast("double"))
+          .as("containment"))
       .filter(col("containment") >= minContainment)
       .select("d1", "d2", "containment")
   }
