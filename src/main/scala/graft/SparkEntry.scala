@@ -2409,22 +2409,36 @@ object SparkEntry {
     "stream_mm_ingest" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      // fixture-keyed scratch for the old-half band index and the stream
+      // input slices — the stream_neardup / stream_ann_ingest /
+      // stream_text_embed_ingest convention (this was the only ingest
+      // gate re-synthesizing and re-hashing its base index per
+      // invocation; the index is the read-only deployment artifact the
+      // query is DEFINED against, the drained pairs/checkpoint stay
+      // per-run temp)
+      val scratch = fixtureScratch(s, s"$dir/documents.parquet", "mmsidx",
+        "index") { tmp =>
+        Multimodal.dHashBandRows(Multimodal.attachMedia(
+            docs.filter(col("doc_id") <= half)
+              .select(col("doc_id"), col("text"))))
+          .write.mode("overwrite").parquet(s"$tmp/index")
+      }
+      val streamIn = fixtureScratch(s, s"$dir/documents.parquet", "mmsin",
+        "in") { tmp =>
+        docs.filter(col("doc_id") > half).select(col("doc_id"), col("text"))
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/in")
+      }
       val run = java.nio.file.Files.createTempDirectory("graft_mms").toString
       onJvmExitDelete(run)
-      Multimodal.dHashBandRows(Multimodal.attachMedia(
-          docs.filter(col("doc_id") <= half)
-            .select(col("doc_id"), col("text"))))
-        .write.mode("overwrite").parquet(s"$run/index")
-      docs.filter(col("doc_id") > half).select(col("doc_id"), col("text"))
-        .repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$run/in")
-      val stream = s.readStream.schema(s.read.parquet(s"$run/in").schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$run/in")
+      val stream = s.readStream.schema(
+          s.read.parquet(s"$streamIn/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamIn/in")
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = graft.streaming.StreamOps.dHashIngestStream(
-          Multimodal.attachMedia(stream), s"$run/index",
+          Multimodal.attachMedia(stream), s"$scratch/index",
           s"$run/append", s"$run/pairs", s"$run/ckpt",
           maxHamming = 6, compactEvery = Some(2))
         try q.processAllAvailable() finally q.stop()
